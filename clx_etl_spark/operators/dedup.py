@@ -1,0 +1,166 @@
+"""Corpus deduplication operators — exact, MinHash+LSH, SimHash, n-gram
+Jaccard. First-class components for a 100 TB training-data pipeline.
+
+Design for scale:
+  * All hashing is md5-based native SQL (JVM, codegen) — no Python UDFs.
+  * Candidate generation is LSH-band bucketing, never an n² cross join:
+    docs sharing a band bucket co-shuffle to the same partition, so the
+    quadratic blow-up is bounded per-bucket. Huge buckets (boilerplate
+    dupes) are the skew risk — cap via distinct-signature dedup first.
+  * md5 (not xxhash64) so the DuckDB oracle reproduces bytes exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import md5_hex, tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: keep the smallest id per digest.
+    Returns the canonical rows plus n_copies."""
+    digest = md5_hex(text_col).alias("digest")
+    w = Window.partitionBy("digest").orderBy(id_col)
+    return (
+        df.select(id_col, text_col, digest)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("digest")))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct pairs — shared base for MinHash and Jaccard."""
+    toks = tokens(text_col)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(toks, k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_perm: int = 16) -> DataFrame:
+    """MinHash signature per doc: perm i = min over shingles of
+    md5(i || '|' || shingle) (hex-string order). One shuffle (groupBy doc).
+    Output: doc_id, sig array<string> of length num_perm."""
+    mins = [
+        F.min(md5_hex(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = F.array(*[F.col(f"h{i}") for i in range(num_perm)])
+    return shingles.groupBy("doc_id").agg(*mins).select("doc_id", sig.alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
+    """Docs sharing >= 1 LSH band bucket -> candidate pairs (a < b).
+    Band hash = md5 of the band's concatenated signature rows."""
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: md5_hex(
+                    F.concat_ws(
+                        "",
+                        F.slice(
+                            F.col("sig"),
+                            b * (F.size("sig") / bands).cast("int") + 1,
+                            (F.size("sig") / bands).cast("int"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band-bucket ->
+    candidate pairs -> exact Jaccard filter. Returns (doc_a, doc_b, jaccard).
+    """
+    sh = shingle_sets(df, text_col, id_col, k).cache()
+    sig = minhash_signatures(sh, num_perm)
+    cand = lsh_candidate_pairs(sig, bands)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint per doc over whitespace tokens (with multiplicity).
+
+    Token hash = first 8 md5 hex chars -> uint32; fingerprint bit b is 1
+    when the (+1/-1) vote sum over tokens at bit b is positive. Pure SQL:
+    explode tokens × bits, sum votes, reassemble bits. Heavy but shuffle-
+    friendly; at scale run per-partition via the same expressions.
+    Output: (doc_id, simhash long).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("w")
+    )
+    h = F.conv(F.substring(md5_hex(F.col("w")), 1, 8), 16, 10).cast("long")
+    tok = tok.select("doc_id", h.alias("h"))
+    bitrow = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("h"),
+    ).withColumn("vote", F.expr("CAST((shiftright(h, bit) & 1) * 2 - 1 AS BIGINT)"))
+    votes = bitrow.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_duplicate_groups(sim: DataFrame) -> DataFrame:
+    """Docs whose full fingerprints collide (hamming distance 0): canonical
+    id + group size, only groups with > 1 member."""
+    w = Window.partitionBy("simhash")
+    return (
+        sim.withColumn("n_docs", F.count(F.lit(1)).over(w))
+        .withColumn("canonical", F.min("doc_id").over(w))
+        .filter((F.col("n_docs") > 1) & (F.col("doc_id") == F.col("canonical")))
+        .select("simhash", F.col("canonical").alias("doc_id"), "n_docs")
+    )

@@ -1,0 +1,102 @@
+"""Text-analysis operators for corpus pipelines: language ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+All native column expressions (codegen, no UDFs); every statistic is
+deterministic so the DuckDB oracle cross-checks them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import md5_hex, tokens
+
+# A tiny per-language stopword table for the n-gram/stopword-hit heuristic.
+# Real pipelines plug fastText/CLD3 in as a pandas UDF; the heuristic is the
+# always-available JVM-side fallback.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "with"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit", "den", "für", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "en", "un", "du", "que", "pour"),
+}
+
+
+def _hit_count(toks: Column, words: tuple[str, ...]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wl, F.lower(t))))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language guess: language with the most stopword hits;
+    'und' (undetermined) when no language scores a hit. Ties resolve in
+    fixed language order (en, es, de, fr)."""
+    toks = tokens(text_col)
+    scored = df.select(F.col(id_col), toks.alias("_toks"))
+    for lang, words in STOPWORDS.items():
+        scored = scored.withColumn(f"_hits_{lang}", _hit_count(F.col("_toks"), words))
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"_hits_{l}") for l in langs])
+    guess = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties -> apply last
+        guess = F.when(F.col(f"_hits_{lang}") == best, F.lit(lang)).otherwise(guess)
+    guess = F.when(best > 0, guess).otherwise(F.lit("und"))
+    return scored.select(id_col, guess.alias("lang_pred"), best.alias("stopword_hits"))
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword / uniqueness signals per document —
+    the standard cheap pre-filters of a training-data pipeline."""
+    txt = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(txt)
+    n_tokens = F.size(toks)
+    n_punct = F.length(txt) - F.length(F.regexp_replace(txt, r"[.,;:!?'\"]", ""))
+    n_stop = _hit_count(toks, STOPWORDS["en"])
+    n_uniq = F.size(F.array_distinct(toks))
+    dbl = lambda c: c.cast("double")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens > 0, dbl(n_chars) / dbl(n_tokens)).alias("mean_token_len"),
+        F.when(n_chars > 0, dbl(n_punct) / dbl(n_chars)).alias("punct_ratio"),
+        F.when(n_tokens > 0, dbl(n_stop) / dbl(n_tokens)).alias("stopword_ratio"),
+        F.when(n_tokens > 0, dbl(n_uniq) / dbl(n_tokens)).alias("unique_token_ratio"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword proxy: count of
+    alphanumeric runs and punctuation marks (each roughly one token in a
+    byte-pair vocabulary), the standard cheap pre-tokenizer estimate."""
+    txt = F.col(text_col)
+    ws = F.size(tokens(text_col))
+    # count matches of: letter runs | digit runs | any non-space symbol
+    pieces = F.regexp_count(txt, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("n_ws_tokens"),
+        pieces.cast("long").alias("n_bpe_pieces"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive rolling document fingerprint.
+
+    Polynomial rolling hash over token hashes mod 2^31-1 with base 131 —
+    overflow-free in 64-bit (values < 2^31, products < 2^62) so Spark and
+    DuckDB compute identical results. Content hash (md5) alongside.
+    """
+    MOD = 2_147_483_647
+    BASE = 131
+    toks = tokens(text_col)
+    th = F.transform(toks, lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 7), 16, 10).cast("long") % MOD)
+    rolling = F.aggregate(
+        th, F.lit(0).cast("long"), lambda acc, h: (acc * BASE + h) % MOD
+    )
+    return df.select(
+        F.col(id_col),
+        md5_hex(text_col).alias("content_md5"),
+        rolling.alias("rolling_fp"),
+    )

@@ -1,0 +1,47 @@
+"""The oracle-checked query registry.
+
+Each entry pairs a Spark DataFrame implementation (the engine path) with an
+ANSI-SQL oracle string DuckDB runs over the same parquet tables. The driver
+harness (and tests/test_queries_oracle.py) execute both and hash-compare.
+
+Determinism contract (both engines must produce byte-identical values):
+  * per-row arithmetic in DOUBLE (IEEE-deterministic), aggregation of money
+    in fixed-scale DECIMAL (exact, order-independent), final cast to DOUBLE
+    (exact for the magnitudes involved);
+  * text hashing via md5 hex (identical digests in both engines);
+  * every top-k fully tie-broken; no floating-point rounding functions
+    (engines' round() implementations differ — raw doubles are safer).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    """A registered engine query with its DuckDB oracle."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible; driver does rows-only
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Query(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    from . import core, corpus, pipeline  # noqa: F401  (registration side effects)
+
+    return REGISTRY

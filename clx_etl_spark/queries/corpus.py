@@ -1,0 +1,293 @@
+"""Corpus / training-data pipeline queries: dedup, similarity search,
+text analysis. All oracle-checked against DuckDB via md5-based hashing and
+exact decimal accumulation (see queries/__init__ determinism contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as T
+from . import register
+
+# shared DuckDB fragments ---------------------------------------------------
+
+TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+SHINGLES_CTE = f"""
+    toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         FOR i IN generate_series(1, len(t) - 2)]) AS shingle
+      FROM toks WHERE len(t) >= 3)
+"""
+
+NUM_PERM = 16
+BANDS = 8
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+_sig_cols = ",\n           ".join(
+    f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in range(NUM_PERM)
+)
+_band_selects = "\n      UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+        b=b,
+        concat=" || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+    )
+    for b in range(BANDS)
+)
+
+MINHASH_ORACLE = f"""
+    WITH {SHINGLES_CTE},
+    sig AS (SELECT doc_id,
+           {_sig_cols}
+           FROM sh GROUP BY doc_id),
+    bands AS (
+      {_band_selects}
+    ),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+              GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / CAST(na.n + nb.n - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / CAST(na.n + nb.n - i.n_inter AS DOUBLE) >= 0.5
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, text, digest, n_copies FROM (
+      SELECT doc_id, text, md5(text) AS digest,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+      FROM documents) WHERE rn = 1
+    """,
+    doc="Exact dedup by content hash; canonical = smallest doc_id",
+)
+def dedup_exact(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return D.exact_dedup(docs).select("doc_id", "text", "digest", "n_copies")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=MINHASH_ORACLE,
+    doc="MinHash(16 perms) + LSH(8 bands) candidate pairs, exact-Jaccard "
+    "verified at >= 0.5; band-bucket join bounds the pair blow-up at scale",
+)
+def dedup_minhash_lsh(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return D.minhash_near_duplicates(
+        docs, k=3, num_perm=NUM_PERM, bands=BANDS, threshold=0.5
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, unnest({TOKS}) AS w FROM documents),
+    th AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM toks),
+    votes AS (SELECT doc_id, bit, CAST(SUM(((h >> bit) & 1) * 2 - 1) AS BIGINT) AS v
+              FROM th, UNNEST(generate_series(0, 31)) AS t(bit)
+              GROUP BY doc_id, bit),
+    sim AS (SELECT doc_id,
+                   CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id)
+    SELECT simhash, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM sim GROUP BY simhash HAVING COUNT(*) > 1
+    """,
+    doc="SimHash(32-bit) fingerprints; groups of colliding fingerprints "
+    "(hamming-0 duplicates)",
+)
+def dedup_simhash(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    sim = D.simhash(docs, bits=32)
+    return D.simhash_duplicate_groups(sim)
+
+
+def _fold_sum(elems: str) -> str:
+    # left fold in list order == Spark F.aggregate: bit-identical doubles
+    return f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {elems}), (acc, x) -> acc + x)"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = _fold_sum(
+        f"[CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) FOR i IN generate_series(1, len({a}))]"
+    )
+    norm = lambda v: "sqrt(" + _fold_sum(
+        f"[CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE) FOR i IN generate_series(1, len({v}))]"
+    ) + ")"
+    return f"({dot} / ({norm(a)} * {norm(b)}))"
+
+
+KNN_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 8),
+    v AS (SELECT vec_id AS neighbor_id, embedding AS vv, label AS vl FROM embeddings),
+    scored AS (SELECT query_id, neighbor_id, {_cosine_sql('qv', 'vv')} AS cosine
+               FROM v, q WHERE neighbor_id <> query_id {{cell_filter}}),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+@register(
+    "sim_knn_bruteforce",
+    oracle=KNN_ORACLE.format(cell_filter=""),
+    doc="Exact cosine top-5 neighbors for 8 query vectors over the corpus; "
+    "decimal-exact dot products, fully tie-broken ranking",
+)
+def sim_knn_bruteforce(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    out = S.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "sim_knn_ivf",
+    oracle=KNN_ORACLE.format(cell_filter="AND vl = ql"),
+    doc="IVF-style single-probe ANN: search restricted to the query's cell "
+    "(label); the scale path — 1/nlist of the corpus scanned per query",
+)
+def sim_knn_ivf(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    out = S.knn_ivf(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "sim_embedding_near_dup",
+    oracle=f"""
+    WITH a AS (SELECT vec_id, embedding, label FROM embeddings)
+    SELECT x.vec_id AS doc_a, y.vec_id AS doc_b,
+           {_cosine_sql('x.embedding', 'y.embedding')} AS cosine
+    FROM a x JOIN a y ON x.label = y.label AND x.vec_id < y.vec_id
+    WHERE {_cosine_sql('x.embedding', 'y.embedding')} >= 0.35
+    """,
+    doc="Embedding-cosine near-dup pairs, cell(label)-blocked to bound the "
+    "pair count at scale",
+)
+def sim_embedding_near_dup(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return S.embedding_near_duplicates(emb, threshold=0.35)
+
+
+# --- text analysis ---------------------------------------------------------
+
+_sw = {
+    "en": "('the','and','of','to','a','in','is','that','for','with')",
+    "es": "('el','la','de','que','y','en','un','por','con','los')",
+    "de": "('der','die','und','das','ist','von','mit','den','für','nicht')",
+    "fr": "('le','la','et','les','des','en','un','du','que','pour')",
+}
+_hits = {
+    l: f"len(list_filter({TOKS}, x -> lower(x) IN {ws}))" for l, ws in _sw.items()
+}
+_best = f"greatest({_hits['en']}, {_hits['es']}, {_hits['de']}, {_hits['fr']})"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_hits['en']} AS h_en, {_hits['es']} AS h_es,
+             {_hits['de']} AS h_de, {_hits['fr']} AS h_fr
+      FROM documents),
+    pred AS (SELECT doc_id, lang,
+                    CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                         WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+                         WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+                         WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+                         ELSE 'fr' END AS lang_pred
+             FROM scored)
+    SELECT lang_pred, COUNT(*) AS n_docs FROM pred GROUP BY lang_pred
+    """,
+    doc="Stopword-hit language-ID heuristic (JVM-side fallback for "
+    "fastText-style classifiers), aggregated to prediction counts",
+)
+def text_lang_id(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return T.lang_id(docs).groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS mean_token_len,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> lower(x) IN {_sw['en']})) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS unique_token_ratio
+    FROM t
+    """,
+    doc="Per-document quality signals: length, punctuation ratio, stopword "
+    "ratio, uniqueness — the cheap pre-filters of a corpus pipeline",
+)
+def text_quality_scores(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return T.quality_scores(docs).withColumn(
+        "n_chars", F.col("n_chars").cast("int")
+    ).withColumn("n_tokens", F.col("n_tokens").cast("int"))
+
+
+@register(
+    "text_token_counts",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len({TOKS}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces
+    FROM documents
+    """,
+    doc="Whitespace + BPE-ish token counting (regex piece proxy)",
+)
+def text_token_counts(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return T.token_counts(docs)
+
+
+@register(
+    "text_fingerprints",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+    SELECT doc_id, md5(text) AS content_md5,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks,
+                 w -> CAST('0x' || substr(md5(w), 1, 7) AS BIGINT) % 2147483647)),
+             (acc, h) -> (acc * 131 + h) % 2147483647) AS rolling_fp
+    FROM t
+    """,
+    doc="Document fingerprinting: md5 content hash + order-sensitive "
+    "polynomial rolling hash (mod 2^31-1, overflow-free in 64-bit)",
+)
+def text_fingerprints(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return T.fingerprints(docs)

@@ -1,0 +1,73 @@
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Runs a registered Spark query and its oracle SQL over the same parquet
+tables, then compares row count, column names, and an order-insensitive
+value representation (columns sorted by name, rows sorted by their full
+stringified tuple) — stricter than needed, so passing here implies passing
+the driver's hash check.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from clx_etl_spark.catalog import TABLES
+
+TOL_NONE = object()
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision: bit-identical doubles match exactly
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def normalize(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    cols = [columns[i] for i in order]
+    out = sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    return cols, out
+
+
+def compare(spark, sf_dir: str, name: str, query) -> dict:
+    sdf = query.fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    result = {"name": name, "spark_rows": len(srows)}
+    if query.oracle is None:
+        result["status"] = "rows_only"
+        return result
+    con = duckdb_connection(sf_dir)
+    ocur = con.execute(query.oracle)
+    ocols = [d[0] for d in ocur.description]
+    orows = ocur.fetchall()
+    result["oracle_rows"] = len(orows)
+    sc, sr = normalize(scols, srows)
+    oc, orn = normalize(ocols, orows)
+    if sc != oc:
+        result["status"] = "schema_mismatch"
+        result["detail"] = f"spark={sc} oracle={oc}"
+    elif len(sr) != len(orn):
+        result["status"] = "rowcount_mismatch"
+    elif sr != orn:
+        result["status"] = "value_mismatch"
+        diffs = [(a, b) for a, b in zip(sr, orn) if a != b][:3]
+        result["detail"] = f"first diffs: {diffs}"
+    else:
+        result["status"] = "match"
+    return result
