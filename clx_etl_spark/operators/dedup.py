@@ -34,10 +34,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """(id, shingle) distinct pairs — shared base for MinHash and Jaccard."""
-    toks = tokens(text_col)
+    """(id, shingle) distinct pairs — shared base for MinHash and Jaccard.
+
+    Built as posexplode(tokens) + lead() windows rather than array-lambda
+    indexing: Catalyst inlines the tokenization expression into every
+    element_at inside a higher-order-function lambda (O(k·shingles)
+    re-tokenizations per row); the window form tokenizes once per doc and
+    costs one narrow shuffle on doc_id.
+    """
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tok_rows = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(tokens(text_col)).alias("pos", "w")
+    )
+    parts = [F.lag(F.col("w"), -j).over(w) for j in range(k)]  # lead via negative lag
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(toks, k)).alias("shingle"))
+        tok_rows.select("doc_id", *[p.alias(f"_w{j}") for j, p in enumerate(parts)])
+        .filter(F.col(f"_w{k-1}").isNotNull())
+        .select("doc_id", F.concat_ws(" ", *[F.col(f"_w{j}") for j in range(k)]).alias("shingle"))
         .distinct()
     )
 

@@ -1,0 +1,225 @@
+"""The reference's flagship flows re-expressed as Spark job plans.
+
+Reference lifecycles (SURVEY §3):
+  sync_symbols   src/flows/sync_symbols.py:52-57  — 20 exchange pulls ->
+                 normalize -> MERGE dimension (5 mutable columns)
+  sync_klines    src/flows/sync_klines.py:103-126 — watermark -> gap scan
+                 -> coalesced refetch -> align -> idempotent append
+  sync_sentiment src/exchanges/binance/perp.py:132-185 — 3 feeds -> 5m
+                 align -> full-outer merge -> append
+  sync_kalshi    src/macro_markets/kalshi.py:154-195 — anti-join dedup ->
+                 meta append; threshold/prob snapshot branch
+  integrity      src/system_utils/check_market_snapshot_integrity.py —
+                 hour-bucket completeness -> repair by partition rewrite
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import align_to_5m, normalize_probs, ts_to_timestamp
+from ..operators.classify import threshold_by_prefix
+from ..operators.gaps import gap_fill_plan
+from ..operators.integrity import completeness_report
+from ..operators.merge import full_outer_merge
+from ..sinks.upsert import merge_upsert, overwrite_partitions
+from ..sources.rest import fetch_ranges
+
+SYMBOL_KEYS = ["exchange_id", "symbol", "inst_type"]
+# the only columns a symbols refresh may change (reference _base_.py:113-120)
+SYMBOL_UPDATE_COLS = [
+    "tick_size",
+    "step_size",
+    "price_precision",
+    "quantity_precision",
+    "status",
+]
+KLINE_KEYS = ["exchange_id", "inst_type", "symbol", "ts"]
+
+
+def sync_symbols(
+    spark: SparkSession, normalized_feeds: list[DataFrame], symbols_path: str
+) -> None:
+    """Union per-exchange normalized symbol frames and MERGE into the
+    symbols dimension, updating only the 5 mutable columns."""
+    from functools import reduce
+
+    batch = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), normalized_feeds)
+    merge_upsert(
+        spark, batch, symbols_path, keys=SYMBOL_KEYS, update_cols=SYMBOL_UPDATE_COLS
+    )
+
+
+def sync_klines(
+    spark: SparkSession,
+    stored_path: str,
+    fetch_page: Callable[[dict, int, int], list[dict]],
+    start_ms: int,
+    end_ms: int,
+    interval_ms: int = 60_000,
+    page_limit: int = 1000,
+) -> int:
+    """Incremental gap-filling kline ingest (the flagship pipeline).
+
+    1. read stored table, 2. compute the coalesced gap-refetch plan
+    (W1-W3), 3. distributed fetch over the plan, 4. derive dt/dt_date,
+    5. idempotent partition rewrite (overlapping refetches converge).
+    Returns rows ingested.
+    """
+    stored = spark.read.parquet(stored_path)
+    plan = gap_fill_plan(
+        stored.select("exchange_id", "inst_type", "symbol", "ts"),
+        keys=["exchange_id", "inst_type", "symbol"],
+        start_ms=start_ms,
+        end_ms=end_ms,
+        interval_ms=interval_ms,
+        page_limit=page_limit,
+    )
+    fetched = fetch_ranges(
+        plan,
+        fetch_page,
+        out_schema="exchange_id int, inst_type int, symbol string, ts long, "
+        "open string, high string, low string, close string, volume string",
+        interval_ms=interval_ms,
+        page_limit=page_limit,
+    )
+    DEC = "decimal(38,18)"
+    rows = fetched.select(
+        "exchange_id", "inst_type", "symbol", "ts",
+        *[F.col(c).cast(DEC).alias(c) for c in ("open", "high", "low", "close", "volume")],
+        ts_to_timestamp("ts").alias("dt"),
+        F.to_date(ts_to_timestamp("ts")).alias("dt_date"),
+    )
+    n = rows.count()
+    if n:
+        # union with the stored slice of touched dates so a partition
+        # rewrite keeps pre-existing bars; recompute dt/dt_date and cast to
+        # the unified types so heterogeneous stored schemas line up
+        rtypes = dict(rows.dtypes)
+        stored_aug = stored.withColumn("dt", ts_to_timestamp("ts")).withColumn(
+            "dt_date", F.to_date(ts_to_timestamp("ts"))
+        )
+        touched = rows.select("dt_date").distinct()
+        keep = stored_aug.join(F.broadcast(touched), "dt_date", "left_semi").select(
+            *[F.col(c).cast(rtypes[c]).alias(c) for c in rows.columns]
+        )
+        merged = (
+            keep.withColumn("_src", F.lit(0))
+            .unionByName(rows.withColumn("_src", F.lit(1)))
+        )
+        from pyspark.sql import Window
+
+        dedup = (
+            merged.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(*KLINE_KEYS).orderBy(F.col("_src").desc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_src", "_rn")
+        )
+        overwrite_partitions(dedup, stored_path, ["dt_date"])
+    return n
+
+
+def sync_sentiment(
+    spark: SparkSession,
+    pos: DataFrame,
+    acc: DataFrame,
+    retail: DataFrame,
+    out_path: str,
+) -> DataFrame:
+    """3-feed long-short-ratio merge: 5m alignment + full outer join with
+    missing-side nulls, appended as market_sentiment_5m."""
+    feeds = {}
+    for name, df in (("pos", pos), ("acc", acc), ("retail", retail)):
+        feeds[name] = df.select(
+            "symbol",
+            "exchange_id",
+            align_to_5m("ts_raw").alias("ts"),
+            F.col("long_ratio"),
+            F.col("short_ratio"),
+        )
+    merged = full_outer_merge(feeds, keys=["symbol", "exchange_id", "ts"]).select(
+        "symbol", "exchange_id", "ts",
+        F.col("pos_long_ratio").alias("top_trader_pos_long"),
+        F.col("pos_short_ratio").alias("top_trader_pos_short"),
+        F.col("acc_long_ratio").alias("top_trader_acc_long"),
+        F.col("acc_short_ratio").alias("top_trader_acc_short"),
+        F.col("retail_long_ratio").alias("retail_acc_long"),
+        F.col("retail_short_ratio").alias("retail_acc_short"),
+        ts_to_timestamp("ts").alias("dt"),
+    )
+    if out_path:
+        merged.write.mode("append").parquet(out_path)
+    return merged
+
+
+def sync_kalshi(
+    spark: SparkSession,
+    markets: DataFrame,
+    stored_meta: DataFrame,
+    thresholds: dict[str, int],
+    default_threshold: int = 300,
+) -> tuple[DataFrame, DataFrame]:
+    """Two-branch Kalshi DAG: (new-market meta rows, filtered snapshots).
+
+    meta branch: incoming markets anti-joined against already-finalized
+    tickers (status=4). snapshot branch: status==1 AND open_interest >
+    per-series prefix threshold, with renormalized probabilities.
+    """
+    finalized = stored_meta.filter(F.col("status") == 4).select("ticker")
+    new_meta = markets.join(F.broadcast(finalized), "ticker", "left_anti")
+
+    thr = threshold_by_prefix(F.col("event_ticker"), thresholds, default_threshold)
+    yes_p, no_p = normalize_probs(F.col("yes_bid"), F.col("no_bid"))
+    snapshots = (
+        markets.filter((F.col("status") == 1) & (F.col("open_interest") > thr))
+        .select(
+            "ticker", "event_ticker", "updated_ts",
+            "last_price", "yes_bid", "yes_ask", "no_bid", "no_ask",
+            "liquidity", "volume", "open_interest",
+            yes_p.alias("yes_prob"), no_p.alias("no_prob"),
+        )
+    )
+    return new_meta, snapshots
+
+
+def integrity_repair(
+    spark: SparkSession,
+    fact_path: str,
+    pristine: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts_ms",
+    expected_per_hour: int = 3600,
+) -> DataFrame:
+    """Find EMPTY/PARTIAL hours in a fact table and repair them from a
+    pristine source (the S3-restore analog): one windowed-count plan for
+    the whole scan range, then an idempotent rewrite of only the broken
+    hours' partitions."""
+    stored = spark.read.parquet(fact_path)
+    report = completeness_report(stored, keys, ts_col, expected_per_hour)
+    bad = report.filter(F.col("status") != "OK")
+    # materialize the report before the in-place rewrite invalidates the
+    # file listing the lazy plan points at
+    bad_rows = bad.collect()
+    bad = spark.createDataFrame(bad_rows, bad.schema) if bad_rows else bad.limit(0)
+    repair_rows = (
+        pristine.withColumn("hour_ms", (F.col(ts_col) - F.col(ts_col) % 3_600_000))
+        .join(bad.select(*keys, "hour_ms"), on=[*keys, "hour_ms"], how="left_semi")
+        .drop("hour_ms")
+    )
+    if repair_rows.take(1):
+        merged = stored.unionByName(repair_rows).dropDuplicates([*keys, ts_col])
+        merged.withColumn(
+            "dt_date", F.to_date(ts_to_timestamp(ts_col))
+        ).write.mode("overwrite").parquet(fact_path + "._repair")
+        import os, shutil
+
+        shutil.rmtree(fact_path)
+        os.rename(fact_path + "._repair", fact_path)
+        spark.catalog.refreshByPath(fact_path)
+    return bad

@@ -1,0 +1,164 @@
+"""Idempotent MERGE-upsert sink over partitioned parquet (SURVEY K1/K2).
+
+The reference gets idempotence implicitly: MySQL ``ON DUPLICATE KEY
+UPDATE`` for dimensions (reference: src/databases/mysql/__init__.py:64-82,
+updating only the listed mutable columns) and Doris unique-key tables for
+facts (overlapping refetches re-sent, _base_.py:172-173). On a data lake
+it must be explicit; this module provides:
+
+  merge_upsert       key-matched last-wins merge, optionally restricted to
+                     listed update columns (the reference's 5-column rule)
+  append_partitioned plain partitioned append (K2 StreamLoad analog)
+  overwrite_partitions  replaceWhere-style idempotent partition rewrite —
+                     the scale path for fact backfills: only partitions
+                     present in the update batch are rewritten
+  drop_partitions    K4 partition drop (corrupt-partition repair)
+
+Scale notes: merge reads only the target partitions the batch touches
+(partition pruning by the derived partition values), shuffles once on the
+merge keys, and rewrites only those partitions via dynamic overwrite.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(path)
+
+
+def append_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """K2: append fact rows into a partitioned parquet table."""
+    df.write.mode("append").partitionBy(*partition_cols).parquet(path)
+
+
+def _dedup_updates(updates: DataFrame, keys: list[str]) -> DataFrame:
+    """Resolve in-batch duplicate keys deterministically (largest non-key
+    tuple wins) so a replayed/multi-row micro-batch merges cleanly."""
+    others = [c for c in updates.columns if c not in keys]
+    if not others:
+        return updates.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(F.struct(*[F.col(c) for c in others]).desc())
+    return (
+        updates.withColumn("_urn", F.row_number().over(w))
+        .filter(F.col("_urn") == 1)
+        .drop("_urn")
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """MERGE INTO semantics on a parquet table: update rows matching
+    ``keys``, insert the rest. ``update_cols`` restricts which columns an
+    update may change (reference _base_.py:111-121: tick_size, step_size,
+    precisions, status); unlisted columns keep the stored value.
+
+    Implementation: union(stored, updates) tagged by recency, last-wins
+    row_number per key. Partitioned targets rewrite only touched
+    partitions (dynamic overwrite); unpartitioned targets atomically swap.
+
+    For partitioned targets the merge keys must functionally determine the
+    partition values (true for all engine fact tables: dt_date derives
+    from ts) — a key can then never "move" between partitions, so pruning
+    the merge to touched partitions is exact.
+    """
+    partition_cols = partition_cols or []
+    updates = _dedup_updates(updates, keys)
+    if not _exists(path):
+        updates.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+        return
+    stored = spark.read.parquet(path)
+    if partition_cols:
+        # prune the merge to partitions the batch touches
+        touched = [tuple(r) for r in updates.select(*partition_cols).distinct().collect()]
+        pred = F.lit(False)
+        for vals in touched:
+            clause = F.lit(True)
+            for c, v in zip(partition_cols, vals):
+                clause = clause & (F.col(c) == F.lit(v))
+            pred = pred | clause
+        stored_slice = stored.filter(pred)
+    else:
+        stored_slice = stored
+
+    if update_cols is not None:
+        # updates may only change update_cols: recover untouched columns
+        # from the stored row when it exists (left join on keys)
+        carry = [c for c in stored.columns if c not in keys and c not in update_cols]
+        upd = updates.alias("u").join(stored_slice.alias("s"), on=keys, how="left").select(
+            *[F.col(f"u.{k}") for k in keys],
+            *[F.col(f"u.{c}").alias(c) for c in update_cols],
+            *[F.coalesce(F.col(f"s.{c}"), F.col(f"u.{c}")).alias(c) for c in carry],
+        )
+        upd = upd.select(*stored.columns)
+    else:
+        upd = updates.select(*stored.columns)
+
+    merged = (
+        stored_slice.withColumn("_src", F.lit(0))
+        .unionByName(upd.withColumn("_src", F.lit(1)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*keys).orderBy(F.col("_src").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_src", "_rn")
+    )
+
+    if partition_cols:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        spark.catalog.refreshByPath(path)
+    else:
+        # materialize to a staging dir first (merged lazily reads `path`),
+        # then swap — readers never see a half-written table
+        tmp = path.rstrip("/") + "._staged"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        spark.catalog.refreshByPath(path)
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """replaceWhere-style idempotent rewrite: every partition present in
+    ``df`` is replaced wholesale — re-running a backfill converges
+    (the engine's exactly-once story for fact refetches, SURVEY §2.11)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshByPath(path)
+
+
+def drop_partitions(path: str, partition_cols: list[str], values: list[tuple]) -> int:
+    """K4: drop listed partitions (reference doris_partition_health_check
+    ALTER TABLE ... DROP PARTITION FORCE). Returns partitions removed."""
+    removed = 0
+    for vals in values:
+        sub = "/".join(f"{c}={v}" for c, v in zip(partition_cols, vals))
+        target = os.path.join(path, sub)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+            removed += 1
+    return removed

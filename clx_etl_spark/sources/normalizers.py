@@ -1,0 +1,158 @@
+"""Payload-shape normalizers: heterogeneous feed JSON -> unified schemas.
+
+The reference hand-writes one ``format_item`` lambda per exchange
+(SURVEY T1, 17 variants). The shapes reduce to five families; each
+family here is ONE declarative DataFrame transform, parameterized by a
+field map, so adding an exchange is configuration, not code:
+
+  positional   rows are arrays: [ts, open, high, low, ...]
+               (reference: binance/perp.py:107-119)
+  keyed        rows are dicts with native field names
+               (reference: woox/perp.py:96-107)
+  nested       payload nests rows under result.list etc.
+               (reference: bybit/perp.py:89-96) — caller selects the path
+  columnar     parallel arrays zipped to rows: {time: [...], open: [...]}
+               (reference: mexc/perp.py:123-132) -> arrays_zip + explode
+  seconds      s-unit timestamps scaled to ms (reference: gate/spot.py:80-87)
+
+All numerics arrive as decimal strings and are cast to DECIMAL(38,18)
+(SURVEY §1.3 — exactness over float convenience).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DEC = "decimal(38,18)"
+
+# unified kline column order (schemas.KLINE minus the key/dt columns)
+KLINE_FIELDS = ("ts", "open", "high", "low", "close", "volume", "quote_volume", "count")
+
+
+def payload_to_df(spark: SparkSession, payload: str | list | dict) -> DataFrame:
+    """Parse a raw JSON payload (string or parsed) into an exploded
+    DataFrame of rows with columns inferred by Spark's JSON reader."""
+    if isinstance(payload, str):
+        payload = json.loads(payload)
+    rows = payload if isinstance(payload, list) else [payload]
+    return spark.read.json(spark.sparkContext.parallelize([json.dumps(r) for r in rows], 1))
+
+
+def _with_keys(df: DataFrame, exchange_id: int, inst_type: int, symbol: str) -> DataFrame:
+    return df.select(
+        F.lit(exchange_id).cast("int").alias("exchange_id"),
+        F.lit(inst_type).cast("int").alias("inst_type"),
+        F.lit(symbol).alias("symbol"),
+        *[c for c in df.columns],
+    )
+
+
+def normalize_positional(
+    df: DataFrame,
+    positions: dict[str, int],
+    exchange_id: int,
+    inst_type: int,
+    symbol: str,
+    array_col: str = "value",
+    ts_unit: str = "ms",
+) -> DataFrame:
+    """Positional-array rows -> unified kline columns. ``positions`` maps
+    unified field -> array index (e.g. binance: ts=0, open=1, ... count=8).
+    Missing fields become typed nulls (OKX has no volume)."""
+    a = F.col(array_col)
+    scale = 1000 if ts_unit == "s" else 1
+    cols = []
+    for f_name in KLINE_FIELDS:
+        if f_name not in positions:
+            typ = "long" if f_name in ("ts", "count") else DEC
+            cols.append(F.lit(None).cast(typ).alias(f_name))
+        elif f_name == "ts":
+            cols.append((F.element_at(a, positions[f_name] + 1).cast("long") * scale).alias("ts"))
+        elif f_name == "count":
+            cols.append(F.element_at(a, positions[f_name] + 1).cast("long").alias("count"))
+        else:
+            cols.append(F.element_at(a, positions[f_name] + 1).cast(DEC).alias(f_name))
+    return _with_keys(df.select(*cols), exchange_id, inst_type, symbol)
+
+
+def normalize_keyed(
+    df: DataFrame,
+    field_map: dict[str, str],
+    exchange_id: int,
+    inst_type: int,
+    symbol: str,
+    ts_unit: str = "ms",
+) -> DataFrame:
+    """Dict rows with native field names -> unified columns via rename+cast.
+    ``field_map`` maps unified field -> source column."""
+    scale = 1000 if ts_unit == "s" else 1
+    cols = []
+    for f_name in KLINE_FIELDS:
+        src = field_map.get(f_name)
+        if src is None:
+            typ = "long" if f_name in ("ts", "count") else DEC
+            cols.append(F.lit(None).cast(typ).alias(f_name))
+        elif f_name == "ts":
+            cols.append((F.col(src).cast("long") * scale).alias("ts"))
+        elif f_name == "count":
+            cols.append(F.col(src).cast("long").alias("count"))
+        else:
+            cols.append(F.col(src).cast(DEC).alias(f_name))
+    return _with_keys(df.select(*cols), exchange_id, inst_type, symbol)
+
+
+def normalize_columnar(
+    df: DataFrame,
+    column_map: dict[str, str],
+    exchange_id: int,
+    inst_type: int,
+    symbol: str,
+    ts_unit: str = "s",
+) -> DataFrame:
+    """Parallel-array payloads (mexc: {time: [...], open: [...], ...}) ->
+    rows via arrays_zip + explode (SURVEY T15), then keyed cast."""
+    zipped = F.explode(
+        F.arrays_zip(*[F.col(src).alias(dst) for dst, src in column_map.items()])
+    ).alias("r")
+    flat = df.select(zipped).select("r.*")
+    return normalize_keyed(
+        flat, {k: k for k in column_map}, exchange_id, inst_type, symbol, ts_unit
+    )
+
+
+def normalize_symbols(
+    df: DataFrame,
+    field_map: dict[str, str],
+    exchange_id: int,
+    status_map: dict[str, int] | None = None,
+    split_symbol: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Instrument metadata -> unified exchange_symbol rows (SURVEY T2).
+
+    status_map: native status string -> enum int (reference status_map
+    dicts). split_symbol: (source_col, sep) to derive base/quote by split
+    (okx instFamily '-', woox/gate '_' — reference okx/perp.py:36-37).
+    """
+    cols = [F.lit(exchange_id).cast("int").alias("exchange_id")]
+    for dst in ("symbol", "inst_type", "base_asset", "quote_asset",
+                "price_precision", "quantity_precision", "tick_size", "step_size"):
+        src = field_map.get(dst)
+        if src is not None:
+            typ = {"inst_type": "int", "price_precision": "int", "quantity_precision": "int"}.get(dst, "string")
+            cols.append(F.col(src).cast(typ).alias(dst))
+        elif dst in ("base_asset", "quote_asset") and split_symbol:
+            src_col, sep = split_symbol
+            idx = 0 if dst == "base_asset" else 1
+            cols.append(F.split(F.col(src_col), sep).getItem(idx).alias(dst))
+        else:
+            cols.append(F.lit(None).cast("string").alias(dst))
+    out = df.select(*cols)
+    if status_map and "status" in field_map:
+        status = F.lit(None).cast("int")
+        for native, enum in status_map.items():
+            status = F.when(F.col(field_map["status"]) == native, F.lit(enum)).otherwise(status)
+        out = df.select(*cols, status.alias("status"))
+    return out

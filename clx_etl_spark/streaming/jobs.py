@@ -1,0 +1,75 @@
+"""Structured Streaming jobs: the reference's cron micro-batches
+re-expressed as streaming queries (SURVEY §2.11).
+
+The reference schedules batch pulls every 30s-1h (reference:
+src/deploy.py:79-148) and handles late data by *re-pulling* gaps rather
+than dropping past-watermark rows. The streaming layer therefore:
+
+  * windowed_counts / windowed_agg — tumbling-window aggregates with a
+    watermark for state cleanup (append-mode safe);
+  * foreach_batch_upsert — sink wrapper running the idempotent MERGE of
+    sinks.upsert per micro-batch, so at-least-once delivery + idempotent
+    merge = effectively-once table state (the engine's exactly-once-ish
+    contract);
+  * file_stream — file-drop source (the S3-restore analog): new parquet/
+    json files under a directory become micro-batches.
+
+Gap-repair stays a scheduled *batch* reconciliation (operators.gaps) by
+design — matching the reference, late data is refetched, never dropped.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def file_stream(
+    spark: SparkSession, path: str, schema, fmt: str = "parquet"
+) -> DataFrame:
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    time_col: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window counts with watermarked state cleanup."""
+    keys = keys or []
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n")
+    )
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint: str,
+    partition_cols: list[str] | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """writeStream.foreachBatch -> idempotent MERGE: replayed batches
+    (at-least-once) converge to the same table state."""
+    from ..sinks.upsert import merge_upsert
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch = transform(batch)
+        merge_upsert(
+            batch.sparkSession, batch, path, keys, partition_cols=partition_cols or []
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,165 @@
+"""End-to-end flow tests: the reference's flagship pipelines (SURVEY §3)
+driven with canned fixtures — gap-filling kline ingest, symbols MERGE,
+sentiment full-outer merge, kalshi two-branch DAG, integrity repair."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clx_etl_spark.operators.gaps import detect_gaps
+from clx_etl_spark.plans.flows import (
+    integrity_repair,
+    sync_kalshi,
+    sync_klines,
+    sync_sentiment,
+    sync_symbols,
+)
+from clx_etl_spark.sources.normalizers import normalize_symbols, payload_to_df
+
+from . import fixtures as FX
+
+KEYS = ["exchange_id", "inst_type", "symbol"]
+
+
+def _kline_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "exchange_id int, inst_type int, symbol string, ts long, open string, "
+        "high string, low string, close string, volume string",
+    )
+
+
+def test_sync_klines_fills_all_gaps(spark, tmp_path):
+    """The reference's core self-healing loop: after one sync pass over a
+    holey store, detect-gaps must return empty (SURVEY §5.3 property)."""
+    path = str(tmp_path / "kline_1m")
+    rows, expected_gaps = FX.kline_rows(n_symbols=3, n_bars=400)
+    stored = _kline_df(spark, rows).withColumn(
+        "dt_date", F.to_date(F.timestamp_millis("ts"))
+    )
+    stored.write.partitionBy("dt_date").parquet(path)
+    assert any(expected_gaps.values())  # fixtures really have holes
+
+    def fetch_page(key_row, start_ms, end_ms):
+        # deterministic fake exchange: returns every bar in the window
+        out = []
+        ts = start_ms
+        while ts <= end_ms:
+            out.append(
+                dict(
+                    exchange_id=key_row["exchange_id"],
+                    inst_type=key_row["inst_type"],
+                    symbol=key_row["symbol"],
+                    ts=ts,
+                    open="1", high="2", low="0.5", close="1.5", volume="9",
+                )
+            )
+            ts += FX.MIN
+        return out
+
+    end_ms = FX.BASE_TS + 399 * FX.MIN
+    n = sync_klines(
+        spark, path, fetch_page, start_ms=FX.BASE_TS, end_ms=end_ms, page_limit=100
+    )
+    assert n > 0
+    healed = spark.read.parquet(path)
+    remaining = detect_gaps(healed, KEYS, ts_col="ts", interval_ms=FX.MIN)
+    assert remaining.count() == 0
+    # full grid per symbol, no duplicates
+    per_symbol = healed.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("ts").alias("d")
+    )
+    for r in per_symbol.collect():
+        assert r.n == 400 and r.d == 400
+    # idempotence: second pass fetches nothing
+    assert sync_klines(
+        spark, path, fetch_page, start_ms=FX.BASE_TS, end_ms=end_ms, page_limit=100
+    ) == 0
+
+
+def test_sync_symbols_merge(spark, tmp_path):
+    path = str(tmp_path / "symbols")
+    feed = normalize_symbols(
+        payload_to_df(spark, FX.BINANCE_EXCHANGE_INFO).filter(
+            F.col("contractType") == "PERPETUAL"
+        ),
+        {"symbol": "symbol", "base_asset": "baseAsset", "quote_asset": "quoteAsset",
+         "price_precision": "pricePrecision", "quantity_precision": "quantityPrecision",
+         "tick_size": "tickSize", "step_size": "stepSize", "status": "status"},
+        exchange_id=1,
+        status_map={"TRADING": 0, "SETTLING": 1},
+    ).withColumn("inst_type", F.lit(1))
+    sync_symbols(spark, [feed], path)
+    first = spark.read.parquet(path).count()
+    sync_symbols(spark, [feed], path)  # rerun: no dup keys
+    assert spark.read.parquet(path).count() == first == 2
+
+
+def test_sync_sentiment_full_outer(spark):
+    pos = spark.createDataFrame(FX.ratio_feed(jitter_seed=1))
+    acc = spark.createDataFrame(FX.ratio_feed(jitter_seed=2))
+    retail = spark.createDataFrame(FX.ratio_feed(jitter_seed=3))
+    out = sync_sentiment(spark, pos, acc, retail, out_path="")
+    rows = out.collect()
+    # key union: every aligned bucket from any feed appears exactly once
+    all_ts = {r.ts for r in rows}
+    assert len(rows) == len(all_ts)
+    assert all(r.ts % 300_000 == 0 for r in rows)  # T5 alignment
+    # missing-side nulls present (feeds drop disjoint buckets)
+    assert any(r.top_trader_pos_long is None for r in rows)
+    assert any(r.retail_acc_long is None for r in rows)
+    # a bucket with all three feeds has no nulls
+    full = [r for r in rows if r.top_trader_pos_long and r.top_trader_acc_long and r.retail_acc_long]
+    assert full
+
+
+def test_sync_kalshi_branches(spark):
+    markets = spark.createDataFrame(FX.kalshi_markets(30))
+    stored = spark.createDataFrame(
+        [(t, 4) for t in ("KXBTC-24-T1", "KXETH-24-T2")], "ticker string, status int"
+    )
+    new_meta, snapshots = sync_kalshi(
+        spark, markets, stored, thresholds={"KXCPI": 100, "KXBTC": 500}, default_threshold=300
+    )
+    metas = {r.ticker for r in new_meta.collect()}
+    assert "KXBTC-24-T1" not in metas and "KXETH-24-T2" not in metas  # J6 anti-join
+    assert len(metas) == 28
+    snaps = snapshots.collect()
+    assert snaps
+    for r in snaps:
+        assert r.status if hasattr(r, "status") else True
+        if r.event_ticker.startswith("KXCPI"):
+            assert r.open_interest > 100
+        elif r.event_ticker.startswith("KXBTC"):
+            assert r.open_interest > 500
+        else:
+            assert r.open_interest > 300
+        if r.yes_prob is not None:
+            assert abs(r.yes_prob + r.no_prob - 1.0) < 1e-9  # T10 renormalized
+
+
+def test_integrity_repair(spark, tmp_path):
+    path = str(tmp_path / "snapshot")
+    # pristine: 2 keys × 6 hours × 10 rows/hour
+    pristine_rows = [
+        (k, FX.BASE_TS + h * FX.HOUR + i * 360_000, float(i))
+        for k in ("A", "B") for h in range(6) for i in range(10)
+    ]
+    pristine = spark.createDataFrame(pristine_rows, "symbol string, ts_ms long, v double")
+    # stored: drop hour 2 entirely for A (EMPTY), thin hour 4 for B (PARTIAL)
+    stored = pristine.filter(
+        ~((F.col("symbol") == "A") & (F.col("ts_ms") >= FX.BASE_TS + 2 * FX.HOUR)
+          & (F.col("ts_ms") < FX.BASE_TS + 3 * FX.HOUR))
+    ).filter(
+        ~((F.col("symbol") == "B") & (F.col("ts_ms") >= FX.BASE_TS + 4 * FX.HOUR)
+          & (F.col("ts_ms") < FX.BASE_TS + 5 * FX.HOUR) & (F.col("v") >= 3))
+    )
+    stored.write.parquet(path)
+    bad = integrity_repair(spark, path, pristine, ["symbol"], expected_per_hour=10)
+    statuses = {(r.symbol, r.hour_ms): r.status for r in bad.collect()}
+    assert statuses[("A", FX.BASE_TS + 2 * FX.HOUR)] == "EMPTY"
+    assert statuses[("B", FX.BASE_TS + 4 * FX.HOUR)] == "PARTIAL"
+    healed = spark.read.parquet(path)
+    assert healed.count() == pristine.count()
+    # rerun reports clean
+    assert integrity_repair(spark, path, pristine, ["symbol"], expected_per_hour=10).count() == 0

@@ -1,0 +1,103 @@
+"""Operator property tests (SURVEY §5.3-5.4): gap-logic invariants and the
+as-of join generalization."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from clx_etl_spark.operators.gaps import detect_gaps, gap_fill_plan, merge_gap_ranges
+from clx_etl_spark.operators.merge import asof_join
+
+from . import fixtures as FX
+
+KEYS = ["symbol"]
+MIN = FX.MIN
+
+
+def _bars(spark, present: dict[str, list[int]]):
+    rows = [(s, FX.BASE_TS + i * MIN) for s, idxs in present.items() for i in idxs]
+    return spark.createDataFrame(rows, "symbol string, ts long")
+
+
+def test_detect_gaps_matches_fixture_expectation(spark):
+    rows, expected = FX.kline_rows(n_symbols=2, n_bars=300)
+    df = spark.createDataFrame(rows).select("symbol", "ts")
+    got = {
+        s: sorted((r.gap_start, r.gap_end) for r in g)
+        for s, g in (
+            (s, detect_gaps(df.filter(F.col("symbol") == s), KEYS, "ts", MIN).collect())
+            for s in expected
+        )
+    }
+    assert got == {s: sorted(v) for s, v in expected.items()}
+
+
+def test_gap_plan_covers_exactly_the_missing_bars(spark):
+    """detect ∘ fill = ∅ and fill covers exactly the complement, for random
+    subsets (SURVEY §5.3 property)."""
+    rng = random.Random(123)
+    n = 200
+    for trial in range(3):
+        present = sorted(rng.sample(range(n), k=rng.randrange(20, n - 20)))
+        df = _bars(spark, {"S": present})
+        plan = gap_fill_plan(
+            df, KEYS, start_ms=FX.BASE_TS, end_ms=FX.BASE_TS + (n - 1) * MIN,
+            ts_col="ts", interval_ms=MIN, page_limit=50,
+        ).collect()
+        covered = set()
+        for r in plan:
+            assert r.gap_end - r.gap_start < 50 * MIN  # page-cap respected
+            for i in range(n):
+                ts = FX.BASE_TS + i * MIN
+                if r.gap_start <= ts <= r.gap_end:
+                    covered.add(i)
+        missing = set(range(n)) - set(present)
+        assert covered >= missing  # every hole is fetched
+        # coalescing may refetch some present bars (page packing) but must
+        # never miss; idempotent sink makes over-fetch harmless
+        filled = _bars(spark, {"S": sorted(set(present) | covered)})
+        assert detect_gaps(filled, KEYS, "ts", MIN).count() == 0
+
+
+def test_merge_gap_ranges_islands(spark):
+    gaps = spark.createDataFrame(
+        [("S", 0, 10), ("S", 20, 30), ("S", 1000, 1010), ("S", 5000, 5400)],
+        "symbol string, gap_start long, gap_end long",
+    )
+    out = sorted(
+        (r.gap_start, r.gap_end)
+        for r in merge_gap_ranges(gaps, KEYS, max_span_ms=200).collect()
+    )
+    # first two merge (distance 10 <= 200); third separate; fourth split into
+    # cap-sized chunks
+    assert (0, 30) in out
+    assert (1000, 1010) in out
+    assert all(e - s <= 200 for s, e in out)
+    covered = set()
+    for s, e in out:
+        covered.update(range(s, e + 1))
+    assert covered >= set(range(5000, 5401))
+
+
+def test_asof_join_backward_with_tolerance(spark):
+    trades = spark.createDataFrame(
+        [("A", 1000, 1.0), ("A", 2000, 2.0), ("A", 10_000, 3.0), ("B", 1500, 9.0)],
+        "sym string, ts long, px double",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 900, 0.9), ("A", 1999, 1.9), ("A", 2000, 2.1), ("B", 100, 8.0)],
+        "sym string, ts long, bid double",
+    )
+    out = {
+        (r.sym, r.ts): r.bid
+        for r in asof_join(
+            trades, quotes, keys=["sym"], left_ts="ts", right_ts="ts",
+            tolerance_ms=1000,
+        ).collect()
+    }
+    assert out[("A", 1000)] == 0.9   # most recent at-or-before
+    assert out[("A", 2000)] == 2.1   # exact-tie right row visible
+    assert out[("A", 10_000)] is None  # outside tolerance
+    assert out[("B", 1500)] is None  # 1400ms gap > 1000 tolerance

@@ -1,0 +1,106 @@
+"""Sink tests: MERGE idempotence + update-column restriction + partition
+ops (SURVEY K1-K4; the reference's implicit exactly-once contract §2.11)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clx_etl_spark.sinks.upsert import (
+    append_partitioned,
+    drop_partitions,
+    merge_upsert,
+    overwrite_partitions,
+)
+
+
+def _table_hash(spark, path):
+    df = spark.read.parquet(path)
+    rows = sorted(map(str, df.select(*sorted(df.columns)).collect()))
+    return hash(tuple(rows))
+
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "BTCUSDT", 0, "0.1", 0), (1, "ETHUSDT", 0, "0.01", 0)],
+        "exchange_id int, symbol string, inst_type int, tick_size string, status int",
+    )
+    merge_upsert(spark, base, path, keys=["exchange_id", "symbol", "inst_type"])
+    h1 = _table_hash(spark, path)
+    # re-applying the same batch changes nothing
+    merge_upsert(spark, base, path, keys=["exchange_id", "symbol", "inst_type"])
+    assert _table_hash(spark, path) == h1
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "BTCUSDT", 0, "0.1", 0)],
+        "exchange_id int, symbol string, inst_type int, tick_size string, status int",
+    )
+    merge_upsert(spark, base, path, keys=["exchange_id", "symbol", "inst_type"])
+    batch = spark.createDataFrame(
+        [(1, "BTCUSDT", 0, "0.2", 1), (1, "SOLUSDT", 0, "0.001", 0)],
+        "exchange_id int, symbol string, inst_type int, tick_size string, status int",
+    )
+    merge_upsert(spark, batch, path, keys=["exchange_id", "symbol", "inst_type"])
+    out = {r.symbol: r for r in spark.read.parquet(path).collect()}
+    assert len(out) == 2
+    assert out["BTCUSDT"].tick_size == "0.2" and out["BTCUSDT"].status == 1
+    assert out["SOLUSDT"].tick_size == "0.001"
+
+
+def test_merge_upsert_restricted_update_cols(spark, tmp_path):
+    """The reference updates only the 5 mutable columns (_base_.py:113-120);
+    other stored values must survive an update that tries to change them."""
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "BTCUSDT", 0, "0.1", "BTC")],
+        "exchange_id int, symbol string, inst_type int, tick_size string, base_asset string",
+    )
+    merge_upsert(spark, base, path, keys=["exchange_id", "symbol", "inst_type"])
+    batch = spark.createDataFrame(
+        [(1, "BTCUSDT", 0, "0.5", "XXX"), (1, "ETHUSDT", 0, "0.01", "ETH")],
+        "exchange_id int, symbol string, inst_type int, tick_size string, base_asset string",
+    )
+    merge_upsert(
+        spark, batch, path,
+        keys=["exchange_id", "symbol", "inst_type"], update_cols=["tick_size"],
+    )
+    out = {r.symbol: r for r in spark.read.parquet(path).collect()}
+    assert out["BTCUSDT"].tick_size == "0.5"       # updated
+    assert out["BTCUSDT"].base_asset == "BTC"      # protected from update
+    assert out["ETHUSDT"].base_asset == "ETH"      # insert keeps its value
+
+
+def test_overwrite_partitions_converges(spark, tmp_path):
+    path = str(tmp_path / "fact")
+    day1 = spark.createDataFrame(
+        [(1, 100, "2024-01-01"), (2, 200, "2024-01-01")], "k int, v int, dt_date string"
+    )
+    day2 = spark.createDataFrame([(3, 300, "2024-01-02")], "k int, v int, dt_date string")
+    append_partitioned(day1, path, ["dt_date"])
+    append_partitioned(day2, path, ["dt_date"])
+    # re-backfill day1 with corrected values; day2 untouched
+    fix = spark.createDataFrame(
+        [(1, 101, "2024-01-01"), (2, 201, "2024-01-01")], "k int, v int, dt_date string"
+    )
+    overwrite_partitions(fix, path, ["dt_date"])
+    overwrite_partitions(fix, path, ["dt_date"])  # idempotent re-run
+    out = spark.read.parquet(path)
+    assert out.count() == 3
+    assert {r.v for r in out.filter(F.col("dt_date") == "2024-01-01").collect()} == {101, 201}
+    assert out.filter(F.col("dt_date") == "2024-01-02").count() == 1
+
+
+def test_drop_partitions(spark, tmp_path):
+    path = str(tmp_path / "fact")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "k int, dt_date string"
+    )
+    append_partitioned(df, path, ["dt_date"])
+    assert drop_partitions(path, ["dt_date"], [("2024-01-01",)]) == 1
+    # partition values are type-inferred on read (string -> date)
+    assert [str(r.dt_date) for r in spark.read.parquet(path).select("dt_date").collect()] == [
+        "2024-01-02"
+    ]

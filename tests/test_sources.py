@@ -1,0 +1,125 @@
+"""Source adapter + normalizer tests (SURVEY S1/S2, T1/T2/T15 golden)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clx_etl_spark.sources.normalizers import (
+    normalize_columnar,
+    normalize_keyed,
+    normalize_positional,
+    normalize_symbols,
+    payload_to_df,
+)
+from clx_etl_spark.sources.rest import RetryPolicy, paginate_time_window
+
+from . import fixtures as FX
+
+
+def test_paginate_cursor_advances_and_aligns():
+    calls = []
+
+    def fetch(start, end):
+        calls.append((start, end))
+        if start >= FX.BASE_TS + 5 * FX.MIN:
+            return []
+        # 3 bars per page, deliberately misaligned by +7ms
+        return [{"ts": start + i * FX.MIN + 7, "v": i} for i in range(3)]
+
+    batches = list(
+        paginate_time_window(
+            fetch, FX.BASE_TS, FX.BASE_TS + 9 * FX.MIN, FX.MIN, page_limit=3,
+            retry=RetryPolicy(sleep=lambda s: None), sleep=lambda s: None,
+        )
+    )
+    rows = [r for b in batches for r in b]
+    assert all(r["ts"] % FX.MIN == 0 for r in rows)  # T6 force-align
+    # cursor advanced past each batch max
+    assert calls[1][0] == FX.BASE_TS + 3 * FX.MIN
+    # window end capped by page_limit * interval
+    assert calls[0][1] - calls[0][0] == 3 * FX.MIN
+
+
+def test_retry_gives_up_after_tries():
+    attempts = []
+
+    def boom():
+        attempts.append(1)
+        raise ValueError("down")
+
+    with pytest.raises(ValueError):
+        RetryPolicy(tries=3, sleep=lambda s: None).run(boom)
+    assert len(attempts) == 3
+
+
+def test_retry_recovers_mid_way():
+    state = {"n": 0}
+
+    def flaky():
+        state["n"] += 1
+        if state["n"] < 3:
+            raise ValueError("blip")
+        return "ok"
+
+    assert RetryPolicy(tries=3, sleep=lambda s: None).run(flaky) == "ok"
+
+
+def test_normalize_positional_binance(spark):
+    df = spark.createDataFrame([(r,) for r in FX.BINANCE_KLINES], "value array<string>")
+    out = normalize_positional(
+        df, {"ts": 0, "open": 1, "high": 2, "low": 3, "close": 4, "volume": 5,
+             "quote_volume": 7, "count": 8},
+        exchange_id=1, inst_type=1, symbol="BTCUSDT",
+    ).collect()
+    assert [r.ts for r in out] == [1704067200000, 1704067260000]
+    assert str(out[0].open) == "42000.100000000000000000"
+    assert out[0].asDict()["count"] == 1543
+    assert out[0].exchange_id == 1 and out[0].symbol == "BTCUSDT"
+
+
+def test_normalize_gate_seconds_unit(spark):
+    df = spark.createDataFrame([(r,) for r in FX.GATE_SECONDS], "value array<string>")
+    out = normalize_positional(
+        df, {"ts": 0, "quote_volume": 1, "close": 2, "high": 3, "low": 4, "open": 5, "volume": 6},
+        exchange_id=4, inst_type=0, symbol="BTC_USDT", ts_unit="s",
+    ).collect()
+    assert [r.ts for r in out] == [1704067200000, 1704067260000]
+    assert out[0].asDict()["count"] is None  # absent field -> typed null
+
+
+def test_normalize_keyed_woox(spark):
+    df = payload_to_df(spark, FX.WOOX_KEYED)
+    out = normalize_keyed(
+        df, {"ts": "start_timestamp", "open": "open", "high": "high", "low": "low",
+             "close": "close", "volume": "volume", "quote_volume": "amount"},
+        exchange_id=9, inst_type=1, symbol="BTC_PERP",
+    ).collect()
+    assert out[0].ts == 1704067200000
+    assert float(out[1].quote_volume) == 4130000.0
+
+
+def test_normalize_columnar_mexc(spark):
+    df = payload_to_df(spark, FX.MEXC_COLUMNAR)
+    out = normalize_columnar(
+        df, {"ts": "time", "open": "open", "high": "high", "low": "low",
+             "close": "close", "volume": "vol", "quote_volume": "amount"},
+        exchange_id=7, inst_type=1, symbol="BTC_USDT", ts_unit="s",
+    ).orderBy("ts").collect()
+    assert [r.ts for r in out] == [1704067200000, 1704067260000]
+    assert float(out[0].open) == 42000.1
+
+
+def test_normalize_symbols_status_and_filter(spark):
+    df = payload_to_df(spark, FX.BINANCE_EXCHANGE_INFO)
+    out = normalize_symbols(
+        df.filter(F.col("contractType") == "PERPETUAL"),  # F1 predicate
+        {"symbol": "symbol", "base_asset": "baseAsset", "quote_asset": "quoteAsset",
+         "price_precision": "pricePrecision", "quantity_precision": "quantityPrecision",
+         "tick_size": "tickSize", "step_size": "stepSize", "status": "status"},
+        exchange_id=1,
+        status_map={"TRADING": 0, "SETTLING": 1, "PENDING_TRADING": 2, "BREAK": 3},
+    ).orderBy("symbol").collect()
+    assert [r.symbol for r in out] == ["BTCUSDT", "ETHUSDT"]  # quarterly filtered
+    assert [r.status for r in out] == [0, 1]
+    assert out[0].tick_size == "0.10"  # decimal string preserved verbatim
