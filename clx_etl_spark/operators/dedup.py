@@ -138,6 +138,67 @@ def minhash_near_duplicates(
     return out
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 1000,
+    min_common: int = 2,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs WITHOUT MinHash: candidates are
+    docs sharing >= ``min_common`` shingles, found by self-joining the
+    inverted (shingle -> doc) index.
+
+    The self-join's blow-up is quadratic in each shingle's document
+    frequency, so boilerplate shingles ("all rights reserved") would melt
+    a 100 TB corpus. ``max_doc_freq`` drops those stop-shingles from
+    candidate generation — the standard inverted-index prefix trick; a
+    shingle shared by >1000 docs carries ~no similarity signal. The final
+    Jaccard is still computed over the FULL shingle sets, so the filter
+    only affects which pairs are considered, not their scores.
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    sh = shingle_sets(df, text_col, id_col, k).cache()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    rare = sh.join(dfreq.filter(F.col("_df") <= max_doc_freq), "shingle").select(
+        "doc_id", "shingle"
+    )
+    cand = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+        .select("doc_a", "doc_b")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash fingerprint per doc over whitespace tokens (with multiplicity).
 

@@ -96,6 +96,45 @@ def dedup_minhash_lsh(spark, sf):
     )
 
 
+NGRAM_JACCARD_ORACLE = f"""
+    WITH {SHINGLES_CTE},
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    rare AS (SELECT sh.doc_id, sh.shingle
+             FROM sh JOIN dfreq ON sh.shingle = dfreq.shingle WHERE df <= 1000),
+    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM rare a JOIN rare b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+              GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / CAST(na.n + nb.n - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / CAST(na.n + nb.n - i.n_inter AS DOUBLE) >= 0.5
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=NGRAM_JACCARD_ORACLE,
+    doc="Exact n-gram Jaccard dedup (no MinHash approximation): inverted-"
+    "index self-join candidates with a stop-shingle document-frequency cap "
+    "(df <= 1000) and >= 2 common shingles — the df cap bounds the "
+    "quadratic blow-up of boilerplate shingles at corpus scale",
+)
+def dedup_ngram_jaccard(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.5, max_doc_freq=1000, min_common=2
+    )
+
+
 @register(
     "dedup_simhash",
     oracle=rf"""

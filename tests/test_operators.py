@@ -101,3 +101,77 @@ def test_asof_join_backward_with_tolerance(spark):
     assert out[("A", 2000)] == 2.1   # exact-tie right row visible
     assert out[("A", 10_000)] is None  # outside tolerance
     assert out[("B", 1500)] is None  # 1400ms gap > 1000 tolerance
+
+
+def test_bin_range_join_inner_and_left_outer(spark):
+    from clx_etl_spark.operators.range_join import bin_range_join
+
+    points = spark.createDataFrame(
+        [("u1", 1, 100), ("u1", 2, 5_000_000), ("u2", 3, 150)],
+        "user string, pid long, ms long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("u1", 10, 0, 200),            # catches pid 1 (100 in [0,200))
+            ("u1", 11, 100, 101),          # 1-row interval, catches pid 1
+            ("u1", 12, 200, 300),          # empty
+            ("u1", 13, 0, 10_000_000),     # spans many bins: pids 1 and 2
+            ("u2", 14, 150, 151),          # exact start inclusive
+            ("u2", 15, 100, 150),          # end exclusive: misses 150
+        ],
+        "user string, iid long, start_ms long, end_ms long",
+    )
+    inner = bin_range_join(
+        points, intervals, keys=["user"], point_ts="ms",
+        start_col="start_ms", end_col="end_ms", bin_ms=1000,
+    )
+    got = sorted((r.iid, r.pid) for r in inner.collect())
+    assert got == [(10, 1), (11, 1), (13, 1), (13, 2), (14, 3)]
+
+    outer = bin_range_join(
+        points, intervals, keys=["user"], point_ts="ms",
+        start_col="start_ms", end_col="end_ms", bin_ms=1000, how="left_outer",
+    )
+    by_iid = {}
+    for r in outer.collect():
+        by_iid.setdefault(r.iid, []).append(r.pid)
+    assert sorted(by_iid[12]) == [None]  # empty interval kept
+    assert sorted(by_iid[15]) == [None]
+    assert sorted(by_iid[13]) == [1, 2]
+    assert outer.count() == 7  # 5 matches + 2 empties
+
+
+def test_ngram_jaccard_pairs_exact(spark):
+    from clx_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "completely different text with no overlap at all here"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(
+        docs, k=3, threshold=0.5, max_doc_freq=1000, min_common=2
+    ).collect()}
+    # doc1/doc4: identical 7-shingle sets -> jaccard 1.0
+    assert out[(1, 4)] == 1.0
+    # doc1/doc2 share 6 of 7 shingles each: |inter|=6, |union|=8 -> 0.75
+    assert abs(out[(1, 2)] - 0.75) < 1e-12
+    assert out[(2, 4)] == out[(1, 2)]
+    assert not any(3 in p for p in out)
+
+
+def test_ngram_jaccard_doc_freq_cap_drops_boilerplate(spark):
+    from clx_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 4 docs all sharing one boilerplate shingle; pairs only exist via it
+    docs = spark.createDataFrame(
+        [(i, f"all rights reserved tail{i} x{i} y{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    # df cap of 3 excludes the shared shingle (df=4) -> no candidates at all
+    out = ngram_jaccard_pairs(docs, k=3, threshold=0.0, max_doc_freq=3, min_common=1)
+    assert out.count() == 0
