@@ -37,10 +37,17 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "sim_knn_bruteforce",
     "sim_knn_ivf",
     "text_quality_scores",
     "text_fingerprints",
+    "asof_last_purchase",
+    "range_join_attribution",
+    "rollup_revenue",
+    "w4_sliding_window_counts",
+    "q18_group_having",
+    "q19_disjunctive_pushdown",
 ]
 
 

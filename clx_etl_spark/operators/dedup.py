@@ -12,9 +12,11 @@ Design for scale:
 
 from __future__ import annotations
 
+import random as _random
+
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions import md5_hex, tokens, word_shingles
+from ..functions import md5_hex, md5_long, tokens, word_shingles
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -36,32 +38,50 @@ def shingle_sets(
 ) -> DataFrame:
     """(id, shingle) distinct pairs — shared base for MinHash and Jaccard.
 
-    Built as posexplode(tokens) + lead() windows rather than array-lambda
-    indexing: Catalyst inlines the tokenization expression into every
-    element_at inside a higher-order-function lambda (O(k·shingles)
-    re-tokenizations per row); the window form tokenizes once per doc and
-    costs one narrow shuffle on doc_id.
+    Shuffle-free: k shifted slices of the token array are zipped into
+    shingles and de-duplicated per doc with array_distinct BEFORE the
+    explode, so the output is already (doc_id, shingle)-distinct with no
+    wide operation at all. Tokenization runs k times per row (once per
+    slice) — the naive per-element indexing form re-tokenizes O(k·shingles)
+    times because Catalyst inlines the tokens() expression into every
+    element_at lambda.
     """
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    tok_rows = df.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(tokens(text_col)).alias("pos", "w")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    slices = [F.slice(toks, j + 1, n - (k - 1)) for j in range(k)]
+    zipped = slices[0]
+    for s in slices[1:]:
+        zipped = F.zip_with(zipped, s, lambda a, b: F.concat_ws(" ", a, b))
+    shingle_arr = F.when(n >= k, F.array_distinct(zipped)).otherwise(
+        F.array().cast("array<string>")
     )
-    parts = [F.lag(F.col("w"), -j).over(w) for j in range(k)]  # lead via negative lag
-    return (
-        tok_rows.select("doc_id", *[p.alias(f"_w{j}") for j, p in enumerate(parts)])
-        .filter(F.col(f"_w{k-1}").isNotNull())
-        .select("doc_id", F.concat_ws(" ", *[F.col(f"_w{j}") for j in range(k)]).alias("shingle"))
-        .distinct()
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingle_arr).alias("shingle")
     )
+
+
+# Affine min-wise permutation family over a single md5 base hash: computing
+# one md5 per shingle instead of num_perm of them cuts the dominant CPU cost
+# of signature building ~16x. P is the classic Mersenne prime 2^31-1; with
+# base < P and a < P the product stays < 2^62 (no 64-bit overflow), and the
+# DuckDB oracle reproduces the arithmetic exactly in BIGINT.
+MINHASH_PRIME = 2_147_483_647
+
+_rng = _random.Random(0xC1A0)
+PERM_PARAMS: tuple[tuple[int, int], ...] = tuple(
+    (_rng.randrange(1, MINHASH_PRIME), _rng.randrange(0, MINHASH_PRIME))
+    for _ in range(64)  # enough for any reasonable num_perm
+)
 
 
 def minhash_signatures(shingles: DataFrame, num_perm: int = 16) -> DataFrame:
     """MinHash signature per doc: perm i = min over shingles of
-    md5(i || '|' || shingle) (hex-string order). One shuffle (groupBy doc).
-    Output: doc_id, sig array<string> of length num_perm."""
+    (a_i * h + b_i) mod P, h = 60-bit md5 prefix mod P. One shuffle
+    (groupBy doc). Output: doc_id, sig array<long> of length num_perm."""
+    base = md5_long(F.col("shingle")) % MINHASH_PRIME
     mins = [
-        F.min(md5_hex(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_perm)
+        F.min((F.lit(a) * base + F.lit(b)) % MINHASH_PRIME).alias(f"h{i}")
+        for i, (a, b) in enumerate(PERM_PARAMS[:num_perm])
     ]
     sig = F.array(*[F.col(f"h{i}") for i in range(num_perm)])
     return shingles.groupBy("doc_id").agg(*mins).select("doc_id", sig.alias("sig"))
@@ -69,24 +89,24 @@ def minhash_signatures(shingles: DataFrame, num_perm: int = 16) -> DataFrame:
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
     """Docs sharing >= 1 LSH band bucket -> candidate pairs (a < b).
-    Band hash = md5 of the band's concatenated signature rows."""
-    banded = signatures.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: md5_hex(
-                    F.concat_ws(
-                        "",
-                        F.slice(
-                            F.col("sig"),
-                            b * (F.size("sig") / bands).cast("int") + 1,
-                            (F.size("sig") / bands).cast("int"),
-                        ),
-                    )
-                ),
+    Band hash = md5 of the band's '|'-joined signature values."""
+    rpb = (F.size("sig") / bands).cast("int")
+    buckets = F.array(
+        *[
+            md5_hex(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), F.lit(b) * rpb + 1, rpb),
+                        lambda x: x.cast("string"),
+                    ),
+                    "|",
+                )
             )
-        ).alias("band", "bucket"),
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        "doc_id", F.posexplode(buckets).alias("band", "bucket")
     )
     a = banded.alias("a")
     b = banded.alias("b")

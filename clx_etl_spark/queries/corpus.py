@@ -30,13 +30,21 @@ NUM_PERM = 16
 BANDS = 8
 ROWS_PER_BAND = NUM_PERM // BANDS
 
+# identical affine minhash family as operators/dedup.py (one md5 base hash
+# mod P, then (a*h+b) mod P per permutation — 16x fewer digests than
+# hashing per-perm)
+_P = D.MINHASH_PRIME
+_BASE = f"(CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {_P})"
 _sig_cols = ",\n           ".join(
-    f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in range(NUM_PERM)
+    f"MIN(({a} * {_BASE} + {b}) % {_P}) AS h{i}"
+    for i, (a, b) in enumerate(D.PERM_PARAMS[:NUM_PERM])
 )
 _band_selects = "\n      UNION ALL ".join(
     "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
         b=b,
-        concat=" || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        concat=" || '|' || ".join(
+            f"CAST(h{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        ),
     )
     for b in range(BANDS)
 )
