@@ -1,0 +1,158 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+payloads with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The engine treats media exactly as a 100 TB training pipeline would:
+  * payloads are ``BinaryType`` columns riding in parquet alongside ids —
+    never driver-collected; all decode work happens executor-side in
+    ``mapInPandas`` over Arrow record batches;
+  * decode itself is STUBBED deterministically (this container has no
+    PIL/ffmpeg — see ``decode_stub``): every derived quantity is a pure
+    function of sha256(payload), which (deliberately) lets the DuckDB
+    oracle recompute the identical values in SQL, so even the pandas-UDF
+    path is hash-checked, not just rows-only;
+  * a real deployment swaps ``decode_stub`` for PIL/av decode behind the
+    same interface — schema, batch iteration, and partitioning (the parts
+    Spark cares about) are identical and are what the tests pin down.
+
+Shapes exercised: 1:1 feature extraction (image_features), pure-column
+post-processing (resize_plan), 1:N row expansion / frame sampling
+(frame_sample — the UDTF shape), and fixed-width embedding synthesis
+(media_embedding) feeding the similarity operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+# stub-decode constants — shared by the DuckDB oracle (queries/pipeline.py)
+W_MOD = 193
+H_MOD = 129
+BRIGHT_MOD = 1_000_003
+DUR_MOD = 60_000
+FRAME_STRIDE_MS = 2_500
+EMB_DIM = 16
+
+
+def _h60(digest_hex: str) -> int:
+    """First 15 hex chars of a sha256 digest as a 60-bit int (the same
+    value DuckDB gets from CAST('0x' || substr(sha256(..),1,15) AS BIGINT))."""
+    return int(digest_hex[:15], 16)
+
+
+def decode_stub(payload: bytes) -> dict:
+    """Deterministic fake media decode. A real build replaces this with
+    PIL.Image.open / pyav frame iteration behind the identical dict
+    interface; everything downstream is agnostic to which one ran."""
+    hx = hashlib.sha256(payload).hexdigest()
+    h = _h60(hx)
+    return {
+        "sha256": hx,
+        "width": 64 + h % W_MOD,
+        "height": 64 + (h // W_MOD) % H_MOD,
+        "mean_brightness": (h % BRIGHT_MOD) / float(BRIGHT_MOD),
+        "duration_ms": 1000 + h % DUR_MOD,
+    }
+
+
+def media_assets(docs: DataFrame, mime: str = "image/fake") -> DataFrame:
+    """documents -> opaque media assets: utf-8 payload bytes stand in for
+    encoded media; schema (id, mime, payload, n_bytes) is the real one."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit(mime).alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "asset_id long, sha256 string, width int, height int, mean_brightness double"
+)
+
+
+def image_features(assets: DataFrame) -> DataFrame:
+    """1:1 decode + feature extraction over Arrow batches. Runs where the
+    payload partition lives; output drops the payload so only narrow
+    feature rows shuffle onward."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_stub(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "sha256": [f["sha256"] for f in feats],
+                    "width": pd.array([f["width"] for f in feats], dtype="int32"),
+                    "height": pd.array([f["height"] for f in feats], dtype="int32"),
+                    "mean_brightness": [f["mean_brightness"] for f in feats],
+                }
+            )
+
+    return assets.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def resize_plan(features: DataFrame, max_side: int = 64) -> DataFrame:
+    """Aspect-preserving integer resize targets — pure column arithmetic
+    (JVM-side; no reason to re-enter Python for this)."""
+    longest = F.greatest("width", "height")
+    # explicit floor: double->int casts truncate in Spark but round in
+    # DuckDB, so the shared contract is floor-then-cast on both sides
+    out_w = F.greatest(F.lit(1), F.floor(F.col("width") * max_side / longest)).cast("int")
+    out_h = F.greatest(F.lit(1), F.floor(F.col("height") * max_side / longest)).cast("int")
+    return features.withColumns({"out_w": out_w, "out_h": out_h})
+
+
+FRAME_SAMPLE_SCHEMA = "asset_id long, frame_idx int, frame_ts_ms long, n_frames int"
+
+
+def frame_sample(assets: DataFrame, stride_ms: int = FRAME_STRIDE_MS) -> DataFrame:
+    """1:N frame sampling (the UDTF shape): each asset expands to
+    ceil(duration/stride) frame rows. Output row count is data-dependent —
+    exactly what mapInPandas allows and a scalar UDF cannot do."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("asset_id", "frame_idx", "frame_ts_ms", "n_frames")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                dur = decode_stub(bytes(payload))["duration_ms"]
+                n = (dur + stride_ms - 1) // stride_ms
+                for i in range(n):
+                    out["asset_id"].append(int(aid))
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * stride_ms)
+                    out["n_frames"].append(n)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(out["asset_id"], dtype="int64"),
+                    "frame_idx": pd.array(out["frame_idx"], dtype="int32"),
+                    "frame_ts_ms": pd.array(out["frame_ts_ms"], dtype="int64"),
+                    "n_frames": pd.array(out["n_frames"], dtype="int32"),
+                }
+            )
+
+    return assets.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def media_embedding(assets: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """Fixed-width pseudo-embedding per asset: dim 4-hex-char chunks of
+    sha256 scaled to [0,1] doubles. Stands in for a model forward pass;
+    output feeds the similarity operators (knn/near-dup) unchanged."""
+    assert dim <= 16, "sha256 yields 16 4-hex chunks"
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for p in pdf["payload"]:
+                hx = hashlib.sha256(bytes(p)).hexdigest()
+                embs.append(
+                    [int(hx[4 * j : 4 * j + 4], 16) / 65535.0 for j in range(dim)]
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"].astype("int64"), "embedding": embs}
+            )
+
+    return assets.mapInPandas(embed, schema="asset_id long, embedding array<double>")

@@ -53,6 +53,64 @@ def k1_upsert_last_wins(spark, sf):
     )
 
 
+from ..operators import multimodal as MM
+
+# shared stub-decode oracle fragment: identical sha256-derived arithmetic
+# as operators/multimodal.py::decode_stub (60-bit digest prefix)
+_MM_H = "CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT)"
+_MM_DECODE = f"""
+    f AS (SELECT doc_id AS asset_id, sha256(text) AS sha256, {_MM_H} AS h
+          FROM documents),
+    feat AS (SELECT asset_id, sha256,
+                    CAST(64 + h % {MM.W_MOD} AS INTEGER) AS width,
+                    CAST(64 + (h // {MM.W_MOD}) % {MM.H_MOD} AS INTEGER) AS height,
+                    (h % {MM.BRIGHT_MOD}) / {MM.BRIGHT_MOD}.0 AS mean_brightness,
+                    1000 + h % {MM.DUR_MOD} AS duration_ms
+             FROM f)
+"""
+
+
+@register(
+    "mm_image_resize",
+    oracle=f"""
+    WITH {_MM_DECODE}
+    SELECT asset_id, sha256, width, height, mean_brightness,
+           CAST(GREATEST(1, FLOOR(width * 64.0 / GREATEST(width, height))) AS INTEGER) AS out_w,
+           CAST(GREATEST(1, FLOOR(height * 64.0 / GREATEST(width, height))) AS INTEGER) AS out_h
+    FROM feat
+    """,
+    doc="Multimodal 1:1 path: binary payload -> mapInPandas decode+feature "
+    "extraction (decode stubbed as sha256-derived arithmetic, so the "
+    "pandas-UDF output is fully hash-checked against DuckDB) -> JVM-side "
+    "aspect-preserving resize plan",
+)
+def mm_image_resize(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    feats = MM.image_features(MM.media_assets(docs))
+    return MM.resize_plan(feats, max_side=64)
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH {_MM_DECODE}
+    SELECT asset_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(i * {MM.FRAME_STRIDE_MS} AS BIGINT) AS frame_ts_ms,
+           CAST((duration_ms + {MM.FRAME_STRIDE_MS - 1}) // {MM.FRAME_STRIDE_MS} AS INTEGER) AS n_frames
+    FROM feat,
+         UNNEST(generate_series(0,
+           CAST((duration_ms + {MM.FRAME_STRIDE_MS - 1}) // {MM.FRAME_STRIDE_MS} AS INTEGER) - 1)) AS t(i)
+    """,
+    doc="Multimodal 1:N path (UDTF shape): each asset expands to "
+    "ceil(duration/stride) frame rows inside mapInPandas — data-dependent "
+    "output cardinality, Arrow-batched; frame times hash-checked",
+)
+def mm_frame_sample(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return MM.frame_sample(MM.media_assets(docs))
+
+
 @register(
     "mm_media_metadata",
     oracle=None,  # binary payloads + pandas UDF: non-SQL-expressible (rows-only check)

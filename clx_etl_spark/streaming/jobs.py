@@ -38,12 +38,20 @@ def windowed_counts(
     window: str = "5 minutes",
     watermark: str = "10 minutes",
     keys: list[str] | None = None,
+    slide: str | None = None,
+    session_gap: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts with watermarked state cleanup."""
+    """Windowed counts with watermarked state cleanup. Default tumbling;
+    pass ``slide`` for sliding (overlapping) windows or ``session_gap``
+    for session windows (SURVEY §2.11: surface the reference lacks)."""
     keys = keys or []
+    if session_gap is not None:
+        win = F.session_window(F.col(time_col), session_gap).alias("w")
+    else:
+        win = F.window(F.col(time_col), window, slide or window).alias("w")
     return (
         events.withWatermark(time_col, watermark)
-        .groupBy(F.window(F.col(time_col), window).alias("w"), *keys)
+        .groupBy(win, *keys)
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), *keys, "n")
     )

@@ -73,3 +73,102 @@ def test_foreach_batch_upsert_effectively_once(spark, tmp_path):
     # the idempotent merge converges to the same table
     run(ckpt2)
     assert spark.read.parquet(target).count() == 5
+
+
+def test_streaming_gap_monitor_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-key watermark survives micro-batch
+    boundaries (maxFilesPerTrigger=1 forces one batch per file)."""
+    from clx_etl_spark.streaming.stateful import streaming_gap_monitor
+
+    src = str(tmp_path / "in")
+    MIN = 60_000
+    # file 1: keys A,B contiguous bars 0..4
+    _write_batch(
+        spark, src,
+        [(0, FX.BASE_TS + i * MIN, k) for k in ("A", "B") for i in range(5)],
+    )
+    # file 2: A resumes at bar 9 (gap of 5 bars), B stays contiguous 5..7
+    _write_batch(
+        spark, src,
+        [(0, FX.BASE_TS + 9 * MIN, "A")] + [(0, FX.BASE_TS + i * MIN, "B") for i in (5, 6, 7)],
+    )
+    stream = (
+        spark.readStream.format("parquet").schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    gaps = streaming_gap_monitor(stream, keys=["event_type"], ts_col="ts_ms", interval_ms=MIN)
+    q = (
+        gaps.writeStream.format("memory").queryName("gapmon")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM gapmon").collect()
+    assert len(out) == 1  # only A gapped, and only once
+    r = out[0]
+    assert r.event_type == "A"
+    assert r.prev_ts == FX.BASE_TS + 4 * MIN
+    assert r.curr_ts == FX.BASE_TS + 9 * MIN
+    assert r.gap_ms == 5 * MIN
+
+
+def test_streaming_gap_monitor_state_survives_restart(spark, tmp_path):
+    """State is checkpointed: a second run (same checkpoint) sees only new
+    files but still detects the gap against the persisted watermark."""
+    from clx_etl_spark.streaming.stateful import streaming_gap_monitor
+
+    src, ckpt, out_dir = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+    MIN = 60_000
+
+    def run():
+        # memory sink can't recover from a checkpoint; a file sink can
+        stream = spark.readStream.format("parquet").schema(SCHEMA).load(src)
+        gaps = streaming_gap_monitor(
+            stream, keys=["event_type"], ts_col="ts_ms", interval_ms=MIN
+        )
+        q = (
+            gaps.writeStream.format("parquet").option("path", out_dir)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(spark, src, [(0, FX.BASE_TS + i * MIN, "A") for i in range(3)])
+    run()
+    assert spark.read.parquet(out_dir).count() == 0
+    # restart with a jump: bar 2 -> bar 10
+    _write_batch(spark, src, [(0, FX.BASE_TS + 10 * MIN, "A")])
+    run()
+    out = spark.read.parquet(out_dir).collect()
+    assert len(out) == 1
+    assert out[0].prev_ts == FX.BASE_TS + 2 * MIN and out[0].gap_ms == 8 * MIN
+
+
+def test_stream_sliding_and_session_windows(spark, tmp_path):
+    src = str(tmp_path / "in")
+    MIN = 60_000
+    # two activity bursts separated by 30 min of silence
+    _write_batch(
+        spark, src,
+        [(i, FX.BASE_TS + i * MIN, "x") for i in range(10)]
+        + [(i, FX.BASE_TS + (40 + i) * MIN, "x") for i in range(5)],
+    )
+
+    def collect(name, **kw):
+        stream = file_stream(spark, src, SCHEMA).withColumn(
+            "event_time", F.timestamp_millis("ts_ms")
+        )
+        agg = windowed_counts(stream, time_col="event_time", **kw)
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    slid = collect("slide_counts", window="10 minutes", slide="5 minutes")
+    # sliding: every event lands in exactly 2 windows
+    assert sum(r.n for r in slid) == 30
+    # session windows need a grouping key in streaming (no global session)
+    sess = collect("session_counts", session_gap="15 minutes", keys=["event_type"])
+    # the two bursts -> exactly two sessions, 10 + 5
+    assert sorted(r.n for r in sess) == [5, 10]
