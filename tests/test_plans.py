@@ -1,0 +1,102 @@
+"""Physical-plan audits: the scale discipline, enforced.
+
+Every registered query's plan is checked for the patterns that kill jobs
+at 100 TB: nested-loop/cartesian joins (quadratic compare), missing
+broadcast on dimension joins, and missing filter/column pushdown on
+selective scans. Runs at sf0.001 — plans, not data, are under test
+(AQE may re-plan shapes at runtime, but the static plan must already be
+sane because AQE can only coarsen, not rescue a nested loop)."""
+
+from __future__ import annotations
+
+import pytest
+
+from clx_etl_spark.queries import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = load_all()[name].fn(spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {name: _plan(spark, name) for name in load_all()}
+
+
+# sim_knn_bruteforce: the broadcast nested loop IS the declared semantics
+# (tiny query set x corpus, the exactness baseline); sim_knn_ivf is the
+# scale path and must stay NLJ-free.
+NLJ_ALLOWED = {"sim_knn_bruteforce"}
+
+
+def test_no_nested_loop_or_cartesian_anywhere(plans):
+    offenders = {
+        n: p for n, p in plans.items()
+        if ("BroadcastNestedLoopJoin" in p or "CartesianProduct" in p)
+        and n not in NLJ_ALLOWED
+    }
+    assert not offenders, f"quadratic join shapes in: {sorted(offenders)}"
+
+
+def test_dimension_joins_broadcast(plans):
+    # snowflake/dim joins must be broadcast, not shuffled sort-merge
+    for name in ("q3_shipping_priority", "q5_region_revenue", "j4_double_left_tags"):
+        assert "BroadcastHashJoin" in plans[name], name
+        assert "SortMergeJoin" not in plans[name], f"{name}: dim join shuffled"
+
+
+def test_full_outer_merge_is_sort_merge(plans):
+    # full outer can't broadcast; SMJ is the correct scalable shape
+    assert "SortMergeJoin FullOuter" in plans["j2_full_outer_merge"].replace(
+        "SortMergeJoin [", "SortMergeJoin ["
+    ) or "FullOuter" in plans["j2_full_outer_merge"]
+
+
+def test_selective_scans_push_filters(plans):
+    # queries with selective predicates must reach the parquet reader
+    for name in ("q3_shipping_priority", "q6_revenue_delta", "q19_disjunctive_pushdown"):
+        p = plans[name]
+        assert "PushedFilters: [" in p and "PushedFilters: []" not in p.replace(
+            "PushedFilters: [],", "PushedFilters: []"
+        ), f"{name}: no filters pushed to scan"
+
+
+def test_column_pruning_reaches_scan(plans):
+    # q6 projects 3 lineitem columns + 1 filter col; the scan must not read
+    # the full 11-column schema
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plans["q6_revenue_delta"])
+    assert schemas and all(len(s.split(",")) <= 4 for s in schemas), schemas
+
+
+def test_topk_uses_window_group_limit(plans):
+    # rank-filter pattern should trigger WindowGroupLimit pushdown
+    # (partial top-k before the shuffle) on Spark >= 3.5
+    assert "WindowGroupLimit" in plans["topk_per_group"]
+
+
+def test_asof_join_single_key_shuffle(plans):
+    # the as-of union-window trick must not introduce a join at all —
+    # exactly the union + one windowed sort
+    p = plans["asof_last_purchase"]
+    assert "Join" not in p or "SortMergeJoin" not in p
+    assert "Window" in p
+
+
+def test_exact_dedup_single_wide_stage(plans):
+    # hash-dedup = one shuffle on digest (plan shows initial+final AQE
+    # sections, so count unique exchange ids, not occurrences)
+    import re
+
+    ex = set(re.findall(r"hashpartitioning\(digest[^)]*\)", plans["dedup_exact"]))
+    assert len(ex) == 1, ex
+    # and no second wide op (no other hashpartitioning target)
+    others = {
+        m for m in re.findall(r"hashpartitioning\((\w+)", plans["dedup_exact"])
+    }
+    assert others == {"digest"}, others
