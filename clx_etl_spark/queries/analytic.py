@@ -293,3 +293,244 @@ def w4_sliding_window_counts(spark, sf):
             F.unix_millis(F.col("w.start")).alias("win_start_ms"), "n_events"
         )
     )
+
+
+@register(
+    "q4_exists_semijoin",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS correlated subquery -> left-semi join with "
+    "a non-equi conjunct (orders with any late-shipped line)",
+)
+def q4_exists_semijoin(spark, sf):
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    late = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, on=late, how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name <> sn.n_name
+    GROUP BY cust_nation, supp_nation
+    """,
+    doc="TPC-H Q7 shape: cross-nation trade matrix — the same dimension "
+    "broadcast twice under different aliases, fact joins stay shuffled",
+)
+def q7_nation_volume(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("snk"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q10_top_returns",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-revenue ranking, tie-broken top-20",
+)
+def q10_top_returns(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_ratio",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                    ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                    ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+             AS promo_ratio
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: conditional aggregation ratio; both legs "
+    "accumulated in exact decimal, ratio taken once in double",
+)
+def q14_promo_ratio(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    part = _t(spark, sf, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC6))
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue")).alias("promo_ratio"),
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+    """,
+    doc="TPC-H Q22 shape: scalar-subquery threshold (decimal-exact mean) "
+    "broadcast to every row + NOT EXISTS anti-join (customers with money "
+    "and no orders)",
+)
+def q22_idle_rich_customers(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(DEC6)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle=f"""
+    WITH m AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN {EV_MS} END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN {EV_MS} END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN {EV_MS} END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT COUNT(*) AS n_users,
+           COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+           COUNT(CASE WHEN t_view < t_click THEN 1 END) AS n_click_after_view,
+           COUNT(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 END) AS n_converted
+    FROM m
+    """,
+    doc="Event-funnel conversion (view -> click -> purchase ordering per "
+    "user): one grouped pass + conditional mins — no self-joins",
+)
+def funnel_conversion(spark, sf):
+    ev = _t(spark, sf, "events")
+    t = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts_ms")))
+    m = ev.groupBy("user_id").agg(
+        t("view").alias("t_view"),
+        t("click").alias("t_click"),
+        t("purchase").alias("t_purchase"),
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return m.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        cnt(F.col("t_view").isNotNull()).alias("n_view"),
+        cnt(F.col("t_view") < F.col("t_click")).alias("n_click_after_view"),
+        cnt(
+            (F.col("t_view") < F.col("t_click"))
+            & (F.col("t_click") < F.col("t_purchase"))
+        ).alias("n_converted"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle=f"""
+    WITH d AS (SELECT user_id, {EV_MS} // 86400000 AS day FROM events),
+         c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+    SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+           COUNT(DISTINCT d.user_id) AS n_active
+    FROM d JOIN c ON d.user_id = c.user_id
+    GROUP BY c.cohort_day, day_offset
+    """,
+    doc="Cohort retention matrix: first-seen day x activity offset with "
+    "distinct-user counts — integer day arithmetic (no float division on "
+    "epoch values)",
+)
+def cohort_retention(spark, sf):
+    ev = _t(spark, sf, "events")
+    d = ev.select("user_id", F.expr("ts_ms div 86400000").alias("day"))
+    c = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        d.join(c, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

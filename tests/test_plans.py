@@ -27,10 +27,12 @@ def plans(spark):
     return {name: _plan(spark, name) for name in load_all()}
 
 
-# sim_knn_bruteforce: the broadcast nested loop IS the declared semantics
-# (tiny query set x corpus, the exactness baseline); sim_knn_ivf is the
-# scale path and must stay NLJ-free.
-NLJ_ALLOWED = {"sim_knn_bruteforce"}
+# Justified broadcast-nested-loop shapes (each O(n), not O(n^2)):
+#   sim_knn_bruteforce — tiny query set x corpus IS the declared exactness
+#     baseline; sim_knn_ivf is the scale path and must stay NLJ-free
+#   q22_idle_rich_customers — single-row scalar-threshold broadcast (the
+#     canonical plan for a scalar subquery; build side is exactly 1 row)
+NLJ_ALLOWED = {"sim_knn_bruteforce", "q22_idle_rich_customers"}
 
 
 def test_no_nested_loop_or_cartesian_anywhere(plans):
