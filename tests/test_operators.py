@@ -175,3 +175,61 @@ def test_ngram_jaccard_doc_freq_cap_drops_boilerplate(spark):
     # df cap of 3 excludes the shared shingle (df=4) -> no candidates at all
     out = ngram_jaccard_pairs(docs, k=3, threshold=0.0, max_doc_freq=3, min_common=1)
     assert out.count() == 0
+
+
+def test_salted_agg_matches_plain(spark):
+    from clx_etl_spark.operators.skew import salted_agg
+
+    # heavy skew: 90% of rows on one key
+    rows = [(("HOT" if i % 10 else f"k{i}"), i, float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "key string, id long, v double")
+    got = {
+        r.key: (r.total, r.n, r.lo, r.hi)
+        for r in salted_agg(
+            df, ["key"],
+            {"total": ("v", "sum"), "n": ("v", "count"),
+             "lo": ("v", "min"), "hi": ("v", "max")},
+            discriminator="id", buckets=8,
+        ).collect()
+    }
+    want = {
+        r.key: (r.total, r.n, r.lo, r.hi)
+        for r in df.groupBy("key").agg(
+            F.sum("v").alias("total"), F.count("v").alias("n"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][1:] == want[k][1:]
+        assert abs(got[k][0] - want[k][0]) < 1e-6  # fp sum order differs
+
+
+def test_salted_join_matches_plain(spark):
+    from clx_etl_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(("HOT" if i % 5 else f"k{i}"), i) for i in range(500)],
+        "key string, id long",
+    )
+    dim = spark.createDataFrame(
+        [("HOT", "hot-tag")] + [(f"k{i}", f"tag{i}") for i in range(0, 500, 5)],
+        "key string, tag string",
+    )
+    got = sorted(
+        (r.id, r.tag)
+        for r in salted_join(fact, dim, ["key"], discriminator="id", buckets=4).collect()
+    )
+    want = sorted((r.id, r.tag) for r in fact.join(dim, "key").collect())
+    assert got == want
+
+
+def test_salted_agg_is_deterministic_across_runs(spark):
+    from clx_etl_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("A", i, float(i % 7)) for i in range(300)], "key string, id long, v double"
+    )
+    a = salted_agg(df, ["key"], {"t": ("v", "sum")}, "id", buckets=8).collect()
+    b = salted_agg(df, ["key"], {"t": ("v", "sum")}, "id", buckets=8).collect()
+    assert a == b  # deterministic salt => identical partial groupings
