@@ -534,3 +534,69 @@ def cohort_retention(spark, sf):
         .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "skew_salted_agg",
+    oracle=f"""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+           COUNT(*) AS n,
+           MIN({EV_MS}) AS first_ms,
+           MAX({EV_MS}) AS last_ms
+    FROM events GROUP BY event_type
+    """,
+    doc="Hot-key aggregation via deterministic salting (operators/skew.py): "
+    "phase 1 shuffles on (key, xxhash-salt) so a key owning most of the "
+    "fact spreads over N reducers; phase 2 re-aggregates the tiny partial "
+    "set. Decimal accumulation keeps the two-phase result bit-identical "
+    "to the oracle's single-phase GROUP BY",
+)
+def skew_salted_agg(spark, sf):
+    from ..operators.skew import salted_agg
+
+    ev = _t(spark, sf, "events").withColumn(
+        "value_dec", F.col("value").cast(DEC6)
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "total": ("value_dec", "sum"),
+            "n": ("value_dec", "count"),
+            "first_ms": ("ts_ms", "min"),
+            "last_ms": ("ts_ms", "max"),
+        },
+        discriminator="event_id",
+        buckets=16,
+    )
+    return out.select(
+        "event_type", F.col("total").cast("double").alias("total"),
+        "n", "first_ms", "last_ms",
+    )
+
+
+@register(
+    "percentiles_by_group",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           MIN(value) AS v_min, MAX(value) AS v_max
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile() == "
+    "DuckDB quantile_cont bit-identically: same sort + same a+(b-a)*f "
+    "interpolation on doubles). At 100 TB swap to approx_percentile with "
+    "a declared error bound — the exact form is the correctness anchor",
+)
+def percentiles_by_group(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )

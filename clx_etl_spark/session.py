@@ -37,10 +37,13 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
 def get_spark(app_name: str = "clx-spark", master: str | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
+    # sized for the bench SF on local[32]; on a cluster set this to
+    # ~2-3x total executor cores (AQE coalesces the excess)
+    shuffle_parts = os.environ.get("CLX_SHUFFLE_PARTITIONS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.driver.memory", os.environ.get("CLX_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
