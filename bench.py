@@ -48,6 +48,12 @@ HEADLINE = [
     "w4_sliding_window_counts",
     "q18_group_having",
     "q19_disjunctive_pushdown",
+    "dedup_clusters",
+    "skew_salted_agg",
+    "percentiles_by_group",
+    "funnel_conversion",
+    "cohort_retention",
+    "mm_image_resize",
 ]
 
 

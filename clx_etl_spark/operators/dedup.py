@@ -135,6 +135,7 @@ def minhash_near_duplicates(
     candidate pairs -> exact Jaccard filter. Returns (doc_a, doc_b, jaccard).
     """
     sh = shingle_sets(df, text_col, id_col, k).cache()
+    sh.count()  # materialize before fan-out (sig + sizes + 2 inter-joins)
     sig = minhash_signatures(sh, num_perm)
     cand = lsh_candidate_pairs(sig, bands)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -181,6 +182,9 @@ def ngram_jaccard_pairs(
     Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
     """
     sh = shingle_sets(df, text_col, id_col, k).cache()
+    sh.count()  # materialize BEFORE fan-out: the downstream stages
+    # (dfreq, cand, sizes, inter) are independent and would otherwise race
+    # to recompute the shingle pipeline concurrently within one job
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     rare = sh.join(dfreq.filter(F.col("_df") <= max_doc_freq), "shingle").select(
         "doc_id", "shingle"
@@ -217,6 +221,70 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over near-dup
+    pairs by iterative min-label propagation. Returns (doc_id, component)
+    where component = min doc_id reachable in the pair graph — the
+    canonical representative a dedup pipeline keeps.
+
+    Each iteration is two shuffles (join + min-agg) and the label can only
+    decrease, so it converges in O(diameter) rounds — near-dup graphs are
+    star-shaped clusters with tiny diameters, 3-5 rounds in practice. The
+    driver loop only checks a scalar convergence count per round; all data
+    stays distributed (no collect of nodes/edges).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    edges.count()  # materialize: the (possibly expensive) pair pipeline
+    # must run exactly once, not once per loop branch
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .cache()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:

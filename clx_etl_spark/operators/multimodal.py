@@ -58,6 +58,16 @@ def decode_stub(payload: bytes) -> dict:
     }
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Python-heavy mapInPandas work needs >= core-count partitions; a
+    small parquet file arrives as ONE split (maxPartitionBytes), which
+    would serialize the decode on a single worker. The repartition is a
+    narrow-ish shuffle of opaque bytes — trivial next to the Python work
+    it parallelizes; on real multi-file/100 TB inputs it's a no-op."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(want) if df.rdd.getNumPartitions() < want else df
+
+
 def media_assets(docs: DataFrame, mime: str = "image/fake") -> DataFrame:
     """documents -> opaque media assets: utf-8 payload bytes stand in for
     encoded media; schema (id, mime, payload, n_bytes) is the real one."""
@@ -78,6 +88,8 @@ def image_features(assets: DataFrame) -> DataFrame:
     """1:1 decode + feature extraction over Arrow batches. Runs where the
     payload partition lives; output drops the payload so only narrow
     feature rows shuffle onward."""
+
+    assets = _ensure_parallelism(assets)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -114,6 +126,8 @@ def frame_sample(assets: DataFrame, stride_ms: int = FRAME_STRIDE_MS) -> DataFra
     ceil(duration/stride) frame rows. Output row count is data-dependent —
     exactly what mapInPandas allows and a scalar UDF cannot do."""
 
+    assets = _ensure_parallelism(assets)
+
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in ("asset_id", "frame_idx", "frame_ts_ms", "n_frames")}
@@ -142,6 +156,8 @@ def media_embedding(assets: DataFrame, dim: int = EMB_DIM) -> DataFrame:
     sha256 scaled to [0,1] doubles. Stands in for a model forward pass;
     output feeds the similarity operators (knn/near-dup) unchanged."""
     assert dim <= 16, "sha256 yields 16 4-hex chunks"
+
+    assets = _ensure_parallelism(assets)
 
     def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -143,6 +143,41 @@ def dedup_ngram_jaccard(spark, sf):
     )
 
 
+# transitive closure over the >= 0.5 n-gram Jaccard pair graph; component =
+# min reachable doc_id (the canonical representative)
+_NGRAM_CTES = NGRAM_JACCARD_ORACLE.split("WITH", 1)[1].rsplit("SELECT", 1)[0]
+_NGRAM_FINAL = "SELECT" + NGRAM_JACCARD_ORACLE.rsplit("SELECT", 1)[1]
+
+DEDUP_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_NGRAM_CTES.strip().rstrip(',')},
+    pairs AS ({_NGRAM_FINAL}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach AS (SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+    FROM reach GROUP BY src
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=DEDUP_CLUSTERS_ORACLE,
+    doc="Duplicate-cluster assignment: connected components over the "
+    "n-gram-Jaccard near-dup graph via iterative min-label propagation "
+    "(2 shuffles/round, O(cluster diameter) rounds, nothing collected to "
+    "the driver). Oracle: DuckDB recursive-CTE transitive closure",
+)
+def dedup_clusters(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.5, max_doc_freq=1000, min_common=2
+    )
+    return D.connected_components(pairs)
+
+
 @register(
     "dedup_simhash",
     oracle=rf"""

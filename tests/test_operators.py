@@ -233,3 +233,16 @@ def test_salted_agg_is_deterministic_across_runs(spark):
     a = salted_agg(df, ["key"], {"t": ("v", "sum")}, "id", buckets=8).collect()
     b = salted_agg(df, ["key"], {"t": ("v", "sum")}, "id", buckets=8).collect()
     assert a == b  # deterministic salt => identical partial groupings
+
+
+def test_connected_components_chain_and_islands(spark):
+    from clx_etl_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs multiple rounds), pair {10,11},
+    # triangle {20,21,22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
