@@ -246,3 +246,73 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_asof_join_property_vs_pandas_merge_asof(spark):
+    """Random keyed series: our union-window as-of must agree with
+    pandas.merge_asof (backward, allow_exact_matches=True) everywhere."""
+    import random as rnd
+
+    import pandas as pd
+
+    from clx_etl_spark.operators.merge import asof_join
+
+    rng = rnd.Random(7)
+    keys = ["k0", "k1", "k2"]
+    left_rows = [
+        (rng.choice(keys), rng.randrange(0, 10_000), i) for i in range(400)
+    ]
+    # distinct (key, ts) on the right: merge_asof ties would be ambiguous
+    right_seen = set()
+    right_rows = []
+    for _ in range(300):
+        k, t = rng.choice(keys), rng.randrange(0, 10_000)
+        if (k, t) not in right_seen:
+            right_seen.add((k, t))
+            right_rows.append((k, t, float(len(right_rows))))
+    left = spark.createDataFrame(left_rows, "sym string, ts long, lid long")
+    right = spark.createDataFrame(right_rows, "sym string, ts long, px double")
+
+    got = {
+        (r.sym, r.ts, r.lid): r.px
+        for r in asof_join(left, right, keys=["sym"], left_ts="ts", right_ts="ts").collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["sym", "ts", "lid"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["sym", "ts", "px"]).sort_values("ts")
+    want_df = pd.merge_asof(lp, rp, on="ts", by="sym", direction="backward")
+    for row in want_df.itertuples():
+        want_px = None if pd.isna(row.px) else row.px
+        assert got[(row.sym, row.ts, row.lid)] == want_px
+
+
+def test_bin_range_join_property_vs_bruteforce(spark):
+    """Random points/intervals across many bin widths: binned join must
+    equal the O(n*m) definition exactly (boundary semantics included)."""
+    import random as rnd
+
+    from clx_etl_spark.operators.range_join import bin_range_join
+
+    rng = rnd.Random(11)
+    points = [(f"u{rng.randrange(4)}", i, rng.randrange(0, 5_000)) for i in range(150)]
+    intervals = []
+    for i in range(60):
+        s = rng.randrange(0, 5_000)
+        intervals.append((f"u{rng.randrange(4)}", 100 + i, s, s + rng.randrange(1, 900)))
+    want = sorted(
+        (iid, pid)
+        for (uk, iid, s, e) in intervals
+        for (up, pid, t) in points
+        if up == uk and s <= t < e
+    )
+    pdf = spark.createDataFrame(points, "user string, pid long, ms long")
+    idf = spark.createDataFrame(intervals, "user string, iid long, start_ms long, end_ms long")
+    for bin_ms in (64, 500, 1000, 4096):
+        got = sorted(
+            (r.iid, r.pid)
+            for r in bin_range_join(
+                pdf, idf, keys=["user"], point_ts="ms",
+                start_col="start_ms", end_col="end_ms", bin_ms=bin_ms,
+            ).collect()
+        )
+        assert got == want, f"bin_ms={bin_ms}"
