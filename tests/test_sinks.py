@@ -104,3 +104,36 @@ def test_drop_partitions(spark, tmp_path):
     assert [str(r.dt_date) for r in spark.read.parquet(path).select("dt_date").collect()] == [
         "2024-01-02"
     ]
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Both sides bucketed on the join key -> SortMergeJoin with ZERO
+    Exchange operators: the 100 TB co-location story, plan-verified."""
+    from clx_etl_spark.sinks.bucketed import read_table, write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/wh'")
+    facts = spark.range(0, 10_000).selectExpr(
+        "id % 100 AS key", "id AS v1"
+    )
+    other = spark.range(0, 5_000).selectExpr("id % 100 AS key", "id AS v2")
+    write_bucketed(facts, "bkt.facts", ["key"], n_buckets=8)
+    write_bucketed(other, "bkt.other", ["key"], n_buckets=8)
+
+    # disable auto-broadcast: at real scale neither side fits; the point
+    # is the shuffle-free sort-merge join from co-located buckets
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_table(spark, "bkt.facts").join(read_table(spark, "bkt.other"), "key")
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = j._jdf.queryExecution().explainString(mode)
+        assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+        # correctness: every key pairs 100 x 50
+        assert j.count() == 100 * 100 * 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # grouped agg on the bucket key also skips the shuffle
+    g = read_table(spark, "bkt.facts").groupBy("key").count()
+    gplan = g._jdf.queryExecution().explainString(mode)
+    assert "Exchange" not in gplan, gplan
