@@ -64,8 +64,10 @@ def main() -> None:
     spark = get_spark("clx-spark-bench")
     registry = load_all()
 
-    # warmup: session + parquet footer caches
+    # warmup: session + parquet footer caches (JVM) and the Python worker
+    # pool (first pandas-UDF query otherwise pays ~4s of process forks)
     registry["q6_revenue_delta"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    registry["mm_media_metadata"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
