@@ -1,0 +1,62 @@
+"""User-facing engine facade: the surface a reference user lands on.
+
+A reference user's workflow is: point at stored tables, run analytic SQL
+(they sent it to Doris), run the maintenance flows (gap fill, integrity,
+symbol refresh), and ingest feeds. `Engine` packages exactly that over a
+SparkSession — thin by design: every method delegates to the operator
+library so behavior stays testable without the facade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import catalog
+from .session import apply_runtime_confs, get_spark
+
+
+class Engine:
+    def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
+        self.spark = apply_runtime_confs(spark or get_spark())
+        self.sf_dir = sf_dir or catalog.DEFAULT_SF_DIR
+        self._views_registered = False
+
+    # -- catalog ----------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return catalog.load_table(self.spark, self.sf_dir, name)
+
+    def sql(self, query: str) -> DataFrame:
+        """ANSI SQL over the registered tables — the engine's replacement
+        for the SQL the reference shipped to Doris (SURVEY S13)."""
+        if not self._views_registered:
+            catalog.register_views(self.spark, self.sf_dir)
+            self._views_registered = True
+        return self.spark.sql(query)
+
+    # -- registered query inventory --------------------------------------
+    def query(self, name: str) -> DataFrame:
+        """Run a registered engine query by name (see queries.load_all)."""
+        from .queries import load_all
+
+        return load_all()[name].fn(self.spark, self.sf_dir)
+
+    def query_names(self) -> list[str]:
+        from .queries import load_all
+
+        return sorted(load_all())
+
+    # -- flows ------------------------------------------------------------
+    def gap_fill_plan(self, df: DataFrame, keys: list[str], start_ms: int,
+                      end_ms: int, interval_ms: int, page_limit: int = 1000) -> DataFrame:
+        from .operators.gaps import gap_fill_plan
+
+        return gap_fill_plan(df, keys, start_ms=start_ms, end_ms=end_ms,
+                             ts_col="ts", interval_ms=interval_ms, page_limit=page_limit)
+
+    def upsert(self, df: DataFrame, path: str, keys: list[str],
+               update_cols: list[str] | None = None,
+               partition_cols: list[str] | None = None) -> None:
+        from .sinks.upsert import merge_upsert
+
+        merge_upsert(self.spark, df, path, keys, update_cols=update_cols,
+                     partition_cols=partition_cols or [])

@@ -1,0 +1,54 @@
+"""Engine facade + declarative schedule tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clx_etl_spark.api import Engine
+from clx_etl_spark.plans.schedule import SCHEDULE, due
+
+
+def test_engine_sql_and_table(spark):
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    assert eng.table("nation").count() == 25
+    out = eng.sql(
+        "SELECT r_name, COUNT(*) AS n FROM nation JOIN region "
+        "ON n_regionkey = r_regionkey GROUP BY r_name"
+    )
+    assert sum(r.n for r in out.collect()) == 25
+
+
+def test_engine_runs_registered_query(spark):
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    assert "q1_pricing_summary" in eng.query_names()
+    df = eng.query("q1_pricing_summary")
+    assert df.count() > 0 and "sum_qty" in df.columns
+
+
+def test_engine_upsert_roundtrip(spark, tmp_path):
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    tgt = str(tmp_path / "dim")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    eng.upsert(base, tgt, keys=["id"])
+    eng.upsert(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"),
+        tgt, keys=["id"],
+    )
+    got = {r.id: r.v for r in spark.read.parquet(tgt).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_schedule_due_semantics():
+    names = [j.name for j in SCHEDULE]
+    assert len(names) == len(set(names))
+    # cold start: everything due
+    assert due({}, now_s=0) == list(SCHEDULE)
+    # nothing due immediately after a full run
+    last = {j.name: 1000.0 for j in SCHEDULE}
+    assert due(last, now_s=1000.0) == []
+    # the 30/60s feeds come due first
+    soon = [j.name for j in due(last, now_s=1061.0)]
+    assert "sync_kalshi" in soon and "sync_onchain" in soon
+    assert "sync_symbols" not in soon
+    # misfire recovery: long pause -> everything due exactly once
+    assert due(last, now_s=1000.0 + 90_000) == list(SCHEDULE)
