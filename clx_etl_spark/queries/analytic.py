@@ -600,3 +600,36 @@ def percentiles_by_group(spark, sf):
         F.min("value").alias("v_min"),
         F.max("value").alias("v_max"),
     )
+
+
+@register(
+    "resample_ohlcv_hourly",
+    oracle=f"""
+    WITH t AS (SELECT user_id, {EV_MS} AS ms, value,
+                      {EV_MS} * 1000000 + event_id AS ord
+               FROM events)
+    SELECT user_id,
+           ms - (ms % 3600000) AS bucket_ms,
+           min_by(value, ord) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           max_by(value, ord) AS close,
+           COUNT(*) AS n_ticks
+    FROM t GROUP BY user_id, bucket_ms
+    """,
+    doc="Hypertable-rollup shape: derive hourly OHLCV bars from tick-level "
+    "rows in ONE grouped pass (min_by/max_by for open/close with a total "
+    "order; map-side partials). The engine derives 1h/1d from 1m instead "
+    "of maintaining three API-fed tables (reference flows/sync_klines.py)",
+)
+def resample_ohlcv_hourly(spark, sf):
+    from ..operators.resample import resample_ohlcv
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "ts_ms", F.col("value").alias("price"),
+        (F.col("ts_ms") * 1_000_000 + F.col("event_id")).alias("ord"),
+    )
+    return resample_ohlcv(
+        ev, keys=["user_id"], interval_ms=3_600_000,
+        ts_col="ts_ms", price_col="price", order_col="ord",
+    )

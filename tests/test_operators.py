@@ -316,3 +316,39 @@ def test_bin_range_join_property_vs_bruteforce(spark):
             ).collect()
         )
         assert got == want, f"bin_ms={bin_ms}"
+
+
+def test_resample_chain_consistency(spark):
+    """Continuous-aggregate property: resampling ticks -> 1h -> 1d equals
+    ticks -> 1d directly (open/close/high/low/count all compose)."""
+    import random as rnd
+
+    from pyspark.sql import functions as F
+    from clx_etl_spark.operators.resample import resample_ohlcv
+
+    rng = rnd.Random(3)
+    HOUR, DAY = 3_600_000, 86_400_000
+    rows = [
+        ("S", rng.randrange(0, 3 * DAY), float(rng.randrange(100, 200)), i)
+        for i in range(2000)
+    ]
+    ticks = spark.createDataFrame(rows, "sym string, ts_ms long, price double, tid long").withColumn(
+        "ord", F.col("ts_ms") * 1_000_000 + F.col("tid")
+    )
+    direct = resample_ohlcv(ticks, ["sym"], DAY, price_col="price", order_col="ord")
+
+    hourly = resample_ohlcv(ticks, ["sym"], HOUR, price_col="price", order_col="ord")
+    # chain: day open = min_by(hour open), close = max_by(hour close),
+    # high = max(hour high), low = min(hour low), n = sum(hour n)
+    day_from_hours = hourly.groupBy(
+        "sym", (F.col("bucket_ms") - F.col("bucket_ms") % DAY).alias("bucket_ms")
+    ).agg(
+        F.min_by("open", "bucket_ms").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", "bucket_ms").alias("close"),
+        F.sum("n_ticks").alias("n_ticks"),
+    )
+    a = sorted(tuple(r) for r in direct.collect())
+    b = sorted(tuple(r) for r in day_from_hours.collect())
+    assert a == b
