@@ -57,6 +57,20 @@ def windowed_counts(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    time_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup on composite keys with bounded state:
+    duplicates arriving within the watermark horizon are dropped, state
+    for older keys is evicted (the at-least-once feed -> exactly-once-ish
+    table story at the stream layer, complementing the MERGE sink).
+    State is O(distinct keys inside the horizon), not O(stream)."""
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def foreach_batch_upsert(
     stream: DataFrame,
     path: str,

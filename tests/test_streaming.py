@@ -172,3 +172,30 @@ def test_stream_sliding_and_session_windows(spark, tmp_path):
     sess = collect("session_counts", session_gap="15 minutes", keys=["event_type"])
     # the two bursts -> exactly two sessions, 10 + 5
     assert sorted(r.n for r in sess) == [5, 10]
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from clx_etl_spark.streaming.jobs import stream_dedup
+
+    src = str(tmp_path / "in")
+    MIN = 60_000
+    # file 1: keys 0..9; file 2 redelivers 5..9 (same ts) + new 10..14
+    _write_batch(spark, src, [(i, FX.BASE_TS + i * MIN, "x") for i in range(10)])
+    _write_batch(
+        spark, src,
+        [(i, FX.BASE_TS + i * MIN, "x") for i in range(5, 15)],
+    )
+    stream = (
+        spark.readStream.format("parquet").schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1).load(src)
+        .withColumn("event_time", F.timestamp_millis("ts_ms"))
+    )
+    deduped = stream_dedup(stream, keys=["k"], time_col="event_time", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT k FROM dedup_stream").collect()
+    ks = sorted(r.k for r in out)
+    assert ks == list(range(15))  # redelivered 5..9 dropped exactly once
