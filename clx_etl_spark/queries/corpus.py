@@ -143,14 +143,16 @@ def dedup_ngram_jaccard(spark, sf):
     )
 
 
-# transitive closure over the >= 0.5 n-gram Jaccard pair graph; component =
-# min reachable doc_id (the canonical representative)
-_NGRAM_CTES = NGRAM_JACCARD_ORACLE.split("WITH", 1)[1].rsplit("SELECT", 1)[0]
-_NGRAM_FINAL = "SELECT" + NGRAM_JACCARD_ORACLE.rsplit("SELECT", 1)[1]
+# transitive closure over the >= 0.5 MinHash-LSH near-dup pair graph;
+# component = min reachable doc_id (the canonical representative). LSH is
+# the candidate path that scales (banding bounds pair blow-up), so the
+# cluster stage builds on it rather than the inverted-index self-join.
+_MH_CTES = MINHASH_ORACLE.split("WITH", 1)[1].rsplit("SELECT", 1)[0]
+_MH_FINAL = "SELECT" + MINHASH_ORACLE.rsplit("SELECT", 1)[1]
 
 DEDUP_CLUSTERS_ORACLE = f"""
-    WITH RECURSIVE {_NGRAM_CTES.strip().rstrip(',')},
-    pairs AS ({_NGRAM_FINAL}),
+    WITH RECURSIVE {_MH_CTES.strip().rstrip(',')},
+    pairs AS ({_MH_FINAL}),
     edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
               UNION
               SELECT doc_b AS src, doc_a AS dst FROM pairs),
@@ -166,14 +168,14 @@ DEDUP_CLUSTERS_ORACLE = f"""
     "dedup_clusters",
     oracle=DEDUP_CLUSTERS_ORACLE,
     doc="Duplicate-cluster assignment: connected components over the "
-    "n-gram-Jaccard near-dup graph via iterative min-label propagation "
+    "MinHash-LSH near-dup graph via iterative min-label propagation "
     "(2 shuffles/round, O(cluster diameter) rounds, nothing collected to "
     "the driver). Oracle: DuckDB recursive-CTE transitive closure",
 )
 def dedup_clusters(spark, sf):
     docs = load_table(spark, sf, "documents")
-    pairs = D.ngram_jaccard_pairs(
-        docs, k=3, threshold=0.5, max_doc_freq=1000, min_common=2
+    pairs = D.minhash_near_duplicates(
+        docs, k=3, num_perm=NUM_PERM, bands=BANDS, threshold=0.5
     )
     return D.connected_components(pairs)
 
