@@ -633,3 +633,127 @@ def resample_ohlcv_hourly(spark, sf):
         ev, keys=["user_id"], interval_ms=3_600_000,
         ts_col="ts_ms", price_col="price", order_col="ord",
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH flat AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS vol,
+             sn.n_name AS supp_nation
+      FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        JOIN region  ON r_regionkey = cn.n_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE r_name = 'EUROPE')
+    SELECT yr,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                         ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+           CAST(SUM(vol) AS DOUBLE) AS total_volume
+    FROM flat GROUP BY yr
+    """,
+    doc="TPC-H Q8 shape: per-year market share of one supplier nation in "
+    "a region — two-level conditional-aggregation ratio, decimal legs",
+)
+def q8_market_share(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)
+    flat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(region), F.col("crk") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("snk"))
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            vol.alias("vol"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast(DEC6)
+    return flat.groupBy("yr").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(zero)).cast("double")
+            / F.sum("vol").cast("double")
+        ).alias("mkt_share"),
+        F.sum("vol").cast("double").alias("total_volume"),
+    )
+
+
+@register(
+    "q9_revenue_by_nation_year",
+    oracle="""
+    SELECT sn.n_name AS nation, EXTRACT(year FROM o_orderdate) AS yr,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+    GROUP BY nation, yr
+    """,
+    doc="TPC-H Q9 shape: revenue by supplier nation x order year — wide "
+    "fact join with two-dimension grouping and EXTRACT",
+)
+def q9_revenue_by_nation_year(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    supp = _t(spark, sf, "supplier")
+    sn = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("snk"))
+        .groupBy("nation", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH avg_q AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem JOIN avg_q ON l_partkey = pk
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+    doc="TPC-H Q17 shape: per-group mean join-back filter (correlated "
+    "scalar subquery on the fact itself, decorrelated to agg + join); "
+    "decimal-exact mean avoids float-sum order sensitivity",
+)
+def q17_small_quantity_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    avg_q = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(F.col("l_quantity").cast(DEC6)).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(avg_q, li.l_partkey == avg_q.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(F.col("l_extendedprice").cast(DEC6)).cast("double") / 7.0).alias("avg_yearly"),
+        )
+    )
