@@ -54,6 +54,10 @@ HEADLINE = [
     "funnel_conversion",
     "cohort_retention",
     "mm_image_resize",
+    "q8_market_share",
+    "q9_revenue_by_nation_year",
+    "q17_small_quantity_revenue",
+    "resample_ohlcv_hourly",
 ]
 
 
