@@ -757,3 +757,55 @@ def q17_small_quantity_revenue(spark, sf):
             (F.sum(F.col("l_extendedprice").cast(DEC6)).cast("double") / 7.0).alias("avg_yearly"),
         )
     )
+
+
+@register(
+    "cube_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items,
+           GROUPING(l_returnflag, l_linestatus) AS gid
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE: all 2^k grouping-set combinations in one Expand pass "
+    "(rollup covers the hierarchy; cube the full lattice)",
+)
+def cube_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+@register(
+    "w4_range_frame",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_10m,
+           COUNT(*) OVER w AS n_10m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY {EV_MS}
+                 RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="RANGE-frame window (value-based, not row-based): per-user rolling "
+    "10-minute sum — peer rows at equal ts share the frame, unlike ROWS; "
+    "decimal accumulation keeps it order-insensitive",
+)
+def w4_range_frame(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ms"))
+        .rangeBetween(-600_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(DEC6)).over(w).cast("double").alias("sum_10m"),
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+    )

@@ -143,3 +143,50 @@ def mm_media_metadata(spark, sf):
             )
 
     return assets.mapInPandas(extract, schema=out_schema)
+
+
+# media embedding oracle fragment: dim 4-hex-char sha256 chunks / 65535.0
+# (operators/multimodal.py::media_embedding with dim=8)
+from .corpus import _cosine_sql
+
+_EMB_DIM = 8
+_MM_EMB = (
+    "["
+    + ", ".join(
+        f"CAST('0x' || substr(sha256(text), {4 * j + 1}, 4) AS BIGINT) / 65535.0"
+        for j in range(_EMB_DIM)
+    )
+    + "]"
+)
+
+
+@register(
+    "mm_embedding_knn",
+    oracle=f"""
+    WITH emb AS (SELECT doc_id AS asset_id, {_MM_EMB} AS e FROM documents),
+    q AS (SELECT asset_id AS query_id, e AS qe FROM emb WHERE asset_id < 5),
+    scored AS (
+      SELECT query_id, emb.asset_id AS neighbor_id,
+             {{cos}} AS cosine
+      FROM emb, q WHERE emb.asset_id <> query_id),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
+    """.format(cos=_cosine_sql("qe", "emb.e")),
+    doc="Multimodal -> similarity chain: binary payload -> pandas-UDF "
+    "embedding -> brute-force cosine top-3. The full pandas path is "
+    "hash-checked (sha256-chunk embeddings reproduced in SQL)",
+)
+def mm_embedding_knn(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    from ..operators.similarity import knn_bruteforce
+
+    emb = MM.media_embedding(MM.media_assets(docs), dim=_EMB_DIM).withColumnRenamed(
+        "asset_id", "vec_id"
+    )
+    out = knn_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine"
+    )

@@ -32,7 +32,7 @@ def plans(spark):
 #     baseline; sim_knn_ivf is the scale path and must stay NLJ-free
 #   q22_idle_rich_customers — single-row scalar-threshold broadcast (the
 #     canonical plan for a scalar subquery; build side is exactly 1 row)
-NLJ_ALLOWED = {"sim_knn_bruteforce", "q22_idle_rich_customers"}
+NLJ_ALLOWED = {"sim_knn_bruteforce", "mm_embedding_knn", "q22_idle_rich_customers"}
 
 
 def test_no_nested_loop_or_cartesian_anywhere(plans):
