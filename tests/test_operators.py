@@ -352,3 +352,40 @@ def test_resample_chain_consistency(spark):
     a = sorted(tuple(r) for r in direct.collect())
     b = sorted(tuple(r) for r in day_from_hours.collect())
     assert a == b
+
+
+def test_operators_handle_empty_inputs(spark):
+    """Empty partitions/tables are routine at scale — operators must
+    return empty (not throw) with stable schemas."""
+    from clx_etl_spark.operators.dedup import (
+        connected_components, exact_dedup, minhash_near_duplicates, ngram_jaccard_pairs,
+    )
+    from clx_etl_spark.operators.gaps import gap_fill_plan
+    from clx_etl_spark.operators.merge import asof_join
+    from clx_etl_spark.operators.range_join import bin_range_join
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(empty_docs).count() == 0
+    assert minhash_near_duplicates(empty_docs).count() == 0
+    assert ngram_jaccard_pairs(empty_docs).count() == 0
+    assert connected_components(
+        spark.createDataFrame([], "doc_a long, doc_b long")
+    ).count() == 0
+
+    empty_bars = spark.createDataFrame([], "symbol string, ts long")
+    plan = gap_fill_plan(
+        empty_bars, ["symbol"], start_ms=0, end_ms=10_000,
+        ts_col="ts", interval_ms=1000, page_limit=10,
+    )
+    assert plan.count() == 0  # no keys -> nothing to fetch
+
+    left = spark.createDataFrame([("A", 5, 1)], "sym string, ts long, lid long")
+    right = spark.createDataFrame([], "sym string, ts long, px double")
+    out = asof_join(left, right, keys=["sym"], left_ts="ts", right_ts="ts").collect()
+    assert len(out) == 1 and out[0].px is None
+
+    pts = spark.createDataFrame([], "user string, pid long, ms long")
+    iv = spark.createDataFrame([("u", 1, 0, 100)], "user string, iid long, start_ms long, end_ms long")
+    lo = bin_range_join(pts, iv, ["user"], point_ts="ms",
+                        start_col="start_ms", end_col="end_ms", bin_ms=50, how="left_outer")
+    assert lo.count() == 1 and lo.first().pid is None
