@@ -266,14 +266,15 @@ def connected_components(
         .distinct()
         .cache()
     )
-    edges.count()  # materialize: the (possibly expensive) pair pipeline
-    # must run exactly once, not once per loop branch
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
         .cache()
     )
+    # one action materializes BOTH caches (labels depends on edges with a
+    # single consumer here — no concurrent-stage recompute risk), so the
+    # possibly-expensive pair pipeline runs exactly once
     labels.count()
     for _ in range(max_iter):
         neighbor_min = (

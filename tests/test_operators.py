@@ -389,3 +389,43 @@ def test_operators_handle_empty_inputs(spark):
     lo = bin_range_join(pts, iv, ["user"], point_ts="ms",
                         start_col="start_ms", end_col="end_ms", bin_ms=50, how="left_outer")
     assert lo.count() == 1 and lo.first().pid is None
+
+
+def test_merge_gap_ranges_hypothesis_invariants(spark):
+    """For arbitrary gap sets: merged output is per-key sorted, disjoint,
+    span-capped, and covers exactly the union of the inputs."""
+    from hypothesis import given, settings, strategies as st
+
+    from clx_etl_spark.operators.gaps import merge_gap_ranges
+
+    gap_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=0, max_value=80),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(gap_strategy)
+    def check(raw):
+        gaps = [(k, s, s + w) for k, s, w in raw]
+        df = spark.createDataFrame(gaps, "symbol string, gap_start long, gap_end long")
+        out = merge_gap_ranges(df, ["symbol"], max_span_ms=100).collect()
+        by_key: dict[str, list] = {}
+        for r in out:
+            assert r.gap_end - r.gap_start <= 100  # span cap
+            by_key.setdefault(r.symbol, []).append((r.gap_start, r.gap_end))
+        for k, ranges in by_key.items():
+            ranges.sort()
+            for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+                assert e1 < s2  # disjoint and sorted
+        # coverage: every input instant is inside some output range
+        for k, s, e in gaps:
+            covered = [(a, b) for a, b in by_key.get(k, []) ]
+            for t in range(s, e + 1, max(1, (e - s) // 5 or 1)):
+                assert any(a <= t <= b for a, b in covered), (k, t)
+
+    check()
