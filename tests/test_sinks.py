@@ -137,3 +137,27 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     g = read_table(spark, "bkt.facts").groupBy("key").count()
     gplan = g._jdf.queryExecution().explainString(mode)
     assert "Exchange" not in gplan, gplan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """dt_date-partitioned fact layout: a date predicate must become a
+    PartitionFilter (directory pruning), not a row filter — the mechanism
+    that turns a 100 TB scan into a single-day scan."""
+    from clx_etl_spark.sinks.upsert import append_partitioned
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 5) + 1:02d}", float(i)) for i in range(1000)],
+        "id long, dt_date string, v double",
+    )
+    path = str(tmp_path / "fact")
+    append_partitioned(df, path, ["dt_date"])
+
+    rd = spark.read.parquet(path).filter(F.col("dt_date") == "2024-01-03")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = rd._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters" in plan
+    assert "dt_date" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert rd.count() == 200
+    # directory layout really is hive-partitioned
+    import os
+    assert sorted(d for d in os.listdir(path) if d.startswith("dt_date="))[2] == "dt_date=2024-01-03"

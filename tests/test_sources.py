@@ -123,3 +123,20 @@ def test_normalize_symbols_status_and_filter(spark):
     assert [r.symbol for r in out] == ["BTCUSDT", "ETHUSDT"]  # quarterly filtered
     assert [r.status for r in out] == [0, 1]
     assert out[0].tick_size == "0.10"  # decimal string preserved verbatim
+
+
+def test_normalize_positional_coinbase_reordered(spark):
+    """Coinbase candles order is [time, low, high, open, close, volume]
+    (reference coinbase/spot.py:84-94) — the position map must land each
+    field correctly despite the unusual order, with s->ms scaling."""
+    payload = [[1700000000, "99.5", "101.5", "100.0", "101.0", "12.5"]]
+    df = spark.createDataFrame([(r,) for r in payload], "value array<string>")
+    out = normalize_positional(
+        df,
+        positions={"ts": 0, "low": 1, "high": 2, "open": 3, "close": 4, "volume": 5},
+        exchange_id=9, inst_type=0, symbol="BTC-USD", ts_unit="s",
+    ).first()
+    assert out.ts == 1700000000000
+    assert float(out.low) == 99.5 and float(out.high) == 101.5
+    assert float(out.open) == 100.0 and float(out.close) == 101.0
+    assert out["count"] is None  # coinbase has no trade count
