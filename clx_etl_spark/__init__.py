@@ -16,6 +16,17 @@ Layout:
     sinks       idempotent MERGE upsert + partitioned writers
     streaming   Structured Streaming wrappers of the batch operators
     queries     the oracle-checked query registry driving __spark_entry__
+    plans       flow compositions + the declarative job schedule
+    api         Engine facade (the user-landing surface)
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy so `import clx_etl_spark` stays cheap and session-free
+    if name == "Engine":
+        from .api import Engine
+
+        return Engine
+    raise AttributeError(name)
