@@ -114,3 +114,108 @@ def embedding_near_duplicates(
     return pairs.filter(F.col("cosine") >= threshold).select(
         "doc_a", "doc_b", F.col("cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained IVF: sample -> k-means on the driver -> broadcast centroids ->
+# distributed cell assignment. The standard train-small/apply-distributed
+# split: centroid training touches a bounded sample (nlist*256 vectors is
+# plenty), assignment streams the full corpus once through a vectorized
+# pandas UDF. Deterministic end-to-end: hash-based sampling, seeded init,
+# fixed Lloyd iterations — retries reproduce the identical index.
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_target: int | None = None,
+    iters: int = 10,
+    seed: int = 0xC0FFEE,
+):
+    """K-means centroids from a deterministic hash sample. Returns a
+    list[list[float]] of length nlist (driver-side; broadcast by caller).
+    """
+    import numpy as np
+
+    n = vectors.count()
+    sample_target = sample_target or nlist * 256
+    mod = max(1, n // sample_target)
+    sample = (
+        vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    if len(X) < nlist:
+        raise ValueError(f"sample too small ({len(X)}) for nlist={nlist}")
+    rng = np.random.RandomState(seed)
+    # k-means++ style seeded init over the sample
+    centroids = [X[rng.randint(len(X))]]
+    for _ in range(nlist - 1):
+        d2 = np.min(
+            [((X - c) ** 2).sum(axis=1) for c in centroids], axis=0
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        centroids.append(X[rng.choice(len(X), p=probs)])
+    C = np.array(centroids)
+    for _ in range(iters):
+        assign = np.argmin(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
+        for j in range(nlist):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C.tolist()
+
+
+def assign_ivf_cells(
+    vectors: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Nearest-centroid assignment, vectorized: one numpy matmul per Arrow
+    batch (||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin ignores ||x||^2)."""
+    import numpy as np
+    import pandas as pd
+
+    C = [list(map(float, c)) for c in centroids]
+    schema = f"{id_col} long, {vec_col} array<float>, {out_col} int"
+
+    def assign(batches):
+        Cn = np.array(C)
+        c_norm2 = (Cn**2).sum(axis=1)
+        for pdf in batches:
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(X) == 0:
+                yield pd.DataFrame({id_col: [], vec_col: [], out_col: []})
+                continue
+            cells = np.argmin(-2.0 * (X @ Cn.T) + c_norm2[None, :], axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    out_col: cells.astype("int32"),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def knn_ivf_trained(
+    vectors: DataFrame,
+    queries: DataFrame,
+    nlist: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end trained-IVF ANN: train centroids on a sample, assign
+    corpus + queries to cells, search the query's cell only."""
+    cents = train_ivf_centroids(vectors, nlist=nlist, id_col=id_col, vec_col=vec_col)
+    v_cells = assign_ivf_cells(vectors, cents, id_col=id_col, vec_col=vec_col)
+    q_cells = assign_ivf_cells(queries, cents, id_col=id_col, vec_col=vec_col)
+    return knn_ivf(v_cells, q_cells, k=k, id_col=id_col, vec_col=vec_col, cell_col="ivf_cell")

@@ -429,3 +429,38 @@ def test_merge_gap_ranges_hypothesis_invariants(spark):
                 assert any(a <= t <= b for a, b in covered), (k, t)
 
     check()
+
+
+def test_trained_ivf_clusters_and_recall(spark):
+    """Deterministic 3-cluster corpus: trained centroids separate the
+    clusters, cell search returns the same top-1 as brute force for
+    within-cluster neighbors, and training is reproducible."""
+    from clx_etl_spark.operators.similarity import (
+        assign_ivf_cells, knn_bruteforce, knn_ivf_trained, train_ivf_centroids,
+    )
+
+    # 3 tight clusters around orthogonal axes (deterministic jitter)
+    def vec(axis, j):
+        v = [0.05 * ((j * 7 + d) % 5) for d in range(6)]
+        v[axis] += 10.0
+        return v
+
+    rows = [(axis * 100 + j, vec(axis, j)) for axis in range(3) for j in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    c1 = train_ivf_centroids(emb, nlist=3, sample_target=120)
+    c2 = train_ivf_centroids(emb, nlist=3, sample_target=120)
+    assert c1 == c2  # deterministic training
+
+    cells = assign_ivf_cells(emb, c1)
+    by_cluster = {
+        axis: {r.ivf_cell for r in cells.filter((F.col("vec_id") >= axis * 100) & (F.col("vec_id") < axis * 100 + 40)).collect()}
+        for axis in range(3)
+    }
+    assert all(len(s) == 1 for s in by_cluster.values())  # clusters intact
+    assert len(set().union(*by_cluster.values())) == 3    # and separated
+
+    queries = emb.filter(F.col("vec_id").isin([0, 100, 200]))
+    exact = {r.query_id: r.neighbor_id for r in knn_bruteforce(emb, queries, k=1).collect()}
+    approx = {r.query_id: r.neighbor_id for r in knn_ivf_trained(emb, queries, nlist=3, k=1).collect()}
+    assert exact == approx  # recall@1 = 1.0 when neighbors share the cell
