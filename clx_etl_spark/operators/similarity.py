@@ -176,9 +176,13 @@ def assign_ivf_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "ivf_cell",
+    nprobe: int = 1,
 ) -> DataFrame:
     """Nearest-centroid assignment, vectorized: one numpy matmul per Arrow
-    batch (||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin ignores ||x||^2)."""
+    batch (||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin ignores ||x||^2).
+    ``nprobe > 1`` emits one row per probed cell (the recall knob for the
+    query side: searching the 2-3 nearest cells recovers boundary
+    neighbors single-probe misses, at nprobe/nlist of brute-force cost)."""
     import numpy as np
     import pandas as pd
 
@@ -193,14 +197,16 @@ def assign_ivf_cells(
             if len(X) == 0:
                 yield pd.DataFrame({id_col: [], vec_col: [], out_col: []})
                 continue
-            cells = np.argmin(-2.0 * (X @ Cn.T) + c_norm2[None, :], axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    vec_col: pdf[vec_col],
-                    out_col: cells.astype("int32"),
-                }
-            )
+            d2 = -2.0 * (X @ Cn.T) + c_norm2[None, :]
+            if nprobe == 1:
+                ids, vecs = pdf[id_col], pdf[vec_col]
+                cells = np.argmin(d2, axis=1).astype("int32")
+            else:
+                probed = np.argsort(d2, axis=1)[:, :nprobe]  # stable order
+                ids = pdf[id_col].repeat(nprobe).reset_index(drop=True)
+                vecs = pdf[vec_col].repeat(nprobe).reset_index(drop=True)
+                cells = probed.ravel().astype("int32")
+            yield pd.DataFrame({id_col: ids, vec_col: vecs, out_col: cells})
 
     return vectors.select(id_col, vec_col).mapInPandas(assign, schema=schema)
 
@@ -210,12 +216,28 @@ def knn_ivf_trained(
     queries: DataFrame,
     nlist: int = 8,
     k: int = 5,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """End-to-end trained-IVF ANN: train centroids on a sample, assign
-    corpus + queries to cells, search the query's cell only."""
+    corpus to cells, search each query's ``nprobe`` nearest cells."""
     cents = train_ivf_centroids(vectors, nlist=nlist, id_col=id_col, vec_col=vec_col)
     v_cells = assign_ivf_cells(vectors, cents, id_col=id_col, vec_col=vec_col)
-    q_cells = assign_ivf_cells(queries, cents, id_col=id_col, vec_col=vec_col)
-    return knn_ivf(v_cells, q_cells, k=k, id_col=id_col, vec_col=vec_col, cell_col="ivf_cell")
+    q_cells = assign_ivf_cells(
+        queries, cents, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+    )
+    out = knn_ivf(v_cells, q_cells, k=k, id_col=id_col, vec_col=vec_col, cell_col="ivf_cell")
+    if nprobe == 1:
+        return out
+    # multiprobe: the same neighbor can surface from several probed cells —
+    # dedup then re-rank to a single top-k per query
+    dedup = out.select("query_id", "neighbor_id", "cosine").distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        dedup.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -464,3 +464,28 @@ def test_trained_ivf_clusters_and_recall(spark):
     exact = {r.query_id: r.neighbor_id for r in knn_bruteforce(emb, queries, k=1).collect()}
     approx = {r.query_id: r.neighbor_id for r in knn_ivf_trained(emb, queries, nlist=3, k=1).collect()}
     assert exact == approx  # recall@1 = 1.0 when neighbors share the cell
+
+
+def test_trained_ivf_multiprobe_recovers_boundary_neighbors(spark):
+    """A query sitting between two clusters: single-probe misses its true
+    nearest neighbor in the adjacent cell; nprobe=2 recovers it."""
+    from clx_etl_spark.operators.similarity import knn_bruteforce, knn_ivf_trained
+
+    def vec(axis, j, scale=10.0):
+        v = [0.01 * ((j * 3 + d) % 4) for d in range(4)]
+        v[axis] += scale
+        return v
+
+    corpus = (
+        [(j, vec(0, j)) for j in range(30)]
+        + [(100 + j, vec(1, j)) for j in range(30)]
+        # boundary point: leans to axis-0 cell but its true NN is 999's twin
+        + [(999, [7.0, 6.9, 0.0, 0.0]), (998, [7.1, 7.0, 0.0, 0.0])]
+    )
+    emb = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") == 999)
+
+    exact = knn_bruteforce(emb, queries, k=1).first().neighbor_id
+    assert exact == 998
+    multi = knn_ivf_trained(emb, queries, nlist=2, k=1, nprobe=2).first().neighbor_id
+    assert multi == 998  # both cells probed -> true neighbor found
