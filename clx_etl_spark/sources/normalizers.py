@@ -24,7 +24,7 @@ from __future__ import annotations
 import json
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 DEC = "decimal(38,18)"
 
@@ -129,24 +129,39 @@ def normalize_symbols(
     exchange_id: int,
     status_map: dict[str, int] | None = None,
     split_symbol: tuple[str, str] | None = None,
+    asset_name_map: dict[str, str] | None = None,
 ) -> DataFrame:
     """Instrument metadata -> unified exchange_symbol rows (SURVEY T2).
 
     status_map: native status string -> enum int (reference status_map
     dicts). split_symbol: (source_col, sep) to derive base/quote by split
     (okx instFamily '-', woox/gate '_' — reference okx/perp.py:36-37).
+    asset_name_map: legacy exchange-local asset names -> canonical (kraken
+    XBT->BTC style, reference kraken/spot.py:8-26); applied to base/quote
+    after extraction via a CASE ladder (broadcast-map scale at N entries).
     """
+    def _canon(col: Column) -> Column:
+        if not asset_name_map:
+            return col
+        out = col
+        for legacy, canonical in asset_name_map.items():
+            out = F.when(col == legacy, F.lit(canonical)).otherwise(out)
+        return out
+
     cols = [F.lit(exchange_id).cast("int").alias("exchange_id")]
     for dst in ("symbol", "inst_type", "base_asset", "quote_asset",
                 "price_precision", "quantity_precision", "tick_size", "step_size"):
         src = field_map.get(dst)
         if src is not None:
             typ = {"inst_type": "int", "price_precision": "int", "quantity_precision": "int"}.get(dst, "string")
-            cols.append(F.col(src).cast(typ).alias(dst))
+            col = F.col(src).cast(typ)
+            if dst in ("base_asset", "quote_asset"):
+                col = _canon(col)
+            cols.append(col.alias(dst))
         elif dst in ("base_asset", "quote_asset") and split_symbol:
             src_col, sep = split_symbol
             idx = 0 if dst == "base_asset" else 1
-            cols.append(F.split(F.col(src_col), sep).getItem(idx).alias(dst))
+            cols.append(_canon(F.split(F.col(src_col), sep).getItem(idx)).alias(dst))
         else:
             cols.append(F.lit(None).cast("string").alias(dst))
     out = df.select(*cols)

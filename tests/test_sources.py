@@ -140,3 +140,20 @@ def test_normalize_positional_coinbase_reordered(spark):
     assert float(out.low) == 99.5 and float(out.high) == 101.5
     assert float(out.open) == 100.0 and float(out.close) == 101.0
     assert out["count"] is None  # coinbase has no trade count
+
+
+def test_normalize_symbols_legacy_name_map(spark):
+    """Kraken-style legacy asset names remap to canonical during symbol
+    normalization (reference kraken/spot.py:8-26, XBT->BTC etc.)."""
+    df = spark.createDataFrame(
+        [("XBTUSD", "XBT", "USD"), ("XETHZUSD", "XETH", "ZUSD")],
+        "pair string, base string, quote string",
+    )
+    out = {r.symbol: r for r in normalize_symbols(
+        df,
+        field_map={"symbol": "pair", "base_asset": "base", "quote_asset": "quote"},
+        exchange_id=7,
+        asset_name_map={"XBT": "BTC", "XETH": "ETH", "ZUSD": "USD"},
+    ).collect()}
+    assert out["XBTUSD"].base_asset == "BTC" and out["XBTUSD"].quote_asset == "USD"
+    assert out["XETHZUSD"].base_asset == "ETH" and out["XETHZUSD"].quote_asset == "USD"
