@@ -16,7 +16,7 @@ import random as _random
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions import md5_hex, md5_long, tokens, word_shingles
+from ..functions import md5_hex, md5_long, tokens
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
