@@ -102,3 +102,35 @@ def test_exact_dedup_single_wide_stage(plans):
         m for m in re.findall(r"hashpartitioning\((\w+)", plans["dedup_exact"])
     }
     assert others == {"digest"}, others
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """The engine's skew posture is AQE-first (salting is for the shapes
+    AQE can't fix): with a 90%-hot key, the adaptive plan must mark the
+    sort-merge join skew-split. Thresholds lowered to trigger at test scale."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(0, 200_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS key",
+            "repeat('x', 64) AS pad",
+        )
+        dim = spark.range(0, 200_000).selectExpr("id AS key", "id AS v")
+        j = fact.join(dim, "key")
+        assert len(j.collect()) == 200_000
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
