@@ -42,6 +42,6 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 def load_all() -> dict[str, Query]:
-    from . import analytic, core, corpus, parity, pipeline  # noqa: F401  (registration side effects)
+    from . import analytic, core, corpus, parity, pipeline, tpch_extra  # noqa: F401  (registration side effects)
 
     return REGISTRY

@@ -30,9 +30,16 @@ def plans(spark):
 # Justified broadcast-nested-loop shapes (each O(n), not O(n^2)):
 #   sim_knn_bruteforce — tiny query set x corpus IS the declared exactness
 #     baseline; sim_knn_ivf is the scale path and must stay NLJ-free
-#   q22_idle_rich_customers — single-row scalar-threshold broadcast (the
-#     canonical plan for a scalar subquery; build side is exactly 1 row)
-NLJ_ALLOWED = {"sim_knn_bruteforce", "mm_embedding_knn", "q22_idle_rich_customers"}
+#   q22_idle_rich_customers / q11_important_parts / q15_top_supplier —
+#     single-row scalar-threshold broadcast (the canonical plan for a
+#     scalar subquery; build side is exactly 1 row)
+NLJ_ALLOWED = {
+    "sim_knn_bruteforce",
+    "mm_embedding_knn",
+    "q22_idle_rich_customers",
+    "q11_important_parts",
+    "q15_top_supplier",
+}
 
 
 def test_no_nested_loop_or_cartesian_anywhere(plans):
