@@ -58,6 +58,13 @@ HEADLINE = [
     "q9_revenue_by_nation_year",
     "q17_small_quantity_revenue",
     "resample_ohlcv_hourly",
+    "q11_important_parts",
+    "q12_late_lines_by_status",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q20_heavy_suppliers",
+    "q21_last_shipper",
 ]
 
 
