@@ -11,6 +11,15 @@ Reference lifecycles (SURVEY §3):
                  meta append; threshold/prob snapshot branch
   integrity      src/system_utils/check_market_snapshot_integrity.py —
                  hour-bucket completeness -> repair by partition rewrite
+  sync_funding   src/exchanges/binance/perp.py:195-222 — history ⨝ info
+                 (J3) + interval snapping (T9) + freshness skip (F6)
+  sync_onchain   src/macro_markets/oklink/fetcher.py:142-197 — min-USD
+                 filter (F9) + double tag join (J4) + entity labels (T11/T12)
+  sync_cex_inflow src/flows/sync_cex_inflow.py + oklink/fetcher.py:92-109 —
+                 per-exchange hourly netflow joined to the exchange dim (J5)
+  sync_macro     src/macro_markets/macro_indicators.py + flows/
+                 sync_macro_indicators.py — per-ticker union (U3) + dedup
+                 against stored keys
 """
 
 from __future__ import annotations
@@ -19,11 +28,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions import align_to_5m, normalize_probs, ts_to_timestamp
-from ..operators.classify import threshold_by_prefix
+from ..functions import align_to_5m, normalize_probs, snap_to_intervals, ts_to_timestamp
+from ..operators.classify import classify_first_match, coalesce_tags, threshold_by_prefix
 from ..operators.gaps import gap_fill_plan
 from ..operators.integrity import completeness_report
 from ..operators.merge import full_outer_merge
+from ..operators.watermark import freshness_skip
 from ..sinks.upsert import merge_upsert, overwrite_partitions
 from ..sources.rest import fetch_ranges
 
@@ -223,3 +233,131 @@ def integrity_repair(
         os.rename(fact_path + "._repair", fact_path)
         spark.catalog.refreshByPath(fact_path)
     return bad
+
+
+def sync_funding(
+    spark: SparkSession,
+    history: DataFrame,
+    info: DataFrame,
+    state: DataFrame,
+    now_ms: int,
+    out_path: str = "",
+) -> DataFrame:
+    """Funding-settlement ingest (reference binance/perp.py:195-222 with
+    bybit/bitget's freshness skip, :200-203).
+
+    1. F6: drop symbols whose stored state says the next settlement isn't
+       due yet (state is small -> broadcast anti-join);
+    2. J3: inner-join settlement history with the funding-info dimension
+       (cap/floor per symbol; unmatched rows dropped, matching the
+       reference's `continue`) — info is broadcast;
+    3. T9: snap (next_funding_ts - ts)/60000 minutes to the nearest
+       standard interval {60,120,...,720}.
+    """
+    due = freshness_skip(
+        history, state, keys=["symbol"], not_before_col="next_funding_time",
+        now_ms=now_ms,
+    )
+    minutes = (F.col("next_funding_ts") - F.col("ts")) / F.lit(60_000.0)
+    out = (
+        due.join(F.broadcast(info), "symbol", "inner")
+        .select(
+            "exchange_id", "inst_type", "symbol",
+            "ts", ts_to_timestamp("ts").alias("dt"),
+            "funding_rate",
+            snap_to_intervals(minutes).alias("funding_interval"),
+            "adjusted_cap", "adjusted_floor",
+        )
+    )
+    if out_path:
+        out.write.mode("append").parquet(out_path)
+    return out
+
+
+def sync_onchain(
+    spark: SparkSession,
+    txs: DataFrame,
+    tags: DataFrame,
+    min_usd: float = 5_000_000.0,
+    out_path: str = "",
+) -> DataFrame:
+    """Large-transfer ingest (reference oklink/fetcher.py:142-197).
+
+    F9 min-USD filter, then the J4 double left join: the address-tag
+    dimension joined once per side on (chain, address), tags broadcast.
+    Each side's display tag is the T12 coalesce cascade (dimension tag
+    first), and the T11 keyword-rule entity label is derived from it.
+    """
+    from_tags = tags.select(
+        "chain",
+        F.col("address").alias("from_address"),
+        F.col("tag").alias("_from_dim_tag"),
+    )
+    to_tags = tags.select(
+        "chain",
+        F.col("address").alias("to_address"),
+        F.col("tag").alias("_to_dim_tag"),
+    )
+    out = (
+        txs.filter(F.col("value_usd") >= min_usd)
+        .join(F.broadcast(from_tags), ["chain", "from_address"], "left")
+        .join(F.broadcast(to_tags), ["chain", "to_address"], "left")
+        .select(
+            "chain", "ts", ts_to_timestamp("ts").alias("dt"),
+            "tx_hash", "from_address", "to_address",
+            coalesce_tags(F.col("_from_dim_tag"), F.col("from_address")).alias("from_tag"),
+            coalesce_tags(F.col("_to_dim_tag"), F.col("to_address")).alias("to_tag"),
+            classify_first_match(F.col("_from_dim_tag")).alias("from_label"),
+            classify_first_match(F.col("_to_dim_tag")).alias("to_label"),
+            "token", "value", "price", "value_usd",
+        )
+    )
+    if out_path:
+        out.write.mode("append").parquet(out_path)
+    return out
+
+
+def sync_cex_inflow(
+    spark: SparkSession,
+    inflows: DataFrame,
+    exchange_dim: DataFrame,
+    out_path: str = "",
+) -> DataFrame:
+    """Hourly CEX netflow ingest (reference flows/sync_cex_inflow.py:16-31):
+    rows arrive keyed by exchange NAME; resolve to exchange_id via the
+    broadcast exchange dimension (J5 / S12's name lookup), derive dt."""
+    dim = exchange_dim.select(
+        F.col("name").alias("exchange_name"), "exchange_id"
+    )
+    out = (
+        inflows.join(F.broadcast(dim), "exchange_name", "inner")
+        .select(
+            "ts", "exchange_id", ts_to_timestamp("ts").alias("dt"), "netflow",
+        )
+    )
+    if out_path:
+        out.write.mode("append").parquet(out_path)
+    return out
+
+
+def sync_macro(
+    spark: SparkSession,
+    ticker_frames: list[DataFrame],
+    stored_keys: DataFrame,
+    out_path: str = "",
+) -> DataFrame:
+    """Macro-indicator ingest (reference macro_indicators.py:35-82): union
+    the per-ticker frames (U3 — schemas may differ per source, missing
+    columns null-filled), then drop rows already stored (anti-join on
+    (symbol, ts) — the reference's dedup-against-stored-keys contract)."""
+    from functools import reduce
+
+    batch = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), ticker_frames
+    )
+    out = batch.join(
+        F.broadcast(stored_keys.select("symbol", "ts")), ["symbol", "ts"], "left_anti"
+    ).withColumn("dt", ts_to_timestamp("ts"))
+    if out_path:
+        out.write.mode("append").parquet(out_path)
+    return out

@@ -32,11 +32,11 @@ SCHEDULE: tuple[Job, ...] = (
     Job("sync_klines_1h", "flows.sync_klines", interval_s=3_600),
     Job("sync_klines_1d", "flows.sync_klines", interval_s=86_400),
     Job("sync_sentiment_5m", "flows.sync_sentiment", interval_s=300),
-    Job("sync_funding", "flows.sync_sentiment", interval_s=3_600),
+    Job("sync_funding", "flows.sync_funding", interval_s=3_600),
     Job("sync_kalshi", "flows.sync_kalshi", interval_s=60),
-    Job("sync_onchain", "flows.sync_kalshi", interval_s=30),
-    Job("sync_macro", "flows.sync_kalshi", interval_s=30),
-    Job("sync_cex_inflow", "flows.sync_kalshi", interval_s=3_600),
+    Job("sync_onchain", "flows.sync_onchain", interval_s=30),
+    Job("sync_macro", "flows.sync_macro", interval_s=30),
+    Job("sync_cex_inflow", "flows.sync_cex_inflow", interval_s=3_600),
     Job("integrity_check", "flows.integrity_repair", interval_s=3_600),
 )
 

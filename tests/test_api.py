@@ -52,3 +52,16 @@ def test_schedule_due_semantics():
     assert "sync_symbols" not in soon
     # misfire recovery: long pause -> everything due exactly once
     assert due(last, now_s=1000.0 + 90_000) == list(SCHEDULE)
+
+
+def test_schedule_flows_resolve():
+    """Every scheduled job points at a real flow callable — no placeholder
+    refs (each of the reference's 11 deployments has its own flow now)."""
+    from clx_etl_spark.plans import flows
+
+    for job in SCHEDULE:
+        mod, fn = job.flow.split(".")
+        assert mod == "flows"
+        assert callable(getattr(flows, fn)), job.name
+    # distinct pipelines map to distinct flows (klines share one by design)
+    assert len({j.flow for j in SCHEDULE}) >= 9

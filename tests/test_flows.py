@@ -163,3 +163,94 @@ def test_integrity_repair(spark, tmp_path):
     assert healed.count() == pristine.count()
     # rerun reports clean
     assert integrity_repair(spark, path, pristine, ["symbol"], expected_per_hour=10).count() == 0
+
+
+def test_sync_funding_snap_join_skip(spark):
+    """J3 drop-unmatched, T9 snapping, F6 freshness skip in one pass."""
+    from clx_etl_spark.plans.flows import sync_funding
+
+    history = spark.createDataFrame(
+        [
+            # due, 8h interval (479.5 min -> 480), info present
+            (1, 1, "BTCUSDT", 1_000_000, 0.0001, 1_000_000 + 28_770_000),
+            # due, but no funding-info row -> dropped (reference `continue`)
+            (1, 1, "NOINFO", 1_000_000, 0.0002, 1_000_000 + 3_600_000),
+            # not due yet per state -> skipped before the join
+            (1, 1, "ETHUSDT", 1_000_000, 0.0003, 1_000_000 + 3_600_000),
+        ],
+        "exchange_id int, inst_type int, symbol string, ts long, "
+        "funding_rate double, next_funding_ts long",
+    )
+    info = spark.createDataFrame(
+        [("BTCUSDT", 0.0075, -0.0075), ("ETHUSDT", 0.02, -0.02)],
+        "symbol string, adjusted_cap double, adjusted_floor double",
+    )
+    state = spark.createDataFrame(
+        [("ETHUSDT", 2_000_000)], "symbol string, next_funding_time long"
+    )
+    out = sync_funding(spark, history, info, state, now_ms=1_500_000).collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    assert row["symbol"] == "BTCUSDT"
+    assert row["funding_interval"] == 480
+    assert row["adjusted_cap"] == 0.0075
+
+
+def test_sync_onchain_tags_and_labels(spark):
+    """F9 threshold, J4 double tag join, T12 coalesce, T11 labels."""
+    from clx_etl_spark.plans.flows import sync_onchain
+
+    txs = spark.createDataFrame(
+        [
+            ("eth", 1_000, "0xaa", "0x01", "0x02", "USDT", 6e6, 1.0, 6e6),
+            ("eth", 2_000, "0xbb", "0x03", "0x01", "USDT", 1e6, 1.0, 1e6),  # < 5M
+            ("btc", 3_000, "0xcc", "0x04", "0x05", "BTC", 100.0, 60_000.0, 6e6),
+        ],
+        "chain string, ts long, tx_hash string, from_address string, "
+        "to_address string, token string, value double, price double, value_usd double",
+    )
+    tags = spark.createDataFrame(
+        [("eth", "0x01", "MegaExchange Hot Wallet"), ("btc", "0x05", "Cold Storage Fund")],
+        "chain string, address string, tag string",
+    )
+    out = {r["tx_hash"]: r.asDict() for r in sync_onchain(spark, txs, tags).collect()}
+    assert set(out) == {"0xaa", "0xcc"}  # 0xbb under the 5M threshold
+    assert out["0xaa"]["from_tag"] == "MegaExchange Hot Wallet"
+    assert out["0xaa"]["to_tag"] == "0x02"  # no dim tag -> address fallback
+    assert out["0xcc"]["to_tag"] == "Cold Storage Fund"
+
+
+def test_sync_cex_inflow_dim_resolve(spark):
+    """J5 name->id resolution; unknown exchange names dropped."""
+    from clx_etl_spark.plans.flows import sync_cex_inflow
+
+    inflows = spark.createDataFrame(
+        [("binance", 3_600_000, 123.5), ("ghost", 3_600_000, 1.0)],
+        "exchange_name string, ts long, netflow double",
+    )
+    dim = spark.createDataFrame(
+        [("binance", 1), ("okx", 2)], "name string, exchange_id int"
+    )
+    out = sync_cex_inflow(spark, inflows, dim).collect()
+    assert len(out) == 1
+    assert out[0]["exchange_id"] == 1
+    assert out[0]["dt"] is not None
+
+
+def test_sync_macro_union_dedup(spark):
+    """U3 heterogeneous union + anti-join dedup against stored keys."""
+    from clx_etl_spark.plans.flows import sync_macro
+
+    a = spark.createDataFrame(
+        [("SPX", 1_000, 4000.0, 4010.0)],
+        "symbol string, ts long, open double, close double",
+    )
+    b = spark.createDataFrame(  # extra column `volume`, missing `open`
+        [("VIX", 1_000, 15.0, 999.0), ("SPX", 2_000, 4020.0, 5.0)],
+        "symbol string, ts long, close double, volume double",
+    )
+    stored = spark.createDataFrame([("SPX", 1_000)], "symbol string, ts long")
+    out = {(r["symbol"], r["ts"]): r.asDict() for r in sync_macro(spark, [a, b], stored).collect()}
+    assert set(out) == {("VIX", 1_000), ("SPX", 2_000)}  # stored SPX@1000 deduped
+    assert out[("VIX", 1_000)]["open"] is None  # null-filled missing column
+    assert out[("SPX", 2_000)]["volume"] == 5.0
