@@ -282,25 +282,25 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_comp"))
         )
+        # old and new labels sit in the same row here, so the convergence
+        # flag is a free column — no extra old-vs-new join per round
+        lowered = F.least(
+            F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+        )
         new_labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
-                ).alias("component"),
+                lowered.alias("component"),
+                # labels only ever decrease, so changed == strictly lower
+                (lowered < F.col("component")).cast("long").alias("_chg"),
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        changed = new_labels.agg(F.sum("_chg")).collect()[0][0]
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.drop("_chg")
+        if not changed:
             break
     edges.unpersist()
     return labels

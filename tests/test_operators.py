@@ -489,3 +489,40 @@ def test_trained_ivf_multiprobe_recovers_boundary_neighbors(spark):
     assert exact == 998
     multi = knn_ivf_trained(emb, queries, nlist=2, k=1, nprobe=2).first().neighbor_id
     assert multi == 998  # both cells probed -> true neighbor found
+
+
+def test_approx_aggregates_within_declared_error(spark):
+    """The engine's declared scale path for distinct counts and quantiles
+    (BASELINE.md: 'at 100 TB swap to approx_percentile with a declared
+    error bound'): HLL++ approx_count_distinct within its rsd, and
+    approx_percentile within the rank tolerance implied by its accuracy
+    parameter. Anchored against the exact operators on the same data."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(200_000)
+        .select(
+            (F.col("id") % 37_123).alias("user"),
+            (F.hash(F.col("id")) % 10_000 / 100.0).alias("v"),
+        )
+        .cache()
+    )
+    exact_n = df.select(F.countDistinct("user")).collect()[0][0]
+    approx_n = df.select(
+        F.approx_count_distinct("user", rsd=0.02)
+    ).collect()[0][0]
+    assert abs(approx_n - exact_n) / exact_n < 0.06  # 3 sigma of rsd=2%
+
+    exact_p50, exact_p99 = df.select(
+        F.expr("percentile(v, 0.5)"), F.expr("percentile(v, 0.99)")
+    ).collect()[0]
+    ap50, ap99 = df.select(
+        F.expr("approx_percentile(v, 0.5, 1000)"),
+        F.expr("approx_percentile(v, 0.99, 1000)"),
+    ).collect()[0]
+    # accuracy=1000 => rank error <= n/1000; values are ~uniform on
+    # [-100, 100], so value error <= span * rank_error_frac * slack
+    span = 200.0
+    assert abs(ap50 - exact_p50) <= span * (1 / 1000) * 10
+    assert abs(ap99 - exact_p99) <= span * (1 / 1000) * 10
+    df.unpersist()

@@ -161,3 +161,35 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # directory layout really is hive-partitioned
     import os
     assert sorted(d for d in os.listdir(path) if d.startswith("dt_date="))[2] == "dt_date=2024-01-03"
+
+
+def test_compact_partitions_merges_small_files(spark, tmp_path):
+    """Micro-batch fragmentation -> one right-sized file per partition;
+    data identical; sort_cols tighten footer min/max for row-group skips."""
+    from pyspark.sql import functions as F
+
+    from clx_etl_spark.sinks.layout import compact_partitions, partition_file_stats
+
+    path = str(tmp_path / "fact")
+    # simulate 12 micro-batch appends of 500 rows across 2 date partitions
+    for batch in range(12):
+        spark.range(500).select(
+            (F.col("id") + batch * 500).alias("ts"),
+            (F.col("id") % 7).alias("key"),
+            F.lit(f"2026-01-0{1 + batch % 2}").alias("dt_date"),
+        ).write.mode("append").partitionBy("dt_date").parquet(path)
+    before = partition_file_stats(spark, path)
+    assert all(n >= 6 for n in before.values()), before  # really fragmented
+    expected = spark.read.parquet(path).groupBy("key").count().collect()
+
+    after = compact_partitions(
+        spark, path, ["dt_date"], target_file_bytes=256 * 1024 * 1024,
+        sort_cols=["ts"],
+    )
+    assert set(after) == set(before)
+    assert all(n == 1 for n in after.values()), after  # tiny data -> 1 file each
+    got = spark.read.parquet(path).groupBy("key").count().collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+    # second compaction is a no-op shapewise (idempotent maintenance)
+    again = compact_partitions(spark, path, ["dt_date"])
+    assert again == after
