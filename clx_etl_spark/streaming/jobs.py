@@ -95,3 +95,38 @@ def foreach_batch_upsert(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_ohlcv(
+    ticks: DataFrame,
+    keys: list[str],
+    time_col: str,
+    price_col: str = "price",
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    volume_col: str | None = None,
+) -> DataFrame:
+    """Streaming hypertable rollup: tick stream -> watermarked OHLCV bars
+    (the streaming counterpart of operators.resample — same min_by/max_by
+    open/close semantics, event-time ordered). Late ticks inside the
+    watermark horizon still amend their bar; beyond it, the batch gap
+    reconciliation owns the repair (the engine's layered late-data story).
+    State is O(open windows x keys) — bounded by the watermark."""
+    win = F.window(F.col(time_col), window).alias("w")
+    aggs = [
+        F.min_by(F.col(price_col), F.col(time_col)).alias("open"),
+        F.max(F.col(price_col)).alias("high"),
+        F.min(F.col(price_col)).alias("low"),
+        F.max_by(F.col(price_col), F.col(time_col)).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    ]
+    if volume_col:
+        aggs.append(F.sum(F.col(volume_col)).alias("volume"))
+    return (
+        ticks.withWatermark(time_col, watermark)
+        .groupBy(win, *keys)
+        .agg(*aggs)
+        .select(F.col("w.start").alias("bar_start"), *keys, "open", "high",
+                "low", "close", "n_ticks",
+                *(["volume"] if volume_col else []))
+    )

@@ -254,3 +254,54 @@ def test_streaming_ingest_pipeline_end_to_end(spark, tmp_path):
     stored2 = spark.read.parquet(tgt)
     assert stored2.count() == 11
     assert stored2.agg(F.sum(F.col("open").cast("double"))).first()[0] == total1
+
+
+def test_streaming_ohlcv_matches_batch_resample(spark, tmp_path):
+    """The streaming rollup must produce the same bars as the batch
+    resample operator over the same ticks (semantic parity between the
+    two late-data layers), including an out-of-order tick amending its
+    in-horizon bar."""
+    from clx_etl_spark.operators.resample import resample_ohlcv
+    from clx_etl_spark.streaming.jobs import streaming_ohlcv
+
+    src = str(tmp_path / "ticks")
+    rows = [(i, FX.BASE_TS + i * 10_000, "BTC", 100.0 + (i * 7 % 13)) for i in range(60)]
+    rows.append((99, FX.BASE_TS + 5_000, "BTC", 50.0))  # late, out of order
+    spark.createDataFrame(
+        rows, "event_id long, ts_ms long, symbol string, price double"
+    ).write.parquet(src)
+
+    stream = file_stream(
+        spark, src, "event_id long, ts_ms long, symbol string, price double"
+    ).withColumn("event_time", F.timestamp_millis("ts_ms"))
+    bars = streaming_ohlcv(
+        stream, keys=["symbol"], time_col="event_time", window="1 minute"
+    )
+    q = (
+        bars.writeStream.format("memory")
+        .queryName("stream_bars")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r.symbol, r.bar_start): (r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in spark.sql("SELECT * FROM stream_bars").collect()
+    }
+    batch = resample_ohlcv(
+        spark.read.parquet(src).select("symbol", "ts_ms", "price"),
+        keys=["symbol"], interval_ms=60_000, ts_col="ts_ms",
+    ).collect()
+    import datetime as dt
+
+    want = {
+        (r.symbol, dt.datetime.fromtimestamp(r.bucket_ms / 1000, dt.timezone.utc).replace(tzinfo=None)):
+        (r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in batch
+    }
+    assert got == want
+    # the out-of-order tick really landed in its bar (6 on-time + 1 late)
+    first_bar = min(got)
+    assert got[first_bar][4] == 7
+    assert got[first_bar][2] == 50.0  # ...and is the bar's low
