@@ -145,3 +145,22 @@ BINANCE_EXCHANGE_INFO = [  # instrument metadata (binance/perp.py:47-72 shape)
      "baseAsset": "BTC", "quoteAsset": "USDT", "pricePrecision": 2,
      "quantityPrecision": 3, "tickSize": "0.10", "stepSize": "0.001"},
 ]
+
+
+def rest_transport(key: dict, start_ms: int, end_ms: int) -> list[dict]:
+    """Deterministic fake exchange transport for the clx_rest DataSource
+    (module-level so executors can import it as 'tests.fixtures:rest_transport').
+    Returns one bar per minute in [start_ms, end_ms], priced off the ts."""
+    out = []
+    ts = start_ms
+    while ts <= end_ms:
+        out.append(
+            dict(
+                symbol=key["symbol"],
+                exchange_id=key["exchange_id"],
+                ts=ts,
+                close=str(100 + (ts // MIN) % 50),
+            )
+        )
+        ts += MIN
+    return out
