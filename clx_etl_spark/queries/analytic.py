@@ -809,3 +809,58 @@ def w4_range_frame(spark, sf):
         F.sum(F.col("value").cast(DEC6)).over(w).cast("double").alias("sum_10m"),
         F.count(F.lit(1)).over(w).alias("n_10m"),
     )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY k_bucket
+    """,
+    doc="Semi-structured surface: parse the props JSON column with an "
+    "explicit schema (from_json — vectorized JVM parse, not a Python "
+    "UDF) and aggregate by an extracted field; the reference flattens "
+    "nested JSON at extract time (SURVEY §1.1), the engine can also keep "
+    "it and extract lazily",
+)
+def json_props_extract(spark, sf):
+    ev = _t(spark, sf, "events")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "pivot_event_values",
+    oracle="""
+    SELECT user_id % 100 AS user_bucket,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS view_total,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS click_total,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS purchase_total
+    FROM events
+    GROUP BY user_bucket
+    """,
+    doc="Pivot with an explicit value list (no extra pass to discover "
+    "pivot keys; single hash-agg plan, same as conditional aggregation)",
+)
+def pivot_event_values(spark, sf):
+    ev = _t(spark, sf, "events")
+    out = (
+        ev.groupBy((F.col("user_id") % 100).alias("user_bucket"))
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.sum(F.col("value").cast(DEC6)).cast("double"))
+    )
+    return out.select(
+        "user_bucket",
+        F.col("view").alias("view_total"),
+        F.col("click").alias("click_total"),
+        F.col("purchase").alias("purchase_total"),
+    )
