@@ -864,3 +864,38 @@ def pivot_event_values(spark, sf):
         F.col("click").alias("click_total"),
         F.col("purchase").alias("purchase_total"),
     )
+
+
+@register(
+    "skew_salted_join",
+    oracle=f"""
+    WITH dim AS (SELECT event_type, COUNT(*) AS type_n FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+           MIN(d.type_n) AS type_n
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+    doc="Hot-key fact-to-dim join via replication salting "
+    "(operators/skew.py:salted_join): the fact side salts on a "
+    "deterministic xxhash, the dim side explodes buckets-wide so every "
+    "(key, salt) pair exists, and the shuffle spreads each hot key over "
+    "`buckets` reducers. The shape for dims too big to broadcast but "
+    "small enough to replicate; AQE skew-split covers the rest",
+)
+def skew_salted_join(spark, sf):
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf, "events")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_n"))
+    joined = salted_join(
+        ev.select("event_id", "event_type", F.col("value").cast(DEC6).alias("v")),
+        dim,
+        keys=["event_type"],
+        discriminator="event_id",
+        buckets=8,
+    )
+    return joined.groupBy("event_type").agg(
+        F.sum("v").cast("double").alias("total"),
+        F.min("type_n").alias("type_n"),
+    )
