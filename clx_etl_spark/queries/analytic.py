@@ -899,3 +899,41 @@ def skew_salted_join(spark, sf):
         F.sum("v").cast("double").alias("total"),
         F.min("type_n").alias("type_n"),
     )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    WITH gated AS (
+      SELECT event_type, value,
+             CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS bucket
+      FROM events)
+    SELECT event_type, COUNT(*) AS n_kept,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS kept_value
+    FROM gated
+    WHERE bucket < CASE event_type WHEN 'view' THEN 50
+                                   WHEN 'click' THEN 200
+                                   WHEN 'purchase' THEN 1000 ELSE 0 END
+    GROUP BY event_type
+    """,
+    doc="Deterministic stratified downsampling (operators/sampling.py): "
+    "per-class keep rates (5% views, 20% clicks, all purchases) gated by "
+    "a stable row-key hash instead of an RNG — rows keep their fate as "
+    "the table grows, so incremental pipelines and train/eval splits "
+    "stay consistent across re-runs and engines. Narrow filter, no "
+    "shuffle before the verification agg",
+)
+def sample_stratified(spark, sf):
+    from ..operators.sampling import stratified_sample
+
+    ev = _t(spark, sf, "events")
+    kept = stratified_sample(
+        ev,
+        key_col="event_id",
+        rates_permille={"view": 50, "click": 200, "purchase": 1000},
+        stratum_col="event_type",
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("value").cast(DEC6)).cast("double").alias("kept_value"),
+    )

@@ -526,3 +526,29 @@ def test_approx_aggregates_within_declared_error(spark):
     assert abs(ap50 - exact_p50) <= span * (1 / 1000) * 10
     assert abs(ap99 - exact_p99) <= span * (1 / 1000) * 10
     df.unpersist()
+
+
+def test_stratified_sample_stable_under_growth(spark):
+    """The hash-gate guarantee: a row's keep/drop fate never changes when
+    the table grows (RNG sampling breaks this), and per-stratum rates land
+    near their targets."""
+    from clx_etl_spark.operators.sampling import stratified_sample
+
+    rates = {"a": 100, "b": 500}
+    small = spark.range(2_000).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS cls"
+    )
+    big = spark.range(10_000).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS cls"
+    )
+    kept_small = {
+        r.id for r in stratified_sample(small, "id", rates, "cls").collect()
+    }
+    kept_big = {r.id for r in stratified_sample(big, "id", rates, "cls").collect()}
+    # growth only adds kept rows, never flips old ones
+    assert kept_small == {i for i in kept_big if i < 2_000}
+    # rates within loose binomial bounds (n=5000 per class in `big`)
+    n_a = sum(1 for i in kept_big if i % 2 == 0)
+    n_b = sum(1 for i in kept_big if i % 2 == 1)
+    assert 0.07 < n_a / 5_000 < 0.13
+    assert 0.45 < n_b / 5_000 < 0.55
