@@ -378,8 +378,8 @@ def w3_gap_fill_plan(spark, sf):
                             ELSE 0 END AS new_s
                 FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
     sess AS (SELECT user_id, ts_ms,
-                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms
-                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+                    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
              FROM flagged)
     SELECT user_id, session_seq, MIN(ts_ms) AS session_start, MAX(ts_ms) AS session_end,
            COUNT(*) AS n_events, MAX(ts_ms) - MIN(ts_ms) AS span_ms
