@@ -205,33 +205,51 @@ def integrity_repair(
     keys: list[str],
     ts_col: str = "ts_ms",
     expected_per_hour: int = 3600,
+    partition_col: str = "dt_date",
 ) -> DataFrame:
-    """Find EMPTY/PARTIAL hours in a fact table and repair them from a
-    pristine source (the S3-restore analog): one windowed-count plan for
-    the whole scan range, then an idempotent rewrite of only the broken
-    hours' partitions."""
+    """Find EMPTY/PARTIAL hours in a ``partition_col``-partitioned fact
+    table and repair them from a pristine source (the S3-restore analog):
+    one windowed-count plan for the whole scan range, then a dynamic
+    partition overwrite scoped to the day partitions containing broken
+    hours. Untouched partitions' files are never rewritten, and the
+    completeness report stays distributed end to end — only scalar counts
+    reach the driver, so an outage spanning many keys x hours never
+    materializes on one node.
+
+    Returns the broken-hour report, checkpointed to executor storage: its
+    lineage reads the pre-repair file listing, which the overwrite (and
+    its refreshByPath, which would also drop a plain cache) invalidates.
+    """
     stored = spark.read.parquet(fact_path)
+    if partition_col not in stored.columns:
+        raise ValueError(
+            f"integrity_repair requires a {partition_col!r}-partitioned fact "
+            f"table at {fact_path}; found columns {stored.columns}"
+        )
     report = completeness_report(stored, keys, ts_col, expected_per_hour)
-    bad = report.filter(F.col("status") != "OK")
-    # materialize the report before the in-place rewrite invalidates the
-    # file listing the lazy plan points at
-    bad_rows = bad.collect()
-    bad = spark.createDataFrame(bad_rows, bad.schema) if bad_rows else bad.limit(0)
+    # localCheckpoint: the report is bounded by keys x hours (tiny next to
+    # the fact data) and must survive the overwrite below, which swaps the
+    # files its lineage points at; truncating the lineage keeps it valid
+    # without ever collecting it to the driver
+    bad = report.filter(F.col("status") != "OK").localCheckpoint(eager=True)
+    if bad.count() == 0:
+        return bad
+    with_dt = F.to_date(ts_to_timestamp(ts_col)).alias(partition_col)
     repair_rows = (
         pristine.withColumn("hour_ms", (F.col(ts_col) - F.col(ts_col) % 3_600_000))
         .join(bad.select(*keys, "hour_ms"), on=[*keys, "hour_ms"], how="left_semi")
         .drop("hour_ms")
+        .withColumn(partition_col, with_dt)
     )
-    if repair_rows.take(1):
-        merged = stored.unionByName(repair_rows).dropDuplicates([*keys, ts_col])
-        merged.withColumn(
-            "dt_date", F.to_date(ts_to_timestamp(ts_col))
-        ).write.mode("overwrite").parquet(fact_path + "._repair")
-        import os, shutil
-
-        shutil.rmtree(fact_path)
-        os.rename(fact_path + "._repair", fact_path)
-        spark.catalog.refreshByPath(fact_path)
+    # rewrite whole days (the partition grain), so carry every stored row
+    # of a touched day alongside the repairs; all other days are untouched
+    touched_days = repair_rows.select(partition_col).distinct()
+    stored_touched = stored.join(F.broadcast(touched_days), partition_col, "left_semi")
+    merged = (
+        stored_touched.unionByName(repair_rows.select(*stored.columns))
+        .dropDuplicates([*keys, ts_col])
+    )
+    overwrite_partitions(merged, fact_path, [partition_col])
     return bad
 
 

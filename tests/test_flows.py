@@ -139,11 +139,15 @@ def test_sync_kalshi_branches(spark):
 
 
 def test_integrity_repair(spark, tmp_path):
+    import os
+
     path = str(tmp_path / "snapshot")
-    # pristine: 2 keys × 6 hours × 10 rows/hour
+    # pristine: 2 keys × 2 full days × 10 rows/hour (the report spine is
+    # dense over the observed range, so cover every hour); only day 0 will
+    # break, so day 1's partition must survive the repair untouched
     pristine_rows = [
-        (k, FX.BASE_TS + h * FX.HOUR + i * 360_000, float(i))
-        for k in ("A", "B") for h in range(6) for i in range(10)
+        (k, FX.BASE_TS + d * 24 * FX.HOUR + h * FX.HOUR + i * 360_000, float(i))
+        for k in ("A", "B") for d in range(2) for h in range(24) for i in range(10)
     ]
     pristine = spark.createDataFrame(pristine_rows, "symbol string, ts_ms long, v double")
     # stored: drop hour 2 entirely for A (EMPTY), thin hour 4 for B (PARTIAL)
@@ -154,13 +158,30 @@ def test_integrity_repair(spark, tmp_path):
         ~((F.col("symbol") == "B") & (F.col("ts_ms") >= FX.BASE_TS + 4 * FX.HOUR)
           & (F.col("ts_ms") < FX.BASE_TS + 5 * FX.HOUR) & (F.col("v") >= 3))
     )
-    stored.write.parquet(path)
+    stored.withColumn(
+        "dt_date", F.to_date(F.timestamp_millis(F.col("ts_ms")))
+    ).write.partitionBy("dt_date").parquet(path)
+
+    def day_files(day: str) -> dict[str, tuple[int, float]]:
+        d = os.path.join(path, f"dt_date={day}")
+        return {
+            f: (os.path.getsize(os.path.join(d, f)), os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        }
+
+    untouched_before = day_files("2024-01-02")
     bad = integrity_repair(spark, path, pristine, ["symbol"], expected_per_hour=10)
     statuses = {(r.symbol, r.hour_ms): r.status for r in bad.collect()}
-    assert statuses[("A", FX.BASE_TS + 2 * FX.HOUR)] == "EMPTY"
-    assert statuses[("B", FX.BASE_TS + 4 * FX.HOUR)] == "PARTIAL"
+    # spine spans both days; only day-0's two broken hours are non-OK
+    assert statuses == {
+        ("A", FX.BASE_TS + 2 * FX.HOUR): "EMPTY",
+        ("B", FX.BASE_TS + 4 * FX.HOUR): "PARTIAL",
+    }
     healed = spark.read.parquet(path)
     assert healed.count() == pristine.count()
+    assert healed.drop("dt_date").exceptAll(pristine).count() == 0
+    # the clean day's partition was not rewritten (same files, byte-identical)
+    assert day_files("2024-01-02") == untouched_before
     # rerun reports clean
     assert integrity_repair(spark, path, pristine, ["symbol"], expected_per_hour=10).count() == 0
 
