@@ -311,8 +311,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
     Token hash = first 8 md5 hex chars -> uint32; fingerprint bit b is 1
     when the (+1/-1) vote sum over tokens at bit b is positive. Pure SQL:
-    explode tokens × bits, sum votes, reassemble bits. Heavy but shuffle-
-    friendly; at scale run per-partition via the same expressions.
+    one row per token carrying ``bits`` per-bit vote SUM aggregates (no
+    row inflation — an earlier version exploded tokens × bits, a 32×
+    blow-up ahead of the shuffle). The single groupBy(doc_id) gets
+    map-side partial aggregation, so the shuffle carries at most one
+    (doc_id, 32 longs) tuple per doc per input partition.
     Output: (doc_id, simhash long).
     """
     tok = df.select(
@@ -320,19 +323,18 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     )
     h = F.conv(F.substring(md5_hex(F.col("w")), 1, 8), 16, 10).cast("long")
     tok = tok.select("doc_id", h.alias("h"))
-    bitrow = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        F.col("h"),
-    ).withColumn("vote", F.expr("CAST((shiftright(h, bit) & 1) * 2 - 1 AS BIGINT)"))
-    votes = bitrow.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"CAST(((shiftright(h, {b}) & 1) * 2 - 1) AS BIGINT)")).alias(f"v{b}")
+            for b in range(bits)
+        ]
     )
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_duplicate_groups(sim: DataFrame) -> DataFrame:

@@ -354,6 +354,39 @@ def test_resample_chain_consistency(spark):
     assert a == b
 
 
+def test_simhash_matches_python_and_does_not_explode_bits(spark):
+    """simhash == a hand-rolled Python reference, AND the plan carries one
+    row per token into the aggregate — no tokens×bits row inflation (the
+    earlier explode(sequence(0,31)) shape was a 32× scale-killer)."""
+    import hashlib
+
+    from clx_etl_spark.operators.dedup import simhash
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy dog",  # identical -> same fp
+        3: "pack my box with five dozen liquor jugs",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()}
+
+    def py_simhash(text: str, bits: int = 32) -> int:
+        votes = [0] * bits
+        for w in text.split():
+            h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+            for b in range(bits):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(bits) if votes[b] > 0)
+
+    assert got == {d: py_simhash(t) for d, t in texts.items()}
+    assert got[1] == got[2]
+
+    # exactly one Generate (the token explode); no bit-sequence explode
+    plan = simhash(docs, bits=32)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1
+    assert "sequence(" not in plan
+
+
 def test_operators_handle_empty_inputs(spark):
     """Empty partitions/tables are routine at scale — operators must
     return empty (not throw) with stable schemas."""
