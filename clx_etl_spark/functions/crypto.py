@@ -43,10 +43,15 @@ def _aes_ecb_decrypt_one(cipher_b64: str, key: bytes) -> str | None:
     data = base64.b64decode(cipher_b64)
     dec = Cipher(algorithms.AES(key), modes.ECB()).decryptor()
     plain = dec.update(data) + dec.finalize()
+    if not plain:
+        return ""
     pad = plain[-1]
-    if not 1 <= pad <= 16:  # tolerate unpadded payloads (CryptoJS quirk)
-        return plain.decode("utf-8", errors="replace")
-    return plain[:-pad].decode("utf-8", errors="replace")
+    # strip only a well-formed PKCS7 tail (all `pad` bytes equal `pad`);
+    # tolerate unpadded payloads (CryptoJS quirk) — a range check on the
+    # last byte alone would silently truncate genuine data
+    if 1 <= pad <= 16 and plain[-pad:] == bytes([pad]) * pad:
+        plain = plain[:-pad]
+    return plain.decode("utf-8", errors="replace")
 
 
 # DataType instance (not DDL string): a string returnType would be parsed
@@ -67,3 +72,33 @@ def decrypt_payload(cipher_col: Column | str, ts_col: Column | str) -> Column:
     c = F.col(cipher_col) if isinstance(cipher_col, str) else cipher_col
     t = F.col(ts_col) if isinstance(ts_col, str) else ts_col
     return aes_ecb_decrypt_with_ts(c, t)
+
+
+# --- obfuscated API-key header (SURVEY §2.12; reference
+# src/macro_markets/oklink/generate_apikey.py:9-31) -------------------------
+#
+# The explorer expects an `x-apikey` header built driver-side per request:
+# the static key with its first 8 chars rotated to the end, joined with
+# an obfuscated timestamp (epoch-ms + a fixed offset, plus 3 filler
+# digits), base64'd. Deterministic here: the caller supplies now_ms and
+# the filler, so requests are replayable and the codec round-trips in
+# tests. Driver-side scalar work — never a Spark job.
+
+_TS_OFFSET = 1_111_111_111_111
+
+
+def generate_api_key(api_key: str, now_ms: int, filler: str = "000") -> str:
+    """Obfuscated header value for a request issued at ``now_ms``."""
+    if len(filler) != 3 or not filler.isdigit():
+        raise ValueError("filler must be exactly 3 digits")
+    rotated = api_key[8:] + api_key[:8]
+    ts_enc = f"{now_ms + _TS_OFFSET}{filler}"
+    return base64.b64encode(f"{rotated}|{ts_enc}".encode()).decode()
+
+
+def parse_api_key(header: str) -> tuple[str, int]:
+    """Inverse of :func:`generate_api_key` -> (original key, now_ms).
+    Exists for tests and for verifying recorded requests."""
+    rotated, ts_enc = base64.b64decode(header).decode().rsplit("|", 1)
+    api_key = rotated[-8:] + rotated[:-8]
+    return api_key, int(ts_enc[:-3]) - _TS_OFFSET

@@ -63,9 +63,13 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     small parquet file arrives as ONE split (maxPartitionBytes), which
     would serialize the decode on a single worker. The repartition is a
     narrow-ish shuffle of opaque bytes — trivial next to the Python work
-    it parallelizes; on real multi-file/100 TB inputs it's a no-op."""
+    it parallelizes. Gate on the scan's file count (a driver-side listing
+    already cached by the scan) rather than df.rdd.getNumPartitions(),
+    which instantiates the whole RDD lineage just to count; a real
+    multi-file / 100 TB input has >= core-count files and passes through
+    untouched."""
     want = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(want) if df.rdd.getNumPartitions() < want else df
+    return df if len(df.inputFiles()) >= want else df.repartition(want)
 
 
 def media_assets(docs: DataFrame, mime: str = "image/fake") -> DataFrame:

@@ -18,7 +18,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# gate granularity: 16 hex chars = 64 bits -> per-mille precision is exact
+# gate granularity: 8 hex chars = 32 bits; 2^32 % 1000 != 0, so buckets
+# 0-295 are over-weighted by ~7e-5 relative — negligible for sampling, and
+# 8 hex chars keeps the 16-digit conv() exact in both Spark and DuckDB
 _GATE_MOD = 1_000
 
 

@@ -93,12 +93,23 @@ def merge_upsert(
 
     if update_cols is not None:
         # updates may only change update_cols: recover untouched columns
-        # from the stored row when it exists (left join on keys)
+        # from the stored row when it exists (left join on keys). A marker
+        # column distinguishes matched from inserted rows so a stored NULL
+        # in a carry column stays NULL (coalesce would resurrect the
+        # incoming value, violating "unlisted columns keep the stored value")
         carry = [c for c in stored.columns if c not in keys and c not in update_cols]
-        upd = updates.alias("u").join(stored_slice.alias("s"), on=keys, how="left").select(
+        matched = stored_slice.select(
+            *keys, *carry, F.lit(True).alias("_matched")
+        ).alias("s")
+        upd = updates.alias("u").join(matched, on=keys, how="left").select(
             *[F.col(f"u.{k}") for k in keys],
             *[F.col(f"u.{c}").alias(c) for c in update_cols],
-            *[F.coalesce(F.col(f"s.{c}"), F.col(f"u.{c}")).alias(c) for c in carry],
+            *[
+                F.when(F.col("s._matched"), F.col(f"s.{c}"))
+                .otherwise(F.col(f"u.{c}"))
+                .alias(c)
+                for c in carry
+            ],
         )
         upd = upd.select(*stored.columns)
     else:

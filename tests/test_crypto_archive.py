@@ -41,6 +41,42 @@ def test_aes_decrypt_udf_roundtrip(spark):
         assert got[i] == plain
 
 
+def test_aes_unpad_edge_cases():
+    """Unpad must verify the whole PKCS7 tail: a genuinely-unpadded payload
+    whose last byte happens to land in 0x01-0x10 must not be truncated, and
+    an empty plaintext must not raise."""
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    ts = 1_700_000_000_000
+    key = C.derive_key_from_ts(ts)
+
+    def raw_encrypt(data: bytes) -> str:
+        enc = Cipher(algorithms.AES(key), modes.ECB()).encryptor()
+        return base64.b64encode(enc.update(data) + enc.finalize()).decode()
+
+    # 16 bytes, no padding, last byte 0x02 but second-to-last is not: keep all
+    tricky = b"unpadded-tail-\x31\x02"
+    assert C._aes_ecb_decrypt_one(raw_encrypt(tricky), key) == tricky.decode(
+        "utf-8", errors="replace"
+    )
+    # empty ciphertext -> empty plaintext, no IndexError
+    assert C._aes_ecb_decrypt_one(raw_encrypt(b""), key) == ""
+    # well-formed padding still stripped
+    assert C._aes_ecb_decrypt_one(_encrypt("abc", ts), key) == "abc"
+
+
+def test_api_key_header_roundtrip():
+    """S9 keygen: rotate-8 + offset-ts + filler, base64 — and its inverse."""
+    key = "a2c903cc-b31e-4547-9299-b6d07b7631ab"
+    now = 1_700_000_000_000
+    header = C.generate_api_key(key, now, filler="123")
+    # header embeds the rotated key, not the raw one
+    assert key not in base64.b64decode(header).decode().split("|")[0][: len(key) - 8]
+    assert C.parse_api_key(header) == (key, now)
+    with pytest.raises(ValueError):
+        C.generate_api_key(key, now, filler="12")
+
+
 def test_aes_decrypt_null_passthrough(spark):
     df = spark.createDataFrame([(1, 1_700_000_000_000, None)], "id long, ts long, cipher string")
     assert df.select(C.decrypt_payload("cipher", "ts").alias("p")).first().p is None

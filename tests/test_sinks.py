@@ -73,6 +73,29 @@ def test_merge_upsert_restricted_update_cols(spark, tmp_path):
     assert out["ETHUSDT"].base_asset == "ETH"      # insert keeps its value
 
 
+def test_merge_upsert_keeps_stored_null_in_carry_col(spark, tmp_path):
+    """'Unlisted columns keep the stored value' includes a stored NULL: a
+    matched row's carry column must stay NULL, not resurrect the incoming
+    value (the old coalesce path got this wrong)."""
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "BTCUSDT", 0, "0.1", None)],
+        "exchange_id int, symbol string, inst_type int, tick_size string, base_asset string",
+    )
+    merge_upsert(spark, base, path, keys=["exchange_id", "symbol", "inst_type"])
+    batch = spark.createDataFrame(
+        [(1, "BTCUSDT", 0, "0.5", "SNEAKY")],
+        "exchange_id int, symbol string, inst_type int, tick_size string, base_asset string",
+    )
+    merge_upsert(
+        spark, batch, path,
+        keys=["exchange_id", "symbol", "inst_type"], update_cols=["tick_size"],
+    )
+    row = spark.read.parquet(path).first()
+    assert row.tick_size == "0.5"
+    assert row.base_asset is None  # stored NULL survives the update
+
+
 def test_overwrite_partitions_converges(spark, tmp_path):
     path = str(tmp_path / "fact")
     day1 = spark.createDataFrame(
