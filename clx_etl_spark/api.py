@@ -22,7 +22,17 @@ class Engine:
         self._views_registered = False
 
     # -- catalog ----------------------------------------------------------
-    def table(self, name: str) -> DataFrame:
+    def table(self, name: str, via: str = "parquet", url: str | None = None,
+              **jdbc_opts) -> DataFrame:
+        """Load a table. ``via="jdbc"`` reads a relational dimension store
+        instead of the parquet catalog (SURVEY S12; ``name`` is the remote
+        table, ``url`` the JDBC URL, ``jdbc_opts`` e.g. partition_column)."""
+        if via == "jdbc":
+            if url is None:
+                raise ValueError('table(via="jdbc") requires url=')
+            from .sinks.jdbc import read_jdbc
+
+            return read_jdbc(self.spark, url, name, **jdbc_opts)
         return catalog.load_table(self.spark, self.sf_dir, name)
 
     def sql(self, query: str) -> DataFrame:
@@ -55,7 +65,19 @@ class Engine:
 
     def upsert(self, df: DataFrame, path: str, keys: list[str],
                update_cols: list[str] | None = None,
-               partition_cols: list[str] | None = None) -> None:
+               partition_cols: list[str] | None = None,
+               via: str = "parquet", url: str | None = None,
+               dialect: str = "generic") -> None:
+        """MERGE semantics into the store. ``via="jdbc"`` routes to the
+        batched JDBC upsert (SURVEY K1; ``path`` is the remote table)."""
+        if via == "jdbc":
+            if url is None:
+                raise ValueError('upsert(via="jdbc") requires url=')
+            from .sinks.jdbc import jdbc_upsert
+
+            jdbc_upsert(self.spark, df, url, path, keys,
+                        update_cols=update_cols, dialect=dialect)
+            return
         from .sinks.upsert import merge_upsert
 
         merge_upsert(self.spark, df, path, keys, update_cols=update_cols,
