@@ -79,15 +79,13 @@ def merge_upsert(
         return
     stored = spark.read.parquet(path)
     if partition_cols:
-        # prune the merge to partitions the batch touches
-        touched = [tuple(r) for r in updates.select(*partition_cols).distinct().collect()]
-        pred = F.lit(False)
-        for vals in touched:
-            clause = F.lit(True)
-            for c, v in zip(partition_cols, vals):
-                clause = clause & (F.col(c) == F.lit(v))
-            pred = pred | clause
-        stored_slice = stored.filter(pred)
+        # prune the merge to partitions the batch touches: a broadcast
+        # semi-join on the partition columns, so dynamic partition pruning
+        # skips untouched partitions at scan time without ever collecting
+        # the touched-partition list to the driver (unbounded at 100 TB
+        # partition counts)
+        touched = updates.select(*partition_cols).distinct()
+        stored_slice = stored.join(F.broadcast(touched), on=partition_cols, how="left_semi")
     else:
         stored_slice = stored
 
