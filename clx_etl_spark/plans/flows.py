@@ -62,6 +62,25 @@ def sync_symbols(
     )
 
 
+def sync_symbols_registry(
+    spark: SparkSession, payloads: dict[str, object], symbols_path: str
+) -> int:
+    """The reference's top-level sync-symbols loop (sync_symbols.py:52-57:
+    one task per CLIENT_REGISTRY entry, gathered) as one Spark job: route
+    each exchange payload through its registry adapter, union, and MERGE
+    into the symbols dimension. ``payloads`` maps registry key (e.g.
+    "binance_spot") -> that exchange-info response. Returns symbols merged.
+
+    Scale shape: payloads are bounded pages; the union of ~20 normalized
+    frames is a narrow plan feeding one MERGE shuffle.
+    """
+    from ..sources.adapters import symbols_to_unified
+
+    feeds = [symbols_to_unified(spark, key, p) for key, p in payloads.items()]
+    sync_symbols(spark, feeds, symbols_path)
+    return sum(f.count() for f in feeds)
+
+
 def sync_klines(
     spark: SparkSession,
     stored_path: str,

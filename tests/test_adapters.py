@@ -264,6 +264,39 @@ def test_golden_values_binance_and_statuses(spark):
     assert r.tick_size == "0.01" and r.step_size == "0.0001"  # to_decimal_str
 
 
+def test_sync_symbols_registry_end_to_end(spark, tmp_path):
+    """Reference sync_symbols flow over the adapter registry: every
+    exchange payload normalized, unioned, MERGEd into one dimension; a
+    second sync updates mutable columns idempotently."""
+    from clx_etl_spark.plans.flows import sync_symbols_registry
+
+    path = str(tmp_path / "symbols")
+    n = sync_symbols_registry(spark, SYMBOL_PAYLOADS, path)
+    dim = spark.read.parquet(path)
+    n_dim = dim.count()
+    assert n_dim == n > 0
+    # one row per (exchange, symbol, inst_type); all 11 exchanges present
+    assert dim.select("exchange_id").distinct().count() == len(EXCHANGE_IDS)
+    assert dim.groupBy("exchange_id", "symbol", "inst_type").count().filter(
+        "count > 1"
+    ).count() == 0
+    # re-sync with a changed binance tick: row count stable, value updated
+    changed = {
+        "binance_perp": {"symbols": [dict(
+            _BINANCE_SYM,
+            filters=[{"filterType": "PRICE_FILTER", "tickSize": "0.50"},
+                     {"filterType": "LOT_SIZE", "stepSize": "0.001"}],
+        )]},
+    }
+    sync_symbols_registry(spark, changed, path)
+    dim2 = spark.read.parquet(path)
+    assert dim2.count() == n_dim
+    row = dim2.filter(
+        "exchange_id = 2 AND inst_type = 1 AND symbol = 'BTCUSDT'"
+    ).first()
+    assert row.tick_size == "0.50"
+
+
 def test_golden_kline_field_orders(spark):
     # gate spot: [ts, quote_vol, close, high, low, open] — scrambled order
     r = klines_to_unified(spark, "gate_spot", KLINE_PAYLOADS["gate_spot"], "BTC_USDT").first()
