@@ -27,20 +27,22 @@ def _hit_count(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(wl, F.lower(t))))
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-hit language guess: language with the most stopword hits;
-    'und' (undetermined) when no language scores a hit. Ties resolve in
-    fixed language order (en, es, de, fr)."""
-    toks = tokens(text_col)
-    scored = df.select(F.col(id_col), toks.alias("_toks"))
-    for lang, words in STOPWORDS.items():
-        scored = scored.withColumn(f"_hits_{lang}", _hit_count(F.col("_toks"), words))
-    langs = list(STOPWORDS)
-    best = F.greatest(*[F.col(f"_hits_{l}") for l in langs])
+def _lang_guess(toks: Column) -> tuple[Column, Column]:
+    """(lang_pred, best_hits) expressions over a token-array column.
+    Language with the most stopword hits; 'und' when no language scores a
+    hit; ties resolve in fixed language order (en, es, de, fr)."""
+    hits = {lang: _hit_count(toks, words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*hits.values())
     guess = F.lit("und")
-    for lang in reversed(langs):  # earlier langs win ties -> apply last
-        guess = F.when(F.col(f"_hits_{lang}") == best, F.lit(lang)).otherwise(guess)
-    guess = F.when(best > 0, guess).otherwise(F.lit("und"))
+    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties -> apply last
+        guess = F.when(hits[lang] == best, F.lit(lang)).otherwise(guess)
+    return F.when(best > 0, guess).otherwise(F.lit("und")), best
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language guess per document (see _lang_guess)."""
+    scored = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    guess, best = _lang_guess(F.col("_toks"))
     return scored.select(id_col, guess.alias("lang_pred"), best.alias("stopword_hits"))
 
 
@@ -79,6 +81,61 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         ws.cast("long").alias("n_ws_tokens"),
         pieces.cast("long").alias("n_bpe_pieces"),
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 12,
+    min_unique_ratio: float = 0.35,
+    langs: tuple[str, ...] = ("en", "es"),
+    sample_permille: int = 900,
+) -> DataFrame:
+    """End-to-end curation gate — the standard shape of a training-data
+    ingest: exact-dedup keep-list + quality gates + language gate +
+    deterministic downsample, composed as ONE scan.
+
+    Scale shape: every signal (tokens, uniqueness, language guess, content
+    digest, sample gate) is a column expression over the same scan; the
+    only shuffle is the single hash-partition by content digest for the
+    dedup window. Gates are plain predicates, so at 100 TB this is one
+    pass over the corpus with one exchange — not a join of four derived
+    tables. The hash-gate sample keeps row fate stable as the corpus
+    grows (see operators/sampling.py).
+
+    Returns the kept documents: (doc_id, lang_pred, n_tokens,
+    unique_token_ratio, n_copies).
+    """
+    from pyspark.sql import Window
+
+    from .sampling import hash_gate
+
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    guess, _ = _lang_guess(toks)
+    base = df.select(
+        F.col(id_col),
+        md5_hex(text_col).alias("digest"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.when(
+            n_tokens > 0, n_uniq.cast("double") / n_tokens.cast("double")
+        ).alias("unique_token_ratio"),
+        guess.alias("lang_pred"),
+    )
+    w = Window.partitionBy("digest")
+    dd = base.withColumn(
+        "rn", F.row_number().over(w.orderBy(id_col))
+    ).withColumn("n_copies", F.count(F.lit(1)).over(w))
+    kept = dd.filter(
+        (F.col("rn") == 1)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("unique_token_ratio") >= min_unique_ratio)
+        & F.col("lang_pred").isin(*langs)
+        & hash_gate(F.col(id_col), sample_permille)
+    )
+    return kept.select(id_col, "lang_pred", "n_tokens", "unique_token_ratio", "n_copies")
 
 
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -358,6 +358,45 @@ def text_token_counts(spark, sf):
 
 
 @register(
+    "corpus_curation",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, md5(text) AS digest,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) END AS unique_token_ratio,
+             {_hits['en']} AS h_en, {_hits['es']} AS h_es,
+             {_hits['de']} AS h_de, {_hits['fr']} AS h_fr
+      FROM t),
+    pred AS (SELECT doc_id, digest, n_tokens, unique_token_ratio,
+                    CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                         WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+                         WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+                         WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+                         ELSE 'fr' END AS lang_pred
+             FROM base),
+    dd AS (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn,
+                  CAST(COUNT(*) OVER (PARTITION BY digest) AS BIGINT) AS n_copies
+           FROM pred)
+    SELECT doc_id, lang_pred, n_tokens, unique_token_ratio, n_copies
+    FROM dd
+    WHERE rn = 1 AND n_tokens >= 12 AND unique_token_ratio >= 0.35
+      AND lang_pred IN ('en', 'es')
+      AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < 900
+    """,
+    doc="End-to-end corpus curation: exact-dedup keep-list + token/"
+    "uniqueness quality gates + language gate + deterministic hash-gate "
+    "downsample, all in one scan with a single digest-window shuffle",
+)
+def corpus_curation(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return T.curate_corpus(docs)
+
+
+@register(
     "text_fingerprints",
     oracle=rf"""
     WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
