@@ -116,6 +116,96 @@ def embedding_near_duplicates(
     )
 
 
+def srp_signature(vec: Column, n_bits: int = 16) -> Column:
+    """Signed-random-projection signature: an ``n_bits``-char '0'/'1'
+    string, bit k = sign of the dot product with pseudo-random hyperplane
+    k. Hyperplane component (k, i) is md5-derived from the literal
+    "k:i" — deterministic, seedless, and computable identically in the
+    DuckDB oracle, so the whole LSH path is hash-checkable.
+
+    Collision probability for two vectors at angle theta is
+    (1 - theta/pi) per bit — the classic SRP-LSH cosine sketch.
+
+    At 100 TB: hashing per element costs n_bits x dim md5s per row;
+    precompute the plane matrix once (same md5 values), broadcast it and
+    take plain dot products — identical buckets, no per-row hashing.
+    """
+    def make_hp(k: int):
+        # closure (not a default arg): pyspark counts lambda parameters to
+        # pick the higher-order-function arity, so (x, i) only
+        def hp(x: Column, i: Column) -> Column:
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{k}:"), (i + 1).cast("string")).cast("binary")),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            return x.cast("double") * (
+                ((h % 2001) - 1000).cast("double") / F.lit(1000.0)
+            )
+
+        return hp
+
+    bits = []
+    for k in range(n_bits):
+        dot = F.aggregate(
+            F.transform(vec, make_hp(k)), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def srp_near_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    bands: int = 4,
+    bits_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-dup pairs via banded SRP-LSH — the label-free scale
+    path (embedding_near_duplicates blocks on a ground-truth cell column;
+    this blocks on the sketch alone, like MinHash bands do for text).
+
+    One signature pass, band buckets as substring slices, candidate pairs
+    from a self-join per band (the only wide shuffle), then exact-cosine
+    verification after rejoining the vectors by id — candidates carry ids
+    only, so the band explode never duplicates the embedding payload.
+    """
+    n_bits = bands * bits_per_band
+    base = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    sig = base.select("_id", srp_signature(F.col("_v"), n_bits).alias("_sig"))
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("_sig", b * bits_per_band + 1, bits_per_band).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("_id", F.explode(band_struct).alias("_b")).select(
+        "_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bucket"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .distinct()
+    )
+    va = base.select(F.col("_id").alias("doc_a"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("_id").alias("doc_b"), F.col("_v").alias("_vb"))
+    verified = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("cosine", cosine_sim(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "cosine")
+
+
 # ---------------------------------------------------------------------------
 # Trained IVF: sample -> k-means on the driver -> broadcast centroids ->
 # distributed cell assignment. The standard train-small/apply-distributed

@@ -274,6 +274,52 @@ def sim_embedding_near_dup(spark, sf):
     return S.embedding_near_duplicates(emb, threshold=0.35)
 
 
+_SRP_BANDS, _SRP_BITS = 4, 4
+
+
+def _srp_bit_sql(k: int) -> str:
+    """Bit k of the SRP signature: sign of the md5-derived hyperplane dot
+    (mirrors operators/similarity.srp_signature exactly)."""
+    hp = (
+        f"CAST(CAST('0x' || substr(md5('{k}:' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT)"
+        f" % 2001 - 1000 AS DOUBLE) / 1000.0"
+    )
+    dot = _fold_sum(
+        f"[CAST(embedding[i] AS DOUBLE) * ({hp}) FOR i IN generate_series(1, len(embedding))]"
+    )
+    return f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END"
+
+
+_SRP_SIG = " || ".join(_srp_bit_sql(k) for k in range(_SRP_BANDS * _SRP_BITS))
+
+
+@register(
+    "sim_srp_near_dup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    sig AS (SELECT vec_id, {_SRP_SIG} AS sig FROM v),
+    bands AS (SELECT vec_id, b AS band, substr(sig, b * {_SRP_BITS} + 1, {_SRP_BITS}) AS bucket
+              FROM sig, generate_series(0, {_SRP_BANDS - 1}) AS t(b)),
+    cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT c.doc_a, c.doc_b, {_cosine_sql('va.embedding', 'vb.embedding')} AS cosine
+    FROM cand c
+    JOIN v va ON va.vec_id = c.doc_a
+    JOIN v vb ON vb.vec_id = c.doc_b
+    WHERE {_cosine_sql('va.embedding', 'vb.embedding')} >= 0.35
+    """,
+    doc="Label-free embedding near-dup: banded signed-random-projection "
+    "LSH (md5-derived hyperplanes, 4 bands x 4 bits) -> candidate pairs "
+    "-> exact-cosine verify; the scale path when no cell column exists",
+)
+def sim_srp_near_dup(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return S.srp_near_duplicates(
+        emb, threshold=0.35, bands=_SRP_BANDS, bits_per_band=_SRP_BITS
+    )
+
+
 # --- text analysis ---------------------------------------------------------
 
 _sw = {
