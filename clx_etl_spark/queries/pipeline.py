@@ -190,3 +190,20 @@ def mm_embedding_knn(spark, sf):
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine"
     )
+
+
+@register(
+    "sketch_daily_users",
+    # HLL++ estimates are engine-specific — no DuckDB hash oracle exists;
+    # accuracy is pinned by the tolerance test against exact counts
+    # (tests/test_operators.py::test_sketch_accuracy_bounds)
+    oracle=None,
+    doc="HLL++ daily distinct users over events: one scan, mergeable "
+    "map-side sketches — the 100 TB monitoring path where exact distinct "
+    "would shuffle every (day, user) pair",
+)
+def sketch_daily_users(spark, sf):
+    from ..operators.sketch import daily_distinct_approx
+
+    ev = load_table(spark, sf, "events")
+    return daily_distinct_approx(ev, key_col="user_id", ts_col="ts_ms")

@@ -354,6 +354,35 @@ def test_resample_chain_consistency(spark):
     assert a == b
 
 
+def test_sketch_accuracy_bounds(spark):
+    """HLL distinct within its rsd envelope; approx quantiles within the
+    sketch's rank-error bound of the exact answers — the tolerance gate
+    standing in for a hash oracle (estimates are engine-specific)."""
+    from clx_etl_spark.operators.sketch import daily_distinct_approx, group_quantiles_approx
+
+    DAY = 86_400_000
+    rows = [
+        (d * DAY + (i * 17) % DAY, i % (1000 * (d + 1)), float((i * 37) % 10_000))
+        for d in range(3) for i in range(5000)
+    ]
+    ev = spark.createDataFrame(rows, "ts_ms long, user_id long, value double")
+    approx = {r.day_ms // DAY: r.n_distinct_approx for r in daily_distinct_approx(ev).collect()}
+    exact = {
+        r.day: r.n for r in ev.groupBy((F.col("ts_ms") / DAY).cast("long").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    for day, n_exact in exact.items():
+        assert abs(approx[day] - n_exact) <= max(0.10 * n_exact, 5), (day, approx[day], n_exact)
+
+    q = group_quantiles_approx(
+        ev.withColumn("g", (F.col("user_id") % 2)), ["g"], "value",
+        probabilities=(0.5, 0.9), accuracy=10_000,
+    ).collect()
+    for r in q:
+        # values are ~uniform on [0, 10000): medians near 5000, p90 near 9000
+        assert abs(r.q0_5 - 5000) < 500 and abs(r.q0_9 - 9000) < 500
+
+
 def test_simhash_matches_python_and_does_not_explode_bits(spark):
     """simhash == a hand-rolled Python reference, AND the plan carries one
     row per token into the aggregate — no tokens×bits row inflation (the
