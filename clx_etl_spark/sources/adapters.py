@@ -662,6 +662,77 @@ def symbols_to_unified(spark: SparkSession, key: str, payload) -> DataFrame:
     return out.withColumn("inst_type", F.lit(a.inst_type).cast("int"))
 
 
+def _page_json_schema(k: KlineScan) -> str:
+    """DDL schema for from_json over a raw kline page of this adapter.
+    Numeric JSON values coerce into string fields, so every leaf is
+    string-typed and the normalizers do the DECIMAL/long casts."""
+    if k.family == "columnar":
+        rows = (
+            "struct<"
+            + ", ".join(f"`{src}`: array<string>" for src in k.column_map.values())
+            + ">"
+        )
+    elif k.family == "keyed" and not k.pre_select:
+        rows = (
+            "array<struct<"
+            + ", ".join(f"`{src}`: string" for src in dict.fromkeys(k.field_map.values()))
+            + ">>"
+        )
+    else:  # positional rows — also kraken's keyed-over-raw-arrays
+        rows = "array<array<string>>"
+    for part in reversed((k.payload_path or "").split(".") if k.payload_path else []):
+        if part == "{symbol}":
+            rows = f"map<string, {rows}>"
+        else:
+            rows = f"struct<`{part}`: {rows}>"
+    return rows
+
+
+def klines_pages_to_unified(
+    pages: DataFrame, key: str, symbol_col: str = "symbol", payload_col: str = "payload"
+) -> DataFrame:
+    """Distributed page replay (the 100 TB backfill path): ``pages`` holds
+    one row per stored REST page — (symbol, raw JSON payload) — and the
+    whole route (from_json parse, path navigation, explode, normalize)
+    is column expressions, so replaying millions of archived pages is one
+    scan with no driver involvement. ``klines_to_unified`` is the
+    driver-side single-page variant the live fetch loop uses.
+    """
+    a = REGISTRY[key]
+    k = a.klines
+    if k is None:
+        raise ValueError(f"{key} has no kline feed")
+    sym = F.col("_sym")
+    parsed = pages.select(
+        F.col(symbol_col).alias("_sym"),
+        F.from_json(F.col(payload_col), _page_json_schema(k)).alias("_p"),
+    )
+    node = F.col("_p")
+    for part in (k.payload_path or "").split(".") if k.payload_path else []:
+        node = F.element_at(node, sym) if part == "{symbol}" else node.getField(part)
+    if k.family == "columnar":
+        cols = parsed.select("_sym", *[node.getField(src).alias(src) for src in k.column_map.values()])
+        return normalize_columnar(
+            cols, k.column_map, exchange_id=a.exchange_id,
+            inst_type=a.inst_type, symbol=sym, ts_unit=k.ts_unit,
+        )
+    rows = parsed.select("_sym", F.explode(node).alias("_row"))
+    if k.family == "positional":
+        rows = rows.select("_sym", F.col("_row").alias("value"))
+        return normalize_positional(
+            rows, k.positions, exchange_id=a.exchange_id,
+            inst_type=a.inst_type, symbol=sym, ts_unit=k.ts_unit,
+        )
+    if k.pre_select:  # kraken: keyed semantics over raw positional arrays
+        rows = _apply_pre(rows.select("_sym", F.col("_row").alias("value")), k.pre_select)
+    else:
+        rows = rows.select("_sym", "_row.*")
+    return normalize_keyed(
+        rows, k.field_map, exchange_id=a.exchange_id,
+        inst_type=a.inst_type, symbol=sym, ts_unit=k.ts_unit,
+    )
+
+
 def klines_to_unified(spark: SparkSession, key: str, payload, symbol: str) -> DataFrame:
     """Full S4/T1 path for one kline page payload."""
     a = REGISTRY[key]

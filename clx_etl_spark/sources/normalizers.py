@@ -41,13 +41,26 @@ def payload_to_df(spark: SparkSession, payload: str | list | dict) -> DataFrame:
     return spark.read.json(spark.sparkContext.parallelize([json.dumps(r) for r in rows], 1))
 
 
-def _with_keys(df: DataFrame, exchange_id: int, inst_type: int, symbol: str) -> DataFrame:
+def _with_keys(df: DataFrame, exchange_id: int, inst_type: int, symbol) -> DataFrame:
+    """symbol may be a literal string (single-feed page) or a Column (bulk
+    page replay where each row carries its own symbol)."""
+    sym = F.lit(symbol) if isinstance(symbol, str) else symbol
     return df.select(
         F.lit(exchange_id).cast("int").alias("exchange_id"),
         F.lit(inst_type).cast("int").alias("inst_type"),
-        F.lit(symbol).alias("symbol"),
-        *[c for c in df.columns],
+        sym.alias("symbol"),
+        *[c for c in df.columns if c != "_sym"],
     )
+
+
+def _narrow_and_key(df: DataFrame, cols, exchange_id: int, inst_type: int, symbol) -> DataFrame:
+    """Project the unified columns then prepend keys. A Column symbol is
+    materialized as `_sym` BEFORE the narrowing select so the expression
+    can reference source columns the projection drops."""
+    if isinstance(symbol, str):
+        return _with_keys(df.select(*cols), exchange_id, inst_type, symbol)
+    narrowed = df.withColumn("_sym", symbol).select("_sym", *cols)
+    return _with_keys(narrowed, exchange_id, inst_type, F.col("_sym"))
 
 
 def normalize_positional(
@@ -55,7 +68,7 @@ def normalize_positional(
     positions: dict[str, int],
     exchange_id: int,
     inst_type: int,
-    symbol: str,
+    symbol: "str | Column",
     array_col: str = "value",
     ts_unit: str = "ms",
 ) -> DataFrame:
@@ -75,7 +88,7 @@ def normalize_positional(
             cols.append(F.element_at(a, positions[f_name] + 1).cast("long").alias("count"))
         else:
             cols.append(F.element_at(a, positions[f_name] + 1).cast(DEC).alias(f_name))
-    return _with_keys(df.select(*cols), exchange_id, inst_type, symbol)
+    return _narrow_and_key(df, cols, exchange_id, inst_type, symbol)
 
 
 def normalize_keyed(
@@ -83,7 +96,7 @@ def normalize_keyed(
     field_map: dict[str, str],
     exchange_id: int,
     inst_type: int,
-    symbol: str,
+    symbol: "str | Column",
     ts_unit: str = "ms",
 ) -> DataFrame:
     """Dict rows with native field names -> unified columns via rename+cast.
@@ -101,7 +114,7 @@ def normalize_keyed(
             cols.append(F.col(src).cast("long").alias("count"))
         else:
             cols.append(F.col(src).cast(DEC).alias(f_name))
-    return _with_keys(df.select(*cols), exchange_id, inst_type, symbol)
+    return _narrow_and_key(df, cols, exchange_id, inst_type, symbol)
 
 
 def normalize_columnar(
@@ -109,17 +122,23 @@ def normalize_columnar(
     column_map: dict[str, str],
     exchange_id: int,
     inst_type: int,
-    symbol: str,
+    symbol: "str | Column",
     ts_unit: str = "s",
 ) -> DataFrame:
     """Parallel-array payloads (mexc: {time: [...], open: [...], ...}) ->
-    rows via arrays_zip + explode (SURVEY T15), then keyed cast."""
+    rows via arrays_zip + explode (SURVEY T15), then keyed cast. A Column
+    symbol (bulk page replay) is carried through the explode."""
     zipped = F.explode(
         F.arrays_zip(*[F.col(src).alias(dst) for dst, src in column_map.items()])
     ).alias("r")
-    flat = df.select(zipped).select("r.*")
+    if isinstance(symbol, str):
+        flat = df.select(zipped).select("r.*")
+        sym = symbol
+    else:
+        flat = df.select(symbol.alias("_sym"), zipped).select("_sym", "r.*")
+        sym = F.col("_sym")
     return normalize_keyed(
-        flat, {k: k for k in column_map}, exchange_id, inst_type, symbol, ts_unit
+        flat, {k: k for k in column_map}, exchange_id, inst_type, sym, ts_unit
     )
 
 

@@ -208,6 +208,49 @@ def test_klines_adapter_sweep(spark, key):
     assert r.open is not None and r.close is not None
 
 
+@pytest.mark.parametrize("key", sorted(KLINE_PAYLOADS))
+def test_kline_page_replay_matches_single_page_path(spark, key):
+    """Distributed page replay (from_json over stored pages) produces
+    exactly the rows of the driver-side single-page path — the backfill
+    route is behaviorally identical to the live route."""
+    import json
+
+    from clx_etl_spark.sources.adapters import klines_pages_to_unified
+
+    symbol = KLINE_SYMBOL.get(key, "BTCUSDT")
+    pages = spark.createDataFrame(
+        [(symbol, json.dumps(KLINE_PAYLOADS[key]))], "symbol string, payload string"
+    )
+    replay = klines_pages_to_unified(pages, key)
+    single = klines_to_unified(spark, key, KLINE_PAYLOADS[key], symbol)
+    assert replay.columns == single.columns
+    assert sorted(map(str, replay.collect())) == sorted(map(str, single.collect()))
+
+
+def test_kline_page_replay_is_fully_distributed(spark):
+    """Multi-symbol multi-page replay in one plan: no Python in the plan
+    (from_json + explode + casts only) and per-symbol rows keyed right."""
+    import json
+
+    from clx_etl_spark.sources.adapters import klines_pages_to_unified
+
+    TS0 = 1_704_067_200_000
+    def page(base):
+        return json.dumps([[base + i * 60_000, "1.0", "2.0", "0.5", "1.5",
+                            "10", base + i * 60_000 + 59_999, "15", 7,
+                            "5", "7.5", "0"] for i in range(3)])
+
+    pages = spark.createDataFrame(
+        [("BTCUSDT", page(TS0)), ("ETHUSDT", page(TS0)), ("BTCUSDT", page(TS0 + 180_000))],
+        "symbol string, payload string",
+    )
+    out = klines_pages_to_unified(pages, "binance_spot")
+    assert out.count() == 9
+    assert out.filter("symbol = 'BTCUSDT'").count() == 6
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
 def test_kline_feed_list_matches_reference_dispatch():
     """17 scheduled kline feeds (sync_klines.py HANDLE_CLIENT); the three
     parser-only adapters still resolve but are not dispatched."""
