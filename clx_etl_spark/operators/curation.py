@@ -1,0 +1,212 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond dedup/quality gates: benchmark decontamination, repetition-based
+quality signals, per-domain caps, deterministic sharding, and sequence
+packing for LM pretraining.
+
+Design for scale (the 100 TB shapes):
+  * Decontamination joins the corpus' n-grams against the *benchmark*
+    side, which is tiny (eval suites are MBs against a 100 TB corpus) —
+    the benchmark gram set is broadcast, so the corpus side never
+    shuffles; the only wide op is the per-doc overlap aggregate, which
+    is map-side combinable.
+  * Repetition signals follow Gopher/C4: the duplicate-2-gram fraction
+    is a pure array expression (no shuffle); the top-token fraction is
+    an explode + two keyed aggregates with map-side combine — token
+    counts collapse per partition before any exchange.
+  * Per-domain caps run through row_number over (domain, hash order),
+    which Spark executes as WindowGroupLimit: each map task keeps only
+    its local top-N per domain before the shuffle, so a domain with a
+    billion pages ships N rows per task, not a billion.
+  * Shard assignment and sequence packing are deterministic functions of
+    the row key (md5 order), so re-running over a grown corpus never
+    reassigns existing rows (same property as operators/sampling.py).
+    Packing uses the concatenate-then-chunk scheme of LM pretraining:
+    a running token total per shard, chunked by integer division —
+    windows partition by shard, so state never exceeds one shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions import tokens
+from .dedup import shingle_sets
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    flag_threshold: float = 0.1,
+) -> DataFrame:
+    """Benchmark decontamination by k-gram overlap (the standard guard
+    against eval leakage in pretraining corpora).
+
+    For every training doc with >= k tokens: the fraction of its distinct
+    k-grams that appear anywhere in the benchmark set. Returns
+    (doc_id, n_grams, n_contaminated, overlap_ratio, is_contaminated) for
+    every such doc — callers drop or audit rows where ``is_contaminated``.
+
+    Scale shape: benchmark grams are distinct-reduced then broadcast, so
+    the 100 TB training side is one scan + one map-side-combinable
+    aggregate; no corpus-wide shuffle on the gram key.
+    """
+    grams = shingle_sets(train, text_col, id_col, k)
+    bench_grams = (
+        shingle_sets(benchmark, text_col, id_col, k)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = grams.join(F.broadcast(bench_grams), "shingle", "left")
+    n_grams = F.count(F.lit(1)).cast("long")
+    n_hit = F.count("_hit").cast("long")
+    return (
+        joined.groupBy(F.col("doc_id"))
+        .agg(n_grams.alias("n_grams"), n_hit.alias("n_contaminated"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            (F.col("n_contaminated").cast("double") / F.col("n_grams").cast("double")
+             ).alias("overlap_ratio"),
+            (F.col("n_contaminated").cast("double")
+             >= F.lit(flag_threshold) * F.col("n_grams").cast("double")
+             ).alias("is_contaminated"),
+        )
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+      * ``top_token_ratio`` — frequency of the most common token over the
+        token count (catches "buy buy buy ..." spam);
+      * ``dup_2gram_ratio`` — fraction of word 2-grams that are repeats
+        (catches boilerplate loops); NULL when the doc has < 2 tokens.
+
+    The 2-gram fraction is a pure array expression over the scan; the top
+    token needs a (doc, token) count -> per-doc max, both keyed aggregates
+    with map-side partial combine.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    g2 = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    dbl = lambda c: c.cast("double")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        F.when(
+            n >= 2, F.lit(1.0) - dbl(F.size(F.array_distinct(g2))) / dbl(F.size(g2))
+        ).alias("dup_2gram_ratio"),
+    )
+    tok_counts = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("_w"))
+        .groupBy("doc_id", "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    top = tok_counts.groupBy("doc_id").agg(F.max("_c").alias("_top"))
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0, dbl(F.col("_top")) / dbl(F.col("n_tokens"))
+        ).alias("top_token_ratio"),
+        "dup_2gram_ratio",
+    )
+
+
+def _hash_order(key: Column) -> Column:
+    """Deterministic pseudo-random ordering key: md5 of the row key.
+    The same row sorts to the same place on every engine and every run."""
+    return F.md5(key.cast("string"))
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, cap: int, key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by deterministic hash
+    order (an unbiased, reproducible per-domain quota — the standard
+    anti-overrepresentation gate for web corpora).
+
+    Executes as WindowGroupLimit: each map task pre-trims to its local
+    top-``cap`` per group before the shuffle, so a domain with a billion
+    rows ships cap rows per task, not a billion (plan-asserted in
+    tests/test_plans.py).
+    """
+    w = Window.partitionBy(group_col).orderBy(_hash_order(F.col(key_col)), key_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def shard_assign(
+    df: DataFrame, n_shards: int, key_col: str = "doc_id", shard_col: str = "shard"
+) -> DataFrame:
+    """Stable shard id from the row key: first 8 md5 hex chars mod
+    n_shards. Rows never migrate when the corpus grows, so incremental
+    re-runs append to the same shards; the md5 gate is the same
+    DuckDB-reproducible form as operators/sampling.hash_gate."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return df.withColumn(shard_col, (bucket % F.lit(n_shards)).cast("int"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Concatenate-then-chunk sequence packing (the GPT-style pretraining
+    layout): within each shard, docs are laid end-to-end in deterministic
+    id order and cut into fixed-``budget`` token sequences; a doc's
+    sequence id is its running token offset div budget.
+
+    Returns (doc_id, shard, n_tokens, seq_id, seq_offset): ``seq_id`` is
+    the training sequence the doc *starts* in, ``seq_offset`` its token
+    position there. Integer-only arithmetic (exact cross-engine); the
+    window partitions by shard, so per-task state is one shard's running
+    sum — no global sort, no driver involvement.
+    """
+    n_tok = F.size(tokens(text_col)).cast("long")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return (
+        df.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
+        .withColumn("seq_id", (cum_before / F.lit(budget)).cast("long"))
+        .withColumn("seq_offset", cum_before % F.lit(budget))
+    )
+
+
+def write_shards(
+    df: DataFrame, path: str, n_shards: int, key_col: str = "doc_id"
+) -> None:
+    """Materialize the training layout: assign stable shards and write
+    parquet partitioned by shard, one file per shard (each shard is
+    repartitioned to a single writer so downstream loaders see exactly
+    n_shards files; at cluster scale raise files-per-shard instead)."""
+    sharded = shard_assign(df, n_shards, key_col)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(key_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -442,6 +442,153 @@ def corpus_curation(spark, sf):
     return T.curate_corpus(docs)
 
 
+# --- curation: decontamination, repetition, caps, sharding ----------------
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH {SHINGLES_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+    agg AS (SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(COUNT(b.shingle) AS BIGINT) AS n_contaminated
+            FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
+            GROUP BY t.doc_id)
+    SELECT doc_id, n_grams, n_contaminated,
+           CAST(n_contaminated AS DOUBLE) / CAST(n_grams AS DOUBLE) AS overlap_ratio,
+           CAST(n_contaminated AS DOUBLE) >= 0.1 * CAST(n_grams AS DOUBLE) AS is_contaminated
+    FROM agg
+    """,
+    doc="Benchmark decontamination: 3-gram overlap of every training doc "
+    "against the benchmark set (doc_id % 97 = 0 stands in for an eval "
+    "suite); benchmark grams broadcast, corpus side never shuffles on the "
+    "gram key",
+)
+def decontam_ngram_overlap(spark, sf):
+    from ..operators import curation as C
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return C.decontaminate(train, bench, k=3, flag_threshold=0.1)
+
+
+@register(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+    top AS (SELECT doc_id, MAX(c) AS top FROM cnt GROUP BY doc_id),
+    base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                    CASE WHEN len(t) >= 2 THEN
+                      CAST(1 AS DOUBLE)
+                      - CAST(len(list_distinct([t[i] || ' ' || t[i+1]
+                              FOR i IN generate_series(1, len(t) - 1)])) AS DOUBLE)
+                        / CAST(len(t) - 1 AS DOUBLE)
+                    END AS dup_2gram_ratio
+             FROM toks)
+    SELECT b.doc_id, b.n_tokens,
+           CASE WHEN b.n_tokens > 0
+                THEN CAST(top.top AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+           END AS top_token_ratio,
+           b.dup_2gram_ratio
+    FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
+    """,
+    doc="Gopher-style repetition quality signals: top-token fraction "
+    "(explode + keyed aggregates, map-side combinable) and duplicate-"
+    "2-gram fraction (pure array expression, shuffle-free)",
+)
+def text_repetition_signals(spark, sf):
+    from ..operators import curation as C
+
+    docs = load_table(spark, sf, "documents")
+    return C.repetition_signals(docs)
+
+
+@register(
+    "cap_per_source",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) WHERE rn <= 15
+    """,
+    doc="Per-domain quota: keep at most 15 docs per source in "
+    "deterministic hash order — executes as WindowGroupLimit (each map "
+    "task pre-trims before the shuffle; plan-asserted)",
+)
+def cap_per_source(spark, sf):
+    from ..operators import curation as C
+
+    docs = load_table(spark, sf, "documents")
+    return C.cap_per_group(docs, "source", cap=15).select("doc_id", "source")
+
+
+_SHARDS_CTE = f"""
+    s AS (SELECT doc_id,
+                 CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 16 AS INTEGER) AS shard,
+                 CAST(len({TOKS}) AS BIGINT) AS n_tokens
+          FROM documents),
+    p AS (SELECT doc_id, shard, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS cum
+          FROM s)
+"""
+
+
+@register(
+    "pack_training_sequences",
+    oracle=f"""
+    WITH {_SHARDS_CTE}
+    SELECT doc_id, shard, n_tokens,
+           CAST(cum // 256 AS BIGINT) AS seq_id,
+           CAST(cum % 256 AS BIGINT) AS seq_offset
+    FROM p
+    """,
+    doc="LM-pretraining sequence packing (concatenate-then-chunk): stable "
+    "md5 shard assignment, per-shard running token offset in doc order, "
+    "chunked into 256-token sequences. Integer-only; windows partition by "
+    "shard so no global sort",
+)
+def pack_training_sequences(spark, sf):
+    from ..operators import curation as C
+
+    docs = load_table(spark, sf, "documents")
+    return C.pack_sequences(C.shard_assign(docs, n_shards=16), budget=256)
+
+
+@register(
+    "shard_balance_stats",
+    oracle=f"""
+    WITH {_SHARDS_CTE}
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(cum // 256) + 1 AS BIGINT) AS n_sequences
+    FROM p GROUP BY shard
+    """,
+    doc="Training-layout balance audit: per-shard doc/token/sequence "
+    "counts over the stable md5 sharding — the check that no shard is "
+    "skewed before a distributed training run reads them",
+)
+def shard_balance_stats(spark, sf):
+    from ..operators import curation as C
+
+    docs = load_table(spark, sf, "documents")
+    packed = C.pack_sequences(C.shard_assign(docs, n_shards=16), budget=256)
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.max("seq_id") + 1).cast("long").alias("n_sequences"),
+    )
+
+
 @register(
     "text_fingerprints",
     oracle=rf"""

@@ -1,0 +1,113 @@
+"""Curation operators: decontamination, repetition signals, per-domain
+caps, sharding, sequence packing — semantics and the determinism
+properties that matter for incremental 100 TB pipelines (row fate must
+not change when the corpus grows)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from clx_etl_spark.operators import curation as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_decontaminate_flags_planted_leak(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog", "eval")])
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps high today", "web"),  # shares grams
+            (2, "completely unrelated words appear in this line", "web"),
+        ],
+    )
+    out = {r.doc_id: r for r in C.decontaminate(train, bench, k=3).collect()}
+    assert out[1].n_contaminated >= 2 and out[1].is_contaminated
+    assert out[2].n_contaminated == 0 and not out[2].is_contaminated
+    # ratio is hits over the doc's own distinct gram count
+    assert out[1].overlap_ratio == out[1].n_contaminated / out[1].n_grams
+
+
+def test_decontaminate_short_docs_dropped(spark):
+    bench = _docs(spark, [(9, "a b c", "eval")])
+    train = _docs(spark, [(1, "a b", "web")])  # < k tokens -> no grams
+    assert C.decontaminate(train, bench, k=3).count() == 0
+
+
+def test_repetition_signals_spam_vs_clean(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "buy buy buy buy", "spam"),
+            (2, "all four words differ", "clean"),
+            (3, "one", "tiny"),
+        ],
+    )
+    out = {r.doc_id: r for r in C.repetition_signals(df).collect()}
+    assert out[1].top_token_ratio == 1.0
+    assert out[1].dup_2gram_ratio == pytest.approx(2 / 3)  # 3 grams, 1 distinct
+    assert out[2].top_token_ratio == 0.25
+    assert out[2].dup_2gram_ratio == 0.0
+    assert out[3].n_tokens == 1 and out[3].dup_2gram_ratio is None
+
+
+def test_cap_per_group_binds_and_is_stable(spark):
+    rows = [(i, f"text {i}", f"src{i % 2}") for i in range(40)]
+    df = _docs(spark, rows)
+    kept = C.cap_per_group(df, "source", cap=5)
+    by_src = kept.groupBy("source").count().collect()
+    assert all(r["count"] == 5 for r in by_src)
+    # growing the corpus never evicts a previously kept row in favor of a
+    # worse-ranked one: kept set under cap=5 is a subset of kept under cap=8
+    wider = {r.doc_id for r in C.cap_per_group(df, "source", cap=8).collect()}
+    assert {r.doc_id for r in kept.collect()} <= wider
+
+
+def test_shard_assign_stable_under_growth(spark):
+    small = _docs(spark, [(i, f"t {i}", "s") for i in range(50)])
+    big = _docs(spark, [(i, f"t {i}", "s") for i in range(100)])
+    a = dict(C.shard_assign(small, 8).select("doc_id", "shard").collect())
+    b = dict(C.shard_assign(big, 8).select("doc_id", "shard").collect())
+    assert all(b[k] == v for k, v in a.items())  # no row migrates
+    assert set(b.values()) == set(range(8))
+
+
+def test_pack_sequences_invariants(spark):
+    rows = [(i, " ".join(["w"] * (10 + i % 7)), "s") for i in range(200)]
+    df = C.shard_assign(_docs(spark, rows), n_shards=4)
+    packed = C.pack_sequences(df, budget=64).collect()
+    assert all(0 <= r.seq_offset < 64 for r in packed)
+    # within a shard, (seq_id, seq_offset) is non-decreasing in doc order
+    # and offsets advance by exactly n_tokens (concatenate-then-chunk)
+    by_shard: dict[int, list] = {}
+    for r in sorted(packed, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        cum = 0
+        for r in rs:
+            assert r.seq_id == cum // 64 and r.seq_offset == cum % 64
+            cum += r.n_tokens
+
+
+def test_write_shards_layout(spark, tmp_path):
+    df = _docs(spark, [(i, f"t {i}", "s") for i in range(64)])
+    path = str(tmp_path / "shards")
+    C.write_shards(df, path, n_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 64
+    assert back.select("shard").distinct().count() == 4
+    # one data file per shard partition (downstream loaders map shard->file)
+    import glob
+
+    for s in range(4):
+        files = [
+            f for f in glob.glob(f"{path}/shard={s}/*") if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, files
+    # assignment matches the stable operator
+    expect = dict(C.shard_assign(df, 4).select("doc_id", "shard").collect())
+    got = dict(back.select("doc_id", F.col("shard").cast("int")).collect())
+    assert got == expect

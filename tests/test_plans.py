@@ -89,6 +89,31 @@ def test_topk_uses_window_group_limit(plans):
     assert "WindowGroupLimit" in plans["topk_per_group"]
 
 
+def test_domain_cap_uses_window_group_limit(plans):
+    # per-domain quota must pre-trim on the map side (WindowGroupLimit),
+    # not ship every row of a hot domain through the shuffle
+    assert "WindowGroupLimit" in plans["cap_per_source"]
+
+
+def test_decontaminate_broadcasts_benchmark(plans):
+    # the benchmark gram set is the small side; the 100 TB corpus side
+    # must never shuffle on the gram key
+    p = plans["decontam_ngram_overlap"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, "corpus side shuffled on gram key"
+
+
+def test_sequence_packing_no_join_one_shuffle(plans):
+    # concat-then-chunk packing is one window over a shard partitioning —
+    # no join, and the only exchange key is the shard column
+    import re
+
+    p = plans["pack_training_sequences"]
+    assert "Join" not in p
+    keys = {m for m in re.findall(r"hashpartitioning\((\w+)", p)}
+    assert keys == {"shard"}, keys
+
+
 def test_asof_join_single_key_shuffle(plans):
     # the as-of union-window trick must not introduce a join at all —
     # exactly the union + one windowed sort
