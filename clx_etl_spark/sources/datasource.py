@@ -21,8 +21,15 @@ import importlib
 import json
 from collections.abc import Iterator
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 from .rest import paginate_time_window
@@ -59,6 +66,11 @@ class RestDataSource(DataSource):
     def reader(self, schema: StructType) -> "RestReader":
         return RestReader(schema, {k.lower(): v for k, v in self.options.items()})
 
+    def streamReader(self, schema: StructType) -> "RestStreamReader":
+        return RestStreamReader(
+            schema, {k.lower(): v for k, v in self.options.items()}
+        )
+
 
 class RestReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
@@ -86,6 +98,122 @@ class RestReader(DataSourceReader):
         ):
             for row in batch:
                 yield tuple(row.get(c) for c in self._cols)
+
+
+class RestStreamReader(DataSourceStreamReader):
+    """Live REST tail as a Structured-Streaming source — the Spark-native
+    replacement for the reference's cron sync loops (src/deploy.py
+    schedules + _base_.py fetch loops): the bar-interval cursor is a
+    checkpointed stream offset, so restarts resume exactly where the last
+    committed micro-batch ended and a foreachBatch idempotent MERGE
+    downstream gives effectively-once delivery.
+
+    Offsets are ``{"cursor": epoch_ms}`` — the exclusive end of the last
+    planned window. Each trigger plans the window [cursor, now_aligned),
+    capped at ``maxBarsPerBatch`` bars so a long-offline stream catches up
+    in bounded micro-batches instead of one giant fetch (the rate-limit
+    budget the reference enforces with sleeps). One input partition per
+    feed key per trigger: a 1000-symbol tail fans out to 1000 parallel
+    executor-side fetches, rows born distributed.
+
+    Extra options over the batch reader: ``keys`` (JSON list of key
+    dicts), ``startMs`` (first cursor), ``maxBarsPerBatch`` (default
+    5000), ``clock`` ("module:function" -> epoch ms; wall clock when
+    absent), ``nowMs`` (fixed clock value — the stream reader runs in its
+    own Python worker process, so deterministic tests inject the clock as
+    an option rather than via environment).
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self._cols = [f.name for f in schema.fields]
+        self._keys = json.loads(options["keys"])
+        self._transport = options["transport"]
+        self._interval_ms = int(options["intervalms"])
+        self._page_limit = int(options.get("pagelimit", "1000"))
+        self._start_ms = int(options["startms"])
+        self._max_bars = int(options.get("maxbarsperbatch", "5000"))
+        self._clock = options.get("clock")
+        self._fixed_now = options.get("nowms")  # deterministic tests
+        self._cursor: int | None = None  # driver-side advance floor
+
+    def _now_ms(self) -> int:
+        if self._fixed_now is not None:
+            return int(self._fixed_now)
+        if self._clock:
+            mod, _, fn = self._clock.partition(":")
+            return int(getattr(importlib.import_module(mod), fn)())
+        return int(time.time() * 1000)
+
+    def initialOffset(self) -> dict:
+        self._cursor = self._start_ms
+        return {"cursor": self._start_ms}
+
+    def latestOffset(self) -> dict:
+        aligned = self._now_ms() - self._now_ms() % self._interval_ms
+        if self._cursor is None:
+            # restarted from checkpoint: the true floor arrives with the
+            # next partitions() call; one unbounded catch-up window is the
+            # safe degradation (end can never precede the stored start)
+            self._cursor = aligned
+        end = max(
+            self._cursor,
+            min(aligned, self._cursor + self._max_bars * self._interval_ms),
+        )
+        self._cursor = end
+        return {"cursor": end}
+
+    def partitions(self, start: dict, end: dict) -> list[RangePartition]:
+        s, e = int(start["cursor"]), int(end["cursor"])
+        self._cursor = max(self._cursor or 0, e)
+        if e <= s:
+            return []
+        # transport windows are end-inclusive bar timestamps
+        return [RangePartition(k, s, e - self._interval_ms) for k in self._keys]
+
+    def read(self, partition: RangePartition) -> Iterator[tuple]:
+        mod, _, fn = self._transport.partition(":")
+        fetch = getattr(importlib.import_module(mod), fn)
+        for batch in paginate_time_window(
+            lambda s, e: fetch(partition.key, s, e),
+            partition.start_ms,
+            partition.end_ms,
+            self._interval_ms,
+            self._page_limit,
+        ):
+            for row in batch:
+                yield tuple(row.get(c) for c in self._cols)
+
+    def commit(self, end: dict) -> None:  # offsets live in the checkpoint
+        pass
+
+
+def stream_rest(
+    spark: SparkSession,
+    keys: list[dict],
+    transport: str,
+    out_schema: str,
+    interval_ms: int,
+    start_ms: int,
+    max_bars_per_batch: int = 5000,
+    clock: str | None = None,
+    now_ms: int | None = None,
+) -> DataFrame:
+    """readStream over the live REST tail (see RestStreamReader)."""
+    spark.dataSource.register(RestDataSource)
+    reader = (
+        spark.readStream.format("clx_rest")
+        .option("keys", json.dumps(keys))
+        .option("transport", transport)
+        .option("outSchema", out_schema)
+        .option("intervalMs", str(interval_ms))
+        .option("startMs", str(start_ms))
+        .option("maxBarsPerBatch", str(max_bars_per_batch))
+    )
+    if clock:
+        reader = reader.option("clock", clock)
+    if now_ms is not None:
+        reader = reader.option("nowMs", str(now_ms))
+    return reader.load()
 
 
 def read_rest(

@@ -164,3 +164,4 @@ def rest_transport(key: dict, start_ms: int, end_ms: int) -> list[dict]:
         )
         ts += MIN
     return out
+
