@@ -154,6 +154,52 @@ def sync_klines(
     return n
 
 
+def tail_klines(
+    spark: SparkSession,
+    stored_path: str,
+    feed_keys: list[dict],
+    transport: str,
+    checkpoint: str,
+    start_ms: int,
+    interval_ms: int = 60_000,
+    out_schema: str = "symbol string, exchange_id int, ts long, close string",
+    max_bars_per_batch: int = 5000,
+    now_ms: int | None = None,
+):
+    """Live kline tail: the streaming complement of sync_klines' batch
+    gap-fill (reference: the hourly sync loops in src/deploy.py:84 +
+    _base_.py fetch loops, re-expressed as one continuously-running
+    Structured Streaming query instead of a cron).
+
+    stream_rest's checkpointed cursor offset replaces the stored-table
+    MAX(ts) watermark probe (A4) — restart resumes from the last
+    committed micro-batch with no table scan — and each micro-batch lands
+    through the idempotent MERGE sink, so at-least-once replay after a
+    crash converges (effectively-once). Returns the running
+    StreamingQuery; callers stop() it or let it run as the service loop.
+    """
+    from ..sources.datasource import stream_rest
+    from ..streaming.jobs import foreach_batch_upsert
+
+    stream = stream_rest(
+        spark,
+        keys=feed_keys,
+        transport=transport,
+        out_schema=out_schema,
+        interval_ms=interval_ms,
+        start_ms=start_ms,
+        max_bars_per_batch=max_bars_per_batch,
+        now_ms=now_ms,
+    )
+    return foreach_batch_upsert(
+        stream,
+        stored_path,
+        keys=["exchange_id", "symbol", "ts"],
+        checkpoint=checkpoint,
+        trigger_available_now=False,  # continuous source; caller stops
+    )
+
+
 def sync_sentiment(
     spark: SparkSession,
     pos: DataFrame,

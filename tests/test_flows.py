@@ -275,3 +275,41 @@ def test_sync_macro_union_dedup(spark):
     assert set(out) == {("VIX", 1_000), ("SPX", 2_000)}  # stored SPX@1000 deduped
     assert out[("VIX", 1_000)]["open"] is None  # null-filled missing column
     assert out[("SPX", 2_000)]["volume"] == 5.0
+
+
+def test_tail_klines_live_merge_effectively_once(spark, tmp_path):
+    """The live tail flow: streaming cursor -> idempotent MERGE. Two runs
+    sharing a checkpoint (clock advancing between them) land every closed
+    bar exactly once in the stored table; a third run with a rewound-
+    overlap clock changes nothing (replay converges)."""
+    from clx_etl_spark.plans.flows import tail_klines
+
+    stored = str(tmp_path / "klines")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [], "exchange_id int, symbol string, ts long, close string"
+    ).write.parquet(stored)
+    keys = [{"symbol": "BTCUSDT", "exchange_id": 1},
+            {"symbol": "ETHUSDT", "exchange_id": 1}]
+
+    def run(now_bars):
+        q = tail_klines(
+            spark, stored, keys, "tests.fixtures:rest_transport", ckpt,
+            start_ms=FX.BASE_TS, max_bars_per_batch=3,
+            now_ms=FX.BASE_TS + now_bars * FX.MIN,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(4)
+    run(9)
+    run(9)  # no clock advance -> no new bars, still converged
+    rows = spark.read.parquet(stored).collect()
+    per_sym = {}
+    for r in rows:
+        per_sym.setdefault(r.symbol, []).append(r.ts)
+    expect = sorted(FX.BASE_TS + i * FX.MIN for i in range(9))
+    assert sorted(per_sym["BTCUSDT"]) == expect
+    assert sorted(per_sym["ETHUSDT"]) == expect
