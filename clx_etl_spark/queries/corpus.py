@@ -442,6 +442,30 @@ def corpus_curation(spark, sf):
     return T.curate_corpus(docs)
 
 
+@register(
+    "heavy_hitters_tokens",
+    oracle=f"""
+    SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest({TOKS}) AS w FROM documents)
+    GROUP BY w ORDER BY n DESC, token LIMIT 50
+    """,
+    doc="Corpus vocabulary heavy hitters: exact top-50 token frequencies, "
+    "fully tie-broken. Scale shape: explode -> map-side-combinable count "
+    "-> TakeOrderedAndProject (per-partition top-k, no global sort)",
+)
+def heavy_hitters_tokens(spark, sf):
+    from ..functions import tokens as _tokens
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(F.explode(_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+    )
+
+
 # --- curation: decontamination, repetition, caps, sharding ----------------
 
 
