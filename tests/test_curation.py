@@ -111,3 +111,47 @@ def test_write_shards_layout(spark, tmp_path):
     expect = dict(C.shard_assign(df, 4).select("doc_id", "shard").collect())
     got = dict(back.select("doc_id", F.col("shard").cast("int")).collect())
     assert got == expect
+
+
+def test_pack_and_decontam_hypothesis_invariants(spark):
+    """Property checks against brute-force Python references: packing
+    equals a sequential concatenate-then-chunk simulation for any doc
+    mix; decontamination ratio equals the exact set-overlap fraction."""
+    from hypothesis import given, settings, strategies as st
+
+    words = st.sampled_from(["a", "b", "c", "d", "e"])
+    doc = st.lists(words, min_size=0, max_size=12).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=12)
+
+    @settings(max_examples=10, deadline=None)
+    @given(corpus)
+    def check(texts):
+        rows = [(i, t, "s") for i, t in enumerate(texts)]
+        df = C.shard_assign(_docs(spark, rows), n_shards=2)
+        got = {
+            r.doc_id: (r.shard, r.seq_id, r.seq_offset)
+            for r in C.pack_sequences(df, budget=7).collect()
+        }
+        shards = {r.doc_id: r.shard for r in df.select("doc_id", "shard").collect()}
+        cum: dict[int, int] = {}
+        for i, t in enumerate(texts):  # doc_id order == insertion order
+            s = shards[i]
+            before = cum.get(s, 0)
+            assert got[i] == (s, before // 7, before % 7), (i, t)
+            cum[s] = before + len([w for w in t.split(" ") if w])
+
+        bench_rows = [(100 + i, t, "e") for i, t in enumerate(texts[:2])]
+        out = C.decontaminate(
+            _docs(spark, rows), _docs(spark, bench_rows), k=2
+        ).collect()
+        grams = lambda t: {
+            " ".join(p)
+            for p in zip(t.split(), t.split()[1:])
+        }
+        bg = set().union(*(grams(t) for _, t, _ in bench_rows)) if bench_rows else set()
+        for r in out:
+            g = grams(texts[r.doc_id])
+            assert r.n_grams == len(g)
+            assert r.n_contaminated == len(g & bg)
+
+    check()
