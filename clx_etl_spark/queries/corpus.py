@@ -613,6 +613,97 @@ def shard_balance_stats(spark, sf):
     )
 
 
+_CURATION_KEPT_CTES = f"""
+    t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, md5(text) AS digest,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) END AS uniq_ratio,
+             {_hits['en']} AS h_en, {_hits['es']} AS h_es,
+             {_hits['de']} AS h_de, {_hits['fr']} AS h_fr
+      FROM t),
+    pred AS (SELECT doc_id, digest, n_tokens, uniq_ratio,
+                    CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                         WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+                         WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+                         WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+                         ELSE 'fr' END AS lang_pred
+             FROM base),
+    dd AS (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+           FROM pred),
+    kept AS (SELECT doc_id, n_tokens FROM dd
+             WHERE rn = 1 AND n_tokens >= 12 AND uniq_ratio >= 0.35
+               AND lang_pred IN ('en', 'es')
+               AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 1000 < 900)
+"""
+
+
+@register(
+    "training_mix",
+    oracle=f"""
+    WITH {_CURATION_KEPT_CTES},
+    {SHINGLES_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    contam AS (SELECT s.doc_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_grams,
+                      CAST(COUNT(b.shingle) AS BIGINT) AS n_hit
+               FROM sh s JOIN kept k ON s.doc_id = k.doc_id
+               LEFT JOIN bench b ON s.shingle = b.shingle
+               WHERE s.doc_id % 97 <> 0
+               GROUP BY s.doc_id),
+    clean AS (SELECT c.doc_id, k.n_tokens, d.source
+              FROM contam c
+              JOIN kept k ON k.doc_id = c.doc_id
+              JOIN documents d ON d.doc_id = c.doc_id
+              WHERE NOT (CAST(c.n_hit AS DOUBLE) >= 0.1 * CAST(c.n_grams AS DOUBLE))),
+    capped AS (SELECT doc_id, n_tokens FROM (
+                 SELECT doc_id, n_tokens,
+                        ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                 FROM clean) WHERE rn <= 15),
+    sharded AS (SELECT doc_id, n_tokens,
+                       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS BIGINT) % 16 AS INTEGER) AS shard
+                FROM capped),
+    packed AS (SELECT doc_id, shard, n_tokens,
+                      CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS cum
+               FROM sharded)
+    SELECT doc_id, shard, n_tokens,
+           CAST(cum // 256 AS BIGINT) AS seq_id,
+           CAST(cum % 256 AS BIGINT) AS seq_offset
+    FROM packed
+    """,
+    doc="The end-to-end training-data job, composed from the operator "
+    "library: curation gates (dedup/quality/lang/sample) -> benchmark "
+    "decontamination (broadcast eval grams, flagged docs dropped) -> "
+    "per-source quota (WindowGroupLimit) -> stable shards + "
+    "concatenate-then-chunk packing. One registered query proves the "
+    "operators compose; every stage keeps its 100 TB shape",
+)
+def training_mix(spark, sf):
+    from ..operators import curation as C
+
+    docs = load_table(spark, sf, "documents")
+    kept = T.curate_corpus(docs).select("doc_id")
+    surviving = docs.join(kept, "doc_id", "left_semi")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = surviving.filter(F.col("doc_id") % 97 != 0)
+    contam = C.decontaminate(train, bench, k=3, flag_threshold=0.1)
+    clean = train.join(
+        contam.filter(~F.col("is_contaminated")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    capped = C.cap_per_group(clean, "source", cap=15)
+    return C.pack_sequences(C.shard_assign(capped, n_shards=16), budget=256)
+
+
 @register(
     "text_fingerprints",
     oracle=rf"""
