@@ -124,6 +124,58 @@ def repetition_signals(
     )
 
 
+def span_dup_stats(
+    df: DataFrame,
+    block_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style span-level duplication: docs are cut into non-overlapping
+    ``block_tokens``-token blocks; a block is duplicated when the same
+    token run appears anywhere else in the corpus (including again in the
+    same doc). Returns per-doc (doc_id, n_blocks, n_dup_blocks,
+    dup_block_ratio) — the signal behind "drop docs that are mostly
+    boilerplate" and span-removal rewrites.
+
+    Scale shape: blocks are hashed to one md5 per block before the
+    shuffle; corpus-wide frequency is one map-side-combinable count, and
+    the per-doc join keys on the 32-char digest, never the text. The
+    trailing partial block (< block_tokens) is excluded so stats are
+    comparable across doc lengths.
+    """
+    toks = tokens(text_col)
+    n_full = (F.size(toks) / F.lit(block_tokens)).cast("int")
+    block_arr = F.transform(
+        F.sequence(F.lit(0), n_full - 1),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(toks, i * block_tokens + 1, block_tokens)
+                        ).cast("binary")),
+    )
+    # sequence(0, -1) DESCENDS in Spark — short docs must yield no blocks
+    block_arr = F.when(n_full >= 1, block_arr).otherwise(
+        F.array().cast("array<string>")
+    )
+    blocks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(block_arr).alias("bh")
+    )
+    freq = blocks.groupBy("bh").agg(F.count(F.lit(1)).alias("_f"))
+    per_doc = (
+        blocks.join(freq, "bh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum((F.col("_f") > 1).cast("long")).cast("long").alias("n_dup_blocks"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_blocks",
+        "n_dup_blocks",
+        (F.col("n_dup_blocks").cast("double") / F.col("n_blocks").cast("double")
+         ).alias("dup_block_ratio"),
+    )
+
+
 def _hash_order(key: Column) -> Column:
     """Deterministic pseudo-random ordering key: md5 of the row key.
     The same row sorts to the same place on every engine and every run."""

@@ -613,6 +613,35 @@ def shard_balance_stats(spark, sf):
     )
 
 
+@register(
+    "span_dup_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    blocks AS (
+      SELECT doc_id,
+             md5(array_to_string(t[(i-1)*8+1 : (i-1)*8+8], ' ')) AS bh
+      FROM toks, UNNEST(generate_series(1, len(t) // 8)) AS u(i)),
+    freq AS (SELECT bh, COUNT(*) AS f FROM blocks GROUP BY bh)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN f > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+           CAST(SUM(CASE WHEN f > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_block_ratio
+    FROM blocks b JOIN freq USING (bh)
+    GROUP BY b.doc_id
+    """,
+    doc="C4-style span-level duplication stats: non-overlapping 8-token "
+    "blocks hashed to one md5 each; corpus-wide block frequency joined "
+    "back on the digest (never the text) -> per-doc duplicated-span "
+    "fraction, the 'mostly boilerplate' drop signal",
+)
+def span_dup_stats(spark, sf):
+    from ..operators import curation as C
+
+    docs = load_table(spark, sf, "documents")
+    return C.span_dup_stats(docs, block_tokens=8)
+
+
 _CURATION_KEPT_CTES = f"""
     t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
     base AS (

@@ -155,3 +155,24 @@ def test_pack_and_decontam_hypothesis_invariants(spark):
             assert r.n_contaminated == len(g & bg)
 
     check()
+
+
+def test_span_dup_stats_planted_boilerplate(spark):
+    """Two docs share an 8-token boilerplate block; a third is unique.
+    Partial trailing blocks are excluded from the denominator."""
+    boiler = "one two three four five six seven eight"
+    df = _docs(
+        spark,
+        [
+            (1, boiler + " unique tail goes here alpha beta gamma delta", "a"),
+            (2, boiler + " other ending words entirely different here now", "b"),
+            (3, "totally fresh content with no shared runs at all x", "c"),
+            (4, "short doc", "d"),  # < 8 tokens -> no blocks, no row
+        ],
+    )
+    out = {r.doc_id: r for r in C.span_dup_stats(df, block_tokens=8).collect()}
+    assert out[1].n_blocks == 2 and out[1].n_dup_blocks == 1
+    assert out[1].dup_block_ratio == 0.5
+    assert out[2].n_dup_blocks == 1
+    assert out[3].n_dup_blocks == 0
+    assert 4 not in out
