@@ -65,6 +65,14 @@ HEADLINE = [
     "q16_supplier_variety",
     "q20_heavy_suppliers",
     "q21_last_shipper",
+    # round-2 curation flagships (BASELINE.md documents the suite growth:
+    # pre-growth rounds compare against the 43-query rows)
+    "decontam_ngram_overlap",
+    "span_dup_stats",
+    "pack_training_sequences",
+    "heavy_hitters_tokens",
+    "w4_rank_variants",
+    "training_mix",
 ]
 
 
