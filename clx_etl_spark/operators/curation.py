@@ -176,6 +176,85 @@ def span_dup_stats(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    block_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style span REMOVAL: every duplicated ``block_tokens``-token run
+    keeps only its globally-first occurrence (smallest (doc_id, position))
+    and later occurrences are cut out; each doc's text is rebuilt from its
+    kept blocks plus the partial tail. Returns (doc_id, text_clean,
+    n_blocks, n_kept) — n_blocks - n_kept spans were removed.
+
+    Scale shape: the winner per block digest is a map-side-combinable
+    MIN(struct(doc_id, idx)) — an aggregate, deliberately NOT a
+    row_number window, so a boilerplate block occurring a billion times
+    collapses per-partition before the shuffle instead of sorting a
+    billion-row skewed window partition. Rebuild is one groupBy(doc)
+    collecting at most the doc's own blocks.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_full = (n / F.lit(block_tokens)).cast("int")
+    block_arr = F.transform(
+        F.sequence(F.lit(0), n_full - 1),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.concat_ws(
+                " ", F.slice(toks, i * block_tokens + 1, block_tokens)
+            ).alias("btext"),
+        ),
+    )
+    block_arr = F.when(n_full >= 1, block_arr).otherwise(
+        F.array().cast("array<struct<idx:int,btext:string>>")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        block_arr.alias("_blocks"),
+        n_full.cast("long").alias("n_blocks"),
+        F.concat_ws(
+            " ", F.slice(toks, n_full * block_tokens + 1, n - n_full * block_tokens)
+        ).alias("_tail"),
+    )
+    blocks = base.select(
+        "doc_id", F.explode("_blocks").alias("b")
+    ).select(
+        "doc_id", F.col("b.idx").alias("idx"), F.col("b.btext").alias("btext"),
+        F.md5(F.col("b.btext").cast("binary")).alias("bh"),
+    )
+    winners = blocks.groupBy("bh").agg(
+        F.min(F.struct("doc_id", "idx")).alias("w")
+    )
+    kept = (
+        blocks.join(winners, "bh")
+        .filter((F.col("doc_id") == F.col("w.doc_id")) & (F.col("idx") == F.col("w.idx")))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "btext"))),
+                    lambda x: x.btext,
+                ),
+                " ",
+            ).alias("_kept_text"),
+        )
+    )
+    out = base.join(kept, "doc_id", "left")
+    joined = F.concat_ws(
+        " ", F.nullif(F.coalesce(F.col("_kept_text"), F.lit("")), F.lit("")),
+        F.nullif(F.col("_tail"), F.lit("")),
+    )
+    return out.select(
+        "doc_id",
+        joined.alias("text_clean"),
+        "n_blocks",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+    )
+
+
 def _hash_order(key: Column) -> Column:
     """Deterministic pseudo-random ordering key: md5 of the row key.
     The same row sorts to the same place on every engine and every run."""

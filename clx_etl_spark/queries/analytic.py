@@ -100,33 +100,6 @@ def w4_moving_frame(spark, sf):
 
 
 @register(
-    "w4_rank_variants",
-    oracle="""
-    SELECT event_id, user_id, value,
-           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
-           PERCENT_RANK() OVER w AS pct_rank,
-           CUME_DIST() OVER w AS cume
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
-    """,
-    doc="Ranking-window surface: ntile/percent_rank/cume_dist over a "
-    "fully tie-broken per-user ordering (unique (value, event_id) sort "
-    "makes the rank-derived doubles engine-identical)",
-)
-def w4_rank_variants(spark, sf):
-    ev = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("value", "event_id")
-    return ev.select(
-        "event_id",
-        "user_id",
-        "value",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-    )
-
-
-@register(
     "q2_min_cost_supplier",
     oracle="""
     WITH pc AS (SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost

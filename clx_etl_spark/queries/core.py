@@ -64,6 +64,59 @@ def q1_pricing_summary(spark, sf):
 
 
 @register(
+    "w3_islands_sessionize",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, {EV_MS} AS ts_ms FROM events),
+    flagged AS (SELECT user_id, ts_ms,
+                       CASE WHEN LAG(ts_ms) OVER w IS NULL THEN 1
+                            WHEN ts_ms - LAG(ts_ms) OVER w > 1800000 THEN 1
+                            ELSE 0 END AS new_s
+                FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+    sess AS (SELECT user_id, ts_ms,
+                    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+             FROM flagged)
+    SELECT user_id, session_seq, MIN(ts_ms) AS session_start, MAX(ts_ms) AS session_end,
+           COUNT(*) AS n_events, MAX(ts_ms) - MIN(ts_ms) AS span_ms
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    doc="W3 generalized: sessionization via gaps-and-islands, 30 min timeout",
+)
+def w3_islands_sessionize(spark, sf):
+    ev = _t(spark, sf, "events").select("user_id", "ts_ms")
+    return sessionize(ev, ["user_id"], ts_col="ts_ms", timeout_ms=1_800_000).select(
+        "user_id", "session_seq", "session_start", "session_end", "n_events", "span_ms"
+    )
+
+
+@register(
+    "w4_rank_variants",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    doc="Ranking-window surface: ntile/percent_rank/cume_dist over a "
+    "fully tie-broken per-user ordering (unique (value, event_id) sort "
+    "makes the rank-derived doubles engine-identical)",
+)
+def w4_rank_variants(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
     "q3_shipping_priority",
     oracle="""
     SELECT o_orderkey,
@@ -365,32 +418,6 @@ def w3_gap_fill_plan(spark, sf):
     return gap_fill_plan(
         grid, ["user_id"], start_ms=lo, end_ms=hi, ts_col="hour_ms",
         interval_ms=3_600_000, page_limit=24,
-    )
-
-
-@register(
-    "w3_islands_sessionize",
-    oracle=f"""
-    WITH ev AS (SELECT user_id, {EV_MS} AS ts_ms FROM events),
-    flagged AS (SELECT user_id, ts_ms,
-                       CASE WHEN LAG(ts_ms) OVER w IS NULL THEN 1
-                            WHEN ts_ms - LAG(ts_ms) OVER w > 1800000 THEN 1
-                            ELSE 0 END AS new_s
-                FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
-    sess AS (SELECT user_id, ts_ms,
-                    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms
-                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-             FROM flagged)
-    SELECT user_id, session_seq, MIN(ts_ms) AS session_start, MAX(ts_ms) AS session_end,
-           COUNT(*) AS n_events, MAX(ts_ms) - MIN(ts_ms) AS span_ms
-    FROM sess GROUP BY user_id, session_seq
-    """,
-    doc="W3 generalized: sessionization via gaps-and-islands, 30 min timeout",
-)
-def w3_islands_sessionize(spark, sf):
-    ev = _t(spark, sf, "events").select("user_id", "ts_ms")
-    return sessionize(ev, ["user_id"], ts_col="ts_ms", timeout_ms=1_800_000).select(
-        "user_id", "session_seq", "session_start", "session_end", "n_events", "span_ms"
     )
 
 

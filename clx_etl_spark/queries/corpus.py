@@ -642,6 +642,46 @@ def span_dup_stats(spark, sf):
     return C.span_dup_stats(docs, block_tokens=8)
 
 
+@register(
+    "span_dedup_rewrite",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    base AS (SELECT doc_id, t, len(t) // 8 AS n_full,
+                    COALESCE(array_to_string(t[(len(t)//8)*8+1 : len(t)], ' '),
+                             '') AS tail
+             FROM toks),
+    blocks AS (SELECT doc_id, i - 1 AS idx,
+                      array_to_string(t[(i-1)*8+1 : (i-1)*8+8], ' ') AS btext
+               FROM toks, UNNEST(generate_series(1, len(t) // 8)) AS u(i)),
+    ranked AS (SELECT doc_id, idx, btext,
+                      ROW_NUMBER() OVER (PARTITION BY md5(btext)
+                                         ORDER BY doc_id, idx) AS rn
+               FROM blocks),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(btext, ' ' ORDER BY idx) AS ktext
+            FROM ranked WHERE rn = 1 GROUP BY doc_id)
+    SELECT b.doc_id,
+           CASE WHEN a.ktext IS NOT NULL AND b.tail <> ''
+                  THEN a.ktext || ' ' || b.tail
+                WHEN a.ktext IS NOT NULL THEN a.ktext
+                ELSE b.tail END AS text_clean,
+           CAST(b.n_full AS BIGINT) AS n_blocks,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+    FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+    """,
+    doc="C4-style span REMOVAL: duplicated 8-token runs keep only the "
+    "globally-first occurrence (min (doc_id, position) — a map-side-"
+    "combinable MIN(struct), deliberately not a row_number window, so "
+    "billion-occurrence boilerplate blocks collapse before the shuffle); "
+    "docs rebuilt from kept blocks + partial tail",
+)
+def span_dedup_rewrite(spark, sf):
+    from ..operators import curation as C
+
+    docs = load_table(spark, sf, "documents")
+    return C.remove_duplicate_spans(docs, block_tokens=8)
+
+
 _CURATION_KEPT_CTES = f"""
     t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
     base AS (

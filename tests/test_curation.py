@@ -176,3 +176,24 @@ def test_span_dup_stats_planted_boilerplate(spark):
     assert out[2].n_dup_blocks == 1
     assert out[3].n_dup_blocks == 0
     assert 4 not in out
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    """The shared 8-token block survives only in the smallest
+    (doc_id, position); later docs lose it but keep their own material
+    (including the partial tail)."""
+    boiler = "one two three four five six seven eight"
+    df = _docs(
+        spark,
+        [
+            (1, boiler + " alpha beta gamma delta epsilon zeta eta theta", "a"),
+            (2, boiler + " tail words", "b"),
+            (3, "short doc", "c"),
+        ],
+    )
+    out = {r.doc_id: r for r in C.remove_duplicate_spans(df, block_tokens=8).collect()}
+    assert out[1].text_clean == boiler + " alpha beta gamma delta epsilon zeta eta theta"
+    assert out[1].n_blocks == 2 and out[1].n_kept == 2
+    assert out[2].text_clean == "tail words"  # block cut, tail kept
+    assert out[2].n_blocks == 1 and out[2].n_kept == 0
+    assert out[3].text_clean == "short doc" and out[3].n_blocks == 0

@@ -114,6 +114,19 @@ def test_sequence_packing_no_join_one_shuffle(plans):
     assert keys == {"shard"}, keys
 
 
+def test_span_rewrite_winner_is_partial_aggregate(plans):
+    # the per-block winner must be a map-side-combinable MIN(struct), not
+    # a row_number window over the block hash — a billion-occurrence
+    # boilerplate block must collapse per-partition before the shuffle
+    import re
+
+    p = plans["span_dedup_rewrite"]
+    assert "partial_min(struct" in p
+    assert "windowspecdefinition" not in p.lower()
+    keys = set(re.findall(r"hashpartitioning\((\w+)", p))
+    assert keys == {"bh", "doc_id"}, keys
+
+
 def test_asof_join_single_key_shuffle(plans):
     # the as-of union-window trick must not introduce a join at all —
     # exactly the union + one windowed sort
