@@ -29,8 +29,16 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..functions import tokens
+from ..functions import tokens as _raw_tokens
 from .dedup import shingle_sets
+
+
+def tokens(text_col):
+    """Null-safe tokens: a NULL text is an empty document (0 tokens), not
+    a NULL that silently poisons counts/offsets downstream."""
+    return F.coalesce(
+        _raw_tokens(text_col), F.array().cast("array<string>")
+    )
 
 
 def decontaminate(

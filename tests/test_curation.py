@@ -197,3 +197,18 @@ def test_remove_duplicate_spans_keeps_first_occurrence(spark):
     assert out[2].text_clean == "tail words"  # block cut, tail kept
     assert out[2].n_blocks == 1 and out[2].n_kept == 0
     assert out[3].text_clean == "short doc" and out[3].n_blocks == 0
+
+
+def test_null_and_empty_text_are_empty_docs(spark):
+    """NULL text must behave as an empty document (0 tokens / 0 blocks),
+    never as NULL stats that poison downstream counts or pack offsets."""
+    df = spark.createDataFrame(
+        [(1, None, "s"), (2, "", "s"), (3, "a b", "s")],
+        "doc_id long, text string, source string",
+    )
+    rw = {r.doc_id: r for r in C.remove_duplicate_spans(df).collect()}
+    assert (rw[1].text_clean, rw[1].n_blocks, rw[1].n_kept) == ("", 0, 0)
+    rep = {r.doc_id: r for r in C.repetition_signals(df).collect()}
+    assert rep[1].n_tokens == 0 and rep[2].n_tokens == 0
+    packed = {r.doc_id: r for r in C.pack_sequences(C.shard_assign(df, 2), 7).collect()}
+    assert packed[1].n_tokens == 0 and packed[1].seq_offset == 0
