@@ -682,6 +682,76 @@ def span_dedup_rewrite(spark, sf):
     return C.remove_duplicate_spans(docs, block_tokens=8)
 
 
+@register(
+    "inverted_index_terms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    pairs AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM pairs GROUP BY term
+    """,
+    doc="Inverted-index build: per-doc distinct terms (array_distinct "
+    "BEFORE the explode/shuffle) -> map-side-combinable posting-list "
+    "collect per term; postings emitted as sorted CSV for the compare",
+)
+def inverted_index_terms(spark, sf):
+    from ..operators import ir as IR
+
+    docs = load_table(spark, sf, "documents")
+    idx = IR.build_inverted_index(docs)
+    return idx.select(
+        "term",
+        "df_docs",
+        F.array_join(F.transform("postings", lambda d: d.cast("string")), ","
+                     ).alias("postings"),
+    )
+
+
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_TF = {
+    t: f"CAST(len(list_filter(t, x -> x = '{t}')) AS DOUBLE)" for t in _BM25_TERMS
+}
+_BM25_DF = {
+    t: f"CAST(SUM(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END) AS DOUBLE)"
+    for t in _BM25_TERMS
+}
+
+
+def _bm25_contrib(i: int, t: str) -> str:
+    idf = f"(((n_docs - df{i}) + 0.5) / (df{i} + 0.5))"
+    denom = f"(tf{i} + (1.5 * (0.25 + ((0.75 * dl) / avgdl))))"
+    return f"({idf} * ((tf{i} * 2.5) / {denom}))"
+
+
+@register(
+    "bm25_doc_scores",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(len(t)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                     {", ".join(f"{_BM25_DF[t]} AS df{i}" for i, t in enumerate(_BM25_TERMS))}
+              FROM toks),
+    scored AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+                      {", ".join(f"{_BM25_TF[t]} AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+               FROM toks)
+    SELECT doc_id,
+           {" + ".join(_bm25_contrib(i, t) for i, t in enumerate(_BM25_TERMS))} AS bm25
+    FROM scored, stats
+    WHERE tf0 + tf1 + tf2 > 0
+    """,
+    doc="BM25-lite relevance of every doc vs a fixed term set: one "
+    "aggregate pass -> single stats row broadcast -> pure column-expr "
+    "scoring (no shuffle). Rational Robertson idf instead of ln() so the "
+    "doubles are bit-identical across engines",
+)
+def bm25_doc_scores(spark, sf):
+    from ..operators import ir as IR
+
+    docs = load_table(spark, sf, "documents")
+    return IR.bm25_scores(docs, list(_BM25_TERMS))
+
+
 _CURATION_KEPT_CTES = f"""
     t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
     base AS (

@@ -39,6 +39,7 @@ NLJ_ALLOWED = {
     "q22_idle_rich_customers",
     "q11_important_parts",
     "q15_top_supplier",
+    "bm25_doc_scores",  # broadcast of the 1-row (N, avgdl, df...) stats
 }
 
 
