@@ -165,3 +165,18 @@ def rest_transport(key: dict, start_ms: int, end_ms: int) -> list[dict]:
         ts += MIN
     return out
 
+
+
+def flaky_transport(key: dict, start_ms: int, end_ms: int) -> list[dict]:
+    """rest_transport that fails the FIRST attempt for every (symbol,
+    window) — proves the retry budget is honored executor-side. Cross-
+    process attempt state via marker files (executors are separate
+    processes; module globals don't survive)."""
+    import os
+
+    marker = f"/tmp/clx_flaky/{key['symbol']}_{start_ms}_{end_ms}"
+    if not os.path.exists(marker):
+        os.makedirs("/tmp/clx_flaky", exist_ok=True)
+        open(marker, "w").close()
+        raise ConnectionError("synthetic first-attempt failure")
+    return rest_transport(key, start_ms, end_ms)

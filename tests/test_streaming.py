@@ -369,3 +369,41 @@ def test_stream_rest_tail_resumes_from_checkpoint(spark, tmp_path):
     expect = sorted(FX.BASE_TS + i * FX.MIN for i in range(8))
     assert sorted(per_sym["BTCUSDT"]) == expect  # once each, no overlap
     assert sorted(per_sym["ETHUSDT"]) == expect
+
+
+def test_stream_rest_tail_survives_transient_transport_failures(spark, tmp_path):
+    """Every fetch window fails its first attempt; the executor-side
+    retry budget (reference: 3 tries) absorbs it and the stream still
+    delivers every bar exactly once."""
+    import shutil
+
+    shutil.rmtree("/tmp/clx_flaky", ignore_errors=True)
+    from clx_etl_spark.sources.datasource import stream_rest
+
+    df = stream_rest(
+        spark,
+        keys=[{"symbol": "BTCUSDT", "exchange_id": 1}],
+        transport="tests.fixtures:flaky_transport",
+        out_schema=_TAIL_SCHEMA,
+        interval_ms=FX.MIN,
+        start_ms=FX.BASE_TS,
+        max_bars_per_batch=3,
+        now_ms=FX.BASE_TS + 6 * FX.MIN,
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree("/tmp/clx_flaky", ignore_errors=True)
+    got = sorted(
+        r.ts for r in spark.read.schema(_TAIL_SCHEMA).parquet(out).collect()
+    )
+    assert got == [FX.BASE_TS + i * FX.MIN for i in range(6)]
