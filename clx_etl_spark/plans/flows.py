@@ -160,7 +160,7 @@ def tail_klines(
     feed_keys: list[dict],
     transport: str,
     checkpoint: str,
-    start_ms: int,
+    start_ms: int | None = None,
     interval_ms: int = 60_000,
     out_schema: str = "symbol string, exchange_id int, ts long, close string",
     max_bars_per_batch: int = 5000,
@@ -177,9 +177,20 @@ def tail_klines(
     through the idempotent MERGE sink, so at-least-once replay after a
     crash converges (effectively-once). Returns the running
     StreamingQuery; callers stop() it or let it run as the service loop.
+
+    ``start_ms=None`` bootstraps the cursor from the stored table's
+    MAX(ts) + interval (the reference's batch-max cursor probe, A4) —
+    the one-time handoff from a batch backfill to the live tail; after
+    the first run the checkpointed offset takes precedence anyway.
     """
     from ..sources.datasource import stream_rest
     from ..streaming.jobs import foreach_batch_upsert
+
+    if start_ms is None:
+        wm = spark.read.parquet(stored_path).agg(F.max("ts")).first()[0]
+        if wm is None:
+            raise ValueError("empty stored table: pass an explicit start_ms")
+        start_ms = int(wm) + interval_ms
 
     stream = stream_rest(
         spark,

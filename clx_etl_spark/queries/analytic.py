@@ -100,6 +100,37 @@ def w4_moving_frame(spark, sf):
 
 
 @register(
+    "w4_locf_fill",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CASE WHEN event_type <> 'error' THEN value END AS value_masked,
+           last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY {EV_MS}, event_id
+                   ROWS UNBOUNDED PRECEDING) AS value_filled
+    FROM events
+    """,
+    doc="Last-observation-carried-forward fill: error readings masked to "
+    "NULL, then last(ignorenulls) carries the previous good value per "
+    "user — the standard sensor/market-data repair, one window, no join "
+    "(same carry-forward machinery as the as-of join)",
+)
+def w4_locf_fill(spark, sf):
+    ev = _t(spark, sf, "events")
+    masked = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        masked.alias("value_masked"),
+        F.last(masked, ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
+@register(
     "q2_min_cost_supplier",
     oracle="""
     WITH pc AS (SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost

@@ -313,3 +313,27 @@ def test_tail_klines_live_merge_effectively_once(spark, tmp_path):
     expect = sorted(FX.BASE_TS + i * FX.MIN for i in range(9))
     assert sorted(per_sym["BTCUSDT"]) == expect
     assert sorted(per_sym["ETHUSDT"]) == expect
+
+
+def test_tail_klines_bootstraps_cursor_from_stored_watermark(spark, tmp_path):
+    """start_ms=None: the first tail run resumes at stored MAX(ts) +
+    interval — the batch-backfill -> live-tail handoff, no overlap and
+    no gap."""
+    from clx_etl_spark.plans.flows import tail_klines
+
+    stored = str(tmp_path / "klines")
+    spark.createDataFrame(
+        [(1, "BTCUSDT", FX.BASE_TS + i * FX.MIN, "100") for i in range(3)],
+        "exchange_id int, symbol string, ts long, close string",
+    ).write.parquet(stored)
+    q = tail_klines(
+        spark, stored, [{"symbol": "BTCUSDT", "exchange_id": 1}],
+        "tests.fixtures:rest_transport", str(tmp_path / "ckpt"),
+        now_ms=FX.BASE_TS + 6 * FX.MIN,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.ts for r in spark.read.parquet(stored).collect())
+    assert got == [FX.BASE_TS + i * FX.MIN for i in range(6)]
