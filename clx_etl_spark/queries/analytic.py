@@ -131,6 +131,46 @@ def w4_locf_fill(spark, sf):
 
 
 @register(
+    "quality_percentile_gate",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> ''))) AS DOUBLE)
+               / CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '')) AS DOUBLE) AS uniq_ratio
+      FROM documents),
+    ranked AS (SELECT doc_id, source, uniq_ratio,
+                      PERCENT_RANK() OVER (PARTITION BY source
+                          ORDER BY uniq_ratio, doc_id) AS pr
+               FROM scored)
+    SELECT doc_id, source, uniq_ratio FROM ranked WHERE pr >= 0.25
+    """,
+    doc="Relative quality gate: keep docs above their SOURCE's 25th "
+    "percentile of token uniqueness — per-domain calibration instead of a "
+    "global threshold (a global cutoff over-prunes clean domains and "
+    "under-prunes spammy ones). One window per source partition, "
+    "fully tie-broken so percent_rank doubles are engine-identical",
+)
+def quality_percentile_gate(spark, sf):
+    from ..functions import tokens as _tokens
+
+    docs = _t(spark, sf, "documents")
+    toks = _tokens("text")
+    uniq = (
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks).cast("double")
+    )
+    w = Window.partitionBy("source").orderBy("uniq_ratio", "doc_id")
+    return (
+        docs.select("doc_id", "source", uniq.alias("uniq_ratio"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.25)
+        .select("doc_id", "source", "uniq_ratio")
+    )
+
+
+@register(
     "q2_min_cost_supplier",
     oracle="""
     WITH pc AS (SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
