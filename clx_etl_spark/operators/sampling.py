@@ -35,6 +35,41 @@ def hash_gate(key: Column, permille: Column | int) -> Column:
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    tau: float = 0.7,
+    max_keep_permille: int = 1000,
+) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual/multi-domain
+    rebalance of LM pretraining): stratum s is kept at a rate
+    proportional to count(s)^(tau-1), so tau=1 keeps natural proportions
+    and tau->0 equalizes strata; the largest rate is anchored at
+    ``max_keep_permille``.
+
+    Per-stratum counts are ONE aggregate collected to the driver —
+    bounded by the number of strata (domains/languages are dozens to
+    thousands, never corpus-sized) — and the float rate derivation stays
+    driver-side Python on purpose: pow() differs across engine libms in
+    the last ulp, so deriving rates distributed would make keep/drop
+    decisions engine-dependent. The gate itself is the deterministic
+    hash_gate, so row fate is stable under corpus growth and re-runs.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col).agg(F.count(F.lit(1))).collect()
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    weights = {s: float(n) ** (tau - 1.0) for s, n in counts.items()}
+    top = max(weights.values())
+    rates = {
+        s: max(1, int(max_keep_permille * w / top)) for s, w in weights.items()
+    }
+    return stratified_sample(df, key_col, rates, stratum_col)
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

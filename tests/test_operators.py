@@ -614,3 +614,31 @@ def test_stratified_sample_stable_under_growth(spark):
     n_b = sum(1 for i in kept_big if i % 2 == 1)
     assert 0.07 < n_a / 5_000 < 0.13
     assert 0.45 < n_b / 5_000 < 0.55
+
+
+def test_temperature_mix_flattens_strata(spark):
+    """tau->0 equalizes keep-rates toward the smallest stratum; tau=1
+    keeps natural proportions; row fate is growth-stable."""
+    from clx_etl_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big" if i < 9000 else "small") for i in range(10000)]
+    df = spark.createDataFrame(rows, "k long, src string")
+
+    natural = temperature_mix(df, "k", "src", tau=1.0)
+    by = {r[0]: r[1] for r in natural.groupBy("src").count().collect()}
+    assert by["big"] == 9000 and by["small"] == 1000  # tau=1 keeps all
+
+    flat = temperature_mix(df, "k", "src", tau=0.3)
+    byf = {r[0]: r[1] for r in flat.groupBy("src").count().collect()}
+    assert byf["small"] == 1000  # smallest stratum anchored at full rate
+    # big stratum downsampled toward (9000/1000)^(0.3-1) ~ 0.215
+    assert 0.15 * 9000 < byf["big"] < 0.28 * 9000
+    # growth stability: the kept set is unchanged when new rows arrive
+    # with the same per-stratum rates (hash-gate property)
+    kept_small = {r.k for r in flat.filter("src='small'").collect()}
+    bigger = spark.createDataFrame(
+        rows + [(10000 + i, "small") for i in range(50)], "k long, src string"
+    )
+    flat2 = temperature_mix(bigger, "k", "src", tau=0.3)
+    kept_small2 = {r.k for r in flat2.filter("src='small' and k < 10000").collect()}
+    assert kept_small == kept_small2

@@ -407,3 +407,41 @@ def test_stream_rest_tail_survives_transient_transport_failures(spark, tmp_path)
         r.ts for r in spark.read.schema(_TAIL_SCHEMA).parquet(out).collect()
     )
     assert got == [FX.BASE_TS + i * FX.MIN for i in range(6)]
+
+
+def test_stream_trending_terms_per_window(spark, tmp_path):
+    """Streaming corpus analytics: doc stream -> explode tokens ->
+    watermarked tumbling-window counts; 'trending' = per-window top term.
+    Late tokens within the watermark still land in their window."""
+    src = str(tmp_path / "docs")
+    doc_schema = "doc_id long, ts_ms long, text string"
+    rows1 = [(1, FX.BASE_TS + 10_000, "spark spark window"),
+             (2, FX.BASE_TS + 20_000, "spark hash"),
+             (3, FX.BASE_TS + 70_000, "hash hash hash window")]
+    spark.createDataFrame(rows1, doc_schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(doc_schema).parquet(src)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("ts"), F.explode(F.split("text", r"\s+")).alias("term"))
+        .groupBy(F.window("ts", "1 minute"), F.col("term"))
+        .count()
+    )
+    out = str(tmp_path / "counts")
+    q = (
+        stream.writeStream.outputMode("complete").format("memory")
+        .queryName("trending").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["window"].start.minute, r["term"]): r["count"]
+        for r in spark.sql("select * from trending").collect()
+    }
+    assert got[(0, "spark")] == 3 and got[(0, "window")] == 1
+    assert got[(1, "hash")] == 3 and got[(1, "window")] == 1
+    top = {}
+    for (minute, term), n in got.items():
+        if minute not in top or (n, term) > (top[minute][1], top[minute][0]):
+            top[minute] = (term, n)
+    assert top[0][0] == "spark" and top[1][0] == "hash"
