@@ -211,6 +211,59 @@ def tail_klines(
     )
 
 
+def tail_klines_normalized(
+    spark: SparkSession,
+    stored_path: str,
+    adapter_key: str,
+    symbols: list[str],
+    transport: str,
+    checkpoint: str,
+    start_ms: int | None = None,
+    interval_ms: int = 60_000,
+    max_bars_per_batch: int = 5000,
+    now_ms: int | None = None,
+):
+    """The full reference hot path, live: stream raw REST *pages*
+    (one row per page: symbol, ts=max bar, payload JSON), then normalize
+    through the per-exchange adapter registry inside each micro-batch via
+    the distributed page-replay route (from_json + explode + casts — no
+    Python in the batch plan) and land through the idempotent MERGE.
+
+    A reference user's deployment becomes:
+    ``tail_klines_normalized(spark, path, "binance_spot", syms, ...)``.
+    """
+    from ..sources.adapters import klines_pages_to_unified
+    from ..sources.datasource import stream_rest
+    from ..streaming.jobs import foreach_batch_upsert
+
+    if start_ms is None:
+        wm = spark.read.parquet(stored_path).agg(F.max("ts")).first()[0]
+        if wm is None:
+            raise ValueError("empty stored table: pass an explicit start_ms")
+        start_ms = int(wm) + interval_ms
+
+    stream = stream_rest(
+        spark,
+        keys=[{"symbol": s, "adapter": adapter_key} for s in symbols],
+        transport=transport,
+        out_schema="symbol string, ts long, payload string",
+        interval_ms=interval_ms,
+        start_ms=start_ms,
+        max_bars_per_batch=max_bars_per_batch,
+        now_ms=now_ms,
+    )
+    return foreach_batch_upsert(
+        stream,
+        stored_path,
+        keys=["exchange_id", "inst_type", "symbol", "ts"],
+        checkpoint=checkpoint,
+        transform=lambda pages: klines_pages_to_unified(
+            pages.select("symbol", "payload"), adapter_key
+        ),
+        trigger_available_now=False,
+    )
+
+
 def sync_sentiment(
     spark: SparkSession,
     pos: DataFrame,

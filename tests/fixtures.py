@@ -180,3 +180,22 @@ def flaky_transport(key: dict, start_ms: int, end_ms: int) -> list[dict]:
         open(marker, "w").close()
         raise ConnectionError("synthetic first-attempt failure")
     return rest_transport(key, start_ms, end_ms)
+
+
+def page_transport(key: dict, start_ms: int, end_ms: int) -> list[dict]:
+    """Fake exchange returning RAW binance-positional page payloads: one
+    row per page with ts = max bar (so the stream cursor advances by
+    page), payload = the JSON the real REST endpoint would return."""
+    import json
+
+    bars = []
+    ts = start_ms
+    while ts <= end_ms:
+        px = str(100 + (ts // MIN) % 50)
+        bars.append([ts, px, px, px, px, "10", ts + MIN - 1,
+                     "1000", 5, "5", "500", "0"])
+        ts += MIN
+    if not bars:
+        return []
+    return [{"symbol": key["symbol"], "ts": bars[-1][0],
+             "payload": json.dumps(bars)}]

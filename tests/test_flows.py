@@ -337,3 +337,43 @@ def test_tail_klines_bootstraps_cursor_from_stored_watermark(spark, tmp_path):
         q.stop()
     got = sorted(r.ts for r in spark.read.parquet(stored).collect())
     assert got == [FX.BASE_TS + i * FX.MIN for i in range(6)]
+
+
+def test_tail_klines_normalized_full_hot_path(spark, tmp_path):
+    """Live pages -> adapter-registry normalization (from_json replay, no
+    Python in the batch plan) -> idempotent MERGE: the stored table holds
+    the unified decimal schema, exactly one row per closed bar."""
+    from clx_etl_spark.plans.flows import tail_klines_normalized
+
+    stored = str(tmp_path / "klines")
+    spark.createDataFrame(
+        [],
+        "exchange_id int, inst_type int, symbol string, ts long, "
+        "open decimal(38,18), high decimal(38,18), low decimal(38,18), "
+        "close decimal(38,18), volume decimal(38,18), quote_volume decimal(38,18), "
+        "count long",
+    ).write.parquet(stored)
+
+    def run(now_bars):
+        q = tail_klines_normalized(
+            spark, stored, "binance_spot", ["BTCUSDT", "ETHUSDT"],
+            "tests.fixtures:page_transport", str(tmp_path / "ckpt"),
+            start_ms=FX.BASE_TS, max_bars_per_batch=3,
+            now_ms=FX.BASE_TS + now_bars * FX.MIN,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(5)
+    run(7)  # advance + replay overlap -> converges
+    rows = spark.read.parquet(stored).collect()
+    assert len(rows) == 14  # 7 bars x 2 symbols, exactly once
+    from clx_etl_spark.sources.adapters import REGISTRY
+
+    a = REGISTRY["binance_spot"]
+    one = [r for r in rows if r.symbol == "BTCUSDT" and r.ts == FX.BASE_TS][0]
+    assert one.exchange_id == a.exchange_id and one.inst_type == a.inst_type
+    assert float(one.open) == float(100 + (FX.BASE_TS // FX.MIN) % 50)
+    assert float(one.volume) == 10.0 and one["count"] == 5
