@@ -76,3 +76,67 @@ def compact_partitions(
     os.rename(tmp, path)
     spark.catalog.refreshByPath(path)
     return partition_file_stats(spark, path)
+
+
+def zorder_key(cols, bits: int = 16, bounds: dict | None = None):
+    """Morton (Z-order) interleave of 2+ numeric columns, as a pure
+    column expression builder: each column is min-max scaled to a
+    ``bits``-bit integer using the provided global bounds, then the bits
+    are interleaved. Sorting files by this key gives every file a tight
+    bounding box in ALL dimensions at once, so parquet min/max footer
+    stats prune multi-dimensional predicates — a single-column sort only
+    prunes its own column and leaves the others at full range.
+
+    ``bounds``: {col: (min, max)} computed by the caller (one aggregate).
+    Integer-only arithmetic after scaling; bits*len(cols) must be <= 63.
+    """
+    from pyspark.sql import functions as F
+
+    if bits * len(cols) > 63:
+        raise ValueError("interleaved key exceeds 63 bits")
+    scaled = []
+    for c in cols:
+        lo, hi = bounds[c]
+        span = float(hi) - float(lo) or 1.0
+        frac = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span)
+        q = F.least(
+            F.greatest((frac * F.lit(float(2**bits))).cast("long"), F.lit(0)),
+            F.lit(2**bits - 1),
+        )
+        scaled.append(q)
+    key = F.lit(0).cast("long")
+    ndim = len(cols)
+    for b in range(bits):
+        for d, q in enumerate(scaled):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * ndim + d).cast("long"))
+    return key
+
+
+def zorder_layout(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Rewrite ``df`` Z-ordered on ``cols``: one aggregate for global
+    bounds (a single collected row), range-partition by the morton key
+    into ``n_files`` writers, sort within files. At cluster scale the
+    same plan shape holds — bounds are one scalar row regardless of data
+    size, and the range partitioner samples the key distribution."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+    row = df.agg(*aggs).first()
+    bounds = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in cols}
+    keyed = df.withColumn("_z", zorder_key(cols, bits=bits, bounds=bounds))
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -216,3 +216,35 @@ def test_compact_partitions_merges_small_files(spark, tmp_path):
     # second compaction is a no-op shapewise (idempotent maintenance)
     again = compact_partitions(spark, path, ["dt_date"])
     assert again == after
+
+
+def test_zorder_layout_tightens_all_dimensions(spark, tmp_path):
+    """Z-order vs single-column sort: per-file bounding boxes must be
+    tight in BOTH dimensions (that's what multi-dim skipping needs);
+    a lexicographic sort leaves the second column at ~full range."""
+    import pyspark.sql.functions as F
+
+    from clx_etl_spark.sinks.layout import zorder_layout
+
+    n = 20_000
+    df = spark.range(n).selectExpr(
+        "CAST(id % 141 AS LONG) AS x", "CAST((id * 7919) % 149 AS LONG) AS y"
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    zorder_layout(df, zpath, ["x", "y"], n_files=16)
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x", "y")
+       .write.parquet(spath))
+
+    def mean_file_span(path, col):
+        back = spark.read.parquet(path).withColumn("_f", F.input_file_name())
+        spans = back.groupBy("_f").agg(
+            (F.max(col) - F.min(col)).alias("span")
+        ).collect()
+        return sum(r.span for r in spans) / len(spans)
+
+    # both layouts are tight on x...
+    assert mean_file_span(zpath, "x") < 141 * 0.45
+    assert mean_file_span(spath, "x") < 141 * 0.45
+    # ...but only z-order is also tight on y
+    assert mean_file_span(zpath, "y") < 149 * 0.55
+    assert mean_file_span(spath, "y") > 149 * 0.9
