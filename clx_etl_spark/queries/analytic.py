@@ -171,6 +171,88 @@ def quality_percentile_gate(spark, sf):
 
 
 @register(
+    "unpivot_melt",
+    oracle="""
+    SELECT p_partkey, metric, val FROM (
+      SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+             CAST(p_size AS DOUBLE) AS p_size
+      FROM part) UNPIVOT (val FOR metric IN (p_retailprice, p_size))
+    """,
+    doc="UNPIVOT/melt: wide metrics to long (metric, value) rows — the "
+    "inverse of pivot_event_values; narrow transform, no shuffle",
+)
+def unpivot_melt(spark, sf):
+    part = _t(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    ).unpivot(["p_partkey"], ["p_retailprice", "p_size"], "metric", "val")
+
+
+@register(
+    "mode_per_group",
+    oracle="""
+    SELECT p_brand, p_type AS mode_type, n FROM (
+      SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY COUNT(*) DESC, p_type) AS rn
+      FROM part GROUP BY p_brand, p_type) WHERE rn = 1
+    """,
+    doc="Per-group mode (most frequent type per brand, ties to smallest "
+    "type): keyed count with map-side combine, then a tiny per-group "
+    "window over the already-aggregated rows",
+)
+def mode_per_group(spark, sf):
+    part = _t(spark, sf, "part")
+    counts = part.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("n"), "p_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", F.col("p_type").alias("mode_type"), "n")
+    )
+
+
+@register(
+    "fuzzy_name_match",
+    oracle="""
+    WITH blocked AS (
+      SELECT c_name, substr(c_name, 1, length(c_name) - 2) AS blk
+      FROM customer)
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS lev
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.c_name < b.c_name
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="Entity-resolution fuzzy match with BLOCKING (the scale "
+    "requirement: candidate pairs come from an equi-join on a block key, "
+    "never an n^2 cross join); edit-distance verify on the blocked pairs "
+    "only. Same shape as LSH-candidates -> exact-verify in dedup",
+)
+def fuzzy_name_match(spark, sf):
+    cust = _t(spark, sf, "customer")
+    blocked = cust.select(
+        "c_name",
+        F.expr("substr(c_name, 1, length(c_name) - 2)").alias("blk"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.c_name") < F.col("b.c_name")))
+        .select(
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            F.levenshtein("a.c_name", "b.c_name").cast("int").alias("lev"),
+        )
+        .filter(F.col("lev") <= 1)
+    )
+
+
+@register(
     "q2_min_cost_supplier",
     oracle="""
     WITH pc AS (SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
