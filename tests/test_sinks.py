@@ -248,3 +248,15 @@ def test_zorder_layout_tightens_all_dimensions(spark, tmp_path):
     # ...but only z-order is also tight on y
     assert mean_file_span(zpath, "y") < 149 * 0.55
     assert mean_file_span(spath, "y") > 149 * 0.9
+
+
+def test_zorder_key_is_bijective_on_the_grid(spark):
+    """Bit interleaving must be collision-free over the quantized grid
+    (a collision would merge unrelated regions into one file range)."""
+    from clx_etl_spark.sinks.layout import zorder_key
+
+    df = spark.range(32 * 32).selectExpr("id % 32 AS x", "id div 32 AS y")
+    key = zorder_key(["x", "y"], bits=5, bounds={"x": (0, 32), "y": (0, 32)})
+    out = df.select(key.alias("z"))
+    assert out.distinct().count() == 1024
+    assert out.agg({"z": "max"}).first()[0] <= 1023
