@@ -44,3 +44,51 @@ def resample_ohlcv(
     if volume_col:
         aggs.append(F.sum(F.col(volume_col)).alias("volume"))
     return df.groupBy(*keys, bucket).agg(*aggs)
+
+
+def incremental_rollup(
+    spark,
+    new_rows: DataFrame,
+    stored_fine_path: str,
+    stored_coarse_path: str,
+    keys: list[str],
+    interval_ms: int,
+    ts_col: str = "ts_ms",
+    price_col: str = "price",
+    volume_col: str | None = None,
+    order_col: str | None = None,
+) -> int:
+    """Continuous-aggregate maintenance (the hypertable pattern): after
+    ``new_rows`` land in the fine table, recompute ONLY the coarse
+    buckets those rows touch and overwrite exactly those partitions of
+    the coarse table.
+
+    This is the shape that survives 100 TB: the naive alternative
+    (re-aggregate the whole fine table) rewrites everything on every
+    micro-batch, while this plan reads just the touched buckets' fine
+    slice (partition-pruned semi-join on the bucket key), re-aggregates
+    it, and overwrites only those ``bucket_ms`` partitions — the same
+    scoped-overwrite discipline as plans/flows.integrity_repair. Late or
+    amended fine rows are handled for free: their bucket is in the
+    touched set, so the whole bucket is rebuilt from stored truth.
+    Returns the number of touched buckets.
+    """
+    from ..sinks.upsert import overwrite_partitions
+
+    bucket_of = lambda c: (F.col(c) - (F.col(c) % F.lit(interval_ms)))
+    touched = (
+        new_rows.select(bucket_of(ts_col).alias("bucket_ms"), *[F.col(k) for k in keys])
+        .distinct()
+    )
+    fine = spark.read.parquet(stored_fine_path)
+    scoped = fine.withColumn("bucket_ms", bucket_of(ts_col)).join(
+        F.broadcast(touched), ["bucket_ms", *keys], "left_semi"
+    )
+    rolled = resample_ohlcv(
+        scoped, keys, interval_ms, ts_col=ts_col,
+        price_col=price_col, volume_col=volume_col, order_col=order_col,
+    )
+    n = touched.count()
+    if n:
+        overwrite_partitions(rolled, stored_coarse_path, ["bucket_ms"])
+    return n

@@ -642,3 +642,60 @@ def test_temperature_mix_flattens_strata(spark):
     flat2 = temperature_mix(bigger, "k", "src", tau=0.3)
     kept_small2 = {r.k for r in flat2.filter("src='small' and k < 10000").collect()}
     assert kept_small == kept_small2
+
+
+def test_incremental_rollup_touches_only_affected_buckets(spark, tmp_path):
+    """New fine rows for hour 1 rebuild ONLY hour 1's coarse partition:
+    hour 0's parquet files are untouched on disk, and a late amend to an
+    already-rolled bucket rebuilds that bucket from stored truth."""
+    import glob
+    import os
+
+    from clx_etl_spark.operators.resample import incremental_rollup, resample_ohlcv
+
+    HOUR = 3_600_000
+    BASE = 1_704_067_200_000
+    fine_path = str(tmp_path / "fine")
+    coarse_path = str(tmp_path / "coarse")
+    fine_schema = "symbol string, ts_ms long, price double, uid long"
+
+    def fine_rows(hour, n, px0):
+        return [("BTC", BASE + hour * HOUR + i * 60_000, px0 + i, hour * 100 + i)
+                for i in range(n)]
+
+    spark.createDataFrame(fine_rows(0, 5, 10.0), fine_schema).write.parquet(fine_path)
+    full = resample_ohlcv(
+        spark.read.parquet(fine_path), ["symbol"], HOUR,
+        price_col="price", order_col="uid",
+    )
+    from clx_etl_spark.sinks.upsert import overwrite_partitions
+
+    overwrite_partitions(full, coarse_path, ["bucket_ms"])
+    h0_files = sorted(glob.glob(f"{coarse_path}/bucket_ms={BASE}/*.parquet"))
+    h0_mtimes = [os.path.getmtime(f) for f in h0_files]
+
+    # hour-1 rows arrive
+    new1 = spark.createDataFrame(fine_rows(1, 4, 20.0), fine_schema)
+    new1.write.mode("append").parquet(fine_path)
+    n = incremental_rollup(
+        spark, new1, fine_path, coarse_path, ["symbol"], HOUR,
+        price_col="price",
+    )
+    assert n == 1
+    coarse = {r.bucket_ms: r for r in spark.read.parquet(coarse_path).collect()}
+    assert coarse[BASE].open == 10.0 and coarse[BASE].close == 14.0
+    assert coarse[BASE + HOUR].open == 20.0 and coarse[BASE + HOUR].close == 23.0
+    # hour 0 files untouched byte-for-byte
+    assert [os.path.getmtime(f) for f in h0_files] == h0_mtimes
+
+    # late amend inside hour 0: bucket rebuilt from stored truth
+    amend = spark.createDataFrame(
+        [("BTC", BASE + 30 * 60_000, 99.0, 999)], fine_schema
+    )
+    amend.write.mode("append").parquet(fine_path)
+    incremental_rollup(
+        spark, amend, fine_path, coarse_path, ["symbol"], HOUR, price_col="price"
+    )
+    coarse = {r.bucket_ms: r for r in spark.read.parquet(coarse_path).collect()}
+    assert coarse[BASE].high == 99.0 and coarse[BASE].close == 99.0  # uid 999 latest
+    assert coarse[BASE].n_ticks == 6
