@@ -253,6 +253,50 @@ def fuzzy_name_match(spark, sf):
 
 
 @register(
+    "scd2_value_runs",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_id, event_type, {EV_MS} AS ts_ms FROM events),
+    flagged AS (SELECT *,
+                       CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+    runs AS (SELECT *,
+                    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+             FROM flagged)
+    SELECT user_id, run_id, event_type,
+           MIN(ts_ms) AS valid_from, MAX(ts_ms) AS valid_to,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM runs GROUP BY user_id, run_id, event_type
+    """,
+    doc="SCD2 interval build / value-run compression: consecutive equal "
+    "values collapse into validity intervals via LAG change detection + "
+    "cumulative run id — the dimension-history builder, same "
+    "gaps-and-islands machinery as sessionize but value-driven",
+)
+def scd2_value_runs(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    runs = ev.select(
+        "user_id", "event_id", "event_type", "ts_ms", chg.alias("chg")
+    ).withColumn(
+        "run_id",
+        F.sum("chg").over(
+            Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts_ms").alias("valid_from"),
+        F.max("ts_ms").alias("valid_to"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+@register(
     "q2_min_cost_supplier",
     oracle="""
     WITH pc AS (SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
