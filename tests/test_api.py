@@ -65,3 +65,36 @@ def test_schedule_flows_resolve():
         assert callable(getattr(flows, fn)), job.name
     # distinct pipelines map to distinct flows (klines share one by design)
     assert len({j.flow for j in SCHEDULE}) >= 9
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE name must exist in the registry — a query
+    rename must not silently break the driver's per-round bench run."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import HEADLINE
+
+    from clx_etl_spark.queries import load_all
+
+    reg = set(load_all())
+    missing = [n for n in HEADLINE if n not in reg]
+    assert not missing, missing
+    assert len(set(HEADLINE)) == len(HEADLINE)  # no duplicates
+
+
+def test_driver_contract_shape():
+    """__spark_entry__ exposes the exact driver contract: queries() keys
+    superset oracle_sql() keys, all callables, all SQL strings."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __spark_entry__ as entry
+
+    qs, osql = entry.queries(), entry.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in osql.values())
+    assert len(qs) >= 100
