@@ -16,7 +16,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 
 def streaming_gap_monitor(
@@ -59,6 +59,67 @@ def streaming_gap_monitor(
 
     return events.groupBy(*keys).applyInPandasWithState(
         monitor,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_ema(
+    ticks: DataFrame,
+    keys: list[str],
+    value_col: str = "price",
+    ts_col: str = "ts_ms",
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Online exponentially-weighted moving average per key, carried
+    across micro-batches and restarts: state is (last_ts, last_ema) —
+    O(1) per key, so millions of symbols cost MBs of state store. The
+    batch equivalent re-reads the whole history every cycle to rebuild
+    the recursion; online EMA is the canonical case where streaming
+    state beats re-scan, because the recurrence ema_t = a*x_t +
+    (1-a)*ema_{t-1} needs only the previous value.
+
+    Rows unordered within a micro-batch are sorted here; rows older than
+    the state's last_ts are ignored (forward-only, like the gap
+    monitor). Emits (keys..., ts, value, ema) per accepted row.
+    """
+    key_fields = [ticks.schema[k] for k in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("ts", LongType()),
+            StructField("value", DoubleType()),
+            StructField("ema", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("last_ts", LongType()), StructField("last_ema", DoubleType())]
+    )
+
+    def step(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_ts, last_ema = state.get if state.exists else (None, None)
+        rows: list[tuple] = []
+        pending = []
+        for pdf in pdfs:
+            pending.extend(
+                (int(t), float(v)) for t, v in zip(pdf[ts_col], pdf[value_col])
+            )
+        for t, v in sorted(pending):
+            if last_ts is not None and t <= last_ts:
+                continue  # forward-only
+            last_ema = v if last_ema is None else alpha * v + (1.0 - alpha) * last_ema
+            last_ts = t
+            rows.append((*key, t, v, last_ema))
+        if last_ts is not None:
+            state.update((last_ts, last_ema))
+        yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return ticks.groupBy(*keys).applyInPandasWithState(
+        step,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",

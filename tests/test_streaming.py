@@ -492,3 +492,44 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.clk_id, r.imp_id) for r in spark.sql("select * from attrib").collect()}
     assert got == {(100, 1), (300, 3)}
+
+
+def test_streaming_ema_matches_batch_recursion_across_restarts(spark, tmp_path):
+    """Online EMA: state carries across micro-batches AND a query
+    restart; the streamed result equals the single-pass batch recursion
+    over the full history."""
+    from clx_etl_spark.streaming.stateful import streaming_ema
+
+    src = str(tmp_path / "ticks")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "symbol string, ts_ms long, price double"
+    ticks1 = [("BTC", FX.BASE_TS + i * 1000, 100.0 + i) for i in range(5)]
+    ticks2 = [("BTC", FX.BASE_TS + i * 1000, 100.0 + i) for i in range(5, 9)]
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_ema(stream, ["symbol"], value_col="price", alpha=0.5)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(ticks1, schema).coalesce(1).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(ticks2, schema).coalesce(1).write.mode("append").parquet(src)
+    run()  # fresh query, same checkpoint -> state restored
+
+    got = {
+        r.ts: r.ema
+        for r in spark.read.schema(
+            "symbol string, ts long, value double, ema double"
+        ).parquet(out).collect()
+    }
+    ema, expect = None, {}
+    for ts, v in [(t, p) for _, t, p in ticks1 + ticks2]:
+        ema = v if ema is None else 0.5 * v + 0.5 * ema
+        expect[ts] = ema
+    assert got == expect  # exact: same float recursion order
