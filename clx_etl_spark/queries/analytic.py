@@ -297,6 +297,45 @@ def scd2_value_runs(spark, sf):
 
 
 @register(
+    "ema_per_user",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_id, value, {EV_MS} AS ts_ms FROM events),
+    ordered AS (SELECT user_id,
+                       list(value ORDER BY ts_ms, event_id) AS vs
+                FROM ev GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_ticks,
+           list_reduce(vs, (acc, x) -> 0.2 * x + 0.8 * acc) AS ema
+    FROM ordered
+    """,
+    doc="Batch twin of streaming_ema: per-user EWMA as an ordered fold "
+    "(collect_list sorted by (ts, id), then F.aggregate) — both engines "
+    "fold left in identical order, so the float recursion is "
+    "bit-identical. The streaming operator carries the same recursion "
+    "across micro-batches with O(1) state",
+)
+def ema_per_user(spark, sf):
+    ev = _t(spark, sf, "events")
+    vs = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts_ms", "event_id", "value"))
+        ),
+        lambda s: s.value,
+    )
+    grouped = ev.groupBy("user_id").agg(vs.alias("vs"))
+    ema = F.aggregate(
+        F.slice(F.col("vs"), 2, F.size(F.col("vs")) - 1),
+        F.element_at(F.col("vs"), 1),
+        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+    )
+    return grouped.select(
+        "user_id",
+        F.size("vs").cast("long").alias("n_ticks"),
+        ema.alias("ema"),
+    )
+
+
+@register(
     "q2_min_cost_supplier",
     oracle="""
     WITH pc AS (SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
