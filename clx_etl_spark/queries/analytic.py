@@ -336,6 +336,30 @@ def ema_per_user(spark, sf):
 
 
 @register(
+    "tz_local_daily",
+    oracle=f"""
+    SELECT CAST(timezone('Asia/Tokyo', to_timestamp({EV_MS} / 1000)) AS DATE) AS local_date,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY local_date
+    """,
+    doc="Daily rollup in exchange-LOCAL time (Asia/Tokyo): the day-bucket "
+    "semantics venue reports use — the reference mixed local/UTC "
+    "(_base_.py:310); here the tz conversion is explicit per query and "
+    "storage stays UTC. Decimal-exact sums",
+)
+def tz_local_daily(spark, sf):
+    ev = _t(spark, sf, "events")
+    local_date = F.to_date(
+        F.from_utc_timestamp(F.timestamp_millis(F.col("ts_ms")), "Asia/Tokyo")
+    )
+    return ev.groupBy(local_date.alias("local_date")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
+    )
+
+
+@register(
     "q2_min_cost_supplier",
     oracle="""
     WITH pc AS (SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
