@@ -688,6 +688,22 @@ def _page_json_schema(k: KlineScan) -> str:
     return rows
 
 
+def split_corrupt_pages(
+    pages: DataFrame, key: str, symbol_col: str = "symbol", payload_col: str = "payload"
+) -> tuple[DataFrame, DataFrame]:
+    """(parseable, dead_letter) split for the page-replay path. from_json
+    is PERMISSIVE — a corrupt payload parses to NULL and would otherwise
+    vanish silently in the explode; a 100 TB backfill must instead route
+    those pages to a dead-letter table for re-fetch/audit. Both outputs
+    share one scan (Catalyst caches nothing here — two filters over the
+    same source — but the driver sees the counts, not the rows)."""
+    k = REGISTRY[key].klines
+    if k is None:
+        raise ValueError(f"{key} has no kline feed")
+    ok = F.from_json(F.col(payload_col), _page_json_schema(k)).isNotNull()
+    return pages.filter(ok), pages.filter(~ok)
+
+
 def klines_pages_to_unified(
     pages: DataFrame, key: str, symbol_col: str = "symbol", payload_col: str = "payload"
 ) -> DataFrame:

@@ -359,3 +359,27 @@ def test_golden_kline_field_orders(spark):
     ).orderBy("ts").collect()
     assert [x.ts for x in rows] == [TS, TS + 60_000]
     assert float(rows[0].open) == 109573.9
+
+
+def test_split_corrupt_pages_dead_letters(spark):
+    """Corrupt payloads route to the dead-letter side instead of
+    vanishing in the PERMISSIVE from_json -> explode pipeline."""
+    import json
+
+    from clx_etl_spark.sources.adapters import (
+        klines_pages_to_unified,
+        split_corrupt_pages,
+    )
+
+    TS0 = 1_704_067_200_000
+    good = json.dumps([[TS0, "1", "2", "0.5", "1.5", "10", TS0 + 59_999,
+                        "15", 7, "5", "7.5", "0"]])
+    pages = spark.createDataFrame(
+        [("BTCUSDT", good), ("ETHUSDT", "{not json"), ("XRPUSDT", None)],
+        "symbol string, payload string",
+    )
+    ok, dead = split_corrupt_pages(pages, "binance_spot")
+    assert {r.symbol for r in ok.collect()} == {"BTCUSDT"}
+    assert {r.symbol for r in dead.collect()} == {"ETHUSDT", "XRPUSDT"}
+    # the parseable side normalizes cleanly
+    assert klines_pages_to_unified(ok, "binance_spot").count() == 1
