@@ -176,3 +176,53 @@ def media_embedding(assets: DataFrame, dim: int = EMB_DIM) -> DataFrame:
             )
 
     return assets.mapInPandas(embed, schema="asset_id long, embedding array<double>")
+
+
+AUDIO_WINDOW_MS = 1_000
+AUDIO_RMS_MOD = 10_000
+AUDIO_WINDOWS_SCHEMA = (
+    "asset_id long, window_idx int, window_start_ms long, rms double, n_windows int"
+)
+
+
+def audio_window_features(
+    assets: DataFrame, window_ms: int = AUDIO_WINDOW_MS
+) -> DataFrame:
+    """Windowed audio features (the audio leg of the multimodal triple —
+    image_features / frame_sample / this): each asset expands to
+    ceil(duration/window) windows with a per-window RMS. A real build
+    decodes PCM (soundfile/pyav) and computes true RMS per window behind
+    the same dict interface; the stub derives both duration and RMS
+    deterministically from sha256 so the whole 1:N pandas path is
+    hash-checkable end-to-end. Arrow-batched mapInPandas, data-dependent
+    output cardinality (UDTF shape)."""
+
+    assets = _ensure_parallelism(assets)
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in
+                ("asset_id", "window_idx", "window_start_ms", "rms", "n_windows")
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                d = decode_stub(bytes(payload))
+                h, dur = _h60(d["sha256"]), d["duration_ms"]
+                n = (dur + window_ms - 1) // window_ms
+                for i in range(n):
+                    out["asset_id"].append(int(aid))
+                    out["window_idx"].append(i)
+                    out["window_start_ms"].append(i * window_ms)
+                    out["rms"].append(((h // (i + 1)) % AUDIO_RMS_MOD) / float(AUDIO_RMS_MOD))
+                    out["n_windows"].append(n)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(out["asset_id"], dtype="int64"),
+                    "window_idx": pd.array(out["window_idx"], dtype="int32"),
+                    "window_start_ms": pd.array(out["window_start_ms"], dtype="int64"),
+                    "rms": pd.array(out["rms"], dtype="float64"),
+                    "n_windows": pd.array(out["n_windows"], dtype="int32"),
+                }
+            )
+
+    return assets.mapInPandas(windows, schema=AUDIO_WINDOWS_SCHEMA)

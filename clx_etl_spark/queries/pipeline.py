@@ -112,6 +112,29 @@ def mm_frame_sample(spark, sf):
 
 
 @register(
+    "mm_audio_windows",
+    oracle=f"""
+    WITH {_MM_DECODE}
+    SELECT feat.asset_id,
+           CAST(i AS INTEGER) AS window_idx,
+           CAST(i * {MM.AUDIO_WINDOW_MS} AS BIGINT) AS window_start_ms,
+           ((f.h // (i + 1)) % {MM.AUDIO_RMS_MOD}) / {MM.AUDIO_RMS_MOD}.0 AS rms,
+           CAST((duration_ms + {MM.AUDIO_WINDOW_MS - 1}) // {MM.AUDIO_WINDOW_MS} AS INTEGER) AS n_windows
+    FROM feat JOIN f ON f.asset_id = feat.asset_id,
+         UNNEST(generate_series(0,
+           CAST((duration_ms + {MM.AUDIO_WINDOW_MS - 1}) // {MM.AUDIO_WINDOW_MS} AS INTEGER) - 1)) AS t(i)
+    """,
+    doc="Audio leg of the multimodal triple: per-asset windowed RMS via "
+    "Arrow-batched mapInPandas (1:N, data-dependent cardinality); decode "
+    "stub derives duration+RMS from sha256 so even the pandas path is "
+    "hash-checked",
+)
+def mm_audio_windows(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return MM.audio_window_features(MM.media_assets(docs, mime="audio/fake"))
+
+
+@register(
     "mm_media_metadata",
     oracle=None,  # binary payloads + pandas UDF: non-SQL-expressible (rows-only check)
     doc="Multimodal plumbing: documents -> opaque binary payload column -> "
