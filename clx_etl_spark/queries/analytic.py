@@ -360,6 +360,44 @@ def tz_local_daily(spark, sf):
 
 
 @register(
+    "ratio_to_report",
+    oracle="""
+    WITH n AS (SELECT n_name, n_regionkey,
+                      SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS bal_d
+               FROM customer JOIN nation ON c_nationkey = n_nationkey
+               GROUP BY n_name, n_regionkey)
+    SELECT n_name, CAST(bal_d AS DOUBLE) AS bal,
+           CAST(bal_d AS DOUBLE) / CAST(SUM(bal_d) OVER () AS DOUBLE) AS share_global,
+           CAST(bal_d AS DOUBLE) / CAST(SUM(bal_d) OVER (PARTITION BY n_regionkey) AS DOUBLE) AS share_region
+    FROM n
+    """,
+    doc="Ratio-to-report windows: each nation's balance share of the "
+    "global and regional totals — unpartitioned + partitioned window sums "
+    "over the ALREADY-aggregated rows (25 rows, not the fact table), so "
+    "the single-partition window is trivially cheap; sums stay DECIMAL "
+    "through the windows (order-independent exact) and only the final "
+    "division is double, so shares are engine-identical",
+)
+def ratio_to_report(spark, sf):
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    n = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "n_regionkey")
+        .agg(F.sum(F.col("c_acctbal").cast(DEC6)).alias("bal_d"))
+    )
+    bal = F.col("bal_d").cast("double")
+    tot_g = F.sum("bal_d").over(Window.partitionBy()).cast("double")
+    tot_r = F.sum("bal_d").over(Window.partitionBy("n_regionkey")).cast("double")
+    return n.select(
+        "n_name",
+        bal.alias("bal"),
+        (bal / tot_g).alias("share_global"),
+        (bal / tot_r).alias("share_region"),
+    )
+
+
+@register(
     "q2_min_cost_supplier",
     oracle="""
     WITH pc AS (SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
