@@ -398,6 +398,33 @@ def ratio_to_report(spark, sf):
 
 
 @register(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+    """,
+    doc="Dataset profiling (operators/profile.py): per-column null and "
+    "distinct counts in ONE scan — the pre-trust audit for a new feed "
+    "(null spikes = broken field map; distinct collapse = broken key). "
+    "approx=True swaps exact distincts for HLL at fact scale",
+)
+def profile_orders_columns(spark, sf):
+    from ..operators.profile import profile_columns
+
+    orders = _t(spark, sf, "orders")
+    return profile_columns(orders, ["o_orderkey", "o_custkey", "o_orderstatus"])
+
+
+@register(
     "q2_min_cost_supplier",
     oracle="""
     WITH pc AS (SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost

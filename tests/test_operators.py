@@ -699,3 +699,17 @@ def test_incremental_rollup_touches_only_affected_buckets(spark, tmp_path):
     coarse = {r.bucket_ms: r for r in spark.read.parquet(coarse_path).collect()}
     assert coarse[BASE].high == 99.0 and coarse[BASE].close == 99.0  # uid 999 latest
     assert coarse[BASE].n_ticks == 6
+
+
+def test_profile_columns_one_scan(spark):
+    from clx_etl_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "k long, v string"
+    )
+    out = {r.column: r for r in profile_columns(df).collect()}
+    assert out["k"].n_rows == 4 and out["k"].n_nulls == 1 and out["k"].n_distinct == 3
+    assert out["v"].n_nulls == 1 and out["v"].n_distinct == 2
+    # approx path runs and is sane
+    ap = {r.column: r for r in profile_columns(df, approx=True).collect()}
+    assert ap["v"].n_distinct >= 1
