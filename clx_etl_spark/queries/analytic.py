@@ -424,6 +424,70 @@ def profile_orders_columns(spark, sf):
     return profile_columns(orders, ["o_orderkey", "o_custkey", "o_orderstatus"])
 
 
+def _dedup_best_oracle() -> str:
+    from .corpus import DEDUP_CLUSTERS_ORACLE, TOKS
+
+    return f"""
+    WITH comp AS (SELECT * FROM ({DEDUP_CLUSTERS_ORACLE})),
+    q AS (SELECT doc_id,
+                 CAST(len(list_distinct({TOKS})) AS DOUBLE)
+                   / CAST(len({TOKS}) AS DOUBLE) AS uniq_ratio
+          FROM documents),
+    ranked AS (SELECT c.component, c.doc_id, q.uniq_ratio,
+                      ROW_NUMBER() OVER (PARTITION BY c.component
+                          ORDER BY q.uniq_ratio DESC, c.doc_id) AS rn,
+                      CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT) AS n_members
+               FROM comp c JOIN q ON q.doc_id = c.doc_id)
+    SELECT component, doc_id AS best_doc, uniq_ratio, n_members
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register(
+    "dedup_best_representative",
+    oracle=None,  # assigned below (needs corpus module fragments)
+    doc="Completes the dedup story: WHICH copy to keep. Per duplicate "
+    "cluster (connected components over MinHash-LSH pairs), select the "
+    "highest-quality member (max token-uniqueness, ties to smallest id) "
+    "instead of the arbitrary min-id canonical — a tiny ranked window "
+    "over the already-small cluster assignment, not the corpus",
+)
+def dedup_best_representative(spark, sf):
+    from ..functions import tokens as _tokens
+    from ..operators import dedup as D
+    from .corpus import BANDS, NUM_PERM
+
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, k=3, num_perm=NUM_PERM, bands=BANDS, threshold=0.5
+    )
+    comp = D.connected_components(pairs)
+    toks = _tokens("text")
+    q = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)).cast("double")
+         / F.size(toks).cast("double")).alias("uniq_ratio"),
+    )
+    j = comp.join(q, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("uniq_ratio"), "doc_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("component")).cast("long"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("best_doc"), "uniq_ratio", "n_members")
+    )
+
+
+# late-bind the oracle: it splices CTE fragments from queries.corpus,
+# which load_all always imports before this module
+from . import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY["dedup_best_representative"].oracle = _dedup_best_oracle()
+
+
 @register(
     "q2_min_cost_supplier",
     oracle="""
