@@ -171,3 +171,23 @@ def drop_partitions(path: str, partition_cols: list[str], values: list[tuple]) -
             shutil.rmtree(target)
             removed += 1
     return removed
+
+
+def expire_partitions(
+    path: str, partition_col: str, keep_latest: int
+) -> list[str]:
+    """Retention/TTL: keep only the ``keep_latest`` most recent values of
+    a date-like partition column, drop the rest (reference: the Doris
+    partition health check prunes stale partitions the same way). The
+    listing is one directory scan — bounded by partition count, never
+    data size; values sort lexicographically, which is correct for
+    ISO dates and zero-padded buckets. Returns dropped values."""
+    prefix = f"{partition_col}="
+    vals = sorted(
+        e[len(prefix):]
+        for e in os.listdir(path)
+        if e.startswith(prefix) and os.path.isdir(os.path.join(path, e))
+    )
+    stale = vals[:-keep_latest] if keep_latest > 0 else vals
+    drop_partitions(path, [partition_col], [(v,) for v in stale])
+    return stale

@@ -260,3 +260,21 @@ def test_zorder_key_is_bijective_on_the_grid(spark):
     out = df.select(key.alias("z"))
     assert out.distinct().count() == 1024
     assert out.agg({"z": "max"}).first()[0] <= 1023
+
+
+def test_expire_partitions_retention(spark, tmp_path):
+    from clx_etl_spark.sinks.upsert import expire_partitions
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-0{d}") for d in (1, 2, 3, 4) for i in range(3)],
+        "v long, dt_date string",
+    )
+    df.write.partitionBy("dt_date").parquet(path)
+    dropped = expire_partitions(path, "dt_date", keep_latest=2)
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    left = spark.read.parquet(path)
+    assert {str(r.dt_date) for r in left.select("dt_date").distinct().collect()} == {
+        "2024-01-03", "2024-01-04"
+    }
+    assert left.count() == 6
