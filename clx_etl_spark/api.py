@@ -82,3 +82,35 @@ class Engine:
 
         merge_upsert(self.spark, df, path, keys, update_cols=update_cols,
                      partition_cols=partition_cols or [])
+
+    # -- maintenance & audit ----------------------------------------------
+    def profile(self, name_or_df: str | DataFrame,
+                cols: list[str] | None = None, approx: bool = False) -> DataFrame:
+        """Per-column null/distinct audit (operators/profile.py) — run it
+        on every new feed before trusting the field maps."""
+        from .operators.profile import profile_columns
+
+        df = self.table(name_or_df) if isinstance(name_or_df, str) else name_or_df
+        return profile_columns(df, cols, approx=approx)
+
+    def compact(self, path: str, partition_cols: list[str],
+                sort_cols: list[str] | None = None) -> dict[str, int]:
+        """Small-file compaction (AQE REBALANCE) with optional sorted
+        layout for footer-stat pruning (sinks/layout.py)."""
+        from .sinks.layout import compact_partitions
+
+        return compact_partitions(self.spark, path, partition_cols,
+                                  sort_cols=sort_cols)
+
+    def zorder(self, df: DataFrame, path: str, cols: list[str],
+               n_files: int = 16) -> None:
+        """Z-order rewrite for multi-dimensional data skipping."""
+        from .sinks.layout import zorder_layout
+
+        zorder_layout(df, path, cols, n_files=n_files)
+
+    def expire(self, path: str, partition_col: str, keep_latest: int) -> list[str]:
+        """Retention: keep the latest N partitions, drop the rest."""
+        from .sinks.upsert import expire_partitions
+
+        return expire_partitions(path, partition_col, keep_latest)

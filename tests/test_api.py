@@ -98,3 +98,24 @@ def test_driver_contract_shape():
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and s.strip() for s in osql.values())
     assert len(qs) >= 100
+
+
+def test_engine_maintenance_surface(spark, tmp_path):
+    from clx_etl_spark.api import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    prof = {r.column: r for r in eng.profile("orders", ["o_orderkey"]).collect()}
+    assert prof["o_orderkey"].n_nulls == 0 and prof["o_orderkey"].n_distinct > 0
+
+    df = spark.range(100).selectExpr("id AS x", "id % 7 AS y")
+    eng.zorder(df, str(tmp_path / "z"), ["x", "y"], n_files=2)
+    assert spark.read.parquet(str(tmp_path / "z")).count() == 100
+
+    part = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03")],
+        "v long, dt_date string",
+    )
+    part.write.partitionBy("dt_date").parquet(str(tmp_path / "p"))
+    assert eng.expire(str(tmp_path / "p"), "dt_date", keep_latest=1) == [
+        "2024-01-01", "2024-01-02"
+    ]
