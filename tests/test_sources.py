@@ -191,3 +191,36 @@ def test_rest_datasource_partition_per_range(spark):
     assert sorted(r.ts for r in by_sym["BTCUSDT"]) == [
         FX.BASE_TS + i * FX.MIN for i in range(10)
     ]
+
+
+def test_read_csv_strict_routes_corrupt_rows(spark, tmp_path):
+    from clx_etl_spark.sources.files import read_csv_strict
+
+    p = tmp_path / "drop.csv"
+    p.write_text(
+        "symbol,ts,close\n"
+        "BTCUSDT,1704067200000,42000.1\n"
+        "ETHUSDT,not_a_number,2200.5\n"   # bad long -> reject
+        "SOLUSDT,1704067260000,95.3\n"
+    )
+    clean, rejects = read_csv_strict(
+        spark, str(p), "symbol string, ts long, close double"
+    )
+    assert {r.symbol for r in clean.collect()} == {"BTCUSDT", "SOLUSDT"}
+    rej = rejects.collect()
+    assert len(rej) == 1 and "not_a_number" in rej[0].raw
+
+
+def test_read_jsonl_strict_routes_corrupt_rows(spark, tmp_path):
+    from clx_etl_spark.sources.files import read_jsonl_strict
+
+    p = tmp_path / "export.jsonl"
+    p.write_text(
+        '{"symbol": "BTCUSDT", "ts": 1704067200000}\n'
+        "{broken json line\n"
+        '{"symbol": "ETHUSDT", "ts": 1704067260000}\n'
+    )
+    clean, rejects = read_jsonl_strict(spark, str(p), "symbol string, ts long")
+    assert {r.symbol for r in clean.collect()} == {"BTCUSDT", "ETHUSDT"}
+    rej = rejects.collect()
+    assert len(rej) == 1 and rej[0].raw.startswith("{broken")
