@@ -481,6 +481,47 @@ def dedup_best_representative(spark, sf):
     )
 
 
+@register(
+    "densify_hourly_grid",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, ({EV_MS} // 3600000) * 3600000 AS hour_ms FROM events),
+    bounds AS (SELECT MIN(hour_ms) AS lo, MAX(hour_ms) AS hi FROM ev),
+    spine AS (SELECT u.user_id, CAST(h AS BIGINT) AS hour_ms
+              FROM (SELECT DISTINCT user_id FROM ev) u,
+                   bounds, UNNEST(generate_series(bounds.lo, bounds.hi, 3600000)) AS t(h)),
+    counts AS (SELECT user_id, hour_ms, CAST(COUNT(*) AS BIGINT) AS n
+               FROM ev GROUP BY user_id, hour_ms)
+    SELECT s.user_id, s.hour_ms, COALESCE(c.n, 0) AS n_events
+    FROM spine s LEFT JOIN counts c
+      ON c.user_id = s.user_id AND c.hour_ms = s.hour_ms
+    """,
+    doc="Calendar densification: every (user, hour) cell of the activity "
+    "range INCLUDING zero hours — the dense-grid reporting shape. Spine = "
+    "distinct users x an hour sequence exploded from one scalar bounds "
+    "row (broadcast); zero-fill via left join. Spine size is users x "
+    "hours, never fact-table size",
+)
+def densify_hourly_grid(spark, sf):
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        ((F.col("ts_ms") / 3_600_000).cast("long") * 3_600_000).alias("hour_ms"),
+    )
+    bounds = ev.agg(
+        F.min("hour_ms").alias("lo"), F.max("hour_ms").alias("hi")
+    )
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.lit(3_600_000))).alias("hour_ms"),
+    )
+    counts = ev.groupBy("user_id", "hour_ms").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return spine.join(counts, ["user_id", "hour_ms"], "left").select(
+        "user_id", "hour_ms", F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_events")
+    )
+
+
 # late-bind the oracle: it splices CTE fragments from queries.corpus,
 # which load_all always imports before this module
 from . import REGISTRY as _REGISTRY  # noqa: E402

@@ -40,6 +40,7 @@ NLJ_ALLOWED = {
     "q11_important_parts",
     "q15_top_supplier",
     "bm25_doc_scores",  # broadcast of the 1-row (N, avgdl, df...) stats
+    "densify_hourly_grid",  # broadcast of the 1-row (lo, hi) hour bounds
 }
 
 
