@@ -522,6 +522,25 @@ def densify_hourly_grid(spark, sf):
     )
 
 
+@register(
+    "u4_intersect_repeat_buyers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    """,
+    doc="INTERSECT set op (completes U1-U4: union / except / unionByName "
+    "/ intersect): customers active in both years — plans as a left-semi "
+    "over distinct sides, one shuffle each",
+)
+def u4_intersect_repeat_buyers(spark, sf):
+    orders = _t(spark, sf, "orders")
+    year = F.year("o_orderdate")
+    a = orders.filter(year == 1994).select("o_custkey")
+    b = orders.filter(year == 1995).select("o_custkey")
+    return a.intersect(b)
+
+
 # late-bind the oracle: it splices CTE fragments from queries.corpus,
 # which load_all always imports before this module
 from . import REGISTRY as _REGISTRY  # noqa: E402
