@@ -541,6 +541,85 @@ def u4_intersect_repeat_buyers(spark, sf):
     return a.intersect(b)
 
 
+@register(
+    "session_revenue",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_id, value, {EV_MS} AS ts_ms FROM events),
+    flagged AS (SELECT *,
+                       CASE WHEN LAG(ts_ms) OVER w IS NULL THEN 1
+                            WHEN ts_ms - LAG(ts_ms) OVER w > 1800000 THEN 1
+                            ELSE 0 END AS new_s
+                FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+    sess AS (SELECT *,
+                    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+             FROM flagged)
+    SELECT user_id, session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS session_value,
+           MAX(ts_ms) - MIN(ts_ms) AS span_ms
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    doc="Sessionized metrics: per-event session assignment (gaps-and-"
+    "islands, 30 min timeout) then per-session event count, decimal-exact "
+    "value sum, and span — the product-analytics companion to "
+    "w3_islands_sessionize which only counts",
+)
+def session_revenue(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    new_s = F.when(
+        F.lag("ts_ms").over(w).isNull()
+        | (F.col("ts_ms") - F.lag("ts_ms").over(w) > 1_800_000),
+        1,
+    ).otherwise(0)
+    sess = ev.select("user_id", "event_id", "value", "ts_ms").withColumn(
+        "session_seq",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast(DEC6)).cast("double").alias("session_value"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("span_ms"),
+    )
+
+
+@register(
+    "dod_revenue_change",
+    oracle="""
+    WITH d AS (SELECT o_orderdate,
+                      SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_d
+               FROM orders GROUP BY o_orderdate)
+    SELECT o_orderdate, CAST(rev_d AS DOUBLE) AS revenue,
+           CAST(LAG(rev_d) OVER (ORDER BY o_orderdate) AS DOUBLE) AS prev_revenue,
+           CASE WHEN LAG(rev_d) OVER (ORDER BY o_orderdate) IS NOT NULL
+                THEN (CAST(rev_d AS DOUBLE)
+                      - CAST(LAG(rev_d) OVER (ORDER BY o_orderdate) AS DOUBLE))
+                     / CAST(LAG(rev_d) OVER (ORDER BY o_orderdate) AS DOUBLE)
+           END AS dod_change
+    FROM d
+    """,
+    doc="Day-over-day change: daily decimal-exact revenue, LAG window on "
+    "the tiny aggregated series (dates, not orders), doubles only in the "
+    "final ratio — the unpartitioned window runs over ~2500 rows",
+)
+def dod_revenue_change(spark, sf):
+    orders = _t(spark, sf, "orders")
+    d = orders.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast(DEC6)).alias("rev_d")
+    )
+    w = Window.orderBy("o_orderdate")
+    prev = F.lag("rev_d").over(w)
+    rev = F.col("rev_d").cast("double")
+    prevd = prev.cast("double")
+    return d.select(
+        "o_orderdate",
+        rev.alias("revenue"),
+        prevd.alias("prev_revenue"),
+        F.when(prev.isNotNull(), (rev - prevd) / prevd).alias("dod_change"),
+    )
+
+
 # late-bind the oracle: it splices CTE fragments from queries.corpus,
 # which load_all always imports before this module
 from . import REGISTRY as _REGISTRY  # noqa: E402
