@@ -713,3 +713,22 @@ def test_profile_columns_one_scan(spark):
     # approx path runs and is sane
     ap = {r.column: r for r in profile_columns(df, approx=True).collect()}
     assert ap["v"].n_distinct >= 1
+
+
+def test_session_queries_agree_on_boundaries(spark):
+    """session_revenue and w3_islands_sessionize derive sessions
+    independently (operator vs inline windows): their (user, seq) ->
+    n_events maps must be identical."""
+    from clx_etl_spark.queries import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    a = {
+        (r.user_id, r.session_seq): r.n_events
+        for r in reg["w3_islands_sessionize"].fn(spark, sf).collect()
+    }
+    b = {
+        (r.user_id, r.session_seq): r.n_events
+        for r in reg["session_revenue"].fn(spark, sf).collect()
+    }
+    assert a == b
