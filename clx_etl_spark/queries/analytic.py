@@ -620,6 +620,24 @@ def dod_revenue_change(spark, sf):
     )
 
 
+@register(
+    "u5_except_all_multiset",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="EXCEPT ALL (multiset semantics): each open-order occurrence of a "
+    "customer cancels against one finished-order occurrence — bag "
+    "difference, not set difference; completes U2's set variant",
+)
+def u5_except_all_multiset(spark, sf):
+    orders = _t(spark, sf, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b)
+
+
 # late-bind the oracle: it splices CTE fragments from queries.corpus,
 # which load_all always imports before this module
 from . import REGISTRY as _REGISTRY  # noqa: E402
