@@ -41,18 +41,40 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+# The driver's correctness harness checks a bounded prefix (~50) of the
+# registry. Queries that have not yet earned a green CORRECTNESS row are
+# rotated to the front each round so the driver sweep eventually covers the
+# whole registry; the repo's own oracle suite (tests/test_queries_oracle.py)
+# always sweeps everything at sf0.01 regardless. Round-3 front: the 16
+# round-2 additions that missed the r02 prefix, the re-checked
+# q12_late_lines_by_status (oracle HUGEINT cast fix), and any new
+# round-3 queries (appended as they are written).
+SWEEP_FRONT: list[str] = [
+    "w4_locf_fill",
+    "quality_percentile_gate",
+    "unpivot_melt",
+    "mode_per_group",
+    "fuzzy_name_match",
+    "scd2_value_runs",
+    "ema_per_user",
+    "tz_local_daily",
+    "ratio_to_report",
+    "profile_orders_columns",
+    "dedup_best_representative",
+    "densify_hourly_grid",
+    "u4_intersect_repeat_buyers",
+    "session_revenue",
+    "dod_revenue_change",
+    "u5_except_all_multiset",
+    "q12_late_lines_by_status",
+]
+
+
 def load_all() -> dict[str, Query]:
-    # Import order sets registry (and therefore driver-sweep) order. The
-    # driver's correctness harness checks a bounded prefix (~50) of the
-    # registry, so modules whose queries have not yet appeared in a
-    # CORRECTNESS round are registered first (corpus/parity/pipeline/
-    # tpch_extra had no row in round 1); core follows, with the re-checked
-    # w3_islands_sessionize and the new w4_rank_variants placed at its
-    # front (positions 43-44) so both land inside the prefix. The full
-    # registry is always swept by the repo's own oracle suite
-    # (tests/test_queries_oracle.py) at sf0.01 regardless.
     from . import corpus, parity, pipeline, tpch_extra  # noqa: F401  (registration side effects)
     from . import core  # noqa: F401
     from . import analytic  # noqa: F401
 
-    return REGISTRY
+    front = {n: REGISTRY[n] for n in SWEEP_FRONT if n in REGISTRY}
+    rest = {n: q for n, q in REGISTRY.items() if n not in front}
+    return {**front, **rest}

@@ -44,6 +44,44 @@ def normalize(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[tu
     return cols, out
 
 
+def _type_class(t: str) -> str:
+    """Coarse cross-engine type class for dtype-parity checking.
+
+    The driver hash-compares native serializations, so a DuckDB HUGEINT
+    (arrow decimal128(38,0)) against a Spark BIGINT fails its hash even
+    when every value is equal. Python-level fetchall() hides that (both
+    arrive as int), so we compare declared types coarsely instead.
+    """
+    t = t.lower()
+    if t.startswith(("int", "uint", "smallint", "tinyint", "bigint", "long", "short", "byte")):
+        return "int"
+    if t.startswith(("float", "double", "halffloat")):
+        return "float"
+    if t.startswith("decimal"):
+        return t.replace(" ", "")  # exact precision/scale must agree
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith("date"):
+        return "date"
+    if t.startswith("bool"):
+        return "bool"
+    if t.startswith(("string", "large_string", "varchar")):
+        return "string"
+    return t
+
+
+def type_parity(spark_df, arrow_schema) -> list[str]:
+    """Return per-column type-class mismatches between engines."""
+    sparkt = {f.name: _type_class(f.dataType.simpleString()) for f in spark_df.schema.fields}
+    issues = []
+    for f in arrow_schema:
+        st = sparkt.get(f.name)
+        ot = _type_class(str(f.type))
+        if st is not None and st != ot:
+            issues.append(f"{f.name}: spark={st} oracle={ot}")
+    return issues
+
+
 def compare(spark, sf_dir: str, name: str, query) -> dict:
     sdf = query.fn(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
@@ -53,6 +91,12 @@ def compare(spark, sf_dir: str, name: str, query) -> dict:
         result["status"] = "rows_only"
         return result
     con = duckdb_connection(sf_dir)
+    otbl = con.execute(query.oracle).arrow()
+    mismatches = type_parity(sdf, otbl.schema)
+    if mismatches:
+        result["status"] = "dtype_mismatch"
+        result["detail"] = "; ".join(mismatches)
+        return result
     ocur = con.execute(query.oracle)
     ocols = [d[0] for d in ocur.description]
     orows = ocur.fetchall()
