@@ -329,8 +329,12 @@ def pack_sequences(
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
     return (
         df.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
-        .withColumn("seq_id", (cum_before / F.lit(budget)).cast("long"))
-        .withColumn("seq_offset", cum_before % F.lit(budget))
+        .withColumn("_cum", cum_before)
+        # long `div` long — exact at any magnitude, unlike double '/' + cast
+        # which drifts once a shard's running token count passes 2^53
+        .withColumn("seq_id", F.expr(f"_cum div {int(budget)}"))
+        .withColumn("seq_offset", F.col("_cum") % F.lit(budget))
+        .drop("_cum")
     )
 
 

@@ -662,10 +662,18 @@ def symbols_to_unified(spark: SparkSession, key: str, payload) -> DataFrame:
     return out.withColumn("inst_type", F.lit(a.inst_type).cast("int"))
 
 
-def _page_json_schema(k: KlineScan) -> str:
-    """DDL schema for from_json over a raw kline page of this adapter.
+def _page_json_schema(k: KlineScan) -> tuple[str, str | None]:
+    """(outer, inner) DDL schemas for from_json over a raw kline page.
     Numeric JSON values coerce into string fields, so every leaf is
-    string-typed and the normalizers do the DECIMAL/long casts."""
+    string-typed and the normalizers do the DECIMAL/long casts.
+
+    A ``{symbol}`` path segment (kraken ``result.{symbol}``) is parsed as
+    ``map<string, string>`` — each value kept as raw JSON text — because
+    the real payload carries sibling keys of OTHER types at that level
+    (kraken's numeric ``result.last`` pagination cursor), and a typed map
+    value would make PERMISSIVE from_json null the whole page. The caller
+    re-parses the selected symbol's raw text with the ``inner`` schema
+    (None when the path has no ``{symbol}`` level)."""
     if k.family == "columnar":
         rows = (
             "struct<"
@@ -680,12 +688,15 @@ def _page_json_schema(k: KlineScan) -> str:
         )
     else:  # positional rows — also kraken's keyed-over-raw-arrays
         rows = "array<array<string>>"
-    for part in reversed((k.payload_path or "").split(".") if k.payload_path else []):
+    parts = (k.payload_path or "").split(".") if k.payload_path else []
+    inner: str | None = None
+    for part in reversed(parts):
         if part == "{symbol}":
-            rows = f"map<string, {rows}>"
+            inner = rows
+            rows = "map<string, string>"
         else:
             rows = f"struct<`{part}`: {rows}>"
-    return rows
+    return rows, inner
 
 
 def split_corrupt_pages(
@@ -700,7 +711,18 @@ def split_corrupt_pages(
     k = REGISTRY[key].klines
     if k is None:
         raise ValueError(f"{key} has no kline feed")
-    ok = F.from_json(F.col(payload_col), _page_json_schema(k)).isNotNull()
+    outer_schema, inner_schema = _page_json_schema(k)
+    node = F.from_json(F.col(payload_col), outer_schema)
+    ok = node.isNotNull()
+    if inner_schema is not None:
+        # Walk down to the {symbol} map level, then require the selected
+        # symbol's raw value to re-parse under the rows schema.
+        for part in (k.payload_path or "").split("."):
+            if part == "{symbol}":
+                node = F.element_at(node, F.col(symbol_col))
+                break
+            node = node.getField(part)
+        ok = ok & F.from_json(node, inner_schema).isNotNull()
     return pages.filter(ok), pages.filter(~ok)
 
 
@@ -719,13 +741,17 @@ def klines_pages_to_unified(
     if k is None:
         raise ValueError(f"{key} has no kline feed")
     sym = F.col("_sym")
+    outer_schema, inner_schema = _page_json_schema(k)
     parsed = pages.select(
         F.col(symbol_col).alias("_sym"),
-        F.from_json(F.col(payload_col), _page_json_schema(k)).alias("_p"),
+        F.from_json(F.col(payload_col), outer_schema).alias("_p"),
     )
     node = F.col("_p")
     for part in (k.payload_path or "").split(".") if k.payload_path else []:
-        node = F.element_at(node, sym) if part == "{symbol}" else node.getField(part)
+        if part == "{symbol}":
+            node = F.from_json(F.element_at(node, sym), inner_schema)
+        else:
+            node = node.getField(part)
     if k.family == "columnar":
         cols = parsed.select("_sym", *[node.getField(src).alias(src) for src in k.column_map.values()])
         return normalize_columnar(

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import importlib
 import json
+import os
 from collections.abc import Iterator
 
 import time
@@ -121,7 +122,10 @@ class RestStreamReader(DataSourceStreamReader):
     5000), ``clock`` ("module:function" -> epoch ms; wall clock when
     absent), ``nowMs`` (fixed clock value — the stream reader runs in its
     own Python worker process, so deterministic tests inject the clock as
-    an option rather than via environment).
+    an option rather than via environment), ``stateDir`` (directory where
+    ``commit()`` persists the cursor so a restarted reader recovers its
+    floor and the first post-restart micro-batch stays capped at
+    maxBarsPerBatch instead of planning one unbounded catch-up window).
     """
 
     def __init__(self, schema: StructType, options: dict):
@@ -134,7 +138,21 @@ class RestStreamReader(DataSourceStreamReader):
         self._max_bars = int(options.get("maxbarsperbatch", "5000"))
         self._clock = options.get("clock")
         self._fixed_now = options.get("nowms")  # deterministic tests
+        self._state_dir = options.get("statedir")
         self._cursor: int | None = None  # driver-side advance floor
+
+    def _cursor_file(self) -> str | None:
+        return os.path.join(self._state_dir, "rest_cursor.json") if self._state_dir else None
+
+    def _restore_cursor(self) -> int | None:
+        path = self._cursor_file()
+        if path and os.path.exists(path):
+            try:
+                with open(path) as f:
+                    return int(json.load(f)["cursor"])
+            except (OSError, ValueError, KeyError):
+                return None
+        return None
 
     def _now_ms(self) -> int:
         if self._fixed_now is not None:
@@ -151,10 +169,13 @@ class RestStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         aligned = self._now_ms() - self._now_ms() % self._interval_ms
         if self._cursor is None:
-            # restarted from checkpoint: the true floor arrives with the
-            # next partitions() call; one unbounded catch-up window is the
-            # safe degradation (end can never precede the stored start)
-            self._cursor = aligned
+            # restarted from checkpoint: recover the committed floor from
+            # the stateDir sidecar so the catch-up stays capped; without a
+            # stateDir the true floor only arrives with the next
+            # partitions() call and one unbounded window is the safe
+            # degradation (end can never precede the stored start)
+            restored = self._restore_cursor()
+            self._cursor = restored if restored is not None else aligned
         end = max(
             self._cursor,
             min(aligned, self._cursor + self._max_bars * self._interval_ms),
@@ -183,8 +204,16 @@ class RestStreamReader(DataSourceStreamReader):
             for row in batch:
                 yield tuple(row.get(c) for c in self._cols)
 
-    def commit(self, end: dict) -> None:  # offsets live in the checkpoint
-        pass
+    def commit(self, end: dict) -> None:
+        # Offsets live in the checkpoint; the sidecar only exists so a
+        # restarted reader can recover its floor in latestOffset (atomic
+        # rename — a torn write falls back to the unbounded path).
+        path = self._cursor_file()
+        if path:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"cursor": int(end["cursor"])}, f)
+            os.replace(tmp, path)
 
 
 def stream_rest(
@@ -197,6 +226,7 @@ def stream_rest(
     max_bars_per_batch: int = 5000,
     clock: str | None = None,
     now_ms: int | None = None,
+    state_dir: str | None = None,
 ) -> DataFrame:
     """readStream over the live REST tail (see RestStreamReader)."""
     spark.dataSource.register(RestDataSource)
@@ -213,6 +243,8 @@ def stream_rest(
         reader = reader.option("clock", clock)
     if now_ms is not None:
         reader = reader.option("nowMs", str(now_ms))
+    if state_dir:
+        reader = reader.option("stateDir", state_dir)
     return reader.load()
 
 

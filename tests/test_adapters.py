@@ -383,3 +383,45 @@ def test_split_corrupt_pages_dead_letters(spark):
     assert {r.symbol for r in dead.collect()} == {"ETHUSDT", "XRPUSDT"}
     # the parseable side normalizes cleanly
     assert klines_pages_to_unified(ok, "binance_spot").count() == 1
+
+
+def test_kraken_page_replay_tolerates_last_cursor(spark):
+    """Real Kraken OHLC pages carry a numeric ``result.last`` pagination
+    cursor beside the per-symbol array (docs.kraken.com OHLC endpoint;
+    reference navigates d['result'][symbol] driver-side so it never sees
+    it). A typed map schema would make PERMISSIVE from_json null the
+    whole page and silently dead-letter every real archived kraken page —
+    the map level must parse values as raw JSON text instead."""
+    import json
+
+    from clx_etl_spark.sources.adapters import (
+        klines_pages_to_unified,
+        split_corrupt_pages,
+    )
+
+    payload = {
+        "error": [],
+        "result": {
+            "XBTUSDT": [
+                [TS_S, "92536.5", "92555.8", "92536.1", "92536.2",
+                 "92539.7", "0.00889648", 5],
+                [TS_S + 60, "92536.2", "92600.0", "92500.0", "92580.0",
+                 "92550.0", "0.01200000", 9],
+            ],
+            "last": 1_688_888_888,
+        },
+    }
+    pages = spark.createDataFrame(
+        [("XBTUSDT", json.dumps(payload)),
+         ("ETHUSDT", json.dumps(payload)),     # symbol key absent -> dead letter
+         ("XBTUSDT", "{not json")],
+        "symbol string, payload string",
+    )
+    ok, dead = split_corrupt_pages(pages, "kraken_spot")
+    assert ok.count() == 1
+    assert dead.count() == 2
+    rows = klines_pages_to_unified(ok, "kraken_spot").orderBy("ts").collect()
+    assert [r.ts for r in rows] == [TS_S * 1000, (TS_S + 60) * 1000]
+    assert float(rows[0].open) == 92536.5
+    # vwap-derived quote_volume survives the raw-text re-parse
+    assert abs(float(rows[0].quote_volume) - 0.00889648 * 92539.7) < 1e-6
