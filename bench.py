@@ -81,6 +81,27 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("clx-spark-bench")
+
+    # Fail fast with a readable message if the driver regenerated the
+    # testdata with a new events.ts encoding (the round-3 failure mode:
+    # BENCH crashed mid-suite with zero timings). load_table adapts to
+    # nanos-long and timestamp[us]; anything else should die HERE.
+    from clx_etl_spark.catalog import load_table
+
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        types = dict(ev.dtypes)
+        assert types.get("ts_ms") == "bigint", types
+        assert types.get("event_time") == "timestamp", types
+    except Exception as ex:
+        print(
+            f"FATAL: events testdata encoding canary failed at {sf_dir}: {ex}\n"
+            "load_table must canonicalize events.ts to ts_ms:bigint + "
+            "event_time:timestamp — see clx_etl_spark/catalog.py",
+            file=sys.stderr,
+        )
+        raise
+
     registry = load_all()
 
     # warmup: session + parquet footer caches (JVM) and the Python worker

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import align_to_5m, normalize_probs, snap_to_intervals, ts_to_timestamp
 from ..operators.classify import classify_first_match, coalesce_tags, threshold_by_prefix
@@ -374,9 +374,17 @@ def integrity_repair(
     # of a touched day alongside the repairs; all other days are untouched
     touched_days = repair_rows.select(partition_col).distinct()
     stored_touched = stored.join(F.broadcast(touched_days), partition_col, "left_semi")
+    # stored-vs-pristine collisions must resolve to the pristine row —
+    # restore overwrites (reference restore_market_snapshot_from_s3.py:
+    # 184-190). dropDuplicates keeps an arbitrary copy, so priority-tag and
+    # take row_number()==1, same pattern as sinks/upsert.merge_upsert.
+    w = Window.partitionBy(*keys, ts_col).orderBy(F.col("_src_priority"))
     merged = (
-        stored_touched.unionByName(repair_rows.select(*stored.columns))
-        .dropDuplicates([*keys, ts_col])
+        repair_rows.select(*stored.columns).withColumn("_src_priority", F.lit(0))
+        .unionByName(stored_touched.withColumn("_src_priority", F.lit(1)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_src_priority", "_rn")
     )
     overwrite_partitions(merged, fact_path, [partition_col])
     return bad

@@ -60,9 +60,13 @@ def read_jdbc(
 
 def _mysql_upsert_sql(table: str, cols: list[str], update_cols: list[str]) -> str:
     """Reference parity: INSERT ... ON DUPLICATE KEY UPDATE over the listed
-    mutable columns (mysql/__init__.py:56-58 update_dict)."""
+    mutable columns (mysql/__init__.py:56-58 update_dict). When every column
+    is a key there is nothing to update — degrade to insert-if-absent
+    (INSERT IGNORE), which converges the same way."""
     collist = ", ".join(cols)
     params = ", ".join(["?"] * len(cols))
+    if not update_cols:
+        return f"INSERT IGNORE INTO {table} ({collist}) VALUES ({params})"
     updates = ", ".join(f"{c} = VALUES({c})" for c in update_cols)
     return f"INSERT INTO {table} ({collist}) VALUES ({params}) ON DUPLICATE KEY UPDATE {updates}"
 
@@ -82,6 +86,7 @@ def jdbc_upsert(
     update_cols: list[str] | None = None,
     batch_size: int = 2000,
     dialect: str = "generic",
+    max_rows: int | None = 1_000_000,
 ) -> int:
     """K1: batched idempotent upsert into a JDBC table. Returns rows sent.
 
@@ -94,9 +99,29 @@ def jdbc_upsert(
     statement is batched (``addBatch``/``executeBatch``). Re-running the
     same upsert converges (last-wins), which is what makes at-least-once
     delivery exactly-once-ish downstream.
+
+    When every column is a key, both dialects degrade to insert-if-absent
+    (MySQL: INSERT IGNORE; generic: exists-check) instead of emitting a
+    malformed empty SET clause.
+
+    ``max_rows`` guards the scale envelope: this path writes through ONE
+    driver-side connection and is sized for dimension syncs (the
+    reference's use case — thousands of rows). Pointing a fact table at it
+    raises instead of silently running for hours; fact-scale data belongs
+    in the parquet MERGE path (sinks/upsert.py), or pass max_rows=None to
+    override deliberately.
     """
     cols = df.columns
     update_cols = [c for c in (update_cols or cols) if c not in keys]
+    if max_rows is not None:
+        # limit(n+1).count() bounds the probe cost — never a full scan
+        if df.limit(max_rows + 1).count() > max_rows:
+            raise ValueError(
+                f"jdbc_upsert streams through one driver connection and is "
+                f"capped at {max_rows} rows (dimension-scale); this input "
+                f"exceeds it. Use the parquet MERGE path (sinks/upsert.py) "
+                f"for fact-scale data, or pass max_rows=None to override."
+            )
     jvm = spark._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url)
     sent = 0
@@ -118,21 +143,41 @@ def jdbc_upsert(
                 sent += pending
             stmt.close()
         elif dialect == "generic":
-            set_sql = ", ".join(f"{c} = ?" for c in update_cols)
             where_sql = " AND ".join(f"{k} = ?" for k in keys)
-            upd = conn.prepareStatement(f"UPDATE {table} SET {set_sql} WHERE {where_sql}")
             ins = conn.prepareStatement(
                 f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({', '.join(['?'] * len(cols))})"
             )
-            for row in df.toLocalIterator():
-                for i, c in enumerate(update_cols + keys):
-                    upd.setObject(i + 1, _to_java(spark, row[c]))
-                if upd.executeUpdate() == 0:
-                    for i, c in enumerate(cols):
-                        ins.setObject(i + 1, _to_java(spark, row[c]))
-                    ins.executeUpdate()
-                sent += 1
-            upd.close()
+            if update_cols:
+                set_sql = ", ".join(f"{c} = ?" for c in update_cols)
+                upd = conn.prepareStatement(
+                    f"UPDATE {table} SET {set_sql} WHERE {where_sql}"
+                )
+                for row in df.toLocalIterator():
+                    for i, c in enumerate(update_cols + keys):
+                        upd.setObject(i + 1, _to_java(spark, row[c]))
+                    if upd.executeUpdate() == 0:
+                        for i, c in enumerate(cols):
+                            ins.setObject(i + 1, _to_java(spark, row[c]))
+                        ins.executeUpdate()
+                    sent += 1
+                upd.close()
+            else:
+                # all columns are keys: insert-if-absent via exists-check
+                chk = conn.prepareStatement(
+                    f"SELECT 1 FROM {table} WHERE {where_sql}"
+                )
+                for row in df.toLocalIterator():
+                    for i, k in enumerate(keys):
+                        chk.setObject(i + 1, _to_java(spark, row[k]))
+                    rs = chk.executeQuery()
+                    exists = rs.next()
+                    rs.close()
+                    if not exists:
+                        for i, c in enumerate(cols):
+                            ins.setObject(i + 1, _to_java(spark, row[c]))
+                        ins.executeUpdate()
+                    sent += 1
+                chk.close()
             ins.close()
         else:
             raise ValueError(f"unknown dialect {dialect!r}")

@@ -689,6 +689,15 @@ def _page_json_schema(k: KlineScan) -> tuple[str, str | None]:
     else:  # positional rows — also kraken's keyed-over-raw-arrays
         rows = "array<array<string>>"
     parts = (k.payload_path or "").split(".") if k.payload_path else []
+    if parts.count("{symbol}") > 1:
+        # A second {symbol} segment would silently overwrite `inner` and
+        # both split_corrupt_pages and klines_pages_to_unified would apply
+        # the wrong schema (nulled pages, no error). No registry entry does
+        # this today; fail loudly if one ever tries.
+        raise ValueError(
+            f"payload_path {k.payload_path!r} has more than one "
+            "{symbol} segment — unsupported"
+        )
     inner: str | None = None
     for part in reversed(parts):
         if part == "{symbol}":

@@ -125,7 +125,11 @@ class RestStreamReader(DataSourceStreamReader):
     an option rather than via environment), ``stateDir`` (directory where
     ``commit()`` persists the cursor so a restarted reader recovers its
     floor and the first post-restart micro-batch stays capped at
-    maxBarsPerBatch instead of planning one unbounded catch-up window).
+    maxBarsPerBatch instead of planning one unbounded catch-up window;
+    MUST be unique per query — the sidecar filename is fixed, and a dir
+    shared across queries would restore another query's cursor. A stale
+    sidecar is safe either way: partitions() clamps the floor forward
+    with the checkpointed start).
     """
 
     def __init__(self, schema: StructType, options: dict):
@@ -150,7 +154,8 @@ class RestStreamReader(DataSourceStreamReader):
             try:
                 with open(path) as f:
                     return int(json.load(f)["cursor"])
-            except (OSError, ValueError, KeyError):
+            except (OSError, ValueError, KeyError, TypeError):
+                # TypeError: sidecar holds {"cursor": null} or non-dict JSON
                 return None
         return None
 
@@ -185,7 +190,12 @@ class RestStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[RangePartition]:
         s, e = int(start["cursor"]), int(end["cursor"])
-        self._cursor = max(self._cursor or 0, e)
+        # Clamp forward with the checkpointed start too: Spark writes its
+        # commit log before calling commit(), so a crash in that window (or
+        # a stateDir shared across queries) can leave the sidecar behind the
+        # checkpoint; without `s` here a stale restore would re-plan
+        # already-committed windows (duplicates on non-idempotent sinks).
+        self._cursor = max(self._cursor or 0, s, e)
         if e <= s:
             return []
         # transport windows are end-inclusive bar timestamps
