@@ -220,6 +220,7 @@ class RestStreamReader(DataSourceStreamReader):
         # rename — a torn write falls back to the unbounded path).
         path = self._cursor_file()
         if path:
+            os.makedirs(self._state_dir, exist_ok=True)
             tmp = path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"cursor": int(end["cursor"])}, f)

@@ -425,3 +425,13 @@ def test_kraken_page_replay_tolerates_last_cursor(spark):
     assert float(rows[0].open) == 92536.5
     # vwap-derived quote_volume survives the raw-text re-parse
     assert abs(float(rows[0].quote_volume) - 0.00889648 * 92539.7) < 1e-6
+
+
+def test_page_json_schema_rejects_multiple_symbol_segments():
+    """A second {symbol} path segment would silently overwrite the inner
+    schema and null out every page; fail loudly instead."""
+    from clx_etl_spark.sources.adapters import KlineScan, _page_json_schema
+
+    bad = KlineScan(family="positional", payload_path="result.{symbol}.x.{symbol}")
+    with pytest.raises(ValueError, match="more than one"):
+        _page_json_schema(bad)

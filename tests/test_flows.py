@@ -377,3 +377,40 @@ def test_tail_klines_normalized_full_hot_path(spark, tmp_path):
     assert one.exchange_id == a.exchange_id and one.inst_type == a.inst_type
     assert float(one.open) == float(100 + (FX.BASE_TS // FX.MIN) % 50)
     assert float(one.volume) == 10.0 and one["count"] == 5
+
+
+def test_integrity_repair_pristine_wins_over_corrupt_stored(spark, tmp_path):
+    """A stored row that collides with a pristine row on (key, ts) must
+    lose to the pristine copy — restore overwrites (reference
+    restore_market_snapshot_from_s3.py:184-190). Guards against the
+    arbitrary-winner dropDuplicates behavior."""
+    import os
+
+    path = str(tmp_path / "snapshot")
+    pristine_rows = [
+        ("A", FX.BASE_TS + h * FX.HOUR + i * 360_000, float(i))
+        for h in range(24) for i in range(10)
+    ]
+    pristine = spark.createDataFrame(pristine_rows, "symbol string, ts_ms long, v double")
+    # stored: hour 2 is PARTIAL (half its rows dropped) and one SURVIVING
+    # row in that same hour is corrupt (v = -999 at a ts pristine also has)
+    in_hour2 = (F.col("ts_ms") >= FX.BASE_TS + 2 * FX.HOUR) & (
+        F.col("ts_ms") < FX.BASE_TS + 3 * FX.HOUR
+    )
+    stored = pristine.filter(~(in_hour2 & (F.col("v") >= 5))).withColumn(
+        "v",
+        F.when(in_hour2 & (F.col("v") == 0.0), F.lit(-999.0)).otherwise(F.col("v")),
+    )
+    stored.withColumn(
+        "dt_date", F.to_date(F.timestamp_millis(F.col("ts_ms")))
+    ).write.partitionBy("dt_date").parquet(path)
+
+    bad = integrity_repair(spark, path, pristine, ["symbol"], expected_per_hour=10)
+    assert {(r.symbol, r.hour_ms, r.status) for r in bad.collect()} == {
+        ("A", FX.BASE_TS + 2 * FX.HOUR, "PARTIAL")
+    }
+    healed = spark.read.parquet(path).drop("dt_date")
+    # exact convergence to pristine: the corrupt collision lost
+    assert healed.count() == pristine.count()
+    assert healed.exceptAll(pristine).count() == 0
+    assert healed.filter("v = -999.0").count() == 0

@@ -115,3 +115,51 @@ def test_engine_table_via_jdbc(spark, derby):
     eng.upsert(df, "dim", keys=["exchange_id", "symbol"], via="jdbc", url=derby)
     out = _lc(eng.table("dim", via="jdbc", url=derby)).filter("exchange_id = 2").collect()
     assert len(out) == 1 and out[0].symbol == "XRPUSDT"
+
+
+def test_mysql_dialect_all_key_columns_degrades_to_insert_ignore():
+    sql = _mysql_upsert_sql("pair", ["exchange_id", "symbol"], [])
+    assert sql == "INSERT IGNORE INTO pair (exchange_id, symbol) VALUES (?, ?)"
+
+
+def test_jdbc_upsert_all_columns_are_keys(spark, tmp_path):
+    """Every column in the PK: the generic dialect must degrade to
+    insert-if-absent instead of emitting a malformed empty SET clause."""
+    url = f"jdbc:derby:{tmp_path}/pairdb;create=true"
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE pair (exchange_id INT NOT NULL, symbol VARCHAR(64) NOT NULL, "
+        "PRIMARY KEY (exchange_id, symbol))"
+    )
+    st.close()
+    conn.close()
+    pair_schema = "exchange_id int, symbol string"
+    base = spark.createDataFrame([(1, "BTCUSDT"), (1, "ETHUSDT")], pair_schema)
+    assert jdbc_upsert(spark, base, url, "pair", keys=["exchange_id", "symbol"]) == 2
+    # replay + one new row: converges, no duplicates, no SQL error
+    again = spark.createDataFrame(
+        [(1, "BTCUSDT"), (1, "SOLUSDT")], pair_schema
+    )
+    jdbc_upsert(spark, again, url, "pair", keys=["exchange_id", "symbol"])
+    jdbc_upsert(spark, again, url, "pair", keys=["exchange_id", "symbol"])
+    back = _lc(read_jdbc(spark, url, "pair")).collect()
+    assert sorted((r.exchange_id, r.symbol) for r in back) == [
+        (1, "BTCUSDT"), (1, "ETHUSDT"), (1, "SOLUSDT"),
+    ]
+
+
+def test_jdbc_upsert_refuses_fact_scale_input(spark, derby):
+    rows = [(i, f"S{i}", "0.1", "B") for i in range(50)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    with pytest.raises(ValueError, match="capped at 10 rows"):
+        jdbc_upsert(
+            spark, df, derby, "dim", keys=["exchange_id", "symbol"], max_rows=10
+        )
+    # explicit override still works (the deliberate escape hatch)
+    assert (
+        jdbc_upsert(
+            spark, df, derby, "dim", keys=["exchange_id", "symbol"], max_rows=None
+        )
+        == 50
+    )

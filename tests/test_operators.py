@@ -732,3 +732,64 @@ def test_session_queries_agree_on_boundaries(spark):
         for r in reg["session_revenue"].fn(spark, sf).collect()
     }
     assert a == b
+
+
+def test_gap_fill_plan_property_detect_fill_detect_is_empty(spark):
+    """Property (SURVEY §5.3, reference _base_.py:227-245 semantics):
+    for random stored-bar subsets, (1) plan ranges are per-key sorted,
+    disjoint, interval-aligned, each spanning <= page_limit*interval;
+    (2) synthesizing exactly the planned bars and re-planning yields no
+    gaps (detect ∘ fill ∘ detect = ∅); (3) stored ∪ filled covers the
+    whole requested grid. Seeded loop (hypothesis-style, Spark-friendly
+    example count)."""
+    import random as _random
+
+    from clx_etl_spark.operators.gaps import gap_fill_plan
+
+    n_bars = 48
+    start, end = FX.BASE_TS, FX.BASE_TS + (n_bars - 1) * FX.MIN
+    grid = {start + i * FX.MIN for i in range(n_bars)}
+    rng = _random.Random(20260813)
+    for trial in range(12):
+        limit = rng.randrange(2, 13)
+        keep = rng.sample(sorted(grid), rng.randrange(1, n_bars + 1))
+        stored = spark.createDataFrame(
+            [("A", t) for t in keep], "symbol string, ts long"
+        )
+        plan = gap_fill_plan(
+            stored, ["symbol"], start, end, ts_col="ts",
+            interval_ms=FX.MIN, page_limit=limit,
+        )
+        ranges = sorted(
+            (r.gap_start, r.gap_end) for r in plan.collect()
+        )
+        filled = set()
+        prev_end = None
+        for gs, ge in ranges:
+            assert gs <= ge
+            assert (gs - start) % FX.MIN == 0, (trial, gs)
+            assert ge - gs <= limit * FX.MIN, (trial, gs, ge, limit)
+            if prev_end is not None:
+                assert gs > prev_end, (trial, ranges)  # disjoint + sorted
+            prev_end = ge
+            t = gs
+            while t <= ge:
+                filled.add(t)
+                t += FX.MIN
+        # NB: planned ranges MAY cover stored bars — merging coalesces gaps
+        # across small stored islands by design (one API page beats two
+        # requests; reference _base_.py:227-245) and the sink upsert makes
+        # the re-fetch idempotent. The contract is coverage, not disjointness
+        # from stored.
+        # full coverage of the requested grid
+        assert set(keep) | filled == grid, (trial, sorted(grid - set(keep) - filled))
+        # detect ∘ fill ∘ detect = ∅
+        refetched = stored.unionByName(
+            spark.createDataFrame([("A", t) for t in sorted(filled)],
+                                  "symbol string, ts long")
+        ) if filled else stored
+        again = gap_fill_plan(
+            refetched, ["symbol"], start, end, ts_col="ts",
+            interval_ms=FX.MIN, page_limit=limit,
+        )
+        assert again.count() == 0, (trial, again.collect())

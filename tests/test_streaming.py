@@ -533,3 +533,134 @@ def test_streaming_ema_matches_batch_recursion_across_restarts(spark, tmp_path):
         ema = v if ema is None else 0.5 * v + 0.5 * ema
         expect[ts] = ema
     assert got == expect  # exact: same float recursion order
+
+
+# --- stateDir sidecar: restart floor recovery + stale-sidecar safety -------
+
+
+def _tail_reader(spark, state_dir, now_ms, max_bars=4, start_ms=FX.BASE_TS):
+    from pyspark.sql.types import StructType
+
+    from clx_etl_spark.sources.datasource import RestStreamReader
+
+    return RestStreamReader(
+        StructType.fromDDL(_TAIL_SCHEMA),
+        {
+            "keys": '[{"symbol": "BTCUSDT", "exchange_id": 1}]',
+            "transport": "tests.fixtures:rest_transport",
+            "intervalms": str(FX.MIN),
+            "startms": str(start_ms),
+            "maxbarsperbatch": str(max_bars),
+            "nowms": str(now_ms),
+            "statedir": str(state_dir),
+        },
+    )
+
+
+def test_state_dir_restores_floor_after_restart(spark, tmp_path):
+    """commit() persists the cursor; a fresh reader over the same stateDir
+    (in-memory cursor lost, i.e. a restart) recovers the floor so its next
+    window is restored + maxBars*interval — NOT the unbounded aligned-now
+    catch-up (the feature's whole point)."""
+    now = FX.BASE_TS + 100 * FX.MIN
+    r1 = _tail_reader(spark, tmp_path, now)
+    r1.initialOffset()
+    end1 = r1.latestOffset()
+    assert end1["cursor"] == FX.BASE_TS + 4 * FX.MIN  # capped
+    r1.commit(end1)
+
+    r2 = _tail_reader(spark, tmp_path, now)  # restart: cursor is None
+    end2 = r2.latestOffset()
+    assert end2["cursor"] == FX.BASE_TS + 8 * FX.MIN  # restored + cap
+
+
+def test_state_dir_stale_sidecar_never_replans_committed_windows(spark, tmp_path):
+    """Spark writes its commit log before source.commit(), so a crash in
+    that window leaves the sidecar BEHIND the checkpoint. The restored
+    cursor must clamp forward to the checkpointed start: no batch may
+    re-fetch a window the checkpoint already committed (silent duplicates
+    on non-idempotent sinks)."""
+    import json as _json
+
+    ckpt_start = FX.BASE_TS + 10 * FX.MIN
+    with open(tmp_path / "rest_cursor.json", "w") as f:
+        _json.dump({"cursor": FX.BASE_TS}, f)  # stale: 10 bars behind
+
+    r = _tail_reader(spark, tmp_path, FX.BASE_TS + 100 * FX.MIN)
+    end = r.latestOffset()  # plans from the stale floor
+    parts = r.partitions({"cursor": ckpt_start}, end)
+    assert parts == []  # end precedes the checkpointed start -> no refetch
+    end2 = r.latestOffset()
+    assert end2["cursor"] > ckpt_start  # floor clamped forward
+    parts2 = r.partitions({"cursor": ckpt_start}, end2)
+    assert parts2 and all(p.start_ms >= ckpt_start for p in parts2)
+
+
+def test_state_dir_malformed_sidecar_degrades_gracefully(spark, tmp_path):
+    """null cursor / non-dict JSON / garbage must fall back to the
+    documented unbounded-window degradation, not crash latestOffset."""
+    aligned_now = FX.BASE_TS + 100 * FX.MIN
+    for content in ('{"cursor": null}', "[1, 2, 3]", "not json at all"):
+        (tmp_path / "rest_cursor.json").write_text(content)
+        r = _tail_reader(spark, tmp_path, aligned_now)
+        assert r.latestOffset()["cursor"] == aligned_now
+
+
+def test_stream_rest_restart_batches_stay_capped_end_to_end(spark, tmp_path):
+    """Integration (ADVICE low): kill a stream_rest query mid-backfill,
+    restart it 45 bars behind, and assert every planned micro-batch window
+    in the checkpoint offset log is capped at maxBarsPerBatch."""
+    import json as _json
+    import re as _re
+
+    from clx_etl_spark.sources.datasource import stream_rest
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    def run(now_ms):
+        df = stream_rest(
+            spark,
+            keys=[{"symbol": "BTCUSDT", "exchange_id": 1}],
+            transport="tests.fixtures:rest_transport",
+            out_schema=_TAIL_SCHEMA,
+            interval_ms=FX.MIN,
+            start_ms=FX.BASE_TS,
+            max_bars_per_batch=4,
+            now_ms=now_ms,
+            state_dir=state,
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(FX.BASE_TS + 5 * FX.MIN)   # partial backfill, then "crash"
+    run(FX.BASE_TS + 50 * FX.MIN)  # restart far behind
+
+    # every consecutive offset delta in the checkpoint log <= cap
+    import os as _os
+
+    cursors = []
+    off_dir = _os.path.join(ckpt, "offsets")
+    for fname in sorted(_os.listdir(off_dir), key=lambda s: int(s) if s.isdigit() else -1):
+        if not fname.isdigit():
+            continue
+        with open(_os.path.join(off_dir, fname)) as f:
+            for line in f:
+                m = _re.search(r'\{"cursor":\s*(\d+)\}', line)
+                if m:
+                    cursors.append(int(m.group(1)))
+    assert cursors, "no offsets parsed from checkpoint log"
+    deltas = [b - a for a, b in zip(cursors, cursors[1:])]
+    assert all(d <= 4 * FX.MIN for d in deltas), deltas
+    # and delivery is still exactly-once across the restart
+    rows = spark.read.schema(_TAIL_SCHEMA).parquet(out).collect()
+    assert sorted(r.ts for r in rows) == [FX.BASE_TS + i * FX.MIN for i in range(50)]
