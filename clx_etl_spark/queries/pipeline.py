@@ -136,10 +136,22 @@ def mm_audio_windows(spark, sf):
 
 @register(
     "mm_media_metadata",
-    oracle=None,  # binary payloads + pandas UDF: non-SQL-expressible (rows-only check)
+    # the pandas-UDF output is deterministic sha256/byte-length arithmetic,
+    # so DuckDB can reproduce it exactly: strlen() is UTF-8 bytes (= the
+    # encoded payload length), sha256() hashes the same bytes
+    oracle="""
+    SELECT doc_id AS asset_id,
+           'text/plain' AS mime,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           CAST(64 AS INTEGER) AS feat_dim
+    FROM documents
+    """,
     doc="Multimodal plumbing: documents -> opaque binary payload column -> "
     "mapInPandas feature extraction (decode step stubbed deterministically; "
-    "schema/partitioning/batch shape are the real, tested surface)",
+    "schema/partitioning/batch shape are the real, tested surface; the "
+    "stub arithmetic is reproduced in SQL so even this pandas path is "
+    "hash-checked)",
 )
 def mm_media_metadata(spark, sf):
     docs = load_table(spark, sf, "documents")
