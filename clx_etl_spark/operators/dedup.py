@@ -153,10 +153,28 @@ def minhash_near_duplicates(
     candidate pairs -> exact Jaccard filter. Returns (doc_a, doc_b, jaccard).
     """
     sh = hashed_shingle_sets(df, text_col, id_col, k).cache()
-    sh.count()  # materialize before fan-out (sig + sizes + 2 inter-joins)
-    sig = minhash_signatures(sh, num_perm)
+    sh.count()  # materialize before fan-out (per-doc agg + 2 inter-joins)
+    # One groupBy produces BOTH the signature mins and the set size —
+    # folding the former separate `sizes` pass into the same shuffle.
+    base = F.col("h") % MINHASH_PRIME
+    mins = [
+        F.min((F.lit(a) * base + F.lit(b)) % MINHASH_PRIME).alias(f"h{i}")
+        for i, (a, b) in enumerate(PERM_PARAMS[:num_perm])
+    ]
+    per_doc = (
+        sh.groupBy("doc_id")
+        .agg(*mins, F.count(F.lit(1)).alias("n"))
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
+            "n",
+        )
+        .cache()
+    )
+    per_doc.count()  # materialize: consumed by both cand and the size joins
+    sig = per_doc.select("doc_id", "sig")
     cand = lsh_candidate_pairs(sig, bands)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = per_doc.select("doc_id", "n")
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
