@@ -259,6 +259,113 @@ def ngram_jaccard_pairs(
     )
 
 
+def incremental_near_duplicates(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental ingest dedup: match an incoming BATCH against an already
+    indexed CORPUS without re-pairing the corpus with itself.
+
+    This is the production shape of continuous corpus building: the corpus
+    side's band buckets are the persisted index; each new batch is shingled
+    and signed, then joined one-sidedly against that index — candidate
+    volume scales with the batch, not the corpus, and corpus×corpus pairs
+    are never generated. Exact Jaccard (full shingle sets) verifies each
+    candidate; per batch doc the single best corpus match wins
+    (max jaccard, tie-broken on the smaller corpus doc_id).
+
+    Returns (doc_id, dup_of, jaccard): batch docs with a corpus near-dup at
+    >= threshold. Batch-internal duplicates are out of scope here — run the
+    self-join pipeline (minhash_near_duplicates) on the batch separately.
+    """
+
+    def per_doc_index(df: DataFrame) -> DataFrame:
+        sh = hashed_shingle_sets(df, text_col, id_col, k).cache()
+        sh.count()
+        base = F.col("h") % MINHASH_PRIME
+        mins = [
+            F.min((F.lit(a) * base + F.lit(b)) % MINHASH_PRIME).alias(f"h{i}")
+            for i, (a, b) in enumerate(PERM_PARAMS[:num_perm])
+        ]
+        agg = (
+            sh.groupBy("doc_id")
+            .agg(*mins, F.count(F.lit(1)).alias("n"))
+            .select(
+                "doc_id",
+                F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
+                "n",
+            )
+            .cache()  # consumed by banding AND the size join
+        )
+        return sh, agg
+
+    c_sh, c_idx = per_doc_index(corpus)
+    b_sh, b_idx = per_doc_index(batch)
+
+    rpb = num_perm // bands
+
+    def banded(idx: DataFrame) -> DataFrame:
+        buckets = F.array(
+            *[
+                md5_hex(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rpb + 1, rpb),
+                            lambda x: x.cast("string"),
+                        ),
+                        "|",
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
+        return idx.select("doc_id", F.posexplode(buckets).alias("band", "bucket"))
+
+    cand = (
+        banded(b_idx)
+        .alias("b")
+        .join(
+            banded(c_idx).alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"), F.col("c.doc_id").alias("dup_of")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(b_sh.select(F.col("doc_id"), "h"), "doc_id")
+        .join(c_sh.select(F.col("doc_id").alias("dup_of"), "h"), ["dup_of", "h"])
+        .groupBy("doc_id", "dup_of")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = (
+        inter.join(
+            b_idx.select("doc_id", F.col("n").alias("n_b")), "doc_id"
+        )
+        .join(c_idx.select(F.col("doc_id").alias("dup_of"), F.col("n").alias("n_c")), "dup_of")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_b") + F.col("n_c") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), F.col("dup_of"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "dup_of", "jaccard")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -45,28 +45,63 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # registry. Queries that have not yet earned a green CORRECTNESS row are
 # rotated to the front each round so the driver sweep eventually covers the
 # whole registry; the repo's own oracle suite (tests/test_queries_oracle.py)
-# always sweeps everything at sf0.01 regardless. Round-3 front: the 16
-# round-2 additions that missed the r02 prefix, the re-checked
-# q12_late_lines_by_status (oracle HUGEINT cast fix), and any new
-# round-3 queries (appended as they are written).
+# always sweeps everything at sf0.01 regardless. Round-4 front: the new
+# round-4 queries, mm_media_metadata (oracle upgraded from rows-only this
+# round), then the 38 queries whose r01/r02 proofs were invalidated by the
+# events.ts encoding change (all fixed by catalog.load_table's dtype
+# branch — each needs a fresh green row), padded to 50 with the
+# longest-unchecked r01 rows.
 SWEEP_FRONT: list[str] = [
+    "dedup_incremental",
+    "pii_redact",
+    "mm_media_metadata",
     "w4_locf_fill",
-    "quality_percentile_gate",
-    "unpivot_melt",
-    "mode_per_group",
-    "fuzzy_name_match",
     "scd2_value_runs",
     "ema_per_user",
     "tz_local_daily",
-    "ratio_to_report",
-    "profile_orders_columns",
-    "dedup_best_representative",
     "densify_hourly_grid",
-    "u4_intersect_repeat_buyers",
     "session_revenue",
-    "dod_revenue_change",
-    "u5_except_all_multiset",
-    "q12_late_lines_by_status",
+    "a6_distinct_users",
+    "f6_stale_keys",
+    "t12_coalesce_tags",
+    "u2_except_unseen",
+    "a1_watermark",
+    "a2_integrity_hourly",
+    "a3_latest_per_key",
+    "asof_last_purchase",
+    "cohort_retention",
+    "funnel_conversion",
+    "j2_full_outer_merge",
+    "json_props_extract",
+    "percentiles_by_group",
+    "pivot_event_values",
+    "range_join_attribution",
+    "resample_ohlcv_hourly",
+    "sample_stratified",
+    "sketch_daily_users",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "t5_align_5m",
+    "t7_dt_derive",
+    "t8_ratio_split",
+    "t9_interval_snap",
+    "t10_prob_normalize",
+    "w1_gap_detect",
+    "w3_gap_fill_plan",
+    "w3_islands_sessionize",
+    "w4_moving_frame",
+    "w4_range_frame",
+    "w4_rank_variants",
+    "w4_sliding_window_counts",
+    "cube_revenue",
+    "j1_semi_active_customers",
+    "j6_anti_new_only",
+    "q10_top_returns",
+    "q14_promo_ratio",
+    "q17_small_quantity_revenue",
+    "q18_group_having",
+    "q19_disjunctive_pushdown",
+    "q22_idle_rich_customers",
 ]
 
 

@@ -861,3 +861,116 @@ def training_mix(spark, sf):
 def text_fingerprints(spark, sf):
     docs = load_table(spark, sf, "documents")
     return T.fingerprints(docs)
+
+
+INCREMENTAL_ORACLE = f"""
+    WITH {SHINGLES_CTE},
+    sig AS (SELECT doc_id,
+           {_sig_cols}
+           FROM sh GROUP BY doc_id),
+    bands AS (
+      {_band_selects}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS dup_of
+             FROM bands b JOIN bands c
+               ON b.band = c.band AND b.bucket = c.bucket
+              AND b.doc_id % 10 < 2 AND c.doc_id % 10 >= 2),
+    inter AS (SELECT cd.doc_id, cd.dup_of, COUNT(*) AS n_inter
+              FROM cand cd
+              JOIN sh sb ON sb.doc_id = cd.doc_id
+              JOIN sh sc ON sc.doc_id = cd.dup_of AND sc.shingle = sb.shingle
+              GROUP BY 1, 2),
+    scored AS (SELECT i.doc_id, i.dup_of,
+               CAST(i.n_inter AS DOUBLE)
+                 / CAST(nb.n + nc.n - i.n_inter AS DOUBLE) AS jaccard
+               FROM inter i
+               JOIN sizes nb ON nb.doc_id = i.doc_id
+               JOIN sizes nc ON nc.doc_id = i.dup_of
+               WHERE CAST(i.n_inter AS DOUBLE)
+                 / CAST(nb.n + nc.n - i.n_inter AS DOUBLE) >= 0.5)
+    SELECT doc_id, dup_of, jaccard FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY jaccard DESC, dup_of) AS rn
+      FROM scored) WHERE rn = 1
+"""
+
+
+@register(
+    "dedup_incremental",
+    oracle=INCREMENTAL_ORACLE,
+    doc="Incremental ingest dedup: a 20% incoming batch (doc_id % 10 < 2) "
+    "matched one-sidedly against the indexed 80% corpus via LSH band "
+    "buckets; candidate volume scales with the batch, never corpus², "
+    "then exact-Jaccard best-match per incoming doc",
+)
+def dedup_incremental(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    side = F.col("doc_id") % 10 < 2
+    return D.incremental_near_duplicates(
+        docs.filter(~side),
+        docs.filter(side),
+        k=3,
+        num_perm=NUM_PERM,
+        bands=BANDS,
+        threshold=0.5,
+    )
+
+
+# PII seeding expressions — the synthetic documents contain no PII, so the
+# demo deterministically derives entities from doc_id (inputs stay the
+# driver's testdata; the oracle reproduces seeding + redaction exactly).
+# {S} = the engine's string type name (STRING for Spark SQL, VARCHAR for
+# DuckDB) — everything else is shared syntax.
+_PII_SEED_TMPL = (
+    "text || ' contact user' || CAST(doc_id AS {S}) || '@ex' || "
+    "CAST(doc_id % 7 AS {S}) || '.org from 10.' || "
+    "CAST(doc_id % 256 AS {S}) || '.' || "
+    "CAST((doc_id * 7) % 256 AS {S}) || '.' || "
+    "CAST((doc_id * 13) % 256 AS {S}) || ' tel +44-555-' || "
+    "CAST(1000 + doc_id % 9000 AS {S})"
+)
+_PII_SEED_SPARK = _PII_SEED_TMPL.format(S="STRING")
+_PII_SEED_SQL = _PII_SEED_TMPL.format(S="VARCHAR")
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{1,3}-\d{3}-\d{4}"
+
+PII_ORACLE = f"""
+    WITH seeded AS (SELECT doc_id, {_PII_SEED_SQL} AS text FROM documents),
+    masked AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ip,
+        CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+            '{_PII_IP}', '<IP>', 'g'),
+          '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+      FROM seeded)
+    SELECT doc_id, n_email, n_ip, n_phone, md5(redacted) AS redacted_md5
+    FROM masked
+"""
+
+
+@register(
+    "pii_redact",
+    oracle=PII_ORACLE,
+    doc="PII redaction (emails / IPv4s / intl phones) over deterministically "
+    "seeded text: native regexp exprs only — a map-only stage that "
+    "pipelines into the scan at 100 TB (zero shuffles, zero UDFs)",
+)
+def pii_redact(spark, sf):
+    from ..operators.curation import redact_pii
+
+    docs = load_table(spark, sf, "documents")
+    seeded = docs.select("doc_id", F.expr(_PII_SEED_SPARK).alias("text"))
+    red = redact_pii(seeded)
+    return red.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.md5("redacted").alias("redacted_md5"),
+    )

@@ -212,3 +212,39 @@ def test_null_and_empty_text_are_empty_docs(spark):
     assert rep[1].n_tokens == 0 and rep[2].n_tokens == 0
     packed = {r.doc_id: r for r in C.pack_sequences(C.shard_assign(df, 2), 7).collect()}
     assert packed[1].n_tokens == 0 and packed[1].seq_offset == 0
+
+
+def test_redact_pii_masks_and_counts(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail a@b.org and c.d@e-f.co twice", "web"),
+            (2, "server 10.0.0.1 port open, call +44-555-0199", "web"),
+            (3, "nothing sensitive here", "web"),
+            (4, None, "web"),  # null text must not crash the regex chain
+        ],
+    )
+    out = {r.doc_id: r for r in C.redact_pii(df).collect()}
+    assert out[1].n_email == 2 and out[1].redacted == "mail <EMAIL> and <EMAIL> twice"
+    assert out[2].n_ip == 1 and out[2].n_phone == 1
+    assert out[2].redacted == "server <IP> port open, call <PHONE>"
+    assert out[3].redacted == "nothing sensitive here"
+    assert out[3].n_email == out[3].n_ip == out[3].n_phone == 0
+    assert out[4].redacted is None
+
+
+def test_redact_pii_email_domain_not_rematched_as_ip(spark):
+    # alphabetic-TLD addresses are ONE <EMAIL> (the dotted domain is
+    # consumed by the e-mail pass, never re-matched as a quad); an
+    # all-numeric "domain" is not an e-mail by the pattern, so both quads
+    # fall through to the IP pass — same behavior in the DuckDB oracle.
+    df = _docs(
+        spark,
+        [
+            (1, "x 10.0.0.1@ex.org y", "web"),
+            (2, "x 1.2.3.4@5.6.7.8 y", "web"),
+        ],
+    )
+    out = {r.doc_id: r for r in C.redact_pii(df).collect()}
+    assert out[1].redacted == "x <EMAIL> y" and out[1].n_email == 1
+    assert out[2].redacted == "x <IP>@<IP> y" and out[2].n_ip == 2

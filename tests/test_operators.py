@@ -793,3 +793,36 @@ def test_gap_fill_plan_property_detect_fill_detect_is_empty(spark):
             interval_ms=FX.MIN, page_limit=limit,
         )
         assert again.count() == 0, (trial, again.collect())
+
+
+def test_incremental_near_duplicates_batch_vs_corpus(spark):
+    from clx_etl_spark.operators.dedup import incremental_near_duplicates
+
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "the quick brown fox jumps over the lazy cat"),
+            (12, "completely different text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (20, "the quick brown fox jumps over the lazy dog"),  # dup of 10 AND near 11
+            (21, "fresh unseen content nothing like the corpus rows today"),
+            (22, "the quick brown fox jumps over the lazy dog"),  # batch-internal dup of 20
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_near_duplicates(
+        corpus, batch, k=3, num_perm=16, bands=8, threshold=0.5
+    ).collect()}
+    # best match wins: exact dup (jaccard 1.0) beats the 0.75 near-dup
+    assert out[20].dup_of == 10 and out[20].jaccard == 1.0
+    # batch-internal duplicates are NOT paired with each other — both map
+    # to their corpus match independently
+    assert out[22].dup_of == 10 and out[22].jaccard == 1.0
+    # fresh content yields no row at all
+    assert 21 not in out
+    # corpus docs never appear on the batch side of the output
+    assert set(out) <= {20, 22}
