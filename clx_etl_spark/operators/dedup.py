@@ -391,10 +391,13 @@ def connected_components(
         .distinct()
         .cache()
     )
+    # Seed labels with round 1 already applied: starting from
+    # component=doc_id, the first propagation is exactly
+    # min(doc_id, min(neighbor)) — one aggregate over the edge list, which
+    # saves a full join+agg+collect round trip from the loop below.
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.least(F.first("src"), F.min("dst")).alias("component"))
         .cache()
     )
     # one action materializes BOTH caches (labels depends on edges with a
