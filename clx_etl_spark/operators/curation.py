@@ -387,3 +387,48 @@ def redact_pii(
     for _, pat, repl in PII_PATTERNS:
         masked = F.regexp_replace(masked, pat, repl)
     return out.withColumn(out_col, masked)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks (the RAG /
+    context-window preprocessing shape; contrast pack_sequences, which
+    concatenates ACROSS docs with no overlap).
+
+    Chunk starts advance by ``chunk_size - overlap``; a start past
+    ``n - overlap`` would produce a window fully contained in its
+    predecessor, so those are dropped (every doc still yields >= 1 chunk
+    when non-empty). All array exprs — the explode is the only row
+    inflation (bounded at ~n_tokens/stride per doc), no shuffle, no UDF:
+    at 100 TB this is a map-only stage pipelined into the scan.
+
+    Output: (doc_id, chunk_id, n_tokens, chunk_text), chunk_id dense from 0.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(text_col)  # null-safe: NULL text -> 0 tokens -> 0 chunks
+    n = F.size(toks)
+    starts = F.filter(
+        F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda s: (s == 0) | (s < n - overlap),
+    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_t"),
+        F.explode(starts).alias("_s"),
+    )
+    chunk = F.slice(F.col("_t"), F.col("_s") + 1, chunk_size)
+    return out.select(
+        "doc_id",
+        (F.col("_s") / stride).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -54,6 +54,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 SWEEP_FRONT: list[str] = [
     "dedup_incremental",
     "pii_redact",
+    "chunk_documents",
     "mm_media_metadata",
     "w4_locf_fill",
     "scd2_value_runs",
@@ -101,7 +102,6 @@ SWEEP_FRONT: list[str] = [
     "q17_small_quantity_revenue",
     "q18_group_having",
     "q19_disjunctive_pushdown",
-    "q22_idle_rich_customers",
 ]
 
 

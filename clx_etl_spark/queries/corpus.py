@@ -974,3 +974,31 @@ def pii_redact(spark, sf):
         F.col("n_phone").cast("long").alias("n_phone"),
         F.md5("redacted").alias("redacted_md5"),
     )
+
+
+CHUNK_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s
+      FROM toks WHERE len(t) > 0)
+    SELECT doc_id,
+           CAST(s // 48 AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(t, s + 1, s + 64)) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(t, s + 1, s + 64), ' ') AS chunk_text
+    FROM starts
+    WHERE s = 0 OR s < len(t) - 16
+"""
+
+
+@register(
+    "chunk_documents",
+    oracle=CHUNK_ORACLE,
+    doc="Overlapping token-window chunking (64-token windows, 16-token "
+    "overlap — the RAG / context-window preprocessing shape): pure array "
+    "exprs, the explode is the only row inflation, zero shuffles/UDFs",
+)
+def chunk_documents_q(spark, sf):
+    from ..operators.curation import chunk_documents
+
+    docs = load_table(spark, sf, "documents")
+    return chunk_documents(docs, chunk_size=64, overlap=16)

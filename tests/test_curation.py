@@ -248,3 +248,29 @@ def test_redact_pii_email_domain_not_rematched_as_ip(spark):
     out = {r.doc_id: r for r in C.redact_pii(df).collect()}
     assert out[1].redacted == "x <EMAIL> y" and out[1].n_email == 1
     assert out[2].redacted == "x <IP>@<IP> y" and out[2].n_ip == 2
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    import pytest as _pytest
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    df = _docs(
+        spark,
+        [
+            (1, long_text, "web"),       # 100 tokens -> starts 0, 48 (96 dropped: > 100-16)
+            (2, "a b c", "web"),         # shorter than one window -> 1 chunk
+            (3, None, "web"),            # null -> no chunks
+            (4, " ".join(f"x{i}" for i in range(64)), "web"),  # exactly one window
+        ],
+    )
+    out = C.chunk_documents(df, chunk_size=64, overlap=16)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    assert {(d, c) for d, c in rows} == {(1, 0), (1, 1), (2, 0), (4, 0)}
+    assert rows[(1, 0)].n_tokens == 64 and rows[(1, 0)].chunk_text.startswith("w0 w1 ")
+    # second window starts at 48 -> 52 remaining tokens
+    assert rows[(1, 1)].n_tokens == 52 and rows[(1, 1)].chunk_text.startswith("w48 ")
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert rows[(1, 0)].chunk_text.split()[-16:] == rows[(1, 1)].chunk_text.split()[:16]
+    assert rows[(2, 0)].n_tokens == 3 and rows[(4, 0)].n_tokens == 64
+    with _pytest.raises(ValueError):
+        C.chunk_documents(df, chunk_size=16, overlap=16)
