@@ -1,0 +1,149 @@
+"""Distributed BPE tokenizer training — the "train a tokenizer on the
+corpus" step of a pretraining-data pipeline, as iterative Spark
+aggregation.
+
+Algorithm (classic byte-pair encoding over whitespace words):
+  1. Word-frequency table: one explode + keyed count. The distinct-word
+     table is what every later stage touches — at 100 TB of text the
+     unique-word table is millions of rows, not trillions, so per-merge
+     work is proportional to |vocab|, not corpus size.
+  2. Each merge round: count adjacent symbol pairs weighted by word
+     frequency (groupBy pair, map-side combinable), take the argmax —
+     ONE row collected to the driver per round (same driver-contact
+     discipline as operators/dedup.py:connected_components) — then
+     rewrite the symbol arrays with a greedy left-to-right fold
+     (F.aggregate, pure column expr).
+  3. The trained artifacts: the merge list (the model, O(num_merges))
+     and the final word -> symbols table. ENCODING then needs no UDF and
+     no per-merge replay: explode corpus words and broadcast-join the
+     vocab table; unseen words degrade to character symbols.
+
+Lineage is cut every round (cache + unpersist of the previous round, as
+in connected_components) so the plan does not grow with merge count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import tokens
+
+
+def _word_symbols(words: DataFrame) -> DataFrame:
+    """(word, freq) -> (word, freq, syms: array<string> of characters)."""
+    return words.withColumn(
+        "syms",
+        F.filter(F.split(F.col("word"), ""), lambda c: c != ""),
+    )
+
+
+def _merge_fold(syms, a: str, b: str):
+    """Greedy left-to-right application of one merge (a, b) -> a+b.
+    [a, a, a] with merge (a, a) becomes [aa, a] — standard BPE greedy
+    semantics, as a single F.aggregate fold."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 50,
+    min_pair_count: int = 2,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn up to ``num_merges`` BPE merges from the corpus.
+
+    Returns (merges, vocab): the ordered merge list (ties broken
+    lexicographically, so training is fully deterministic) and the final
+    (word, freq, syms) vocabulary table for join-based encoding.
+    Stops early when no pair reaches ``min_pair_count``.
+    """
+    vocab = _word_symbols(word_frequencies(df, text_col)).cache()
+    vocab.count()
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("freq").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), F.asc("p.a"), F.asc("p.b")).head(1)
+        if not best or best[0]["n"] < min_pair_count:
+            break
+        a, b = best[0]["p"]["a"], best[0]["p"]["b"]
+        merges.append((a, b))
+        new_vocab = vocab.withColumn("syms", _merge_fold(F.col("syms"), a, b)).cache()
+        new_vocab.count()
+        vocab.unpersist()
+        vocab = new_vocab
+    return merges, vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a trained vocab: explode words, broadcast-join the
+    (word -> syms) table, fall back to character symbols for unseen
+    words. Output: (doc_id, word_pos, word, syms). No UDF, no replaying
+    the merge sequence — encoding is one map-side join at corpus scale.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("word_pos", "word"),
+    )
+    return words.join(
+        F.broadcast(vocab.select("word", "syms")), "word", "left"
+    ).select(
+        "doc_id",
+        "word_pos",
+        "word",
+        F.coalesce(
+            F.col("syms"), F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+        ).alias("syms"),
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token counts under a trained vocab: one keyed
+    aggregate over the encoded words."""
+    return (
+        bpe_encode(df, vocab, text_col, id_col)
+        .groupBy("doc_id")
+        .agg(F.sum(F.size("syms")).alias("n_bpe_tokens"))
+    )

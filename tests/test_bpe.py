@@ -1,0 +1,81 @@
+"""Distributed BPE training vs a brute-force pure-Python reference:
+identical merge sequences and identical final tokenizations (training is
+fully deterministic — ties broken lexicographically)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from clx_etl_spark.operators import bpe as B
+
+
+def _py_bpe(texts, num_merges, min_pair_count=2):
+    wf = Counter(w for t in texts for w in t.split() if w)
+    vocab = {w: list(w) for w in wf}
+    merges = []
+    for _ in range(num_merges):
+        pc = Counter()
+        for w, f in wf.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        merges.append((a, b))
+        for w, s in vocab.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges, vocab
+
+
+TEXTS = [
+    "lower lower lowest low low low",
+    "newer newest new new newer",
+    "wider wide widest wider",
+    "low lower newest",
+]
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bpe_train_matches_python_reference(spark):
+    merges, vocab = B.bpe_train(_df(spark, TEXTS), num_merges=12)
+    ref_merges, ref_vocab = _py_bpe(TEXTS, num_merges=12)
+    assert merges == ref_merges
+    got = {r.word: list(r.syms) for r in vocab.collect()}
+    assert got == ref_vocab
+    assert len(merges) > 3  # the corpus has real repetition to learn
+
+
+def test_bpe_train_stops_when_pairs_run_dry(spark):
+    # every word is a single char: no adjacent pairs at all
+    merges, _ = B.bpe_train(_df(spark, ["a b c", "b c a"]), num_merges=10)
+    assert merges == []
+
+
+def test_bpe_encode_join_and_unseen_fallback(spark):
+    train = _df(spark, TEXTS)
+    merges, vocab = B.bpe_train(train, num_merges=12)
+    _, ref_vocab = _py_bpe(TEXTS, num_merges=12)
+    test_doc = _df(spark, ["low lowest zzz"])  # zzz never seen in training
+    enc = {
+        (r.doc_id, r.word_pos): (r.word, list(r.syms))
+        for r in B.bpe_encode(test_doc, vocab).collect()
+    }
+    assert enc[(0, 0)] == ("low", ref_vocab["low"])
+    assert enc[(0, 1)] == ("lowest", ref_vocab["lowest"])
+    assert enc[(0, 2)] == ("zzz", ["z", "z", "z"])  # char fallback
+    counts = {r.doc_id: r.n_bpe_tokens for r in B.bpe_token_counts(test_doc, vocab).collect()}
+    assert counts[0] == len(ref_vocab["low"]) + len(ref_vocab["lowest"]) + 3
