@@ -331,3 +331,38 @@ def knn_ivf_trained(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the memory-scale
+    path for ANN: a 100 TB float32 embedding store shrinks 4x, and IVF /
+    brute-force scans work on the int8 codes with one dequant multiply.
+
+    scale = max|x| / 127; code = floor(x/scale + 0.5) (explicit floor
+    rounding — engines disagree on round()'s half-away vs half-even, floor
+    is bit-deterministic everywhere). All-zero vectors get scale 0 and
+    all-zero codes. ``max_abs_err`` (order-independent max, never a float
+    sum) reports the reconstruction bound <= scale/2.
+
+    Map-only: no shuffle, no UDF — quantization pipelines into the scan.
+    Output: (vec_id, scale, qvec array<int>, max_abs_err).
+    """
+    ld = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    s = F.array_max(F.transform(ld, F.abs)) / F.lit(127.0)
+    code = lambda x: F.floor(x / s + F.lit(0.5)).cast("int")  # noqa: E731
+    qvec = F.when(s == 0, F.transform(ld, lambda x: F.lit(0))).otherwise(
+        F.transform(ld, code)
+    )
+    err = F.when(s == 0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.transform(ld, lambda x: F.abs(x - code(x).cast("double") * s))
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        s.alias("scale"),
+        qvec.alias("qvec"),
+        err.alias("max_abs_err"),
+    )

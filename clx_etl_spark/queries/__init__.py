@@ -55,6 +55,7 @@ SWEEP_FRONT: list[str] = [
     "dedup_incremental",
     "pii_redact",
     "chunk_documents",
+    "embed_quantize_int8",
     "mm_media_metadata",
     "w4_locf_fill",
     "scd2_value_runs",
@@ -101,7 +102,6 @@ SWEEP_FRONT: list[str] = [
     "q14_promo_ratio",
     "q17_small_quantity_revenue",
     "q18_group_having",
-    "q19_disjunctive_pushdown",
 ]
 
 

@@ -1002,3 +1002,50 @@ def chunk_documents_q(spark, sf):
 
     docs = load_table(spark, sf, "documents")
     return chunk_documents(docs, chunk_size=64, overlap=16)
+
+
+QUANT_ORACLE = """
+    WITH ld AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    sc AS (
+      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+      FROM ld)
+    SELECT vec_id,
+           s AS scale,
+           CASE WHEN s = 0
+                THEN array_to_string(list_transform(v, x -> 0), ',')
+                ELSE array_to_string(
+                  list_transform(v, x -> CAST(floor(x / s + 0.5) AS INTEGER)),
+                  ',')
+           END AS qvec_csv,
+           CASE WHEN s = 0 THEN 0.0
+                ELSE list_max(list_transform(
+                  v, x -> abs(x - floor(x / s + 0.5) * s)))
+           END AS max_abs_err
+    FROM sc
+"""
+
+
+@register(
+    "embed_quantize_int8",
+    oracle=QUANT_ORACLE,
+    doc="Per-vector symmetric int8 scalar quantization of the embedding "
+    "store (4x memory shrink, the ANN scale path): scale = max|x|/127, "
+    "floor-rounded codes (engine-deterministic, unlike round()), "
+    "order-independent max reconstruction error — map-only, zero "
+    "shuffles/UDFs",
+)
+def embed_quantize_int8(spark, sf):
+    from ..operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf, "embeddings")
+    q = quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform(F.col("qvec"), lambda x: x.cast("string")), ","
+        ).alias("qvec_csv"),
+        "max_abs_err",
+    )

@@ -826,3 +826,40 @@ def test_incremental_near_duplicates_batch_vs_corpus(spark):
     assert 21 not in out
     # corpus docs never appear on the batch side of the output
     assert set(out) <= {20, 22}
+
+
+def test_quantize_int8_bounds_and_fidelity(spark):
+    import math
+
+    from clx_etl_spark.operators.similarity import cosine_sim, quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5, 2.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),   # zero vector: scale 0, no NaN
+            (3, [127.0]),                # exact power: code == 127
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in quantize_int8(df).collect()}
+    assert out[2].scale == 0.0 and list(out[2].qvec) == [0, 0, 0, 0]
+    assert out[2].max_abs_err == 0.0
+    assert out[3].qvec == [127]
+    r = out[1]
+    assert math.isclose(r.scale, 2.0 / 127.0)
+    # reconstruction error bounded by half a quantization step
+    assert r.max_abs_err <= r.scale / 2 + 1e-12
+    assert all(-127 <= q <= 127 for q in r.qvec)
+    # dequantized vector stays nearly parallel to the original
+    from pyspark.sql import functions as F
+
+    deq = quantize_int8(df).filter(F.col("vec_id") == 1).select(
+        F.transform(
+            "qvec", lambda q: (q.cast("double") * F.col("scale")).cast("float")
+        ).alias("d")
+    )
+    orig = df.filter(F.col("vec_id") == 1).select("embedding")
+    both = orig.crossJoin(deq).select(
+        cosine_sim(F.col("embedding"), F.col("d")).alias("cos")
+    )
+    assert both.collect()[0].cos > 0.999
