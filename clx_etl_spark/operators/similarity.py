@@ -366,3 +366,150 @@ def quantize_int8(
         qvec.alias("qvec"),
         err.alias("max_abs_err"),
     )
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_target: int | None = None,
+    iters: int = 10,
+    seed: int = 0xC0FFEE,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split each vector into ``m``
+    contiguous subvectors and k-means each subspace independently on the
+    same bounded deterministic hash sample train_ivf_centroids uses.
+    Returns m codebooks of k sub-centroids each (m*k*(d/m) floats — tiny;
+    embed as literal column expressions, never a join side). With m=4,
+    k=16 a d-dim float32 vector compresses to 4 bytes: the standard
+    billion-scale ANN memory layout (IVF prunes candidates, PQ shrinks
+    what each candidate costs to score).
+    """
+    import numpy as np
+
+    n = vectors.count()
+    sample_target = sample_target or k * 256
+    mod = max(1, n // sample_target)
+    sample = (
+        vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    if len(X) < k:
+        raise ValueError(f"sample too small ({len(X)}) for k={k}")
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        cents = [S[rng.randint(len(S))]]
+        for _ in range(k - 1):
+            d2 = np.min([((S - c) ** 2).sum(axis=1) for c in cents], axis=0)
+            probs = d2 / d2.sum() if d2.sum() > 0 else None
+            cents.append(S[rng.choice(len(S), p=probs)])
+        C = np.array(cents)
+        for _ in range(iters):
+            assign = np.argmin(
+                ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1
+            )
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C.tolist())
+    return books
+
+
+def _sub_dist2(sub, cent: list) -> Column:
+    """Squared distance from a subvector column to one literal centroid,
+    folded in strict index order (bit-deterministic)."""
+    out = F.lit(0.0)
+    for i, c in enumerate(cent):
+        diff = F.element_at(sub, i + 1).cast("double") - F.lit(float(c))
+        out = out + diff * diff
+    return out
+
+
+def pq_assign(
+    vectors: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode each vector as m sub-centroid indices (0-based) — pure
+    column expressions (the codebooks are literals), no UDF: at corpus
+    scale this is a map-only stage pipelined into the scan. Ties take the
+    lowest index (argmin via sequential comparison, deterministic)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        best_idx, best_d = F.lit(0), _sub_dist2(sub, book[0])
+        for c in range(1, len(book)):
+            d2 = _sub_dist2(sub, book[c])
+            better = d2 < best_d
+            best_idx = F.when(better, F.lit(c)).otherwise(best_idx)
+            best_d = F.when(better, d2).otherwise(best_d)
+        codes.append(best_idx)
+    return vectors.select(
+        F.col(id_col), F.col(vec_col), F.array(*codes).alias(out_col)
+    )
+
+
+def pq_reconstruct(codebooks: list, codes_col: str = "pq_codes") -> Column:
+    """Decode: concatenate each subspace's chosen sub-centroid. Literal
+    lookup via element_at on the embedded codebook — no join."""
+    parts = []
+    for j, book in enumerate(codebooks):
+        lit_book = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cent]) for cent in book]
+        )
+        parts.append(
+            F.element_at(lit_book, F.element_at(F.col(codes_col), j + 1) + 1)
+        )
+    return F.concat(*parts)
+
+
+def knn_pq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end PQ ANN: train codebooks on a sample, encode the corpus,
+    score queries against RECONSTRUCTED corpus vectors (asymmetric
+    distance: exact query vs quantized corpus — the standard ADC setup).
+    Same join/top-k shape as knn_bruteforce but the corpus side carries
+    m one-byte codes instead of d floats."""
+    books = pq_train(vectors, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    coded = pq_assign(vectors, books, id_col=id_col, vec_col=vec_col)
+    recon = coded.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_reconstruct(books).alias("_vvec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = recon.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = scored.withColumn("cosine", cosine_sim(F.col("_qvec"), F.col("_vvec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -863,3 +863,59 @@ def test_quantize_int8_bounds_and_fidelity(spark):
         cosine_sim(F.col("embedding"), F.col("d")).alias("cos")
     )
     assert both.collect()[0].cos > 0.999
+
+
+def test_pq_roundtrip_and_recall(spark):
+    """PQ codebooks: deterministic training, codes pick the nearest
+    sub-centroid, reconstruction lands near the original, and PQ ANN
+    recall@1 matches brute force on a well-separated corpus."""
+    from clx_etl_spark.operators.similarity import (
+        knn_bruteforce, knn_pq, pq_assign, pq_reconstruct, pq_train,
+    )
+
+    # 3 tight clusters around orthogonal axes in 8 dims
+    def vec(axis, j):
+        v = [0.05 * ((j * 7 + d) % 5) for d in range(8)]
+        v[axis] += 10.0
+        return v
+
+    rows = [(axis * 100 + j, vec(axis, j)) for axis in range(3) for j in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    b1 = pq_train(emb, m=4, k=8, sample_target=120)
+    b2 = pq_train(emb, m=4, k=8, sample_target=120)
+    assert b1 == b2  # deterministic
+    assert len(b1) == 4 and all(len(book) == 8 and len(book[0]) == 2 for book in b1)
+
+    coded = pq_assign(emb, b1)
+    codes = {r.vec_id: list(r.pq_codes) for r in coded.collect()}
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in codes.values())
+
+    # reconstruction error small relative to vector norm (clusters are tight)
+    recon = coded.select(
+        "vec_id", "embedding", pq_reconstruct(b1).alias("recon")
+    ).collect()
+    import math
+
+    for r in recon:
+        err = math.sqrt(sum((a - b) ** 2 for a, b in zip(r.embedding, r.recon)))
+        norm = math.sqrt(sum(a * a for a in r.embedding))
+        assert err / norm < 0.05, (r.vec_id, err, norm)
+
+    queries = emb.filter(F.col("vec_id").isin([0, 100, 200]))
+    exact = {r.query_id: r.neighbor_id for r in knn_bruteforce(emb, queries, k=1).collect()}
+    approx = {r.query_id: r.neighbor_id for r in knn_pq(emb, queries, m=4, k_codes=8, k=1).collect()}
+    assert exact == approx  # recall@1 = 1.0 on separated clusters
+
+
+def test_pq_validates_dims(spark):
+    import pytest as _pytest
+
+    from clx_etl_spark.operators.similarity import pq_train
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=2, k=4, sample_target=40)
