@@ -274,3 +274,37 @@ def test_chunk_documents_windows_and_edges(spark):
     assert rows[(2, 0)].n_tokens == 3 and rows[(4, 0)].n_tokens == 64
     with _pytest.raises(ValueError):
         C.chunk_documents(df, chunk_size=16, overlap=16)
+
+
+def test_chunk_documents_reconstruction_property(spark):
+    """For any doc, concatenating chunk 0 with each later chunk minus its
+    `overlap`-token prefix reproduces the original token stream exactly —
+    chunking loses nothing and duplicates only the declared overlap."""
+    from hypothesis import given, settings, strategies as st
+
+    words = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+    doc = st.lists(words, min_size=0, max_size=200).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=4))
+    def check(texts):
+        df = _docs(spark, [(i, t, "s") for i, t in enumerate(texts)])
+        out = C.chunk_documents(df, chunk_size=16, overlap=4)
+        by_doc: dict[int, list] = {}
+        for r in out.collect():
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for i, t in enumerate(texts):
+            toks = [w for w in t.split(" ") if w]
+            chunks = sorted(by_doc.get(i, []), key=lambda r: r.chunk_id)
+            if not toks:
+                assert chunks == []
+                continue
+            assert [r.chunk_id for r in chunks] == list(range(len(chunks)))
+            rebuilt = []
+            for j, r in enumerate(chunks):
+                cw = r.chunk_text.split(" ") if r.chunk_text else []
+                assert len(cw) == r.n_tokens
+                rebuilt.extend(cw if j == 0 else cw[4:])
+            assert rebuilt == toks, (i, t)
+
+    check()

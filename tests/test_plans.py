@@ -181,3 +181,21 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_map_only_queries_have_no_exchange(plans):
+    # pii_redact / chunk_documents / embed_quantize_int8 all claim to be
+    # map-only stages that pipeline into the scan at 100 TB: any Exchange
+    # in the plan falsifies the claim
+    for name in ("pii_redact", "chunk_documents", "embed_quantize_int8"):
+        p = plans[name]
+        assert "Exchange" not in p, f"{name} has a shuffle"
+        assert "Scan parquet" in p
+
+
+def test_incremental_dedup_is_one_sided_hash_join(plans):
+    # batch-vs-corpus candidates must come from an equi-join on the band
+    # bucket (hash-partitioned or broadcast), never a nested loop; and the
+    # corpus must never self-join (no doc_a/doc_b pair columns)
+    p = plans["dedup_incremental"]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
