@@ -259,6 +259,38 @@ def ngram_jaccard_pairs(
     )
 
 
+def build_near_dup_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable corpus-side index for incremental dedup:
+    (shingles, per_doc) where shingles = (doc_id, h) hashed shingle pairs
+    and per_doc = (doc_id, sig, n) signatures + set sizes. In production
+    both are written once (partitioned parquet) and every future batch
+    joins against them; here they are cached for the in-session case."""
+    sh = hashed_shingle_sets(df, text_col, id_col, k).cache()
+    sh.count()
+    base = F.col("h") % MINHASH_PRIME
+    mins = [
+        F.min((F.lit(a) * base + F.lit(b)) % MINHASH_PRIME).alias(f"h{i}")
+        for i, (a, b) in enumerate(PERM_PARAMS[:num_perm])
+    ]
+    agg = (
+        sh.groupBy("doc_id")
+        .agg(*mins, F.count(F.lit(1)).alias("n"))
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
+            "n",
+        )
+        .cache()  # consumed by banding AND the size join
+    )
+    return sh, agg
+
+
 def incremental_near_duplicates(
     corpus: DataFrame,
     batch: DataFrame,
@@ -268,12 +300,15 @@ def incremental_near_duplicates(
     num_perm: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental ingest dedup: match an incoming BATCH against an already
     indexed CORPUS without re-pairing the corpus with itself.
 
     This is the production shape of continuous corpus building: the corpus
-    side's band buckets are the persisted index; each new batch is shingled
+    side's band buckets are the persisted index (pass ``corpus_index`` from
+    build_near_dup_index — possibly read back from parquet — to skip
+    re-shingling the corpus every batch); each new batch is shingled
     and signed, then joined one-sidedly against that index — candidate
     volume scales with the batch, not the corpus, and corpus×corpus pairs
     are never generated. Exact Jaccard (full shingle sets) verifies each
@@ -284,29 +319,10 @@ def incremental_near_duplicates(
     >= threshold. Batch-internal duplicates are out of scope here — run the
     self-join pipeline (minhash_near_duplicates) on the batch separately.
     """
-
-    def per_doc_index(df: DataFrame) -> DataFrame:
-        sh = hashed_shingle_sets(df, text_col, id_col, k).cache()
-        sh.count()
-        base = F.col("h") % MINHASH_PRIME
-        mins = [
-            F.min((F.lit(a) * base + F.lit(b)) % MINHASH_PRIME).alias(f"h{i}")
-            for i, (a, b) in enumerate(PERM_PARAMS[:num_perm])
-        ]
-        agg = (
-            sh.groupBy("doc_id")
-            .agg(*mins, F.count(F.lit(1)).alias("n"))
-            .select(
-                "doc_id",
-                F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
-                "n",
-            )
-            .cache()  # consumed by banding AND the size join
-        )
-        return sh, agg
-
-    c_sh, c_idx = per_doc_index(corpus)
-    b_sh, b_idx = per_doc_index(batch)
+    c_sh, c_idx = corpus_index or build_near_dup_index(
+        corpus, text_col, id_col, k, num_perm
+    )
+    b_sh, b_idx = build_near_dup_index(batch, text_col, id_col, k, num_perm)
 
     rpb = num_perm // bands
 

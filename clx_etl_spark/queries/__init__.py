@@ -56,6 +56,7 @@ SWEEP_FRONT: list[str] = [
     "pii_redact",
     "chunk_documents",
     "embed_quantize_int8",
+    "semantic_dedup",
     "mm_media_metadata",
     "w4_locf_fill",
     "scd2_value_runs",
@@ -101,7 +102,6 @@ SWEEP_FRONT: list[str] = [
     "q10_top_returns",
     "q14_promo_ratio",
     "q17_small_quantity_revenue",
-    "q18_group_having",
 ]
 
 

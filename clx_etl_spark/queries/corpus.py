@@ -1049,3 +1049,51 @@ def embed_quantize_int8(spark, sf):
         ).alias("qvec_csv"),
         "max_abs_err",
     )
+
+
+SEMANTIC_DEDUP_ORACLE = f"""
+    WITH RECURSIVE a AS (SELECT vec_id, embedding, label FROM embeddings),
+    pairs AS (
+      SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+      FROM a x JOIN a y ON x.label = y.label AND x.vec_id < y.vec_id
+      WHERE {_cosine_sql('x.embedding', 'y.embedding')} >= 0.35),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach AS (SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component
+             FROM reach GROUP BY src)
+    SELECT e.vec_id,
+           COALESCE(c.component, e.vec_id) AS component,
+           (COALESCE(c.component, e.vec_id) = e.vec_id) AS is_kept
+    FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+"""
+
+
+@register(
+    "semantic_dedup",
+    oracle=SEMANTIC_DEDUP_ORACLE,
+    doc="SemDeDup-style semantic dedup over the embedding space: "
+    "cell-blocked cosine near-dup pairs -> connected components -> keep "
+    "the minimum id per semantic group (composes the existing "
+    "embedding_near_duplicates + connected_components operators; at scale "
+    "cells come from trained IVF centroids instead of the label column)",
+)
+def semantic_dedup(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    pairs = S.embedding_near_duplicates(emb, threshold=0.35)
+    comps = D.connected_components(pairs).withColumnRenamed("doc_id", "vec_id")
+    return (
+        emb.select("vec_id")
+        .join(comps, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+            (
+                F.coalesce(F.col("component"), F.col("vec_id"))
+                == F.col("vec_id")
+            ).alias("is_kept"),
+        )
+    )

@@ -919,3 +919,33 @@ def test_pq_validates_dims(spark):
     )
     with _pytest.raises(ValueError, match="not divisible"):
         pq_train(emb, m=2, k=4, sample_target=40)
+
+
+def test_incremental_dedup_with_prebuilt_index(spark, tmp_path):
+    """The corpus index survives a parquet round trip (the production
+    persist-once path) and yields identical matches."""
+    from clx_etl_spark.operators.dedup import (
+        build_near_dup_index, incremental_near_duplicates,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "entirely unrelated corpus content sits right here now"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(20, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    sh, idx = build_near_dup_index(corpus)
+    sh.write.parquet(str(tmp_path / "sh"))
+    idx.write.parquet(str(tmp_path / "idx"))
+    restored = (
+        spark.read.parquet(str(tmp_path / "sh")),
+        spark.read.parquet(str(tmp_path / "idx")),
+    )
+    live = incremental_near_duplicates(corpus, batch).collect()
+    cached = incremental_near_duplicates(None, batch, corpus_index=restored).collect()
+    assert [tuple(r) for r in live] == [tuple(r) for r in cached] == [(20, 10, 1.0)]
