@@ -664,3 +664,59 @@ def test_stream_rest_restart_batches_stay_capped_end_to_end(spark, tmp_path):
     # and delivery is still exactly-once across the restart
     rows = spark.read.schema(_TAIL_SCHEMA).parquet(out).collect()
     assert sorted(r.ts for r in rows) == [FX.BASE_TS + i * FX.MIN for i in range(50)]
+
+
+def test_streaming_corpus_ingest_with_incremental_dedup_gate(spark, tmp_path):
+    """Continuous corpus building: document batches stream in, each
+    micro-batch is matched against the PERSISTED corpus near-dup index
+    (never corpus x corpus), near-dups of already-stored docs are dropped,
+    and fresh docs land. Exactly the production compose: readStream ->
+    foreachBatch(incremental_near_duplicates(corpus_index=...) -> anti-join
+    -> append)."""
+    from clx_etl_spark.operators.dedup import (
+        build_near_dup_index, incremental_near_duplicates,
+    )
+
+    src, tgt = str(tmp_path / "in"), str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    seed = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "established corpus content that is already stored here safely"),
+    ]
+    spark.createDataFrame(seed, schema).write.parquet(tgt)
+    sh, idx = build_near_dup_index(spark.read.parquet(tgt))
+
+    def drop_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    drop_file(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),   # dup of 1
+            (11, "genuinely novel incoming document with fresh words"),
+        ]
+    )
+    drop_file([(12, "established corpus content that is already stored here safely")])
+
+    def gate(batch, batch_id):
+        if not batch.count():
+            return
+        dups = incremental_near_duplicates(None, batch, corpus_index=(sh, idx))
+        fresh = batch.join(dups.select("doc_id"), "doc_id", "left_anti")
+        fresh.write.mode("append").parquet(tgt)
+
+    q = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    stored = sorted(r.doc_id for r in spark.read.parquet(tgt).collect())
+    assert stored == [1, 2, 11]  # dups 10 and 12 gated out, fresh 11 landed
