@@ -114,3 +114,50 @@ class Engine:
         from .sinks.upsert import expire_partitions
 
         return expire_partitions(path, partition_col, keep_latest)
+
+    # -- corpus curation ---------------------------------------------------
+    def redact(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        """PII masking (emails/IPs/phones) + per-entity counts, map-only."""
+        from .operators.curation import redact_pii
+
+        return redact_pii(df, text_col)
+
+    def chunk(self, df: DataFrame, chunk_size: int = 64,
+              overlap: int = 16, text_col: str = "text") -> DataFrame:
+        """Overlapping token-window chunking (RAG / context windows)."""
+        from .operators.curation import chunk_documents
+
+        return chunk_documents(df, text_col=text_col,
+                               chunk_size=chunk_size, overlap=overlap)
+
+    def dedup_index(self, corpus: DataFrame, text_col: str = "text"):
+        """Build the persistable near-dup index for incremental ingest."""
+        from .operators.dedup import build_near_dup_index
+
+        return build_near_dup_index(corpus, text_col=text_col)
+
+    def dedup_incoming(self, batch: DataFrame, corpus_index,
+                       threshold: float = 0.5, text_col: str = "text") -> DataFrame:
+        """Match an incoming batch against a prebuilt corpus index:
+        (doc_id, dup_of, jaccard) for batch docs with a stored near-dup."""
+        from .operators.dedup import incremental_near_duplicates
+
+        return incremental_near_duplicates(
+            None, batch, text_col=text_col, threshold=threshold,
+            corpus_index=corpus_index,
+        )
+
+    def train_tokenizer(self, df: DataFrame, num_merges: int = 50,
+                        text_col: str = "text"):
+        """Distributed BPE training: (merges, vocab) — encode with
+        tokenize()."""
+        from .operators.bpe import bpe_train
+
+        return bpe_train(df, text_col=text_col, num_merges=num_merges)
+
+    def tokenize(self, df: DataFrame, vocab: DataFrame,
+                 text_col: str = "text") -> DataFrame:
+        """Join-based BPE encoding under a trained vocab (no UDF)."""
+        from .operators.bpe import bpe_encode
+
+        return bpe_encode(df, vocab, text_col=text_col)

@@ -119,3 +119,29 @@ def test_engine_maintenance_surface(spark, tmp_path):
     assert eng.expire(str(tmp_path / "p"), "dt_date", keep_latest=1) == [
         "2024-01-01", "2024-01-02"
     ]
+
+
+def test_engine_curation_surface(spark):
+    from clx_etl_spark.api import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.org now the quick brown fox jumps over the dog"),
+            (2, "the quick brown fox jumps over the dog mail a@b.org now"),
+        ],
+        "doc_id long, text string",
+    )
+    red = eng.redact(docs)
+    assert {r.n_email for r in red.collect()} == {1}
+    chunks = eng.chunk(docs, chunk_size=8, overlap=2)
+    assert chunks.count() >= 2 and chunks.columns == [
+        "doc_id", "chunk_id", "n_tokens", "chunk_text",
+    ]
+    idx = eng.dedup_index(docs.filter("doc_id = 1"))
+    dups = eng.dedup_incoming(docs.filter("doc_id = 2"), idx, threshold=0.3)
+    assert [r.dup_of for r in dups.collect()] == [1]
+    merges, vocab = eng.train_tokenizer(docs, num_merges=5)
+    assert len(merges) == 5
+    enc = eng.tokenize(docs, vocab)
+    assert enc.filter("size(syms) = 0").count() == 0
