@@ -301,6 +301,7 @@ def incremental_near_duplicates(
     bands: int = 8,
     threshold: float = 0.5,
     corpus_index: tuple[DataFrame, DataFrame] | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental ingest dedup: match an incoming BATCH against an already
     indexed CORPUS without re-pairing the corpus with itself.
@@ -343,11 +344,25 @@ def incremental_near_duplicates(
         )
         return idx.select("doc_id", F.posexplode(buckets).alias("band", "bucket"))
 
+    corpus_banded = banded(c_idx)
+    if max_bucket_size is not None:
+        # Skew guard for continuous ingest: a viral boilerplate bucket in
+        # the corpus index (identical signatures across millions of docs)
+        # would fan EVERY colliding batch doc out to the whole bucket. Cap
+        # the corpus side per (band, bucket) — same stop-shingle logic as
+        # ngram_jaccard_pairs' max_doc_freq; a capped bucket still yields
+        # matches (the surviving members), just not the full fan-out.
+        bw = Window.partitionBy("band", "bucket").orderBy("doc_id")
+        corpus_banded = (
+            corpus_banded.withColumn("_bn", F.row_number().over(bw))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     cand = (
         banded(b_idx)
         .alias("b")
         .join(
-            banded(c_idx).alias("c"),
+            corpus_banded.alias("c"),
             (F.col("b.band") == F.col("c.band"))
             & (F.col("b.bucket") == F.col("c.bucket")),
         )

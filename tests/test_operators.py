@@ -949,3 +949,21 @@ def test_incremental_dedup_with_prebuilt_index(spark, tmp_path):
     live = incremental_near_duplicates(corpus, batch).collect()
     cached = incremental_near_duplicates(None, batch, corpus_index=restored).collect()
     assert [tuple(r) for r in live] == [tuple(r) for r in cached] == [(20, 10, 1.0)]
+
+
+def test_incremental_dedup_bucket_cap_bounds_fanout(spark):
+    """A viral corpus bucket (many identical docs) fans a colliding batch
+    doc out to every member; max_bucket_size bounds the fan-out while
+    still matching against the surviving members."""
+    from clx_etl_spark.operators.dedup import incremental_near_duplicates
+
+    viral = "the exact same boilerplate text repeated across the corpus"
+    corpus = spark.createDataFrame(
+        [(i, viral) for i in range(30)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame([(100, viral)], "doc_id long, text string")
+
+    full = incremental_near_duplicates(corpus, batch)
+    capped = incremental_near_duplicates(corpus, batch, max_bucket_size=3)
+    # both still find a best match (smallest corpus id, jaccard 1.0)
+    assert full.collect()[0].dup_of == 0 == capped.collect()[0].dup_of
