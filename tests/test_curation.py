@@ -308,3 +308,78 @@ def test_chunk_documents_reconstruction_property(spark):
             assert rebuilt == toks, (i, t)
 
     check()
+
+
+def test_chunk_and_redact_cross_engine_fuzz(spark):
+    """The DuckDB-oracle equivalences hold on adversarial generated data,
+    not just the driver parquet: unicode, repeated whitespace, tab/newline
+    separators, empty and null docs, and PII-lookalike fragments."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    word = st.one_of(
+        st.sampled_from(
+            ["a", "bb", "Ω", "naïve", "x1", "a@b.co", "1.2.3.4", "+1-555-0000", "@", "."]
+        ),
+        st.text(alphabet="ab@.19", min_size=1, max_size=6),
+    )
+    sep = st.sampled_from([" ", "  ", "\t", "\n"])
+    doc = st.lists(st.tuples(word, sep), min_size=0, max_size=40).map(
+        lambda ps: "".join(w + s for w, s in ps)
+    )
+
+    TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5))
+    def check(texts):
+        rows = [(i, t, "s") for i, t in enumerate(texts)]
+        sdf = _docs(spark, rows)
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+        )
+
+        got = sorted(
+            (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text)
+            for r in C.chunk_documents(sdf, chunk_size=8, overlap=2).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                f"""
+            WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+            starts AS (SELECT doc_id, t, unnest(range(0, len(t), 6)) AS s
+                       FROM toks WHERE len(t) > 0)
+            SELECT doc_id, s // 6, len(list_slice(t, s + 1, s + 8)),
+                   array_to_string(list_slice(t, s + 1, s + 8), ' ')
+            FROM starts WHERE s = 0 OR s < len(t) - 2
+            """
+            ).fetchall()
+        )
+        assert got == want
+
+        red = sorted(
+            (r.doc_id, r.n_email, r.redacted)
+            for r in C.redact_pii(sdf).collect()
+        )
+        want_red = sorted(
+            tuple(r)
+            for r in con.execute(
+                f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{EMAIL}')),
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, '{EMAIL}', '<EMAIL>', 'g'),
+                       '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+                     '\\+\\d{{1,3}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g')
+            FROM documents
+            """
+            ).fetchall()
+        )
+        assert red == want_red
+
+    check()
