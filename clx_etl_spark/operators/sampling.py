@@ -84,3 +84,16 @@ def stratified_sample(
     for stratum, pm in rates_permille.items():
         rate = F.when(F.col(stratum_col) == stratum, F.lit(pm)).otherwise(rate)
     return df.filter(hash_gate(F.col(key_col), rate))
+
+
+def quality_weighted_sample(
+    df: DataFrame, key_col: str, rate_permille: Column
+) -> DataFrame:
+    """Doc-level quality-weighted downsampling (the FineWeb-style refine
+    step): each row's keep probability is its OWN quality-derived permille
+    rate, gated by the stable hash of its key — so the sample is
+    reproducible across runs/engines and row fate never flips as the
+    corpus grows. ``rate_permille`` is any integer Column in [0, 1000];
+    derive it from quality signals with deterministic arithmetic (floor,
+    not round). Narrow filter: no shuffle."""
+    return df.filter(hash_gate(F.col(key_col), rate_permille))

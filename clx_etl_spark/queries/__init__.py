@@ -57,6 +57,7 @@ SWEEP_FRONT: list[str] = [
     "chunk_documents",
     "embed_quantize_int8",
     "semantic_dedup",
+    "quality_weighted_sample",
     "mm_media_metadata",
     "w4_locf_fill",
     "scd2_value_runs",
@@ -101,7 +102,6 @@ SWEEP_FRONT: list[str] = [
     "j6_anti_new_only",
     "q10_top_returns",
     "q14_promo_ratio",
-    "q17_small_quantity_revenue",
 ]
 
 

@@ -1097,3 +1097,54 @@ def semantic_dedup(spark, sf):
             ).alias("is_kept"),
         )
     )
+
+
+QUALITY_SAMPLE_ORACLE = f"""
+    WITH t AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+    r AS (SELECT doc_id, source,
+            CASE WHEN len(toks) > 0
+                 THEN CAST(floor(CAST(len(list_distinct(toks)) AS DOUBLE)
+                                 / CAST(len(toks) AS DOUBLE) * 1000) AS BIGINT)
+                 ELSE 0 END AS permille,
+            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % 1000 AS bucket
+          FROM t)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(permille) AS BIGINT) AS sum_permille
+    FROM r WHERE bucket < permille GROUP BY source
+"""
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=QUALITY_SAMPLE_ORACLE,
+    doc="Doc-level quality-weighted downsampling: keep probability = the "
+    "doc's own unique-token ratio (floor'd to a permille rate), gated by "
+    "the stable md5 hash of doc_id — reproducible across engines and "
+    "growth-stable; narrow filter, no shuffle before the verification agg",
+)
+def quality_weighted_sample_q(spark, sf):
+    from ..functions import tokens as _toks
+    from ..operators.sampling import quality_weighted_sample
+
+    docs = load_table(spark, sf, "documents")
+    toks = _toks("text")
+    n = F.size(toks)
+    permille = (
+        F.when(
+            n > 0,
+            F.floor(
+                F.size(F.array_distinct(toks)).cast("double")
+                / n.cast("double")
+                * 1000
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    rated = docs.select("doc_id", "source", permille.alias("permille"))
+    kept = quality_weighted_sample(rated, "doc_id", F.col("permille"))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("permille").cast("long").alias("sum_permille"),
+    )

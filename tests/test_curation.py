@@ -383,3 +383,24 @@ def test_chunk_and_redact_cross_engine_fuzz(spark):
         assert red == want_red
 
     check()
+
+
+def test_quality_weighted_sample_growth_stable(spark):
+    """A kept row stays kept (and a dropped row dropped) when the corpus
+    grows — the property RNG sampling cannot give."""
+    from clx_etl_spark.operators.sampling import quality_weighted_sample
+
+    def rated(n):
+        rows = [(i, (i * 37) % 1001) for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, permille long")
+
+    small = {
+        r.doc_id
+        for r in quality_weighted_sample(rated(100), "doc_id", F.col("permille")).collect()
+    }
+    big = {
+        r.doc_id
+        for r in quality_weighted_sample(rated(300), "doc_id", F.col("permille")).collect()
+    }
+    assert small == {d for d in big if d < 100}
+    assert 0 < len(small) < 100  # the gate actually bites both ways
