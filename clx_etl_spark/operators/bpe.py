@@ -63,6 +63,35 @@ def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def initial_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, syms): the character-level starting vocabulary BPE
+    training iterates on — one explode + keyed count over the corpus."""
+    return _word_symbols(word_frequencies(df, text_col))
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent symbol-pair counts over a
+    (word, freq, syms) vocabulary — the per-round aggregate at the heart
+    of BPE training, exposed for direct use (round 1 of training == the
+    character-pair statistics table). Map-side combinable groupBy over a
+    vocab-sized input: cost is |vocab|, not corpus size."""
+    return (
+        vocab.filter(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        )
+        .groupBy("p")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
@@ -76,25 +105,11 @@ def bpe_train(
     (word, freq, syms) vocabulary table for join-based encoding.
     Stops early when no pair reaches ``min_pair_count``.
     """
-    vocab = _word_symbols(word_frequencies(df, text_col)).cache()
+    vocab = initial_vocab(df, text_col).cache()
     vocab.count()
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pairs = (
-            vocab.filter(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.zip_with(
-                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
-                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p")
-            .agg(F.sum("freq").alias("n"))
-        )
+        pairs = pair_counts(vocab)
         best = pairs.orderBy(F.desc("n"), F.asc("p.a"), F.asc("p.b")).head(1)
         if not best or best[0]["n"] < min_pair_count:
             break

@@ -1,0 +1,101 @@
+"""Corpus-trained bigram language-model scoring — the KenLM-shaped
+"score every document under a model trained on the corpus itself"
+step of a pretraining-data pipeline (CCNet-style perplexity filtering),
+re-expressed as pure Spark aggregation + joins.
+
+Shape at 100 TB:
+  * The model is two keyed aggregates over the exploded bigram stream —
+    bigram counts and context counts — both map-side combinable, both
+    bounded by the (Zipf-truncated) vocabulary cross-section, not by
+    corpus size.
+  * Scoring is the bigram stream joined back to the two count tables.
+    The model side is vocab-bounded, so AQE broadcasts it when small and
+    sort-merges when a 100 TB corpus makes the bigram vocabulary large;
+    either way no iteration and no driver state.
+  * No ln()/exp() anywhere: libm transcendentals differ across engines
+    in the last ulp (see operators/ir.py — BM25 uses rational idf for
+    the same reason), and a per-doc SUM over a *variable* number of
+    float log-probs is order-dependent on top of that. The score is
+    therefore an exact fixed-point average probability: each smoothed
+    bigram probability is floor((c12+1)·S / (c1+V)) in BIGINT (integer
+    floor-division is bit-identical in Spark `div` and DuckDB `//`),
+    summed exactly, divided once at the end (IEEE division of exact
+    integers — reproducible everywhere). S = 1e9 keeps the numerator
+    under 2^63 for any bigram count below ~9.2e9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import tokens
+
+SCALE = 1_000_000_000  # fixed-point probability scale (1e-9 resolution)
+
+
+def bigram_stream(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per adjacent token pair: (doc_id, w1, w2). Single explode;
+    docs with < 2 tokens contribute nothing."""
+    pairs = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+        .filter(F.size("t") >= 2)  # slice(len-1) is invalid on 0/1-token docs
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Bigram counts, context counts, and the vocab-size scalar.
+
+    Returns (bigram_counts(w1, w2, c12), context_counts(w1, c1),
+    stats(v)). c1 is derived from the bigram table (count of w1 as a
+    history), so c1 = Σ_w2 c12 — the add-one probabilities then sum to
+    exactly 1 over a closed vocab.
+    """
+    bg = bigram_stream(df, text_col, id_col)
+    bigram_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    context_counts = bigram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    stats = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    return bigram_counts, context_counts, stats
+
+
+def score_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average add-one-smoothed bigram probability under the
+    corpus-trained model: (doc_id, n_bigrams, sum_scaled, avg_p).
+
+    sum_scaled is the exact BIGINT fixed-point sum (order-independent);
+    avg_p = sum_scaled / (n_bigrams · S) as one final IEEE division.
+    Low avg_p = improbable word sequences under the corpus model — the
+    same signal a perplexity filter thresholds on, monotone-reversed.
+    """
+    bigram_counts, context_counts, stats = train_bigram_lm(df, text_col, id_col)
+    bg = bigram_stream(df, text_col, id_col)
+    scored = (
+        bg.join(bigram_counts, ["w1", "w2"])
+        .join(context_counts, ["w1"])
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "p_scaled",
+            F.expr(f"((c12 + 1L) * {SCALE}L) div (c1 + v)"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("p_scaled").alias("sum_scaled"),
+        (
+            F.sum("p_scaled").cast("double")
+            / (F.count(F.lit(1)).cast("double") * float(SCALE))
+        ).alias("avg_p"),
+    )

@@ -97,3 +97,26 @@ def quality_weighted_sample(
     derive it from quality signals with deterministic arithmetic (floor,
     not round). Narrow filter: no shuffle."""
     return df.filter(hash_gate(F.col(key_col), rate_permille))
+
+
+def hash_split(
+    key: Column, splits: list[tuple[str, int]], mod: int = _GATE_MOD
+) -> Column:
+    """Disjoint deterministic split assignment (train/val/test): the row's
+    stable hash bucket is mapped through cumulative permille ranges, e.g.
+    [("train", 800), ("val", 100), ("test", 100)]. Growth-stable: adding
+    rows never reassigns existing ones (no RNG, no counting), so eval
+    holdouts stay uncontaminated across incremental corpus builds. The
+    last split absorbs any remainder. Pure narrow expression."""
+    bucket = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % mod
+    bounds = []
+    hi = 0
+    for name, pm in splits[:-1]:
+        hi += pm
+        bounds.append((hi, name))
+    expr = F.lit(splits[-1][0])
+    for hi, name in reversed(bounds):
+        expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
+    return expr

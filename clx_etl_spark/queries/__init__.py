@@ -52,6 +52,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # branch — each needs a fresh green row), padded to 50 with the
 # longest-unchecked r01 rows.
 SWEEP_FRONT: list[str] = [
+    "lm_bigram_doc_scores",
+    "split_train_val_test",
+    "bpe_pair_stats",
+    "bpe_train_encode",
+    "pq_ann",
     "dedup_incremental",
     "pii_redact",
     "chunk_documents",
@@ -97,11 +102,6 @@ SWEEP_FRONT: list[str] = [
     "w4_range_frame",
     "w4_rank_variants",
     "w4_sliding_window_counts",
-    "cube_revenue",
-    "j1_semi_active_customers",
-    "j6_anti_new_only",
-    "q10_top_returns",
-    "q14_promo_ratio",
 ]
 
 
@@ -109,6 +109,7 @@ def load_all() -> dict[str, Query]:
     from . import corpus, parity, pipeline, tpch_extra  # noqa: F401  (registration side effects)
     from . import core  # noqa: F401
     from . import analytic  # noqa: F401
+    from . import datasets  # noqa: F401
 
     front = {n: REGISTRY[n] for n in SWEEP_FRONT if n in REGISTRY}
     rest = {n: q for n, q in REGISTRY.items() if n not in front}

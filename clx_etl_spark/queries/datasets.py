@@ -1,0 +1,155 @@
+"""Dataset-assembly queries: tokenizer training statistics, corpus-LM
+document scoring, deterministic split assignment, and compressed-index
+ANN — the "turn a curated corpus into a training dataset" tail of the
+pipeline (tokenize / score / split / index).
+
+Oracle determinism follows the queries/__init__ contract; the LM score
+uses exact BIGINT fixed-point probabilities (see operators/lm.py — no
+ln(), no order-dependent float sums). The two iterative entries
+(bpe_train_encode, pq_ann) are registered rows-only: multi-round
+argmax/k-means loops are the documented non-SQL-expressible class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import bpe as B
+from ..operators import lm as LM
+from ..operators import similarity as S
+from ..operators.sampling import hash_split
+from . import register
+from .corpus import TOKS
+
+
+@register(
+    "lm_bigram_doc_scores",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+           WHERE len(t) >= 2),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    vs AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+           FROM (SELECT unnest(t) AS w FROM toks)),
+    scored AS (SELECT b.doc_id,
+                      ((c.c12 + 1) * CAST({LM.SCALE} AS BIGINT)) // (u.c1 + vs.v)
+                        AS p_scaled
+               FROM bg b
+               JOIN c12 c ON b.w1 = c.w1 AND b.w2 = c.w2
+               JOIN c1 u ON b.w1 = u.w1, vs)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_scaled) AS BIGINT) AS sum_scaled,
+           CAST(SUM(p_scaled) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * {float(LM.SCALE)}) AS avg_p
+    FROM scored GROUP BY doc_id
+    """,
+    doc="CCNet-shaped corpus-LM quality scoring: add-one-smoothed bigram "
+    "model trained on the corpus itself (two map-side-combinable keyed "
+    "aggregates, vocab-bounded), every doc scored by exact fixed-point "
+    "average probability — the perplexity-filter signal without "
+    "engine-dependent ln()/float-sum ordering",
+)
+def lm_bigram_doc_scores(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return LM.score_documents(docs)
+
+
+@register(
+    "split_train_val_test",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN b < 800 THEN 'train'
+                WHEN b < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, lang, n_chars,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 1000 AS b
+          FROM documents)
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment by stable key "
+    "hash (operators/sampling.hash_split): growth-stable — new docs never "
+    "reassign old ones, so eval holdouts survive incremental corpus "
+    "builds; pure narrow expression, no shuffle, no RNG",
+)
+def split_train_val_test(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        hash_split(
+            F.col("doc_id"), [("train", 800), ("val", 100), ("test", 100)]
+        ).alias("split"),
+    )
+
+
+@register(
+    "bpe_pair_stats",
+    oracle=f"""
+    WITH w AS (SELECT unnest({TOKS}) AS word FROM documents),
+    wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM w GROUP BY word),
+    pairs AS (SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, freq
+              FROM wf, UNNEST(generate_series(1, length(word) - 1)) AS g(i)
+              WHERE length(word) >= 2),
+    agg AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_weight
+            FROM pairs GROUP BY a, b)
+    SELECT a, b, pair_weight FROM agg
+    ORDER BY pair_weight DESC, a, b LIMIT 32
+    """,
+    doc="The distributed core of BPE training, oracle-checked: top-32 "
+    "frequency-weighted adjacent character pairs over the DISTINCT-word "
+    "table (operators/bpe.pair_counts) — per-merge cost proportional to "
+    "|vocab|, not corpus size; fully tie-broken top-k",
+)
+def bpe_pair_stats(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    pairs = B.pair_counts(B.initial_vocab(docs))
+    return (
+        pairs.select(
+            F.col("p.a").alias("a"),
+            F.col("p.b").alias("b"),
+            F.col("n").alias("pair_weight"),
+        )
+        .orderBy(F.desc("pair_weight"), F.asc("a"), F.asc("b"))
+        .limit(32)
+    )
+
+
+@register(
+    "bpe_train_encode",
+    oracle=None,  # iterative per-merge argmax loop: documented rows-only class
+    doc="End-to-end BPE: train 12 merges on the corpus (one vocab-sized "
+    "aggregate + a single collected argmax row per round, lineage cut "
+    "per round), then join-based encoding — per-doc BPE token counts. "
+    "Deterministic (ties broken lexicographically) but multi-round "
+    "iterative, hence rows-only; round-1 statistics are hash-checked by "
+    "bpe_pair_stats and greedy-merge semantics by tests/test_operators.py",
+)
+def bpe_train_encode(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    _merges, vocab = B.bpe_train(docs, num_merges=12)
+    return B.bpe_token_counts(docs, vocab).select(
+        "doc_id", F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens")
+    )
+
+
+@register(
+    "pq_ann",
+    oracle=None,  # k-means codebook training is iterative: rows-only class
+    doc="Product-quantization ANN (asymmetric distance): codebooks "
+    "k-means-trained per subspace on a deterministic hash sample "
+    "(seeded, bounded collect), corpus encoded to m=4 one-byte codes by "
+    "pure literal expressions, exact queries scored against "
+    "reconstructed vectors with fully tie-broken top-5. Iterative "
+    "training, hence rows-only; encode/reconstruct round-trip and "
+    "recall-vs-bruteforce are asserted in tests/test_operators.py",
+)
+def pq_ann(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    out = S.knn_pq(emb, emb.filter(F.col("vec_id") < 8), m=4, k_codes=8, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))

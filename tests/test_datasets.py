@@ -1,0 +1,68 @@
+"""Unit tests for the dataset-assembly operators (queries/datasets.py
+backends): bigram-LM scoring, hash_split, BPE pair statistics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clx_etl_spark.operators import bpe as B
+from clx_etl_spark.operators import lm as LM
+from clx_etl_spark.operators.sampling import hash_split
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lm_score_hand_computed(spark):
+    # corpus: "a b a b" (doc 1), "a c" (doc 2)
+    # bigrams: (a,b)x2, (b,a)x1, (a,c)x1 -> c1(a)=3, c1(b)=1; V=3
+    df = _docs(spark, [(1, "a b a b"), (2, "a c")])
+    out = {r.doc_id: r for r in LM.score_documents(df).collect()}
+    S = LM.SCALE
+    # doc 1: p(a,b)=(2+1)/(3+3) twice, p(b,a)=(1+1)/(1+3)
+    p_ab = (3 * S) // 6
+    p_ba = (2 * S) // 4
+    assert out[1].n_bigrams == 3
+    assert out[1].sum_scaled == 2 * p_ab + p_ba
+    assert out[1].avg_p == (2 * p_ab + p_ba) / (3.0 * S)
+    # doc 2: p(a,c)=(1+1)/(3+3)
+    assert out[2].n_bigrams == 1
+    assert out[2].sum_scaled == (2 * S) // 6
+    # single-token / empty docs contribute no rows
+    df2 = _docs(spark, [(1, "a b"), (2, "x"), (3, "")])
+    assert {r.doc_id for r in LM.score_documents(df2).collect()} == {1}
+
+
+def test_hash_split_disjoint_exhaustive_and_growth_stable(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    col = hash_split(F.col("k"), [("train", 800), ("val", 100), ("test", 100)])
+    full = {r.k: r.s for r in df.select("k", col.alias("s")).collect()}
+    assert set(full.values()) == {"train", "val", "test"}
+    n = len(full)
+    frac_train = sum(1 for v in full.values() if v == "train") / n
+    assert 0.75 < frac_train < 0.85
+    # growth stability: assignment over a subset is identical
+    sub = {
+        r.k: r.s
+        for r in df.filter(F.col("k") < 500).select("k", col.alias("s")).collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
+
+
+def test_bpe_pair_counts_matches_bruteforce(spark):
+    rows = [(1, "aab ab"), (2, "aab ba"), (3, "b aab")]
+    df = _docs(spark, rows)
+    got = {
+        (r["p"]["a"], r["p"]["b"]): r["n"]
+        for r in B.pair_counts(B.initial_vocab(df)).collect()
+    }
+    # brute force over distinct words weighted by corpus frequency
+    from collections import Counter
+
+    freq = Counter(w for _, t in rows for w in t.split())
+    want: Counter = Counter()
+    for w, f in freq.items():
+        for x, y in zip(w, w[1:]):
+            want[(x, y)] += f
+    assert got == dict(want)
