@@ -446,19 +446,20 @@ def pq_assign(
     """Encode each vector as m sub-centroid indices (0-based) — pure
     column expressions (the codebooks are literals), no UDF: at corpus
     scale this is a map-only stage pipelined into the scan. Ties take the
-    lowest index (argmin via sequential comparison, deterministic)."""
+    lowest index: argmin = array_position(array_min) over the per-centroid
+    distance array, which keeps the expression tree LINEAR in k (a chained
+    when(d2 < best, ...) ladder re-references both operands and doubles
+    the Catalyst tree per step — 2^k nodes OOMs the driver during plan
+    transforms well before k=16)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     codes = []
     for j, book in enumerate(codebooks):
         sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
-        best_idx, best_d = F.lit(0), _sub_dist2(sub, book[0])
-        for c in range(1, len(book)):
-            d2 = _sub_dist2(sub, book[c])
-            better = d2 < best_d
-            best_idx = F.when(better, F.lit(c)).otherwise(best_idx)
-            best_d = F.when(better, d2).otherwise(best_d)
-        codes.append(best_idx)
+        dists = F.array(*[_sub_dist2(sub, cent) for cent in book])
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
     return vectors.select(
         F.col(id_col), F.col(vec_col), F.array(*codes).alias(out_col)
     )

@@ -41,6 +41,10 @@ NLJ_ALLOWED = {
     "q15_top_supplier",
     "bm25_doc_scores",  # broadcast of the 1-row (N, avgdl, df...) stats
     "densify_hourly_grid",  # broadcast of the 1-row (lo, hi) hour bounds
+    "lm_bigram_doc_scores",  # broadcast of the 1-row vocab-size stats
+    "pq_ann",  # tiny query set x corpus, same declared shape as
+    # sim_knn_bruteforce — PQ shrinks per-candidate cost (4-byte codes);
+    # compose with IVF cell pruning (sim_knn_ivf) to drop the NLJ at scale
 }
 
 
