@@ -1,7 +1,7 @@
-"""Corpus-trained bigram language-model scoring — the KenLM-shaped
-"score every document under a model trained on the corpus itself"
-step of a pretraining-data pipeline (CCNet-style perplexity filtering),
-re-expressed as pure Spark aggregation + joins.
+"""Corpus-distribution document scoring: bigram language-model scoring
+(the KenLM-shaped CCNet-style perplexity filter) and DSIR-style hashed
+n-gram importance weighting — both re-expressed as pure Spark
+aggregation + joins.
 
 Shape at 100 TB:
   * The model is two keyed aggregates over the exploded bigram stream —
@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions import tokens
 
 SCALE = 1_000_000_000  # fixed-point probability scale (1e-9 resolution)
+DSIR_SCALE = 1_000_000  # DSIR ratio scale: int64 headroom to ~9.2e12 tokens
 
 
 def bigram_stream(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -98,4 +99,74 @@ def score_documents(
             F.sum("p_scaled").cast("double")
             / (F.count(F.lit(1)).cast("double") * float(SCALE))
         ).alias("avg_p"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights: score each document by how much its
+    hashed-unigram distribution resembles a target subset of the corpus
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — the hashed-feature variant).
+
+    Per token, the weight is the add-one-smoothed likelihood ratio
+    p_target(bucket) / p_raw(bucket); a document's score is the average
+    over its tokens. High avg_w = looks like the target distribution —
+    feed into sampling.quality_weighted_sample for the resampling step.
+
+    Shape at 100 TB: the model is ONE pass over the token stream (two
+    counts per bucket, map-side combinable into exactly ``n_buckets``
+    rows); per-bucket weights are precomputed on that tiny table and
+    broadcast, so scoring is a broadcast join + one keyed agg — the
+    corpus never shuffles on the token.
+
+    Determinism: same fixed-point discipline as score_documents — the
+    ratio is two chained BIGINT floor-divisions (scale S then the raw
+    side), exact in both engines; one final IEEE division per doc.
+    md5-bucketing (not xxhash) keeps buckets engine-portable.
+
+    S = DSIR_SCALE (1e6, not score_documents' 1e9): the chained product
+    (ct+1)·S and q1·(nr+B) with q1 ≤ S must stay under 2^63, which at
+    S=1e6 holds to ~9.2e12 tokens per side — trillion-token corpora —
+    where 1e9 would overflow three orders of magnitude earlier.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.alias("_is_target"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).withColumn(
+        "bk",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % n_buckets,
+    )
+    counts = base.groupBy("bk").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"),
+    )
+    stats = counts.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    weights = counts.crossJoin(F.broadcast(stats)).withColumn(
+        "w",
+        F.expr(
+            f"((((ct + 1L) * {DSIR_SCALE}L) div (nt + {n_buckets}))"
+            f" * (nr + {n_buckets})) div (cr + 1L)"
+        ),
+    )
+    return (
+        base.join(F.broadcast(weights.select("bk", "w")), "bk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").alias("sum_w_scaled"),
+            (
+                F.sum("w").cast("double")
+                / (F.count(F.lit(1)).cast("double") * float(DSIR_SCALE))
+            ).alias("avg_w"),
+        )
     )

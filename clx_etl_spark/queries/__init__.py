@@ -53,6 +53,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # longest-unchecked r01 rows.
 SWEEP_FRONT: list[str] = [
     "lm_bigram_doc_scores",
+    "dsir_importance_weights",
     "split_train_val_test",
     "bpe_pair_stats",
     "bpe_train_encode",

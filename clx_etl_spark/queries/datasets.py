@@ -153,3 +153,37 @@ def pq_ann(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     out = S.knn_pq(emb, emb.filter(F.col("vec_id") < 8), m=4, k_codes=8, k=5)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, unnest({TOKS}) AS tok FROM documents),
+    b AS (SELECT doc_id, lang,
+                 CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 256 AS bk
+          FROM toks),
+    cnt AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS cr,
+                   CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct
+            FROM b GROUP BY bk),
+    tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt
+            FROM cnt),
+    wb AS (SELECT bk,
+                  ((((ct + 1) * CAST({LM.DSIR_SCALE} AS BIGINT)) // (nt + 256))
+                   * (nr + 256)) // (cr + 1) AS w
+           FROM cnt, tot)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w) AS BIGINT) AS sum_w_scaled,
+           CAST(SUM(w) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * {float(LM.DSIR_SCALE)}) AS avg_w
+    FROM b JOIN wb USING (bk) GROUP BY doc_id
+    """,
+    doc="DSIR-style data selection (hashed-unigram importance "
+    "resampling): each doc weighted by the add-one likelihood ratio of "
+    "the target (lang='en') vs raw token distribution over 256 md5 "
+    "buckets — model is one map-side-combinable pass into 256 rows, "
+    "weights broadcast back, fixed-point exact (operators/lm.py)",
+)
+def dsir_importance_weights(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return LM.dsir_importance(docs, F.col("lang") == "en")

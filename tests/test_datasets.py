@@ -66,3 +66,29 @@ def test_bpe_pair_counts_matches_bruteforce(spark):
         for x, y in zip(w, w[1:]):
             want[(x, y)] += f
     assert got == dict(want)
+
+
+def test_dsir_identity_target_weights_near_one(spark):
+    # target == whole corpus -> p_target == p_raw, so every weight is ~1
+    # (exactly 1 up to the two fixed-point floors)
+    df = _docs(
+        spark,
+        [(1, "alpha beta gamma delta"), (2, "beta beta epsilon"), (3, "zeta")],
+    )
+    out = LM.dsir_importance(df, F.lit(True)).collect()
+    assert {r.doc_id for r in out} == {1, 2, 3}
+    for r in out:
+        assert 0.99 <= r.avg_w <= 1.0
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    rows = [
+        (1, "aa bb cc dd", "en"),
+        (2, "aa bb cc dd", "en"),
+        (3, "xx yy zz ww", "zh"),
+        (4, "aa bb cc dd", "zh"),  # zh doc that LOOKS like the en target
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r.avg_w for r in LM.dsir_importance(df, F.col("lang") == "en").collect()}
+    assert out[4] == out[1]  # weight depends on content, not the label
+    assert out[4] > out[3]  # target-like content outweighs off-target
