@@ -46,11 +46,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # rotated to the front each round so the driver sweep eventually covers the
 # whole registry; the repo's own oracle suite (tests/test_queries_oracle.py)
 # always sweeps everything at sf0.01 regardless. Round-4 front: the new
-# round-4 queries, mm_media_metadata (oracle upgraded from rows-only this
-# round), then the 38 queries whose r01/r02 proofs were invalidated by the
-# events.ts encoding change (all fixed by catalog.load_table's dtype
-# branch — each needs a fresh green row), padded to 50 with the
-# longest-unchecked r01 rows.
+# round-4 queries (incl. the late additions lm/dsir/split/bpe/pq),
+# mm_media_metadata (oracle upgraded from rows-only this round), then the
+# 38 queries whose r01/r02 proofs were invalidated by the events.ts
+# encoding change (all fixed by catalog.load_table's dtype branch — each
+# needs a fresh green row).
 SWEEP_FRONT: list[str] = [
     "lm_bigram_doc_scores",
     "dsir_importance_weights",
