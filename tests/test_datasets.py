@@ -92,3 +92,66 @@ def test_dsir_target_like_docs_score_higher(spark):
     out = {r.doc_id: r.avg_w for r in LM.dsir_importance(df, F.col("lang") == "en").collect()}
     assert out[4] == out[1]  # weight depends on content, not the label
     assert out[4] > out[3]  # target-like content outweighs off-target
+
+
+def test_lm_dsir_bpe_cross_engine_fuzz(spark):
+    """The registered DuckDB oracles equal the Spark operators on
+    adversarial GENERATED corpora (unicode words, 0/1-token docs, mixed
+    whitespace, skewed langs) — byte-exact including the avg doubles,
+    which is the fixed-point design's whole claim."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from clx_etl_spark.queries import load_all
+
+    oracles = {
+        n: q.oracle
+        for n, q in load_all().items()
+        if n in ("lm_bigram_doc_scores", "dsir_importance_weights", "bpe_pair_stats")
+    }
+
+    word = st.one_of(
+        st.sampled_from(["a", "aa", "Ωβ", "naïve", "x1", "zz9", "ß"]),
+        st.text(alphabet="abΩ1", min_size=1, max_size=5),
+    )
+    sep = st.sampled_from([" ", "  ", "\t", "\n"])
+    doc = st.lists(st.tuples(word, sep), min_size=0, max_size=25).map(
+        lambda ps: "".join(w + s for w, s in ps)
+    )
+    lang = st.sampled_from(["en", "en", "zh", "fr"])
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.tuples(doc, lang), min_size=1, max_size=6))
+    def check(docs):
+        rows = [(i, t, lg, "s", len(t)) for i, (t, lg) in enumerate(docs)]
+        sdf = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]),
+        )
+        spark_out = {
+            "lm_bigram_doc_scores": LM.score_documents(sdf),
+            "dsir_importance_weights": LM.dsir_importance(sdf, F.col("lang") == "en"),
+            "bpe_pair_stats": None,  # built below (top-k needs the order cols)
+        }
+        pairs = B.pair_counts(B.initial_vocab(sdf))
+        spark_out["bpe_pair_stats"] = (
+            pairs.select(
+                F.col("p.a").alias("a"),
+                F.col("p.b").alias("b"),
+                F.col("n").alias("pair_weight"),
+            )
+            .orderBy(F.desc("pair_weight"), F.asc("a"), F.asc("b"))
+            .limit(32)
+        )
+        for name, sql in oracles.items():
+            got = sorted(tuple(r) for r in spark_out[name].collect())
+            want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+            assert got == want, name
+        con.close()
+
+    check()
