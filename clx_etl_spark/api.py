@@ -161,3 +161,35 @@ class Engine:
         from .operators.bpe import bpe_encode
 
         return bpe_encode(df, vocab, text_col=text_col)
+
+    def lm_scores(self, df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+        """Corpus-LM quality scores (CCNet-shaped perplexity-filter
+        signal): per-doc exact fixed-point average bigram probability."""
+        from .operators.lm import score_documents
+
+        return score_documents(df, text_col=text_col, id_col=id_col)
+
+    def importance_weights(self, df: DataFrame, target_pred,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+        """DSIR-style importance weights vs a target subset; feed avg_w
+        into sample(rate_permille=...) for the resampling step."""
+        from .operators.lm import dsir_importance
+
+        return dsir_importance(df, target_pred, text_col=text_col,
+                               id_col=id_col)
+
+    def split(self, df: DataFrame, key_col: str = "doc_id",
+              splits: list[tuple[str, int]] | None = None,
+              out_col: str = "split") -> DataFrame:
+        """Growth-stable train/val/test assignment by stable key hash."""
+        from pyspark.sql import functions as F
+
+        from .operators.sampling import hash_split
+
+        return df.withColumn(
+            out_col,
+            hash_split(F.col(key_col),
+                       splits or [("train", 800), ("val", 100), ("test", 100)]),
+        )

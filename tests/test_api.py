@@ -145,3 +145,28 @@ def test_engine_curation_surface(spark):
     assert len(merges) == 5
     enc = eng.tokenize(docs, vocab)
     assert enc.filter("size(syms) = 0").count() == 0
+
+
+def test_engine_dataset_assembly_surface(spark):
+    from pyspark.sql import functions as F
+
+    from clx_etl_spark.api import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "el rapido zorro marron salta sobre el perro", "es"),
+            (3, "the lazy dog sleeps under the quick fox", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    lm = eng.lm_scores(docs)
+    assert set(lm.columns) == {"doc_id", "n_bigrams", "sum_scaled", "avg_p"}
+    assert lm.count() == 3
+    iw = eng.importance_weights(docs, F.col("lang") == "en")
+    w = {r.doc_id: r.avg_w for r in iw.collect()}
+    assert w[1] > w[2] and w[3] > w[2]
+    sp = eng.split(docs)
+    assert sp.columns == ["doc_id", "text", "lang", "split"]
+    assert set(r.split for r in sp.collect()) <= {"train", "val", "test"}
