@@ -442,6 +442,7 @@ def pq_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "pq_codes",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector as m sub-centroid indices (0-based) — pure
     column expressions (the codebooks are literals), no UDF: at corpus
@@ -461,7 +462,10 @@ def pq_assign(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
     return vectors.select(
-        F.col(id_col), F.col(vec_col), F.array(*codes).alias(out_col)
+        F.col(id_col),
+        F.col(vec_col),
+        F.array(*codes).alias(out_col),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -506,6 +510,67 @@ def knn_pq(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = scored.withColumn("cosine", cosine_sim(F.col("_qvec"), F.col("_vvec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def knn_ivf_pq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    nlist: int = 8,
+    m: int = 4,
+    k_codes: int = 16,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ composed ANN — the standard billion-scale index layout
+    (FAISS IVFPQ shape): trained coarse centroids prune the candidate set
+    to the query's ``nprobe`` nearest cells, PQ codes shrink what each
+    surviving candidate costs to store and score (m one-byte codes vs d
+    floats), asymmetric distance scores exact queries against
+    reconstructed candidates.
+
+    Unlike knn_bruteforce / knn_pq (declared tiny-query cross-join
+    baselines), candidate generation here is an EQUI-JOIN on the cell id
+    — no nested-loop shape anywhere, so the plan scales to large query
+    sets: corpus side shuffles once on cell (or broadcasts the query
+    cells), then a per-query window top-k. Both trainings touch only
+    bounded deterministic hash samples.
+    """
+    cents = train_ivf_centroids(
+        vectors, nlist=nlist, id_col=id_col, vec_col=vec_col
+    )
+    books = pq_train(vectors, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    v_cells = assign_ivf_cells(vectors, cents, id_col=id_col, vec_col=vec_col)
+    coded = pq_assign(
+        v_cells, books, id_col=id_col, vec_col=vec_col, keep_cols=("ivf_cell",)
+    )
+    recon = coded.select(
+        F.col(id_col).alias("neighbor_id"),
+        "ivf_cell",
+        pq_reconstruct(books).alias("_vvec"),
+    )
+    q = assign_ivf_cells(
+        queries, cents, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+    ).select(
+        F.col(id_col).alias("query_id"), "ivf_cell", F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        recon.join(q, "ivf_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_sim(F.col("_qvec"), F.col("_vvec")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    if nprobe > 1:
+        scored = scored.distinct()  # same neighbor via several probed cells
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

@@ -58,6 +58,7 @@ SWEEP_FRONT: list[str] = [
     "bpe_pair_stats",
     "bpe_train_encode",
     "pq_ann",
+    "sim_knn_ivfpq",
     "dedup_incremental",
     "pii_redact",
     "chunk_documents",

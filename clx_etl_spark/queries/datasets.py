@@ -187,3 +187,21 @@ def pq_ann(spark, sf):
 def dsir_importance_weights(spark, sf):
     docs = load_table(spark, sf, "documents")
     return LM.dsir_importance(docs, F.col("lang") == "en")
+
+
+@register(
+    "sim_knn_ivfpq",
+    oracle=None,  # both trainings (coarse k-means + PQ k-means) are iterative
+    doc="IVF+PQ composed ANN (the FAISS-IVFPQ billion-scale layout): "
+    "trained coarse cells prune candidates via an EQUI-JOIN on cell id "
+    "(no nested-loop shape — unlike the declared bruteforce baselines), "
+    "PQ codes compress candidate storage/scoring, 2-probe recovers "
+    "boundary neighbors. Iterative trainings, hence rows-only; ADC-score "
+    "bit-consistency with knn_pq and determinism are unit-asserted",
+)
+def sim_knn_ivfpq(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    out = S.knn_ivf_pq(
+        emb, emb.filter(F.col("vec_id") < 8), nlist=8, m=4, k_codes=8, k=5, nprobe=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))

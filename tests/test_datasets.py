@@ -155,3 +155,37 @@ def test_lm_dsir_bpe_cross_engine_fuzz(spark):
         con.close()
 
     check()
+
+
+def test_knn_ivf_pq_consistent_with_adc_bruteforce(spark):
+    """IVFPQ == PQ-ADC restricted to the probed cells: identical trained
+    codebooks (seeded deterministic sample), so any (query, neighbor)
+    pair both paths surface must carry the BIT-IDENTICAL reconstructed
+    cosine, and 2-of-4-cell probing must keep overlapping with the
+    unpruned ADC top-3 for every query. (No exact-recall assertion on
+    purpose: these near-random 64-d embeddings have tiny neighbor
+    margins, so quantization legitimately reorders the top — that is
+    ANN semantics, not a bug.)"""
+    from clx_etl_spark.operators.similarity import knn_ivf_pq, knn_pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 6)
+    adc = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in knn_pq(emb, queries, m=4, k_codes=8, k=3).collect()
+    }
+    rows = knn_ivf_pq(emb, queries, nlist=4, m=4, k_codes=8, k=3, nprobe=2).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert {q for q, _ in adc} == set(by_q)  # every query answered
+    for q, qrows in by_q.items():
+        ranks = [r.rank for r in sorted(qrows, key=lambda r: r.rank)]
+        assert ranks == list(range(1, len(qrows) + 1))
+        overlap = [r for r in qrows if (q, r.neighbor_id) in adc]
+        assert overlap, f"query {q}: 2-probe shares nothing with ADC top-3"
+        for r in overlap:  # same books + same fold order -> same double
+            assert r.cosine == adc[(q, r.neighbor_id)]
+    # determinism: second run identical
+    again = knn_ivf_pq(emb, queries, nlist=4, m=4, k_codes=8, k=3, nprobe=2).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
