@@ -59,6 +59,7 @@ SWEEP_FRONT: list[str] = [
     "bpe_train_encode",
     "pq_ann",
     "sim_knn_ivfpq",
+    "training_manifest",
     "dedup_incremental",
     "pii_redact",
     "chunk_documents",

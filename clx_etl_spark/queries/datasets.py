@@ -205,3 +205,64 @@ def sim_knn_ivfpq(spark, sf):
         emb, emb.filter(F.col("vec_id") < 8), nlist=8, m=4, k_codes=8, k=5, nprobe=2
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+from .corpus import _CURATION_KEPT_CTES  # noqa: E402
+
+
+@register(
+    "training_manifest",
+    oracle=f"""
+    WITH {_CURATION_KEPT_CTES},
+    assigned AS (
+      SELECT k.doc_id, k.n_tokens, d.source,
+             CASE WHEN b < 800 THEN 'train'
+                  WHEN b < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept k
+      JOIN (SELECT doc_id, source,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 1000 AS b
+            FROM documents) d ON d.doc_id = k.doc_id),
+    g AS (SELECT split, source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+          FROM assigned GROUP BY split, source)
+    SELECT split, source, n_docs, sum_tokens,
+           CAST(sum_tokens AS DOUBLE)
+             / CAST(SUM(sum_tokens) OVER (PARTITION BY split) AS DOUBLE)
+             AS token_share
+    FROM g
+    """,
+    doc="Training-run manifest: the curation keep-list (dedup + quality + "
+    "language + hash-gate sample, one scan) split-assigned by stable "
+    "hash and rolled up per (split, source) — doc counts, token sums, "
+    "and each source's exact token share of its split. The composed "
+    "what-goes-into-the-run audit every dataset release ships with",
+)
+def training_manifest(spark, sf):
+    from pyspark.sql import Window
+
+    from ..operators import text as TX
+
+    docs = load_table(spark, sf, "documents")
+    kept = TX.curate_corpus(docs)
+    assigned = (
+        kept.select("doc_id", "n_tokens")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn(
+            "split",
+            hash_split(
+                F.col("doc_id"), [("train", 800), ("val", 100), ("test", 100)]
+            ),
+        )
+    )
+    g = assigned.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    return g.withColumn(
+        "token_share",
+        F.col("sum_tokens").cast("double")
+        / F.sum("sum_tokens").over(Window.partitionBy("split")).cast("double"),
+    )
