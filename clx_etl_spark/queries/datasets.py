@@ -123,7 +123,7 @@ def bpe_pair_stats(spark, sf):
 @register(
     "bpe_train_encode",
     oracle=None,  # iterative per-merge argmax loop: documented rows-only class
-    doc="End-to-end BPE: train 12 merges on the corpus (one vocab-sized "
+    doc="End-to-end BPE: train 8 merges on the corpus (one vocab-sized "
     "aggregate + a single collected argmax row per round, lineage cut "
     "per round), then join-based encoding — per-doc BPE token counts. "
     "Deterministic (ties broken lexicographically) but multi-round "
@@ -132,7 +132,7 @@ def bpe_pair_stats(spark, sf):
 )
 def bpe_train_encode(spark, sf):
     docs = load_table(spark, sf, "documents")
-    _merges, vocab = B.bpe_train(docs, num_merges=12)
+    _merges, vocab = B.bpe_train(docs, num_merges=8)
     return B.bpe_token_counts(docs, vocab).select(
         "doc_id", F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens")
     )
