@@ -60,6 +60,7 @@ SWEEP_FRONT: list[str] = [
     "pq_ann",
     "sim_knn_ivfpq",
     "training_manifest",
+    "split_leakage_audit",
     "dedup_incremental",
     "pii_redact",
     "chunk_documents",

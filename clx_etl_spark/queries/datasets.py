@@ -266,3 +266,60 @@ def training_manifest(spark, sf):
         F.col("sum_tokens").cast("double")
         / F.sum("sum_tokens").over(Window.partitionBy("split")).cast("double"),
     )
+
+
+from ..operators import dedup as D  # noqa: E402
+from .corpus import MINHASH_ORACLE  # noqa: E402
+
+_SPLIT_SQL = """
+    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 1000 < 800 THEN 'train'
+         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 1000 < 900 THEN 'val'
+         ELSE 'test' END
+"""
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH pairs AS ({MINHASH_ORACLE}),
+    sp AS (SELECT doc_id, {_SPLIT_SQL} AS split FROM documents)
+    SELECT LEAST(a.split, b.split) AS split_lo,
+           GREATEST(a.split, b.split) AS split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN sp a ON a.doc_id = p.doc_a
+    JOIN sp b ON b.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+    doc="Eval-contamination audit: MinHash-LSH near-dup pairs (Jaccard >= "
+    "0.5) labeled with each side's growth-stable split and rolled up per "
+    "split pair — any off-diagonal row is train/eval leakage a "
+    "dedup-aware split must resolve. Composes the bucketed LSH pipeline "
+    "(never corpus^2) with the hash split; pair volume is LSH-bounded so "
+    "the audit costs the same as the dedup pass itself",
+)
+def split_leakage_audit(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    pairs = D.minhash_near_duplicates(docs, threshold=0.5)
+    sp = docs.select(
+        "doc_id",
+        hash_split(
+            F.col("doc_id"), [("train", 800), ("val", 100), ("test", 100)]
+        ).alias("split"),
+    )
+    labeled = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("_sb")),
+            "doc_b",
+        )
+    )
+    return labeled.groupBy(
+        F.least("_sa", "_sb").alias("split_lo"),
+        F.greatest("_sa", "_sb").alias("split_hi"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
