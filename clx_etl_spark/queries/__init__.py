@@ -61,6 +61,7 @@ SWEEP_FRONT: list[str] = [
     "sim_knn_ivfpq",
     "training_manifest",
     "split_leakage_audit",
+    "split_dedup_aware",
     "dedup_incremental",
     "pii_redact",
     "chunk_documents",

@@ -323,3 +323,51 @@ def split_leakage_audit(spark, sf):
         F.least("_sa", "_sb").alias("split_lo"),
         F.greatest("_sa", "_sb").alias("split_hi"),
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+from .corpus import DEDUP_CLUSTERS_ORACLE  # noqa: E402
+
+
+def _split_case(key_sql: str) -> str:
+    b = f"CAST('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8) AS BIGINT) % 1000"
+    return (
+        f"CASE WHEN {b} < 800 THEN 'train' "
+        f"WHEN {b} < 900 THEN 'val' ELSE 'test' END"
+    )
+
+
+@register(
+    "split_dedup_aware",
+    oracle=f"""
+    WITH comp AS ({DEDUP_CLUSTERS_ORACLE})
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS rep,
+           {_split_case("COALESCE(c.component, d.doc_id)")} AS split
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
+    doc="Dedup-aware split assignment: every doc is split by the stable "
+    "hash of its duplicate-cluster REPRESENTATIVE (connected-components "
+    "min label; singletons hash themselves), so near-duplicate docs land "
+    "in the same split by construction — the repair for what "
+    "split_leakage_audit measures. Costs one CC pass over the LSH graph; "
+    "growth-stable for docs whose cluster membership is stable",
+)
+def split_dedup_aware(spark, sf):
+    from .corpus import BANDS, NUM_PERM
+
+    docs = load_table(spark, sf, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, k=3, num_perm=NUM_PERM, bands=BANDS, threshold=0.5
+    )
+    comp = D.connected_components(pairs)
+    rep = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("rep")
+        )
+    )
+    return rep.withColumn(
+        "split",
+        hash_split(F.col("rep"), [("train", 800), ("val", 100), ("test", 100)]),
+    )

@@ -189,3 +189,39 @@ def test_knn_ivf_pq_consistent_with_adc_bruteforce(spark):
     # determinism: second run identical
     again = knn_ivf_pq(emb, queries, nlist=4, m=4, k_codes=8, k=3, nprobe=2).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_dedup_aware_split_has_zero_leakage(spark):
+    """The repair closes what the audit measures: near-dup pairs never
+    straddle splits when assignment hashes the cluster representative."""
+    from clx_etl_spark.operators.dedup import (
+        connected_components, minhash_near_duplicates)
+    from clx_etl_spark.queries.corpus import BANDS, NUM_PERM
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_near_duplicates(
+        docs, k=3, num_perm=NUM_PERM, bands=BANDS, threshold=0.5
+    )
+    comp = connected_components(pairs)
+    rep = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("rep"))
+    )
+    sp = rep.withColumn(
+        "split",
+        hash_split(F.col("rep"), [("train", 800), ("val", 100), ("test", 100)]),
+    ).select("doc_id", "split")
+    leaked = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    assert pairs.count() > 0  # the corpus does contain near-dups
+    assert leaked.count() == 0
