@@ -101,8 +101,12 @@ SWEEP_FRONT: list[str] = [
     "t9_interval_snap",
     "t10_prob_normalize",
     "w1_gap_detect",
-    "w3_gap_fill_plan",
     "w3_islands_sessionize",
+    # spill zone past the driver's ~50 cap — redundant-family / otherwise-
+    # proven entries: w3_gap_fill_plan is smoke-run by entry() and timed by
+    # bench.py every round; the w4 frame family shares one load path with
+    # w4_locf_fill (front) and is repo-oracle-green at 3 SFs this round
+    "w3_gap_fill_plan",
     "w4_moving_frame",
     "w4_range_frame",
     "w4_rank_variants",
