@@ -193,3 +193,19 @@ class Engine:
             hash_split(F.col(key_col),
                        splits or [("train", 800), ("val", 100), ("test", 100)]),
         )
+
+    def ann_index(self, vectors: DataFrame, path: str, **kw) -> dict:
+        """Build + persist the IVF+PQ ANN index (cell-partitioned codes
+        parquet + tiny model.json); returns the trained model dict."""
+        from .operators.ann_index import build_ann_index
+
+        return build_ann_index(vectors, path, **kw)
+
+    def ann_query(self, path: str, queries: DataFrame, k: int = 5,
+                  nprobe: int = 1, **kw) -> DataFrame:
+        """ADC top-k against a persisted index; scans only the probed
+        cells' partitions (partition-pruned)."""
+        from .operators.ann_index import query_ann_index
+
+        return query_ann_index(self.spark, path, queries, k=k,
+                               nprobe=nprobe, **kw)

@@ -170,3 +170,18 @@ def test_engine_dataset_assembly_surface(spark):
     sp = eng.split(docs)
     assert sp.columns == ["doc_id", "text", "lang", "split"]
     assert set(r.split for r in sp.collect()) <= {"train", "val", "test"}
+
+
+def test_engine_ann_surface(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from clx_etl_spark.api import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    emb = eng.table("embeddings")
+    path = str(tmp_path / "annidx")
+    model = eng.ann_index(emb, path, nlist=4, m=4, k_codes=8)
+    assert model["nlist"] == 4
+    out = eng.ann_query(path, emb.filter(F.col("vec_id") < 3), k=2, nprobe=2)
+    assert out.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+    assert out.count() == 6

@@ -225,3 +225,29 @@ def test_dedup_aware_split_has_zero_leakage(spark):
     )
     assert pairs.count() > 0  # the corpus does contain near-dups
     assert leaked.count() == 0
+
+
+def test_persisted_ann_index_matches_in_session_and_prunes(spark, tmp_path):
+    """build_ann_index + query_ann_index == knn_ivf_pq (identical seeded
+    training), and the query path scans ONLY the probed cells' partitions
+    (partition pruning visible in the scan's PartitionFilters)."""
+    from clx_etl_spark.operators.ann_index import build_ann_index, query_ann_index
+    from clx_etl_spark.operators.similarity import knn_ivf_pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4)
+    path = str(tmp_path / "ann")
+    model = build_ann_index(emb, path, nlist=4, m=4, k_codes=8)
+    assert len(model["centroids"]) == 4 and len(model["codebooks"]) == 4
+
+    out = query_ann_index(spark, path, queries, k=3, nprobe=2)
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(
+        map(tuple, knn_ivf_pq(emb, queries, nlist=4, m=4, k_codes=8, k=3, nprobe=2).collect())
+    )
+    assert got == want
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [ivf_cell" in plan or "ivf_cell#" in plan.split(
+        "PartitionFilters"
+    )[1][:120], plan[:2000]
