@@ -62,6 +62,7 @@ SWEEP_FRONT: list[str] = [
     "training_manifest",
     "split_leakage_audit",
     "split_dedup_aware",
+    "hybrid_search_rerank",
     "dedup_incremental",
     "pii_redact",
     "chunk_documents",

@@ -371,3 +371,65 @@ def split_dedup_aware(spark, sf):
         "split",
         hash_split(F.col("rep"), [("train", 800), ("val", 100), ("test", 100)]),
     )
+
+
+from ..operators import ir as IR  # noqa: E402
+from .corpus import (  # noqa: E402
+    _BM25_DF, _BM25_TERMS, _BM25_TF, _bm25_contrib, _cosine_sql)
+
+_BM25_EXPR = " + ".join(_bm25_contrib(i, t) for i, t in enumerate(_BM25_TERMS))
+_RERANK_COS = _cosine_sql("e.embedding", "q.qv")
+
+
+@register(
+    "hybrid_search_rerank",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(len(t)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                     {", ".join(f"{_BM25_DF[t]} AS df{i}" for i, t in enumerate(_BM25_TERMS))}
+              FROM toks),
+    scored AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+                      {", ".join(f"{_BM25_TF[t]} AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+               FROM toks),
+    bm AS (SELECT doc_id, {_BM25_EXPR} AS bm25
+           FROM scored, stats WHERE tf0 + tf1 + tf2 > 0),
+    cand AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT c.doc_id, c.bm25,
+           {_RERANK_COS} AS cosine,
+           CAST(ROW_NUMBER() OVER (ORDER BY {_RERANK_COS} DESC, c.doc_id)
+                AS INTEGER) AS rerank
+    FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, q
+    """,
+    doc="Hybrid retrieval cascade: BM25 top-20 lexical candidates "
+    "(rational idf, fully tie-broken) reranked by embedding cosine vs a "
+    "query vector — the classic retrieve-then-rerank join of the text "
+    "and vector surfaces. Candidate set is LIMIT-bounded, so the rerank "
+    "join and window cost O(candidates), not corpus",
+)
+def hybrid_search_rerank(spark, sf):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    cand = (
+        IR.bm25_scores(docs, list(_BM25_TERMS))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qv"))
+    scored = (
+        cand.join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+        )
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine", S.cosine_sim(F.col("embedding"), F.col("_qv")))
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "bm25",
+        "cosine",
+        F.row_number().over(w).cast("int").alias("rerank"),
+    )

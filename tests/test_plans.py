@@ -43,6 +43,7 @@ NLJ_ALLOWED = {
     "densify_hourly_grid",  # broadcast of the 1-row (lo, hi) hour bounds
     "lm_bigram_doc_scores",  # broadcast of the 1-row vocab-size stats
     "dsir_importance_weights",  # broadcast of the 1-row (nr, nt) totals
+    "hybrid_search_rerank",  # two 1-row broadcasts (bm25 stats + query vec)
     "pq_ann",  # tiny query set x corpus, same declared shape as
     # sim_knn_bruteforce — PQ shrinks per-candidate cost (4-byte codes);
     # compose with IVF cell pruning (sim_knn_ivf) to drop the NLJ at scale
