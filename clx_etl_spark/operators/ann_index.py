@@ -6,8 +6,10 @@ On-disk layout (build_ann_index):
 
     {path}/index/ivf_cell=N/...   parquet: (vec_id, pq_codes) — m small
                                   ints per vector instead of d floats
-    {path}/model.json             coarse centroids + PQ codebooks (tiny,
-                                  a few KB — the whole trained model)
+    {path}/model/                 one-line JSON (written through Spark,
+                                  so s3a://, hdfs:// and local paths all
+                                  work): coarse centroids + PQ codebooks
+                                  — the whole trained model, a few KB
 
 Why this scales: the index is PARTITIONED BY the coarse cell, so a query
 batch reads only its probed cells' partitions — Spark's partition
@@ -16,23 +18,23 @@ the pruned fraction carries m bytes per vector, not 4·d. A 1B-vector
 64-d float corpus is ~256 GB raw; as m=8 codes it is ~8 GB, and a
 16-probe-of-1024-cells query touches ~128 MB of parquet. Queries never
 shuffle the index: candidate generation is the cell equi-join,
-reconstruction is literal-expression decode, top-k is one window.
+reconstruction is literal-expression decode, top-k is one window — the
+exact scoring tail knn_ivf_pq uses (similarity.adc_cell_topk), shared so
+the two paths cannot diverge.
 
-The model sidecar is deliberately JSON on the driver: it is O(nlist·d +
-m·k·d/m) floats — kilobytes — and embedding it as literal expressions
-(pq_reconstruct) keeps the scoring stage join-free.
+The model rides as literal expressions (pq_reconstruct), never a join
+side: it is O(nlist·d + m·k·d/m) floats — kilobytes.
 """
 
 from __future__ import annotations
 
 import json
-import os
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .similarity import (
+    adc_cell_topk,
     assign_ivf_cells,
-    cosine_sim,
     pq_assign,
     pq_reconstruct,
     pq_train,
@@ -50,12 +52,16 @@ def build_ann_index(
     vec_col: str = "embedding",
     mode: str = "overwrite",
 ) -> dict:
-    """Train (bounded deterministic samples), encode, and persist the
-    index. Returns the model dict that was written to model.json."""
+    """Train (bounded deterministic samples; the corpus count is taken
+    once and shared by both trainings), encode, and persist the index.
+    Returns the model dict that was written to {path}/model."""
+    n = vectors.count()
     cents = train_ivf_centroids(
-        vectors, nlist=nlist, id_col=id_col, vec_col=vec_col
+        vectors, nlist=nlist, id_col=id_col, vec_col=vec_col, n=n
     )
-    books = pq_train(vectors, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    books = pq_train(
+        vectors, m=m, k=k_codes, id_col=id_col, vec_col=vec_col, n=n
+    )
     cells = assign_ivf_cells(vectors, cents, id_col=id_col, vec_col=vec_col)
     coded = pq_assign(
         cells, books, id_col=id_col, vec_col=vec_col, keep_cols=("ivf_cell",)
@@ -70,10 +76,18 @@ def build_ann_index(
         "id_col": id_col,
         "vec_col": vec_col,
     }
-    os.makedirs(path, exist_ok=True)
-    with open(f"{path}/model.json", "w") as f:
-        json.dump(model, f)
+    # the model sidecar goes through Spark too, so the index works on any
+    # filesystem the cluster can reach (s3a/hdfs/local), not just the
+    # driver's local disk
+    spark = vectors.sparkSession
+    spark.createDataFrame([(json.dumps(model),)], "model string").coalesce(
+        1
+    ).write.mode(mode).text(f"{path}/model")
     return model
+
+
+def load_ann_model(spark: SparkSession, path: str) -> dict:
+    return json.loads(spark.read.text(f"{path}/model").collect()[0][0])
 
 
 def query_ann_index(
@@ -84,6 +98,7 @@ def query_ann_index(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ADC top-k against a persisted index, scanning ONLY the probed
     cells' partitions.
@@ -92,15 +107,21 @@ def query_ann_index(
     |queries|·nprobe, and query batches are small by definition (they are
     the thing you broadcast) — so the `isin` filter is static and Spark
     prunes index partitions at planning time (assert: the scan's
-    PartitionFilters carries ivf_cell)."""
-    with open(f"{path}/model.json") as f:
-        model = json.load(f)
+    PartitionFilters carries ivf_cell). The query-side cell assignment is
+    cached so the mapInPandas stage runs once, not once for the collect
+    and again inside the join.
+
+    Set ``exclude_self=False`` when the query batch has its own id space:
+    the default drops candidates whose id equals the query id (right for
+    corpus-subset queries, wrong if an external query id 42 collides with
+    an unrelated corpus vector 42)."""
+    model = load_ann_model(spark, path)
     q = assign_ivf_cells(
         queries, model["centroids"], id_col=id_col, vec_col=vec_col,
         nprobe=nprobe,
     ).select(
         F.col(id_col).alias("query_id"), "ivf_cell", F.col(vec_col).alias("_qvec")
-    )
+    ).cache()
     probed = sorted({r.ivf_cell for r in q.select("ivf_cell").distinct().collect()})
     idx = (
         spark.read.parquet(f"{path}/index")
@@ -111,19 +132,4 @@ def query_ann_index(
             pq_reconstruct(model["codebooks"]).alias("_vvec"),
         )
     )
-    scored = (
-        idx.join(q, "ivf_cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_sim(F.col("_qvec"), F.col("_vvec")))
-        .select("query_id", "neighbor_id", "cosine")
-    )
-    if nprobe > 1:
-        scored = scored.distinct()
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return adc_cell_topk(idx, q, k=k, nprobe=nprobe, exclude_self=exclude_self)

@@ -24,12 +24,20 @@ from pyspark.sql import Column, DataFrame, functions as F
 _GATE_MOD = 1_000
 
 
+def _hash_bucket(key: Column, mod: int = _GATE_MOD) -> Column:
+    """THE cross-engine gate hash — first 8 md5 hex chars of the string
+    key (32 bits, uniform), base-16, mod ``mod``. Every DuckDB oracle
+    mirrors this exact expression; hash_gate and hash_split must share it
+    so a sampled row and a split row always agree on their bucket."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % mod
+
+
 def hash_gate(key: Column, permille: Column | int) -> Column:
     """True for rows whose stable hash bucket falls under ``permille``.
     Bucket = first 8 md5 hex chars of the key (32 bits, uniform), mod 1000."""
-    bucket = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    ) % _GATE_MOD
+    bucket = _hash_bucket(key)
     return bucket < (
         permille if isinstance(permille, Column) else F.lit(permille)
     )
@@ -108,9 +116,7 @@ def hash_split(
     rows never reassigns existing ones (no RNG, no counting), so eval
     holdouts stay uncontaminated across incremental corpus builds. The
     last split absorbs any remainder. Pure narrow expression."""
-    bucket = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    ) % mod
+    bucket = _hash_bucket(key, mod)
     bounds = []
     hi = 0
     for name, pm in splits[:-1]:

@@ -224,13 +224,17 @@ def train_ivf_centroids(
     sample_target: int | None = None,
     iters: int = 10,
     seed: int = 0xC0FFEE,
+    n: int | None = None,
 ):
     """K-means centroids from a deterministic hash sample. Returns a
     list[list[float]] of length nlist (driver-side; broadcast by caller).
+    Pass ``n`` (the corpus count) when the caller already knows it — the
+    composed builders count once and share it with pq_train, saving a
+    full corpus scan each.
     """
     import numpy as np
 
-    n = vectors.count()
+    n = n if n is not None else vectors.count()
     sample_target = sample_target or nlist * 256
     mod = max(1, n // sample_target)
     sample = (
@@ -377,6 +381,7 @@ def pq_train(
     sample_target: int | None = None,
     iters: int = 10,
     seed: int = 0xC0FFEE,
+    n: int | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: split each vector into ``m``
     contiguous subvectors and k-means each subspace independently on the
@@ -389,7 +394,7 @@ def pq_train(
     """
     import numpy as np
 
-    n = vectors.count()
+    n = n if n is not None else vectors.count()
     sample_target = sample_target or k * 256
     mod = max(1, n // sample_target)
     sample = (
@@ -520,6 +525,41 @@ def knn_pq(
     )
 
 
+def adc_cell_topk(
+    recon: DataFrame,
+    q: DataFrame,
+    k: int,
+    nprobe: int,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Shared scoring tail for cell-pruned ADC search — used by the
+    in-session knn_ivf_pq AND the persisted-index query path
+    (ann_index.query_ann_index), so tie-breaks / self-exclusion /
+    multiprobe dedup can never silently diverge between them.
+
+    recon: (neighbor_id, ivf_cell, _vvec reconstructed);
+    q: (query_id, ivf_cell, _qvec). Cell equi-join (never a nested
+    loop), optional self-exclusion (disable when query ids are an
+    external id space that may collide with corpus ids), distinct across
+    probed cells, fully tie-broken window top-k."""
+    scored = recon.join(q, "ivf_cell")
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.withColumn(
+        "cosine", cosine_sim(F.col("_qvec"), F.col("_vvec"))
+    ).select("query_id", "neighbor_id", "cosine")
+    if nprobe > 1:
+        scored = scored.distinct()  # same neighbor via several probed cells
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def knn_ivf_pq(
     vectors: DataFrame,
     queries: DataFrame,
@@ -545,10 +585,13 @@ def knn_ivf_pq(
     cells), then a per-query window top-k. Both trainings touch only
     bounded deterministic hash samples.
     """
+    n = vectors.count()  # shared: saves pq_train's second full scan
     cents = train_ivf_centroids(
-        vectors, nlist=nlist, id_col=id_col, vec_col=vec_col
+        vectors, nlist=nlist, id_col=id_col, vec_col=vec_col, n=n
     )
-    books = pq_train(vectors, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    books = pq_train(
+        vectors, m=m, k=k_codes, id_col=id_col, vec_col=vec_col, n=n
+    )
     v_cells = assign_ivf_cells(vectors, cents, id_col=id_col, vec_col=vec_col)
     coded = pq_assign(
         v_cells, books, id_col=id_col, vec_col=vec_col, keep_cols=("ivf_cell",)
@@ -563,19 +606,4 @@ def knn_ivf_pq(
     ).select(
         F.col(id_col).alias("query_id"), "ivf_cell", F.col(vec_col).alias("_qvec")
     )
-    scored = (
-        recon.join(q, "ivf_cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_sim(F.col("_qvec"), F.col("_vvec")))
-        .select("query_id", "neighbor_id", "cosine")
-    )
-    if nprobe > 1:
-        scored = scored.distinct()  # same neighbor via several probed cells
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return adc_cell_topk(recon, q, k=k, nprobe=nprobe)

@@ -95,7 +95,6 @@ SWEEP_FRONT: list[str] = [
     "sample_stratified",
     "sketch_daily_users",
     "skew_salted_agg",
-    "skew_salted_join",
     "t5_align_5m",
     "t7_dt_derive",
     "t8_ratio_split",
@@ -105,8 +104,11 @@ SWEEP_FRONT: list[str] = [
     "w3_islands_sessionize",
     # spill zone past the driver's ~50 cap — redundant-family / otherwise-
     # proven entries: w3_gap_fill_plan is smoke-run by entry() and timed by
-    # bench.py every round; the w4 frame family shares one load path with
-    # w4_locf_fill (front) and is repo-oracle-green at 3 SFs this round
+    # bench.py every round; skew_salted_join shares the salting mechanism
+    # with skew_salted_agg (front) and AQE skew-split is plan-tested; the
+    # w4 frame family shares one load path with w4_locf_fill (front) and
+    # is repo-oracle-green at 3 SFs this round
+    "skew_salted_join",
     "w3_gap_fill_plan",
     "w4_moving_frame",
     "w4_range_frame",

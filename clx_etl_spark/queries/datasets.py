@@ -23,6 +23,18 @@ from . import register
 from .corpus import TOKS
 
 
+def _split_case(key_sql: str) -> str:
+    """The 80/10/10 split CASE over the shared gate hash — the DuckDB
+    mirror of sampling.hash_split; every split-aware oracle must use this
+    one definition."""
+    b = f"CAST('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8) AS BIGINT) % 1000"
+    return (
+        f"CASE WHEN {b} < 800 THEN 'train' "
+        f"WHEN {b} < 900 THEN 'val' ELSE 'test' END"
+    )
+
+
+
 @register(
     "lm_bigram_doc_scores",
     oracle=f"""
@@ -61,15 +73,9 @@ def lm_bigram_doc_scores(spark, sf):
 
 @register(
     "split_train_val_test",
-    oracle="""
-    SELECT doc_id, lang, n_chars,
-           CASE WHEN b < 800 THEN 'train'
-                WHEN b < 900 THEN 'val'
-                ELSE 'test' END AS split
-    FROM (SELECT doc_id, lang, n_chars,
-                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                      AS BIGINT) % 1000 AS b
-          FROM documents)
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, {_split_case("doc_id")} AS split
+    FROM documents
     """,
     doc="Deterministic 80/10/10 train/val/test assignment by stable key "
     "hash (operators/sampling.hash_split): growth-stable — new docs never "
@@ -216,13 +222,9 @@ from .corpus import _CURATION_KEPT_CTES  # noqa: E402
     WITH {_CURATION_KEPT_CTES},
     assigned AS (
       SELECT k.doc_id, k.n_tokens, d.source,
-             CASE WHEN b < 800 THEN 'train'
-                  WHEN b < 900 THEN 'val'
-                  ELSE 'test' END AS split
+             d.split
       FROM kept k
-      JOIN (SELECT doc_id, source,
-                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                        AS BIGINT) % 1000 AS b
+      JOIN (SELECT doc_id, source, {_split_case("doc_id")} AS split
             FROM documents) d ON d.doc_id = k.doc_id),
     g AS (SELECT split, source,
                  CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -271,20 +273,13 @@ def training_manifest(spark, sf):
 from ..operators import dedup as D  # noqa: E402
 from .corpus import MINHASH_ORACLE  # noqa: E402
 
-_SPLIT_SQL = """
-    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-              AS BIGINT) % 1000 < 800 THEN 'train'
-         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-              AS BIGINT) % 1000 < 900 THEN 'val'
-         ELSE 'test' END
-"""
 
 
 @register(
     "split_leakage_audit",
     oracle=f"""
     WITH pairs AS ({MINHASH_ORACLE}),
-    sp AS (SELECT doc_id, {_SPLIT_SQL} AS split FROM documents)
+    sp AS (SELECT doc_id, {_split_case("doc_id")} AS split FROM documents)
     SELECT LEAST(a.split, b.split) AS split_lo,
            GREATEST(a.split, b.split) AS split_hi,
            CAST(COUNT(*) AS BIGINT) AS n_pairs
@@ -326,14 +321,6 @@ def split_leakage_audit(spark, sf):
 
 
 from .corpus import DEDUP_CLUSTERS_ORACLE  # noqa: E402
-
-
-def _split_case(key_sql: str) -> str:
-    b = f"CAST('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8) AS BIGINT) % 1000"
-    return (
-        f"CASE WHEN {b} < 800 THEN 'train' "
-        f"WHEN {b} < 900 THEN 'val' ELSE 'test' END"
-    )
 
 
 @register(

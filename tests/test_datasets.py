@@ -251,3 +251,23 @@ def test_persisted_ann_index_matches_in_session_and_prunes(spark, tmp_path):
     assert "PartitionFilters: [ivf_cell" in plan or "ivf_cell#" in plan.split(
         "PartitionFilters"
     )[1][:120], plan[:2000]
+
+
+def test_ann_index_external_query_ids_no_self_exclusion(spark, tmp_path):
+    """exclude_self=False keeps a corpus vector whose id collides with an
+    external query id (the default drops it for corpus-subset queries)."""
+    from clx_etl_spark.operators.ann_index import build_ann_index, query_ann_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ann2")
+    build_ann_index(emb, path, nlist=4, m=4, k_codes=8)
+    # external "query id 7" is NOT corpus row 7 — a fresh vector
+    ext = emb.filter(F.col("vec_id") == 123).select(
+        F.lit(7).cast("long").alias("vec_id"), "embedding"
+    )
+    with_excl = query_ann_index(spark, path, ext, k=500, nprobe=4)
+    without = query_ann_index(spark, path, ext, k=500, nprobe=4, exclude_self=False)
+    ids_excl = {r.neighbor_id for r in with_excl.collect()}
+    ids_all = {r.neighbor_id for r in without.collect()}
+    assert 7 not in ids_excl
+    assert 7 in ids_all and ids_all - ids_excl == {7}
