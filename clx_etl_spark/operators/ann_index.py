@@ -133,3 +133,37 @@ def query_ann_index(
         )
     )
     return adc_cell_topk(idx, q, k=k, nprobe=nprobe, exclude_self=exclude_self)
+
+
+def append_to_ann_index(
+    vectors: DataFrame,
+    path: str,
+) -> int:
+    """Incremental index maintenance: encode a NEW vector batch with the
+    persisted model (no retraining — the codebooks/centroids are frozen,
+    exactly how production IVFPQ indexes absorb inserts) and append the
+    codes into the existing cell partitions. Returns rows appended.
+
+    Dynamic-partition append touches only the cells the batch lands in;
+    existing partitions' files are untouched. Re-training cadence is an
+    offline decision (rebuild when the corpus distribution drifts); until
+    then every append stays consistent with the serving model, so queries
+    see old and new vectors under one distance geometry."""
+    spark = vectors.sparkSession
+    model = load_ann_model(spark, path)
+    cells = assign_ivf_cells(
+        vectors, model["centroids"],
+        id_col=model["id_col"], vec_col=model["vec_col"],
+    )
+    coded = pq_assign(
+        cells, model["codebooks"],
+        id_col=model["id_col"], vec_col=model["vec_col"],
+        keep_cols=("ivf_cell",),
+    ).drop(model["vec_col"]).cache()  # one encode pass: write + count
+    try:
+        coded.write.mode("append").partitionBy("ivf_cell").parquet(
+            f"{path}/index"
+        )
+        return coded.count()
+    finally:
+        coded.unpersist()

@@ -271,3 +271,32 @@ def test_ann_index_external_query_ids_no_self_exclusion(spark, tmp_path):
     ids_all = {r.neighbor_id for r in without.collect()}
     assert 7 not in ids_excl
     assert 7 in ids_all and ids_all - ids_excl == {7}
+
+
+def test_ann_index_incremental_append(spark, tmp_path):
+    """Appended vectors are encoded under the FROZEN persisted model and
+    become queryable; pre-existing results are unchanged."""
+    from clx_etl_spark.operators.ann_index import (
+        append_to_ann_index, build_ann_index, query_ann_index)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ann3")
+    build_ann_index(base, path, nlist=4, m=4, k_codes=8)
+    queries = emb.filter(F.col("vec_id") < 3)
+    before = sorted(map(tuple, query_ann_index(spark, path, queries, k=3, nprobe=4).collect()))
+
+    n = append_to_ann_index(extra, path)
+    assert n == extra.count()
+    after = query_ann_index(spark, path, queries, k=3, nprobe=4)
+    # full-probe index now contains every vector exactly once
+    idx = spark.read.parquet(f"{path}/index")
+    assert idx.count() == emb.count()
+    assert idx.select("vec_id").distinct().count() == emb.count()
+    # appended ids are reachable (k wide enough to surface some)
+    wide = query_ann_index(spark, path, queries, k=100, nprobe=4)
+    assert wide.filter(F.col("neighbor_id") >= 400).count() > 0
+    # and the appended rows only ever ADD candidates: old top-3 may
+    # reorder only if a new vector scores higher, never by losing rows
+    assert after.count() == len(before)
