@@ -102,6 +102,26 @@ def main() -> None:
         )
         raise
 
+    # same fail-fast for the corpus tables the dedup/ANN/curation suite
+    # reads: catch a documents/embeddings schema drift (the other half of
+    # the testdata surface) before it crashes the suite mid-run
+    try:
+        dt = dict(load_table(spark, sf_dir, "documents").dtypes)
+        for col, typ in (("doc_id", "bigint"), ("text", "string"),
+                         ("lang", "string"), ("source", "string")):
+            assert dt.get(col) == typ, (col, dt)
+        et = dict(load_table(spark, sf_dir, "embeddings").dtypes)
+        assert et.get("vec_id") == "bigint" and "array" in et.get("embedding", ""), et
+        dim = load_table(spark, sf_dir, "embeddings").selectExpr(
+            "size(embedding) AS d").head()[0]
+        assert dim % 4 == 0, f"embedding dim {dim} not divisible by PQ m=4"
+    except Exception as ex:
+        print(
+            f"FATAL: documents/embeddings testdata canary failed at {sf_dir}: {ex}",
+            file=sys.stderr,
+        )
+        raise
+
     registry = load_all()
 
     # warmup: session + parquet footer caches (JVM) and the Python worker
