@@ -209,3 +209,10 @@ class Engine:
 
         return query_ann_index(self.spark, path, queries, k=k,
                                nprobe=nprobe, **kw)
+
+    def expect(self, df: DataFrame, expectations: list) -> DataFrame:
+        """Run data-quality expectations (operators/expectations.py):
+        one row per check (name, kind, violations, total, passed)."""
+        from .operators.expectations import validate
+
+        return validate(df, expectations)

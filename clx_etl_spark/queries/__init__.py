@@ -63,6 +63,7 @@ SWEEP_FRONT: list[str] = [
     "split_leakage_audit",
     "split_dedup_aware",
     "hybrid_search_rerank",
+    "dq_orders_expectations",
     "dedup_incremental",
     "pii_redact",
     "chunk_documents",

@@ -420,3 +420,66 @@ def hybrid_search_rerank(spark, sf):
         "cosine",
         F.row_number().over(w).cast("int").alias("rerank"),
     )
+
+
+@register(
+    "dq_orders_expectations",
+    oracle="""
+    WITH row_checks AS (
+      SELECT 'not_null_o_custkey' AS name, 'not_null' AS kind,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+             CAST(COUNT(*) AS BIGINT) AS total FROM orders
+      UNION ALL
+      SELECT 'range_o_totalprice', 'accepted_range',
+             CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0
+                           OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'values_o_orderstatus', 'accepted_values',
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                           OR o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'order_after_epoch', 'satisfies',
+             CAST(SUM(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1990-01-01')
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'unique_o_orderkey', 'unique',
+             CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT),
+             CAST(COALESCE(SUM(n), 0) AS BIGINT)
+      FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'fk_o_custkey', 'foreign_key',
+             CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey)
+    SELECT name, kind, violations, total, violations = 0 AS passed FROM row_checks
+    """,
+    doc="Data-quality expectations (dbt-test / Great-Expectations "
+    "surface): not-null, range, accepted-values and custom-predicate "
+    "checks FUSED into one scan (N checks = N map-side-combinable sums, "
+    "1 pass), plus key uniqueness (one keyed shuffle) and referential "
+    "integrity (left-join null flag, one pass for violations AND total). "
+    "Gate loads on passed, store the rows as the audit trail",
+)
+def dq_orders_expectations(spark, sf):
+    from ..operators import expectations as E
+
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    return E.validate(
+        orders,
+        [
+            E.not_null("o_custkey"),
+            E.accepted_range("o_totalprice", 0.0, 1_000_000.0),
+            E.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            E.satisfies(
+                "order_after_epoch",
+                F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp"),
+            ),
+            E.unique(["o_orderkey"]),
+            E.foreign_key("o_custkey", customer, "c_custkey"),
+        ],
+    )

@@ -300,3 +300,33 @@ def test_ann_index_incremental_append(spark, tmp_path):
     # and the appended rows only ever ADD candidates: old top-3 may
     # reorder only if a new vector scores higher, never by losing rows
     assert after.count() == len(before)
+
+
+def test_expectations_on_dirty_data(spark):
+    from clx_etl_spark.operators import expectations as E
+
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, -1.0), (3, None, 50.0), (3, 99, 2.0)],
+        "id long, ref long, amt double",
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "ref long")
+    out = {
+        r.name: r
+        for r in E.validate(
+            fact,
+            [
+                E.not_null("ref"),
+                E.accepted_range("amt", 0.0, 10.0),
+                E.satisfies("amt_not_two", F.col("amt") != 2.0),
+                E.unique(["id"]),
+                E.foreign_key("ref", dim, "ref"),
+            ],
+        ).collect()
+    }
+    assert (out["not_null_ref"].violations, out["not_null_ref"].total) == (1, 4)
+    assert out["range_amt"].violations == 2  # -1.0 out of range, 50.0 too
+    assert out["amt_not_two"].violations == 1
+    assert (out["unique_id"].violations, out["unique_id"].total) == (2, 4)
+    # orphans: ref=99 and the NULL ref both fail the join
+    assert out["fk_ref"].violations == 2
+    assert not out["fk_ref"].passed and out["not_null_ref"].passed is False
