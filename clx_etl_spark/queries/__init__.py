@@ -45,32 +45,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # registry. Queries that have not yet earned a green CORRECTNESS row are
 # rotated to the front each round so the driver sweep eventually covers the
 # whole registry; the repo's own oracle suite (tests/test_queries_oracle.py)
-# always sweeps everything at sf0.01 regardless. Round-4 front: the new
-# round-4 queries (incl. the late additions lm/dsir/split/bpe/pq),
-# mm_media_metadata (oracle upgraded from rows-only this round), then the
-# 38 queries whose r01/r02 proofs were invalidated by the events.ts
-# encoding change (all fixed by catalog.load_table's dtype branch — each
-# needs a fresh green row).
+# always sweeps everything at sf0.01 regardless. Round-4 front, in
+# driver-value order: (1) the 10 r03 reds, (2) the judge-verified set
+# whose r01/r02 proofs the events.ts encoding change invalidated (fixed
+# by catalog.load_table's dtype branch — each SURVEY §2 row stays marked
+# not-correct until a fresh green row lands), (3) the new round-4
+# queries, which hold repo-oracle proof at 3 SFs in the meantime.
 SWEEP_FRONT: list[str] = [
-    "lm_bigram_doc_scores",
-    "dsir_importance_weights",
-    "split_train_val_test",
-    "bpe_pair_stats",
-    "bpe_train_encode",
-    "pq_ann",
-    "sim_knn_ivfpq",
-    "training_manifest",
-    "split_leakage_audit",
-    "split_dedup_aware",
-    "hybrid_search_rerank",
-    "dq_orders_expectations",
-    "dedup_incremental",
-    "pii_redact",
-    "chunk_documents",
-    "embed_quantize_int8",
-    "semantic_dedup",
-    "quality_weighted_sample",
-    "mm_media_metadata",
     "w4_locf_fill",
     "scd2_value_runs",
     "ema_per_user",
@@ -96,6 +77,7 @@ SWEEP_FRONT: list[str] = [
     "sample_stratified",
     "sketch_daily_users",
     "skew_salted_agg",
+    "skew_salted_join",
     "t5_align_5m",
     "t7_dt_derive",
     "t8_ratio_split",
@@ -103,18 +85,34 @@ SWEEP_FRONT: list[str] = [
     "t10_prob_normalize",
     "w1_gap_detect",
     "w3_islands_sessionize",
-    # spill zone past the driver's ~50 cap — redundant-family / otherwise-
-    # proven entries: w3_gap_fill_plan is smoke-run by entry() and timed by
-    # bench.py every round; skew_salted_join shares the salting mechanism
-    # with skew_salted_agg (front) and AQE skew-split is plan-tested; the
-    # w4 frame family shares one load path with w4_locf_fill (front) and
-    # is repo-oracle-green at 3 SFs this round
-    "skew_salted_join",
     "w3_gap_fill_plan",
     "w4_moving_frame",
     "w4_range_frame",
     "w4_rank_variants",
+    "dedup_incremental",
+    "pii_redact",
+    "chunk_documents",
+    "embed_quantize_int8",
+    "semantic_dedup",
+    "quality_weighted_sample",
+    "mm_media_metadata",
+    "lm_bigram_doc_scores",
+    "dsir_importance_weights",
+    "split_train_val_test",
+    "bpe_pair_stats",
+    "training_manifest",
+    "split_leakage_audit",
+    # ---- spill zone past the driver's ~50 cap: entries with the
+    # strongest alternative proof (repo oracle green at 3 SFs this
+    # round; w4 family shares w4_locf_fill's load path; the
+    # iterative rows-only trainers carry unit/ADC-consistency tests)
     "w4_sliding_window_counts",
+    "split_dedup_aware",
+    "hybrid_search_rerank",
+    "dq_orders_expectations",
+    "bpe_train_encode",
+    "pq_ann",
+    "sim_knn_ivfpq",
 ]
 
 
