@@ -54,3 +54,48 @@ def completeness_report(
         .otherwise(F.lit("OK"))
     )
     return full.withColumn("status", status)
+
+
+def mad_anomalies(
+    df,
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+    k: float = 3.0,
+):
+    """Robust outlier detection per group: flag values more than
+    ``k`` median-absolute-deviations from the group median — the MAD
+    rule survives the very outliers it hunts, unlike mean/stddev.
+
+    Two aggregation passes over the data (median, then the deviation
+    median) with the tiny per-group stats broadcast back between them —
+    at 100 TB both are keyed aggs with map-side partials and the final
+    count-pass fuses flags into the same scan as the stats join. Exact
+    interpolated percentile keeps the oracle bit-identical (swap to
+    approx_percentile at fact scale with a declared error bound).
+
+    Returns per group: (group..., n, med, mad, n_anomalies).
+    """
+    from pyspark.sql import functions as F
+
+    groups = group_cols or ["event_type"]
+    med = df.groupBy(*groups).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    dev = df.join(F.broadcast(med), groups).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(*groups).agg(
+        F.expr("percentile(_adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), groups)
+        .groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                (F.col("_adev") > F.lit(k) * F.col("mad")).cast("long")
+            ).alias("n_anomalies"),
+        )
+    )

@@ -110,6 +110,7 @@ SWEEP_FRONT: list[str] = [
     "split_dedup_aware",
     "hybrid_search_rerank",
     "dq_orders_expectations",
+    "anomaly_mad_by_type",
     "bpe_train_encode",
     "pq_ann",
     "sim_knn_ivfpq",

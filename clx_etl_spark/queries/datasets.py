@@ -483,3 +483,34 @@ def dq_orders_expectations(spark, sf):
             E.foreign_key("o_custkey", customer, "c_custkey"),
         ],
     )
+
+
+@register(
+    "anomaly_mad_by_type",
+    oracle="""
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+            FROM events e JOIN med m ON e.event_type = m.event_type),
+    mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(d.med) AS med,
+           MAX(a.mad) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3.0 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies
+    FROM dev d JOIN mad a ON d.event_type = a.event_type
+    GROUP BY d.event_type
+    """,
+    doc="Robust outlier monitoring: per-type median + MAD (exact "
+    "interpolated percentiles, bit-identical to quantile_cont) and the "
+    "count of values beyond 3 MADs — the monitoring rule that survives "
+    "the outliers it hunts; stats broadcast back, flags fused into the "
+    "final keyed agg",
+)
+def anomaly_mad_by_type(spark, sf):
+    from ..operators.integrity import mad_anomalies
+
+    ev = load_table(spark, sf, "events")
+    return mad_anomalies(ev, "value", ["event_type"], k=3.0)
