@@ -170,3 +170,64 @@ def dsir_importance(
             ).alias("avg_w"),
         )
     )
+
+
+def score_against_model(
+    batch: DataFrame,
+    bigram_counts: DataFrame,
+    context_counts: DataFrame,
+    stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a batch under a FIXED model (possibly trained elsewhere /
+    loaded from disk): add-one smoothing with out-of-vocabulary backoff —
+    an unseen bigram contributes (0+1)/(c1+V), an unseen CONTEXT
+    contributes 1/(0+V) (left joins + coalesce, so held-out text scores
+    instead of silently dropping). Same fixed-point discipline as
+    score_documents; scoring is the batch's bigram stream joined to the
+    vocab-bounded model tables — no retraining, no iteration."""
+    bg = bigram_stream(batch, text_col, id_col)
+    scored = (
+        bg.join(bigram_counts, ["w1", "w2"], "left")
+        .join(context_counts, ["w1"], "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "p_scaled",
+            F.expr(
+                f"((coalesce(c12, 0L) + 1L) * {SCALE}L)"
+                f" div (coalesce(c1, 0L) + v)"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("p_scaled").alias("sum_scaled"),
+        F.sum(F.col("c12").isNull().cast("long")).alias("n_oov_bigrams"),
+        (
+            F.sum("p_scaled").cast("double")
+            / (F.count(F.lit(1)).cast("double") * float(SCALE))
+        ).alias("avg_p"),
+    )
+
+
+def save_lm_model(
+    df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Persist the trained bigram model as three parquet tables
+    ({path}/bigrams, /contexts, /stats) — vocab-bounded, so the model is
+    small relative to the corpus; future batches score by joining these
+    (load_lm_model) with zero retraining, the same build-once cadence as
+    the dedup and ANN indexes."""
+    bigram_counts, context_counts, stats = train_bigram_lm(df, text_col, id_col)
+    bigram_counts.write.mode("overwrite").parquet(f"{path}/bigrams")
+    context_counts.write.mode("overwrite").parquet(f"{path}/contexts")
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def load_lm_model(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(f"{path}/bigrams"),
+        spark.read.parquet(f"{path}/contexts"),
+        spark.read.parquet(f"{path}/stats"),
+    )

@@ -111,6 +111,7 @@ SWEEP_FRONT: list[str] = [
     "hybrid_search_rerank",
     "dq_orders_expectations",
     "anomaly_mad_by_type",
+    "lm_score_heldout",
     "bpe_train_encode",
     "pq_ann",
     "sim_knn_ivfpq",

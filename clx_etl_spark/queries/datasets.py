@@ -514,3 +514,48 @@ def anomaly_mad_by_type(spark, sf):
 
     ev = load_table(spark, sf, "events")
     return mad_anomalies(ev, "value", ["event_type"], k=3.0)
+
+
+@register(
+    "lm_score_heldout",
+    oracle=f"""
+    WITH train AS (SELECT doc_id, {TOKS} AS t FROM documents WHERE doc_id % 7 <> 0),
+    held AS (SELECT doc_id, {TOKS} AS t FROM documents WHERE doc_id % 7 = 0),
+    bg_tr AS (SELECT t[i] AS w1, t[i + 1] AS w2
+              FROM train, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+              WHERE len(t) >= 2),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg_tr GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    vs AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+           FROM (SELECT unnest(t) AS w FROM train)),
+    bg_h AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+             FROM held, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+             WHERE len(t) >= 2),
+    scored AS (SELECT b.doc_id,
+                      ((COALESCE(c.c12, 0) + 1) * CAST({LM.SCALE} AS BIGINT))
+                        // (COALESCE(u.c1, 0) + vs.v) AS p_scaled,
+                      CASE WHEN c.c12 IS NULL THEN 1 ELSE 0 END AS oov
+               FROM bg_h b
+               LEFT JOIN c12 c ON b.w1 = c.w1 AND b.w2 = c.w2
+               LEFT JOIN c1 u ON b.w1 = u.w1, vs)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_scaled) AS BIGINT) AS sum_scaled,
+           CAST(SUM(oov) AS BIGINT) AS n_oov_bigrams,
+           CAST(SUM(p_scaled) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * {float(LM.SCALE)}) AS avg_p
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Held-out LM scoring with OOV backoff: model trained on 6/7 of "
+    "the corpus, the held-out 1/7 scored under it — unseen bigrams back "
+    "off to (0+1)/(c1+V), unseen contexts to 1/V (left joins + coalesce, "
+    "the path self-corpus scoring never exercises). The shape of real "
+    "perplexity filtering, where the scored batch is NEW data; model "
+    "persists via save_lm_model/load_lm_model (parquet, vocab-bounded)",
+)
+def lm_score_heldout(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    held = docs.filter(F.col("doc_id") % 7 == 0)
+    bigram_counts, context_counts, stats = LM.train_bigram_lm(train)
+    return LM.score_against_model(held, bigram_counts, context_counts, stats)

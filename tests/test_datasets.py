@@ -330,3 +330,28 @@ def test_expectations_on_dirty_data(spark):
     # orphans: ref=99 and the NULL ref both fail the join
     assert out["fk_ref"].violations == 2
     assert not out["fk_ref"].passed and out["not_null_ref"].passed is False
+
+
+def test_lm_model_persist_roundtrip(spark, tmp_path):
+    """save_lm_model -> load_lm_model -> score == in-session scoring, and
+    genuinely-new text hits the OOV backoff instead of dropping rows."""
+    train = _docs(spark, [(1, "a b a b c"), (2, "b c d")])
+    path = str(tmp_path / "lm")
+    LM.save_lm_model(train, path)
+    model = LM.load_lm_model(spark, path)
+    batch = _docs(spark, [(10, "a b zzz"), (11, "qq ww")])
+    out = {r.doc_id: r for r in LM.score_against_model(batch, *model).collect()}
+    direct = {
+        r.doc_id: r
+        for r in LM.score_against_model(
+            batch, *LM.train_bigram_lm(train)
+        ).collect()
+    }
+    assert {(r.doc_id, r.sum_scaled) for r in out.values()} == {
+        (r.doc_id, r.sum_scaled) for r in direct.values()
+    }
+    # doc 10: (a,b) seen, (b,zzz) OOV; doc 11: both context+bigram unseen
+    assert out[10].n_oov_bigrams == 1 and out[10].n_bigrams == 2
+    assert out[11].n_oov_bigrams == 1 and out[11].n_bigrams == 1
+    # OOV with unseen context w1=qq: p = 1/(0+V), V=4 -> floor(S/4)
+    assert out[11].sum_scaled == LM.SCALE // 4

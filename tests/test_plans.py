@@ -42,6 +42,7 @@ NLJ_ALLOWED = {
     "bm25_doc_scores",  # broadcast of the 1-row (N, avgdl, df...) stats
     "densify_hourly_grid",  # broadcast of the 1-row (lo, hi) hour bounds
     "lm_bigram_doc_scores",  # broadcast of the 1-row vocab-size stats
+    "lm_score_heldout",  # same 1-row vocab-size stats broadcast
     "dsir_importance_weights",  # broadcast of the 1-row (nr, nt) totals
     "hybrid_search_rerank",  # two 1-row broadcasts (bm25 stats + query vec)
     "pq_ann",  # tiny query set x corpus, same declared shape as
