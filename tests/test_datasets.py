@@ -355,3 +355,52 @@ def test_lm_model_persist_roundtrip(spark, tmp_path):
     assert out[11].n_oov_bigrams == 1 and out[11].n_bigrams == 1
     # OOV with unseen context w1=qq: p = 1/(0+V), V=4 -> floor(S/4)
     assert out[11].sum_scaled == LM.SCALE // 4
+
+
+def test_expectations_fuzz_vs_python(spark):
+    """validate() counts match a plain-Python reimplementation on
+    hypothesis-generated dirty data (nulls, dupes, orphans, ranges)."""
+    from hypothesis import given, settings, strategies as st
+
+    from clx_etl_spark.operators import expectations as E
+
+    row = st.tuples(
+        st.integers(0, 5),                      # id (dupes likely)
+        st.one_of(st.none(), st.integers(0, 4)),  # ref (nulls + orphans)
+        st.one_of(st.none(), st.floats(-5, 15, allow_nan=False)),  # amt
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=12), st.sets(st.integers(0, 2)))
+    def check(rows, dim_keys):
+        fact = spark.createDataFrame(rows, "id long, ref long, amt double")
+        dim = spark.createDataFrame([(k,) for k in sorted(dim_keys)] or [(None,)], "ref long")
+        out = {
+            r.name: r
+            for r in E.validate(
+                fact,
+                [
+                    E.not_null("ref"),
+                    E.accepted_range("amt", 0.0, 10.0),
+                    E.unique(["id"]),
+                    E.foreign_key("ref", dim, "ref"),
+                ],
+            ).collect()
+        }
+        n = len(rows)
+        assert out["not_null_ref"].total == n
+        assert out["not_null_ref"].violations == sum(1 for _, r, _ in rows if r is None)
+        assert out["range_amt"].violations == sum(
+            1 for _, _, a in rows if a is None or a < 0.0 or a > 10.0
+        )
+        from collections import Counter
+
+        c = Counter(i for i, _, _ in rows)
+        assert out["unique_id"].violations == sum(v for v in c.values() if v > 1)
+        assert out["fk_ref"].violations == sum(
+            1 for _, r, _ in rows if r is None or r not in dim_keys
+        )
+        for r in out.values():
+            assert r.passed == (r.violations == 0)
+
+    check()
