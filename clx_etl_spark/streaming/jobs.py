@@ -130,3 +130,56 @@ def streaming_ohlcv(
                 "low", "close", "n_ticks",
                 *(["volume"] if volume_col else []))
     )
+
+
+def gated_ingest(
+    stream: DataFrame,
+    expectations: list,
+    path: str,
+    keys: list[str],
+    checkpoint: str,
+    quarantine_path: str | None = None,
+    partition_cols: list[str] | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Expectation-gated streaming ingest: every micro-batch is split by
+    the ROW-LEVEL expectations (operators/expectations.py) — clean rows
+    MERGE into the table, violating rows land in a quarantine append
+    (same dead-letter discipline as the strict file sources) instead of
+    poisoning the table or killing the query. Set-level checks (unique /
+    foreign_key) belong in the batch validate() audit, not a per-row
+    gate.
+
+    The violation predicate is a pure column expression, so the gate
+    costs one extra filter per batch — no second scan, no collect; the
+    quarantine write only runs when a batch actually has bad rows."""
+    from ..sinks.upsert import merge_upsert
+
+    row_level = [e for e in expectations if e.violation is not None]
+    if not row_level:
+        raise ValueError("gated_ingest needs at least one row-level expectation")
+    bad = row_level[0].violation
+    for e in row_level[1:]:
+        bad = bad | e.violation
+    # a NULL violation verdict (e.g. satisfies() over a null column) must
+    # count as violating, and the same normalized predicate must drive
+    # BOTH splits — otherwise null-verdict rows vanish from clean AND
+    # quarantine
+    bad = F.coalesce(bad, F.lit(True))
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        dirty = batch.filter(bad)
+        if quarantine_path is not None and dirty.limit(1).count() > 0:
+            dirty.write.mode("append").parquet(quarantine_path)
+        clean = batch.filter(~bad)
+        merge_upsert(
+            batch.sparkSession, clean, path, keys,
+            partition_cols=partition_cols or [],
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

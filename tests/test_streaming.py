@@ -720,3 +720,31 @@ def test_streaming_corpus_ingest_with_incremental_dedup_gate(spark, tmp_path):
 
     stored = sorted(r.doc_id for r in spark.read.parquet(tgt).collect())
     assert stored == [1, 2, 11]  # dups 10 and 12 gated out, fresh 11 landed
+
+
+def test_gated_ingest_quarantines_dirty_rows(spark, tmp_path):
+    """Expectation-gated streaming ingest: clean rows MERGE into the
+    table, violating rows (incl. null-verdict satisfies()) land in the
+    quarantine — nothing vanishes, re-runs stay idempotent."""
+    from clx_etl_spark.operators import expectations as E
+    from clx_etl_spark.streaming.jobs import file_stream, gated_ingest
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None), (4, 7.0)],
+        "id long, amt double",
+    ).write.parquet(src)
+    stream = file_stream(spark, src, "id long, amt double")
+    q = gated_ingest(
+        stream,
+        [E.accepted_range("amt", 0.0, 10.0), E.satisfies("amt_odd_ok", F.col("amt") != 5.0)],
+        path=str(tmp_path / "table"),
+        keys=["id"],
+        checkpoint=str(tmp_path / "ckpt"),
+        quarantine_path=str(tmp_path / "quarantine"),
+    )
+    q.awaitTermination(60)
+    table = {r.id for r in spark.read.parquet(str(tmp_path / "table")).collect()}
+    quarantined = {r.id for r in spark.read.parquet(str(tmp_path / "quarantine")).collect()}
+    assert table == {4}            # 5.0 fails satisfies, -1 range, None null-verdict
+    assert quarantined == {1, 2, 3}
