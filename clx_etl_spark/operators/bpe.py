@@ -15,8 +15,8 @@ Algorithm (classic byte-pair encoding over whitespace words):
      (F.aggregate, pure column expr).
   3. The trained artifacts: the merge list (the model, O(num_merges))
      and the final word -> symbols table. ENCODING then needs no UDF and
-     no per-merge replay: explode corpus words and broadcast-join the
-     vocab table; unseen words degrade to character symbols.
+     no per-merge replay: explode corpus words and join the vocab
+     table (AQE broadcasts it when small); unseen words degrade to character symbols.
 
 Lineage is cut every round (cache + unpersist of the previous round, as
 in connected_components) so the plan does not grow with merge count.
@@ -128,7 +128,7 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Tokenize with a trained vocab: explode words, broadcast-join the
+    """Tokenize with a trained vocab: explode words, join the
     (word -> syms) table, fall back to character symbols for unseen
     words. Output: (doc_id, word_pos, word, syms). No UDF, no replaying
     the merge sequence — encoding is one map-side join at corpus scale.
@@ -138,7 +138,11 @@ def bpe_encode(
         F.posexplode(tokens(text_col)).alias("word_pos", "word"),
     )
     return words.join(
-        F.broadcast(vocab.select("word", "syms")), "word", "left"
+        # no broadcast hint on purpose: the distinct-word table is
+        # millions of rows at corpus scale (module docstring) — let AQE
+        # broadcast when small and sort-merge when it isn't, the same
+        # vocab-bounded-join posture as operators/lm.py
+        vocab.select("word", "syms"), "word", "left"
     ).select(
         "doc_id",
         "word_pos",

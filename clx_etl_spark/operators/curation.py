@@ -372,19 +372,22 @@ def redact_pii(
 ) -> DataFrame:
     """Mask emails / IPv4s / intl phone numbers in ``text_col``.
 
-    Adds per-entity match counts (``n_email``/``n_ip``/``n_phone``,
-    counted BEFORE masking) and the masked text as ``out_col``. Pure
-    native regexp column expressions — single scan, zero shuffles, zero
-    UDFs — so it composes into any curation pipeline at full scan speed;
-    at 100 TB this is a map-only stage pipelined into the parquet read.
+    Adds per-entity match counts (``n_email``/``n_ip``/``n_phone``) and
+    the masked text as ``out_col``. Each pattern is counted on the text
+    AFTER the earlier patterns masked it, so counts equal the masked
+    occurrences in the output — a dotted quad inside an email local-part
+    is one email, not also a phantom IP (audits reconciling n_ip against
+    <IP> tokens stay exact). Pure native regexp column expressions —
+    single scan, zero shuffles, zero UDFs — so it composes into any
+    curation pipeline at full scan speed; at 100 TB this is a map-only
+    stage pipelined into the parquet read.
     """
     out = df
-    for name, pat, _ in PII_PATTERNS:
-        out = out.withColumn(
-            f"n_{name}", F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
-        )
     masked = F.col(text_col)
-    for _, pat, repl in PII_PATTERNS:
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(masked, F.lit(pat), F.lit(0)))
+        )
         masked = F.regexp_replace(masked, pat, repl)
     return out.withColumn(out_col, masked)
 

@@ -105,16 +105,20 @@ def minhash_signatures(shingles: DataFrame, num_perm: int = 16) -> DataFrame:
     return shingles.groupBy("doc_id").agg(*mins).select("doc_id", sig.alias("sig"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
-    """Docs sharing >= 1 LSH band bucket -> candidate pairs (a < b).
-    Band hash = md5 of the band's '|'-joined signature values."""
-    rpb = (F.size("sig") / bands).cast("int")
+def band_buckets(signatures, bands: int, rpb) -> DataFrame:
+    """(doc_id, band, bucket) from a (doc_id, sig) table — THE band-hash
+    derivation (md5 of the band's '|'-joined signature values), shared by
+    the self-join path (lsh_candidate_pairs) and the incremental-index
+    path so the persisted corpus index can never drift from the in-session
+    bucket format. ``rpb`` is rows-per-band: an int when the caller knows
+    num_perm, or a Column derived from size(sig)."""
+    rpb_c = F.lit(rpb) if isinstance(rpb, int) else rpb
     buckets = F.array(
         *[
             md5_hex(
                 F.array_join(
                     F.transform(
-                        F.slice(F.col("sig"), F.lit(b) * rpb + 1, rpb),
+                        F.slice(F.col("sig"), F.lit(b) * rpb_c + 1, rpb_c),
                         lambda x: x.cast("string"),
                     ),
                     "|",
@@ -123,8 +127,15 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
             for b in range(bands)
         ]
     )
-    banded = signatures.select(
+    return signatures.select(
         "doc_id", F.posexplode(buckets).alias("band", "bucket")
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
+    """Docs sharing >= 1 LSH band bucket -> candidate pairs (a < b)."""
+    banded = band_buckets(
+        signatures, bands, (F.size("sig") / bands).cast("int")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -152,26 +163,10 @@ def minhash_near_duplicates(
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band-bucket ->
     candidate pairs -> exact Jaccard filter. Returns (doc_a, doc_b, jaccard).
     """
-    sh = hashed_shingle_sets(df, text_col, id_col, k).cache()
-    sh.count()  # materialize before fan-out (per-doc agg + 2 inter-joins)
-    # One groupBy produces BOTH the signature mins and the set size —
-    # folding the former separate `sizes` pass into the same shuffle.
-    base = F.col("h") % MINHASH_PRIME
-    mins = [
-        F.min((F.lit(a) * base + F.lit(b)) % MINHASH_PRIME).alias(f"h{i}")
-        for i, (a, b) in enumerate(PERM_PARAMS[:num_perm])
-    ]
-    per_doc = (
-        sh.groupBy("doc_id")
-        .agg(*mins, F.count(F.lit(1)).alias("n"))
-        .select(
-            "doc_id",
-            F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
-            "n",
-        )
-        .cache()
-    )
-    per_doc.count()  # materialize: consumed by both cand and the size joins
+    # one shingle pass + one groupBy producing BOTH signature mins and set
+    # size — the same (materialized) artifact pair the incremental index
+    # persists, so the two pipelines share one definition
+    sh, per_doc = build_near_dup_index(df, text_col, id_col, k, num_perm)
     sig = per_doc.select("doc_id", "sig")
     cand = lsh_candidate_pairs(sig, bands)
     sizes = per_doc.select("doc_id", "n")
@@ -286,8 +281,9 @@ def build_near_dup_index(
             F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
             "n",
         )
-        .cache()  # consumed by banding AND the size join
+        .cache()
     )
+    agg.count()  # materialize: consumed by banding AND the size join
     return sh, agg
 
 
@@ -316,6 +312,12 @@ def incremental_near_duplicates(
     candidate; per batch doc the single best corpus match wins
     (max jaccard, tie-broken on the smaller corpus doc_id).
 
+    Cache lifecycle: build_near_dup_index caches + materializes both of
+    its tables. In a continuous-ingest loop, build the corpus index ONCE
+    (or read it back from parquet) and pass it via ``corpus_index``;
+    after materializing each batch's matches, unpersist that batch's
+    index pair — batch-side caches otherwise accumulate across batches.
+
     Returns (doc_id, dup_of, jaccard): batch docs with a corpus near-dup at
     >= threshold. Batch-internal duplicates are out of scope here — run the
     self-join pipeline (minhash_near_duplicates) on the batch separately.
@@ -328,21 +330,7 @@ def incremental_near_duplicates(
     rpb = num_perm // bands
 
     def banded(idx: DataFrame) -> DataFrame:
-        buckets = F.array(
-            *[
-                md5_hex(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("sig"), b * rpb + 1, rpb),
-                            lambda x: x.cast("string"),
-                        ),
-                        "|",
-                    )
-                )
-                for b in range(bands)
-            ]
-        )
-        return idx.select("doc_id", F.posexplode(buckets).alias("band", "bucket"))
+        return band_buckets(idx, bands, rpb)
 
     corpus_banded = banded(c_idx)
     if max_bucket_size is not None:

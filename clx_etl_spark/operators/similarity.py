@@ -504,25 +504,12 @@ def knn_pq(
     m one-byte codes instead of d floats."""
     books = pq_train(vectors, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
     coded = pq_assign(vectors, books, id_col=id_col, vec_col=vec_col)
+    # reconstructed corpus + the UNCHANGED bruteforce scorer: one tie-break
+    # and self-match rule for both exact and ADC search
     recon = coded.select(
-        F.col(id_col).alias("neighbor_id"),
-        pq_reconstruct(books).alias("_vvec"),
+        F.col(id_col), pq_reconstruct(books).alias(vec_col)
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
-    scored = recon.crossJoin(F.broadcast(q)).filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = scored.withColumn("cosine", cosine_sim(F.col("_qvec"), F.col("_vvec")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return knn_bruteforce(recon, queries, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def adc_cell_topk(

@@ -937,20 +937,22 @@ _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PII_PHONE = r"\+\d{1,3}-\d{3}-\d{4}"
 
+# counts mirror the engine: each pattern counted on the text AFTER the
+# earlier patterns masked it, so n_* == masked occurrences in the output
 PII_ORACLE = f"""
     WITH seeded AS (SELECT doc_id, {_PII_SEED_SQL} AS text FROM documents),
-    masked AS (SELECT doc_id,
+    s1 AS (SELECT doc_id,
         CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
-        CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ip,
-        CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
-            '{_PII_IP}', '<IP>', 'g'),
-          '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
-      FROM seeded)
-    SELECT doc_id, n_email, n_ip, n_phone, md5(redacted) AS redacted_md5
-    FROM masked
+        regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+      FROM seeded),
+    s2 AS (SELECT doc_id, n_email,
+        CAST(len(regexp_extract_all(t1, '{_PII_IP}')) AS BIGINT) AS n_ip,
+        regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2
+      FROM s1)
+    SELECT doc_id, n_email, n_ip,
+        CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+        md5(regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM s2
 """
 
 

@@ -61,12 +61,19 @@ def read_jdbc(
 def _mysql_upsert_sql(table: str, cols: list[str], update_cols: list[str]) -> str:
     """Reference parity: INSERT ... ON DUPLICATE KEY UPDATE over the listed
     mutable columns (mysql/__init__.py:56-58 update_dict). When every column
-    is a key there is nothing to update — degrade to insert-if-absent
-    (INSERT IGNORE), which converges the same way."""
+    is a key there is nothing to update — degrade to a no-op dup-key update
+    on the first key (NOT INSERT IGNORE: IGNORE downgrades EVERY insert
+    error — FK violations, truncation, invalid values — to a silently
+    dropped/mangled row, while the no-op update suppresses only the
+    duplicate-key case, converging identically)."""
     collist = ", ".join(cols)
     params = ", ".join(["?"] * len(cols))
     if not update_cols:
-        return f"INSERT IGNORE INTO {table} ({collist}) VALUES ({params})"
+        k0 = cols[0]
+        return (
+            f"INSERT INTO {table} ({collist}) VALUES ({params}) "
+            f"ON DUPLICATE KEY UPDATE {k0} = {k0}"
+        )
     updates = ", ".join(f"{c} = VALUES({c})" for c in update_cols)
     return f"INSERT INTO {table} ({collist}) VALUES ({params}) ON DUPLICATE KEY UPDATE {updates}"
 

@@ -404,3 +404,17 @@ def test_quality_weighted_sample_growth_stable(spark):
     }
     assert small == {d for d in big if d < 100}
     assert 0 < len(small) < 100  # the gate actually bites both ways
+
+
+def test_redact_counts_masked_occurrences_not_raw_overlaps(spark):
+    """A dotted quad inside an email local-part is ONE email, not also a
+    phantom IP: counts are taken on the progressively-masked text."""
+    from clx_etl_spark.operators.curation import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "contact 10.0.0.1@ex.org and host 192.168.0.7 now")],
+        "doc_id long, text string",
+    )
+    r = redact_pii(df).collect()[0]
+    assert (r.n_email, r.n_ip, r.n_phone) == (1, 1, 0)
+    assert r.redacted == "contact <EMAIL> and host <IP> now"

@@ -117,9 +117,15 @@ def test_engine_table_via_jdbc(spark, derby):
     assert len(out) == 1 and out[0].symbol == "XRPUSDT"
 
 
-def test_mysql_dialect_all_key_columns_degrades_to_insert_ignore():
+def test_mysql_dialect_all_key_columns_degrades_to_noop_update():
+    # NOT INSERT IGNORE: IGNORE downgrades every insert error (FK,
+    # truncation) to a silently dropped row; the no-op dup-key update
+    # suppresses only the duplicate-key case
     sql = _mysql_upsert_sql("pair", ["exchange_id", "symbol"], [])
-    assert sql == "INSERT IGNORE INTO pair (exchange_id, symbol) VALUES (?, ?)"
+    assert sql == (
+        "INSERT INTO pair (exchange_id, symbol) VALUES (?, ?) "
+        "ON DUPLICATE KEY UPDATE exchange_id = exchange_id"
+    )
 
 
 def test_jdbc_upsert_all_columns_are_keys(spark, tmp_path):
