@@ -254,6 +254,179 @@ def ngram_jaccard_pairs(
     )
 
 
+def positional_kgrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(doc_id, pos, h): 1-based token position of every k-gram, hashed to
+    a 60-bit long. Unlike shingle_sets this keeps duplicates and order —
+    the substrate for exact substring-run detection. Same shuffle-free
+    zip-of-shifted-slices construction as shingle_sets."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    slices = [F.slice(toks, j + 1, n - (k - 1)) for j in range(k)]
+    zipped = slices[0]
+    for s in slices[1:]:
+        zipped = F.zip_with(zipped, s, lambda a, b: F.concat_ws(" ", a, b))
+    arr = F.when(n >= k, zipped).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(arr).alias("pos0", "g")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        md5_long(F.col("g")).alias("h"),
+    )
+
+
+def substring_run_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_run_tokens: int = 8,
+    max_doc_freq: int = 200,
+) -> DataFrame:
+    """EXACT shared-substring detection (the Lee et al. 2022 'Deduplicating
+    Training Data' signal): maximal runs of >= min_run_tokens consecutive
+    shared tokens between doc pairs — catches verbatim passage reuse that
+    set-based Jaccard/MinHash dilutes away inside long documents.
+
+    Distributed shape (no suffix array needed): positional k-grams join on
+    gram hash, then matched positions collapse to maximal runs by the
+    gaps-and-islands identity — within a (doc_a, doc_b, pa - pb) diagonal,
+    consecutive pa values share (pa - row_number()). Two shuffles total
+    (the gram equi-join, the island groupBy).
+
+    ``max_doc_freq`` drops grams appearing in more than that many DISTINCT
+    docs before pairing — the boilerplate guard that bounds the join
+    quadratic at corpus scale; a run passing through a capped gram splits
+    into two shorter reported runs (recall trade-off, documented).
+
+    Returns (doc_a, doc_b, start_a, start_b, run_tokens): 1-based token
+    starts and inclusive token length, one row per maximal run.
+    """
+    kg = positional_kgrams(df, text_col, id_col, k).cache()
+    kg.count()  # materialize before the dfreq/join fan-out
+    dfreq = kg.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("_df")
+    )
+    rare = kg.join(dfreq.filter(F.col("_df") <= max_doc_freq), "h").select(
+        "doc_id", "pos", "h"
+    )
+    m = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+        )
+    )
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = m.select("doc_a", "doc_b", "pa", "pb", diag).withColumn(
+        "grp", F.col("pa") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("run_tokens"),
+        )
+        .filter(F.col("run_tokens") >= min_run_tokens)
+        .select("doc_a", "doc_b", "start_a", "start_b", "run_tokens")
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """PPJoin-style LOSSLESS prefix-filtered exact-Jaccard self-join — the
+    provably-complete alternative to ngram_jaccard_pairs's doc-frequency
+    cap (which trades recall for boundedness).
+
+    Global token order = (document frequency ASC, hash ASC): rare shingles
+    sort first, so the indexed prefixes land on the SHORTEST posting lists.
+    For Jaccard >= t, a matching pair must overlap in >= ceil(t*n) shingles
+    on each side, hence must share at least one shingle inside each doc's
+    first  n - ceil(t*n) + 1  shingles under ANY shared total order
+    (Chaudhuri et al., SSJoin/PPJoin) — so the prefix self-join candidate
+    set is complete, and the full-set Jaccard verify makes the output
+    exactly the brute-force pair set. At 100 TB the prefix join touches a
+    small, rare-token slice of the inverted index instead of every posting
+    list; the quadratic term is bounded by prefix-token doc-frequency,
+    which the frequency-ascending order actively minimizes.
+
+    The threshold is an exact rational (threshold_num/threshold_den) and
+    prefix lengths use integer arithmetic (ceil(t*n) = (num*n + den-1) div
+    den) — no float rounding can shorten a prefix and silently drop a pair.
+    Returns (doc_a, doc_b, jaccard) with jaccard >= t, doc_a < doc_b.
+    """
+    t = threshold_num / threshold_den
+    sh = hashed_shingle_sets(df, text_col, id_col, k).cache()
+    sh.count()  # materialize before the multi-branch fan-out (see above)
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(dfreq, "h")
+    w_pos = Window.partitionBy("doc_id").orderBy("_df", "h")
+    w_doc = Window.partitionBy("doc_id")
+    overlap_min = F.floor(  # ceil(t * n) in exact integer arithmetic
+        (F.lit(threshold_num) * F.col("_n") + F.lit(threshold_den - 1))
+        / F.lit(threshold_den)
+    )
+    pref = (
+        ranked.withColumn("_pos", F.row_number().over(w_pos))
+        .withColumn("_n", F.count(F.lit(1)).over(w_doc))
+        .filter(F.col("_pos") <= F.col("_n") - overlap_min + 1)
+        .select("doc_id", "h")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(t))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def build_near_dup_index(
     df: DataFrame,
     text_col: str = "text",

@@ -102,6 +102,8 @@ SWEEP_FRONT: list[str] = [
     "bpe_pair_stats",
     "training_manifest",
     "split_leakage_audit",
+    "dedup_jaccard_prefix",
+    "substring_run_dedup",
     # ---- spill zone past the driver's ~50 cap: entries with the
     # strongest alternative proof (repo oracle green at 3 SFs this
     # round; w4 family shares w4_locf_fill's load path; the

@@ -143,6 +143,81 @@ def dedup_ngram_jaccard(spark, sf):
     )
 
 
+SUBSTRING_RUN_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    kg AS (SELECT doc_id, i AS pos,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+           FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+           WHERE len(t) >= 3),
+    dfreq AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM kg GROUP BY g),
+    rare AS (SELECT kg.doc_id, kg.pos, kg.g
+             FROM kg JOIN dfreq ON kg.g = dfreq.g WHERE df <= 200),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS pa, b.pos AS pb
+          FROM rare a JOIN rare b
+            ON a.g = b.g AND a.doc_id < b.doc_id),
+    isl AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+                   pa - ROW_NUMBER() OVER (
+                     PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+            FROM m)
+    SELECT doc_a, doc_b,
+           CAST(MIN(pa) AS BIGINT) AS start_a,
+           CAST(MIN(pb) AS BIGINT) AS start_b,
+           CAST(COUNT(*) + 2 AS BIGINT) AS run_tokens
+    FROM isl GROUP BY doc_a, doc_b, diag, grp
+    HAVING COUNT(*) + 2 >= 8
+"""
+
+
+@register(
+    "substring_run_dedup",
+    oracle=SUBSTRING_RUN_ORACLE,
+    doc="Exact shared-substring runs >= 8 tokens between doc pairs (the "
+    "Lee et al. 2022 verbatim-passage dedup signal): positional k-gram "
+    "equi-join + gaps-and-islands collapse along (pa - pb) diagonals — two "
+    "shuffles, no suffix array; distinct-doc-frequency cap (df <= 200) "
+    "bounds the boilerplate-gram quadratic at corpus scale",
+)
+def substring_run_dedup(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return D.substring_run_pairs(
+        docs, k=3, min_run_tokens=8, max_doc_freq=200
+    )
+
+
+PREFIX_JACCARD_ORACLE = f"""
+    WITH {SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / CAST(na.n + nb.n - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / CAST(na.n + nb.n - i.n_inter AS DOUBLE) >= 0.8
+"""
+
+
+@register(
+    "dedup_jaccard_prefix",
+    oracle=PREFIX_JACCARD_ORACLE,
+    doc="PPJoin-style LOSSLESS prefix-filtered exact-Jaccard pairs at "
+    ">= 0.8: global (doc-freq ASC, hash ASC) token order, integer-exact "
+    "prefix lengths n - ceil(t*n) + 1, candidates from a prefix-only "
+    "inverted-index self-join — provably complete (oracle is the UNCAPPED "
+    "brute-force pair set), unlike the df-capped recall trade-off of "
+    "dedup_ngram_jaccard",
+)
+def dedup_jaccard_prefix(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return D.prefix_filter_jaccard_pairs(
+        docs, k=3, threshold_num=4, threshold_den=5
+    )
+
+
 # transitive closure over the >= 0.5 MinHash-LSH near-dup pair graph;
 # component = min reachable doc_id (the canonical representative). LSH is
 # the candidate path that scales (banding bounds pair blow-up), so the

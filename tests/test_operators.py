@@ -177,6 +177,115 @@ def test_ngram_jaccard_doc_freq_cap_drops_boilerplate(spark):
     assert out.count() == 0
 
 
+def test_prefix_filter_jaccard_lossless_vs_bruteforce(spark):
+    """The PPJoin prefix filter must be COMPLETE: its output equals the
+    brute-force all-pairs Jaccard >= t set on seeded random docs, including
+    the integer-boundary cases (t*n exactly integral) where a float-rounded
+    prefix length would silently drop pairs."""
+    import itertools
+    import random
+
+    from clx_etl_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        # cluster structure: groups of 4 docs mutate a shared base text
+        base = rng.sample(vocab, 12) if i % 4 == 0 else rows[-1][1].split()
+        toks = list(base)
+        for _ in range(rng.randrange(0, 3)):
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(text, k=3):
+        t = text.split()
+        return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+    for num, den in ((4, 5), (1, 2), (2, 3)):
+        t = num / den
+        expect = {}
+        for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+            sa, sb = shingles(ta), shingles(tb)
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= t:
+                expect[(min(ia, ib), max(ia, ib))] = j
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in prefix_filter_jaccard_pairs(
+                docs, k=3, threshold_num=num, threshold_den=den
+            ).collect()
+        }
+        assert set(got) == set(expect), (t, set(expect) ^ set(got))
+        for p, j in expect.items():
+            assert abs(got[p] - j) < 1e-12
+
+
+def test_substring_run_pairs_exact_runs(spark):
+    """Hand-built passages: maximal-run boundaries, the min-length cutoff,
+    and multiple independent runs per pair are all reported exactly."""
+    from clx_etl_spark.operators.dedup import substring_run_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    short = "one two three four five"  # 5 tokens < min_run
+    docs = spark.createDataFrame(
+        [
+            (1, f"x1 y1 {shared} z1 w1 q1 {short} r1"),
+            (2, f"{shared} a2 b2 c2 d2 e2 f2 {short} g2"),
+            (3, "totally unrelated content with nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = substring_run_pairs(docs, k=3, min_run_tokens=8).collect()
+    runs = {(r.doc_a, r.doc_b, r.start_a, r.start_b): r.run_tokens for r in out}
+    # the 8-token passage: doc1 pos 3..10 (1-based), doc2 pos 1..8
+    assert runs == {(1, 2, 3, 1): 8}, runs
+    # lowering the cutoff surfaces the 5-token run too
+    out5 = substring_run_pairs(docs, k=3, min_run_tokens=5).collect()
+    runs5 = {(r.doc_a, r.doc_b, r.start_a, r.start_b): r.run_tokens for r in out5}
+    assert runs5[(1, 2, 3, 1)] == 8
+    assert runs5[(1, 2, 14, 15)] == 5  # 'one two three four five'
+    assert len(runs5) == 2
+    assert not any(r.doc_a == 3 or r.doc_b == 3 for r in out5)
+
+
+def test_substring_run_doc_freq_cap_splits_runs(spark):
+    """A gram above the distinct-doc-frequency cap is excluded from
+    pairing, so a run through it splits — the documented recall
+    trade-off that bounds the boilerplate quadratic."""
+    from clx_etl_spark.operators.dedup import substring_run_pairs
+
+    # 'p q r' appears in all 4 docs (df=4); the surrounding runs only in 2
+    passage = "a b c p q r d e f"
+    docs = spark.createDataFrame(
+        [
+            (1, passage),
+            (2, passage),
+            (3, "zz p q r yy xx ww vv uu"),
+            (4, "kk p q r jj ii hh gg ff"),
+        ],
+        "doc_id long, text string",
+    )
+    full = substring_run_pairs(docs, k=3, min_run_tokens=3, max_doc_freq=4)
+    got_full = {
+        (r.doc_a, r.doc_b): r.run_tokens for r in full.collect()
+    }
+    assert got_full[(1, 2)] == 9  # uncapped: one maximal 9-token run
+    capped = substring_run_pairs(docs, k=3, min_run_tokens=3, max_doc_freq=2)
+    got = sorted(
+        (r.start_a, r.run_tokens)
+        for r in capped.collect()
+        if (r.doc_a, r.doc_b) == (1, 2)
+    )
+    # only the 'p q r' gram (df=4) is dropped; matched positions
+    # {1,2,3,5,6,7} split into islands {1-3} and {5-7}, each 3 grams
+    # = 5 tokens
+    assert got == [(1, 5), (5, 5)], got
+
+
 def test_salted_agg_matches_plain(spark):
     from clx_etl_spark.operators.skew import salted_agg
 
