@@ -78,6 +78,49 @@ def temperature_mix(
     return stratified_sample(df, key_col, rates, stratum_col)
 
 
+def temperature_mix_sqrt(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    max_keep_permille: int = 1000,
+) -> DataFrame:
+    """Temperature-scaled stratum rebalance at tau = 1/2, fully
+    cluster-side and cross-engine exact — the registered-oracle variant of
+    ``temperature_mix``.
+
+    tau = 1/2 gives keep-rate(s) proportional to count(s)^(-1/2), anchored
+    so the rarest stratum keeps ``max_keep_permille``:
+
+        rate(s) = max_pm * sqrt(min_count / count(s))
+
+    The closed form matters twice. (1) A single correctly-rounded sqrt of
+    a correctly-rounded division is bit-identical on every IEEE-754 engine
+    — unlike pow(), whose last-ulp varies by libm, which is why
+    temperature_mix keeps its general-tau rates driver-side. (2) No
+    driver round-trip at all: per-stratum counts stay a DataFrame, the
+    min is a broadcast one-row join, and the gate is the stable hash —
+    the whole operator is two map-side-combinable aggregates plus a
+    narrow filter, at any corpus size.
+
+    Returns the kept rows plus their stratum's ``rate_pm`` column.
+    """
+    cnt = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    mn = cnt.agg(F.min("_n").alias("_min_n"))
+    rates = cnt.crossJoin(F.broadcast(mn)).select(
+        stratum_col,
+        F.least(
+            F.lit(max_keep_permille),
+            F.floor(
+                F.lit(float(max_keep_permille))
+                * F.sqrt(F.col("_min_n").cast("double") / F.col("_n").cast("double"))
+            ),
+        ).alias("rate_pm"),
+    )
+    return df.join(F.broadcast(rates), stratum_col).filter(
+        hash_gate(F.col(key_col), F.col("rate_pm"))
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

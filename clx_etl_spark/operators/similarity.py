@@ -116,6 +116,72 @@ def embedding_near_duplicates(
     )
 
 
+def hard_negative_mining(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each anchor, the
+    top-k most-similar vectors with a DIFFERENT label, plus the anchor's
+    hardest positive (max same-label cosine) and the triplet margin
+    (neg_cosine - pos_cosine) — the semi-hard mining signal.
+
+    The production shape: anchors are a per-epoch subset (pass a
+    deterministic hash-gated sample), broadcast against the full corpus
+    scan — one pass over the vectors computes both the positive max (a
+    map-side-combinable MAX per anchor) and the negative top-k (one
+    window shuffle on anchor_id). At 100 TB swap the corpus scan for an
+    IVF/SRP-pruned candidate set; semantics are unchanged because the
+    verify stage is the same ranked cosine.
+
+    Returns (anchor_id, neighbor_id, rank, neg_cosine, pos_cosine,
+    margin); pos_cosine/margin are NULL for anchors whose label is
+    unique in the corpus.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("_avec"),
+        F.col(label_col).alias("_albl"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vvec"),
+        F.col(label_col).alias("_vlbl"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(a))
+        .filter(F.col("neighbor_id") != F.col("anchor_id"))
+        .withColumn("cosine", cosine_sim(F.col("_avec"), F.col("_vvec")))
+    )
+    pos = (
+        scored.filter(F.col("_vlbl") == F.col("_albl"))
+        .groupBy("anchor_id")
+        .agg(F.max("cosine").alias("pos_cosine"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    neg = (
+        scored.filter(F.col("_vlbl") != F.col("_albl"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+    return (
+        neg.join(pos, "anchor_id", "left")
+        .select(
+            "anchor_id",
+            "neighbor_id",
+            "rank",
+            F.col("cosine").alias("neg_cosine"),
+            "pos_cosine",
+            (F.col("cosine") - F.col("pos_cosine")).alias("margin"),
+        )
+    )
+
+
 def srp_signature(vec: Column, n_bits: int = 16) -> Column:
     """Signed-random-projection signature: an ``n_bits``-char '0'/'1'
     string, bit k = sign of the dot product with pseudo-random hyperplane

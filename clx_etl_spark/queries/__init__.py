@@ -104,6 +104,9 @@ SWEEP_FRONT: list[str] = [
     "split_leakage_audit",
     "dedup_jaccard_prefix",
     "substring_run_dedup",
+    "contrastive_hard_negatives",
+    "zorder_locality_stats",
+    "lang_temperature_sample",
     # ---- spill zone past the driver's ~50 cap: entries with the
     # strongest alternative proof (repo oracle green at 3 SFs this
     # round; w4 family shares w4_locf_fill's load path; the

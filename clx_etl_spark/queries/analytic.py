@@ -1483,3 +1483,94 @@ def sample_stratified(spark, sf):
         F.count(F.lit(1)).alias("n_kept"),
         F.sum(F.col("value").cast(DEC6)).cast("double").alias("kept_value"),
     )
+
+
+def _z8_sql(qu: str, qt: str) -> str:
+    """16-bit Morton interleave of two 8-bit quantized coords in portable
+    SQL — disjoint bits, so + == OR."""
+    terms = []
+    for b in range(8):
+        terms.append(f"((({qu} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({qt} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+_ZQ_U = (
+    "LEAST(GREATEST(CAST(floor(CAST(user_id - lo_u AS DOUBLE) / sp_u * 256.0)"
+    " AS BIGINT), 0), 255)"
+)
+_ZQ_T = (
+    "LEAST(GREATEST(CAST(floor(CAST(ts_ms - lo_t AS DOUBLE) / sp_t * 256.0)"
+    " AS BIGINT), 0), 255)"
+)
+
+
+@register(
+    "zorder_locality_stats",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, user_id, {EV_MS} AS ts_ms FROM events),
+    b AS (SELECT MIN(user_id) AS lo_u, MAX(user_id) AS hi_u,
+                 MIN(ts_ms) AS lo_t, MAX(ts_ms) AS hi_t FROM ev),
+    sp AS (SELECT lo_u, lo_t,
+                  CASE WHEN hi_u = lo_u THEN 1.0
+                       ELSE CAST(hi_u - lo_u AS DOUBLE) END AS sp_u,
+                  CASE WHEN hi_t = lo_t THEN 1.0
+                       ELSE CAST(hi_t - lo_t AS DOUBLE) END AS sp_t
+           FROM b),
+    keyed AS (SELECT event_id, user_id, ts_ms,
+                     {_z8_sql(_ZQ_U, _ZQ_T)} AS z
+              FROM ev, sp)
+    SELECT z >> 12 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(user_id) AS u_lo, MAX(user_id) AS u_hi,
+           MIN(ts_ms) AS t_lo, MAX(ts_ms) AS t_hi
+    FROM keyed GROUP BY bucket
+    """,
+    doc="Z-order (Morton) layout audit over events (user_id x time): "
+    "8-bit min-max quantized coords bit-interleaved to a 16-bit key; "
+    "bucket = the key's top 4 bits = the file a z-ordered writer "
+    "(sinks/layout.zorder_layout) would target — per-bucket min/max show "
+    "every file's bounding box tight in BOTH dimensions, the property "
+    "that lets parquet footer stats prune 2-D predicates. Narrow plan: "
+    "bounds broadcast from one aggregate row, zero extra shuffles",
+)
+def zorder_locality_stats(spark, sf):
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts_ms")
+    b = ev.agg(
+        F.min("user_id").alias("lo_u"),
+        F.max("user_id").alias("hi_u"),
+        F.min("ts_ms").alias("lo_t"),
+        F.max("ts_ms").alias("hi_t"),
+    )
+    d = ev.crossJoin(F.broadcast(b))
+
+    def quant(x, lo, hi):
+        span = F.when(
+            F.col(hi) == F.col(lo), F.lit(1.0)
+        ).otherwise((F.col(hi) - F.col(lo)).cast("double"))
+        frac = (F.col(x) - F.col(lo)).cast("double") / span
+        return F.least(
+            F.greatest((frac * F.lit(256.0)).cast("long"), F.lit(0)),
+            F.lit(255),
+        )
+
+    qu, qt = quant("user_id", "lo_u", "hi_u"), quant("ts_ms", "lo_t", "hi_t")
+    z = F.lit(0).cast("long")
+    for bit in range(8):
+        z = z + F.shiftleft(
+            F.shiftright(qu, bit).bitwiseAND(F.lit(1)), 2 * bit
+        ).cast("long")
+        z = z + F.shiftleft(
+            F.shiftright(qt, bit).bitwiseAND(F.lit(1)), 2 * bit + 1
+        ).cast("long")
+    return (
+        d.select("event_id", "user_id", "ts_ms", z.alias("z"))
+        .groupBy(F.shiftright(F.col("z"), 12).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("user_id").alias("u_lo"),
+            F.max("user_id").alias("u_hi"),
+            F.min("ts_ms").alias("t_lo"),
+            F.max("ts_ms").alias("t_hi"),
+        )
+    )

@@ -349,6 +349,80 @@ def sim_embedding_near_dup(spark, sf):
     return S.embedding_near_duplicates(emb, threshold=0.35)
 
 
+@register(
+    "lang_temperature_sample",
+    oracle="""
+    WITH cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM documents GROUP BY lang),
+    mn AS (SELECT MIN(n) AS min_n FROM cnt),
+    rates AS (SELECT lang, n,
+                     LEAST(1000, CAST(floor(1000.0 *
+                       sqrt(CAST(min_n AS DOUBLE) / CAST(n AS DOUBLE)))
+                       AS BIGINT)) AS rate_pm
+              FROM cnt, mn),
+    kept AS (SELECT d.lang, r.rate_pm, r.n
+             FROM documents d JOIN rates r ON d.lang = r.lang
+             WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 1000 < r.rate_pm)
+    SELECT lang, rate_pm, n AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY lang, rate_pm, n
+    """,
+    doc="Multilingual temperature rebalance at tau = 1/2 "
+    "(operators/sampling.temperature_mix_sqrt): keep-rate proportional to "
+    "count^(-1/2) anchored at the rarest language, derived ENTIRELY "
+    "cluster-side — the closed-form sqrt is bit-identical across IEEE "
+    "engines where general pow() is not, so the per-language rates are "
+    "oracle-checkable; row fate is the stable md5 hash gate, stable under "
+    "corpus growth",
+)
+def lang_temperature_sample(spark, sf):
+    from ..operators.sampling import temperature_mix_sqrt
+
+    docs = load_table(spark, sf, "documents")
+    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    kept = temperature_mix_sqrt(docs, key_col="doc_id", stratum_col="lang")
+    return (
+        kept.groupBy("lang", "rate_pm")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .join(F.broadcast(cnt), "lang")
+        .select("lang", "rate_pm", "n_total", "n_kept")
+    )
+
+
+@register(
+    "contrastive_hard_negatives",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS anchor_id, embedding AS av, label AS al
+               FROM embeddings WHERE vec_id % 17 = 0),
+    v AS (SELECT vec_id AS neighbor_id, embedding AS vv, label AS vl
+          FROM embeddings),
+    scored AS (SELECT anchor_id, neighbor_id, vl, al,
+                      {_cosine_sql('av', 'vv')} AS cosine
+               FROM v, a WHERE neighbor_id <> anchor_id),
+    pos AS (SELECT anchor_id, MAX(cosine) AS pos_cosine
+            FROM scored WHERE vl = al GROUP BY anchor_id),
+    neg AS (SELECT anchor_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                        ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+            FROM scored WHERE vl <> al)
+    SELECT n.anchor_id, n.neighbor_id, n.rank, n.cosine AS neg_cosine,
+           p.pos_cosine, n.cosine - p.pos_cosine AS margin
+    FROM neg n LEFT JOIN pos p ON n.anchor_id = p.anchor_id
+    WHERE n.rank <= 3
+    """,
+    doc="Contrastive hard-negative mining: per deterministic anchor subset "
+    "(vec_id % 17 = 0), top-3 most-cosine-similar DIFFERENT-label vectors "
+    "plus the hardest same-label positive and the triplet margin — one "
+    "corpus pass feeds both (broadcast anchors, map-side MAX for the "
+    "positive, one window shuffle for the negative top-k)",
+)
+def contrastive_hard_negatives(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 17 == 0)
+    return S.hard_negative_mining(emb, anchors, k=3)
+
+
 _SRP_BANDS, _SRP_BITS = 4, 4
 
 

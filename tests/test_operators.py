@@ -224,6 +224,39 @@ def test_prefix_filter_jaccard_lossless_vs_bruteforce(spark):
             assert abs(got[p] - j) < 1e-12
 
 
+def test_hard_negative_mining_margins_and_unique_label(spark):
+    """Known geometry: the hardest negative and hardest positive are
+    hand-computable, and an anchor whose label is unique gets NULL
+    pos_cosine/margin rather than being dropped."""
+    from clx_etl_spark.operators.similarity import hard_negative_mining
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # anchor
+        (1, [0.9, 0.1], 0),   # positive, cos ~0.9939
+        (2, [0.8, 0.6], 1),   # negative, cos 0.8
+        (3, [0.0, 1.0], 1),   # negative, cos 0.0
+        (4, [0.5, 0.5], 2),   # lone-label anchor
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = hard_negative_mining(
+        emb, emb.filter(F.col("vec_id").isin(0, 4)), k=2
+    ).collect()
+    a0 = {r.rank: r for r in out if r.anchor_id == 0}
+    assert a0[1].neighbor_id == 2 and abs(a0[1].neg_cosine - 0.8) < 1e-12
+    import math
+
+    # rank 2: vec 4 (label 2, cos = 1/sqrt(2)) beats vec 3 (cos 0)
+    assert a0[2].neighbor_id == 4
+    assert abs(a0[2].neg_cosine - 1 / math.sqrt(2)) < 1e-12
+
+    pos = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(a0[1].pos_cosine - pos) < 1e-12
+    assert abs(a0[1].margin - (0.8 - pos)) < 1e-12
+    a4 = [r for r in out if r.anchor_id == 4]
+    assert len(a4) == 2  # all 4 others are different-label; top-2 kept
+    assert all(r.pos_cosine is None and r.margin is None for r in a4)
+
+
 def test_substring_run_pairs_exact_runs(spark):
     """Hand-built passages: maximal-run boundaries, the min-length cutoff,
     and multiple independent runs per pair are all reported exactly."""
@@ -751,6 +784,25 @@ def test_temperature_mix_flattens_strata(spark):
     flat2 = temperature_mix(bigger, "k", "src", tau=0.3)
     kept_small2 = {r.k for r in flat2.filter("src='small' and k < 10000").collect()}
     assert kept_small == kept_small2
+
+
+def test_temperature_mix_sqrt_rates_and_agreement(spark):
+    """The tau=1/2 closed form: rarest stratum keeps everything, others
+    keep floor(1000*sqrt(min/n)) permille; the kept set agrees with
+    stratified_sample at those same rates (shared gate hash)."""
+    import math
+
+    from clx_etl_spark.operators.sampling import (
+        stratified_sample, temperature_mix_sqrt)
+
+    rows = [(i, "big" if i < 4000 else "small") for i in range(4500)]
+    df = spark.createDataFrame(rows, "k long, src string")
+    kept = temperature_mix_sqrt(df, "k", "src").cache()
+    rates = {r.src: r.rate_pm for r in kept.select("src", "rate_pm").distinct().collect()}
+    assert rates["small"] == 1000
+    assert rates["big"] == math.floor(1000.0 * math.sqrt(500 / 4000))
+    expected = stratified_sample(df, "k", rates, "src")
+    assert {r.k for r in kept.collect()} == {r.k for r in expected.collect()}
 
 
 def test_incremental_rollup_touches_only_affected_buckets(spark, tmp_path):
