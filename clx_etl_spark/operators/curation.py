@@ -87,6 +87,99 @@ def decontaminate(
     )
 
 
+BLOOM_M = 8_192  # bits
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_bit(i: int, key, m: int = BLOOM_M):
+    """Bloom bit position i for a key: the shared cross-engine md5
+    convention (first 8 hex chars, base 16, mod m)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), key)), 1, 8),
+        16,
+        10,
+    ).cast("long") % m
+
+
+def bloom_build(keys: DataFrame, key_col: str, m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Bloom bitmap of a key set as (word_idx, word) rows — m/32 rows of
+    32 bits each (32-bit words in BIGINT so no sign-bit shift semantics
+    can differ across engines). The bitmap is CONSTANT-size however large
+    the key set: the whole point vs broadcasting the distinct keys
+    themselves, whose size grows with the benchmark."""
+    bits = keys.select(
+        F.explode(
+            F.array(*[_bloom_bit(i, F.col(key_col), m) for i in range(k)])
+        ).alias("bit")
+    ).distinct()
+    return bits.groupBy((F.col("bit") / 32).cast("long").alias("word_idx")).agg(
+        F.bit_or(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("bit") % 32).cast("int")
+            )
+        ).alias("word")
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    k_gram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = BLOOM_M,
+    k_hash: int = BLOOM_K,
+) -> DataFrame:
+    """Decontamination with a Bloom-compressed benchmark: like
+    ``decontaminate`` but the broadcast side is an m-bit bitmap (1 KiB at
+    m=8192) instead of the benchmark's distinct k-gram set — the shape
+    that still broadcasts when the benchmark suite itself is millions of
+    grams. Overcount-only error: a gram can false-positive at ~(1-e^{-kn/m})^k
+    but never false-negative, which is the safe direction for leakage
+    guarding (and deterministic: same md5 bits in every engine/run).
+
+    Returns (doc_id, n_grams, n_bloom_hits) per training doc with >= 1
+    gram."""
+    bench_grams = (
+        shingle_sets(benchmark, text_col, id_col, k_gram)
+        .select("shingle")
+        .distinct()
+    )
+    bitmap = bloom_build(bench_grams, "shingle", m, k_hash)
+    grams = shingle_sets(train, text_col, id_col, k_gram)
+    probes = grams.select(
+        "doc_id",
+        "shingle",
+        F.explode(
+            F.array(*[_bloom_bit(i, F.col("shingle"), m) for i in range(k_hash)])
+        ).alias("bit"),
+    ).select(
+        "doc_id",
+        "shingle",
+        (F.col("bit") / 32).cast("long").alias("word_idx"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (F.col("bit") % 32).cast("int")
+        ).alias("mask"),
+    )
+    hit = (
+        probes.join(F.broadcast(bitmap), "word_idx", "left")
+        .withColumn(
+            "set_flag",
+            F.when(
+                F.col("word").isNotNull()
+                & (F.col("word").bitwiseAND(F.col("mask")) != 0),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("doc_id", "shingle")
+        .agg(F.min("set_flag").alias("is_hit"))
+    )
+    return hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("is_hit").alias("n_bloom_hits"),
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -56,3 +56,80 @@ def group_quantiles_approx(
             for i, p in enumerate(probabilities)
         ],
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def _cms_cell(j: int, key, width: int):
+    """Row-j cell for a key: first 8 md5 hex chars of 'j:key' mod width —
+    the same cross-engine md5 convention as sampling._hash_bucket, so a
+    DuckDB oracle reproduces every counter exactly."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), key)), 1, 8),
+        16,
+        10,
+    ).cast("long") % width
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch of a key column: (j, cell, c) counters,
+    depth x width cells total.
+
+    The sketch IS a keyed aggregate, so it is map-side combinable and
+    mergeable across partitions, days, or corpus snapshots by summing
+    counters cell-wise — the property that makes it the fixed-memory
+    frequency monitor at 100 TB, where exact per-key counts would
+    shuffle the full key space. Overestimate-only error: for N total
+    keys, est - true <= e*N/width with probability 1 - e^-depth."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                _cms_cell(j, F.col(key_col), width).alias("cell"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("jc"))
+        .groupBy(F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    counters: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate each distinct key in ``keys``: min over the depth
+    rows of the key's counter cells. The counters table is depth*width
+    rows regardless of corpus size — always broadcastable."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_cell(j, F.col(key_col), width).alias("cell"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jc"),
+    ).select(key_col, F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"))
+    return (
+        probes.join(F.broadcast(counters), ["j", "cell"])
+        .groupBy(key_col)
+        .agg(F.min("c").alias("cms_est"))
+    )

@@ -107,6 +107,8 @@ SWEEP_FRONT: list[str] = [
     "contrastive_hard_negatives",
     "zorder_locality_stats",
     "lang_temperature_sample",
+    "decontam_bloom",
+    "cms_token_frequencies",
     # ---- spill zone past the driver's ~50 cap: entries with the
     # strongest alternative proof (repo oracle green at 3 SFs this
     # round; w4 family shares w4_locf_fill's load path; the

@@ -615,6 +615,106 @@ def heavy_hitters_tokens(spark, sf):
     )
 
 
+_BLOOM_BIT = (
+    "CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 8)"
+    " AS BIGINT) % 8192"
+)
+
+
+@register(
+    "decontam_bloom",
+    oracle=f"""
+    WITH {SHINGLES_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    bbits AS (SELECT DISTINCT {_BLOOM_BIT} AS bit
+              FROM bench, UNNEST([0, 1, 2]) AS t(i)),
+    bitmap AS (SELECT bit // 32 AS word_idx,
+                      BIT_OR(CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS word
+               FROM bbits GROUP BY word_idx),
+    train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+    probes AS (SELECT doc_id, shingle,
+                      ({_BLOOM_BIT}) // 32 AS word_idx,
+                      CAST(1 AS BIGINT)
+                        << CAST(({_BLOOM_BIT}) % 32 AS INTEGER) AS mask
+               FROM train, UNNEST([0, 1, 2]) AS t(i)),
+    hits AS (SELECT p.doc_id, p.shingle,
+                    MIN(CASE WHEN b.word IS NOT NULL
+                              AND (b.word & p.mask) <> 0
+                             THEN 1 ELSE 0 END) AS is_hit
+             FROM probes p LEFT JOIN bitmap b ON p.word_idx = b.word_idx
+             GROUP BY p.doc_id, p.shingle)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(is_hit) AS BIGINT) AS n_bloom_hits
+    FROM hits GROUP BY doc_id
+    """,
+    doc="Decontamination with a Bloom-compressed benchmark "
+    "(operators/curation.bloom_decontaminate): the broadcast side is an "
+    "8192-bit bitmap (constant 1 KiB however large the benchmark suite) "
+    "instead of the distinct gram set; overcount-only error, never a "
+    "false negative — the safe direction for leakage guarding, and "
+    "deterministic (md5 bits) so even the false positives hash-match the "
+    "oracle",
+)
+def decontam_bloom(spark, sf):
+    from ..operators.curation import bloom_decontaminate
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return bloom_decontaminate(train, bench)
+
+
+_CMS_CELL = (
+    "CAST('0x' || substr(md5('{j}:' || w), 1, 8) AS BIGINT) % 512"
+)
+
+
+@register(
+    "cms_token_frequencies",
+    oracle=f"""
+    WITH w AS (SELECT unnest({TOKS}) AS w FROM documents),
+    counters AS (
+      SELECT j, cell, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        {" UNION ALL ".join(f"SELECT {j} AS j, {_CMS_CELL.format(j=j)} AS cell FROM w" for j in range(4))}
+      ) GROUP BY j, cell),
+    top AS (SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS exact_n
+            FROM w GROUP BY w ORDER BY exact_n DESC, token LIMIT 32),
+    probes AS (
+      SELECT token, exact_n, j, cell FROM (
+        {" UNION ALL ".join("SELECT token, exact_n, " + str(j) + " AS j, " + _CMS_CELL.format(j=j).replace("|| w", "|| token") + " AS cell FROM top" for j in range(4))}
+      )),
+    est AS (SELECT p.token, p.exact_n, MIN(c.c) AS cms_est
+            FROM probes p JOIN counters c ON p.j = c.j AND p.cell = c.cell
+            GROUP BY p.token, p.exact_n)
+    SELECT token, exact_n, cms_est FROM est
+    """,
+    doc="Count-min sketch (4 x 512, md5 rows) vs exact truth: counters "
+    "are ONE map-side-combinable keyed aggregate of fixed 2048-cell size "
+    "— mergeable across partitions/snapshots by cell-wise sum, the "
+    "fixed-memory frequency monitor when the key space itself is "
+    "corpus-sized; estimates (broadcast counter join, min over rows) "
+    "reported beside exact counts for the top-32 tokens, overestimate "
+    "bound e*N/512 per row",
+)
+def cms_token_frequencies(spark, sf):
+    from ..functions import tokens as _tokens
+    from ..operators.sketch import cms_build, cms_estimate
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(F.explode(_tokens("text")).alias("token"))
+    counters = cms_build(toks, "token")
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "token")
+        .limit(32)
+    )
+    return cms_estimate(top, counters, "token").join(top, "token").select(
+        "token", "exact_n", "cms_est"
+    )
+
+
 # --- curation: decontamination, repetition, caps, sharding ----------------
 
 

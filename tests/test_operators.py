@@ -786,6 +786,75 @@ def test_temperature_mix_flattens_strata(spark):
     assert kept_small == kept_small2
 
 
+def test_bloom_decontaminate_never_false_negative(spark):
+    """Bloom hits must be a superset of exact hits per doc (overcount
+    only), and the bitmap stays within m/32 words however many grams the
+    benchmark holds."""
+    from clx_etl_spark.operators.curation import (
+        BLOOM_M, bloom_build, bloom_decontaminate, decontaminate)
+    from clx_etl_spark.operators.dedup import shingle_sets
+
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(50)]
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+    bench = spark.createDataFrame(
+        [(100 + i, mk(12)) for i in range(5)], "doc_id long, text string"
+    )
+    leaky = bench.first().text  # verbatim leak of a benchmark doc
+    train = spark.createDataFrame(
+        [(1, leaky), (2, mk(20)), (3, mk(20)), (4, mk(20))],
+        "doc_id long, text string",
+    )
+    exact = {
+        r.doc_id: r.n_contaminated
+        for r in decontaminate(train, bench).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_bloom_hits
+        for r in bloom_decontaminate(train, bench).collect()
+    }
+    assert set(bloom) == set(exact)
+    assert all(bloom[d] >= exact[d] for d in exact)
+    assert bloom[1] == exact[1]  # the full-leak doc: every gram hits
+
+    grams = shingle_sets(bench, "text", "doc_id", 3).select("shingle").distinct()
+    assert bloom_build(grams, "shingle").count() <= BLOOM_M // 32
+
+
+def test_cms_overestimates_and_merges(spark):
+    """Count-min invariants: every estimate >= the true count (never
+    under), and the sketch of a union equals the cell-wise sum of the
+    parts' sketches (mergeability — the 100 TB property)."""
+    from clx_etl_spark.operators.sketch import cms_build, cms_estimate
+
+    rows_a = [(f"k{i % 37}",) for i in range(1000)]
+    rows_b = [(f"k{i % 53}",) for i in range(800)]
+    a = spark.createDataFrame(rows_a, "key string")
+    b = spark.createDataFrame(rows_b, "key string")
+    both = a.union(b)
+
+    truth = {r.key: r[1] for r in both.groupBy("key").count().collect()}
+    counters = cms_build(both, "key")
+    est = {
+        r.key: r.cms_est
+        for r in cms_estimate(both.distinct(), counters, "key").collect()
+    }
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)
+
+    merged = (
+        cms_build(a, "key")
+        .union(cms_build(b, "key"))
+        .groupBy("j", "cell")
+        .agg(F.sum("c").alias("c"))
+    )
+    direct = {(r.j, r.cell): r.c for r in counters.collect()}
+    summed = {(r.j, r.cell): r.c for r in merged.collect()}
+    assert direct == summed
+
+
 def test_temperature_mix_sqrt_rates_and_agreement(spark):
     """The tau=1/2 closed form: rarest stratum keeps everything, others
     keep floor(1000*sqrt(min/n)) permille; the kept set agrees with
