@@ -216,3 +216,54 @@ class Engine:
         from .operators.expectations import validate
 
         return validate(df, expectations)
+
+    def substring_runs(self, df: DataFrame, min_run_tokens: int = 8,
+                       text_col: str = "text") -> DataFrame:
+        """Exact shared-substring runs between doc pairs (verbatim
+        passage reuse): (doc_a, doc_b, start_a, start_b, run_tokens)."""
+        from .operators.dedup import substring_run_pairs
+
+        return substring_run_pairs(df, text_col=text_col,
+                                   min_run_tokens=min_run_tokens)
+
+    def jaccard_pairs_exact(self, df: DataFrame, threshold_num: int = 4,
+                            threshold_den: int = 5,
+                            text_col: str = "text") -> DataFrame:
+        """Lossless prefix-filtered exact-Jaccard near-dup pairs at
+        threshold_num/threshold_den."""
+        from .operators.dedup import prefix_filter_jaccard_pairs
+
+        return prefix_filter_jaccard_pairs(
+            df, text_col=text_col,
+            threshold_num=threshold_num, threshold_den=threshold_den)
+
+    def hard_negatives(self, vectors: DataFrame, anchors: DataFrame,
+                       k: int = 3) -> DataFrame:
+        """Contrastive hard-negative mining: per-anchor top-k
+        different-label cosine neighbors + triplet margin."""
+        from .operators.similarity import hard_negative_mining
+
+        return hard_negative_mining(vectors, anchors, k=k)
+
+    def temperature_sample(self, df: DataFrame, key_col: str,
+                           stratum_col: str) -> DataFrame:
+        """tau=1/2 temperature rebalance, rates derived cluster-side
+        (cross-engine exact); rows keep a rate_pm column."""
+        from .operators.sampling import temperature_mix_sqrt
+
+        return temperature_mix_sqrt(df, key_col, stratum_col)
+
+    def cms(self, df: DataFrame, key_col: str) -> DataFrame:
+        """Count-min sketch counters (j, cell, c) — mergeable by
+        cell-wise sum; estimate with cms_estimate()."""
+        from .operators.sketch import cms_build
+
+        return cms_build(df, key_col)
+
+    def decontaminate_bloom(self, train: DataFrame,
+                            benchmark: DataFrame) -> DataFrame:
+        """Leakage audit against a Bloom-compressed benchmark bitmap
+        (constant broadcast size; overcount-only)."""
+        from .operators.curation import bloom_decontaminate
+
+        return bloom_decontaminate(train, benchmark)

@@ -185,3 +185,39 @@ def test_engine_ann_surface(spark, tmp_path):
     out = eng.ann_query(path, emb.filter(F.col("vec_id") < 3), k=2, nprobe=2)
     assert out.columns == ["query_id", "neighbor_id", "rank", "cosine"]
     assert out.count() == 6
+
+
+def test_engine_similarity_curation_round4_surface(spark):
+    from clx_etl_spark.api import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "completely different words appear here in this document"),
+        ],
+        "doc_id long, text string",
+    )
+    runs = eng.substring_runs(docs)
+    assert [(r.doc_a, r.doc_b, r.run_tokens) for r in runs.collect()] == [(1, 2, 10)]
+    pairs = eng.jaccard_pairs_exact(docs)
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in pairs.collect()] == [(1, 2, 1.0)]
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.9, 0.2], 0), (2, [0.7, 0.7], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    hn = eng.hard_negatives(emb, emb.filter("vec_id = 0"), k=1)
+    assert [r.neighbor_id for r in hn.collect()] == [2]
+
+    sampled = eng.temperature_sample(docs, "doc_id", "text")
+    assert sampled.count() >= 1
+
+    cms = eng.cms(docs, "doc_id")
+    assert cms.columns == ["j", "cell", "c"]
+    audit = eng.decontaminate_bloom(
+        docs.filter("doc_id <> 1"), docs.filter("doc_id = 1")
+    )
+    hits = {r.doc_id: r.n_bloom_hits for r in audit.collect()}
+    assert hits[2] == 8 and hits[3] == 0  # doc2 = verbatim copy, doc3 clean
