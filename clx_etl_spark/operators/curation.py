@@ -180,6 +180,35 @@ def bloom_decontaminate(
     )
 
 
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo_p: float = 0.01,
+    hi_p: float = 0.99,
+) -> DataFrame:
+    """Per-group outlier capping at exact interpolated percentiles (the
+    standard numeric-feature guard before training-set statistics): each
+    row gains ``<value_col>_w`` clamped into [p_lo, p_hi] of its group,
+    plus the group's bounds.
+
+    Shape: ONE grouped percentile aggregate (group count rows), broadcast
+    back onto the scan — the fact side never shuffles. At 100 TB swap
+    percentile() for approx_percentile with a declared rank-error bound;
+    the exact form is the correctness anchor (Spark percentile == DuckDB
+    quantile_cont bit-identically)."""
+    stats = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo_p})").alias("_w_lo"),
+        F.expr(f"percentile({value_col}, {hi_p})").alias("_w_hi"),
+    )
+    clamped = F.least(
+        F.greatest(F.col(value_col), F.col("_w_lo")), F.col("_w_hi")
+    )
+    return df.join(F.broadcast(stats), group_col).withColumn(
+        f"{value_col}_w", clamped
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

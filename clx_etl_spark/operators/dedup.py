@@ -427,6 +427,81 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Asymmetric containment dedup (Broder): containment(A in B) =
+    |A ∩ B| / |A| over k-gram shingle sets. Catches the inclusion cases
+    symmetric Jaccard dilutes away — a short doc quoted verbatim inside a
+    long one scores containment ~1.0 while its Jaccard is tiny, which is
+    exactly the quote/aggregator/boilerplate-wrapper pattern in web
+    corpora.
+
+    Candidate generation is the shared-shingle inverted index with the
+    same doc-frequency cap as ngram_jaccard_pairs (the quadratic bound);
+    the verify stage computes BOTH directions from the full shingle sets.
+    Returns (doc_a, doc_b, cont_a_in_b, cont_b_in_a, jaccard) for pairs
+    where max(cont_a_in_b, cont_b_in_a) >= threshold, doc_a < doc_b.
+    """
+    sh = hashed_shingle_sets(df, text_col, id_col, k).cache()
+    sh.count()  # materialize before the fan-out (see ngram_jaccard_pairs)
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    rare = sh.join(dfreq.filter(F.col("_df") <= max_doc_freq), "h").select(
+        "doc_id", "h"
+    )
+    cand = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter").cast("double") / F.col("n_a").cast("double")).alias(
+                "cont_a_in_b"
+            ),
+            (F.col("n_inter").cast("double") / F.col("n_b").cast("double")).alias(
+                "cont_b_in_a"
+            ),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(
+        F.greatest("cont_a_in_b", "cont_b_in_a") >= F.lit(threshold)
+    )
+
+
 def build_near_dup_index(
     df: DataFrame,
     text_col: str = "text",

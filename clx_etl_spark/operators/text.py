@@ -107,9 +107,26 @@ def curate_corpus(
     Returns the kept documents: (doc_id, lang_pred, n_tokens,
     unique_token_ratio, n_copies).
     """
-    from pyspark.sql import Window
-
     from .sampling import hash_gate
+
+    dd = _curation_signals(df, text_col, id_col)
+    kept = dd.filter(
+        (F.col("rn") == 1)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("unique_token_ratio") >= min_unique_ratio)
+        & F.col("lang_pred").isin(*langs)
+        & hash_gate(F.col(id_col), sample_permille)
+    )
+    return kept.select(id_col, "lang_pred", "n_tokens", "unique_token_ratio", "n_copies")
+
+
+def _curation_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The shared signal block behind curate_corpus and
+    curation_attribution: per-doc digest, token stats, language guess,
+    dedup rank + copy count. One scan, one digest-window shuffle."""
+    from pyspark.sql import Window
 
     toks = tokens(text_col)
     n_tokens = F.size(toks)
@@ -125,17 +142,45 @@ def curate_corpus(
         guess.alias("lang_pred"),
     )
     w = Window.partitionBy("digest")
-    dd = base.withColumn(
+    return base.withColumn(
         "rn", F.row_number().over(w.orderBy(id_col))
     ).withColumn("n_copies", F.count(F.lit(1)).over(w))
-    kept = dd.filter(
-        (F.col("rn") == 1)
-        & (F.col("n_tokens") >= min_tokens)
-        & (F.col("unique_token_ratio") >= min_unique_ratio)
-        & F.col("lang_pred").isin(*langs)
-        & hash_gate(F.col(id_col), sample_permille)
+
+
+def curation_attribution(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 12,
+    min_unique_ratio: float = 0.35,
+    langs: tuple[str, ...] = ("en", "es"),
+    sample_permille: int = 900,
+) -> DataFrame:
+    """Per-document drop attribution for the curate_corpus gate chain —
+    the observability half of curation: every doc is labeled with the
+    FIRST gate that would drop it (gate order: duplicate -> too_short ->
+    low_uniqueness -> language -> sample) or 'kept'. Drop-rate dashboards
+    and gate tuning read this instead of diffing kept-lists.
+
+    Same one-scan / one-shuffle shape as curate_corpus (shared signal
+    block); the attribution itself is a pure CASE chain."""
+    from .sampling import hash_gate
+
+    dd = _curation_signals(df, text_col, id_col)
+    reason = (
+        F.when(F.col("rn") != 1, F.lit("duplicate"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(
+            F.col("unique_token_ratio") < min_unique_ratio,
+            F.lit("low_uniqueness"),
+        )
+        .when(~F.col("lang_pred").isin(*langs), F.lit("language"))
+        .when(
+            ~hash_gate(F.col(id_col), sample_permille), F.lit("sample")
+        )
+        .otherwise(F.lit("kept"))
     )
-    return kept.select(id_col, "lang_pred", "n_tokens", "unique_token_ratio", "n_copies")
+    return dd.select(id_col, reason.alias("drop_reason"))
 
 
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -109,6 +109,9 @@ SWEEP_FRONT: list[str] = [
     "lang_temperature_sample",
     "decontam_bloom",
     "cms_token_frequencies",
+    "dedup_containment",
+    "winsorize_event_values",
+    "curation_drop_attribution",
     # ---- spill zone past the driver's ~50 cap: entries with the
     # strongest alternative proof (repo oracle green at 3 SFs this
     # round; w4 family shares w4_locf_fill's load path; the

@@ -1574,3 +1574,57 @@ def zorder_locality_stats(spark, sf):
             F.max("ts_ms").alias("t_hi"),
         )
     )
+
+
+@register(
+    "winsorize_event_values",
+    oracle="""
+    WITH stats AS (SELECT event_type,
+                          quantile_cont(value, 0.01) AS w_lo,
+                          quantile_cont(value, 0.99) AS w_hi
+                   FROM events GROUP BY event_type),
+    c AS (SELECT e.event_type, e.value, s.w_lo, s.w_hi,
+                 LEAST(GREATEST(e.value, s.w_lo), s.w_hi) AS w
+          FROM events e JOIN stats s ON e.event_type = s.event_type)
+    SELECT event_type, w_lo, w_hi,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN value < w_lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped_low,
+           CAST(SUM(CASE WHEN value > w_hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped_high,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_raw,
+           CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS sum_winsorized
+    FROM c GROUP BY event_type, w_lo, w_hi
+    """,
+    doc="Per-group winsorization audit (operators/curation.winsorize): "
+    "values clamped into [p01, p99] of their event_type — exact "
+    "interpolated percentiles in ONE grouped aggregate broadcast back "
+    "onto the scan (fact side never shuffles); capped-row counts and "
+    "decimal-exact before/after sums per group. At 100 TB swap to "
+    "approx_percentile with a declared rank-error bound",
+)
+def winsorize_event_values(spark, sf):
+    from ..operators.curation import winsorize
+
+    ev = _t(spark, sf, "events").select("event_type", "value")
+    w = winsorize(ev, "value", "event_type", lo_p=0.01, hi_p=0.99)
+    return (
+        w.groupBy(
+            "event_type",
+            F.col("_w_lo").alias("w_lo"),
+            F.col("_w_hi").alias("w_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("value") < F.col("_w_lo"), 1).otherwise(0)
+            ).alias("n_capped_low"),
+            F.sum(
+                F.when(F.col("value") > F.col("_w_hi"), 1).otherwise(0)
+            ).alias("n_capped_high"),
+            F.sum(F.col("value").cast(DEC6)).cast("double").alias("sum_raw"),
+            F.sum(F.col("value_w").cast(DEC6))
+            .cast("double")
+            .alias("sum_winsorized"),
+        )
+    )

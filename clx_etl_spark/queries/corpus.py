@@ -185,6 +185,43 @@ def substring_run_dedup(spark, sf):
     )
 
 
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {SHINGLES_CTE},
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    rare AS (SELECT sh.doc_id, sh.shingle
+             FROM sh JOIN dfreq ON sh.shingle = dfreq.shingle WHERE df <= 1000),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM rare a JOIN rare b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+              GROUP BY 1, 2),
+    scored AS (SELECT i.doc_a, i.doc_b,
+                      CAST(i.n_inter AS DOUBLE) / CAST(na.n AS DOUBLE) AS cont_a_in_b,
+                      CAST(i.n_inter AS DOUBLE) / CAST(nb.n AS DOUBLE) AS cont_b_in_a,
+                      CAST(i.n_inter AS DOUBLE)
+                        / CAST(na.n + nb.n - i.n_inter AS DOUBLE) AS jaccard
+               FROM inter i
+               JOIN sizes na ON na.doc_id = i.doc_a
+               JOIN sizes nb ON nb.doc_id = i.doc_b)
+    SELECT * FROM scored WHERE GREATEST(cont_a_in_b, cont_b_in_a) >= 0.9
+    """,
+    doc="Asymmetric containment dedup (Broder): |A∩B|/|A| over shingle "
+    "sets — flags a short doc quoted verbatim inside a long one "
+    "(containment ~1.0) that symmetric Jaccard dilutes below any "
+    "threshold; inverted-index candidates under the df cap, both "
+    "directions verified from full sets",
+)
+def dedup_containment(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return D.containment_pairs(docs, k=3, threshold=0.9, max_doc_freq=1000)
+
+
 PREFIX_JACCARD_ORACLE = f"""
     WITH {SHINGLES_CTE},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -589,6 +626,57 @@ def text_token_counts(spark, sf):
 def corpus_curation(spark, sf):
     docs = load_table(spark, sf, "documents")
     return T.curate_corpus(docs)
+
+
+@register(
+    "curation_drop_attribution",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, md5(text) AS digest,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) END AS unique_token_ratio,
+             {_hits['en']} AS h_en, {_hits['es']} AS h_es,
+             {_hits['de']} AS h_de, {_hits['fr']} AS h_fr
+      FROM t),
+    pred AS (SELECT doc_id, digest, n_tokens, unique_token_ratio,
+                    CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                         WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+                         WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+                         WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+                         ELSE 'fr' END AS lang_pred
+             FROM base),
+    dd AS (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+           FROM pred),
+    attributed AS (SELECT doc_id,
+      CASE WHEN rn <> 1 THEN 'duplicate'
+           WHEN n_tokens < 12 THEN 'too_short'
+           WHEN unique_token_ratio < 0.35 THEN 'low_uniqueness'
+           WHEN lang_pred NOT IN ('en', 'es') THEN 'language'
+           WHEN NOT (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 1000 < 900) THEN 'sample'
+           ELSE 'kept' END AS drop_reason
+      FROM dd)
+    SELECT drop_reason, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM attributed GROUP BY drop_reason
+    """,
+    doc="Curation observability (operators/text.curation_attribution): "
+    "every doc labeled with the FIRST curate_corpus gate that drops it "
+    "(duplicate -> too_short -> low_uniqueness -> language -> sample) or "
+    "'kept', rolled up to per-gate counts — drop-rate dashboards and gate "
+    "tuning without diffing kept-lists; same one-scan/one-shuffle shape "
+    "as the gate itself",
+)
+def curation_drop_attribution(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return (
+        T.curation_attribution(docs)
+        .groupBy("drop_reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
 
 
 @register(

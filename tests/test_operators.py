@@ -786,6 +786,68 @@ def test_temperature_mix_flattens_strata(spark):
     assert kept_small == kept_small2
 
 
+def test_curation_attribution_consistent_with_gate(spark):
+    """'kept' under attribution == the curate_corpus output set, and each
+    non-kept doc is labeled with the FIRST failing gate in order."""
+    from clx_etl_spark.operators.text import curate_corpus, curation_attribution
+
+    en = "the quick brown fox jumps over the lazy dog and runs far away today"
+    docs = spark.createDataFrame(
+        [
+            (1, en),                       # kept
+            (2, en),                       # duplicate of 1
+            (3, "short text only"),        # too_short
+            (4, ("la " * 20).strip()),     # repetitive -> low_uniqueness
+            (5, "der die und das ist von mit den war nicht auch einem haus"),  # language (de)
+        ],
+        "doc_id long, text string",
+    )
+    attr = {r.doc_id: r.drop_reason for r in curation_attribution(docs).collect()}
+    assert attr[2] == "duplicate"
+    assert attr[3] == "too_short"
+    assert attr[4] == "low_uniqueness"
+    assert attr[5] == "language"
+    kept_ids = {r.doc_id for r in curate_corpus(docs).collect()}
+    assert kept_ids == {d for d, why in attr.items() if why == "kept"}
+
+
+def test_winsorize_clamps_to_group_percentiles(spark):
+    from clx_etl_spark.operators.curation import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("a", 1e6), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", "g", lo_p=0.1, hi_p=0.9)
+    a = out.filter("g = 'a'").collect()
+    assert max(r.v_w for r in a) == max(r._w_hi for r in a) < 1e6
+    assert min(r.v_w for r in a) == min(r._w_lo for r in a) > 1.0
+    # singleton group: percentiles degenerate to the value, nothing capped
+    b = out.filter("g = 'b'").collect()
+    assert [r.v_w for r in b] == [5.0]
+
+
+def test_containment_catches_inclusion_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a long one: containment 1.0,
+    Jaccard far below any dedup threshold — the asymmetric detector must
+    flag it and report both directions correctly."""
+    from clx_etl_spark.operators.dedup import (
+        containment_pairs, prefix_filter_jaccard_pairs)
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    filler = " ".join(f"u{i} v{i} w{i}" for i in range(20))  # 60 unique toks
+    docs = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote}")],
+        "doc_id long, text string",
+    )
+    out = containment_pairs(docs, k=3, threshold=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.cont_a_in_b == 1.0  # every shingle of the quote is in doc 2
+    assert r.cont_b_in_a < 0.2 and r.jaccard < 0.2
+    # symmetric Jaccard at 0.5 misses this pair entirely
+    assert prefix_filter_jaccard_pairs(docs, threshold_num=1, threshold_den=2).count() == 0
+
+
 def test_bloom_decontaminate_never_false_negative(spark):
     """Bloom hits must be a superset of exact hits per doc (overcount
     only), and the bitmap stays within m/32 words however many grams the

@@ -48,6 +48,11 @@ NLJ_ALLOWED = {
     "pq_ann",  # tiny query set x corpus, same declared shape as
     # sim_knn_bruteforce — PQ shrinks per-candidate cost (4-byte codes);
     # compose with IVF cell pruning (sim_knn_ivf) to drop the NLJ at scale
+    "contrastive_hard_negatives",  # broadcast anchor subset x corpus —
+    # same declared shape as sim_knn_bruteforce; swap in IVF/SRP candidate
+    # pruning at scale (semantics unchanged, see hard_negative_mining doc)
+    "zorder_locality_stats",  # broadcast of the 1-row global bounds
+    "lang_temperature_sample",  # broadcast of the 1-row min-count anchor
 }
 
 
