@@ -112,6 +112,9 @@ SWEEP_FRONT: list[str] = [
     "dedup_containment",
     "winsorize_event_values",
     "curation_drop_attribution",
+    "histogram_event_values",
+    "trend_slope_by_type",
+    "cdc_current_state",
     # ---- spill zone past the driver's ~50 cap: entries with the
     # strongest alternative proof (repo oracle green at 3 SFs this
     # round; w4 family shares w4_locf_fill's load path; the

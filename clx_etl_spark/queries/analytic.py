@@ -1628,3 +1628,132 @@ def winsorize_event_values(spark, sf):
             .alias("sum_winsorized"),
         )
     )
+
+
+@register(
+    "histogram_event_values",
+    oracle="""
+    WITH b AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+               FROM events GROUP BY event_type),
+    d AS (SELECT e.event_type,
+                 CASE WHEN b.hi = b.lo THEN 1
+                      ELSE LEAST(1 + CAST(floor((e.value - b.lo)
+                                   / (b.hi - b.lo) * 20.0) AS BIGINT), 20)
+                 END AS bin
+          FROM events e JOIN b ON e.event_type = b.event_type)
+    SELECT event_type, CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM d GROUP BY event_type, bin
+    """,
+    doc="Exact equi-width value histogram per event_type "
+    "(operators/profile.equiwidth_histogram): bounds from one grouped "
+    "min/max broadcast back, bins via explicit 1+floor((v-lo)/(hi-lo)*n) "
+    "arithmetic (plain IEEE ops, bit-identical both engines; max folded "
+    "into the top bin) — two map-side-combinable aggregates, no sort or "
+    "percentile state; the drift-dashboard profile shape at fact scale",
+)
+def histogram_event_values(spark, sf):
+    from ..operators.profile import equiwidth_histogram
+
+    ev = _t(spark, sf, "events").select("event_type", "value")
+    h = equiwidth_histogram(ev, "value", "event_type", n_bins=20)
+    return h.select("event_type", F.col("bin").cast("long").alias("bin"), "n")
+
+
+@register(
+    "trend_slope_by_type",
+    oracle="""
+    WITH t AS (SELECT event_type,
+                      (epoch_ns(ts) // 1000000) // 3600000 AS x,
+                      value AS y
+               FROM events),
+    mn AS (SELECT event_type, MIN(x) AS x0 FROM t GROUP BY event_type),
+    c AS (SELECT t.event_type,
+                 CAST(t.x - mn.x0 AS BIGINT) AS xc,
+                 CAST(floor(t.y * 1000000.0) AS BIGINT) AS y6
+          FROM t JOIN mn ON t.event_type = mn.event_type),
+    agg AS (SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xc) AS BIGINT) AS sx,
+                   CAST(SUM(y6) AS BIGINT) AS sy6,
+                   CAST(SUM(xc * y6) AS BIGINT) AS sxy6,
+                   CAST(SUM(xc * xc) AS BIGINT) AS sxx
+            FROM c GROUP BY event_type)
+    SELECT event_type, n,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy6 AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy6 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / 1000000.0
+           END AS slope,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                THEN (CAST(sy6 AS DOUBLE) / 1000000.0
+                      - (CAST(n AS DOUBLE) * CAST(sxy6 AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy6 AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / 1000000.0
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+           END AS intercept
+    FROM agg
+    """,
+    doc="Per-group least-squares value-over-time slope "
+    "(operators/profile.trend_slope): per-group-centered integral-hour "
+    "x, micro-quantized y, five sufficient statistics as pure BIGINT "
+    "sums (order-independent, one correctly-rounded int64->double "
+    "conversion each — a wide-decimal->double cast drifts by 1 ulp "
+    "between engines), closed form on the exact aggregates — the drift "
+    "monitor that needs no window or sort at fact scale",
+)
+def trend_slope_by_type(spark, sf):
+    from ..operators.profile import trend_slope
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.expr("ts_ms div 3600000").alias("x"), F.col("value").alias("y")
+    )
+    return trend_slope(ev, "x", "y", "event_type")
+
+
+@register(
+    "cdc_current_state",
+    oracle=f"""
+    WITH log AS (SELECT user_id, {EV_MS} AS ts_ms, event_id, value,
+                        CASE event_type WHEN 'purchase' THEN 'D'
+                                        WHEN 'view' THEN 'U'
+                                        ELSE 'I' END AS op
+                 FROM events),
+    ranked AS (SELECT *,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts_ms DESC, event_id DESC) AS rn
+               FROM log)
+    SELECT user_id, ts_ms, event_id, value, op
+    FROM ranked WHERE rn = 1 AND op IN ('I', 'U')
+    """,
+    doc="CDC changelog replay to current state "
+    "(sinks/upsert.apply_changelog): per key the highest (ts, seq) "
+    "operation wins, delete-winners drop the key — Debezium/binlog "
+    "materialization in one per-key window shuffle; events replayed as "
+    "the changelog (event_id = the binlog-position tie-break), composes "
+    "with merge_upsert for incremental application",
+)
+def cdc_current_state(spark, sf):
+    from ..sinks.upsert import apply_changelog
+
+    ev = _t(spark, sf, "events")
+    log = ev.select(
+        "user_id",
+        "ts_ms",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .when(F.col("event_type") == "view", F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+    )
+    return apply_changelog(
+        log, keys=["user_id"], ts_col="ts_ms", order_cols=["event_id"]
+    )

@@ -191,3 +191,39 @@ def expire_partitions(
     stale = vals[:-keep_latest] if keep_latest > 0 else vals
     drop_partitions(path, [partition_col], [(v,) for v in stale])
     return stale
+
+
+def apply_changelog(
+    changelog: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    op_col: str = "op",
+    upsert_ops: tuple[str, ...] = ("I", "U"),
+    delete_op: str = "D",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC changelog replay: fold an (key, ts, op, payload) stream of
+    inserts/updates/deletes into the CURRENT state — the Debezium/binlog
+    materialization every warehouse sink eventually needs.
+
+    Semantics: per key, the operation with the highest (ts, order_cols)
+    wins; if the winner is a delete the key is absent from the output,
+    otherwise the winner's payload is the row. One shuffle (the per-key
+    window); deterministic only if (ts, order_cols) totally orders each
+    key's operations — pass a sequence/offset column as the tie-break,
+    exactly like a binlog position.
+
+    Composes with merge_upsert for incremental application: replay the
+    batch's changelog to per-key net state here, then MERGE the survivors
+    and drop_partitions/anti-join the deletions.
+    """
+    order_cols = order_cols or []
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), *[F.col(c).desc() for c in order_cols]
+    )
+    ranked = changelog.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("_rn") == 1)
+        .filter(F.col(op_col).isin(*upsert_ops))
+        .drop("_rn")
+    )

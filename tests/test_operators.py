@@ -786,6 +786,61 @@ def test_temperature_mix_flattens_strata(spark):
     assert kept_small == kept_small2
 
 
+def test_trend_slope_matches_closed_form(spark):
+    """Known line y = 3x + 7 recovers slope/intercept exactly (after the
+    1e-6 y-quantization); a constant-x group yields NULL slope."""
+    from clx_etl_spark.operators.profile import trend_slope
+
+    rows = [("a", x, 3.0 * x + 7.0) for x in range(100, 150)]
+    rows += [("flat", 5, 1.0), ("flat", 5, 9.0)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    out = {r.g: r for r in trend_slope(df, "x", "y", "g").collect()}
+    assert abs(out["a"].slope - 3.0) < 1e-6
+    # intercept is at the group's centered origin (x = 100): 3*100+7
+    assert abs(out["a"].intercept - 307.0) < 1e-4
+    assert out["flat"].slope is None and out["flat"].intercept is None
+
+
+def test_equiwidth_histogram_totals_and_edges(spark):
+    """Bin counts sum to the group size, min lands in bin 1, max in the
+    top bin, and a degenerate (constant) group collapses to bin 1."""
+    from clx_etl_spark.operators.profile import equiwidth_histogram
+
+    rows = [("a", float(v)) for v in range(0, 101)] + [("c", 4.2)] * 3
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = equiwidth_histogram(df, "v", "g", n_bins=10).collect()
+    a = {r.bin: r.n for r in out if r.g == "a"}
+    assert sum(a.values()) == 101
+    assert set(a) == set(range(1, 11))
+    assert a[10] == 11  # 90..100: the max folds into the top bin
+    c = {r.bin: r.n for r in out if r.g == "c"}
+    assert c == {1: 3}
+
+
+def test_apply_changelog_cdc_semantics(spark):
+    """Last-wins by (ts, seq); a delete-winner removes the key; an
+    earlier delete is overridden by a later upsert."""
+    from clx_etl_spark.sinks.upsert import apply_changelog
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, 1, "I", 1.0),
+            (1, 20, 2, "U", 2.0),   # winner for key 1
+            (2, 10, 3, "I", 5.0),
+            (2, 30, 4, "D", 0.0),   # delete wins: key 2 absent
+            (3, 10, 5, "D", 0.0),
+            (3, 20, 6, "I", 9.0),   # re-insert after delete: key 3 present
+            (4, 40, 7, "U", 3.0),
+            (4, 40, 8, "D", 0.0),   # same ts: seq 8 wins -> absent
+        ],
+        "k long, ts long, seq long, op string, v double",
+    )
+    out = {r.k: (r.op, r.v) for r in apply_changelog(
+        log, keys=["k"], ts_col="ts", order_cols=["seq"]
+    ).collect()}
+    assert out == {1: ("U", 2.0), 3: ("I", 9.0)}
+
+
 def test_curation_attribution_consistent_with_gate(spark):
     """'kept' under attribution == the curate_corpus output set, and each
     non-kept doc is labeled with the FIRST failing gate in order."""
