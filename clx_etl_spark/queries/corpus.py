@@ -5,7 +5,7 @@ exact decimal accumulation (see queries/__init__ determinism contract).
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..catalog import load_table
 from ..operators import dedup as D
@@ -1486,4 +1486,107 @@ def quality_weighted_sample_q(spark, sf):
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("permille").cast("long").alias("sum_permille"),
+    )
+
+
+@register(
+    "quality_rank_normalize",
+    oracle=f"""
+    WITH q AS (SELECT doc_id, source,
+                      CAST(len(list_distinct({TOKS})) AS DOUBLE)
+                        / CAST(len({TOKS}) AS DOUBLE) AS raw
+               FROM documents WHERE len({TOKS}) > 0),
+    r AS (SELECT doc_id, source, raw,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY raw, doc_id) - 1 AS DOUBLE)
+                 / CAST(COUNT(*) OVER (PARTITION BY source) - 1 AS DOUBLE)
+                   AS pct_rank
+          FROM q)
+    SELECT source,
+           CAST(floor(pct_rank * 10.0) AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(raw) AS raw_lo, MAX(raw) AS raw_hi
+    FROM r GROUP BY source, decile
+    """,
+    doc="Cross-source quality-score calibration: raw uniqueness scores "
+    "are incomparable across sources (different length/boilerplate "
+    "profiles), so each doc gets its PERCENTILE RANK within its source "
+    "(fully tie-broken row_number over (raw, doc_id) — percent_rank's "
+    "tie semantics differ subtly across engines) and sources are "
+    "compared on equal-footing deciles; one window shuffle on source, "
+    "decile rollup shows each source's raw-score range per calibrated "
+    "bucket",
+)
+def quality_rank_normalize(spark, sf):
+    from ..functions import tokens as _tokens
+
+    docs = load_table(spark, sf, "documents")
+    toks = _tokens("text")
+    q = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("raw"),
+    ).filter(F.size(toks) > 0)
+    w = Window.partitionBy("source").orderBy("raw", "doc_id")
+    wn = Window.partitionBy("source")
+    r = q.select(
+        "source",
+        "raw",
+        (
+            (F.row_number().over(w) - 1).cast("double")
+            / (F.count(F.lit(1)).over(wn) - 1).cast("double")
+        ).alias("pct_rank"),
+    )
+    return (
+        r.groupBy(
+            "source",
+            F.floor(F.col("pct_rank") * 10.0).cast("long").alias("decile"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("raw").alias("raw_lo"),
+            F.max("raw").alias("raw_hi"),
+        )
+    )
+
+
+@register(
+    "eval_holdout_min_coverage",
+    oracle="""
+    WITH g AS (SELECT doc_id, lang,
+                      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) AS gh
+               FROM documents),
+    r AS (SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY gh, doc_id) AS rn
+          FROM g)
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 25
+    """,
+    doc="Eval holdout with per-stratum coverage guarantee: EXACTLY the "
+    "25 lowest-gate-hash docs per language — a plain permille hash split "
+    "under-covers rare languages (a 1000-doc lang at 10 permille yields "
+    "~10 eval docs, a 50-doc lang ~0); hash-ordered top-k keeps the "
+    "holdout deterministic and growth-stable-ish (a new doc displaces at "
+    "most one) while guaranteeing k per stratum. Executes as "
+    "WindowGroupLimit: map-side top-k per language before the shuffle",
+)
+def eval_holdout_min_coverage(spark, sf):
+    from ..operators.sampling import _hash_bucket
+
+    docs = load_table(spark, sf, "documents")
+    g = docs.select(
+        "doc_id",
+        "lang",
+        _hash_bucket(F.col("doc_id"), mod=1 << 62).alias("gh"),
+    )
+    w = Window.partitionBy("lang").orderBy("gh", "doc_id")
+    return (
+        g.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 25)
+        .select("lang", "doc_id", "rn")
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -178,6 +178,81 @@ def gated_ingest(
         )
 
     writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cdc_apply_stream(
+    changelog: DataFrame,
+    path: str,
+    keys: list[str],
+    ts_col: str,
+    checkpoint: str,
+    op_col: str = "op",
+    order_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming CDC materialization: fold each micro-batch's changelog
+    to per-key net state (sinks/upsert.apply_changelog), MERGE the
+    upsert-winners, and physically delete keys whose batch-winner is a
+    delete — the binlog->table tail of a warehouse sink.
+
+    Convergence under at-least-once replay: both legs are idempotent
+    (MERGE last-wins on the same keys; delete of an absent key is a
+    no-op), so reprocessed batches land on the same table state. A
+    cross-batch caveat is inherent to CDC ordering: rows arriving in
+    different batches resolve by batch arrival order, so upstream must
+    deliver per-key operations in order (true for binlog/Debezium
+    partitioned by key).
+
+    Deletes rewrite only the partitions holding deleted keys (anti-join
+    scoped), mirroring merge_upsert's touched-partition discipline.
+    """
+    import os as _os
+
+    from ..sinks.upsert import apply_changelog, merge_upsert
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        winners = apply_changelog(
+            batch,
+            keys,
+            ts_col,
+            op_col=op_col,
+            upsert_ops=("I", "U"),
+            order_cols=order_cols,
+        ).drop(op_col)
+        merge_upsert(
+            spark, winners, path, keys, partition_cols=partition_cols or []
+        )
+        # delete-winners: keep rows whose key is NOT deleted in this batch
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(ts_col).desc(),
+            *[F.col(c).desc() for c in (order_cols or [])],
+        )
+        deletes = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col(op_col) == "D"))
+            .select(*keys)
+        )
+        if deletes.isEmpty() or not _os.path.exists(path):
+            return
+        stored = spark.read.parquet(path)
+        remaining = stored.join(F.broadcast(deletes), keys, "left_anti")
+        tmp = path + "._cdc_tmp"
+        remaining.write.mode("overwrite").partitionBy(
+            *(partition_cols or [])
+        ).parquet(tmp)
+        import shutil as _shutil
+
+        _shutil.rmtree(path)
+        _os.rename(tmp, path)
+
+    writer = changelog.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint
     )
     if trigger_available_now:

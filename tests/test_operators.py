@@ -1314,3 +1314,20 @@ def test_incremental_dedup_bucket_cap_bounds_fanout(spark):
     capped = incremental_near_duplicates(corpus, batch, max_bucket_size=3)
     # both still find a best match (smallest corpus id, jaccard 1.0)
     assert full.collect()[0].dup_of == 0 == capped.collect()[0].dup_of
+
+
+def test_eval_holdout_covers_rare_strata(spark):
+    """The coverage property a permille hash split lacks: every stratum
+    yields exactly min(k, stratum size) holdout rows, including a
+    3-doc stratum; membership is hash-determined, not positional."""
+    from pyspark.sql import Window
+
+    from clx_etl_spark.operators.sampling import _hash_bucket
+
+    rows = [(i, "big") for i in range(500)] + [(1000 + i, "rare") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    g = docs.select("doc_id", "lang", _hash_bucket(F.col("doc_id"), mod=1 << 62).alias("gh"))
+    w = Window.partitionBy("lang").orderBy("gh", "doc_id")
+    held = g.withColumn("rn", F.row_number().over(w)).filter("rn <= 25")
+    by = {r[0]: r[1] for r in held.groupBy("lang").count().collect()}
+    assert by == {"big": 25, "rare": 3}

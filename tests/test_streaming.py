@@ -748,3 +748,39 @@ def test_gated_ingest_quarantines_dirty_rows(spark, tmp_path):
     quarantined = {r.id for r in spark.read.parquet(str(tmp_path / "quarantine")).collect()}
     assert table == {4}            # 5.0 fails satisfies, -1 range, None null-verdict
     assert quarantined == {1, 2, 3}
+
+
+def test_cdc_apply_stream_materializes_and_deletes(spark, tmp_path):
+    """Streaming changelog -> table: upsert-winners MERGE, delete-winners
+    physically remove their key; replaying a batch converges (idempotent
+    both legs)."""
+    from clx_etl_spark.streaming.jobs import cdc_apply_stream, file_stream
+
+    src = str(tmp_path / "log")
+    target = str(tmp_path / "tbl")
+    schema = "k long, ts long, seq long, op string, v double"
+
+    def run(ckpt):
+        stream = file_stream(spark, src, schema)
+        q = cdc_apply_stream(
+            stream, target, keys=["k"], ts_col="ts",
+            checkpoint=str(tmp_path / ckpt), order_cols=["seq"],
+        )
+        q.awaitTermination(120)
+
+    b1 = [(1, 10, 1, "I", 1.0), (2, 10, 2, "I", 2.0), (3, 10, 3, "I", 3.0)]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    run("c1")
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+
+    b2 = [(1, 20, 4, "U", 9.0), (2, 20, 5, "D", 0.0), (4, 20, 6, "I", 4.0)]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    run("c1")
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {1: 9.0, 3: 3.0, 4: 4.0}, got
+
+    # redelivery from a fresh checkpoint: same final state
+    run("c2")
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {1: 9.0, 3: 3.0, 4: 4.0}
