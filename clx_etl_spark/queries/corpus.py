@@ -1590,3 +1590,107 @@ def eval_holdout_min_coverage(spark, sf):
         .filter(F.col("rn") <= 25)
         .select("lang", "doc_id", "rn")
     )
+
+
+_P5 = "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]"
+
+
+@register(
+    "phrase_search",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    grams AS (SELECT doc_id, i AS pos, {_P5} AS g
+              FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+              WHERE len(t) >= 5),
+    target AS (SELECT g FROM grams
+               GROUP BY g ORDER BY COUNT(*) DESC, g LIMIT 1),
+    hits AS (SELECT gr.doc_id, gr.pos FROM grams gr JOIN target ON gr.g = target.g)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(pos) AS BIGINT) AS first_pos
+    FROM hits GROUP BY doc_id
+    """,
+    doc="Exact token-boundary phrase search over the positional index: "
+    "the corpus' most frequent 5-token phrase (deterministic tie-broken "
+    "argmax, both engines derive the same target) located per doc with "
+    "occurrence counts and first position — the quoted-phrase retrieval "
+    "the unigram inverted index (operators/ir.py) can't answer; grams "
+    "from the shuffle-free zip-of-slices, one keyed agg for the target, "
+    "broadcast join to probe",
+)
+def phrase_search(spark, sf):
+    from ..functions import tokens as _tokens
+
+    docs = load_table(spark, sf, "documents")
+    toks = _tokens("text")
+    n = F.size(toks)
+    slices = [F.slice(toks, j + 1, n - 4) for j in range(5)]
+    zipped = slices[0]
+    for s in slices[1:]:
+        zipped = F.zip_with(zipped, s, lambda a, b: F.concat_ws(" ", a, b))
+    arr = F.when(n >= 5, zipped).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        "doc_id", F.posexplode(arr).alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    target = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), "g")
+        .limit(1)
+        .select("g")
+    )
+    return (
+        grams.join(F.broadcast(target), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("pos").alias("first_pos"),
+        )
+    )
+
+
+@register(
+    "oov_rate_by_lang",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, unnest({TOKS}) AS w FROM documents),
+    vocab AS (SELECT w FROM w GROUP BY w
+              ORDER BY COUNT(*) DESC, w LIMIT 1000),
+    flagged AS (SELECT ww.doc_id, ww.lang,
+                       CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+                FROM w ww LEFT JOIN vocab v ON ww.w = v.w)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM flagged GROUP BY lang
+    """,
+    doc="Tokenizer-vocabulary coverage audit: OOV rate per language "
+    "against the corpus' own top-1000 token vocab (fully tie-broken) — "
+    "the fertility/coverage signal that decides vocab size and flags "
+    "under-served languages before training; vocab is one keyed agg + "
+    "TakeOrdered, probe is a broadcast left join, rollup map-side "
+    "combinable",
+)
+def oov_rate_by_lang(spark, sf):
+    from ..functions import tokens as _tokens
+
+    docs = load_table(spark, sf, "documents")
+    w = docs.select("lang", F.explode(_tokens("text")).alias("w"))
+    vocab = (
+        w.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), "w")
+        .limit(1000)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    flagged = w.join(F.broadcast(vocab), "w", "left").select(
+        "lang",
+        F.when(F.col("_in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        (
+            F.sum("oov").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("oov_rate"),
+    )
