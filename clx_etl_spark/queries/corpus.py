@@ -1694,3 +1694,47 @@ def oov_rate_by_lang(spark, sf):
             F.sum("oov").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("oov_rate"),
     )
+
+
+@register(
+    "split_with_holdout",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, lang,
+                      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) AS gh
+               FROM documents),
+    r AS (SELECT doc_id, lang, gh,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY gh, doc_id) AS rn
+          FROM g)
+    SELECT doc_id, lang,
+           CASE WHEN rn <= 25 THEN 'test'
+                WHEN gh % 1000 < 900 THEN 'train'
+                ELSE 'val' END AS split
+    FROM r
+    """,
+    doc="Split assignment that RESPECTS the coverage-guaranteed holdout: "
+    "the k lowest-gate-hash docs per language are forced into 'test' "
+    "(rare languages keep eval representation), the remainder falls "
+    "through to the 90/10 hash-range train/val split on the SAME gate "
+    "hash — one hash drives both decisions, so membership stays "
+    "deterministic and a doc can never be simultaneously held out and "
+    "trained on; one per-language rank window, then a narrow CASE",
+)
+def split_with_holdout(spark, sf):
+    from ..operators.sampling import _hash_bucket
+
+    docs = load_table(spark, sf, "documents")
+    g = docs.select(
+        "doc_id",
+        "lang",
+        _hash_bucket(F.col("doc_id"), mod=1 << 62).alias("gh"),
+    )
+    w = Window.partitionBy("lang").orderBy("gh", "doc_id")
+    r = g.withColumn("rn", F.row_number().over(w))
+    split = (
+        F.when(F.col("rn") <= 25, F.lit("test"))
+        .when(F.col("gh") % 1000 < 900, F.lit("train"))
+        .otherwise(F.lit("val"))
+    )
+    return r.select("doc_id", "lang", split.alias("split"))

@@ -242,15 +242,67 @@ def cdc_apply_stream(
         if deletes.isEmpty() or not _os.path.exists(path):
             return
         stored = spark.read.parquet(path)
-        remaining = stored.join(F.broadcast(deletes), keys, "left_anti")
-        tmp = path + "._cdc_tmp"
-        remaining.write.mode("overwrite").partitionBy(
-            *(partition_cols or [])
-        ).parquet(tmp)
-        import shutil as _shutil
+        if partition_cols:
+            # rewrite ONLY partitions holding a deleted key: semi-join the
+            # stored table to find them, anti-join out the deleted rows,
+            # dynamic-overwrite just those partitions (merge_upsert's
+            # touched-partition discipline)
+            touched = (
+                stored.join(F.broadcast(deletes), keys, "left_semi")
+                .select(*partition_cols)
+                .distinct()
+            )
+            slice_ = stored.join(
+                F.broadcast(touched), on=partition_cols, how="left_semi"
+            )
+            remaining = slice_.join(F.broadcast(deletes), keys, "left_anti")
+            # materialize the emptied-partition list BEFORE the overwrite:
+            # parquet reads are path-lazy, so evaluating after the write
+            # would see post-write state
+            emptied = (
+                touched.join(
+                    remaining.select(*partition_cols).distinct(),
+                    on=partition_cols,
+                    how="left_anti",
+                )
+                .collect()
+            )
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                remaining.write.mode("overwrite").partitionBy(
+                    *partition_cols
+                ).parquet(path)
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+            # dynamic overwrite never touches a partition that produced
+            # ZERO output rows — a fully-emptied partition would survive
+            # with its deleted rows. Drop those explicitly (bounded by
+            # the touched-partition count, never data size).
+            from ..sinks.upsert import drop_partitions
 
-        _shutil.rmtree(path)
-        _os.rename(tmp, path)
+            if emptied:
+                drop_partitions(
+                    path,
+                    partition_cols,
+                    [tuple(r[c] for c in partition_cols) for r in emptied],
+                )
+            spark.catalog.refreshByPath(path)
+        else:
+            remaining = stored.join(F.broadcast(deletes), keys, "left_anti")
+            tmp = path + "._cdc_tmp"
+            remaining.write.mode("overwrite").parquet(tmp)
+            import shutil as _shutil
+
+            _shutil.rmtree(path)
+            _os.rename(tmp, path)
+            spark.catalog.refreshByPath(path)
 
     writer = changelog.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint

@@ -784,3 +784,51 @@ def test_cdc_apply_stream_materializes_and_deletes(spark, tmp_path):
     run("c2")
     got = {r.k: r.v for r in spark.read.parquet(target).collect()}
     assert got == {1: 9.0, 3: 3.0, 4: 4.0}
+
+
+def test_cdc_apply_stream_partitioned_delete_scoped(spark, tmp_path):
+    """Partitioned target: deletes rewrite only touched partitions, a
+    fully-emptied partition's directory is dropped (dynamic overwrite
+    alone would leave it behind), and untouched partitions keep their
+    files byte-identical."""
+    import os
+
+    from clx_etl_spark.streaming.jobs import cdc_apply_stream, file_stream
+
+    src = str(tmp_path / "log")
+    target = str(tmp_path / "tbl")
+    schema = "k long, ts long, seq long, op string, v double, p string"
+
+    def run(ckpt):
+        q = cdc_apply_stream(
+            file_stream(spark, src, schema), target, keys=["k"],
+            ts_col="ts", checkpoint=str(tmp_path / ckpt),
+            order_cols=["seq"], partition_cols=["p"],
+        )
+        q.awaitTermination(120)
+
+    b1 = [
+        (1, 10, 1, "I", 1.0, "a"), (2, 10, 2, "I", 2.0, "a"),
+        (3, 10, 3, "I", 3.0, "b"),   # partition b: only key 3
+        (4, 10, 4, "I", 4.0, "c"),
+    ]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    run("c1")
+    assert os.path.isdir(os.path.join(target, "p=b"))
+    c_files = sorted(os.listdir(os.path.join(target, "p=c")))
+    c_mtime = [
+        os.path.getmtime(os.path.join(target, "p=c", f)) for f in c_files
+    ]
+
+    # delete key 1 (partition a keeps key 2) and key 3 (empties partition b)
+    b2 = [(1, 20, 5, "D", 0.0, "a"), (3, 20, 6, "D", 0.0, "b")]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    run("c1")
+    got = {(r.k, r.p) for r in spark.read.parquet(target).collect()}
+    assert got == {(2, "a"), (4, "c")}
+    assert not os.path.isdir(os.path.join(target, "p=b"))  # dropped
+    # untouched partition c: same files, untouched mtimes
+    assert sorted(os.listdir(os.path.join(target, "p=c"))) == c_files
+    assert [
+        os.path.getmtime(os.path.join(target, "p=c", f)) for f in c_files
+    ] == c_mtime
