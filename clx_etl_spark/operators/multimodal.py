@@ -226,3 +226,101 @@ def audio_window_features(
             )
 
     return assets.mapInPandas(windows, schema=AUDIO_WINDOWS_SCHEMA)
+
+
+SIG_MOD = 1_000_000
+SCENE_CUT_JUMP = SIG_MOD // 4
+FRAME_SIG_SCHEMA = "asset_id long, frame_idx int, sig long"
+
+
+def frame_signatures(
+    assets: DataFrame, stride_ms: int = FRAME_STRIDE_MS
+) -> DataFrame:
+    """Per-frame content signature (the perceptual-hash stand-in): one
+    integer per sampled frame, derived from the asset sha like the other
+    stub features so the whole path stays hash-checkable. A real build
+    computes a frame dHash/pHash behind the same (asset_id, frame_idx,
+    sig) interface. Arrow-batched 1:N mapInPandas."""
+
+    assets = _ensure_parallelism(assets)
+
+    def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("asset_id", "frame_idx", "sig")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                d = decode_stub(bytes(payload))
+                h, dur = _h60(d["sha256"]), d["duration_ms"]
+                n = (dur + stride_ms - 1) // stride_ms
+                for i in range(n):
+                    out["asset_id"].append(int(aid))
+                    out["frame_idx"].append(i)
+                    out["sig"].append((h // (i + 1)) % SIG_MOD)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(out["asset_id"], dtype="int64"),
+                    "frame_idx": pd.array(out["frame_idx"], dtype="int32"),
+                    "sig": pd.array(out["sig"], dtype="int64"),
+                }
+            )
+
+    return assets.mapInPandas(sigs, schema=FRAME_SIG_SCHEMA)
+
+
+def scene_cuts(
+    assets: DataFrame,
+    stride_ms: int = FRAME_STRIDE_MS,
+    jump: int = SCENE_CUT_JUMP,
+) -> DataFrame:
+    """Scene-cut detection: a cut is a frame whose signature jumps more
+    than ``jump`` from the previous frame — the shot-boundary primitive
+    of video curation (sample one keyframe per shot instead of per
+    stride). Composition shape: the 1:N pandas signature expansion, then
+    a pure LAG window per asset — integer arithmetic end-to-end, so the
+    pandas leg AND the window leg hash-match the SQL oracle.
+
+    Returns (asset_id, frame_idx, prev_sig, sig) for cut frames."""
+    from pyspark.sql import Window
+
+    sigs = frame_signatures(assets, stride_ms)
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    prev = F.lag("sig").over(w)
+    return (
+        sigs.withColumn("prev_sig", prev)
+        .filter(
+            F.col("prev_sig").isNotNull()
+            & (F.abs(F.col("sig") - F.col("prev_sig")) > jump)
+        )
+        .select("asset_id", "frame_idx", "prev_sig", "sig")
+    )
+
+
+def audio_active_segments(
+    assets: DataFrame,
+    window_ms: int = AUDIO_WINDOW_MS,
+    rms_threshold: float = 0.5,
+) -> DataFrame:
+    """Voice/energy-activity segmentation: consecutive audio windows with
+    rms >= threshold collapse to (start, end) segments — the VAD-shaped
+    trim step of audio curation. Composition: the 1:N windowed-RMS
+    pandas expansion, then gaps-and-islands (window_idx - row_number)
+    per asset; one window shuffle.
+
+    Returns (asset_id, seg_start_ms, seg_end_ms, n_windows) per active
+    segment; end is exclusive (start + n*window)."""
+    from pyspark.sql import Window
+
+    wins = audio_window_features(assets, window_ms)
+    active = wins.filter(F.col("rms") >= F.lit(rms_threshold))
+    w = Window.partitionBy("asset_id").orderBy("window_idx")
+    isl = active.withColumn(
+        "grp", F.col("window_idx") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("asset_id", "grp")
+        .agg(
+            F.min("window_start_ms").alias("seg_start_ms"),
+            (F.max("window_start_ms") + F.lit(window_ms)).alias("seg_end_ms"),
+            F.count(F.lit(1)).cast("int").alias("n_windows"),
+        )
+        .select("asset_id", "seg_start_ms", "seg_end_ms", "n_windows")
+    )

@@ -120,6 +120,8 @@ SWEEP_FRONT: list[str] = [
     "phrase_search",
     "oov_rate_by_lang",
     "split_with_holdout",
+    "mm_scene_cuts",
+    "mm_audio_segments",
     # ---- spill zone past the driver's ~50 cap: entries with the
     # strongest alternative proof (repo oracle green at 3 SFs this
     # round; w4 family shares w4_locf_fill's load path; the

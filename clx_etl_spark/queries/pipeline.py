@@ -242,3 +242,68 @@ def sketch_daily_users(spark, sf):
 
     ev = load_table(spark, sf, "events")
     return daily_distinct_approx(ev, key_col="user_id", ts_col="ts_ms")
+
+
+@register(
+    "mm_scene_cuts",
+    oracle=f"""
+    WITH {_MM_DECODE},
+    sigs AS (SELECT feat.asset_id, CAST(i AS INTEGER) AS frame_idx,
+                    CAST((f.h // (i + 1)) % {MM.SIG_MOD} AS BIGINT) AS sig
+             FROM feat JOIN f ON f.asset_id = feat.asset_id,
+                  UNNEST(generate_series(0,
+                    CAST((duration_ms + {MM.FRAME_STRIDE_MS - 1})
+                         // {MM.FRAME_STRIDE_MS} AS INTEGER) - 1)) AS t(i)),
+    lagged AS (SELECT asset_id, frame_idx, sig,
+                      LAG(sig) OVER (PARTITION BY asset_id
+                                     ORDER BY frame_idx) AS prev_sig
+               FROM sigs)
+    SELECT asset_id, frame_idx, prev_sig, sig
+    FROM lagged
+    WHERE prev_sig IS NOT NULL AND abs(sig - prev_sig) > {MM.SCENE_CUT_JUMP}
+    """,
+    doc="Video shot-boundary detection (operators/multimodal.scene_cuts): "
+    "per-frame integer signatures from the 1:N Arrow mapInPandas "
+    "expansion, cuts = LAG-window jumps above SIG_MOD/4 — the sample-one-"
+    "keyframe-per-shot primitive of video curation; integer arithmetic "
+    "end-to-end so both the pandas leg and the window leg hash-match",
+)
+def mm_scene_cuts(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return MM.scene_cuts(MM.media_assets(docs, mime="video/fake"))
+
+
+@register(
+    "mm_audio_segments",
+    oracle=f"""
+    WITH {_MM_DECODE},
+    wins AS (SELECT feat.asset_id, CAST(i AS INTEGER) AS window_idx,
+                    CAST(i * {MM.AUDIO_WINDOW_MS} AS BIGINT) AS window_start_ms,
+                    ((f.h // (i + 1)) % {MM.AUDIO_RMS_MOD})
+                      / {MM.AUDIO_RMS_MOD}.0 AS rms
+             FROM feat JOIN f ON f.asset_id = feat.asset_id,
+                  UNNEST(generate_series(0,
+                    CAST((duration_ms + {MM.AUDIO_WINDOW_MS - 1})
+                         // {MM.AUDIO_WINDOW_MS} AS INTEGER) - 1)) AS t(i)),
+    active AS (SELECT asset_id, window_idx, window_start_ms,
+                      window_idx - ROW_NUMBER() OVER (
+                        PARTITION BY asset_id ORDER BY window_idx) AS grp
+               FROM wins WHERE rms >= 0.5)
+    SELECT asset_id,
+           CAST(MIN(window_start_ms) AS BIGINT) AS seg_start_ms,
+           CAST(MAX(window_start_ms) + {MM.AUDIO_WINDOW_MS} AS BIGINT) AS seg_end_ms,
+           CAST(COUNT(*) AS INTEGER) AS n_windows
+    FROM active GROUP BY asset_id, grp
+    """,
+    doc="VAD-shaped audio activity segmentation "
+    "(operators/multimodal.audio_active_segments): windowed-RMS 1:N "
+    "expansion, islands of rms >= 0.5 collapse to (start, end) trim "
+    "segments via gaps-and-islands — the silence-trim step of audio "
+    "curation; exact rational RMS so the threshold and the islands both "
+    "hash-match",
+)
+def mm_audio_segments(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return MM.audio_active_segments(
+        MM.media_assets(docs, mime="audio/fake")
+    )

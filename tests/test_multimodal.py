@@ -80,3 +80,40 @@ def test_media_embedding_feeds_similarity_ops(spark):
     for q in range(6):
         assert top[q][0] == q + 100  # its clone is the nearest neighbor
         assert abs(top[q][1] - 1.0) < 1e-12
+
+
+def test_scene_cuts_and_audio_segments_invariants(spark):
+    """Composition invariants on the stub decode: every cut's jump
+    exceeds the threshold; active segments are disjoint, aligned to the
+    window grid, and jointly cover exactly the active windows."""
+    from clx_etl_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i} " * (i + 1)) for i in range(8)],
+        "doc_id long, text string",
+    )
+    assets = MM.media_assets(docs, mime="video/fake")
+    cuts = MM.scene_cuts(assets).collect()
+    assert cuts  # stub signatures jump often
+    assert all(abs(r.sig - r.prev_sig) > MM.SCENE_CUT_JUMP for r in cuts)
+    assert all(r.frame_idx >= 1 for r in cuts)  # frame 0 has no prev
+
+    wins = MM.audio_window_features(MM.media_assets(docs, mime="audio/fake"))
+    active = {
+        (r.asset_id, r.window_idx)
+        for r in wins.collect()
+        if r.rms >= 0.5
+    }
+    segs = MM.audio_active_segments(
+        MM.media_assets(docs, mime="audio/fake")
+    ).collect()
+    covered = set()
+    for s in segs:
+        assert s.seg_start_ms % MM.AUDIO_WINDOW_MS == 0
+        assert s.seg_end_ms - s.seg_start_ms == s.n_windows * MM.AUDIO_WINDOW_MS
+        for i in range(s.n_windows):
+            w_idx = s.seg_start_ms // MM.AUDIO_WINDOW_MS + i
+            key = (s.asset_id, w_idx)
+            assert key not in covered  # disjoint
+            covered.add(key)
+    assert covered == active
