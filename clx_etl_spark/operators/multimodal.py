@@ -324,3 +324,86 @@ def audio_active_segments(
         )
         .select("asset_id", "seg_start_ms", "seg_end_ms", "n_windows")
     )
+
+
+PHASH_BITS = 32
+PHASH_BANDS = 4  # 8 bits per band; hamming <= 7 pairs can't miss all bands
+
+
+def phash_values(assets: DataFrame) -> DataFrame:
+    """Per-asset 32-bit perceptual-hash stand-in (sha-derived like every
+    stub feature; a real build computes dHash over the decoded image
+    behind the same (asset_id, phash) interface)."""
+    assets = _ensure_parallelism(assets)
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ph = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                h = _h60(decode_stub(bytes(payload))["sha256"])
+                ids.append(int(aid))
+                ph.append(h % (1 << PHASH_BITS))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="int64"),
+                    "phash": pd.array(ph, dtype="int64"),
+                }
+            )
+
+    return assets.mapInPandas(hashes, schema="asset_id long, phash long")
+
+
+def phash_near_duplicates(
+    assets: DataFrame, max_hamming: int = 7
+) -> DataFrame:
+    """Image near-dup pairs by perceptual-hash hamming distance, found
+    WITHOUT an n^2 comparison: the 32-bit phash splits into 4 bands of 8
+    bits; by pigeonhole, any pair within hamming <= 7 agrees exactly on
+    at least one band, so candidates come from 4 band-equality self-joins
+    (each a hash shuffle co-locating only same-band assets) and the
+    hamming verify runs per candidate. The banding is the same recall
+    argument as SimHash/LSH — exact for <= bands-1 bit flips.
+
+    Returns (asset_a, asset_b, hamming) with hamming <= max_hamming."""
+    ph = phash_values(assets)
+    bands = ph.select(
+        "asset_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("phash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bits"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("asset_id", "phash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("asset_a", "asset_b", "hamming")
+    )

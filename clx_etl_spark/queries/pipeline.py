@@ -307,3 +307,32 @@ def mm_audio_segments(spark, sf):
     return MM.audio_active_segments(
         MM.media_assets(docs, mime="audio/fake")
     )
+
+
+@register(
+    "mm_phash_near_dup",
+    oracle=f"""
+    WITH {_MM_DECODE},
+    ph AS (SELECT f.asset_id, f.h % {1 << MM.PHASH_BITS} AS phash FROM f),
+    bands AS (SELECT asset_id, phash, b.band,
+                     (phash >> (8 * b.band)) & 255 AS bits
+              FROM ph, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+    cand AS (SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+                    a.phash AS ph_a, b.phash AS ph_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bits = b.bits
+              AND a.asset_id < b.asset_id)
+    SELECT asset_a, asset_b,
+           CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 7
+    """,
+    doc="Image near-dup by perceptual-hash hamming "
+    "(operators/multimodal.phash_near_duplicates): 32-bit stub phash "
+    "split into 4 8-bit bands; pigeonhole guarantees any pair within "
+    "hamming <= 7 shares a band, so candidates are 4 band-equality "
+    "self-joins (co-shuffled, never n^2) and bit_count verifies — the "
+    "image leg of corpus dedup",
+)
+def mm_phash_near_dup(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return MM.phash_near_duplicates(MM.media_assets(docs, mime="image/fake"))

@@ -295,3 +295,69 @@ def q21_last_shipper(spark, sf):
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+@register(
+    "fk_inclusion_audit",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'orders.o_custkey -> customer.c_custkey' AS fk,
+             (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_child,
+             (SELECT COUNT(DISTINCT o.o_custkey) FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey) AS n_matched
+      UNION ALL
+      SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
+             (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem),
+             (SELECT COUNT(DISTINCT l.l_orderkey) FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      UNION ALL
+      SELECT 'supplier.s_nationkey -> nation.n_nationkey',
+             (SELECT COUNT(DISTINCT s_nationkey) FROM supplier),
+             (SELECT COUNT(DISTINCT s.s_nationkey) FROM supplier s
+              JOIN nation n ON s.s_nationkey = n.n_nationkey))
+    SELECT fk, CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           CAST(n_matched AS DOUBLE) / CAST(n_child AS DOUBLE) AS inclusion
+    FROM pairs
+    """,
+    doc="Referential-integrity profiling: inclusion coefficient "
+    "|distinct(child ∩ parent)| / |distinct child| for the declared FK "
+    "pairs — the fk-discovery/validation audit of dataset onboarding; "
+    "each leg is a distinct-reduce then semi-join on already-distinct "
+    "keys (no fact-scale row join), map-side combinable",
+)
+def fk_inclusion_audit(spark, sf):
+    from ..catalog import load_table as _lt
+
+    def leg(name, child_df, child_col, parent_df, parent_col):
+        child = child_df.select(F.col(child_col).alias("k")).distinct()
+        parent = parent_df.select(F.col(parent_col).alias("k")).distinct()
+        stats = child.join(parent.withColumn("_m", F.lit(1)), "k", "left").agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.count("_m").alias("n_matched"),
+        )
+        return stats.select(
+            F.lit(name).alias("fk"),
+            "n_child",
+            "n_matched",
+            (
+                F.col("n_matched").cast("double")
+                / F.col("n_child").cast("double")
+            ).alias("inclusion"),
+        )
+
+    orders = _lt(spark, sf, "orders")
+    customer = _lt(spark, sf, "customer")
+    lineitem = _lt(spark, sf, "lineitem")
+    supplier = _lt(spark, sf, "supplier")
+    nation = _lt(spark, sf, "nation")
+    return (
+        leg("orders.o_custkey -> customer.c_custkey", orders, "o_custkey",
+            customer, "c_custkey")
+        .unionByName(
+            leg("lineitem.l_orderkey -> orders.o_orderkey", lineitem,
+                "l_orderkey", orders, "o_orderkey"))
+        .unionByName(
+            leg("supplier.s_nationkey -> nation.n_nationkey", supplier,
+                "s_nationkey", nation, "n_nationkey"))
+    )

@@ -117,3 +117,29 @@ def test_scene_cuts_and_audio_segments_invariants(spark):
             assert key not in covered  # disjoint
             covered.add(key)
     assert covered == active
+
+
+def test_phash_banding_complete_vs_bruteforce(spark):
+    """Pigeonhole completeness: the 4-band candidate join finds EVERY
+    pair with hamming <= 7 (brute-force cross-check over the computed
+    phashes), and reports no pair above the threshold."""
+    import itertools
+
+    from clx_etl_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(i, f"asset body {i % 13} tail") for i in range(60)],  # dup groups
+        "doc_id long, text string",
+    )
+    assets = MM.media_assets(docs, mime="image/fake")
+    ph = {r.asset_id: r.phash for r in MM.phash_values(assets).collect()}
+    expect = set()
+    for a, b in itertools.combinations(sorted(ph), 2):
+        if bin(ph[a] ^ ph[b]).count("1") <= 7:
+            expect.add((a, b))
+    got = {
+        (r.asset_a, r.asset_b): r.hamming
+        for r in MM.phash_near_duplicates(assets).collect()
+    }
+    assert set(got) == expect
+    assert all(h <= 7 for h in got.values())
