@@ -1331,3 +1331,56 @@ def test_eval_holdout_covers_rare_strata(spark):
     held = g.withColumn("rn", F.row_number().over(w)).filter("rn <= 25")
     by = {r[0]: r[1] for r in held.groupBy("lang").count().collect()}
     assert by == {"big": 25, "rare": 3}
+
+
+def test_substring_runs_fuzz_vs_python_truth(spark):
+    """Uncapped substring_run_pairs equals an independent Python truth
+    (diagonal scan over token equality) on random tiny-vocab docs —
+    duplicate grams, overlapping runs, and run-boundary cases included."""
+    import random
+
+    from clx_etl_spark.operators.dedup import substring_run_pairs
+
+    K, MIN_RUN = 3, 4
+    rng = random.Random(41)
+    vocab = ["a", "b", "c", "d"]
+
+    def truth(docs):
+        out = set()
+        for ai in range(len(docs)):
+            for bi in range(ai + 1, len(docs)):
+                ta, tb = docs[ai][1], docs[bi][1]
+                for d in range(-(len(tb) - 1), len(ta)):
+                    run = 0
+                    for i in range(max(0, d), min(len(ta), len(tb) + d) + 1):
+                        match = (
+                            i < len(ta)
+                            and 0 <= i - d < len(tb)
+                            and ta[i] == tb[i - d]
+                        )
+                        if match:
+                            run += 1
+                        else:
+                            if run >= max(MIN_RUN, K):
+                                out.add(
+                                    (docs[ai][0], docs[bi][0],
+                                     i - run + 1, i - run - d + 1, run)
+                                )
+                            run = 0
+        return out
+
+    for trial in range(4):
+        docs = [
+            (i, [rng.choice(vocab) for _ in range(rng.randrange(0, 15))])
+            for i in range(8)
+        ]
+        sdf = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in docs], "doc_id long, text string"
+        )
+        got = {
+            (r.doc_a, r.doc_b, r.start_a, r.start_b, r.run_tokens)
+            for r in substring_run_pairs(
+                sdf, k=K, min_run_tokens=MIN_RUN, max_doc_freq=10**9
+            ).collect()
+        }
+        assert got == truth(docs), (trial, got ^ truth(docs))
