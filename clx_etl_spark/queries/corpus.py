@@ -1738,3 +1738,82 @@ def split_with_holdout(spark, sf):
         .otherwise(F.lit("val"))
     )
     return r.select("doc_id", "lang", split.alias("split"))
+
+
+@register(
+    "source_content_overlap",
+    oracle="""
+    WITH d AS (SELECT DISTINCT source, md5(text) AS digest FROM documents),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_digests
+              FROM d GROUP BY source),
+    inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM d a JOIN d b
+                ON a.digest = b.digest AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT i.source_a, i.source_b, i.n_shared, sa.n_digests AS n_a,
+           sb.n_digests AS n_b,
+           CAST(i.n_shared AS DOUBLE)
+             / CAST(sa.n_digests + sb.n_digests - i.n_shared AS DOUBLE)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+    doc="Source-to-source content overlap matrix: exact-dup digests "
+    "(md5 of full text) intersected pairwise — finds mirrored/scraped-"
+    "twice sources before per-doc dedup even runs; digest sets are "
+    "distinct-reduced per source first, so the self-join is over the "
+    "deduped digest space, and the pair count is bounded by sources^2 "
+    "(dozens), never docs^2",
+)
+def source_content_overlap(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    d = docs.select("source", F.md5("text").alias("digest")).distinct()
+    sizes = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_digests"))
+    inter = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_digests").alias("n_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_digests").alias("n_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
