@@ -125,6 +125,7 @@ SWEEP_FRONT: list[str] = [
     "mm_phash_near_dup",
     "fk_inclusion_audit",
     "source_content_overlap",
+    "embedding_label_centroids",
     # ---- spill zone past the driver's ~50 cap: entries with the
     # strongest alternative proof (repo oracle green at 3 SFs this
     # round; w4 family shares w4_locf_fill's load path; the

@@ -1817,3 +1817,44 @@ def source_content_overlap(spark, sf):
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH e AS (SELECT label, i - 1 AS dim,
+                      CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                        AS BIGINT) AS v6
+               FROM embeddings,
+                    UNNEST(generate_series(1, len(embedding))) AS t(i))
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v6) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+             AS mean
+    FROM e GROUP BY label, dim
+    """,
+    doc="Per-label embedding centroids (the mean-centering / whitening "
+    "prep of embedding pipelines, and the exact-aggregation counterpart "
+    "of the sampled k-means in similarity.train_ivf_centroids): one "
+    "posexplode + keyed aggregate, map-side combinable; components "
+    "micro-quantized to BIGINT so the cross-row sum is order-independent "
+    "and exact — float sums would drift by summation order at cluster "
+    "partition counts",
+)
+def embedding_label_centroids(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("v").cast("double") * F.lit(1000000.0)).cast("long").alias("v6"),
+    )
+    return e.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("v6").cast("double")
+            / F.lit(1000000.0)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean"),
+    )
