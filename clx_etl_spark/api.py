@@ -267,3 +267,72 @@ class Engine:
         from .operators.curation import bloom_decontaminate
 
         return bloom_decontaminate(train, benchmark)
+
+    def winsorize(self, df: DataFrame, value_col: str, group_col: str,
+                  lo_p: float = 0.01, hi_p: float = 0.99) -> DataFrame:
+        """Per-group outlier capping at exact percentiles (bounds
+        broadcast back; adds <value>_w)."""
+        from .operators.curation import winsorize
+
+        return winsorize(df, value_col, group_col, lo_p, hi_p)
+
+    def histogram(self, df: DataFrame, value_col: str, group_col: str,
+                  n_bins: int = 20) -> DataFrame:
+        """Exact equi-width histogram per group (explicit bin
+        arithmetic, two map-side aggregates)."""
+        from .operators.profile import equiwidth_histogram
+
+        return equiwidth_histogram(df, value_col, group_col, n_bins)
+
+    def trend(self, df: DataFrame, x_col: str, y_col: str,
+              group_col: str) -> DataFrame:
+        """Per-group OLS slope/intercept from BIGINT sufficient
+        statistics (x integral, y micro-quantized)."""
+        from .operators.profile import trend_slope
+
+        return trend_slope(df, x_col, y_col, group_col)
+
+    def apply_changelog(self, changelog: DataFrame, keys: list[str],
+                        ts_col: str, order_cols: list[str] | None = None
+                        ) -> DataFrame:
+        """CDC replay to current state: last-wins by (ts, order),
+        delete-winners drop the key."""
+        from .sinks.upsert import apply_changelog
+
+        return apply_changelog(changelog, keys, ts_col,
+                               order_cols=order_cols)
+
+    def scene_cuts(self, assets: DataFrame) -> DataFrame:
+        """Video shot boundaries from per-frame signatures (LAG jump)."""
+        from .operators.multimodal import scene_cuts
+
+        return scene_cuts(assets)
+
+    def audio_segments(self, assets: DataFrame) -> DataFrame:
+        """VAD-shaped active-audio segments (windowed-RMS islands)."""
+        from .operators.multimodal import audio_active_segments
+
+        return audio_active_segments(assets)
+
+    def phash_near_dups(self, assets: DataFrame,
+                        max_hamming: int = 7) -> DataFrame:
+        """Image near-dup pairs by banded perceptual-hash hamming."""
+        from .operators.multimodal import phash_near_duplicates
+
+        return phash_near_duplicates(assets, max_hamming)
+
+    def eval_holdout(self, df: DataFrame, key_col: str, stratum_col: str,
+                     k: int = 25) -> DataFrame:
+        """Coverage-guaranteed holdout: the k lowest-gate-hash rows per
+        stratum (WindowGroupLimit shape)."""
+        from pyspark.sql import Window, functions as F
+
+        from .operators.sampling import _hash_bucket
+
+        g = df.withColumn("_gh", _hash_bucket(F.col(key_col), mod=1 << 62))
+        w = Window.partitionBy(stratum_col).orderBy("_gh", key_col)
+        return (
+            g.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_gh", "_rn")
+        )

@@ -221,3 +221,52 @@ def test_engine_similarity_curation_round4_surface(spark):
     )
     hits = {r.doc_id: r.n_bloom_hits for r in audit.collect()}
     assert hits[2] == 8 and hits[3] == 0  # doc2 = verbatim copy, doc3 clean
+
+
+def test_engine_monitoring_cdc_media_surface(spark):
+    from clx_etl_spark.api import Engine
+    from clx_etl_spark.operators.multimodal import media_assets
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    ev = spark.createDataFrame(
+        [("a", float(v)) for v in range(50)] + [("a", 1e9)],
+        "g string, v double",
+    )
+    w = eng.winsorize(ev, "v", "g")
+    assert max(r.v_w for r in w.collect()) < 1e9
+    h = eng.histogram(ev, "v", "g", n_bins=5)
+    assert sum(r.n for r in h.collect()) == 51
+    t = eng.trend(
+        spark.createDataFrame(
+            [("g", x, 2.0 * x) for x in range(20)], "g string, x long, y double"
+        ),
+        "x", "y", "g",
+    ).collect()
+    assert abs(t[0].slope - 2.0) < 1e-6
+
+    log = spark.createDataFrame(
+        [(1, 1, 1, "I", 1.0), (1, 2, 2, "D", 0.0), (2, 1, 3, "I", 5.0)],
+        "k long, ts long, seq long, op string, v double",
+    )
+    cur = eng.apply_changelog(log, ["k"], "ts", order_cols=["seq"]).collect()
+    assert [(r.k, r.v) for r in cur] == [(2, 5.0)]
+
+    docs = spark.createDataFrame(
+        [(i, f"media {i % 3}") for i in range(9)], "doc_id long, text string"
+    )
+    assets = media_assets(docs, mime="video/fake")
+    assert eng.scene_cuts(assets).columns == ["asset_id", "frame_idx", "prev_sig", "sig"]
+    assert eng.audio_segments(assets).columns == [
+        "asset_id", "seg_start_ms", "seg_end_ms", "n_windows"]
+    dups = eng.phash_near_dups(assets).collect()
+    assert {(r.asset_a, r.asset_b) for r in dups} >= {(0, 3), (1, 4)}  # text dups
+
+    hold = eng.eval_holdout(
+        spark.createDataFrame(
+            [(i, "big") for i in range(100)] + [(200, "rare")],
+            "doc_id long, lang string",
+        ),
+        "doc_id", "lang", k=10,
+    )
+    by = {r[0]: r[1] for r in hold.groupBy("lang").count().collect()}
+    assert by == {"big": 10, "rare": 1}
