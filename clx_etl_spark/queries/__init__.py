@@ -126,6 +126,15 @@ SWEEP_FRONT: list[str] = [
     "fk_inclusion_audit",
     "source_content_overlap",
     "embedding_label_centroids",
+    # round-4 continuation: sequence/path analytics + storage-ops planning
+    "markov_transitions",
+    "top_event_paths",
+    "rolling_7d_distinct_users",
+    "conversion_lag_stats",
+    "compaction_bin_packing",
+    "partition_skew_report",
+    "embedding_outlier_scores",
+    "grouping_sets_revenue",
     # ---- spill zone past the driver's ~50 cap: entries with the
     # strongest alternative proof (repo oracle green at 3 SFs this
     # round; w4 family shares w4_locf_fill's load path; the
@@ -147,6 +156,7 @@ def load_all() -> dict[str, Query]:
     from . import core  # noqa: F401
     from . import analytic  # noqa: F401
     from . import datasets  # noqa: F401
+    from . import sequence  # noqa: F401
 
     front = {n: REGISTRY[n] for n in SWEEP_FRONT if n in REGISTRY}
     rest = {n: q for n, q in REGISTRY.items() if n not in front}

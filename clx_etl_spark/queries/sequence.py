@@ -1,0 +1,419 @@
+"""Sequence / path analytics and storage-ops planning queries (round 4).
+
+Event-sequence mining (Markov transitions, prefix paths, conversion lag),
+trailing-window distinct counts, partition-skew reporting, file-compaction
+planning, embedding outlier scoring, and the explicit GROUPING SETS surface.
+
+These extend the engine beyond the reference's point-in-time aggregates into
+the sequence/ops questions a 100 TB event store actually gets asked
+(reference's closest analogs: the integrity hour-bucket scan
+`src/system_utils/check_market_snapshot_integrity.py:97-104` and the 5-minute
+alignment joins `src/exchanges/binance/perp.py:168-184` — both single-step;
+everything here is the multi-step generalization).
+
+Scale notes are per-query; the common rules:
+  * windows partition by user/source/shard — no global sorts on raw events;
+  * trailing windows are expressed as constant-fanout offset explodes and
+    keyed aggregates (shuffle-friendly), never range-condition nested loops;
+  * float-nondeterministic cross-row sums are micro-quantized to integers
+    (same contract as embedding_label_centroids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import load_table
+from . import register
+
+DEC6 = "decimal(38,6)"
+EV_MS = "(epoch_ns(ts) // 1000000)"
+DAY_MS = 86_400_000
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return load_table(spark, sf, name)
+
+
+# --------------------------------------------------------------------------
+# Event-sequence mining
+# --------------------------------------------------------------------------
+
+
+@register(
+    "markov_transitions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY {EV_MS}, event_id) AS prev_type
+      FROM events),
+    c AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, event_type)
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS prob
+    FROM c
+    """,
+    doc="First-order Markov transition matrix over per-user event sequences: "
+    "LAG window partitioned by user (no global sort), then a keyed count and "
+    "a window normalization over the tiny (type x type) matrix. The "
+    "next-event-model / anomalous-transition primitive; integer counts, one "
+    "double division at the end",
+)
+def markov_transitions(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt).cast("double")).alias(
+            "prob"
+        ),
+    )
+
+
+@register(
+    "top_event_paths",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY {EV_MS}, event_id) AS rn
+      FROM events),
+    p AS (SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= 5 GROUP BY user_id),
+    c AS (SELECT path, COUNT(*) AS n_users FROM p GROUP BY path)
+    SELECT path, n_users,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_users DESC, path) AS INTEGER)
+             AS rk
+    FROM c QUALIFY rk <= 20
+    """,
+    doc="Top-20 five-event prefix paths: per-user ranked window (partitioned, "
+    "no global sort), order-pinned path assembly via array_sort on "
+    "(rn, type) structs, then a count over the small distinct-path space. "
+    "The funnel-discovery / clickstream primitive; fully tie-broken",
+)
+def top_event_paths(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    r = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 5)
+    p = r.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    c = p.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    rk = F.row_number().over(Window.orderBy(F.col("n_users").desc(), "path"))
+    return c.select(
+        "path", "n_users", rk.cast("int").alias("rk")
+    ).filter(F.col("rk") <= 20)
+
+
+@register(
+    "rolling_7d_distinct_users",
+    oracle=f"""
+    WITH pairs AS (SELECT DISTINCT {EV_MS} // {DAY_MS} AS day_id, user_id
+                   FROM events),
+    expanded AS (SELECT day_id + o AS report_day, user_id
+                 FROM pairs, UNNEST(generate_series(0, 6)) AS t(o)),
+    days AS (SELECT DISTINCT day_id AS report_day FROM pairs)
+    SELECT e.report_day,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users_7d
+    FROM expanded e JOIN days d ON e.report_day = d.report_day
+    GROUP BY e.report_day
+    """,
+    doc="Trailing 7-day distinct users per day (rolling MAU/WAU): distinct "
+    "(day, user) pairs first (collapses raw events ~3000x), then a "
+    "constant-7 offset explode + keyed distinct count — shuffle-friendly "
+    "equi-aggregation, deliberately NOT a range-condition join (which "
+    "Spark would plan as a broadcast nested loop). The offset-explode "
+    "rewrite is the standard scale form: volume is 7x the deduped pairs, "
+    "not 7x the raw events",
+)
+def rolling_7d_distinct_users(spark, sf):
+    ev = _t(spark, sf, "events")
+    pairs = ev.select(
+        F.expr(f"ts_ms div {DAY_MS}").alias("day_id"), "user_id"
+    ).distinct()
+    expanded = pairs.select(
+        F.explode(F.array([F.lit(i) for i in range(7)])).alias("o"),
+        "day_id",
+        "user_id",
+    ).select((F.col("day_id") + F.col("o")).alias("report_day"), "user_id")
+    days = pairs.select(F.col("day_id").alias("report_day")).distinct()
+    return (
+        expanded.join(days, "report_day", "left_semi")
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )
+
+
+@register(
+    "conversion_lag_stats",
+    oracle=f"""
+    WITH s AS (SELECT user_id, MIN({EV_MS}) AS signup_ms
+               FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    conv AS (SELECT e.user_id, MIN({EV_MS}) AS conv_ms
+             FROM events e JOIN s ON e.user_id = s.user_id
+             WHERE e.event_type = 'purchase' AND {EV_MS} >= s.signup_ms
+             GROUP BY e.user_id)
+    SELECT s.signup_ms // {DAY_MS} AS cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(COUNT(c.conv_ms) AS BIGINT) AS n_converted,
+           MIN(c.conv_ms - s.signup_ms) AS min_lag_ms,
+           MAX(c.conv_ms - s.signup_ms) AS max_lag_ms,
+           CAST(SUM(c.conv_ms - s.signup_ms) AS DOUBLE)
+             / CAST(COUNT(c.conv_ms) AS DOUBLE) AS avg_lag_ms
+    FROM s LEFT JOIN conv c ON s.user_id = c.user_id
+    GROUP BY cohort_day
+    """,
+    doc="Signup-to-first-purchase lag by signup-day cohort: two keyed MIN "
+    "aggregates + one left join on user_id (co-partitioned, single shuffle "
+    "key), integer-exact lags, the only double the final mean. Companion "
+    "to funnel_conversion/cohort_retention: those count stages, this "
+    "measures the time axis",
+)
+def conversion_lag_stats(spark, sf):
+    ev = _t(spark, sf, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("signup_ms"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts_ms") >= F.col("signup_ms"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("conv_ms"))
+    )
+    lag = F.col("conv_ms") - F.col("signup_ms")
+    return (
+        s.join(conv, "user_id", "left")
+        .groupBy(F.expr(f"signup_ms div {DAY_MS}").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.count("conv_ms").alias("n_converted"),
+            F.min(lag).alias("min_lag_ms"),
+            F.max(lag).alias("max_lag_ms"),
+            (F.sum(lag).cast("double") / F.count("conv_ms").cast("double")).alias(
+                "avg_lag_ms"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Storage-ops planning
+# --------------------------------------------------------------------------
+
+COMPACT_TARGET = 65_536  # bytes per compacted output file (test-scale stand-in)
+
+
+@register(
+    "compaction_bin_packing",
+    oracle=f"""
+    WITH f AS (SELECT doc_id, source, n_chars,
+                      CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY source
+                           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+               FROM documents)
+    SELECT source, CAST(start_off // {COMPACT_TARGET} AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
+           CAST(SUM(n_chars) AS DOUBLE) / {COMPACT_TARGET}.0 AS fill_ratio
+    FROM f GROUP BY source, bin
+    """,
+    doc="Small-file compaction plan (the nightly job every big parquet lake "
+    "runs): per source, files in doc_id order get a running byte offset "
+    "(window partitioned by source — parallel across sources, no global "
+    "sort), offset div target assigns the compacted output bin; output is "
+    "the per-bin manifest with fill ratios. Contiguous-concatenation "
+    "packing — the token-level sibling is pack_training_sequences; this "
+    "one plans file IO, not sequences",
+)
+def compaction_bin_packing(spark, sf):
+    docs = _t(spark, sf, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+        .cast("long")
+        .alias("start_off"),
+    )
+    return f.groupBy(
+        "source", F.expr(f"start_off div {COMPACT_TARGET}").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_chars").cast("long").alias("bin_bytes"),
+        (F.sum("n_chars").cast("double") / F.lit(float(COMPACT_TARGET))).alias(
+            "fill_ratio"
+        ),
+    )
+
+
+@register(
+    "partition_skew_report",
+    oracle=f"""
+    WITH pt AS (SELECT {EV_MS} // {DAY_MS} AS day_id, event_type,
+                       COUNT(*) AS n
+                FROM events GROUP BY day_id, event_type)
+    SELECT day_id,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(MAX(n) AS BIGINT) AS max_type_rows,
+           CAST(MAX(n) * COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+             AS skew_ratio
+    FROM pt GROUP BY day_id
+    """,
+    doc="Partition-skew report over the (day x type) layout: per-cell counts "
+    "partially aggregated map-side, then per-day max/avg ratio — "
+    "skew_ratio ~1 means balanced, >>1 says salt this key before joining "
+    "(the decision input for skew_salted_agg/skew_salted_join). At 100 TB "
+    "this reads footer statistics scale: two keyed aggregates, nothing "
+    "row-wise after the first",
+)
+def partition_skew_report(spark, sf):
+    ev = _t(spark, sf, "events")
+    pt = ev.groupBy(
+        F.expr(f"ts_ms div {DAY_MS}").alias("day_id"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return pt.groupBy("day_id").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.max("n").cast("long").alias("max_type_rows"),
+        (
+            (F.max("n") * F.count(F.lit(1))).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("skew_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding outliers
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_outlier_scores",
+    oracle="""
+    WITH e AS (SELECT vec_id, i - 1 AS dim,
+                      CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                        AS BIGINT) AS v6
+               FROM embeddings,
+                    UNNEST(generate_series(1, len(embedding))) AS t(i)),
+    d AS (SELECT dim, CAST(SUM(v6) AS BIGINT) AS mean_num,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY dim),
+    dev AS (SELECT e.vec_id,
+                   CAST(e.v6 * d.n - d.mean_num AS HUGEINT) AS d6
+            FROM e JOIN d ON e.dim = d.dim),
+    sc AS (SELECT vec_id, CAST(SUM(d6 * d6) AS DOUBLE) AS q
+           FROM dev GROUP BY vec_id),
+    nn AS (SELECT MAX(n) AS n FROM d)
+    SELECT vec_id,
+           q / (1000000000000.0 * CAST(nn.n AS DOUBLE)
+                * CAST(nn.n AS DOUBLE)) AS dist2,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY q / (1000000000000.0 * CAST(nn.n AS DOUBLE)
+                           * CAST(nn.n AS DOUBLE)) DESC, vec_id)
+             AS INTEGER) AS rk
+    FROM sc, nn QUALIFY rk <= 50
+    """,
+    doc="Embedding outlier scoring (poisoned/garbage-vector triage before "
+    "semantic dedup): squared distance to the global centroid, computed "
+    "integer-exactly — components micro-quantized to BIGINT, deviations "
+    "kept as exact integers scaled by n (d6 = v6*n - sum), squares summed "
+    "in DECIMAL(38,0)/HUGEINT so partition order can't perturb the result "
+    "(same contract as embedding_label_centroids). One explode, two keyed "
+    "aggregates, a broadcast-sized per-dim join; top-50 fully tie-broken. "
+    "Quantized-exact up to n*|v|*1e6 < 9e18, i.e. billions of vectors",
+)
+def embedding_outlier_scores(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    e = emb.select("vec_id", F.posexplode("embedding").alias("dim", "v")).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("v").cast("double") * F.lit(1000000.0))
+        .cast("long")
+        .alias("v6"),
+    )
+    d = e.groupBy("dim").agg(
+        F.sum("v6").cast("long").alias("mean_num"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dev = e.join(F.broadcast(d), "dim").select(
+        "vec_id",
+        "n",
+        (F.col("v6") * F.col("n") - F.col("mean_num"))
+        .cast("decimal(38,0)")
+        .alias("d6"),
+    )
+    sc = dev.groupBy("vec_id").agg(
+        F.sum(F.col("d6") * F.col("d6")).cast("double").alias("q"),
+        F.max("n").alias("n"),
+    )
+    dist2 = F.col("q") / (
+        F.lit(1_000_000_000_000.0) * F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    rk = F.row_number().over(Window.orderBy(dist2.desc(), "vec_id"))
+    return (
+        sc.select("vec_id", dist2.alias("dist2"), rk.cast("int").alias("rk"))
+        .filter(F.col("rk") <= 50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Explicit GROUPING SETS (completes the rollup/cube SQL surface)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items,
+           GROUPING(l_returnflag, l_linestatus) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS — the non-hierarchical subtotal shape "
+    "rollup/cube can't express (per-flag totals + per-status totals + "
+    "grand total, but no (flag, status) cells — rollup/cube over the same columns always include them). Spark plans one Expand "
+    "(3 replicas) + hash-agg, a single scan; decimal-exact money",
+)
+def grouping_sets_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.grouping_id().alias("gid"),
+    )
