@@ -1,0 +1,152 @@
+"""Property tests for the sequence/path + storage-ops queries
+(queries/sequence.py) — invariants the DuckDB hash oracle can't express
+(conservation laws, independent-recomputation equality)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from clx_etl_spark.catalog import load_table
+from clx_etl_spark.queries import load_all
+
+from .conftest import SF_SMOKE
+
+REG = load_all()
+
+
+def _rows(spark, name):
+    return REG[name].fn(spark, SF_SMOKE).collect()
+
+
+def test_markov_probs_sum_to_one_and_counts_conserve(spark):
+    rows = _rows(spark, "markov_transitions")
+    by_prev: dict[str, float] = {}
+    total = 0
+    for r in rows:
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.prob
+        total += r.n
+    for prev, s in by_prev.items():
+        assert math.isclose(s, 1.0, rel_tol=1e-12), (prev, s)
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # each user's sequence contributes len-1 transitions
+    assert total == n_events - n_users
+
+
+def test_rolling_7d_matches_bruteforce_set_union(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    pairs = {
+        (r.day, r.user_id)
+        for r in ev.selectExpr(
+            "ts_ms div 86400000 as day", "user_id"
+        ).collect()
+    }
+    days = sorted({d for d, _ in pairs})
+    expected = {
+        d: len({u for (dd, u) in pairs if d - 6 <= dd <= d}) for d in days
+    }
+    got = {r.report_day: r.users_7d for r in _rows(spark, "rolling_7d_distinct_users")}
+    assert got == expected
+
+
+def test_compaction_conserves_bytes_and_bins_contiguous(spark):
+    from clx_etl_spark.queries.sequence import COMPACT_TARGET
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    totals = {
+        r.source: (r.b, r.n)
+        for r in docs.groupBy("source")
+        .agg({"n_chars": "sum", "*": "count"})
+        .withColumnRenamed("sum(n_chars)", "b")
+        .withColumnRenamed("count(1)", "n")
+        .collect()
+    }
+    rows = _rows(spark, "compaction_bin_packing")
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert set(by_source) == set(totals)
+    for source, bins in by_source.items():
+        tot_b, tot_n = totals[source]
+        assert sum(r.bin_bytes for r in bins) == tot_b
+        assert sum(r.n_files for r in bins) == tot_n
+        ids = sorted(r.bin for r in bins)
+        # contiguous packing: a bin can only start once the previous byte
+        # range is entered, so bin ids are 0..k with no holes
+        assert ids == list(range(len(ids))), source
+        for r in bins:
+            assert math.isclose(
+                r.fill_ratio, r.bin_bytes / COMPACT_TARGET, rel_tol=1e-12
+            )
+
+
+def test_partition_skew_report_conserves_rows(spark):
+    rows = _rows(spark, "partition_skew_report")
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert sum(r.n_rows for r in rows) == ev.count()
+    for r in rows:
+        # max*k/total is >= 1 by definition of max, <= k when one cell holds all
+        assert r.skew_ratio >= 1.0 - 1e-12
+        assert r.skew_ratio <= r.n_types + 1e-12
+        assert r.max_type_rows * r.n_types >= r.n_rows
+
+
+def test_embedding_outliers_match_numpy(spark):
+    np = pytest.importorskip("numpy")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    # replicate the micro-quantized contract: v6 = floor(v * 1e6)
+    q = {k: np.floor(v * 1e6) for k, v in vecs.items()}
+    n = len(q)
+    mean_num = sum(q.values())  # per-dim sums
+    dist2 = {
+        k: float(np.sum((v * n - mean_num) ** 2)) / (1e12 * n * n)
+        for k, v in q.items()
+    }
+    top = sorted(dist2.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = {r.vec_id: (r.dist2, r.rk) for r in _rows(spark, "embedding_outlier_scores")}
+    assert set(got) == {k for k, _ in top}
+    for rk, (k, d) in enumerate(top, start=1):
+        gd, grk = got[k]
+        assert grk == rk, (k, grk, rk)
+        assert math.isclose(gd, d, rel_tol=1e-12), (k, gd, d)
+
+
+def test_conversion_lags_nonnegative_and_bounded_by_signups(spark):
+    rows = _rows(spark, "conversion_lag_stats")
+    assert rows
+    for r in rows:
+        assert r.n_converted <= r.n_signups
+        if r.n_converted:
+            assert 0 <= r.min_lag_ms <= r.max_lag_ms
+            assert r.min_lag_ms <= r.avg_lag_ms <= r.max_lag_ms
+        else:
+            assert r.min_lag_ms is None and r.avg_lag_ms is None
+
+
+def test_top_event_paths_shape(spark):
+    rows = _rows(spark, "top_event_paths")
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) <= n_users
+    assert [r.rk for r in sorted(rows, key=lambda r: r.rk)] == list(
+        range(1, len(rows) + 1)
+    )
+    for r in rows:
+        assert 1 <= len(r.path.split(">")) <= 5
+
+
+def test_grouping_sets_consistent_with_rollup(spark):
+    gs = {(r.l_returnflag, r.l_linestatus, r.gid): r.revenue
+          for r in _rows(spark, "grouping_sets_revenue")}
+    ru = {(r.l_returnflag, r.l_linestatus, r.gid): r.revenue
+          for r in _rows(spark, "rollup_revenue")}
+    # grand total (gid=3) identical; per-flag subtotals (flag, NULL, 1) identical
+    for key, rev in gs.items():
+        flag, status, gid = key
+        if gid in (1, 3) and key in ru:
+            assert math.isclose(rev, ru[key], rel_tol=1e-12), key
+    assert {k[2] for k in gs} == {1, 2, 3}  # never the (flag,status) detail cells
