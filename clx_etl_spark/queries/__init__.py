@@ -135,6 +135,11 @@ SWEEP_FRONT: list[str] = [
     "partition_skew_report",
     "embedding_outlier_scores",
     "grouping_sets_revenue",
+    "funnel_time_bounded",
+    "step_transitions",
+    "kfold_balance_audit",
+    "rrf_fusion",
+    "token_pmi",
     # ---- spill zone past the driver's ~50 cap: entries with the
     # strongest alternative proof (repo oracle green at 3 SFs this
     # round; w4 family shares w4_locf_fill's load path; the
@@ -157,6 +162,7 @@ def load_all() -> dict[str, Query]:
     from . import analytic  # noqa: F401
     from . import datasets  # noqa: F401
     from . import sequence  # noqa: F401
+    from . import mining  # noqa: F401
 
     front = {n: REGISTRY[n] for n in SWEEP_FRONT if n in REGISTRY}
     rest = {n: q for n, q in REGISTRY.items() if n not in front}

@@ -1,0 +1,327 @@
+"""Behavioral mining and retrieval-fusion queries (round-4 continuation).
+
+Time-bounded funnels, step-indexed flow transitions (Sankey input),
+k-fold split balance, reciprocal-rank fusion of lexical+vector retrieval,
+and token co-occurrence association ratios — the second-order analytics a
+product/ML team runs on top of the base event & corpus surfaces.
+
+Scale rules as elsewhere: per-user windows (no global sorts on facts),
+single-key shuffles for user-scoped joins, broadcast-sized vocab/query
+sides, integer-exact counts with one double division at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import load_table
+from ..functions import tokens as _tokens
+from ..operators import ir as IR
+from ..operators import similarity as S
+from . import register
+from .corpus import (_BM25_DF, _BM25_TERMS, _BM25_TF, _bm25_contrib,
+                     _cosine_sql, TOKS)
+
+EV_MS = "(epoch_ns(ts) // 1000000)"
+HOUR_MS = 3_600_000
+DAY_MS = 86_400_000
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return load_table(spark, sf, name)
+
+
+@register(
+    "funnel_time_bounded",
+    oracle=f"""
+    WITH v AS (SELECT user_id, MIN({EV_MS}) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN({EV_MS}) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click'
+            AND {EV_MS} > v.t_view AND {EV_MS} <= v.t_view + {HOUR_MS}
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN({EV_MS}) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND {EV_MS} > c.t_click AND {EV_MS} <= c.t_click + {DAY_MS}
+          GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_1h,
+           (SELECT COUNT(*) FROM p) AS n_purchase_24h
+    """,
+    doc="Time-bounded funnel: click within 1h of FIRST view, purchase "
+    "within 24h of that click — the windowed variant of "
+    "funnel_conversion (which only requires ordering). Three keyed MIN "
+    "aggregates chained by user_id equi-joins — one shuffle key "
+    "throughout, stage populations shrink monotonically so each join's "
+    "build side is smaller than the last",
+)
+def funnel_time_bounded(spark, sf):
+    ev = _t(spark, sf, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts_ms") > F.col("t_view"))
+            & (F.col("ts_ms") <= F.col("t_view") + HOUR_MS)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts_ms") > F.col("t_click"))
+            & (F.col("ts_ms") <= F.col("t_click") + DAY_MS)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_1h")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_24h")))
+    )
+
+
+@register(
+    "step_transitions",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY {EV_MS}, event_id) AS rn
+      FROM events),
+    j AS (SELECT a.rn AS step, a.event_type AS from_type,
+                 b.event_type AS to_type
+          FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+          WHERE a.rn <= 4)
+    SELECT step, from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM j GROUP BY step, from_type, to_type
+    """,
+    doc="Step-indexed flow transitions (the Sankey-diagram input): "
+    "step k's (from, to) counts over each user's first five events — "
+    "markov_transitions aggregates over ALL positions, this keeps the "
+    "position axis. LEAD window per user (no self-join on the Spark "
+    "side; the oracle's self-join form is the cross-engine-stable "
+    "equivalent), then a keyed count over the small (step x type x type) "
+    "space",
+)
+def step_transitions(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    r = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    j = r.filter((F.col("rn") <= 4) & F.col("to_type").isNotNull())
+    return j.groupBy(
+        F.col("rn").alias("step"),
+        F.col("event_type").alias("from_type"),
+        "to_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "kfold_balance_audit",
+    oracle=f"""
+    WITH a AS (SELECT doc_id, lang,
+                      CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 5 AS INTEGER) AS fold,
+                      CAST(len({TOKS}) AS BIGINT) AS n_tokens
+               FROM documents)
+    SELECT lang, fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM a GROUP BY lang, fold
+    """,
+    doc="5-fold cross-validation balance audit: folds assigned by the "
+    "corpus' shared gate hash (sampling._hash_bucket mod 5 — growth-"
+    "stable, no RNG, agrees with every split/sample query), audited as "
+    "per-(lang, fold) doc and token counts. One narrow expression + one "
+    "keyed aggregate; the audit output is vocab-sized, not corpus-sized",
+)
+def kfold_balance_audit(spark, sf):
+    from ..operators.sampling import _hash_bucket
+
+    docs = _t(spark, sf, "documents")
+    a = docs.select(
+        "lang",
+        _hash_bucket(F.col("doc_id"), 5).cast("int").alias("fold"),
+        F.size(_tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return a.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+_BM25_EXPR = " + ".join(_bm25_contrib(i, t) for i, t in enumerate(_BM25_TERMS))
+_RRF_COS = _cosine_sql("e.embedding", "q.qv")
+RRF_K = 60
+
+
+@register(
+    "rrf_fusion",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(len(t)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                     {", ".join(f"{_BM25_DF[t]} AS df{i}" for i, t in enumerate(_BM25_TERMS))}
+              FROM toks),
+    scored AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+                      {", ".join(f"{_BM25_TF[t]} AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+               FROM toks),
+    bm AS (SELECT doc_id,
+                  CAST(ROW_NUMBER() OVER (ORDER BY {_BM25_EXPR} DESC, doc_id)
+                       AS BIGINT) AS bm_rank
+           FROM scored, stats WHERE tf0 + tf1 + tf2 > 0
+           QUALIFY bm_rank <= 20),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cs AS (SELECT e.vec_id AS doc_id,
+                  CAST(ROW_NUMBER() OVER (ORDER BY {_RRF_COS} DESC, e.vec_id)
+                       AS BIGINT) AS cos_rank
+           FROM embeddings e, q WHERE e.vec_id <> 0
+           QUALIFY cos_rank <= 20),
+    fused AS (
+      SELECT COALESCE(bm.doc_id, cs.doc_id) AS doc_id,
+             bm.bm_rank, cs.cos_rank,
+             COALESCE(1.0 / ({RRF_K} + bm.bm_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + cs.cos_rank), 0.0) AS rrf
+      FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.doc_id)
+    SELECT doc_id, bm_rank, cos_rank, rrf,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER)
+             AS rk
+    FROM fused QUALIFY rk <= 10
+    """,
+    doc="Reciprocal-rank fusion of the lexical and vector retrieval legs "
+    "(the rank-space complement of hybrid_search_rerank's score-space "
+    "cascade): BM25 top-20 and cosine top-20 ranked independently, "
+    "fused by sum(1/(60+rank)) over a full-outer join of the two "
+    "LIMIT-bounded lists. Fusion cost is O(k), corpus touched once per "
+    "leg; 1/(60+r) is a single correctly-rounded division so the fused "
+    "scores are bit-identical cross-engine",
+)
+def rrf_fusion(spark, sf):
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    wb = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm = (
+        IR.bm25_scores(docs, list(_BM25_TERMS))
+        .withColumn("bm_rank", F.row_number().over(wb).cast("long"))
+        .filter(F.col("bm_rank") <= 20)
+        .select("doc_id", "bm_rank")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qv"))
+    wc = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    cs = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine", S.cosine_sim(F.col("embedding"), F.col("_qv")))
+        .withColumn("cos_rank", F.row_number().over(wc).cast("long"))
+        .filter(F.col("cos_rank") <= 20)
+        .select("doc_id", "cos_rank")
+    )
+    fused = bm.join(cs, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm_rank",
+        "cos_rank",
+        (
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("bm_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("cos_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("rrf"), F.asc("doc_id")))
+    return fused.select(
+        "doc_id", "bm_rank", "cos_rank", "rrf", rk.cast("int").alias("rk")
+    ).filter(F.col("rk") <= 10)
+
+
+PMI_VOCAB = 50
+PMI_TOPK = 50
+
+
+@register(
+    "token_pmi",
+    oracle=f"""
+    WITH dt0 AS (SELECT DISTINCT doc_id, unnest({TOKS}) AS tok
+                 FROM documents),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+              FROM dt0 GROUP BY tok
+              QUALIFY ROW_NUMBER() OVER (ORDER BY df DESC, tok) <= {PMI_VOCAB}),
+    dt AS (SELECT dt0.doc_id, dt0.tok, v.df
+           FROM dt0 JOIN vocab v ON dt0.tok = v.tok),
+    pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_ab,
+                     MAX(a.df) AS df_a, MAX(b.df) AS df_b
+              FROM dt a JOIN dt b
+                ON a.doc_id = b.doc_id AND a.tok < b.tok
+              GROUP BY a.tok, b.tok),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM documents)
+    SELECT tok_a, tok_b, n_ab,
+           CAST(n.n_docs * n_ab AS DOUBLE) / CAST(df_a * df_b AS DOUBLE)
+             AS assoc_ratio,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_ab DESC, tok_a, tok_b)
+                AS INTEGER) AS rk
+    FROM pairs, n QUALIFY rk <= {PMI_TOPK}
+    """,
+    doc="Token association ratios (exponentiated PMI: P(a,b)/(P(a)P(b)) "
+    "over doc co-occurrence) for the top-50 vocab — collocation / "
+    "related-term mining. The quadratic term is bounded by "
+    "vocab-capping: per-doc candidate pairs <= C(50,2), independent of "
+    "doc length or corpus size; counts are exact integers cross-"
+    "multiplied so no log and no float drift. Vocab is broadcast",
+)
+def token_pmi(spark, sf):
+    docs = _t(spark, sf, "documents")
+    dt0 = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens("text"))).alias("tok")
+    )
+    wv = Window.orderBy(F.desc("df"), F.asc("tok"))
+    vocab = (
+        dt0.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") <= PMI_VOCAB)
+        .drop("_r")
+    )
+    dt = dt0.join(F.broadcast(vocab), "tok")
+    a = dt.select("doc_id", F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    b = dt.select("doc_id", F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ab"),
+            F.max("df_a").alias("df_a"),
+            F.max("df_b").alias("df_b"),
+        )
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    rk = F.row_number().over(Window.orderBy(F.desc("n_ab"), "tok_a", "tok_b"))
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            (
+                (F.col("n_docs") * F.col("n_ab")).cast("double")
+                / (F.col("df_a") * F.col("df_b")).cast("double")
+            ).alias("assoc_ratio"),
+            rk.cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= PMI_TOPK)
+    )

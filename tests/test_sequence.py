@@ -150,3 +150,60 @@ def test_grouping_sets_consistent_with_rollup(spark):
         if gid in (1, 3) and key in ru:
             assert math.isclose(rev, ru[key], rel_tol=1e-12), key
     assert {k[2] for k in gs} == {1, 2, 3}  # never the (flag,status) detail cells
+
+
+# --- batch 2: mining / fusion queries (queries/mining.py) ------------------
+
+
+def test_funnel_time_bounded_monotone_and_tighter_than_unbounded(spark):
+    r = _rows(spark, "funnel_time_bounded")[0]
+    assert r.n_view >= r.n_click_1h >= r.n_purchase_24h
+    # the windowed funnel can never beat the ordering-only funnel
+    u = _rows(spark, "funnel_conversion")[0]
+    assert r.n_click_1h <= u.n_click_after_view
+
+
+def test_step_transitions_conserve_and_match_markov_total(spark):
+    rows = _rows(spark, "step_transitions")
+    per_step: dict[int, int] = {}
+    for r in rows:
+        assert 1 <= r.step <= 4
+        per_step[r.step] = per_step.get(r.step, 0) + r.n
+    # a user contributes to step k+1 only if they contributed to step k
+    for k in range(1, 4):
+        if k + 1 in per_step:
+            assert per_step[k + 1] <= per_step[k]
+    # step transitions are a subset of all markov transitions
+    markov_total = sum(r.n for r in _rows(spark, "markov_transitions"))
+    assert sum(per_step.values()) <= markov_total
+
+
+def test_kfold_balance_partitions_all_docs(spark):
+    rows = _rows(spark, "kfold_balance_audit")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert {r.fold for r in rows} <= set(range(5))
+
+
+def test_rrf_scores_recompute(spark):
+    rows = _rows(spark, "rrf_fusion")
+    assert len(rows) == 10
+    for r in rows:
+        expect = 0.0
+        if r.bm_rank is not None:
+            expect += 1.0 / (60 + r.bm_rank)
+        if r.cos_rank is not None:
+            expect += 1.0 / (60 + r.cos_rank)
+        assert r.rrf == expect
+        assert r.bm_rank is not None or r.cos_rank is not None
+
+
+def test_token_pmi_ratio_bounds(spark):
+    rows = _rows(spark, "token_pmi")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    for r in rows:
+        assert r.n_ab >= 1
+        # c_ab <= min(df_a, df_b) implies ratio <= n_docs / max(df_a, df_b)
+        assert 0.0 < r.assoc_ratio <= float(n_docs)
+        assert r.tok_a < r.tok_b
