@@ -102,6 +102,67 @@ def score_documents(
     )
 
 
+KN_SCALE = 1_000_000  # KN fixed-point scale; see kneser_ney_scores bound
+
+
+def kneser_ney_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document interpolated Kneser-Ney bigram scoring — the standard
+    LM smoothing (Kneser & Ney 1995; Chen & Goodman 1998) that add-one
+    crudely approximates. Discount d = 3/4 (a rational, so everything
+    stays in exact integer arithmetic):
+
+        P(w2|w1) = (c12 - d)/c1  +  d·N1+(w1,·)/c1 · N1+(·,w2)/B
+
+    where N1+(w1,·) = distinct continuations of w1, N1+(·,w2) = distinct
+    histories of w2 (the "novel-continuation" unigram), B = distinct
+    bigram types. In-corpus scoring means every scored bigram has
+    c12 >= 1, so the discounted term (4·c12 - 3) is always positive.
+
+    Fixed-point: p_scaled = floor((4·c12-3)·S / (4·c1))
+                          + floor(3·N1f·N1b·S / (4·c1·B)), S = 1e6.
+    Two integer floor-divisions per bigram — bit-identical in Spark
+    ``div`` and DuckDB ``//`` — then an exact BIGINT per-doc sum and one
+    final IEEE division. Headroom: 3·N1f·N1b·S < 2^63 holds while
+    N1f·N1b < 3.07e12, i.e. word vocabularies to ~1.7M distinct
+    continuations/histories per token — beyond any natural-language
+    vocab (scale past that by dropping S to 1e4).
+
+    Shape at 100 TB: identical to score_documents — the model is three
+    keyed aggregates over the bigram stream (all map-side combinable,
+    vocab-bounded), scoring is the stream joined back to them.
+    """
+    bg = bigram_stream(df, text_col, id_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    n1b = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    btypes = c12.agg(F.count(F.lit(1)).alias("b"))
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .join(n1b, ["w2"])
+        .crossJoin(F.broadcast(btypes))
+        .withColumn(
+            "p_scaled",
+            F.expr(
+                f"((4L * c12 - 3L) * {KN_SCALE}L) div (4L * c1)"
+                f" + (3L * n1f * n1b * {KN_SCALE}L) div (4L * c1 * b)"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("p_scaled").alias("sum_scaled"),
+        (
+            F.sum("p_scaled").cast("double")
+            / (F.count(F.lit(1)).cast("double") * float(KN_SCALE))
+        ).alias("avg_p"),
+    )
+
+
 def dsir_importance(
     df: DataFrame,
     target_pred,

@@ -72,6 +72,48 @@ def lm_bigram_doc_scores(spark, sf):
 
 
 @register(
+    "lm_kneser_ney_scores",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+           WHERE len(t) >= 2),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                  CAST(COUNT(*) AS BIGINT) AS n1f
+           FROM c12 GROUP BY w1),
+    n1b AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+            FROM c12 GROUP BY w2),
+    bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM c12),
+    scored AS (SELECT g.doc_id,
+                      ((4 * c.c12 - 3) * {LM.KN_SCALE}) // (4 * u.c1)
+                      + (3 * u.n1f * n.n1b * {LM.KN_SCALE}) // (4 * u.c1 * bt.b)
+                        AS p_scaled
+               FROM bg g
+               JOIN c12 c ON g.w1 = c.w1 AND g.w2 = c.w2
+               JOIN c1 u ON g.w1 = u.w1
+               JOIN n1b n ON g.w2 = n.w2, bt)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_scaled) AS BIGINT) AS sum_scaled,
+           CAST(SUM(p_scaled) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * {float(LM.KN_SCALE)}) AS avg_p
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Interpolated Kneser-Ney bigram scoring (d = 3/4, the rational "
+    "discount keeps every term exact-integer): discounted ML estimate "
+    "plus continuation-probability backoff N1+(w1,.)/c1 x N1+(.,w2)/B — "
+    "the principled smoothing the add-one model (lm_bigram_doc_scores) "
+    "approximates. Three vocab-bounded keyed aggregates + stream-back "
+    "joins; fixed-point floors bit-identical cross-engine",
+)
+def lm_kneser_ney_scores(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return LM.kneser_ney_scores(docs)
+
+
+@register(
     "split_train_val_test",
     oracle=f"""
     SELECT doc_id, lang, n_chars, {_split_case("doc_id")} AS split

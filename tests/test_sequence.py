@@ -207,3 +207,82 @@ def test_token_pmi_ratio_bounds(spark):
         # c_ab <= min(df_a, df_b) implies ratio <= n_docs / max(df_a, df_b)
         assert 0.0 < r.assoc_ratio <= float(n_docs)
         assert r.tok_a < r.tok_b
+
+
+def test_kneser_ney_matches_pure_python_fixed_point(spark):
+    """Independent recomputation of the KN fixed-point arithmetic on a
+    tiny corpus (integer floors included), plus probability sanity."""
+    from clx_etl_spark.operators.lm import KN_SCALE, kneser_ney_scores
+
+    texts = [
+        (1, "a b a b c"),
+        (2, "a b c d"),
+        (3, "b c a a"),
+        (4, "d a b"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_bigrams, r.sum_scaled) for r in kneser_ney_scores(df).collect()}
+
+    # pure-python mirror
+    from collections import Counter, defaultdict
+
+    bgs = defaultdict(list)
+    for doc_id, t in texts:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            bgs[doc_id].append((a, b))
+    c12 = Counter(p for ps in bgs.values() for p in ps)
+    c1 = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    B = len(c12)
+    for doc_id, ps in bgs.items():
+        s = 0
+        for w1, w2 in ps:
+            s += ((4 * c12[(w1, w2)] - 3) * KN_SCALE) // (4 * c1[w1])
+            s += (3 * n1f[w1] * n1b[w2] * KN_SCALE) // (4 * c1[w1] * B)
+        assert got[doc_id] == (len(ps), s), doc_id
+    # and on real data: average probabilities are valid probabilities
+    rows = _rows(spark, "lm_kneser_ney_scores")
+    assert rows and all(0.0 < r.avg_p <= 1.0 for r in rows)
+
+
+def test_kneser_ney_conditional_distribution_sums_below_one(spark):
+    """For every context w1, sum_w2 P_KN(w2|w1) <= 1 (floors only lose
+    mass) and >= 1 - d·N1f/c1 slack bound — the distribution shape that
+    makes KN a proper smoothing."""
+    from fractions import Fraction
+
+    from clx_etl_spark.catalog import load_table
+    from clx_etl_spark.operators.lm import bigram_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    bg = [(r.w1, r.w2) for r in bigram_stream(docs).collect()]
+    from collections import Counter
+
+    c12 = Counter(bg)
+    c1 = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    B = len(c12)
+    d = Fraction(3, 4)
+    sum_n1b = sum(n1b.values())
+    by_w1 = Counter()
+    for (w1, w2), c in c12.items():
+        p = (c - d) / c1[w1] + d * n1f[w1] / c1[w1] * Fraction(n1b[w2], B)
+        by_w1[w1] += p
+    for w1, s in by_w1.items():
+        assert s <= 1, (w1, s)
+        # full mass only if Pcont summed over w2 seen after w1 were 1;
+        # the loss is exactly lambda * (1 - sum Pcont(seen w2))
+        lam = d * n1f[w1] / c1[w1]
+        assert s >= 1 - lam, (w1, s)
+    assert sum_n1b == B
