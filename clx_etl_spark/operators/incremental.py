@@ -1,0 +1,124 @@
+"""Incremental aggregate maintenance: materialized rollups refreshed by
+merging MERGEABLE PARTIAL STATES instead of recomputing from raw facts.
+
+The 100 TB pattern: a daily rollup over an append-only fact stream should
+cost O(new batch) per refresh, not O(history). That requires every
+aggregate to be kept as a merge-closed state:
+
+    count  -> sum of counts
+    sum    -> sum of sums       (fixed-scale DECIMAL: order-independent)
+    min    -> min of mins
+    max    -> max of maxs
+    avg    -> derived at READ time from (sum, count) — never stored
+
+(avg/stddev stored directly would be lost causes: they don't merge. The
+same discipline the sketches follow — operators/sketch.py HLL/CMS cells
+merge by max/sum — applied to plain numeric rollups.)
+
+``partial_daily_state`` builds the state table for any slice of events;
+``merge_states`` folds any number of state tables into one (associative +
+commutative, so batches can arrive in any order or grouping);
+``incremental_refresh`` maintains a stored parquet rollup by merging only
+the GROUPS present in the new batch — the read-modify-write touches the
+rollup (group-cardinality-sized), never re-scans old facts.
+
+Reference analog: the hourly kline sync re-aggregates only the scanned
+window and upserts (src/flows/sync_klines.py) — this generalizes that
+cadence to arbitrary additive rollups.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DEC6 = "decimal(38,6)"
+DAY_MS = 86_400_000
+
+STATE_COLS = ("n", "sum_v", "min_v", "max_v")
+
+
+def partial_daily_state(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_ms_col: str = "ts_ms",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Mergeable per-(day, keys) aggregate state for a slice of events.
+    One keyed aggregate, map-side combinable; the money-typed sum is
+    DECIMAL so re-merging can't drift."""
+    return events.groupBy(
+        F.expr(f"{ts_ms_col} div {DAY_MS}").alias("day_id"), *keys
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast(DEC6)).alias("sum_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )
+
+
+def merge_states(*states: DataFrame) -> DataFrame:
+    """Fold state tables into one: group back on the dimension columns and
+    combine each state column with its merge function. Associative and
+    commutative — any batching of the input facts yields the identical
+    state (the property the oracle equality check pins)."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    dims = [c for c in merged.columns if c not in STATE_COLS]
+    return merged.groupBy(*dims).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+def finalize_state(state: DataFrame) -> DataFrame:
+    """Read-time derivation of the non-mergeable aggregates: avg from
+    (sum, count), cast to the query-facing types."""
+    return state.select(
+        *[c for c in state.columns if c not in STATE_COLS],
+        "n",
+        F.col("sum_v").cast("double").alias("sum_value"),
+        "min_v",
+        "max_v",
+        (F.col("sum_v").cast("double") / F.col("n").cast("double")).alias(
+            "avg_value"
+        ),
+    )
+
+
+def incremental_refresh(
+    spark: SparkSession,
+    new_events: DataFrame,
+    rollup_path: str,
+    value_col: str = "value",
+    ts_ms_col: str = "ts_ms",
+    keys: tuple[str, ...] = ("event_type",),
+) -> None:
+    """Maintain a stored daily rollup from a new fact batch: aggregate the
+    batch to partial state, merge with ONLY the stored groups it touches,
+    and overwrite those groups (merge_upsert's keyed MERGE). Cost is
+    O(batch + touched groups); history is never re-scanned. Idempotence
+    caveat: refresh is additive, so exactly-once delivery into this
+    function is the caller's contract (feed it from a checkpointed stream
+    or the gap-planned batch pulls, both of which deliver each bar once).
+    """
+    from ..sinks.upsert import merge_upsert
+
+    batch_state = partial_daily_state(new_events, value_col, ts_ms_col, keys)
+    dims = ["day_id", *keys]
+    if os.path.exists(rollup_path):
+        stored = spark.read.parquet(rollup_path)
+        touched = stored.join(
+            F.broadcast(batch_state.select(*dims).distinct()), dims, "left_semi"
+        )
+        merged = merge_states(touched, batch_state)
+    else:
+        merged = batch_state
+    # localCheckpoint: the MERGE below rewrites the same parquet the
+    # `stored` lineage reads — materialize first (bounded: rollup-sized)
+    merged = merged.localCheckpoint(eager=True)
+    merge_upsert(spark, merged, rollup_path, keys=dims)

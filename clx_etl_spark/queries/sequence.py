@@ -417,3 +417,43 @@ def grouping_sets_revenue(spark, sf):
         F.count(F.lit(1)).alias("n_items"),
         F.grouping_id().alias("gid"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance (operators/incremental.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "incremental_agg_merge",
+    oracle=f"""
+    SELECT {EV_MS} // {DAY_MS} AS day_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_v, MAX(value) AS max_v,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_value
+    FROM events GROUP BY day_id, event_type
+    """,
+    doc="Incremental rollup maintenance proof: facts split into two "
+    "batches (days < 15 / rest), each aggregated to MERGEABLE partial "
+    "state (count/decimal-sum/min/max — avg derived only at read time), "
+    "states merged, then finalized; the oracle aggregates the raw facts "
+    "directly, so the hash match proves merge(partial(A), partial(B)) == "
+    "direct(A+B) cross-engine. The O(batch)-per-refresh pattern that "
+    "replaces O(history) recomputes at 100 TB (operators/incremental.py)",
+)
+def incremental_agg_merge(spark, sf):
+    from ..operators.incremental import (finalize_state, merge_states,
+                                         partial_daily_state)
+
+    ev = _t(spark, sf, "events")
+    old = ev.filter(F.expr(f"ts_ms div {DAY_MS}") < F.lit(19723 + 15))
+    new = ev.filter(F.expr(f"ts_ms div {DAY_MS}") >= F.lit(19723 + 15))
+    merged = merge_states(
+        partial_daily_state(old), partial_daily_state(new)
+    )
+    out = finalize_state(merged)
+    return out.select(
+        "day_id", "event_type", "n", "sum_value", "min_v", "max_v", "avg_value"
+    )

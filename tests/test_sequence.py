@@ -286,3 +286,47 @@ def test_kneser_ney_conditional_distribution_sums_below_one(spark):
         lam = d * n1f[w1] / c1[w1]
         assert s >= 1 - lam, (w1, s)
     assert sum_n1b == B
+
+
+def test_incremental_refresh_converges_to_full_recompute(spark, tmp_path):
+    """Two successive incremental refreshes == one full recompute, and a
+    refresh leaves untouched groups' stored rows intact."""
+    from pyspark.sql import functions as F
+
+    from clx_etl_spark.operators.incremental import (
+        finalize_state, incremental_refresh, merge_states, partial_daily_state)
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "rollup")
+    day = F.expr("ts_ms div 86400000")
+    b1 = ev.filter(day < 19723 + 10)
+    b2 = ev.filter(day >= 19723 + 10)
+    incremental_refresh(spark, b1, path)
+    stored_after_b1 = {
+        (r.day_id, r.event_type): (r.n, r.sum_v, r.min_v, r.max_v)
+        for r in spark.read.parquet(path).collect()
+    }
+    incremental_refresh(spark, b2, path)
+    got = {
+        (r.day_id, r.event_type): (r.n, r.sum_v, r.min_v, r.max_v)
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        (r.day_id, r.event_type): (r.n, r.sum_v, r.min_v, r.max_v)
+        for r in partial_daily_state(ev).collect()
+    }
+    assert got == want
+    # groups from batch 1 whose day never appears in batch 2 are untouched
+    b2_days = {r.day_id for r in partial_daily_state(b2).select("day_id").collect()}
+    for key, state in stored_after_b1.items():
+        if key[0] not in b2_days:
+            assert got[key] == state, key
+    # merge_states is order/batching independent
+    a, b = partial_daily_state(b1), partial_daily_state(b2)
+    m1 = {tuple(r) for r in merge_states(a, b).collect()}
+    m2 = {tuple(r) for r in merge_states(b, a).collect()}
+    assert m1 == m2
+    # finalize derives avg consistently
+    fin = finalize_state(merge_states(a, b))
+    r0 = fin.filter(F.col("n") > 0).first()
+    assert abs(r0.avg_value - r0.sum_value / r0.n) < 1e-12
