@@ -457,3 +457,115 @@ def incremental_agg_merge(spark, sf):
     return out.select(
         "day_id", "event_type", "n", "sum_value", "min_v", "max_v", "avg_value"
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diffing and distribution profiling
+# --------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_orderkey % 10 <> 0),
+    new AS (SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0
+                        THEN o_totalprice + 1.0 ELSE o_totalprice END
+                     AS o_totalprice
+            FROM orders WHERE o_orderkey % 13 <> 0)
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           o.o_totalprice AS old_value,
+           n.o_totalprice AS new_value
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+    """,
+    doc="Table-snapshot diff (the regression check between two pipeline "
+    "runs / table versions): keyed full-outer join classifying every key "
+    "as added / removed / changed, unchanged rows filtered out so the "
+    "diff is change-sized, not table-sized. Snapshots here are two "
+    "deterministic residue-class views of orders; in production the two "
+    "sides are yesterday's and today's parquet — same single-shuffle "
+    "co-partitioned join on the key",
+)
+def snapshot_diff(spark, sf):
+    orders = _t(spark, sf, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_value")
+    )
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("new_value"),
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_value").isNull(), "added")
+        .when(F.col("new_value").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return j.filter(
+        F.col("old_value").isNull()
+        | F.col("new_value").isNull()
+        | (F.col("old_value") != F.col("new_value"))
+    ).select("o_orderkey", change.alias("change_type"), "old_value", "new_value")
+
+
+@register(
+    "column_gini_profile",
+    oracle="""
+    WITH src AS (
+      SELECT 'o_orderstatus' AS col, CAST(o_orderstatus AS VARCHAR) AS v
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders),
+    c AS (SELECT col, v, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM src GROUP BY col, v),
+    s AS (SELECT col, CAST(SUM(cnt * cnt) AS BIGINT) AS sum_c2,
+                 CAST(SUM(cnt) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS ndv
+          FROM c GROUP BY col)
+    SELECT col, n, ndv,
+           1.0 - CAST(sum_c2 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS gini_impurity
+    FROM s
+    """,
+    doc="Per-column Gini impurity (1 - sum p^2) — the log-free "
+    "concentration profile (entropy's rational cousin: ln() differs in "
+    "the last ulp across engines, sum(c^2) is an exact BIGINT): 0 = "
+    "constant column, ->1 = uniform high-cardinality. Drift in it "
+    "flags distribution shifts between pipeline runs. One unpivot + two "
+    "keyed aggregates, value space bounded by per-column NDV",
+)
+def column_gini_profile(spark, sf):
+    orders = _t(spark, sf, "orders")
+    legs = [
+        orders.select(
+            F.lit(c).alias("col"), F.col(c).cast("string").alias("v")
+        )
+        for c in ("o_orderstatus", "o_orderpriority", "o_orderdate")
+    ]
+    src = legs[0].unionByName(legs[1]).unionByName(legs[2])
+    c = src.groupBy("col", "v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    s = c.groupBy("col").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sum_c2"),
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("ndv"),
+    )
+    return s.select(
+        "col",
+        "n",
+        "ndv",
+        (
+            F.lit(1.0)
+            - F.col("sum_c2").cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+        ).alias("gini_impurity"),
+    )
