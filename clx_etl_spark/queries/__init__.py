@@ -144,6 +144,7 @@ SWEEP_FRONT: list[str] = [
     "incremental_agg_merge",
     "snapshot_diff",
     "column_gini_profile",
+    "session_entry_exit_stats",
     # ---- spill zone past the driver's ~50 cap: entries with the
     # strongest alternative proof (repo oracle green at 3 SFs this
     # round; w4 family shares w4_locf_fill's load path; the

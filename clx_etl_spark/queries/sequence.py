@@ -569,3 +569,78 @@ def column_gini_profile(spark, sf):
             / (F.col("n").cast("double") * F.col("n").cast("double"))
         ).alias("gini_impurity"),
     )
+
+
+SESSION_GAP_MS = 1_800_000  # 30 min inactivity breaks a session
+
+
+@register(
+    "session_entry_exit_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, {EV_MS} AS ts_ms, event_id,
+             CASE WHEN {EV_MS} - LAG({EV_MS}) OVER w > {SESSION_GAP_MS}
+                  OR LAG({EV_MS}) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {EV_MS}, event_id)),
+    s AS (SELECT user_id, event_type, ts_ms, event_id,
+                 SUM(brk) OVER (PARTITION BY user_id
+                                ORDER BY ts_ms, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM e),
+    sel AS (SELECT user_id, session_id,
+                   FIRST_VALUE(event_type) OVER ws AS entry_type,
+                   LAST_VALUE(event_type) OVER ws AS exit_type
+            FROM s
+            WINDOW ws AS (PARTITION BY user_id, session_id
+                          ORDER BY ts_ms, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)),
+    agg AS (SELECT user_id, session_id,
+                   MIN(entry_type) AS entry_type, MIN(exit_type) AS exit_type,
+                   COUNT(*) AS n_events
+            FROM sel GROUP BY user_id, session_id)
+    SELECT entry_type, exit_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces
+    FROM agg GROUP BY entry_type, exit_type
+    """,
+    doc="Session entry/exit matrix with bounce counts: 30-min-gap "
+    "sessionization (per-user LAG + running break sum — the islands "
+    "pattern of w3_islands_sessionize), then argmin/argmax by "
+    "(ts, event_id) picks each session's first and last event in one "
+    "keyed aggregate (min_by/max_by, no second window pass). The "
+    "landing/exit-page analytics primitive; fully deterministic "
+    "tie-break via event_id",
+)
+def session_entry_exit_stats(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    lagged = ev.select(
+        "user_id", "event_type", "ts_ms", "event_id",
+        F.lag("ts_ms").over(w).alias("prev_ms"),
+    ).withColumn(
+        "brk",
+        F.when(
+            F.col("prev_ms").isNull()
+            | (F.col("ts_ms") - F.col("prev_ms") > SESSION_GAP_MS),
+            1,
+        ).otherwise(0),
+    )
+    s = lagged.withColumn(
+        "session_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    key = F.struct("ts_ms", "event_id")
+    agg = s.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", key).alias("entry_type"),
+        F.max_by("event_type", key).alias("exit_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+    )
