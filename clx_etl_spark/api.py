@@ -321,6 +321,45 @@ class Engine:
 
         return phash_near_duplicates(assets, max_hamming)
 
+    def refresh_rollup(self, new_events: DataFrame, rollup_path: str,
+                       value_col: str = "value", ts_ms_col: str = "ts_ms",
+                       keys: tuple[str, ...] = ("event_type",)) -> None:
+        """Incremental daily-rollup maintenance: merge the batch's partial
+        aggregate state into the stored rollup — O(batch + touched
+        groups), never a history re-scan (operators/incremental.py)."""
+        from .operators.incremental import incremental_refresh
+
+        incremental_refresh(self.spark, new_events, rollup_path,
+                            value_col, ts_ms_col, keys)
+
+    def kn_scores(self, df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+        """Kneser-Ney smoothed per-document LM scores (exact fixed
+        point; the principled upgrade of lm_scores' add-one model)."""
+        from .operators.lm import kneser_ney_scores
+
+        return kneser_ney_scores(df, text_col, id_col)
+
+    def diff_snapshots(self, old: DataFrame, new: DataFrame,
+                       keys: list[str]) -> DataFrame:
+        """Keyed snapshot diff: added / removed / changed rows between two
+        table versions, unchanged rows dropped (change-sized output)."""
+        from pyspark.sql import functions as F
+
+        vals = [c for c in old.columns if c not in keys]
+        o = old.select(*keys, F.struct(*vals).alias("_old"))
+        n = new.select(*keys, F.struct(*vals).alias("_new"))
+        j = o.join(n, keys, "full_outer")
+        change = (
+            F.when(F.col("_old").isNull(), "added")
+            .when(F.col("_new").isNull(), "removed")
+            .otherwise("changed")
+        )
+        return j.filter(
+            F.col("_old").isNull() | F.col("_new").isNull()
+            | (F.col("_old") != F.col("_new"))
+        ).select(*keys, change.alias("change_type"), "_old", "_new")
+
     def eval_holdout(self, df: DataFrame, key_col: str, stratum_col: str,
                      k: int = 25) -> DataFrame:
         """Coverage-guaranteed holdout: the k lowest-gate-hash rows per

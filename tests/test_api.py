@@ -270,3 +270,35 @@ def test_engine_monitoring_cdc_media_surface(spark):
     )
     by = {r[0]: r[1] for r in hold.groupBy("lang").count().collect()}
     assert by == {"big": 10, "rare": 1}
+
+
+def test_engine_rollup_kn_and_diff(spark, tmp_path):
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+
+    # incremental rollup facade: two refreshes == direct partial state
+    from clx_etl_spark.operators.incremental import partial_daily_state
+
+    ev = eng.table("events")
+    path = str(tmp_path / "rollup")
+    day = F.expr("ts_ms div 86400000")
+    eng.refresh_rollup(ev.filter(day < 19723 + 10), path)
+    eng.refresh_rollup(ev.filter(day >= 19723 + 10), path)
+    got = {
+        (r.day_id, r.event_type): (r.n, r.sum_v)
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        (r.day_id, r.event_type): (r.n, r.sum_v)
+        for r in partial_daily_state(ev).collect()
+    }
+    assert got == want
+
+    # KN scores facade: valid probabilities over a small slice
+    scores = eng.kn_scores(eng.table("documents").limit(20)).collect()
+    assert scores and all(0.0 < r.avg_p <= 1.0 for r in scores)
+
+    # snapshot-diff facade
+    old = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    new = spark.createDataFrame([(2, "B"), (3, "c"), (4, "d")], "id long, v string")
+    diff = {r.id: r.change_type for r in eng.diff_snapshots(old, new, ["id"]).collect()}
+    assert diff == {1: "removed", 2: "changed", 4: "added"}
