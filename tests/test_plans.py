@@ -53,6 +53,10 @@ NLJ_ALLOWED = {
     # pruning at scale (semantics unchanged, see hard_negative_mining doc)
     "zorder_locality_stats",  # broadcast of the 1-row global bounds
     "lang_temperature_sample",  # broadcast of the 1-row min-count anchor
+    "funnel_time_bounded",  # crossJoin of three 1-row stage counts
+    "lm_kneser_ney_scores",  # broadcast of the 1-row bigram-type total
+    "rrf_fusion",  # broadcast 1-row query vector against the top-20 leg
+    "token_pmi",  # broadcast of the 1-row n_docs scalar onto vocab pairs
 }
 
 
