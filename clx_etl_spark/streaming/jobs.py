@@ -185,6 +185,74 @@ def gated_ingest(
     return writer.start()
 
 
+def make_rollup_sink(
+    rollup_path: str,
+    checkpoint: str,
+    value_col: str = "value",
+    ts_ms_col: str = "ts_ms",
+    keys: tuple[str, ...] = ("event_type",),
+):
+    """The per-batch sink behind rollup_stream, factored out so the
+    replay guard is directly testable: (batch, batch_id) -> None, no-op
+    when this (checkpoint, batch_id) was already applied."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from ..operators.incremental import incremental_refresh
+
+    ns = _hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    marker_dir = _os.path.join(rollup_path + "._applied", ns)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        marker = _os.path.join(marker_dir, f"batch_{batch_id}")
+        if _os.path.exists(marker):
+            return  # replayed batch: already merged, skip (idempotence)
+        incremental_refresh(
+            batch.sparkSession, batch, rollup_path, value_col, ts_ms_col, keys
+        )
+        _os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("applied")
+
+    return sink
+
+
+def rollup_stream(
+    events: DataFrame,
+    rollup_path: str,
+    checkpoint: str,
+    value_col: str = "value",
+    ts_ms_col: str = "ts_ms",
+    keys: tuple[str, ...] = ("event_type",),
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming incremental rollup: each micro-batch's partial aggregate
+    state merges into the stored daily rollup (operators/incremental.py)
+    — O(batch + touched groups) per trigger, facts never re-scanned.
+
+    Exactly-once for an ADDITIVE sink: merging the same batch twice would
+    double-count, and Spark's foreachBatch contract is at-least-once
+    (a crash between sink success and checkpoint commit replays the
+    batch). The standard transactional-sink guard (Delta's
+    txnAppId/txnVersion pattern): a marker file per applied batch_id,
+    NAMESPACED by the checkpoint (= the query lineage — stable across
+    restarts of the same query, distinct for a second stream feeding the
+    same rollup, so two producers can never swallow each other's batch
+    ids). A replayed batch sees its marker and no-ops; the marker is
+    created only AFTER the refresh's parquet commit, so a half-applied
+    refresh is impossible (merge_upsert overwrites atomically per
+    partition dir). Starting a FRESH checkpoint against an existing
+    rollup re-ingests from scratch by design — point it at a fresh
+    rollup too.
+    """
+    writer = events.writeStream.foreachBatch(
+        make_rollup_sink(rollup_path, checkpoint, value_col, ts_ms_col, keys)
+    ).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def cdc_apply_stream(
     changelog: DataFrame,
     path: str,

@@ -832,3 +832,76 @@ def test_cdc_apply_stream_partitioned_delete_scoped(spark, tmp_path):
     assert [
         os.path.getmtime(os.path.join(target, "p=c", f)) for f in c_files
     ] == c_mtime
+
+
+def test_rollup_stream_incremental_and_replay_safe(spark, tmp_path):
+    """Streaming incremental rollup: micro-batches merge into the stored
+    daily rollup; a full-stream replay from a fresh checkpoint is a
+    no-op thanks to the per-batch_id marker guard (additive sinks are
+    NOT naturally idempotent — this is the transactional-sink pattern)."""
+    import glob
+    import os
+
+    from pyspark.sql.types import DoubleType
+
+    from clx_etl_spark.operators.incremental import partial_daily_state
+    from clx_etl_spark.streaming.jobs import rollup_stream
+
+    schema = StructType(
+        [
+            StructField("ts_ms", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "in")
+    rollup = str(tmp_path / "rollup")
+    rows = [
+        (FX.BASE_TS + d * 86_400_000 + i, "click" if i % 2 else "view", float(i))
+        for d in range(3)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    # three files -> maxFilesPerTrigger=1 gives three micro-batches
+    for d in range(3):
+        df.filter(F.expr(f"ts_ms div 86400000 = {FX.BASE_TS // 86_400_000 + d}")) \
+          .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    ckpt = str(tmp_path / "c1")
+    q = rollup_stream(stream, rollup, checkpoint=ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r.day_id, r.event_type): (r.n, r.sum_v, r.min_v, r.max_v)
+        for r in spark.read.parquet(rollup).collect()
+    }
+    want = {
+        (r.day_id, r.event_type): (r.n, r.sum_v, r.min_v, r.max_v)
+        for r in partial_daily_state(df).collect()
+    }
+    assert got == want
+    assert len(glob.glob(os.path.join(rollup + "._applied", "*", "batch_*"))) >= 1
+
+    # crash-replay: re-deliver an ALREADY-APPLIED batch id through the
+    # same checkpoint lineage's sink (foreachBatch is at-least-once) —
+    # the marker guard makes it a no-op, no double counting
+    from clx_etl_spark.streaming.jobs import make_rollup_sink
+
+    sink = make_rollup_sink(rollup, ckpt)
+    sink(df.limit(10), 0)
+    got2 = {
+        (r.day_id, r.event_type): (r.n, r.sum_v, r.min_v, r.max_v)
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert got2 == want
+    # a DIFFERENT checkpoint lineage gets its own marker namespace: its
+    # batch 0 is not swallowed by this query's batch-0 marker
+    other = make_rollup_sink(rollup, str(tmp_path / "c_other"))
+    extra_rows = [(FX.BASE_TS + 3 * 86_400_000, "view", 1.0)]
+    other(spark.createDataFrame(extra_rows, schema), 0)
+    n_after = spark.read.parquet(rollup).count()
+    assert n_after == len(want) + 1
