@@ -360,6 +360,37 @@ class Engine:
             | (F.col("_old") != F.col("_new"))
         ).select(*keys, change.alias("change_type"), "_old", "_new")
 
+    def commit_version(self, df: DataFrame, path: str,
+                       mode: str = "append") -> int:
+        """Commit a table snapshot (manifest-based copy-on-write,
+        sinks/versioned.py): 'append' adds this batch to the previous
+        version's files, 'overwrite' starts fresh. Prior versions stay
+        readable until expire_versions."""
+        from .sinks.versioned import append_version, overwrite_version
+
+        fn = append_version if mode == "append" else overwrite_version
+        return fn(df, path)
+
+    def read_version(self, path: str, version: int | None = None) -> DataFrame:
+        """Time-travel read of a committed snapshot (default latest)."""
+        from .sinks.versioned import read_version
+
+        return read_version(self.spark, path, version)
+
+    def read_changes(self, path: str, after_version: int,
+                     to_version: int | None = None) -> DataFrame:
+        """Incremental read: rows added after a version (append-only
+        ranges only — overwrites raise)."""
+        from .sinks.versioned import read_changes
+
+        return read_changes(self.spark, path, after_version, to_version)
+
+    def expire_table_versions(self, path: str, keep_latest: int = 1) -> list[str]:
+        """Drop old manifests; physically delete only unreferenced files."""
+        from .sinks.versioned import expire_versions
+
+        return expire_versions(path, keep_latest)
+
     def eval_holdout(self, df: DataFrame, key_col: str, stratum_col: str,
                      k: int = 25) -> DataFrame:
         """Coverage-guaranteed holdout: the k lowest-gate-hash rows per

@@ -1,0 +1,163 @@
+"""Versioned parquet tables: manifest-based snapshots (time travel),
+incremental change reads, and safe version expiry — the minimal
+copy-on-write table format the reference's S3 snapshot/restore cycle
+(reference: src/system_utils/save_market_snapshot_to_s3.py /
+restore_market_snapshot_from_s3.py) implies but never formalizes.
+
+Layout:
+
+    <table>/data/v<k>-<uuid>.parquet   immutable data files
+    <table>/_manifests/v<k>.json       {"version", "files": [...], "op"}
+    <table>/_manifests/_latest         the current version number
+
+Semantics:
+  * ``append_version`` writes ONLY the new rows as new files; the new
+    manifest = previous file list + new files (copy-on-write: old files
+    are never touched, so every prior version stays readable).
+  * ``overwrite_version`` starts a fresh file list.
+  * ``read_version`` loads the exact file set of a manifest — a
+    snapshot read is just ``spark.read.parquet(*files)``, so pushdown /
+    pruning / AQE all apply unchanged.
+  * ``read_changes(a, b)`` reads only files added after version a up to
+    b — O(delta) incremental consumption for append-mostly tables (the
+    file-level CDC that feeds incremental.rollup refreshes without
+    rescanning history).
+  * ``expire_versions(keep_latest)`` drops old manifests and deletes
+    only files no surviving manifest references.
+
+Scale notes: manifests are file lists, not row data — kilobytes per
+version; commit is a single JSON rename-free write ordered AFTER the
+parquet writes (a crashed writer leaves orphan data files, never a
+corrupt readable version; orphans are reclaimed by expire). Single
+writer per table is the contract (same as the reference's cron jobs);
+multi-writer coordination is a catalog concern, out of scope.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_manifest_dir(path), f"v{version}.json")
+
+
+def latest_version(path: str) -> int | None:
+    f = os.path.join(_manifest_dir(path), "_latest")
+    if not os.path.exists(f):
+        return None
+    with open(f) as fh:
+        return int(fh.read().strip())
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def _write_files(df: DataFrame, path: str, version: int) -> list[str]:
+    sub = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("error").parquet(sub)
+    return [
+        os.path.join(sub, f)
+        for f in sorted(os.listdir(sub))
+        if f.endswith(".parquet")
+    ]
+
+
+def _commit(path: str, version: int, files: list[str], op: str) -> int:
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    manifest = {"version": version, "op": op, "files": files}
+    with open(_manifest_path(path, version), "w") as fh:
+        json.dump(manifest, fh)
+    with open(os.path.join(_manifest_dir(path), "_latest"), "w") as fh:
+        fh.write(str(version))
+    return version
+
+
+def append_version(df: DataFrame, path: str) -> int:
+    """Commit a new version = previous files + this batch's new files.
+    Returns the committed version number (0 for a fresh table)."""
+    prev = latest_version(path)
+    prev_files = _read_manifest(path, prev)["files"] if prev is not None else []
+    version = 0 if prev is None else prev + 1
+    new_files = _write_files(df, path, version)
+    return _commit(path, version, prev_files + new_files, "append")
+
+
+def overwrite_version(df: DataFrame, path: str) -> int:
+    """Commit a new version containing ONLY this DataFrame's files; all
+    prior versions remain readable until expired."""
+    prev = latest_version(path)
+    version = 0 if prev is None else prev + 1
+    return _commit(path, version, _write_files(df, path, version), "overwrite")
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: the exact file set of ``version`` (default latest)."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no versions committed at {path}")
+    files = _read_manifest(path, v)["files"]
+    return spark.read.parquet(*files)
+
+
+def read_changes(
+    spark: SparkSession, path: str, after_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Incremental read: rows in files ADDED after ``after_version`` up
+    to ``to_version`` (default latest). Exact for append-only history;
+    an intervening overwrite raises — its rows are a rewrite, not a
+    delta, and silently treating them as new rows would double-count."""
+    to_v = latest_version(path) if to_version is None else to_version
+    for v in range(after_version + 1, to_v + 1):
+        if _read_manifest(path, v)["op"] != "append":
+            raise ValueError(
+                f"version {v} is an overwrite; incremental reads are only "
+                "exact across append-only ranges — re-read the snapshot"
+            )
+    base = set(_read_manifest(path, after_version)["files"])
+    files = [f for f in _read_manifest(path, to_v)["files"] if f not in base]
+    if not files:
+        return read_version(spark, path, to_v).limit(0)
+    return spark.read.parquet(*files)
+
+
+def expire_versions(path: str, keep_latest: int = 1) -> list[str]:
+    """Drop all but the newest ``keep_latest`` manifests and delete data
+    files no surviving manifest references (including crashed-writer
+    orphans under data/). Returns the deleted file paths."""
+    latest = latest_version(path)
+    if latest is None:
+        return []
+    keep = {v for v in range(latest - keep_latest + 1, latest + 1) if v >= 0}
+    survivors: set[str] = set()
+    for v in keep:
+        survivors.update(_read_manifest(path, v)["files"])
+    deleted: list[str] = []
+    data_root = os.path.join(path, "data")
+    for sub in sorted(os.listdir(data_root)) if os.path.exists(data_root) else []:
+        subdir = os.path.join(data_root, sub)
+        for f in sorted(os.listdir(subdir)):
+            full = os.path.join(subdir, f)
+            if f.endswith(".parquet") and full not in survivors:
+                os.remove(full)
+                deleted.append(full)
+        if not any(f.endswith(".parquet") for f in os.listdir(subdir)):
+            for leftover in os.listdir(subdir):
+                os.remove(os.path.join(subdir, leftover))
+            os.rmdir(subdir)
+    for v in range(0, latest + 1):
+        if v not in keep and os.path.exists(_manifest_path(path, v)):
+            os.remove(_manifest_path(path, v))
+    return deleted

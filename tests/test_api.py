@@ -302,3 +302,22 @@ def test_engine_rollup_kn_and_diff(spark, tmp_path):
     new = spark.createDataFrame([(2, "B"), (3, "c"), (4, "d")], "id long, v string")
     diff = {r.id: r.change_type for r in eng.diff_snapshots(old, new, ["id"]).collect()}
     assert diff == {1: "removed", 2: "changed", 4: "added"}
+
+
+def test_engine_versioned_table_facade(spark, tmp_path):
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    path = str(tmp_path / "vt")
+    assert eng.commit_version(
+        spark.createDataFrame([(1, "a")], "id long, v string"), path
+    ) == 0
+    assert eng.commit_version(
+        spark.createDataFrame([(2, "b")], "id long, v string"), path
+    ) == 1
+    assert {r.id for r in eng.read_version(path, 0).collect()} == {1}
+    assert {r.id for r in eng.read_version(path).collect()} == {1, 2}
+    assert {r.id for r in eng.read_changes(path, 0).collect()} == {2}
+    # composes with the snapshot diff
+    diff = eng.diff_snapshots(
+        eng.read_version(path, 0), eng.read_version(path, 1), ["id"]
+    )
+    assert {(r.id, r.change_type) for r in diff.collect()} == {(2, "added")}

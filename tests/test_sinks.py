@@ -278,3 +278,69 @@ def test_expire_partitions_retention(spark, tmp_path):
         "2024-01-03", "2024-01-04"
     }
     assert left.count() == 6
+
+
+# --- versioned snapshots (sinks/versioned.py) ------------------------------
+
+
+def test_versioned_time_travel_append_and_read(spark, tmp_path):
+    from clx_etl_spark.sinks.versioned import (append_version, latest_version,
+                                               read_version)
+
+    path = str(tmp_path / "vt")
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    d2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    assert append_version(d1, path) == 0
+    assert append_version(d2, path) == 1
+    assert latest_version(path) == 1
+    # snapshots are stable: v0 unchanged after v1 commit
+    assert {r.id for r in read_version(spark, path, 0).collect()} == {1, 2}
+    assert {r.id for r in read_version(spark, path).collect()} == {1, 2, 3}
+
+
+def test_versioned_incremental_changes_and_overwrite_guard(spark, tmp_path):
+    import pytest
+
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               overwrite_version, read_changes)
+
+    path = str(tmp_path / "vt")
+    append_version(spark.createDataFrame([(1,)], "id long"), path)
+    append_version(spark.createDataFrame([(2,)], "id long"), path)
+    append_version(spark.createDataFrame([(3,)], "id long"), path)
+    # delta between v0 and latest = rows added in v1+v2 only
+    assert {r.id for r in read_changes(spark, path, 0).collect()} == {2, 3}
+    assert {r.id for r in read_changes(spark, path, 1, 2).collect()} == {3}
+    # an overwrite breaks append-only lineage: incremental read refuses
+    overwrite_version(spark.createDataFrame([(9,)], "id long"), path)
+    with pytest.raises(ValueError, match="overwrite"):
+        read_changes(spark, path, 0)
+    # but changes AFTER the overwrite are exact again
+    append_version(spark.createDataFrame([(10,)], "id long"), path)
+    assert {r.id for r in read_changes(spark, path, 3).collect()} == {10}
+
+
+def test_versioned_expire_keeps_survivors_readable(spark, tmp_path):
+    import glob
+    import os
+
+    from clx_etl_spark.sinks.versioned import (append_version, expire_versions,
+                                               overwrite_version, read_version)
+
+    path = str(tmp_path / "vt")
+    append_version(spark.createDataFrame([(1,)], "id long"), path)
+    overwrite_version(spark.createDataFrame([(2,)], "id long"), path)
+    append_version(spark.createDataFrame([(3,)], "id long"), path)
+    deleted = expire_versions(path, keep_latest=2)
+    # v0's files are unreferenced by v1/v2 (v1 overwrote) -> physically gone
+    assert deleted and all("/v0-" in f for f in deleted)
+    assert {r.id for r in read_version(spark, path, 2).collect()} == {2, 3}
+    assert {r.id for r in read_version(spark, path, 1).collect()} == {2}
+    assert not os.path.exists(os.path.join(path, "_manifests", "v0.json"))
+    # every remaining physical file is referenced
+    import json
+    refs = set()
+    for m in glob.glob(os.path.join(path, "_manifests", "v*.json")):
+        refs.update(json.load(open(m))["files"])
+    on_disk = set(glob.glob(os.path.join(path, "data", "*", "*.parquet")))
+    assert on_disk == refs
