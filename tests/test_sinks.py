@@ -344,3 +344,47 @@ def test_versioned_expire_keeps_survivors_readable(spark, tmp_path):
         refs.update(json.load(open(m))["files"])
     on_disk = set(glob.glob(os.path.join(path, "data", "*", "*.parquet")))
     assert on_disk == refs
+
+
+def test_versioned_changes_feed_incremental_rollup(spark, tmp_path):
+    """The composed incremental pipeline: facts land as versioned
+    commits, each refresh consumes read_changes (O(delta)) and merges
+    into the rollup — final rollup equals a full recompute over the
+    latest snapshot."""
+    from clx_etl_spark.operators.incremental import (incremental_refresh,
+                                                     partial_daily_state)
+    from clx_etl_spark.sinks.versioned import (append_version, read_changes,
+                                               read_version)
+
+    facts = str(tmp_path / "facts")
+    rollup = str(tmp_path / "rollup")
+    base = 1_704_067_200_000  # 2024-01-01 in ms
+    schema = "ts_ms long, event_type string, value double"
+
+    v0 = append_version(
+        spark.createDataFrame(
+            [(base + i, "view" if i % 2 else "click", float(i)) for i in range(10)],
+            schema,
+        ),
+        facts,
+    )
+    incremental_refresh(spark, read_version(spark, facts, v0), rollup)
+    for day in (1, 2):
+        v = append_version(
+            spark.createDataFrame(
+                [(base + day * 86_400_000 + i, "view", float(i)) for i in range(5)],
+                schema,
+            ),
+            facts,
+        )
+        incremental_refresh(spark, read_changes(spark, facts, v - 1, v), rollup)
+
+    got = {
+        (r.day_id, r.event_type): (r.n, r.sum_v, r.min_v, r.max_v)
+        for r in spark.read.parquet(rollup).collect()
+    }
+    want = {
+        (r.day_id, r.event_type): (r.n, r.sum_v, r.min_v, r.max_v)
+        for r in partial_daily_state(read_version(spark, facts)).collect()
+    }
+    assert got == want
