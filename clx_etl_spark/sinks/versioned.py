@@ -101,15 +101,44 @@ def overwrite_version(df: DataFrame, path: str) -> int:
     return _commit(path, version, _write_files(df, path, version), "overwrite")
 
 
+def merge_version(
+    updates: DataFrame, path: str, keys: list[str]
+) -> int:
+    """Commit a keyed MERGE as a new version: rows matching ``keys``
+    update, the rest insert (last-wins within the batch, same contract
+    as sinks.upsert). Copy-on-write at table granularity: the merged
+    result is written as a fresh file set (op 'overwrite' in the
+    manifest — correct, because a merge rewrites row state and must
+    break incremental append lineage), prior versions stay readable.
+    For partition-scoped merge economics at fact scale, use
+    sinks.upsert.merge_upsert on a partitioned layout instead; the
+    versioned MERGE trades that for time travel."""
+    prev = latest_version(path)
+    if prev is None:
+        return overwrite_version(updates, path)
+    from .upsert import _dedup_updates
+
+    spark = updates.sparkSession
+    stored = read_version(spark, path, prev)
+    up = _dedup_updates(updates, keys)
+    merged = stored.join(up.select(*keys), keys, "left_anti").unionByName(up)
+    # materialize before the commit writes new files (the lineage reads
+    # the previous version's files, which remain on disk — but localCheckpoint
+    # also bounds the double-scan to one pass)
+    return overwrite_version(merged.localCheckpoint(eager=True), path)
+
+
 def read_version(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
-    """Snapshot read: the exact file set of ``version`` (default latest)."""
+    """Snapshot read: the exact file set of ``version`` (default latest).
+    mergeSchema handles append-time column evolution — files committed
+    before a column existed read it as NULL."""
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no versions committed at {path}")
     files = _read_manifest(path, v)["files"]
-    return spark.read.parquet(*files)
+    return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
 def read_changes(

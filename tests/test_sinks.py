@@ -388,3 +388,31 @@ def test_versioned_changes_feed_incremental_rollup(spark, tmp_path):
         for r in partial_daily_state(read_version(spark, facts)).collect()
     }
     assert got == want
+
+
+def test_versioned_merge_and_schema_evolution(spark, tmp_path):
+    from clx_etl_spark.sinks.versioned import (append_version, merge_version,
+                                               read_version)
+
+    path = str(tmp_path / "vt")
+    append_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), path
+    )
+    v1 = merge_version(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"),
+        path, keys=["id"],
+    )
+    assert {(r.id, r.v) for r in read_version(spark, path, v1).collect()} == {
+        (1, "a"), (2, "B"), (3, "c")
+    }
+    # time travel still shows the pre-merge state
+    assert {(r.id, r.v) for r in read_version(spark, path, 0).collect()} == {
+        (1, "a"), (2, "b")
+    }
+    # schema evolution: an appended batch adds a column; old files read NULL
+    append_version(
+        spark.createDataFrame([(4, "d", 9.5)], "id long, v string, score double"),
+        path,
+    )
+    rows = {r.id: r.score for r in read_version(spark, path).collect()}
+    assert rows[4] == 9.5 and rows[1] is None
