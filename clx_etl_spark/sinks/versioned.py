@@ -63,42 +63,132 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _write_files(df: DataFrame, path: str, version: int) -> list[str]:
+def _write_files(
+    df: DataFrame, path: str, version: int, stats_cols: list[str] | None = None
+) -> tuple[list[str], dict]:
+    """Write the batch as immutable files; when ``stats_cols`` is given,
+    collect per-file min/max from the parquet FOOTERS (no data re-read)
+    so the manifest doubles as a file-skipping index."""
     sub = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
     df.write.mode("error").parquet(sub)
-    return [
+    files = [
         os.path.join(sub, f)
         for f in sorted(os.listdir(sub))
         if f.endswith(".parquet")
     ]
+    stats: dict = {}
+    if stats_cols:
+        import pyarrow.parquet as pq
+
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            per_col = {}
+            for c in stats_cols:
+                if c not in names:
+                    continue
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(names[c]).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if lo is not None:
+                    per_col[c] = [lo, hi]
+            if per_col:
+                stats[f] = per_col
+    return files, stats
 
 
-def _commit(path: str, version: int, files: list[str], op: str) -> int:
+def _commit(
+    path: str, version: int, files: list[str], op: str, stats: dict | None = None
+) -> int:
     os.makedirs(_manifest_dir(path), exist_ok=True)
-    manifest = {"version": version, "op": op, "files": files}
+    manifest = {"version": version, "op": op, "files": files,
+                "stats": stats or {}}
     with open(_manifest_path(path, version), "w") as fh:
-        json.dump(manifest, fh)
+        json.dump(manifest, fh, default=str)
     with open(os.path.join(_manifest_dir(path), "_latest"), "w") as fh:
         fh.write(str(version))
     return version
 
 
-def append_version(df: DataFrame, path: str) -> int:
+def append_version(
+    df: DataFrame, path: str, stats_cols: list[str] | None = None
+) -> int:
     """Commit a new version = previous files + this batch's new files.
-    Returns the committed version number (0 for a fresh table)."""
+    Returns the committed version number (0 for a fresh table).
+    ``stats_cols`` records per-file min/max in the manifest so
+    ``scan_version`` can skip files by predicate."""
     prev = latest_version(path)
-    prev_files = _read_manifest(path, prev)["files"] if prev is not None else []
+    prev_m = _read_manifest(path, prev) if prev is not None else {}
     version = 0 if prev is None else prev + 1
-    new_files = _write_files(df, path, version)
-    return _commit(path, version, prev_files + new_files, "append")
+    new_files, stats = _write_files(df, path, version, stats_cols)
+    return _commit(
+        path, version, prev_m.get("files", []) + new_files, "append",
+        {**prev_m.get("stats", {}), **stats},
+    )
 
 
-def overwrite_version(df: DataFrame, path: str) -> int:
+def overwrite_version(
+    df: DataFrame, path: str, stats_cols: list[str] | None = None
+) -> int:
     """Commit a new version containing ONLY this DataFrame's files; all
     prior versions remain readable until expired."""
     prev = latest_version(path)
     version = 0 if prev is None else prev + 1
-    return _commit(path, version, _write_files(df, path, version), "overwrite")
+    files, stats = _write_files(df, path, version, stats_cols)
+    return _commit(path, version, files, "overwrite", stats)
+
+
+def scan_version(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Data-skipping scan: read only the files whose manifest [min, max]
+    for ``col`` overlaps [lo, hi], then apply the row filter. Files
+    committed without stats for ``col`` are conservatively read. At 100 TB
+    this is the Delta/Iceberg planning step — pruning happens on the
+    kilobyte manifest BEFORE any file is opened, so a narrow time-range
+    query touches only its files regardless of table size."""
+    from pyspark.sql import functions as F
+
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no versions committed at {path}")
+    m = _read_manifest(path, v)
+    stats = m.get("stats", {})
+    keep = []
+    for f in m["files"]:
+        rng = stats.get(f, {}).get(col)
+        if rng is None or not (hi < type(lo)(rng[0]) or lo > type(hi)(rng[1])):
+            keep.append(f)
+    if not keep:
+        return read_version(spark, path, v).limit(0).filter(F.col(col).between(lo, hi))
+    return (
+        spark.read.option("mergeSchema", "true").parquet(*keep)
+        .filter(F.col(col).between(lo, hi))
+    )
+
+
+def pruned_file_count(path: str, col: str, lo, hi, version: int | None = None) -> tuple[int, int]:
+    """(files kept, files total) for a scan_version predicate — the
+    planning-time skipping evidence."""
+    v = latest_version(path) if version is None else version
+    m = _read_manifest(path, v)
+    stats = m.get("stats", {})
+    keep = 0
+    for f in m["files"]:
+        rng = stats.get(f, {}).get(col)
+        if rng is None or not (hi < type(lo)(rng[0]) or lo > type(hi)(rng[1])):
+            keep += 1
+    return keep, len(m["files"])
 
 
 def merge_version(

@@ -416,3 +416,33 @@ def test_versioned_merge_and_schema_evolution(spark, tmp_path):
     )
     rows = {r.id: r.score for r in read_version(spark, path).collect()}
     assert rows[4] == 9.5 and rows[1] is None
+
+
+def test_versioned_data_skipping_prunes_files(spark, tmp_path):
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               pruned_file_count, scan_version)
+
+    path = str(tmp_path / "vt")
+    for lo in (0, 100, 200):
+        append_version(
+            spark.createDataFrame(
+                [(lo + i, f"r{lo + i}") for i in range(50)], "id long, v string"
+            ).coalesce(1),
+            path,
+            stats_cols=["id"],
+        )
+    keep, total = pruned_file_count(path, "id", 110, 120)
+    assert total == 3 and keep == 1  # manifest stats prune 2 of 3 files
+    got = {r.id for r in scan_version(spark, path, "id", 110, 120).collect()}
+    assert got == set(range(110, 121))
+    # empty overlap: zero files read, empty result, schema intact
+    empty = scan_version(spark, path, "id", 10_000, 10_001)
+    assert empty.count() == 0 and empty.columns == ["id", "v"]
+    # a file committed WITHOUT stats is read conservatively, never skipped
+    append_version(
+        spark.createDataFrame([(115, "x")], "id long, v string").coalesce(1), path
+    )
+    keep2, total2 = pruned_file_count(path, "id", 110, 120)
+    assert total2 == 4 and keep2 == 2
+    got2 = {r.v for r in scan_version(spark, path, "id", 115, 115).collect()}
+    assert got2 == {"r115", "x"}
