@@ -325,3 +325,94 @@ def token_pmi(spark, sf):
         )
         .filter(F.col("rk") <= PMI_TOPK)
     )
+
+
+@register(
+    "pareto_abc_customers",
+    oracle="""
+    WITH c AS (SELECT o_custkey,
+                      SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+               FROM orders GROUP BY o_custkey),
+    t AS (SELECT SUM(rev) AS total FROM c),
+    r AS (SELECT o_custkey, rev,
+                 SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM c)
+    SELECT o_custkey,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_share,
+           CASE WHEN CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE) <= 0.5
+                  THEN 'A'
+                WHEN CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE) <= 0.8
+                  THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r, t
+    """,
+    doc="Pareto / ABC revenue concentration: customers ranked by "
+    "decimal-exact revenue, running share of total (cumulative DECIMAL "
+    "sum — the running total is exact, only the final share divides "
+    "doubles), classed A (top 50% of revenue) / B (to 80%) / C. The "
+    "concentration curve behind per-source caps and skew decisions; the "
+    "global window runs over the AGGREGATED customer table (orders "
+    "collapsed first), not raw facts",
+)
+def pareto_abc_customers(spark, sf):
+    orders = _t(spark, sf, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev")
+    )
+    t = c.agg(F.sum("rev").alias("total"))
+    w = (
+        Window.orderBy(F.col("rev").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = c.withColumn("cum", F.sum("rev").over(w)).crossJoin(F.broadcast(t))
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    abc = (
+        F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C")
+    )
+    return r.select(
+        "o_custkey",
+        F.col("rev").cast("double").alias("revenue"),
+        share.alias("cum_share"),
+        abc.alias("abc_class"),
+    )
+
+
+@register(
+    "interarrival_percentiles",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             {EV_MS} - LAG({EV_MS}) OVER (PARTITION BY user_id, event_type
+                                          ORDER BY {EV_MS}, event_id) AS gap
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           quantile_cont(gap, 0.5) AS p50_ms,
+           quantile_cont(gap, 0.9) AS p90_ms,
+           quantile_cont(gap, 0.99) AS p99_ms,
+           MAX(gap) AS max_ms
+    FROM g WHERE gap IS NOT NULL GROUP BY event_type
+    """,
+    doc="Inter-arrival-time percentiles per event type (burst/staleness "
+    "monitoring: p99 inter-arrival jumping is the on-call signal before "
+    "a watermark goes stale): per-(user, type) LAG gaps — window "
+    "partitioned, no global sort — then the exact interpolated "
+    "percentile aggregate (same cross-engine contract as "
+    "percentiles_by_group). Integer-ms gaps, so interpolation inputs are "
+    "exact",
+)
+def interarrival_percentiles(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_ms", "event_id")
+    g = ev.select(
+        "event_type", (F.col("ts_ms") - F.lag("ts_ms").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap").alias("n_gaps"),
+        F.expr("percentile(gap, 0.5)").alias("p50_ms"),
+        F.expr("percentile(gap, 0.9)").alias("p90_ms"),
+        F.expr("percentile(gap, 0.99)").alias("p99_ms"),
+        F.max("gap").alias("max_ms"),
+    )
