@@ -446,3 +446,40 @@ def test_versioned_data_skipping_prunes_files(spark, tmp_path):
     assert total2 == 4 and keep2 == 2
     got2 = {r.v for r in scan_version(spark, path, "id", 115, 115).collect()}
     assert got2 == {"r115", "x"}
+
+
+def test_versioned_zorder_commit_prunes_both_dims(spark, tmp_path):
+    """Z-ordered commit + manifest stats: a small 2-D box prunes most
+    files; the same data committed unsorted prunes (almost) nothing —
+    the layout half of the skipping story."""
+    from clx_etl_spark.sinks.versioned import (overwrite_version,
+                                               overwrite_version_zordered,
+                                               pruned_file_count, scan_version)
+
+    rows = [(x, y, x * 1000 + y) for x in range(0, 100, 2) for y in range(0, 100, 2)]
+    df = spark.createDataFrame(rows, "x long, y long, payload long")
+
+    zpath = str(tmp_path / "z")
+    overwrite_version_zordered(df, zpath, cols=["x", "y"], n_files=16)
+    keep_x, total = pruned_file_count(zpath, "x", 10, 20)
+    assert total >= 8 and keep_x < total  # x-pruning works
+    # and the SAME layout also prunes on y (single-col sort could not)
+    keep_y, _ = pruned_file_count(zpath, "y", 10, 20)
+    assert keep_y < total
+    got = {
+        (r.x, r.y)
+        for r in scan_version(spark, zpath, "x", 10, 20)
+        .filter("y between 10 and 20")
+        .collect()
+    }
+    want = {(x, y) for x, y, _ in rows if 10 <= x <= 20 and 10 <= y <= 20}
+    assert got == want
+
+    # unsorted baseline: every file spans ~the full x range -> no pruning
+    upath = str(tmp_path / "u")
+    overwrite_version(
+        df.repartition(16), upath, stats_cols=["x", "y"]
+    )
+    keep_u, total_u = pruned_file_count(upath, "x", 10, 20)
+    assert keep_u == total_u
+    assert keep_x <= keep_u
