@@ -483,3 +483,91 @@ def test_versioned_zorder_commit_prunes_both_dims(spark, tmp_path):
     keep_u, total_u = pruned_file_count(upath, "x", 10, 20)
     assert keep_u == total_u
     assert keep_x <= keep_u
+
+
+def test_versioned_model_based_fuzz(spark, tmp_path):
+    """Model-based check of the table format: a random sequence of
+    append/overwrite/merge commits against a pure-Python model — after
+    every commit, EVERY committed version must still read back exactly
+    its model state (time travel never drifts)."""
+    import random
+
+    rng = random.Random(1234)
+    path = str(tmp_path / "vt")
+
+    from clx_etl_spark.sinks.versioned import (append_version, merge_version,
+                                               overwrite_version, read_version)
+
+    model_versions: list[dict[int, str]] = []  # version -> {id: v}
+    state: dict[int, str] = {}
+
+    def batch():
+        return {
+            rng.randrange(0, 8): f"v{rng.randrange(0, 100)}"
+            for _ in range(rng.randrange(1, 4))
+        }
+
+    for step in range(8):
+        b = batch()
+        df = spark.createDataFrame(sorted(b.items()), "id long, v string")
+        op = rng.choice(["append", "overwrite", "merge"])
+        if op == "append" and model_versions:
+            # append keeps duplicate keys as distinct rows; model as
+            # multiset — to keep the model simple, only append disjoint
+            # keys (re-roll collisions into merge)
+            if any(k in state for k in b):
+                op = "merge"
+        if op == "append":
+            append_version(df, path)
+            state = {**state, **b}
+        elif op == "overwrite":
+            overwrite_version(df, path)
+            state = dict(b)
+        else:
+            if model_versions:
+                merge_version(df, path, keys=["id"])
+                state = {**state, **b}
+            else:
+                overwrite_version(df, path)
+                state = dict(b)
+        model_versions.append(dict(state))
+        # EVERY historical version still reads exactly its model state
+        for v, want in enumerate(model_versions):
+            got = {r.id: r.v for r in read_version(spark, path, v).collect()}
+            assert got == want, (step, v)
+
+
+def test_merge_states_random_batching_fuzz(spark):
+    """merge_states is associative+commutative: random K-way splits of a
+    random fact set, merged in random group orders, always equal the
+    direct single-pass state."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from clx_etl_spark.operators.incremental import (merge_states,
+                                                     partial_daily_state)
+
+    rng = random.Random(99)
+    for trial in range(3):
+        rows = [
+            (
+                rng.randrange(0, 5) * 86_400_000 + rng.randrange(0, 86_400_000),
+                rng.choice(["a", "b"]),
+                round(rng.uniform(-100, 100), 2),
+            )
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(rows, "ts_ms long, event_type string, value double")
+        want = {
+            tuple(r) for r in partial_daily_state(df).collect()
+        }
+        k = rng.randrange(2, 5)
+        df = df.withColumn("_g", (F.rand(seed=trial) * k).cast("int"))
+        parts = [
+            partial_daily_state(df.filter(F.col("_g") == i).drop("_g"))
+            for i in range(k)
+        ]
+        rng.shuffle(parts)
+        got = {tuple(r) for r in merge_states(*parts).collect()}
+        assert got == want, trial
