@@ -1,0 +1,116 @@
+"""Graph analytics over derived document/entity graphs: deterministic
+fixed-point PageRank.
+
+The engine builds graphs as DataFrame edge lists (near-dup pairs from
+dedup.minhash_near_duplicates, semantic-pair graphs from similarity,
+citation-ish props links) and already runs connected components over
+them (dedup.connected_components). PageRank adds the importance ranking
+— which representative to keep from a duplicate cluster, which document
+anchors a semantic neighborhood.
+
+Determinism: the textbook float implementation is partition-order
+dependent (float sums) AND library-dependent. Here every rank is an
+integer in micro-units (RANK_SCALE per node of initial mass) and each
+update is
+
+    rank' = floor(0.15 * RANK_SCALE) + floor(85 * SUM(contrib) / 100)
+    contrib = rank div out_degree        (integer floor division)
+
+— exact BIGINT arithmetic end-to-end, so any partitioning, any engine,
+any summation order produces bit-identical ranks. Floor losses slightly
+deflate total mass (bounded by iterations * n_nodes micro-units ~ 1e-3
+relative); rankings are unaffected and reproducibility is total — the
+same trade the fixed-point LM scores make (operators/lm.py).
+
+Scale shape: per iteration one equi-join (ranks x edges on src) and one
+keyed sum — two shuffles, same as a connected-components round; the
+driver holds only the iteration counter. Fixed iteration count (no
+convergence collect) keeps the job graph static for AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+RANK_SCALE = 1_000_000_000_000  # 1e12 micro-units of rank mass per node
+DAMPING_NUM, DAMPING_DEN = 85, 100  # d = 0.85 as a rational
+
+
+def pagerank(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    iterations: int = 10,
+) -> DataFrame:
+    """Deterministic PageRank over an undirected pair graph: returns
+    (doc_id, rank_q, rank) with rank_q the exact integer fixed-point
+    score and rank = rank_q / RANK_SCALE as a convenience double.
+    Isolated nodes don't appear in ``pairs`` and thus hold the base
+    rank 0.15 by definition; callers union them in if needed."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges = edges.join(deg, "src").localCheckpoint(eager=True)
+
+    base = (DAMPING_DEN - DAMPING_NUM) * RANK_SCALE // DAMPING_DEN  # 0.15
+    ranks = deg.select(
+        F.col("src").alias("doc_id"), F.lit(RANK_SCALE).alias("rank_q")
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.doc_id)
+            .select(
+                F.col("dst").alias("doc_id"),
+                F.expr("rank_q div out_deg").alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = contrib.select(
+            "doc_id",
+            (
+                F.lit(base)
+                + F.expr(f"({DAMPING_NUM} * in_sum) div {DAMPING_DEN}")
+            ).alias("rank_q"),
+        )
+        # cut lineage each round: the loop would otherwise stack 10
+        # join+agg plans into one tree (same discipline as
+        # dedup.connected_components' cached labels)
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "doc_id",
+        "rank_q",
+        (F.col("rank_q").cast("double") / float(RANK_SCALE)).alias("rank"),
+    )
+
+
+def top_representatives(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    iterations: int = 10,
+) -> DataFrame:
+    """Compose PageRank with connected components: for every duplicate /
+    similarity cluster, rank members and pick the highest-PageRank doc
+    as the cluster representative (tie-broken by doc_id) — the
+    importance-aware alternative to dedup's min-label representative."""
+    from pyspark.sql import Window
+
+    from .dedup import connected_components
+
+    comp = connected_components(pairs, a_col, b_col)
+    pr = pagerank(pairs, a_col, b_col, iterations)
+    j = comp.join(pr, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("rank_q").desc(), "doc_id"
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn("is_representative", F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -416,3 +416,65 @@ def interarrival_percentiles(spark, sf):
         F.expr("percentile(gap, 0.99)").alias("p99_ms"),
         F.max("gap").alias("max_ms"),
     )
+
+
+from ..operators.graph import DAMPING_DEN, DAMPING_NUM, RANK_SCALE
+from .corpus import _MH_CTES, _MH_FINAL
+
+_PR_BASE = (DAMPING_DEN - DAMPING_NUM) * RANK_SCALE // DAMPING_DEN
+
+
+def _pagerank_oracle(iterations: int = 10) -> str:
+    """Unrolled exact-integer PageRank in DuckDB SQL: since every update
+    is BIGINT floor arithmetic, N chained CTEs reproduce the Spark loop
+    bit-for-bit (aggregates are not allowed in a recursive CTE member,
+    so the fixed iteration count is unrolled instead)."""
+    ctes = [
+        f"r0 AS (SELECT src AS doc_id, CAST({RANK_SCALE} AS BIGINT) AS rank_q"
+        " FROM deg)"
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"r{i} AS (SELECT e.dst AS doc_id, "
+            f"CAST({_PR_BASE} + ({DAMPING_NUM} * "
+            f"SUM(r{i-1}.rank_q // d.out_deg)) // {DAMPING_DEN} AS BIGINT)"
+            f" AS rank_q "
+            f"FROM edges e JOIN r{i-1} ON e.src = r{i-1}.doc_id "
+            f"JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+        )
+    return f"""
+    WITH {_MH_CTES.strip().rstrip(',')},
+    pairs AS MATERIALIZED ({_MH_FINAL}),
+    edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg
+            FROM edges GROUP BY src),
+    {", ".join(ctes)}
+    SELECT doc_id, rank_q,
+           CAST(rank_q AS DOUBLE) / {float(RANK_SCALE)} AS rank
+    FROM r{iterations}
+    """
+
+
+@register(
+    "doc_pagerank",
+    oracle=_pagerank_oracle(10),
+    doc="Deterministic fixed-point PageRank over the MinHash-LSH near-dup "
+    "graph (operators/graph.py): integer micro-unit ranks, floor-division "
+    "contributions, rational damping 85/100 — bit-identical under any "
+    "partitioning, so even this ITERATIVE algorithm carries a full hash "
+    "oracle (10 unrolled exact-integer CTE iterations), unlike float "
+    "PageRanks which drift by summation order. Two shuffles per round, "
+    "driver holds only the loop counter",
+)
+def doc_pagerank(spark, sf):
+    from ..operators import dedup as D
+    from ..operators.graph import pagerank
+    from .corpus import BANDS, NUM_PERM
+
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, k=3, num_perm=NUM_PERM, bands=BANDS, threshold=0.5
+    )
+    return pagerank(pairs, iterations=10)

@@ -1384,3 +1384,51 @@ def test_substring_runs_fuzz_vs_python_truth(spark):
             ).collect()
         }
         assert got == truth(docs), (trial, got ^ truth(docs))
+
+
+def test_pagerank_matches_integer_python_mirror_exactly(spark):
+    """The fixed-point PageRank equals a pure-Python mirror using the
+    identical integer arithmetic — bit-exact, any partitioning."""
+    from clx_etl_spark.operators.graph import (DAMPING_DEN, DAMPING_NUM,
+                                               RANK_SCALE, pagerank)
+
+    # star (0-1,0-2,0-3) + a 2-cycle (4-5) + a triangle (6,7,8)
+    pair_list = [(0, 1), (0, 2), (0, 3), (4, 5), (6, 7), (7, 8), (6, 8)]
+    pairs = spark.createDataFrame(pair_list, "doc_a long, doc_b long")
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pair_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    base = (DAMPING_DEN - DAMPING_NUM) * RANK_SCALE // DAMPING_DEN
+    ranks = {n: RANK_SCALE for n in adj}
+    for _ in range(10):
+        sums = {n: 0 for n in adj}
+        for n, nbrs in adj.items():
+            c = ranks[n] // len(nbrs)
+            for m in nbrs:
+                sums[m] += c
+        ranks = {n: base + (DAMPING_NUM * sums[n]) // DAMPING_DEN for n in adj}
+
+    got = {r.doc_id: r.rank_q for r in pagerank(pairs).collect()}
+    assert got == ranks
+    # hub of the star outranks its leaves; symmetric nodes tie exactly
+    assert got[0] > got[1] == got[2] == got[3]
+    assert got[6] == got[7] == got[8]
+    # repartitioned input -> identical ranks (order independence)
+    got2 = {r.doc_id: r.rank_q for r in pagerank(pairs.repartition(7)).collect()}
+    assert got2 == got
+
+
+def test_pagerank_top_representatives_per_cluster(spark):
+    from clx_etl_spark.operators.graph import top_representatives
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    out = top_representatives(pairs).collect()
+    reps = {r.component: r.doc_id for r in out if r.is_representative}
+    # star cluster: the hub (highest rank) represents; 2-cycle: tie -> min id
+    assert reps == {0: 0, 4: 4}
+    assert sum(1 for r in out if r.is_representative) == 2
+    assert len(out) == 6
