@@ -125,3 +125,85 @@ def streaming_ema(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessionizer(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts_ms",
+    gap_ms: int = 1_800_000,
+    idle_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Per-key sessionization with emit-on-close: a session CLOSES (and
+    its summary row is emitted) when an arriving event's gap exceeds
+    ``gap_ms``, or when the key has been idle ``idle_timeout_ms`` of
+    PROCESSING time (so the final session of a quiet key still flushes —
+    the half F.session_window's append-mode aggregation can't express,
+    since it holds the last window until more data arrives).
+
+    State per key is (session_start, last_ts, n_events) — O(1), the
+    custom-stateful counterpart of the batch islands sessionize
+    (operators/sessions.py). Emits (keys..., session_start, session_end,
+    n_events, closed_by) rows: closed_by 'gap' | 'timeout'.
+
+    Same ordering discipline as the other stateful ops: rows sort within
+    the micro-batch, rows at or before the stored last_ts are dropped
+    (forward-only).
+    """
+    from pyspark.sql.types import StringType
+
+    key_fields = [events.schema[k] for k in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("session_start", LongType()),
+            StructField("session_end", LongType()),
+            StructField("n_events", LongType()),
+            StructField("closed_by", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("session_start", LongType()),
+            StructField("last_ts", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+
+    def step(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                s0, lt, n = state.get
+                closed.append((*key, s0, lt, n, "timeout"))
+                state.remove()
+            yield pd.DataFrame(closed, columns=[f.name for f in out_schema.fields])
+            return
+        s0, lt, n = state.get if state.exists else (None, None, 0)
+        pending: list[int] = []
+        for pdf in pdfs:
+            pending.extend(int(t) for t in pdf[ts_col])
+        for t in sorted(pending):
+            if lt is not None and t <= lt:
+                continue  # forward-only
+            if lt is not None and t - lt > gap_ms:
+                closed.append((*key, s0, lt, n, "gap"))
+                s0, n = t, 0
+            if s0 is None:
+                s0 = t
+            lt = t
+            n += 1
+        if lt is not None:
+            state.update((s0, lt, n))
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(closed, columns=[f.name for f in out_schema.fields])
+
+    return events.groupBy(*keys).applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

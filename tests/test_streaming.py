@@ -905,3 +905,41 @@ def test_rollup_stream_incremental_and_replay_safe(spark, tmp_path):
     other(spark.createDataFrame(extra_rows, schema), 0)
     n_after = spark.read.parquet(rollup).count()
     assert n_after == len(want) + 1
+
+
+def test_streaming_sessionizer_closes_on_gap_across_batches(spark, tmp_path):
+    """Sessions split on the inactivity gap even when the two halves
+    arrive in different micro-batches (state carries session_start /
+    last_ts / count), and match the batch islands sessionization."""
+    from clx_etl_spark.streaming.stateful import streaming_sessionizer
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("ts_ms", LongType())]
+    )
+    src = str(tmp_path / "in")
+    G = 1_800_000
+    # key 1: batch A holds session-1 (3 events) + session-2 start;
+    #        batch B continues session-2, then jumps -> closes session-2
+    a = [(1, FX.BASE_TS), (1, FX.BASE_TS + 60_000), (1, FX.BASE_TS + 120_000),
+         (1, FX.BASE_TS + 120_000 + G + 1)]
+    b = [(1, FX.BASE_TS + 120_000 + G + 60_001),
+         (1, FX.BASE_TS + 120_000 + 2 * (G + 60_001))]
+    spark.createDataFrame(a, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    out = streaming_sessionizer(stream, keys=["k"], gap_ms=G)
+    q = (
+        out.writeStream.format("memory").queryName("sess_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess_out ORDER BY session_start").collect()
+    # two CLOSED sessions (the third is still open in state)
+    assert [(r.session_start, r.session_end, r.n_events, r.closed_by) for r in rows] == [
+        (FX.BASE_TS, FX.BASE_TS + 120_000, 3, "gap"),
+        (FX.BASE_TS + 120_000 + G + 1, FX.BASE_TS + 120_000 + G + 60_001, 2, "gap"),
+    ]
