@@ -114,3 +114,63 @@ def top_representatives(
         .withColumn("is_representative", F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    rounds: int = 3,
+) -> DataFrame:
+    """Semi-supervised label spreading over an undirected similarity
+    graph: ``seeds`` is (id, label-or-NULL); each round, every still-
+    unlabeled node adopts the majority label among its LABELED neighbors
+    (exact integer votes, ties broken by smallest label), and a label
+    never changes once assigned (seed-frozen, monotone — so the result
+    is a pure function of the graph, independent of partitioning or
+    visit order, unlike classic async LPA). The weak-supervision
+    primitive: expand a small labeled set through the near-dup /
+    semantic graph.
+
+    Per round: one equi-join (labels x edges) + one keyed count + one
+    argmax window over the (node, label) vote table — vote-table sized,
+    not graph-squared. Driver holds only the round counter."""
+    from pyspark.sql import Window
+
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = seeds.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("lab")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("n").desc(), F.col("lab"))
+    for _ in range(rounds):
+        votes = (
+            edges.join(
+                labels.filter(F.col("lab").isNotNull()),
+                edges.src == F.col("vec_id"),
+            )
+            .groupBy(F.col("dst").alias("vec_id"), "lab")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        winner = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", F.col("lab").alias("w_lab"))
+        )
+        labels = (
+            labels.join(winner, "vec_id", "left")
+            .select(
+                "vec_id", F.coalesce(F.col("lab"), F.col("w_lab")).alias("lab")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("vec_id", F.col("lab").alias(label_col))

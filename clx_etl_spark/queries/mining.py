@@ -478,3 +478,79 @@ def doc_pagerank(spark, sf):
         docs, k=3, num_perm=NUM_PERM, bands=BANDS, threshold=0.5
     )
     return pagerank(pairs, iterations=10)
+
+
+from .corpus import _SRP_BANDS, _SRP_BITS, _SRP_SIG
+
+_LP_ROUNDS = 3
+
+
+def _label_prop_oracle(rounds: int = _LP_ROUNDS) -> str:
+    cos = _cosine_sql("va.embedding", "vb.embedding")
+    ctes = [
+        "l0 AS (SELECT vec_id, CASE WHEN vec_id % 4 = 0 THEN label END AS lab"
+        " FROM embeddings)"
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"v{i} AS (SELECT e.dst AS vec_id, l.lab, COUNT(*) AS n "
+            f"FROM edges e JOIN l{i-1} l ON e.src = l.vec_id "
+            f"WHERE l.lab IS NOT NULL GROUP BY e.dst, l.lab), "
+            f"w{i} AS (SELECT vec_id, lab FROM v{i} "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id "
+            f"ORDER BY n DESC, lab) = 1), "
+            f"l{i} AS (SELECT l.vec_id, COALESCE(l.lab, w.lab) AS lab "
+            f"FROM l{i-1} l LEFT JOIN w{i} w ON l.vec_id = w.vec_id)"
+        )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    sig AS MATERIALIZED (SELECT vec_id, {_SRP_SIG} AS sig FROM v),
+    bands AS (SELECT vec_id, b AS band,
+                     substr(sig, b * {_SRP_BITS} + 1, {_SRP_BITS}) AS bucket
+              FROM sig, generate_series(0, {_SRP_BANDS - 1}) AS t(b)),
+    cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bucket = b.bucket
+              AND a.vec_id < b.vec_id),
+    pairs AS MATERIALIZED (
+        SELECT c.doc_a, c.doc_b FROM cand c
+        JOIN v va ON va.vec_id = c.doc_a
+        JOIN v vb ON vb.vec_id = c.doc_b
+        WHERE {cos} >= 0.35),
+    edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    {", ".join(ctes)}
+    SELECT vec_id, lab AS label, vec_id % 4 = 0 AS is_seed FROM l{rounds}
+    """
+
+
+@register(
+    "label_propagation_srp",
+    oracle=_label_prop_oracle(),
+    doc="Semi-supervised label spreading (operators/graph.py:"
+    "label_propagation): 1-in-4 seed labels expand through the SRP "
+    "similarity graph — each round, unlabeled nodes adopt the exact-"
+    "integer majority label of labeled neighbors (ties -> smallest "
+    "label), assigned labels frozen, so the ITERATIVE algorithm is a "
+    "pure function of the graph and carries a full hash oracle (3 "
+    "unrolled rounds, MATERIALIZED graph CTEs). The weak-supervision "
+    "expansion primitive for classifier training sets",
+)
+def label_propagation_srp(spark, sf):
+    from ..operators import similarity as S2
+    from ..operators.graph import label_propagation
+
+    emb = _t(spark, sf, "embeddings")
+    pairs = S2.srp_near_duplicates(
+        emb, threshold=0.35, bands=_SRP_BANDS, bits_per_band=_SRP_BITS
+    ).select("doc_a", "doc_b")
+    seeds = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 4 == 0, F.col("label")).alias("label"),
+    )
+    out = label_propagation(pairs, seeds, rounds=_LP_ROUNDS)
+    return out.select(
+        "vec_id", "label", (F.col("vec_id") % 4 == 0).alias("is_seed")
+    )

@@ -1432,3 +1432,39 @@ def test_pagerank_top_representatives_per_cluster(spark):
     assert reps == {0: 0, 4: 4}
     assert sum(1 for r in out if r.is_representative) == 2
     assert len(out) == 6
+
+
+def test_label_propagation_python_mirror_and_monotone(spark):
+    from clx_etl_spark.operators.graph import label_propagation
+
+    # path graph 0-1-2-3-4, seeds at the ends with different labels
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    seeds = spark.createDataFrame(
+        [(0, 7), (1, None), (2, None), (3, None), (4, 9)],
+        "vec_id long, label int",
+    )
+    adj = {0: {1}, 1: {0, 2}, 2: {1, 3}, 3: {2, 4}, 4: {3}}
+    labels = {0: 7, 4: 9}
+    for _ in range(3):
+        new = dict(labels)
+        for n in adj:
+            if n in labels:
+                continue
+            votes = {}
+            for m in adj[n]:
+                if m in labels:
+                    votes[labels[m]] = votes.get(labels[m], 0) + 1
+            if votes:
+                new[n] = min(votes, key=lambda l: (-votes[l], l))
+        labels = new
+    got = {r.vec_id: r.label for r in label_propagation(pairs, seeds).collect()}
+    assert got == {0: 7, 1: 7, 2: 7, 3: 9, 4: 9}  # node 2 tie -> min label
+    assert got == labels
+    # seeds never change and assignment is repartition-invariant
+    got2 = {
+        r.vec_id: r.label
+        for r in label_propagation(pairs.repartition(5), seeds.repartition(3)).collect()
+    }
+    assert got2 == got
