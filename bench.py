@@ -73,6 +73,16 @@ HEADLINE = [
     "heavy_hitters_tokens",
     "w4_rank_variants",
     "training_mix",
+    # round-4 continuation flagships (BASELINE.md documents the growth to
+    # 57 queries; compare the 49-query subset against the older rows)
+    "markov_transitions",
+    "rolling_7d_distinct_users",
+    "rrf_fusion",
+    "token_pmi",
+    "lm_kneser_ney_scores",
+    "incremental_agg_merge",
+    "doc_pagerank",
+    "label_propagation_srp",
 ]
 
 

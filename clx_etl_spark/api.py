@@ -391,6 +391,29 @@ class Engine:
 
         return expire_versions(path, keep_latest)
 
+    def pagerank(self, pairs: DataFrame, iterations: int = 10) -> DataFrame:
+        """Deterministic fixed-point PageRank over an undirected pair
+        graph (exact integer ranks — bit-identical any partitioning)."""
+        from .operators.graph import pagerank
+
+        return pagerank(pairs, iterations=iterations)
+
+    def cluster_representatives(self, pairs: DataFrame,
+                                iterations: int = 10) -> DataFrame:
+        """Importance-aware duplicate-cluster representatives: connected
+        components x PageRank, top-ranked member flagged per cluster."""
+        from .operators.graph import top_representatives
+
+        return top_representatives(pairs, iterations=iterations)
+
+    def propagate_labels(self, pairs: DataFrame, seeds: DataFrame,
+                         rounds: int = 3) -> DataFrame:
+        """Seed-frozen majority-vote label spreading over a similarity
+        graph (weak-supervision expansion; deterministic)."""
+        from .operators.graph import label_propagation
+
+        return label_propagation(pairs, seeds, rounds=rounds)
+
     def eval_holdout(self, df: DataFrame, key_col: str, stratum_col: str,
                      k: int = 25) -> DataFrame:
         """Coverage-guaranteed holdout: the k lowest-gate-hash rows per

@@ -321,3 +321,19 @@ def test_engine_versioned_table_facade(spark, tmp_path):
         eng.read_version(path, 0), eng.read_version(path, 1), ["id"]
     )
     assert {(r.id, r.change_type) for r in diff.collect()} == {(2, "added")}
+
+
+def test_engine_graph_facade(spark):
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (3, 4)], "doc_a long, doc_b long")
+    pr = {r.doc_id: r.rank_q for r in eng.pagerank(pairs).collect()}
+    assert pr[0] > pr[1] == pr[2] and pr[3] == pr[4]
+    reps = {r.component: r.doc_id
+            for r in eng.cluster_representatives(pairs).collect()
+            if r.is_representative}
+    assert reps == {0: 0, 3: 3}
+    seeds = spark.createDataFrame(
+        [(0, 5), (1, None), (2, None), (3, None), (4, 6)], "vec_id long, label int"
+    )
+    got = {r.vec_id: r.label for r in eng.propagate_labels(pairs, seeds).collect()}
+    assert got == {0: 5, 1: 5, 2: 5, 3: 6, 4: 6}
