@@ -57,6 +57,7 @@ NLJ_ALLOWED = {
     "lm_kneser_ney_scores",  # broadcast of the 1-row bigram-type total
     "rrf_fusion",  # broadcast 1-row query vector against the top-20 leg
     "token_pmi",  # broadcast of the 1-row n_docs scalar onto vocab pairs
+    "pareto_abc_customers",  # broadcast of the 1-row revenue total
 }
 
 
