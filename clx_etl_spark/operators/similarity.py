@@ -182,7 +182,7 @@ def hard_negative_mining(
     )
 
 
-def srp_signature(vec: Column, n_bits: int = 16) -> Column:
+def srp_signature(vec: Column, n_bits: int = 16, dim: int | None = None) -> Column:
     """Signed-random-projection signature: an ``n_bits``-char '0'/'1'
     string, bit k = sign of the dot product with pseudo-random hyperplane
     k. Hyperplane component (k, i) is md5-derived from the literal
@@ -192,10 +192,43 @@ def srp_signature(vec: Column, n_bits: int = 16) -> Column:
     Collision probability for two vectors at angle theta is
     (1 - theta/pi) per bit — the classic SRP-LSH cosine sketch.
 
-    At 100 TB: hashing per element costs n_bits x dim md5s per row;
-    precompute the plane matrix once (same md5 values), broadcast it and
-    take plain dot products — identical buckets, no per-row hashing.
+    When ``dim`` is known, the plane matrix is PRECOMPUTED driver-side
+    (hashlib md5 — byte-identical to the SQL md5) and embedded as
+    literal coefficient arrays: the per-row cost drops from
+    n_bits x dim interpreted md5/conv calls to n_bits codegen'd
+    multiply-add folds (~20x at 64 dims), with bit-identical doubles —
+    same hex, same % 2001 - 1000, same /1000.0, same product and fold
+    order — so signatures (and the DuckDB oracle match) are unchanged.
     """
+    if dim is not None:
+        import hashlib
+
+        bits = []
+        for k in range(n_bits):
+            coeffs = F.array(
+                *[
+                    F.lit(
+                        (
+                            int(
+                                hashlib.md5(f"{k}:{i + 1}".encode()).hexdigest()[:8],
+                                16,
+                            )
+                            % 2001
+                            - 1000
+                        )
+                        / 1000.0
+                    )
+                    for i in range(dim)
+                ]
+            )
+            dot = F.aggregate(
+                F.zip_with(vec, coeffs, lambda x, c: x.cast("double") * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
     def make_hp(k: int):
         # closure (not a default arg): pyspark counts lambda parameters to
         # pick the higher-order-function arity, so (x, i) only
@@ -241,7 +274,13 @@ def srp_near_duplicates(
     """
     n_bits = bands * bits_per_band
     base = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    sig = base.select("_id", srp_signature(F.col("_v"), n_bits).alias("_sig"))
+    # one tiny probe for the (uniform) dimensionality unlocks the
+    # literal-coefficient signature path (see srp_signature)
+    first = base.select(F.size("_v").alias("d")).first()
+    dim = int(first["d"]) if first is not None else None
+    sig = base.select(
+        "_id", srp_signature(F.col("_v"), n_bits, dim=dim).alias("_sig")
+    )
     band_struct = F.array(
         *[
             F.struct(
