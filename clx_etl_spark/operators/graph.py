@@ -61,7 +61,7 @@ def pagerank(
     ranks = deg.select(
         F.col("src").alias("doc_id"), F.lit(RANK_SCALE).alias("rank_q")
     )
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             edges.join(ranks, edges.src == ranks.doc_id)
             .select(
@@ -78,10 +78,11 @@ def pagerank(
                 + F.expr(f"({DAMPING_NUM} * in_sum) div {DAMPING_DEN}")
             ).alias("rank_q"),
         )
-        # cut lineage each round: the loop would otherwise stack 10
-        # join+agg plans into one tree (same discipline as
-        # dedup.connected_components' cached labels)
-        ranks = ranks.localCheckpoint(eager=True)
+        # cut lineage every third round: enough to keep the stacked
+        # join+agg tree shallow (same discipline as connected_components'
+        # cached labels) without paying a materialization job per round
+        if it % 3 == 2:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         "doc_id",
         "rank_q",
@@ -152,7 +153,7 @@ def label_propagation(
         F.col(id_col).alias("vec_id"), F.col(label_col).alias("lab")
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("n").desc(), F.col("lab"))
-    for _ in range(rounds):
+    for it in range(rounds):
         votes = (
             edges.join(
                 labels.filter(F.col("lab").isNotNull()),
@@ -166,11 +167,11 @@ def label_propagation(
             .filter(F.col("_rn") == 1)
             .select("vec_id", F.col("lab").alias("w_lab"))
         )
-        labels = (
-            labels.join(winner, "vec_id", "left")
-            .select(
-                "vec_id", F.coalesce(F.col("lab"), F.col("w_lab")).alias("lab")
-            )
-            .localCheckpoint(eager=True)
+        labels = labels.join(winner, "vec_id", "left").select(
+            "vec_id", F.coalesce(F.col("lab"), F.col("w_lab")).alias("lab")
         )
+        # the default 3-round lineage is shallow enough without per-round
+        # materialization; deep runs still get periodic cuts
+        if it % 4 == 3:
+            labels = labels.localCheckpoint(eager=True)
     return labels.select("vec_id", F.col("lab").alias(label_col))

@@ -16,20 +16,42 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Dot product of two float arrays: per-element double products folded
-    left-to-right (deterministic order; DuckDB's list_reduce mirrors it)."""
+    left-to-right (deterministic order; DuckDB's list_reduce mirrors it).
+
+    With ``dim`` known, the fold is unrolled into a chained-add
+    expression replicating the EXACT same operation sequence (0.0 seed,
+    left association) — bit-identical doubles, but codegen'd instead of
+    the interpreted higher-order aggregate (~3-4x on wide verify joins).
+    """
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            acc = acc + (
+                F.element_at(a, i).cast("double")
+                * F.element_at(b, i).cast("double")
+            )
+        return acc
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _norm2(a: Column) -> Column:
+def _norm2(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            x = F.element_at(a, i).cast("double")
+            acc = acc + x * x
+        return acc
     sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
     return F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def cosine_sim(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+def cosine_sim(a: Column, b: Column, dim: int | None = None) -> Column:
+    return _dot(a, b, dim) / (
+        F.sqrt(_norm2(a, dim)) * F.sqrt(_norm2(b, dim))
+    )
 
 
 def knn_bruteforce(
