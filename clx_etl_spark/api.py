@@ -391,6 +391,14 @@ class Engine:
 
         return expire_versions(path, keep_latest)
 
+    def scan_version(self, path: str, col: str, lo, hi,
+                     version: int | None = None) -> DataFrame:
+        """Data-skipping scan: manifest min/max prunes files before any
+        open; the row filter applies to the survivors."""
+        from .sinks.versioned import scan_version
+
+        return scan_version(self.spark, path, col, lo, hi, version)
+
     def pagerank(self, pairs: DataFrame, iterations: int = 10) -> DataFrame:
         """Deterministic fixed-point PageRank over an undirected pair
         graph (exact integer ranks — bit-identical any partitioning)."""

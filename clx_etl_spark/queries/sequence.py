@@ -644,3 +644,71 @@ def session_entry_exit_stats(spark, sf):
         .cast("long")
         .alias("n_bounces"),
     )
+
+
+@register(
+    "daily_type_correlation",
+    oracle=f"""
+    WITH d AS (SELECT {EV_MS} // {DAY_MS} AS day_id, event_type,
+                      CAST(SUM(CAST(floor(value * 100.0) AS BIGINT))
+                        AS BIGINT) AS v
+               FROM events GROUP BY day_id, event_type),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(CAST(a.v AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(SUM(CAST(b.v AS HUGEINT)) AS HUGEINT) AS sy,
+                 CAST(SUM(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT) AS sxy,
+                 CAST(SUM(CAST(a.v AS HUGEINT) * a.v) AS HUGEINT) AS sxx,
+                 CAST(SUM(CAST(b.v AS HUGEINT) * b.v) AS HUGEINT) AS syy
+          FROM d a JOIN d b
+            ON a.day_id = b.day_id AND a.event_type < b.event_type
+          GROUP BY type_a, type_b)
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+    FROM p
+    """,
+    doc="Pairwise Pearson correlation of event types' daily totals: "
+    "values micro-quantized to integer cents so the five sufficient "
+    "statistics (n, Sx, Sy, Sxy, Sxx, Syy) are EXACT integers "
+    "(DECIMAL(38,0) / HUGEINT — order-independent), converted to double "
+    "only in the final closed-form ratio (each conversion one correctly-"
+    "rounded step, same contract as trend_slope_by_type). The co-"
+    "movement / multivariate-drift profile over the tiny (type x type) "
+    "matrix; the self-join runs on the AGGREGATED daily table",
+)
+def daily_type_correlation(spark, sf):
+    ev = _t(spark, sf, "events")
+    d = ev.groupBy(
+        F.expr(f"ts_ms div {DAY_MS}").alias("day_id"), "event_type"
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100.0).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    a = d.select("day_id", F.col("event_type").alias("type_a"),
+                 F.col("v").cast("decimal(38,0)").alias("va"))
+    b = d.select("day_id", F.col("event_type").alias("type_b"),
+                 F.col("v").cast("decimal(38,0)").alias("vb"))
+    p = (
+        a.join(b, "day_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("va").cast("decimal(38,0)").alias("sx"),
+            F.sum("vb").cast("decimal(38,0)").alias("sy"),
+            F.sum(F.col("va") * F.col("vb")).cast("decimal(38,0)").alias("sxy"),
+            F.sum(F.col("va") * F.col("va")).cast("decimal(38,0)").alias("sxx"),
+            F.sum(F.col("vb") * F.col("vb")).cast("decimal(38,0)").alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return p.select(
+        "type_a", "type_b",
+        F.col("n").cast("long").alias("n_days"),
+        (num / (denx * deny)).alias("corr"),
+    )

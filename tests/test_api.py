@@ -316,6 +316,7 @@ def test_engine_versioned_table_facade(spark, tmp_path):
     assert {r.id for r in eng.read_version(path, 0).collect()} == {1}
     assert {r.id for r in eng.read_version(path).collect()} == {1, 2}
     assert {r.id for r in eng.read_changes(path, 0).collect()} == {2}
+    assert {r.id for r in eng.scan_version(path, "id", 2, 9).collect()} == {2}
     # composes with the snapshot diff
     diff = eng.diff_snapshots(
         eng.read_version(path, 0), eng.read_version(path, 1), ["id"]
