@@ -554,3 +554,121 @@ def label_propagation_srp(spark, sf):
     return out.select(
         "vec_id", "label", (F.col("vec_id") % 4 == 0).alias("is_seed")
     )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH m AS (SELECT o_custkey,
+                      MAX(o_orderdate) AS last_order,
+                      CAST(COUNT(*) AS BIGINT) AS frequency,
+                      SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS monetary
+               FROM orders GROUP BY o_custkey),
+    q AS (SELECT o_custkey, frequency,
+                 CAST(monetary AS DOUBLE) AS monetary,
+                 CAST(NTILE(5) OVER (ORDER BY last_order, o_custkey)
+                   AS INTEGER) AS r_score,
+                 CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey)
+                   AS INTEGER) AS f_score,
+                 CAST(NTILE(5) OVER (ORDER BY monetary, o_custkey)
+                   AS INTEGER) AS m_score
+          FROM m)
+    SELECT o_custkey, frequency, monetary, r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm
+    FROM q
+    """,
+    doc="RFM customer segmentation: recency (last order date), frequency "
+    "(order count), monetary (decimal-exact revenue) quintiled with "
+    "NTILE over fully tie-broken orders (metric, custkey) — identical "
+    "bucket boundaries cross-engine because NTILE is rank arithmetic, "
+    "not value arithmetic. The windows run over the aggregated customer "
+    "table; the classic marketing segmentation as three windows + one "
+    "select",
+)
+def rfm_segmentation(spark, sf):
+    orders = _t(spark, sf, "orders")
+    m = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("mon"),
+    )
+    r = F.ntile(5).over(Window.orderBy("last_order", "o_custkey"))
+    f = F.ntile(5).over(Window.orderBy("frequency", "o_custkey"))
+    mo = F.ntile(5).over(Window.orderBy(F.col("mon").cast("double"), "o_custkey"))
+    q = m.select(
+        "o_custkey",
+        "frequency",
+        F.col("mon").cast("double").alias("monetary"),
+        r.cast("int").alias("r_score"),
+        f.cast("int").alias("f_score"),
+        mo.cast("int").alias("m_score"),
+    )
+    return q.withColumn(
+        "rfm",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int"),
+    )
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    freq AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM items
+             GROUP BY l_partkey),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM items),
+    pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_ab
+              FROM items a JOIN items b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY part_a, part_b)
+    SELECT p.part_a, p.part_b, p.n_ab,
+           CAST(n.n_orders * p.n_ab AS DOUBLE)
+             / CAST(fa.c * fb.c AS DOUBLE) AS lift,
+           CAST(ROW_NUMBER() OVER (ORDER BY p.n_ab DESC, p.part_a, p.part_b)
+             AS INTEGER) AS rk
+    FROM pairs p
+    JOIN freq fa ON fa.l_partkey = p.part_a
+    JOIN freq fb ON fb.l_partkey = p.part_b, n
+    QUALIFY rk <= 50
+    """,
+    doc="Market-basket affinity: top-50 co-purchased part pairs with lift "
+    "(n_orders*c_ab/(c_a*c_b) — exact-integer cross-multiplication, the "
+    "retail twin of token_pmi). Distinct (order, part) first, pair "
+    "generation bounded by per-order item count (~4 lines/order, never "
+    "catalog^2), one keyed count; fully tie-broken top-k",
+)
+def market_basket_pairs(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    n = items.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n_ab").desc(), "part_a", "part_b")
+    )
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "n_ab",
+            (
+                (F.col("n_orders") * F.col("n_ab")).cast("double")
+                / (F.col("ca") * F.col("cb")).cast("double")
+            ).alias("lift"),
+            rk.cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= 50)
+    )
