@@ -330,3 +330,46 @@ def test_incremental_refresh_converges_to_full_recompute(spark, tmp_path):
     fin = finalize_state(merge_states(a, b))
     r0 = fin.filter(F.col("n") > 0).first()
     assert abs(r0.avg_value - r0.sum_value / r0.n) < 1e-12
+
+
+def test_rfm_scores_balanced_quintiles(spark):
+    rows = _rows(spark, "rfm_segmentation")
+    n = len(rows)
+    for axis in ("r_score", "f_score", "m_score"):
+        counts = {}
+        for r in rows:
+            v = getattr(r, axis)
+            assert 1 <= v <= 5
+            counts[v] = counts.get(v, 0) + 1
+        # NTILE balance: bucket sizes differ by at most 1
+        assert max(counts.values()) - min(counts.values()) <= 1, (axis, counts)
+    assert all(r.rfm == r.r_score * 100 + r.f_score * 10 + r.m_score for r in rows)
+    assert n == load_table(spark, SF_SMOKE, "orders").select("o_custkey").distinct().count()
+
+
+def test_market_basket_lift_bounds(spark):
+    rows = _rows(spark, "market_basket_pairs")
+    items = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().count()
+    freq = {r.l_partkey: r.c for r in items.groupBy("l_partkey").count()
+            .withColumnRenamed("count", "c").collect()}
+    for r in rows:
+        assert r.n_ab >= 1
+        assert r.n_ab <= min(freq[r.part_a], freq[r.part_b])
+        expect = n_orders * r.n_ab / (freq[r.part_a] * freq[r.part_b])
+        assert r.lift == expect
+
+
+def test_daily_correlation_in_range_and_symmetric_pairs(spark):
+    rows = _rows(spark, "daily_type_correlation")
+    seen = set()
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9
+        assert r.type_a < r.type_b
+        assert (r.type_a, r.type_b) not in seen
+        seen.add((r.type_a, r.type_b))
+    # 5 event types -> C(5,2) pairs
+    assert len(rows) == 10
