@@ -185,6 +185,24 @@ def gated_ingest(
     return writer.start()
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join each micro-batch against a
+    (small) static dimension — Spark broadcasts the static side and
+    re-evaluates its plan per batch, so a dimension backed by a parquet
+    path picks up slowly-changing updates between batches without
+    restarting the query. The streaming counterpart of the J3/J5
+    broadcast dim joins (reference resolves symbol/exchange dims per
+    batch the same way, src/flows/sync_klines.py)."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), keys, how)
+
+
 def make_rollup_sink(
     rollup_path: str,
     checkpoint: str,

@@ -943,3 +943,45 @@ def test_streaming_sessionizer_closes_on_gap_across_batches(spark, tmp_path):
         (FX.BASE_TS, FX.BASE_TS + 120_000, 3, "gap"),
         (FX.BASE_TS + 120_000 + G + 1, FX.BASE_TS + 120_000 + G + 60_001, 2, "gap"),
     ]
+
+
+def test_enrich_stream_picks_up_dim_updates_between_batches(spark, tmp_path):
+    """Stream-static join re-reads the dimension per micro-batch: rows
+    arriving after a dim update see the new attribute without a query
+    restart."""
+    from clx_etl_spark.streaming.jobs import enrich_stream, file_stream
+
+    src = str(tmp_path / "in")
+    dimp = str(tmp_path / "dim")
+    schema = StructType(
+        [StructField("k", LongType()), StructField("ts_ms", LongType())]
+    )
+    spark.createDataFrame([(1, "old")], "k long, tag string").write.parquet(dimp)
+    _write_batch(spark, src, [(1, FX.BASE_TS, "x")])
+
+    enriched = enrich_stream(
+        file_stream(spark, src, SCHEMA), spark.read.parquet(dimp), keys=["k"]
+    )
+    q = (
+        enriched.writeStream.format("memory").queryName("enr")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    assert [r.tag for r in spark.sql("SELECT tag FROM enr").collect()] == ["old"]
+
+    # dim update + new data; a fresh availableNow run from the SAME
+    # checkpointless memory sink processes only the new file
+    spark.createDataFrame([(1, "new")], "k long, tag string").write.mode(
+        "overwrite"
+    ).parquet(dimp)
+    _write_batch(spark, src, [(1, FX.BASE_TS + 1, "y")])
+    enriched2 = enrich_stream(
+        file_stream(spark, src, SCHEMA), spark.read.parquet(dimp), keys=["k"]
+    )
+    q2 = (
+        enriched2.writeStream.format("memory").queryName("enr2")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(60)
+    tags = {r.tag for r in spark.sql("SELECT tag FROM enr2").collect()}
+    assert tags == {"new"}  # both rows see the updated dim on re-read
