@@ -985,3 +985,52 @@ def test_enrich_stream_picks_up_dim_updates_between_batches(spark, tmp_path):
     q2.awaitTermination(60)
     tags = {r.tag for r in spark.sql("SELECT tag FROM enr2").collect()}
     assert tags == {"new"}  # both rows see the updated dim on re-read
+
+
+def test_streaming_sessionizer_idle_timeout_flushes_last_session(spark, tmp_path):
+    """The processing-time idle timeout closes a quiet key's final
+    session when a later micro-batch (for any key) fires a trigger after
+    the timeout elapsed."""
+    import time as _time
+
+    from clx_etl_spark.streaming.stateful import streaming_sessionizer
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("ts_ms", LongType())]
+    )
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, FX.BASE_TS), (1, FX.BASE_TS + 60_000)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.format("parquet").schema(schema).load(src)
+    out = streaming_sessionizer(
+        stream, keys=["k"], gap_ms=1_800_000, idle_timeout_ms=2_000
+    )
+    q = (
+        out.writeStream.format("memory").queryName("sess_to")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        # let batch 1 register key 1's state, then idle past the timeout
+        _time.sleep(4)
+        # a batch for a DIFFERENT key fires the trigger; key 1 times out
+        spark.createDataFrame([(2, FX.BASE_TS)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        rows = []
+        while _time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM sess_to WHERE closed_by = 'timeout'"
+            ).collect()
+            if rows:
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
+    assert [(r.k, r.session_start, r.session_end, r.n_events) for r in rows] == [
+        (1, FX.BASE_TS, FX.BASE_TS + 60_000, 2)
+    ]
