@@ -139,3 +139,59 @@ def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     for r in results[1:]:
         out = out.unionByName(r)
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+# --- schema contracts ------------------------------------------------------
+
+
+def schema_contract(df) -> dict:
+    """Freeze a DataFrame's schema as a JSON-able contract: {column: type
+    simple-string}. Store next to the table (or in the versioned
+    manifest) and audit future batches against it."""
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
+def schema_drift(df, contract: dict) -> list[dict]:
+    """Audit a batch against a stored contract: returns drift records
+    [{column, kind: added|removed|type_changed, expected, actual}] —
+    empty means the contract holds. The ingestion-time gate that catches
+    upstream schema changes BEFORE they poison a table (the reference's
+    positional format_item parsers would silently misalign instead,
+    src/exchanges/*/spot.py format_item)."""
+    actual = schema_contract(df)
+    drift: list[dict] = []
+    for col, typ in actual.items():
+        if col not in contract:
+            drift.append(
+                {"column": col, "kind": "added", "expected": None, "actual": typ}
+            )
+        elif contract[col] != typ:
+            drift.append(
+                {
+                    "column": col,
+                    "kind": "type_changed",
+                    "expected": contract[col],
+                    "actual": typ,
+                }
+            )
+    for col, typ in contract.items():
+        if col not in actual:
+            drift.append(
+                {"column": col, "kind": "removed", "expected": typ, "actual": None}
+            )
+    return drift
+
+
+def enforce_contract(df, contract: dict, allow_added: bool = False):
+    """Gate a batch on its schema contract: raises ValueError on drift
+    (optionally tolerating added columns, which are dropped to the
+    contract's column set); returns the contract-conformant projection
+    in the CONTRACT's column order, so downstream positional consumers
+    (parquet schema evolution, unionByName-free appends) stay stable."""
+    drift = schema_drift(df, contract)
+    blocking = [
+        d for d in drift if not (allow_added and d["kind"] == "added")
+    ]
+    if blocking:
+        raise ValueError(f"schema drift: {blocking}")
+    return df.select(*contract.keys())

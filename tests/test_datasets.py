@@ -404,3 +404,31 @@ def test_expectations_fuzz_vs_python(spark):
             assert r.passed == (r.violations == 0)
 
     check()
+
+
+def test_schema_contract_drift_and_enforcement(spark):
+    from clx_etl_spark.operators.expectations import (enforce_contract,
+                                                      schema_contract,
+                                                      schema_drift)
+
+    base = spark.createDataFrame([(1, "a", 1.5)], "id long, v string, x double")
+    contract = schema_contract(base)
+    assert schema_drift(base, contract) == []
+
+    evolved = spark.createDataFrame(
+        [(1, "a", 2, "extra")], "id long, v string, x int, n string"
+    )
+    drift = {(d["column"], d["kind"]) for d in schema_drift(evolved, contract)}
+    assert drift == {("x", "type_changed"), ("n", "added")}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="type_changed"):
+        enforce_contract(evolved, contract)
+    ok = spark.createDataFrame(
+        [(2.5, "b", 7, "extra")], "x double, v string, id long, n string"
+    )
+    out = enforce_contract(ok, contract, allow_added=True)
+    assert out.columns == ["id", "v", "x"]  # contract order, extras dropped
+    missing = spark.createDataFrame([(1,)], "id long")
+    assert {d["kind"] for d in schema_drift(missing, contract)} == {"removed"}
