@@ -185,6 +185,32 @@ def gated_ingest(
     return writer.start()
 
 
+def with_ingest_metrics(
+    stream: DataFrame,
+    time_col: str,
+    late_after_ms: int,
+    name: str = "ingest",
+) -> DataFrame:
+    """Attach per-micro-batch observability (df.observe): row count, min
+    and max event time (epoch ms), and how many rows arrived more than
+    ``late_after_ms`` behind wall clock — the lateness profile that
+    tells you whether the watermark horizon is sized right. Surfaced
+    through StreamingQueryProgress.observedMetrics with ZERO extra
+    passes (the aggregates ride the existing scan); the stream's rows
+    are unchanged."""
+    from pyspark.sql import functions as F
+
+    c = F.col(time_col)
+    threshold = F.unix_millis(F.current_timestamp()) - F.lit(late_after_ms)
+    return stream.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(c).alias("min_event_ms"),
+        F.max(c).alias("max_event_ms"),
+        F.count(F.when(c < threshold, 1)).alias("n_late"),
+    )
+
+
 def enrich_stream(
     stream: DataFrame,
     dim: DataFrame,

@@ -1468,3 +1468,42 @@ def test_label_propagation_python_mirror_and_monotone(spark):
         for r in label_propagation(pairs.repartition(5), seeds.repartition(3)).collect()
     }
     assert got2 == got
+
+
+def test_minhash_lsh_recall_floor_vs_bruteforce(spark):
+    """Characterize (and pin) LSH recall: over the sf0.001 documents, the
+    banded MinHash candidate pairs must recover >= 90% of the true
+    >= 0.5-Jaccard pairs (deterministic hashing -> a fixed number, so
+    this is a regression bound, not a flaky sample), and every emitted
+    pair must verify exactly (precision 1.0 by construction)."""
+    from clx_etl_spark.catalog import load_table
+    from clx_etl_spark.operators.dedup import minhash_near_duplicates
+    from clx_etl_spark.queries.corpus import BANDS, NUM_PERM
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_duplicates(
+            docs, k=3, num_perm=NUM_PERM, bands=BANDS, threshold=0.5
+        ).collect()
+    }
+    # brute-force truth: exact Jaccard over 3-token shingle sets
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    sets = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        sets[doc_id] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } or {text}
+    ids = sorted(sets)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= 0.5:
+                truth.add((a, b))
+    assert truth, "fixture should contain true near-dups"
+    assert got <= truth  # exact-Jaccard verification => no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, (recall, len(truth), len(got))

@@ -1034,3 +1034,28 @@ def test_streaming_sessionizer_idle_timeout_flushes_last_session(spark, tmp_path
     assert [(r.k, r.session_start, r.session_end, r.n_events) for r in rows] == [
         (1, FX.BASE_TS, FX.BASE_TS + 60_000, 2)
     ]
+
+
+def test_with_ingest_metrics_surfaces_observed_metrics(spark, tmp_path):
+    from clx_etl_spark.streaming.jobs import file_stream, with_ingest_metrics
+
+    src = str(tmp_path / "in")
+    now_ms = int(time.time() * 1000)
+    rows = [(1, now_ms, "a"), (2, now_ms - 10_000_000, "b"), (3, now_ms, "c")]
+    _write_batch(spark, src, rows)
+    observed = with_ingest_metrics(
+        file_stream(spark, src, SCHEMA), "ts_ms", late_after_ms=3_600_000
+    )
+    q = (
+        observed.writeStream.format("memory").queryName("obs_rows")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    progress = [p for p in q.recentProgress if p.get("observedMetrics")]
+    assert progress, "no observedMetrics in any progress event"
+    m = progress[-1]["observedMetrics"]["ingest"]
+    assert m["n_rows"] == 3
+    assert m["n_late"] == 1  # the 10000s-old row
+    assert m["max_event_ms"] == now_ms
+    # rows pass through unchanged
+    assert spark.sql("SELECT COUNT(*) c FROM obs_rows").first().c == 3
