@@ -139,25 +139,36 @@ def main() -> None:
     registry["q6_revenue_delta"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     registry["mm_media_metadata"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # per-query isolation: one failing query must NOT zero out the whole
+    # suite's timings (the round-3 failure mode — bench died at its 5th
+    # query with rc=1 and no data). Failures are reported in `errors`,
+    # excluded from the wall-time sum, and flip the exit code at the end
+    # so automation still notices.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         q = registry[name]
         t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # noqa: BLE001 - isolate, report, continue
+            errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+            print(f"bench query {name} FAILED: {errors[name]}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
