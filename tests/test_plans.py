@@ -58,6 +58,7 @@ NLJ_ALLOWED = {
     "rrf_fusion",  # broadcast 1-row query vector against the top-20 leg
     "token_pmi",  # broadcast of the 1-row n_docs scalar onto vocab pairs
     "pareto_abc_customers",  # broadcast of the 1-row revenue total
+    "market_basket_pairs",  # broadcast of the 1-row n_orders scalar
 }
 
 
