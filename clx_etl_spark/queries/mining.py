@@ -672,3 +672,57 @@ def market_basket_pairs(spark, sf):
         )
         .filter(F.col("rk") <= 50)
     )
+
+
+@register(
+    "readability_scores",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(GREATEST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                  x -> trim(x) <> '')), 1) AS BIGINT) AS n_sentences,
+             CAST(GREATEST(len(list_filter(
+                  string_split_regex(lower(text), '[^aeiou]+'),
+                  x -> x <> '')), 1) AS BIGINT) AS n_syllables
+      FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+             AS flesch
+    FROM c WHERE n_words > 0
+    """,
+    doc="Flesch reading-ease per document from exact integer counts "
+    "(whitespace words, [.!?] sentences, vowel-group syllable proxy — "
+    "the standard heuristic), combined in a fixed-order double "
+    "expression so both engines agree bit-for-bit. The readability leg "
+    "of quality filtering, complementing text_quality_scores' "
+    "length/punctuation signals; map-only, zero shuffles",
+)
+def readability_scores(spark, sf):
+    docs = _t(spark, sf, "documents")
+    def nz(col):
+        return F.greatest(col, F.lit(1)).cast("long")
+    words = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+    sentences = F.size(
+        F.filter(F.split(F.col("text"), r"[.!?]+"), lambda x: F.trim(x) != "")
+    )
+    syllables = F.size(
+        F.filter(F.split(F.lower(F.col("text")), r"[^aeiou]+"), lambda x: x != "")
+    )
+    c = docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        nz(sentences).alias("n_sentences"),
+        nz(syllables).alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    return c.withColumn(
+        "flesch",
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double")),
+    )
