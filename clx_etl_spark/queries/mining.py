@@ -726,3 +726,55 @@ def readability_scores(spark, sf):
         - F.lit(84.6)
         * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double")),
     )
+
+
+@register(
+    "srp_pair_label_purity",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    sig AS MATERIALIZED (SELECT vec_id, {_SRP_SIG} AS sig FROM v),
+    bands AS (SELECT vec_id, b AS band,
+                     substr(sig, b * {_SRP_BITS} + 1, {_SRP_BITS}) AS bucket
+              FROM sig, generate_series(0, {_SRP_BANDS - 1}) AS t(b)),
+    cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bucket = b.bucket
+              AND a.vec_id < b.vec_id),
+    pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
+              JOIN v va ON va.vec_id = c.doc_a
+              JOIN v vb ON vb.vec_id = c.doc_b
+              WHERE {{cos}} >= 0.35),
+    lab AS (SELECT p.doc_a, p.doc_b,
+                   la.label AS label_a, lb.label AS label_b
+            FROM pairs p
+            JOIN embeddings la ON la.vec_id = p.doc_a
+            JOIN embeddings lb ON lb.vec_id = p.doc_b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN label_a = label_b THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_same_label,
+           CAST(SUM(CASE WHEN label_a = label_b THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS purity
+    FROM lab
+    """.format(cos=_cosine_sql("va.embedding", "vb.embedding")),
+    doc="Similarity-graph quality metric: fraction of SRP near-dup pairs "
+    "whose endpoints share a ground-truth label (pair purity) — the "
+    "evaluation that justifies using the graph for label propagation "
+    "and semantic dedup. One scalar row; reuses the hash-checked SRP "
+    "candidate pipeline, so the metric itself is hash-checked too",
+)
+def srp_pair_label_purity(spark, sf):
+    from ..operators import similarity as S2
+
+    emb = _t(spark, sf, "embeddings")
+    pairs = S2.srp_near_duplicates(
+        emb, threshold=0.35, bands=_SRP_BANDS, bits_per_band=_SRP_BITS
+    )
+    la = emb.select(F.col("vec_id").alias("doc_a"), F.col("label").alias("label_a"))
+    lb = emb.select(F.col("vec_id").alias("doc_b"), F.col("label").alias("label_b"))
+    j = pairs.join(la, "doc_a").join(lb, "doc_b")
+    same = F.sum(F.when(F.col("label_a") == F.col("label_b"), 1).otherwise(0))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        same.cast("long").alias("n_same_label"),
+        (same.cast("double") / F.count(F.lit(1)).cast("double")).alias("purity"),
+    )
