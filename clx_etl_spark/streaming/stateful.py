@@ -14,7 +14,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -206,4 +206,109 @@ def streaming_sessionizer(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    key_col: str,
+    k: int = 10,
+    capacity: int = 64,
+) -> DataFrame:
+    """Streaming top-k frequent values via the SpaceSaving algorithm:
+    state is a fixed set of ``capacity`` (value, count, overestimate)
+    counters however long the stream runs — when a new value arrives
+    with all counters taken, it REPLACES the minimum counter and
+    inherits its count as the overestimate bound (Metwally et al. 2005).
+    Guarantees: every true count is <= counter count <= true + max_err,
+    and any value with true count > N/capacity is guaranteed present.
+
+    Emits the current top-k snapshot (key, count, max_err, batch_id-like
+    monotone seq) after every micro-batch. Per batch the arriving rows
+    are reduced to value counts FIRST (one pandas value_counts), so the
+    state update is O(distinct-in-batch + capacity), not O(rows).
+
+    Scale note: the stream funnels through ONE state group (the counter
+    set is global) — correct for the monitoring cadence this serves;
+    shard by a hash prefix and merge snapshots downstream if a single
+    task's ingest rate becomes the bound (SpaceSaving merges with
+    bounded error growth).
+    """
+    from pyspark.sql.types import StringType
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("cnt", LongType()),
+            StructField("max_err", LongType()),
+            StructField("seq", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("keys", StringType()),  # \x1f-joined
+            StructField("counts", StringType()),
+            StructField("errs", StringType()),
+            StructField("seq", LongType()),
+        ]
+    )
+    SEP = "\x1f"
+
+    def step(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ks, cs, es, seq = state.get
+            counters = {
+                kk: [int(c), int(e)]
+                for kk, c, e in zip(
+                    ks.split(SEP), cs.split(SEP), es.split(SEP)
+                )
+                if kk != ""
+            }
+        else:
+            counters, seq = {}, 0
+        batch_counts: dict[str, int] = {}
+        for pdf in pdfs:
+            for v, c in pdf[key_col].astype(str).value_counts().items():
+                batch_counts[v] = batch_counts.get(v, 0) + int(c)
+        # deterministic update order: by (-count, value) so replacement
+        # decisions don't depend on pandas hash order
+        for v, c in sorted(batch_counts.items(), key=lambda kv: (-kv[1], kv[0])):
+            if v in counters:
+                counters[v][0] += c
+            elif len(counters) < capacity:
+                counters[v] = [c, 0]
+            else:
+                mv = min(counters.items(), key=lambda kv: (kv[1][0], kv[0]))
+                mkey, (mcount, _merr) = mv
+                del counters[mkey]
+                counters[v] = [mcount + c, mcount]
+        seq += 1
+        state.update(
+            (
+                SEP.join(counters.keys()),
+                SEP.join(str(c) for c, _ in counters.values()),
+                SEP.join(str(e) for _, e in counters.values()),
+                seq,
+            )
+        )
+        top = sorted(
+            counters.items(), key=lambda kv: (-kv[1][0], kv[0])
+        )[:k]
+        yield pd.DataFrame(
+            [(v, c, e, seq) for v, (c, e) in top],
+            columns=[f.name for f in out_schema.fields],
+        )
+
+    return (
+        events.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandasWithState(
+            step,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

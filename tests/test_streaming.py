@@ -1059,3 +1059,61 @@ def test_with_ingest_metrics_surfaces_observed_metrics(spark, tmp_path):
     assert m["max_event_ms"] == now_ms
     # rows pass through unchanged
     assert spark.sql("SELECT COUNT(*) c FROM obs_rows").first().c == 3
+
+
+def test_streaming_heavy_hitters_spacesaving_bounds(spark, tmp_path):
+    """SpaceSaving top-k across micro-batches: exact for keys that fit
+    capacity; with capacity pressure, counts stay within the
+    overestimate bound and the true heavy hitter is always present."""
+    from clx_etl_spark.streaming.stateful import streaming_heavy_hitters
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("ts_ms", LongType()),
+         StructField("event_type", StringType())]
+    )
+    src = str(tmp_path / "in")
+    # batch 1: a=5, b=3; batch 2: a=4, c=2 -> truth a=9, b=3, c=2
+    b1 = [(i, FX.BASE_TS + i, "a") for i in range(5)] + [
+        (10 + i, FX.BASE_TS + i, "b") for i in range(3)]
+    b2 = [(20 + i, FX.BASE_TS + i, "a") for i in range(4)] + [
+        (30 + i, FX.BASE_TS + i, "c") for i in range(2)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    out = streaming_heavy_hitters(stream, key_col="event_type", k=3, capacity=8)
+    q = (
+        out.writeStream.format("memory").queryName("hh")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hh").collect()
+    last_seq = max(r.seq for r in rows)
+    final = {r.key: (r.cnt, r.max_err) for r in rows if r.seq == last_seq}
+    # capacity 8 > 3 distinct keys -> exact counts, zero error
+    assert final == {"a": (9, 0), "b": (3, 0), "c": (2, 0)}
+
+    # capacity pressure (2 counters for 3 keys): the guarantee holds for
+    # any key with true count > N/capacity = 14/2 — i.e. 'a' (9) must
+    # survive exactly; the evicted-slot key carries a bounded overestimate
+    stream2 = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    out2 = streaming_heavy_hitters(stream2, key_col="event_type", k=2, capacity=2)
+    q2 = (
+        out2.writeStream.format("memory").queryName("hh1")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    rows2 = spark.sql("SELECT * FROM hh1").collect()
+    last = max(r.seq for r in rows2)
+    fin = sorted((r for r in rows2 if r.seq == last), key=lambda r: -r.cnt)
+    truth = {"a": 9, "b": 3, "c": 2}
+    assert fin[0].key == "a" and fin[0].cnt == 9 and fin[0].max_err == 0
+    for r in fin:  # overestimate-only with a tight residual bound
+        t = truth[r.key]
+        assert r.cnt - r.max_err <= t <= r.cnt
