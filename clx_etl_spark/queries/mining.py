@@ -778,3 +778,154 @@ def srp_pair_label_purity(spark, sf):
         same.cast("long").alias("n_same_label"),
         (same.cast("double") / F.count(F.lit(1)).cast("double")).alias("purity"),
     )
+
+
+SPAN_LEN = 3          # fixed corruption span length (T5 mean span)
+SPAN_GATE_MOD = 20    # ~5% span starts -> ~15% tokens masked
+
+
+@register(
+    "span_corruption_masking",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '') AS t
+                  FROM documents),
+    pos AS (SELECT doc_id, i - 1 AS j, t[i] AS tok, len(t) AS n
+            FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)),
+    g AS (SELECT doc_id, j, tok,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                      CAST(j AS VARCHAR)), 1, 8) AS BIGINT)
+                   % {SPAN_GATE_MOD} = 0 AS g0,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                      CAST(j - 1 AS VARCHAR)), 1, 8) AS BIGINT)
+                   % {SPAN_GATE_MOD} = 0 AND j >= 1 AS g1,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                      CAST(j - 2 AS VARCHAR)), 1, 8) AS BIGINT)
+                   % {SPAN_GATE_MOD} = 0 AND j >= 2 AS g2
+          FROM pos),
+    cov AS (SELECT doc_id, j, tok,
+                   (g0 OR g1 OR g2) AS covered,
+                   CASE WHEN (g0 OR g1 OR g2)
+                        AND NOT COALESCE(LAG(g0 OR g1 OR g2)
+                          OVER (PARTITION BY doc_id ORDER BY j), FALSE)
+                        THEN 1 ELSE 0 END AS is_start
+            FROM g),
+    sid AS (SELECT doc_id, j, tok, covered, is_start,
+                   SUM(is_start) OVER (PARTITION BY doc_id ORDER BY j
+                                       ROWS UNBOUNDED PRECEDING) AS span_no
+            FROM cov),
+    inp AS (SELECT doc_id,
+                   string_agg(CASE WHEN NOT covered THEN tok
+                                   ELSE '<extra_id_' || CAST(span_no - 1
+                                        AS VARCHAR) || '>' END,
+                              ' ' ORDER BY j) AS input_text
+            FROM sid WHERE NOT covered OR is_start = 1
+            GROUP BY doc_id),
+    tgt AS (SELECT doc_id,
+                   string_agg(CASE WHEN is_start = 1
+                                   THEN '<extra_id_' || CAST(span_no - 1
+                                        AS VARCHAR) || '> ' || tok
+                                   ELSE tok END,
+                              ' ' ORDER BY j) AS target_text
+            FROM sid WHERE covered
+            GROUP BY doc_id),
+    spans AS (SELECT doc_id, CAST(MAX(span_no) AS BIGINT) AS n_spans
+              FROM sid GROUP BY doc_id)
+    SELECT s.doc_id, i.input_text, t.target_text, s.n_spans
+    FROM spans s
+    JOIN inp i ON i.doc_id = s.doc_id
+    JOIN tgt t ON t.doc_id = s.doc_id
+    WHERE s.n_spans > 0
+    """,
+    doc="T5/UL2-style span-corruption pretraining prep: deterministic "
+    "~15% token masking in fixed-length-3 spans (md5 position gates — "
+    "growth-stable, no RNG), overlapping spans merged by the islands "
+    "pattern, masked spans replaced by <extra_id_k> sentinels in the "
+    "input and emitted after their sentinel in the target — the "
+    "denoising-objective example builder. Everything is per-(doc, "
+    "position) window arithmetic + ordered string_agg, so both engines "
+    "produce byte-identical examples; map-side except one partitioned "
+    "window",
+)
+def span_corruption_masking(spark, sf):
+    docs = _t(spark, sf, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(_tokens("text")).alias("j", "tok")
+    )
+
+    def gate(off):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        (F.col("j") - off).cast("string"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        g = (h % SPAN_GATE_MOD) == 0
+        return g if off == 0 else (g & (F.col("j") >= off))
+
+    w = Window.partitionBy("doc_id").orderBy("j")
+    cov = pos.withColumn(
+        "covered", gate(0) | gate(1) | gate(2)
+    ).withColumn(
+        "is_start",
+        (
+            F.col("covered")
+            & ~F.coalesce(F.lag("covered").over(w), F.lit(False))
+        ).cast("int"),
+    )
+    sid = cov.withColumn(
+        "span_no",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("span_no") - 1).cast("string"), F.lit(">")
+    )
+    inp_piece = F.when(~F.col("covered"), F.col("tok")).when(
+        F.col("is_start") == 1, sentinel
+    )
+    inp = (
+        sid.filter(~F.col("covered") | (F.col("is_start") == 1))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("j", inp_piece.alias("p")))
+                    ),
+                    lambda x: x["p"],
+                ),
+            ).alias("input_text")
+        )
+    )
+    tgt_piece = F.when(
+        F.col("is_start") == 1, F.concat(sentinel, F.lit(" "), F.col("tok"))
+    ).otherwise(F.col("tok"))
+    tgt = (
+        sid.filter(F.col("covered"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("j", tgt_piece.alias("p")))
+                    ),
+                    lambda x: x["p"],
+                ),
+            ).alias("target_text")
+        )
+    )
+    spans = sid.groupBy("doc_id").agg(
+        F.max("span_no").cast("long").alias("n_spans")
+    ).filter(F.col("n_spans") > 0)
+    return spans.join(inp, "doc_id").join(tgt, "doc_id").select(
+        "doc_id", "input_text", "target_text", "n_spans"
+    )

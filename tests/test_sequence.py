@@ -373,3 +373,33 @@ def test_daily_correlation_in_range_and_symmetric_pairs(spark):
         seen.add((r.type_a, r.type_b))
     # 5 event types -> C(5,2) pairs
     assert len(rows) == 10
+
+
+def test_span_corruption_reconstructs_original(spark):
+    """T5 span corruption is lossless: replacing each input sentinel with
+    its target span rebuilds the original token stream exactly."""
+    import re
+
+    df = REG["span_corruption_masking"].fn(spark, SF_SMOKE)
+    docs = {
+        r.doc_id: r.text.split()
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    rows = df.collect()
+    assert rows
+    for row in rows:
+        spans: dict[int, list[str]] = {}
+        cur = None
+        for t in row.target_text.split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", t)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        assert len(spans) == row.n_spans
+        rebuilt: list[str] = []
+        for t in row.input_text.split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", t)
+            rebuilt.extend(spans[int(m.group(1))] if m else [t])
+        assert rebuilt == docs[row.doc_id], row.doc_id
