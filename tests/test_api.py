@@ -338,3 +338,24 @@ def test_engine_graph_facade(spark):
     )
     got = {r.vec_id: r.label for r in eng.propagate_labels(pairs, seeds).collect()}
     assert got == {0: 5, 1: 5, 2: 5, 3: 6, 4: 6}
+
+
+def test_cli_list_and_run(spark, capsys):
+    from clx_etl_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary\thash" in out
+    assert "sketch_daily_users\trows-only" in out
+
+    assert main([
+        "run", "dedup_exact", "--sf", "/root/testdata/sf0.001",
+        "--json", "--limit", "3",
+    ]) == 0
+    import json as _json
+
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == 3
+    assert "digest" in _json.loads(lines[0])
+
+    assert main(["run", "no_such_query"]) == 2
