@@ -155,6 +155,7 @@ SWEEP_FRONT: list[str] = [
     "readability_scores",
     "srp_pair_label_purity",
     "span_corruption_masking",
+    "dedup_cluster_size_histogram",
     # ---- spill zone past the driver's ~50 cap: entries with the
     # strongest alternative proof (repo oracle green at 3 SFs this
     # round; w4 family shares w4_locf_fill's load path; the

@@ -929,3 +929,41 @@ def span_corruption_masking(spark, sf):
     return spans.join(inp, "doc_id").join(tgt, "doc_id").select(
         "doc_id", "input_text", "target_text", "n_spans"
     )
+
+
+from .corpus import DEDUP_CLUSTERS_ORACLE
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH comp AS ({DEDUP_CLUSTERS_ORACLE}),
+    sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY component)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    doc="Duplicate-cluster size distribution: the dedup health dashboard "
+    "number (a fat tail here means boilerplate factories / mirror sites "
+    "upstream — the trigger for df-caps and source-level review). Two "
+    "keyed counts over the connected-components output; histogram-sized "
+    "result",
+)
+def dedup_cluster_size_histogram(spark, sf):
+    from ..operators import dedup as D
+    from .corpus import BANDS, NUM_PERM
+
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, k=3, num_perm=NUM_PERM, bands=BANDS, threshold=0.5
+    )
+    comp = D.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
+    )
