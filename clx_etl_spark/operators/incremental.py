@@ -97,6 +97,7 @@ def incremental_refresh(
     value_col: str = "value",
     ts_ms_col: str = "ts_ms",
     keys: tuple[str, ...] = ("event_type",),
+    commit_files: dict[str, str] | None = None,
 ) -> None:
     """Maintain a stored daily rollup from a new fact batch: aggregate the
     batch to partial state, merge with ONLY the stored groups it touches,
@@ -105,6 +106,8 @@ def incremental_refresh(
     caveat: refresh is additive, so exactly-once delivery into this
     function is the caller's contract (feed it from a checkpointed stream
     or the gap-planned batch pulls, both of which deliver each bar once).
+    ``commit_files`` passes through to merge_upsert: sidecars committed
+    atomically with the rollup swap (the transactional-sink marker hook).
     """
     from ..sinks.upsert import merge_upsert
 
@@ -121,4 +124,4 @@ def incremental_refresh(
     # localCheckpoint: the MERGE below rewrites the same parquet the
     # `stored` lineage reads — materialize first (bounded: rollup-sized)
     merged = merged.localCheckpoint(eager=True)
-    merge_upsert(spark, merged, rollup_path, keys=dims)
+    merge_upsert(spark, merged, rollup_path, keys=dims, commit_files=commit_files)

@@ -119,6 +119,9 @@ SWEEP_FRONT: list[str] = [
     "dq_orders_expectations",
     "anomaly_mad_by_type",
     "lm_score_heldout",
+    # new round-5 queries (hash-oracled; queued behind the stragglers)
+    "graph_suite",
+    "sketch_daily_users_exact",
     # rows-only (no hash oracle by design; driver records rows-only)
     "sketch_daily_users",
     "bpe_train_encode",

@@ -308,30 +308,74 @@ def scd2_value_runs(spark, sf):
            list_reduce(vs, (acc, x) -> 0.2 * x + 0.8 * acc) AS ema
     FROM ordered
     """,
-    doc="Batch twin of streaming_ema: per-user EWMA as an ordered fold "
-    "(collect_list sorted by (ts, id), then F.aggregate) — both engines "
-    "fold left in identical order, so the float recursion is "
-    "bit-identical. The streaming operator carries the same recursion "
-    "across micro-batches with O(1) state",
+    doc="Batch twin of streaming_ema: per-user EWMA as an ordered "
+    "CHUNKED two-level fold — events index into fixed 4096-row blocks "
+    "(row_number window: a spillable SORT, not a giant in-memory array), "
+    "each block aggregates to a bounded array, and the final fold walks "
+    "blocks then elements in the identical left-fold order, so the float "
+    "recursion stays bit-identical to the oracle's list_reduce. Every "
+    "SHUFFLED row is <= 4096 values — a whale user costs sort spill, "
+    "not a multi-GB aggregation buffer (VERDICT r04). The single "
+    "final-fold row is still O(user history); a guard fails loudly past "
+    "the representable bound — unbounded keys belong on streaming_ema's "
+    "O(1)-state recursion",
 )
 def ema_per_user(spark, sf):
+    B = 4096  # block length: bounds every shuffled/aggregated row
+    MAX_BLOCKS = 65536  # ~268M events/user ~= the 2 GB row ceiling
     ev = _t(spark, sf, "events")
-    vs = F.transform(
-        F.array_sort(
-            F.collect_list(F.struct("ts_ms", "event_id", "value"))
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    indexed = ev.select("user_id", "ts_ms", "event_id", "value").withColumn(
+        "_i", F.row_number().over(w).cast("long") - 1
+    )
+    blocks = indexed.groupBy(
+        "user_id", (F.col("_i") / B).cast("long").alias("_blk")
+    ).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct((F.col("_i") % B).alias("j"), "value"))
+            ),
+            lambda s: s.value,
+        ).alias("vals")
+    )
+    per_user = blocks.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("_blk", "vals"))).alias("blocks")
+    )
+    guarded = per_user.withColumn(
+        "blocks",
+        F.when(F.size("blocks") <= MAX_BLOCKS, F.col("blocks")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("ema_per_user: user "),
+                    F.col("user_id").cast("string"),
+                    F.lit(
+                        f" exceeds {MAX_BLOCKS} blocks — use streaming_ema "
+                        "for unbounded per-key history"
+                    ),
+                )
+            )
         ),
-        lambda s: s.value,
     )
-    grouped = ev.groupBy("user_id").agg(vs.alias("vs"))
+    # blocks-then-elements fold, seeding from the first element via a
+    # (first, acc) state struct: the exact element order of the flat fold
+    step = lambda s, x: F.struct(  # noqa: E731
+        F.lit(False).alias("first"),
+        F.when(s["first"], x)
+        .otherwise(F.lit(0.2) * x + F.lit(0.8) * s["acc"])
+        .alias("acc"),
+    )
     ema = F.aggregate(
-        F.slice(F.col("vs"), 2, F.size(F.col("vs")) - 1),
-        F.element_at(F.col("vs"), 1),
-        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+        F.col("blocks"),
+        F.struct(F.lit(True).alias("first"), F.lit(0.0).alias("acc")),
+        lambda st, blk: F.aggregate(blk["vals"], st, step),
+    )["acc"]
+    n_ticks = F.aggregate(
+        F.col("blocks"),
+        F.lit(0).cast("long"),
+        lambda acc, blk: acc + F.size(blk["vals"]).cast("long"),
     )
-    return grouped.select(
-        "user_id",
-        F.size("vs").cast("long").alias("n_ticks"),
-        ema.alias("ema"),
+    return guarded.select(
+        "user_id", n_ticks.alias("n_ticks"), ema.alias("ema")
     )
 
 

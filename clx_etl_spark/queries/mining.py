@@ -84,10 +84,12 @@ def funnel_time_bounded(spark, sf):
         .groupBy("user_id")
         .agg(F.min("ts_ms").alias("t_purchase"))
     )
+    # explicit broadcast: plan shape (BroadcastNestedLoop over 1-row
+    # sides) must not depend on AQE runtime inference
     return (
         v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_1h")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_24h")))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click_1h"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase_24h"))))
     )
 
 
@@ -553,6 +555,139 @@ def label_propagation_srp(spark, sf):
     out = label_propagation(pairs, seeds, rounds=_LP_ROUNDS)
     return out.select(
         "vec_id", "label", (F.col("vec_id") % 4 == 0).alias("is_seed")
+    )
+
+
+def _graph_suite_oracle(pr_iters: int = 10, lp_rounds: int = _LP_ROUNDS) -> str:
+    """One SRP pair graph, three consumers: the unrolled exact-integer
+    PageRank, the unrolled label propagation, and the recursive
+    connected-components reach — all reading the same MATERIALIZED
+    edges CTE, mirroring the Spark side's single localCheckpoint."""
+    cos = _cosine_sql("va.embedding", "vb.embedding")
+    pr = [
+        f"r0 AS (SELECT src AS vec_id, CAST({RANK_SCALE} AS BIGINT) AS rank_q"
+        " FROM deg)"
+    ]
+    for i in range(1, pr_iters + 1):
+        pr.append(
+            f"r{i} AS (SELECT e.dst AS vec_id, "
+            f"CAST({_PR_BASE} + ({DAMPING_NUM} * "
+            f"SUM(r{i-1}.rank_q // d.out_deg)) // {DAMPING_DEN} AS BIGINT)"
+            f" AS rank_q "
+            f"FROM edges e JOIN r{i-1} ON e.src = r{i-1}.vec_id "
+            f"JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+        )
+    lp = [
+        "l0 AS (SELECT vec_id, CASE WHEN vec_id % 4 = 0 THEN label END AS lab"
+        " FROM embeddings)"
+    ]
+    for i in range(1, lp_rounds + 1):
+        lp.append(
+            f"v{i} AS (SELECT e.dst AS vec_id, l.lab, COUNT(*) AS n "
+            f"FROM edges e JOIN l{i-1} l ON e.src = l.vec_id "
+            f"WHERE l.lab IS NOT NULL GROUP BY e.dst, l.lab), "
+            f"w{i} AS (SELECT vec_id, lab FROM v{i} "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id "
+            f"ORDER BY n DESC, lab) = 1), "
+            f"l{i} AS (SELECT l.vec_id, COALESCE(l.lab, w.lab) AS lab "
+            f"FROM l{i-1} l LEFT JOIN w{i} w ON l.vec_id = w.vec_id)"
+        )
+    return f"""
+    WITH RECURSIVE v AS (SELECT vec_id, embedding FROM embeddings),
+    sig AS MATERIALIZED (SELECT vec_id, {_SRP_SIG} AS sig FROM v),
+    bands AS (SELECT vec_id, b AS band,
+                     substr(sig, b * {_SRP_BITS} + 1, {_SRP_BITS}) AS bucket
+              FROM sig, generate_series(0, {_SRP_BANDS - 1}) AS t(b)),
+    cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bucket = b.bucket
+              AND a.vec_id < b.vec_id),
+    pairs AS MATERIALIZED (
+        SELECT c.doc_a, c.doc_b FROM cand c
+        JOIN v va ON va.vec_id = c.doc_a
+        JOIN v vb ON vb.vec_id = c.doc_b
+        WHERE {cos} >= 0.35),
+    edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg
+            FROM edges GROUP BY src),
+    {", ".join(pr)},
+    {", ".join(lp)},
+    reach AS (SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component
+             FROM reach GROUP BY src)
+    SELECT emb.vec_id,
+           r.rank_q,
+           CAST(r.rank_q AS DOUBLE) / {float(RANK_SCALE)} AS rank,
+           l.lab AS label,
+           emb.vec_id % 4 = 0 AS is_seed,
+           COALESCE(c.component, emb.vec_id) AS component,
+           (COALESCE(c.component, emb.vec_id) = emb.vec_id) AS is_kept
+    FROM embeddings emb
+    LEFT JOIN r{pr_iters} r ON r.vec_id = emb.vec_id
+    LEFT JOIN l{lp_rounds} l ON l.vec_id = emb.vec_id
+    LEFT JOIN comp c ON c.vec_id = emb.vec_id
+    """
+
+
+@register(
+    "graph_suite",
+    oracle=_graph_suite_oracle(),
+    doc="Composed graph analytics on ONE materialized SRP similarity "
+    "graph (VERDICT r04: doc_pagerank / label_propagation_srp / "
+    "semantic_dedup each re-derived their pair graph — in a real "
+    "pipeline the graph is built once): a single "
+    "srp_near_duplicates pass is localCheckpoint'ed and feeds "
+    "PageRank (10 exact-integer rounds), label propagation (3 "
+    "rounds), and connected components, joined to one row per "
+    "vector. Still fully hash-oracled — every consumer is "
+    "deterministic fixed-point arithmetic over the same edge list",
+)
+def graph_suite(spark, sf):
+    from ..operators import dedup as D2
+    from ..operators import similarity as S2
+    from ..operators.graph import label_propagation, pagerank
+
+    emb = _t(spark, sf, "embeddings")
+    pairs = (
+        S2.srp_near_duplicates(
+            emb, threshold=0.35, bands=_SRP_BANDS, bits_per_band=_SRP_BITS
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # the ONE graph all consumers share
+    )
+    ranks = pagerank(pairs, iterations=10).select(
+        F.col("doc_id").alias("vec_id"), "rank_q", "rank"
+    )
+    seeds = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 4 == 0, F.col("label")).alias("label"),
+    )
+    labels = label_propagation(pairs, seeds, rounds=_LP_ROUNDS)
+    comps = (
+        D2.connected_components(pairs)
+        .select(F.col("doc_id").alias("vec_id"), "component")
+    )
+    return (
+        emb.select("vec_id")
+        .join(ranks, "vec_id", "left")
+        .join(labels, "vec_id", "left")
+        .join(comps, "vec_id", "left")
+        .select(
+            "vec_id",
+            "rank_q",
+            "rank",
+            "label",
+            (F.col("vec_id") % 4 == 0).alias("is_seed"),
+            F.coalesce("component", "vec_id").alias("component"),
+            (F.coalesce("component", "vec_id") == F.col("vec_id")).alias(
+                "is_kept"
+            ),
+        )
     )
 
 

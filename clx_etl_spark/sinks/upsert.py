@@ -57,6 +57,7 @@ def merge_upsert(
     keys: list[str],
     update_cols: list[str] | None = None,
     partition_cols: list[str] | None = None,
+    commit_files: dict[str, str] | None = None,
 ) -> None:
     """MERGE INTO semantics on a parquet table: update rows matching
     ``keys``, insert the rest. ``update_cols`` restricts which columns an
@@ -71,11 +72,33 @@ def merge_upsert(
     partition values (true for all engine fact tables: dt_date derives
     from ts) — a key can then never "move" between partitions, so pruning
     the merge to touched partitions is exact.
+
+    ``commit_files`` (unpartitioned targets only): sidecar files
+    {name: content} written into the staging directory BEFORE the atomic
+    rename, so they become visible exactly when the data commit does —
+    the hook transactional sinks need to record an applied-transaction id
+    atomically with the data (Delta's txnAppId/txnVersion pattern; used
+    by streaming/jobs.make_rollup_sink). Names must start with ``_`` so
+    Spark's file index ignores them. Sidecars NOT passed are dropped by
+    the swap — callers carry forward whatever must persist.
     """
     partition_cols = partition_cols or []
+    if commit_files and partition_cols:
+        raise ValueError(
+            "commit_files requires an unpartitioned target (atomic swap); "
+            "dynamic partition overwrite has no single commit point"
+        )
     updates = _dedup_updates(updates, keys)
     if not _exists(path):
-        updates.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+        if commit_files:
+            tmp = path.rstrip("/") + "._staged"
+            updates.write.mode("overwrite").parquet(tmp)
+            for name, content in commit_files.items():
+                with open(os.path.join(tmp, name), "w") as fh:
+                    fh.write(content)
+            os.rename(tmp, path)
+        else:
+            updates.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
         return
     stored = spark.read.parquet(path)
     if partition_cols:
@@ -139,6 +162,9 @@ def merge_upsert(
         # then swap — readers never see a half-written table
         tmp = path.rstrip("/") + "._staged"
         merged.write.mode("overwrite").parquet(tmp)
+        for name, content in (commit_files or {}).items():
+            with open(os.path.join(tmp, name), "w") as fh:
+                fh.write(content)
         shutil.rmtree(path)
         os.rename(tmp, path)
         spark.catalog.refreshByPath(path)

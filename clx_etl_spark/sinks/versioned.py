@@ -42,6 +42,68 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _json_stat(v):
+    """Normalize a parquet-footer statistic to a canonical JSON-native
+    value at COMMIT time, so manifests round-trip losslessly:
+    date/datetime -> ISO string, Decimal -> str (exact), bytes -> utf-8
+    when decodable. Returns None for anything non-canonicalizable — the
+    column's stats are then simply not recorded for that file, which
+    scan_version treats as "conservatively read"."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(v, bool) or isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, _dec.Decimal):
+        return str(v)
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _coerce_stat(v, like):
+    """Scan-time inverse of _json_stat: interpret a manifest value in the
+    domain of the query bound ``like``. Raises on any mismatch the caller
+    can't compare meaningfully — callers catch and keep the file."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(like, _dt.datetime):
+        out = _dt.datetime.fromisoformat(v) if isinstance(v, str) else v
+        if isinstance(out, _dt.datetime):
+            # footer stats round-trip tz-aware (UTC); naive query bounds
+            # are interpreted as UTC — the engine's session standard (T7)
+            if out.tzinfo is not None and like.tzinfo is None:
+                out = out.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            elif out.tzinfo is None and like.tzinfo is not None:
+                out = out.replace(tzinfo=_dt.timezone.utc)
+        return out
+    if isinstance(like, _dt.date):
+        return _dt.date.fromisoformat(v) if isinstance(v, str) else v
+    if isinstance(like, _dec.Decimal):
+        return _dec.Decimal(str(v))
+    if isinstance(like, str) != isinstance(v, str):
+        raise TypeError(f"incomparable stat {v!r} for bound {like!r}")
+    return v  # str/str compares directly; int/float compare natively
+
+
+def _stat_overlaps(lo, hi, rng) -> bool:
+    """True when [lo, hi] may overlap the file's [min, max] — including
+    every failure mode (missing stats, coercion error, incomparable
+    types), which all mean 'cannot prove disjoint, so read the file'."""
+    if rng is None:
+        return True
+    try:
+        return not (hi < _coerce_stat(rng[0], lo) or lo > _coerce_stat(rng[1], hi))
+    except Exception:
+        return True
+
+
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, "_manifests")
 
@@ -70,7 +132,16 @@ def _write_files(
     collect per-file min/max from the parquet FOOTERS (no data re-read)
     so the manifest doubles as a file-skipping index."""
     sub = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
-    df.write.mode("error").parquet(sub)
+    # INT96 (Spark's legacy default) carries no footer statistics, which
+    # defeats both manifest skipping and parquet row-group pruning —
+    # commit timestamps as TIMESTAMP_MICROS
+    spark = df.sparkSession
+    prev_tt = spark.conf.get("spark.sql.parquet.outputTimestampType", "INT96")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("error").parquet(sub)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev_tt)
     files = [
         os.path.join(sub, f)
         for f in sorted(os.listdir(sub))
@@ -87,16 +158,39 @@ def _write_files(
             for c in stats_cols:
                 if c not in names:
                     continue
+                import decimal as _dec
+
                 lo = hi = None
                 for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(names[c]).statistics
-                    if st is None or not st.has_min_max:
+                    # some logical types have no extractable footer stats
+                    # (pyarrow raises on .statistics or on the .min/.max
+                    # cast) — decimals reconstruct from the raw unscaled
+                    # int; anything else records nothing: conservative read
+                    try:
+                        st = md.row_group(rg).column(names[c]).statistics
+                        if st is None or not st.has_min_max:
+                            raise ValueError("no min/max")
+                        try:
+                            mn, mx = st.min, st.max
+                        except Exception:
+                            lt = json.loads(
+                                md.schema.column(names[c]).logical_type.to_json()
+                            )
+                            if lt.get("Type") != "Decimal" or not isinstance(
+                                st.min_raw, int
+                            ):
+                                raise
+                            mn = _dec.Decimal(st.min_raw).scaleb(-lt["scale"])
+                            mx = _dec.Decimal(st.max_raw).scaleb(-lt["scale"])
+                    except Exception:
                         lo = hi = None
                         break
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
                 if lo is not None:
-                    per_col[c] = [lo, hi]
+                    jlo, jhi = _json_stat(lo), _json_stat(hi)
+                    if jlo is not None and jhi is not None:
+                        per_col[c] = [jlo, jhi]
             if per_col:
                 stats[f] = per_col
     return files, stats
@@ -196,11 +290,9 @@ def scan_version(
         raise FileNotFoundError(f"no versions committed at {path}")
     m = _read_manifest(path, v)
     stats = m.get("stats", {})
-    keep = []
-    for f in m["files"]:
-        rng = stats.get(f, {}).get(col)
-        if rng is None or not (hi < type(lo)(rng[0]) or lo > type(hi)(rng[1])):
-            keep.append(f)
+    keep = [
+        f for f in m["files"] if _stat_overlaps(lo, hi, stats.get(f, {}).get(col))
+    ]
     if not keep:
         return read_version(spark, path, v).limit(0).filter(F.col(col).between(lo, hi))
     return (
@@ -215,11 +307,9 @@ def pruned_file_count(path: str, col: str, lo, hi, version: int | None = None) -
     v = latest_version(path) if version is None else version
     m = _read_manifest(path, v)
     stats = m.get("stats", {})
-    keep = 0
-    for f in m["files"]:
-        rng = stats.get(f, {}).get(col)
-        if rng is None or not (hi < type(lo)(rng[0]) or lo > type(hi)(rng[1])):
-            keep += 1
+    keep = sum(
+        1 for f in m["files"] if _stat_overlaps(lo, hi, stats.get(f, {}).get(col))
+    )
     return keep, len(m["files"])
 
 

@@ -238,25 +238,59 @@ def make_rollup_sink(
 ):
     """The per-batch sink behind rollup_stream, factored out so the
     replay guard is directly testable: (batch, batch_id) -> None, no-op
-    when this (checkpoint, batch_id) was already applied."""
+    when this (checkpoint, batch_id) was already applied.
+
+    The applied-id set lives INSIDE the rollup directory
+    (``_applied_{ns}.json`` — Spark's file index ignores ``_``-prefixed
+    files) and is written into the staging directory BEFORE the atomic
+    swap (merge_upsert ``commit_files``), so marker and data commit in
+    the same rename: there is no crash window in which the refresh is
+    committed but the marker is not, and a replayed batch can never
+    double-merge. Crash between staged-complete and swap is recovered on
+    the next call by promoting the staged dir (a marker file inside
+    staged implies its parquet write finished). Single writer per rollup
+    path assumed — the same contract any file-swap sink carries."""
+    import glob as _glob
     import hashlib as _hashlib
+    import json as _json
     import os as _os
+    import shutil as _shutil
 
     from ..operators.incremental import incremental_refresh
 
     ns = _hashlib.md5(checkpoint.encode()).hexdigest()[:12]
-    marker_dir = _os.path.join(rollup_path + "._applied", ns)
+    marker = f"_applied_{ns}.json"
+    staged = rollup_path.rstrip("/") + "._staged"
+
+    def _applied() -> set[int]:
+        f = _os.path.join(rollup_path, marker)
+        if _os.path.exists(f):
+            with open(f) as fh:
+                return set(_json.load(fh)["batch_ids"])
+        return set()
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        marker = _os.path.join(marker_dir, f"batch_{batch_id}")
-        if _os.path.exists(marker):
+        # crash recovery: a staged dir containing ANY applied-marker is a
+        # complete commit whose swap was interrupted — promote it (it was
+        # derived from the current rollup + one batch, so it supersedes)
+        if _glob.glob(_os.path.join(staged, "_applied_*.json")):
+            if _os.path.exists(rollup_path):
+                _shutil.rmtree(rollup_path)
+            _os.rename(staged, rollup_path)
+        if batch_id in _applied():
             return  # replayed batch: already merged, skip (idempotence)
+        # carry every producer's marker through the swap (markers are
+        # namespaced per checkpoint so concurrent-lineage ids never mix)
+        files: dict[str, str] = {}
+        if _os.path.exists(rollup_path):
+            for p in _glob.glob(_os.path.join(rollup_path, "_applied_*.json")):
+                with open(p) as fh:
+                    files[_os.path.basename(p)] = fh.read()
+        files[marker] = _json.dumps({"batch_ids": sorted(_applied() | {batch_id})})
         incremental_refresh(
-            batch.sparkSession, batch, rollup_path, value_col, ts_ms_col, keys
+            batch.sparkSession, batch, rollup_path, value_col, ts_ms_col, keys,
+            commit_files=files,
         )
-        _os.makedirs(marker_dir, exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write("applied")
 
     return sink
 
@@ -282,10 +316,12 @@ def rollup_stream(
     NAMESPACED by the checkpoint (= the query lineage — stable across
     restarts of the same query, distinct for a second stream feeding the
     same rollup, so two producers can never swallow each other's batch
-    ids). A replayed batch sees its marker and no-ops; the marker is
-    created only AFTER the refresh's parquet commit, so a half-applied
-    refresh is impossible (merge_upsert overwrites atomically per
-    partition dir). Starting a FRESH checkpoint against an existing
+    ids). A replayed batch sees its marker and no-ops; the marker file
+    is committed ATOMICALLY with the refresh (written into the staging
+    directory before merge_upsert's rename-swap), so neither
+    half-applied NOR double-applied refreshes are possible — there is no
+    crash window where data committed but the marker did not (see
+    make_rollup_sink). Starting a FRESH checkpoint against an existing
     rollup re-ingests from scratch by design — point it at a fresh
     rollup too.
     """

@@ -133,6 +133,7 @@ def streaming_sessionizer(
     ts_col: str = "ts_ms",
     gap_ms: int = 1_800_000,
     idle_timeout_ms: int = 3_600_000,
+    event_id_col: str | None = None,
 ) -> DataFrame:
     """Per-key sessionization with emit-on-close: a session CLOSES (and
     its summary row is emitted) when an arriving event's gap exceeds
@@ -146,10 +147,18 @@ def streaming_sessionizer(
     (operators/sessions.py). Emits (keys..., session_start, session_end,
     n_events, closed_by) rows: closed_by 'gap' | 'timeout'.
 
-    Same ordering discipline as the other stateful ops: rows sort within
-    the micro-batch, rows at or before the stored last_ts are dropped
-    (forward-only).
+    Ordering / replay discipline: rows sort within the micro-batch.
+    Events strictly older than the stored watermark are dropped
+    (forward-only). Events AT the watermark millisecond are counted —
+    distinct same-ms bursts within a batch match the batch islands
+    sessionization exactly; ACROSS batches, pass ``event_id_col`` to
+    deduplicate same-ms replays by id (state then also carries the ids
+    seen at the watermark ms — bounded by the same-ms burst size).
+    Without an id column, a cross-batch row landing exactly on the
+    watermark ms is conservatively treated as a replay and dropped.
     """
+    import json as _json
+
     from pyspark.sql.types import StringType
 
     key_fields = [events.schema[k] for k in keys]
@@ -167,6 +176,7 @@ def streaming_sessionizer(
             StructField("session_start", LongType()),
             StructField("last_ts", LongType()),
             StructField("n_events", LongType()),
+            StructField("last_ts_ids", StringType()),  # JSON id list
         ]
     )
 
@@ -176,27 +186,49 @@ def streaming_sessionizer(
         closed: list[tuple] = []
         if state.hasTimedOut:
             if state.exists:
-                s0, lt, n = state.get
+                s0, lt, n, _ids = state.get
                 closed.append((*key, s0, lt, n, "timeout"))
                 state.remove()
             yield pd.DataFrame(closed, columns=[f.name for f in out_schema.fields])
             return
-        s0, lt, n = state.get if state.exists else (None, None, 0)
-        pending: list[int] = []
+        s0, lt, n, ids_json = (
+            state.get if state.exists else (None, None, 0, "[]")
+        )
+        stored_lt = lt
+        cur_ids: set[str] = set(_json.loads(ids_json))
+        pending: list[tuple] = []
         for pdf in pdfs:
-            pending.extend(int(t) for t in pdf[ts_col])
-        for t in sorted(pending):
-            if lt is not None and t <= lt:
-                continue  # forward-only
+            if event_id_col is not None:
+                pending.extend(
+                    (int(t), str(e))
+                    for t, e in zip(pdf[ts_col], pdf[event_id_col])
+                )
+            else:
+                pending.extend((int(t), None) for t in pdf[ts_col])
+        for t, eid in sorted(pending, key=lambda p: p[0]):
+            if stored_lt is not None and (
+                t < stored_lt
+                or (
+                    t == stored_lt
+                    and (event_id_col is None or eid in cur_ids)
+                )
+            ):
+                continue  # forward-only / cross-batch replay
             if lt is not None and t - lt > gap_ms:
                 closed.append((*key, s0, lt, n, "gap"))
                 s0, n = t, 0
             if s0 is None:
                 s0 = t
-            lt = t
+            if lt is None or t > lt:
+                cur_ids = set()
+            if eid is not None:
+                if eid in cur_ids:
+                    continue  # within-batch duplicate id at the same ms
+                cur_ids.add(eid)
+            lt = t if lt is None else max(lt, t)
             n += 1
         if lt is not None:
-            state.update((s0, lt, n))
+            state.update((s0, lt, n, _json.dumps(sorted(cur_ids))))
             state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(closed, columns=[f.name for f in out_schema.fields])
 
@@ -246,25 +278,23 @@ def streaming_heavy_hitters(
     )
     state_schema = StructType(
         [
-            StructField("keys", StringType()),  # \x1f-joined
-            StructField("counts", StringType()),
-            StructField("errs", StringType()),
+            # the counter table serializes as JSON {value: [count, err]} —
+            # arbitrary key bytes round-trip exactly (a joined-string
+            # encoding would corrupt on keys containing the separator)
+            StructField("table", StringType()),
             StructField("seq", LongType()),
         ]
     )
-    SEP = "\x1f"
+    import json as _json
 
     def step(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            ks, cs, es, seq = state.get
+            table_json, seq = state.get
             counters = {
                 kk: [int(c), int(e)]
-                for kk, c, e in zip(
-                    ks.split(SEP), cs.split(SEP), es.split(SEP)
-                )
-                if kk != ""
+                for kk, (c, e) in _json.loads(table_json).items()
             }
         else:
             counters, seq = {}, 0
@@ -285,14 +315,7 @@ def streaming_heavy_hitters(
                 del counters[mkey]
                 counters[v] = [mcount + c, mcount]
         seq += 1
-        state.update(
-            (
-                SEP.join(counters.keys()),
-                SEP.join(str(c) for c, _ in counters.values()),
-                SEP.join(str(e) for _, e in counters.values()),
-                seq,
-            )
-        )
+        state.update((_json.dumps(counters), seq))
         top = sorted(
             counters.items(), key=lambda kv: (-kv[1][0], kv[0])
         )[:k]

@@ -448,6 +448,73 @@ def test_versioned_data_skipping_prunes_files(spark, tmp_path):
     assert got2 == {"r115", "x"}
 
 
+def test_versioned_data_skipping_typed_stats(spark, tmp_path):
+    """Manifest stats survive the JSON round-trip for NON-long column
+    types (date, timestamp, decimal, double) and still prune; any
+    stat the scan can't compare falls back to reading the file —
+    conservative, never an exception (ADVICE r04: type(lo)(rng[0])
+    raised on date/decimal stats and int-vs-float coercions)."""
+    import datetime as dt
+    import decimal
+    import json
+    import os
+
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               pruned_file_count,
+                                               scan_version)
+
+    path = str(tmp_path / "vt_typed")
+    for m in (1, 2, 3):
+        rows = [
+            (
+                dt.date(2024, m, d),
+                dt.datetime(2024, m, d, 12, 0, 0),
+                decimal.Decimal(f"{m * 100 + d}.25"),
+                float(m * 100 + d),
+            )
+            for d in range(1, 11)
+        ]
+        append_version(
+            spark.createDataFrame(
+                rows, "d date, ts timestamp, amt decimal(10,2), x double"
+            ).coalesce(1),
+            path,
+            stats_cols=["d", "ts", "amt", "x"],
+        )
+    # date bounds prune to the overlapping month's file
+    keep, total = pruned_file_count(path, "d", dt.date(2024, 2, 3), dt.date(2024, 2, 5))
+    assert total == 3 and keep == 1
+    got = {r.d for r in scan_version(
+        spark, path, "d", dt.date(2024, 2, 3), dt.date(2024, 2, 5)).collect()}
+    assert got == {dt.date(2024, 2, d) for d in (3, 4, 5)}
+    # timestamp bounds
+    keep, _ = pruned_file_count(
+        path, "ts", dt.datetime(2024, 3, 1), dt.datetime(2024, 3, 2))
+    assert keep == 1
+    # decimal bounds (exact string round-trip, no float drift)
+    keep, _ = pruned_file_count(
+        path, "amt", decimal.Decimal("201.00"), decimal.Decimal("205.00"))
+    assert keep == 1
+    assert scan_version(
+        spark, path, "amt", decimal.Decimal("201.00"), decimal.Decimal("205.00")
+    ).count() == 4
+    # int query bounds against double-valued stats: native numeric compare
+    keep, _ = pruned_file_count(path, "x", 101, 105)
+    assert keep == 1
+    # corrupt/incomparable stat entry -> file kept, no raise
+    mdir = os.path.join(path, "_manifests")
+    latest = max(int(f[1:-5]) for f in os.listdir(mdir) if f.startswith("v"))
+    mf = os.path.join(mdir, f"v{latest}.json")
+    m = json.load(open(mf))
+    # corrupt the stats of a file that does NOT overlap [101, 105]
+    victim = next(f for f in m["files"] if m["stats"][f]["x"][0] == 301.0)
+    m["stats"][victim]["x"] = ["not-a-number", "also-not"]
+    json.dump(m, open(mf, "w"))
+    keep, total = pruned_file_count(path, "x", 101, 105)
+    assert keep == 2 and total == 3  # the true hit + the corrupted file
+    assert scan_version(spark, path, "x", 101.0, 105.0).count() == 5
+
+
 def test_versioned_zorder_commit_prunes_both_dims(spark, tmp_path):
     """Z-ordered commit + manifest stats: a small 2-D box prunes most
     files; the same data committed unsorted prunes (almost) nothing —

@@ -884,7 +884,10 @@ def test_rollup_stream_incremental_and_replay_safe(spark, tmp_path):
         for r in partial_daily_state(df).collect()
     }
     assert got == want
-    assert len(glob.glob(os.path.join(rollup + "._applied", "*", "batch_*"))) >= 1
+    # the applied-id marker lives INSIDE the rollup dir (committed by the
+    # same atomic rename as the data — no marker-less-commit crash window)
+    markers = glob.glob(os.path.join(rollup, "_applied_*.json"))
+    assert len(markers) == 1
 
     # crash-replay: re-deliver an ALREADY-APPLIED batch id through the
     # same checkpoint lineage's sink (foreachBatch is at-least-once) —
@@ -899,12 +902,30 @@ def test_rollup_stream_incremental_and_replay_safe(spark, tmp_path):
     }
     assert got2 == want
     # a DIFFERENT checkpoint lineage gets its own marker namespace: its
-    # batch 0 is not swallowed by this query's batch-0 marker
+    # batch 0 is not swallowed by this query's batch-0 marker — and the
+    # swap carries the first lineage's marker forward
     other = make_rollup_sink(rollup, str(tmp_path / "c_other"))
     extra_rows = [(FX.BASE_TS + 3 * 86_400_000, "view", 1.0)]
     other(spark.createDataFrame(extra_rows, schema), 0)
     n_after = spark.read.parquet(rollup).count()
     assert n_after == len(want) + 1
+    assert len(glob.glob(os.path.join(rollup, "_applied_*.json"))) == 2
+    sink(df.limit(10), 0)  # first lineage's ids survived the second swap
+    assert spark.read.parquet(rollup).count() == n_after
+
+    # crash window: staged commit completed but the rename-swap was
+    # interrupted. Simulate by demoting the committed rollup to the
+    # staged path — the next sink call must promote it and then treat
+    # the replayed batch as applied (marker traveled with the data).
+    staged = rollup + "._staged"
+    os.rename(rollup, staged)
+    sink(df.limit(10), 2)  # batch 2 was applied pre-"crash"
+    assert os.path.exists(rollup) and not os.path.exists(staged)
+    got3 = {
+        (r.day_id, r.event_type): (r.n, r.sum_v, r.min_v, r.max_v)
+        for r in spark.read.parquet(rollup).filter("day_id < %d" % (FX.BASE_TS // 86_400_000 + 3)).collect()
+    }
+    assert got3 == want
 
 
 def test_streaming_sessionizer_closes_on_gap_across_batches(spark, tmp_path):
@@ -943,6 +964,87 @@ def test_streaming_sessionizer_closes_on_gap_across_batches(spark, tmp_path):
         (FX.BASE_TS, FX.BASE_TS + 120_000, 3, "gap"),
         (FX.BASE_TS + 120_000 + G + 1, FX.BASE_TS + 120_000 + G + 60_001, 2, "gap"),
     ]
+
+
+def test_streaming_sessionizer_same_ms_bursts_count_all_events(spark, tmp_path):
+    """Distinct events sharing one millisecond must all count (the batch
+    islands sessionization counts rows, not timestamps) — within a batch
+    always, and across batches when an event_id column deduplicates
+    replays (ADVICE r04: the old forward-only guard collapsed same-ms
+    bursts to one event)."""
+    from pyspark.sql.types import StringType
+
+    from clx_etl_spark.streaming.stateful import streaming_sessionizer
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ts_ms", LongType()),
+            StructField("eid", StringType()),
+        ]
+    )
+    src = str(tmp_path / "in")
+    G = 1_800_000
+    T = FX.BASE_TS
+    # batch A: 3 events at the SAME ms + 1 more, all one session
+    a = [(1, T, "e1"), (1, T, "e2"), (1, T, "e3"), (1, T + 1000, "e4")]
+    # batch B: a replay of e4 (same ts+id: dropped), a NEW event at the
+    # same ms (counted), then a jump that closes the session
+    b = [(1, T + 1000, "e4"), (1, T + 1000, "e5"), (1, T + 1000 + G + 1, "e6")]
+    spark.createDataFrame(a, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    out = streaming_sessionizer(stream, keys=["k"], gap_ms=G, event_id_col="eid")
+    q = (
+        out.writeStream.format("memory").queryName("sess_ms")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess_ms").collect()
+    # one closed session: e1-e5 = 5 distinct events (e4 replay dropped)
+    assert [(r.session_start, r.session_end, r.n_events, r.closed_by) for r in rows] == [
+        (T, T + 1000, 5, "gap")
+    ]
+
+
+def test_streaming_heavy_hitters_state_survives_separator_bytes(spark, tmp_path):
+    """Counter state must round-trip key values containing control bytes
+    (ADVICE r04: the old \\x1f-joined encoding corrupted on such keys) —
+    counts stay exact across micro-batches."""
+    from pyspark.sql.types import StringType
+
+    from clx_etl_spark.streaming.stateful import streaming_heavy_hitters
+
+    schema = StructType(
+        [StructField("event_type", StringType()), StructField("ts_ms", LongType())]
+    )
+    src = str(tmp_path / "in")
+    weird = "a\x1fb"  # contains the old separator byte
+    a = [(weird, FX.BASE_TS + i) for i in range(5)] + [("plain", FX.BASE_TS)]
+    b = [(weird, FX.BASE_TS + 100 + i) for i in range(4)] + [("plain", FX.BASE_TS + 100)]
+    spark.createDataFrame(a, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    out = streaming_heavy_hitters(stream, key_col="event_type", k=4, capacity=8)
+    q = (
+        out.writeStream.format("memory").queryName("hh_sep")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    last_seq = spark.sql("SELECT max(seq) s FROM hh_sep").collect()[0].s
+    got = {
+        r.key: (r.cnt, r.max_err)
+        for r in spark.sql(f"SELECT * FROM hh_sep WHERE seq = {last_seq}").collect()
+    }
+    assert got == {weird: (9, 0), "plain": (2, 0)}
 
 
 def test_enrich_stream_picks_up_dim_updates_between_batches(spark, tmp_path):
