@@ -27,7 +27,10 @@ from clx_etl_spark.session import get_spark
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 # one representative per shape family: scan-agg, window, join, distinct,
-# sessionize, grid, inverted-index, LSH dedup, vector, iterative graph
+# sessionize, grid, inverted-index, LSH dedup, vector, iterative graph —
+# plus the round-4 shape families VERDICT r04 asked onto the probe:
+# positional k-gram dedup (the most quadratic-capable), CDC fold,
+# span masking, and the versioned data-skipping scan.
 PROBES = [
     "q1_pricing_summary",
     "w4_moving_frame",
@@ -39,7 +42,33 @@ PROBES = [
     "dedup_minhash_lsh",
     "sim_knn_ivf",
     "doc_pagerank",
+    "substring_run_dedup",
+    "cdc_current_state",
+    "span_corruption_masking",
 ]
+
+
+def _probe_scan_version(spark, sf: str) -> None:
+    """Non-registry probe: versioned-table commit + data-skipping scan.
+    Commits the events table (stats on ts_ms) into a temp versioned
+    layout, then runs a narrow scan_version — the manifest-pruned read
+    path (sinks/versioned.py)."""
+    import shutil
+    import tempfile
+
+    from clx_etl_spark.catalog import load_table
+    from clx_etl_spark.sinks.versioned import overwrite_version, scan_version
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts_ms")
+    lo = ev.agg({"ts_ms": "min"}).head()[0]
+    path = tempfile.mkdtemp(prefix="probe_vt_")
+    try:
+        overwrite_version(ev.repartition(8), path, stats_cols=["ts_ms"])
+        scan_version(
+            spark, path, "ts_ms", lo, lo + 86_400_000
+        ).write.format("noop").mode("overwrite").save()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def main() -> None:
@@ -55,6 +84,12 @@ def main() -> None:
             reg[name].fn(spark, sf).write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 3))
         results[name] = times
+    times = []
+    for sf in SFS:
+        t0 = time.perf_counter()
+        _probe_scan_version(spark, sf)
+        times.append(round(time.perf_counter() - t0, 3))
+    results["versioned_scan_version"] = times
     print(json.dumps({"sfs": SFS, "times": results}))
     print(f"\n{'query':32s} {'sf.001':>8s} {'sf.01':>8s} {'sf.1':>8s} "
           f"{'r(10x)':>7s} {'r(100x)':>8s}")
