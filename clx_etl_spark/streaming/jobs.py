@@ -458,3 +458,108 @@ def cdc_apply_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def make_near_dup_ingest_sink(
+    corpus_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 256,
+):
+    """The per-batch sink behind near_dup_ingest_stream, factored out so
+    the ingest policy is directly testable: (batch, batch_id) -> None.
+
+    Per batch, in order:
+      1. exact replay/dup guard — batch ids already in the accepted
+         corpus drop via a broadcast anti-join (makes at-least-once
+         redelivery idempotent at the id level);
+      2. batch-internal near-dups — minhash_near_duplicates over the
+         batch only (batch-sized LSH, never corpus-sized); within each
+         pair the larger id drops (keep-first policy);
+      3. batch-vs-corpus near-dups — incremental_near_duplicates joins
+         the batch one-sidedly against the corpus band index, so
+         candidate volume scales with the batch, not the corpus
+         (operators/dedup.py:538), with the viral-bucket cap on;
+      4. survivors append to the accepted corpus.
+
+    Scale note: the corpus index is re-derived per batch here (testable,
+    dependency-free); production keeps the build_near_dup_index tables
+    (dedup.py:505) as persisted parquet and appends the batch's
+    signatures alongside the accepted docs, making step 3 O(batch).
+    """
+    import os as _os
+
+    from ..operators.dedup import (incremental_near_duplicates,
+                                   minhash_near_duplicates)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.dropDuplicates([id_col])
+        corpus = (
+            spark.read.parquet(corpus_path)
+            if _os.path.exists(corpus_path)
+            else None
+        )
+        if corpus is not None:
+            batch = batch.join(
+                F.broadcast(corpus.select(id_col)), id_col, "left_anti"
+            )
+        internal = minhash_near_duplicates(
+            batch, text_col, id_col, k, num_perm, bands, threshold
+        )
+        batch = batch.join(
+            internal.select(F.col("doc_b").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+        if corpus is not None:
+            vs_corpus = incremental_near_duplicates(
+                corpus,
+                batch,
+                text_col,
+                id_col,
+                k,
+                num_perm,
+                bands,
+                threshold,
+                max_bucket_size=max_bucket_size,
+            )
+            batch = batch.join(
+                vs_corpus.select(id_col).distinct(), id_col, "left_anti"
+            )
+        # materialize before the append: the lineage reads corpus_path,
+        # which the write below extends
+        batch = batch.localCheckpoint(eager=True)
+        batch.write.mode("append").parquet(corpus_path)
+
+    return sink
+
+
+def near_dup_ingest_stream(
+    docs: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous corpus building with near-duplicate gating: each
+    micro-batch of documents is deduplicated (exact id, batch-internal
+    MinHash-LSH, batch-vs-corpus incremental LSH) and the survivors are
+    appended to the accepted corpus — the streaming operationalization
+    of the persisted near-dup index path the batch operators provide.
+    At-least-once replay converges: a replayed batch's ids are already
+    in the corpus and drop at step 1 before any append."""
+    writer = docs.writeStream.foreachBatch(
+        make_near_dup_ingest_sink(
+            corpus_path, text_col, id_col, threshold=threshold
+        )
+    ).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

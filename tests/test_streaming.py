@@ -1219,3 +1219,46 @@ def test_streaming_heavy_hitters_spacesaving_bounds(spark, tmp_path):
     for r in fin:  # overestimate-only with a tight residual bound
         t = truth[r.key]
         assert r.cnt - r.max_err <= t <= r.cnt
+
+
+def test_near_dup_ingest_stream_gates_batches(spark, tmp_path):
+    """Continuous corpus building: per micro-batch, exact id replays,
+    batch-internal near-dups, and batch-vs-corpus near-dups all drop;
+    only genuinely novel docs append to the accepted corpus."""
+    from pyspark.sql.types import StringType
+
+    from clx_etl_spark.streaming.jobs import near_dup_ingest_stream
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen seventeen eighteen")
+    third = ("red orange yellow green blue indigo violet cyan magenta "
+             "maroon navy olive teal silver gold bronze copper iron")
+    src = str(tmp_path / "in")
+    a = [(1, base), (2, other)]
+    b = [
+        (1, base),                      # exact id replay -> step-1 drop
+        (3, base + " changed"),         # near-dup of corpus doc 1 -> step-3 drop
+        (4, third),                     # novel; internal pair winner (min id)
+        (5, third + " tweaked"),        # internal near-dup of 4 -> step-2 drop
+        (6, "completely different words nothing shared with any prior doc "
+            "zeppelin quartz fjord sphinx waltz nymph vex blitz jumble"),
+    ]
+    spark.createDataFrame(a, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    corpus = str(tmp_path / "corpus")
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    q = near_dup_ingest_stream(
+        stream, corpus, checkpoint=str(tmp_path / "ck")
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2, 4, 6}
