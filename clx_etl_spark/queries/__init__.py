@@ -122,6 +122,9 @@ SWEEP_FRONT: list[str] = [
     # new round-5 queries (hash-oracled; queued behind the stragglers)
     "graph_suite",
     "sketch_daily_users_exact",
+    "mix_waterfill",
+    "class_balance_oversample",
+    "table_profile",
     # rows-only (no hash oracle by design; driver records rows-only)
     "sketch_daily_users",
     "bpe_train_encode",

@@ -601,3 +601,155 @@ def lm_score_heldout(spark, sf):
     held = docs.filter(F.col("doc_id") % 7 == 0)
     bigram_counts, context_counts, stats = LM.train_bigram_lm(train)
     return LM.score_against_model(held, bigram_counts, context_counts, stats)
+
+
+_WF_ROUNDS = 5
+
+
+def _waterfill_oracle(rounds: int = _WF_ROUNDS) -> str:
+    """Unrolled exact-integer water-filling: all arithmetic is BIGINT
+    floor division, so N chained CTE rounds reproduce the Spark loop
+    bit-for-bit (same unroll discipline as the PageRank oracle)."""
+    ctes = [
+        "caps AS (SELECT source, CAST(SUM(len(" + TOKS + ")) AS BIGINT)"
+        " AS cap FROM documents GROUP BY source)",
+        "b AS (SELECT CAST(SUM(cap) // 2 AS BIGINT) AS budget FROM caps)",
+        "s0 AS (SELECT source, cap, budget, CAST(0 AS BIGINT) AS alloc,"
+        " FALSE AS frozen FROM caps, b)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"st{i} AS (SELECT CAST(SUM(CASE WHEN frozen THEN alloc "
+            f"ELSE 0 END) AS BIGINT) AS fz, "
+            f"CAST(SUM(CASE WHEN NOT frozen THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nf FROM s{i-1}), "
+            f"s{i} AS (SELECT source, cap, budget, "
+            f"CASE WHEN frozen THEN alloc ELSE LEAST(cap, "
+            f"CASE WHEN nf > 0 THEN (budget - fz) // nf ELSE CAST(0 AS BIGINT) END) END"
+            f" AS alloc, "
+            f"frozen OR cap <= CASE WHEN nf > 0 THEN (budget - fz) // nf "
+            f"ELSE CAST(0 AS BIGINT) END AS frozen "
+            f"FROM s{i-1}, st{i})"
+        )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT source, cap AS cap_tokens, CAST(alloc AS BIGINT) AS alloc_tokens,
+           frozen AS saturated
+    FROM s{rounds}
+    """
+
+
+@register(
+    "mix_waterfill",
+    oracle=_waterfill_oracle(),
+    doc="Training-mix water-filling: allocate a global token budget "
+    "(half the corpus) across sources with per-source capacity caps — "
+    "each round the remaining budget splits equally among unsaturated "
+    "sources; any source whose capacity falls below its share freezes "
+    "at capacity and its surplus redistributes. Exact BIGINT floor "
+    "arithmetic, 5 unrolled rounds (covers any saturation cascade on "
+    "this source count), so the ITERATIVE allocation carries a full "
+    "hash oracle. Per round: one 1-row aggregate broadcast back over "
+    "the source table — dimension-sized, never scans the corpus again",
+)
+def mix_waterfill(spark, sf):
+    from ..functions import tokens
+
+    docs = load_table(spark, sf, "documents")
+    caps = docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("long").alias("cap")
+    )
+    budget = caps.agg((F.sum("cap").cast("long") / 2).cast("long").alias("budget"))
+    state = caps.crossJoin(F.broadcast(budget)).select(
+        "source",
+        "cap",
+        "budget",
+        F.lit(0).cast("long").alias("alloc"),
+        F.lit(False).alias("frozen"),
+    )
+    for _ in range(_WF_ROUNDS):
+        stats = state.agg(
+            F.sum(F.when(F.col("frozen"), F.col("alloc")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("fz"),
+            F.sum((~F.col("frozen")).cast("long")).cast("long").alias("nf"),
+        )
+        share = F.when(
+            F.col("nf") > 0,
+            F.expr("(budget - fz) div nf"),
+        ).otherwise(F.lit(0).cast("long"))
+        state = state.crossJoin(F.broadcast(stats)).select(
+            "source",
+            "cap",
+            "budget",
+            F.when(F.col("frozen"), F.col("alloc"))
+            .otherwise(F.least(F.col("cap"), share))
+            .alias("alloc"),
+            (F.col("frozen") | (F.col("cap") <= share)).alias("frozen"),
+        )
+    return state.select(
+        "source",
+        F.col("cap").alias("cap_tokens"),
+        F.col("alloc").cast("long").alias("alloc_tokens"),
+        F.col("frozen").alias("saturated"),
+    )
+
+
+@register(
+    "class_balance_oversample",
+    oracle="""
+    WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+               FROM documents GROUP BY lang),
+    tgt AS (SELECT CAST(MAX(n_lang) AS BIGINT) AS target FROM n),
+    ranked AS (SELECT d.doc_id, d.lang, n.n_lang, t.target,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY d.lang
+                           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                        AS BIGINT) AS rk
+               FROM documents d JOIN n ON n.lang = d.lang, tgt t),
+    copies AS (SELECT doc_id, lang,
+                      target // n_lang
+                      + CASE WHEN rk <= target % n_lang THEN 1 ELSE 0 END
+                        AS n_copies
+               FROM ranked)
+    SELECT doc_id, lang, CAST(c AS BIGINT) AS copy_id
+    FROM copies, UNNEST(generate_series(1, CAST(n_copies AS BIGINT))) AS t(c)
+    """,
+    doc="Deterministic class-balance oversampling: every language is "
+    "replicated up to the majority-class count — each doc gets "
+    "floor(target / n_lang) copies, and the remainder goes to the docs "
+    "ranked first by the stable md5(doc_id) hash (reproducible across "
+    "engines, no RNG state). Materializes (doc_id, lang, copy_id) rows "
+    "via an explode over a per-row sequence — map-side expansion, the "
+    "only shuffle is the per-lang count + rank window; at 100 TB the "
+    "copy factor is bounded by the class imbalance, not data size",
+)
+def class_balance_oversample(spark, sf):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    n = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_lang"))
+    tgt = n.agg(F.max("n_lang").cast("long").alias("target"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = (
+        docs.select("doc_id", "lang")
+        .join(n, "lang")
+        .crossJoin(F.broadcast(tgt))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+    )
+    copies = ranked.select(
+        "doc_id",
+        "lang",
+        (
+            F.expr("target div n_lang")
+            + F.when(F.col("rk") <= F.col("target") % F.col("n_lang"), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_copies"),
+    )
+    return copies.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies")))
+        .alias("copy_id"),
+    )

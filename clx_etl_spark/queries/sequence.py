@@ -712,3 +712,82 @@ def daily_type_correlation(spark, sf):
         F.col("n").cast("long").alias("n_days"),
         (num / (denx * deny)).alias("corr"),
     )
+
+
+@register(
+    "table_profile",
+    oracle="""
+    WITH m AS (
+      SELECT 'o_orderkey' AS col,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders)
+    SELECT col, n_rows, n_nulls, n_distinct,
+           CAST(n_nulls AS DOUBLE) / CAST(n_rows AS DOUBLE) AS null_fraction
+    FROM m
+    """,
+    doc="One-pass table profiler: per-column row count, null count, "
+    "exact distinct count, and null fraction for the orders table — the "
+    "data-quality summary every ingest job publishes. Spark computes "
+    "ALL columns' metrics in a single multi-aggregate scan (one job, "
+    "expand + partial aggs) and unpivots the 1-row result with stack(); "
+    "the oracle's 6-scan UNION ALL is the semantic spec, not the plan. "
+    "Exact count_distinct here is the audit variant; the monitoring "
+    "path swaps in approx_count_distinct (see sketch_daily_users) when "
+    "per-column NDV state would otherwise dominate the shuffle",
+)
+def table_profile(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"{c}__nulls")
+        )
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"{c}__ndv"))
+    row = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv" for c in cols
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (col, n_nulls, n_distinct)"
+        ),
+        "n_rows",
+    ).select(
+        "col",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        (F.col("n_nulls").cast("double") / F.col("n_rows").cast("double")).alias(
+            "null_fraction"
+        ),
+    )

@@ -59,6 +59,10 @@ NLJ_ALLOWED = {
     "token_pmi",  # broadcast of the 1-row n_docs scalar onto vocab pairs
     "pareto_abc_customers",  # broadcast of the 1-row revenue total
     "market_basket_pairs",  # broadcast of the 1-row n_orders scalar
+    "mix_waterfill",  # per-round broadcast of the 1-row (fz, nf) stats
+    # onto the dimension-sized source table (5 unrolled rounds)
+    "class_balance_oversample",  # broadcast of the 1-row majority-class
+    # target onto the per-lang counts
 }
 
 

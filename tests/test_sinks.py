@@ -638,3 +638,33 @@ def test_merge_states_random_batching_fuzz(spark):
         rng.shuffle(parts)
         got = {tuple(r) for r in merge_states(*parts).collect()}
         assert got == want, trial
+
+
+def test_merge_upsert_commit_files_rejects_partitioned(spark, tmp_path):
+    """commit_files promises atomic visibility with the data commit —
+    impossible under dynamic partition overwrite, so the combination
+    must fail loudly instead of silently weakening the guarantee."""
+    import pytest as _pytest
+
+    from clx_etl_spark.sinks.upsert import merge_upsert
+
+    df = spark.createDataFrame([(1, "2024-01-01", 1.0)], "k long, dt string, v double")
+    with _pytest.raises(ValueError, match="unpartitioned"):
+        merge_upsert(
+            spark, df, str(tmp_path / "t"), keys=["k"],
+            partition_cols=["dt"], commit_files={"_m.json": "{}"},
+        )
+
+
+def test_merge_upsert_commit_files_initial_write_atomic(spark, tmp_path):
+    """First-ever commit with commit_files also routes through the
+    staged-rename path: sidecar visible exactly when the table is."""
+    import os
+
+    from clx_etl_spark.sinks.upsert import merge_upsert
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    merge_upsert(spark, df, path, keys=["k"], commit_files={"_m.json": '{"x":1}'})
+    assert os.path.exists(os.path.join(path, "_m.json"))
+    assert spark.read.parquet(path).count() == 1  # sidecar ignored by scan
