@@ -656,6 +656,10 @@ def connected_components(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        # distinct leaves (src, dst) partitioning; every round joins on
+        # dst — re-hash ONCE so the loop shuffles only the label table
+        # (the cached InMemoryRelation retains this partitioning)
+        .repartition("dst")
         .cache()
     )
     # Seed labels with round 1 already applied: starting from

@@ -55,6 +55,13 @@ def pagerank(
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # localCheckpoint trades one per-round edges re-shuffle for a
+    # truncated lineage: a checkpointed RDD scan loses outputPartitioning
+    # (so each round re-hashes the edge list), but caching instead —
+    # which retains the partitioning — drags the full upstream pair
+    # pipeline through 10 rounds of plan analysis and measured ~45%
+    # SLOWER end-to-end. For graphs where the edge shuffle dominates,
+    # persist the (src-bucketed) edge list as a table and read it back.
     edges = edges.join(deg, "src").localCheckpoint(eager=True)
 
     base = (DAMPING_DEN - DAMPING_NUM) * RANK_SCALE // DAMPING_DEN  # 0.15
@@ -147,7 +154,8 @@ def label_propagation(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)  # see pagerank: checkpoint > cache
+        # here — shallow per-round plans beat re-used edge partitioning
     )
     labels = seeds.select(
         F.col(id_col).alias("vec_id"), F.col(label_col).alias("lab")
