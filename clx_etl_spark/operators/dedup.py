@@ -675,7 +675,7 @@ def connected_components(
     # single consumer here — no concurrent-stage recompute risk), so the
     # possibly-expensive pair pipeline runs exactly once
     labels.count()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -701,6 +701,15 @@ def connected_components(
         labels = new_labels.drop("_chg")
         if not changed:
             break
+        # `labels` feeds TWO plan branches per round (the neighbor-min
+        # join and the carry join), so the LOGICAL tree doubles every
+        # round — caching bounds execution but not plan size, and a
+        # long-diameter graph (chains in a semantic similarity graph)
+        # OOMs the driver just STRINGIFYING the 2^rounds tree. Cut the
+        # lineage every 4th round: one cheap job (reads the fresh cache)
+        # bounds the tree at 16x the checkpoint base.
+        if it % 4 == 3:
+            labels = labels.localCheckpoint(eager=True)
     edges.unpersist()
     return labels
 
