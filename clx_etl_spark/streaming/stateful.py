@@ -246,6 +246,7 @@ def streaming_heavy_hitters(
     key_col: str,
     k: int = 10,
     capacity: int = 64,
+    shards: int = 1,
 ) -> DataFrame:
     """Streaming top-k frequent values via the SpaceSaving algorithm:
     state is a fixed set of ``capacity`` (value, count, overestimate)
@@ -253,23 +254,28 @@ def streaming_heavy_hitters(
     with all counters taken, it REPLACES the minimum counter and
     inherits its count as the overestimate bound (Metwally et al. 2005).
     Guarantees: every true count is <= counter count <= true + max_err,
-    and any value with true count > N/capacity is guaranteed present.
+    and any value with true count > N_shard/capacity is guaranteed
+    present in its shard.
 
-    Emits the current top-k snapshot (key, count, max_err, batch_id-like
-    monotone seq) after every micro-batch. Per batch the arriving rows
-    are reduced to value counts FIRST (one pandas value_counts), so the
-    state update is O(distinct-in-batch + capacity), not O(rows).
+    Emits each shard's current top-k snapshot (shard, key, cnt, max_err,
+    monotone per-shard seq) after every micro-batch. Per batch the
+    arriving rows are reduced to value counts FIRST (one pandas
+    value_counts), so the state update is O(distinct-in-batch +
+    capacity), not O(rows).
 
-    Scale note: the stream funnels through ONE state group (the counter
-    set is global) — correct for the monitoring cadence this serves;
-    shard by a hash prefix and merge snapshots downstream if a single
-    task's ingest rate becomes the bound (SpaceSaving merges with
-    bounded error growth).
+    Scale: ``shards`` > 1 hash-partitions the VALUE space into disjoint
+    shards (xxhash64 mod shards), each with its own counter set and
+    ingest task — a single task's rate is never the bound. Because a
+    value maps to exactly ONE shard, cross-shard counts never split:
+    the global top-k is simply the top-k over the union of shard
+    snapshots (merge_heavy_hitter_snapshots) with NO merge error — the
+    error bound even TIGHTENS to N_shard/capacity per shard.
     """
     from pyspark.sql.types import StringType
 
     out_schema = StructType(
         [
+            StructField("shard", LongType()),
             StructField("key", StringType()),
             StructField("cnt", LongType()),
             StructField("max_err", LongType()),
@@ -320,12 +326,17 @@ def streaming_heavy_hitters(
             counters.items(), key=lambda kv: (-kv[1][0], kv[0])
         )[:k]
         yield pd.DataFrame(
-            [(v, c, e, seq) for v, (c, e) in top],
+            [(key[0], v, c, e, seq) for v, (c, e) in top],
             columns=[f.name for f in out_schema.fields],
         )
 
+    shard = (
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(shards))
+        if shards > 1
+        else F.lit(0)
+    )
     return (
-        events.withColumn("_g", F.lit(1))
+        events.withColumn("_g", shard.cast("long"))
         .groupBy("_g")
         .applyInPandasWithState(
             step,
@@ -334,4 +345,23 @@ def streaming_heavy_hitters(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def merge_heavy_hitter_snapshots(snapshots: DataFrame, k: int = 10) -> DataFrame:
+    """Global top-k from sharded SpaceSaving snapshots: take each shard's
+    LATEST snapshot (max seq per shard) and rank the union — exact merge,
+    because hash sharding gives every value exactly one home shard (no
+    count ever splits across counter sets). Returns (key, cnt, max_err,
+    rank), fully tie-broken."""
+    from pyspark.sql import Window
+
+    latest = snapshots.withColumn(
+        "_mx", F.max("seq").over(Window.partitionBy("shard"))
+    ).filter(F.col("seq") == F.col("_mx"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    return (
+        latest.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("key", "cnt", "max_err", F.col("rank").cast("int").alias("rank"))
     )

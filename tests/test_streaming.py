@@ -1262,3 +1262,45 @@ def test_near_dup_ingest_stream_gates_batches(spark, tmp_path):
     q.awaitTermination(180)
     got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
     assert got == {1, 2, 4, 6}
+
+
+def test_streaming_heavy_hitters_sharded_exact_merge(spark, tmp_path):
+    """shards > 1: the value space hash-partitions into disjoint counter
+    sets, so the merged global top-k is EXACT (no cross-shard count
+    splits) — the scale path for single-task ingest bounds."""
+    from pyspark.sql.types import StringType
+
+    from clx_etl_spark.streaming.stateful import (
+        merge_heavy_hitter_snapshots, streaming_heavy_hitters)
+
+    schema = StructType(
+        [StructField("event_type", StringType()), StructField("ts_ms", LongType())]
+    )
+    src = str(tmp_path / "in")
+    # key_i appears (i+1) times, split across two micro-batches
+    rows = [(f"key_{i}", FX.BASE_TS + j) for i in range(10) for j in range(i + 1)]
+    spark.createDataFrame(rows[:30], schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows[30:], schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    out = streaming_heavy_hitters(
+        stream, key_col="event_type", k=10, capacity=16, shards=4
+    )
+    q = (
+        out.writeStream.format("memory").queryName("hh_shard")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    snaps = spark.sql("SELECT * FROM hh_shard")
+    assert snaps.select("shard").distinct().count() > 1  # really sharded
+    merged = {
+        r.key: (r.cnt, r.max_err, r.rank)
+        for r in merge_heavy_hitter_snapshots(snaps, k=5).collect()
+    }
+    # exact: top-5 = key_9..key_5 with counts 10..6, zero error
+    assert merged == {
+        f"key_{9 - i}": (10 - i, 0, i + 1) for i in range(5)
+    }
