@@ -313,6 +313,37 @@ def pruned_file_count(path: str, col: str, lo, hi, version: int | None = None) -
     return keep, len(m["files"])
 
 
+def compact_version(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE-style small-file compaction: rewrite the CURRENT
+    version's file set into ceil(total/target_bytes) files committed as
+    a new version. Rows are unchanged; the op is recorded as
+    'overwrite' because compaction rewrites file identity — incremental
+    readers (read_changes) must not treat the rewritten files as new
+    rows, and the overwrite guard makes that a loud error instead of a
+    silent double-count. Prior versions stay readable until expired
+    (expire_versions then reclaims the small files). File sizes come
+    from the manifest's file list via one os.stat pass — bounded by
+    file count, never data size. The planning twin is the
+    compaction_bin_packing registry query; this is the executor."""
+    import math
+
+    v = latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no versions committed at {path}")
+    files = _read_manifest(path, v)["files"]
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, math.ceil(total / target_bytes))
+    df = read_version(spark, path, v)
+    if n < len(files):
+        df = df.repartition(n)
+    return overwrite_version(df, path, stats_cols=stats_cols)
+
+
 def merge_version(
     updates: DataFrame, path: str, keys: list[str]
 ) -> int:

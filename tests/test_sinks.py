@@ -668,3 +668,43 @@ def test_merge_upsert_commit_files_initial_write_atomic(spark, tmp_path):
     merge_upsert(spark, df, path, keys=["k"], commit_files={"_m.json": '{"x":1}'})
     assert os.path.exists(os.path.join(path, "_m.json"))
     assert spark.read.parquet(path).count() == 1  # sidecar ignored by scan
+
+
+def test_versioned_compact_version(spark, tmp_path):
+    """Small-file compaction: many tiny appended files rewrite into few
+    files as a new version; rows identical, prior versions readable
+    until expiry reclaims the small files."""
+    import os
+
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               compact_version,
+                                               expire_versions,
+                                               latest_version,
+                                               read_changes,
+                                               read_version)
+
+    path = str(tmp_path / "vt")
+    for i in range(8):
+        append_version(
+            spark.createDataFrame([(i, f"r{i}")], "id long, v string").coalesce(1),
+            path,
+        )
+    v_before = latest_version(path)
+    rows_before = {(r.id, r.v) for r in read_version(spark, path).collect()}
+
+    v_compact = compact_version(spark, path, target_bytes=1 << 30)
+    assert v_compact == v_before + 1
+    from clx_etl_spark.sinks.versioned import _read_manifest
+    m = _read_manifest(path, v_compact)
+    assert len(m["files"]) < 8 and m["op"] == "overwrite"
+    assert {(r.id, r.v) for r in read_version(spark, path).collect()} == rows_before
+    # time travel to a pre-compaction version still works
+    assert read_version(spark, path, 3).count() == 4
+    # incremental reads across the compaction boundary refuse loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overwrite"):
+        read_changes(spark, path, after_version=2)
+    # expiry reclaims the tiny pre-compaction files
+    deleted = expire_versions(path, keep_latest=1)
+    assert len(deleted) >= 8
+    assert {(r.id, r.v) for r in read_version(spark, path).collect()} == rows_before
