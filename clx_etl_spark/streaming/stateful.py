@@ -365,3 +365,107 @@ def merge_heavy_hitter_snapshots(snapshots: DataFrame, k: int = 10) -> DataFrame
         .filter(F.col("rank") <= k)
         .select("key", "cnt", "max_err", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def streaming_quantiles(
+    events: DataFrame,
+    keys: list[str],
+    value_col: str,
+    probabilities: tuple[float, ...] = (0.5, 0.9, 0.99),
+    sample_size: int = 1024,
+) -> DataFrame:
+    """Streaming per-key quantile estimates from a BOTTOM-K PRIORITY
+    SAMPLE: every row gets a deterministic hash priority (md5 of its
+    (ts-ish fingerprint, value) pair) and state keeps only the
+    ``sample_size`` smallest-priority rows per key — a uniform sample of
+    everything seen, with O(sample_size) state however long the stream
+    runs (the bottom-k sketch; mergeable by union + re-trim).
+
+    Determinism: no RNG state — a replayed micro-batch regenerates the
+    SAME priorities, so at-least-once redelivery cannot distort the
+    SAMPLE (a replayed retained row collapses on its fingerprint; a
+    replayed EVICTED row re-enters with its original priority and is
+    re-evicted by the same comparison). ``n_seen`` is exact under
+    exactly-once delivery but may over-count replays of already-evicted
+    rows — bounded state cannot remember every fingerprint ever seen.
+    Quantiles use the same exact interpolation contract as the batch
+    percentile queries, evaluated over the sample.
+
+    Emits (keys..., n_seen, n_sample, q_... per probability, seq) per
+    micro-batch — the monitoring twin of group_quantiles_approx; rank
+    error shrinks as O(1/sqrt(sample_size))."""
+    import hashlib as _hashlib
+    import json as _json
+
+    key_fields = [events.schema[k] for k in keys]
+    out_schema = StructType(
+        key_fields
+        + [StructField("n_seen", LongType()), StructField("n_sample", LongType())]
+        + [
+            StructField(f"q_{str(p).replace('.', '_')}", DoubleType())
+            for p in probabilities
+        ]
+        + [StructField("seq", LongType())]
+    )
+    from pyspark.sql.types import StringType
+
+    state_schema = StructType(
+        [
+            StructField("sample", StringType()),  # JSON [[priority, value]...]
+            StructField("n_seen", LongType()),
+            StructField("seq", LongType()),
+        ]
+    )
+
+    def _quantile(sorted_vals: list, p: float) -> float:
+        # exact interpolated percentile over the sample (the contract the
+        # batch percentile() aggregate uses)
+        n = len(sorted_vals)
+        if n == 1:
+            return float(sorted_vals[0])
+        pos = p * (n - 1)
+        lo = int(pos)
+        hi = min(lo + 1, n - 1)
+        frac = pos - lo
+        return float(sorted_vals[lo]) * (1 - frac) + float(sorted_vals[hi]) * frac
+
+    def step(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            sample_json, n_seen, seq = state.get
+            sample = [(p, float(v)) for p, v in _json.loads(sample_json)]
+        else:
+            sample, n_seen, seq = [], 0, 0
+        seen = {p for p, _ in sample}
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                fv = float(v)
+                pr = _hashlib.md5(repr(fv).encode() + b"|" + repr(key).encode()
+                                  ).hexdigest()
+                if pr in seen:
+                    continue  # replayed / duplicate fingerprint
+                seen.add(pr)
+                n_seen += 1
+                sample.append((pr, fv))
+        if len(sample) > sample_size:
+            sample.sort(key=lambda t: t[0])
+            for p, _ in sample[sample_size:]:
+                seen.discard(p)
+            sample = sample[:sample_size]
+        seq += 1
+        state.update((_json.dumps(sample), n_seen, seq))
+        vals = sorted(v for _, v in sample)
+        qs = [_quantile(vals, p) if vals else None for p in probabilities]
+        yield pd.DataFrame(
+            [(*key, n_seen, len(vals), *qs, seq)],
+            columns=[f.name for f in out_schema.fields],
+        )
+
+    return events.groupBy(*keys).applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

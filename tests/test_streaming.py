@@ -1304,3 +1304,62 @@ def test_streaming_heavy_hitters_sharded_exact_merge(spark, tmp_path):
     assert merged == {
         f"key_{9 - i}": (10 - i, 0, i + 1) for i in range(5)
     }
+
+
+def test_streaming_quantiles_bottom_k_sample(spark, tmp_path):
+    """Bottom-k priority-sample quantiles: with sample_size >= n the
+    estimates are EXACT interpolated percentiles; with a small sample
+    the state stays bounded and estimates land within the rank-error
+    tolerance; replayed batches cannot distort the sample."""
+    from pyspark.sql.types import DoubleType, StringType
+
+    from clx_etl_spark.streaming.stateful import streaming_quantiles
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("value", DoubleType()),
+            StructField("ts_ms", LongType()),
+        ]
+    )
+    src = str(tmp_path / "in")
+    vals = [float(v) for v in range(1, 101)]  # 1..100
+    a = [("a", v, FX.BASE_TS + int(v)) for v in vals[:50]]
+    b = [("a", v, FX.BASE_TS + int(v)) for v in vals[50:]] + a[:10]  # replay 10
+    spark.createDataFrame(a, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    out = streaming_quantiles(stream, keys=["k"], value_col="value",
+                              sample_size=4096)
+    q = (
+        out.writeStream.format("memory").queryName("sq_exact")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    last = spark.sql(
+        "SELECT * FROM sq_exact ORDER BY seq DESC LIMIT 1").collect()[0]
+    # full sample -> exact interpolated percentiles of 1..100; the 10
+    # replayed rows changed nothing (same fingerprints)
+    assert last.n_seen == 100 and last.n_sample == 100
+    assert last.q_0_5 == 50.5
+    assert abs(last.q_0_9 - 90.1) < 1e-9
+    assert abs(last.q_0_99 - 99.01) < 1e-9
+
+    # small sample: bounded state, tolerance-accurate
+    out2 = streaming_quantiles(stream, keys=["k"], value_col="value",
+                               sample_size=32)
+    q2 = (
+        out2.writeStream.format("memory").queryName("sq_small")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    last2 = spark.sql(
+        "SELECT * FROM sq_small ORDER BY seq DESC LIMIT 1").collect()[0]
+    # n_seen may over-count replays of rows already evicted from the
+    # bounded sample (documented); the sample itself stays bounded
+    assert 100 <= last2.n_seen <= 110 and last2.n_sample == 32
+    assert abs(last2.q_0_5 - 50.5) < 25  # ~O(1/sqrt(32)) rank error
