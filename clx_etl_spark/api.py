@@ -437,3 +437,56 @@ class Engine:
             .filter(F.col("_rn") <= k)
             .drop("_gh", "_rn")
         )
+
+    def compact_table_version(self, path: str,
+                              target_bytes: int = 128 << 20,
+                              stats_cols: list[str] | None = None) -> int:
+        """OPTIMIZE-style small-file compaction of the current version
+        (rows unchanged, committed as a new version; prior versions stay
+        readable until expiry)."""
+        from .sinks.versioned import compact_version
+
+        return compact_version(self.spark, path, target_bytes, stats_cols)
+
+    def ingest_dedup_stream(self, docs: DataFrame, corpus_path: str,
+                            checkpoint: str, threshold: float = 0.5):
+        """Continuous corpus building with near-duplicate gating: each
+        micro-batch drops exact-id replays, batch-internal near-dups,
+        and batch-vs-corpus near-dups, then appends survivors
+        (streaming/jobs.near_dup_ingest_stream)."""
+        from .streaming.jobs import near_dup_ingest_stream
+
+        return near_dup_ingest_stream(docs, corpus_path, checkpoint,
+                                      threshold=threshold)
+
+    def allocate_mix(self, caps: DataFrame, budget: int,
+                     rounds: int = 5) -> DataFrame:
+        """Water-filling token-budget allocation over (source, cap)
+        rows: equal shares among unsaturated sources per round,
+        saturated sources freeze at capacity (exact BIGINT floor
+        arithmetic — deterministic; the mix_waterfill registry query is
+        the oracle-checked instance)."""
+        from pyspark.sql import functions as F
+
+        state = caps.select(
+            "source", "cap",
+            F.lit(int(budget)).cast("long").alias("budget"),
+            F.lit(0).cast("long").alias("alloc"),
+            F.lit(False).alias("frozen"),
+        )
+        for _ in range(rounds):
+            stats = state.agg(
+                F.sum(F.when(F.col("frozen"), F.col("alloc")).otherwise(F.lit(0)))
+                .cast("long").alias("fz"),
+                F.sum((~F.col("frozen")).cast("long")).cast("long").alias("nf"),
+            )
+            share = F.when(F.col("nf") > 0, F.expr("(budget - fz) div nf")) \
+                .otherwise(F.lit(0).cast("long"))
+            state = state.crossJoin(F.broadcast(stats)).select(
+                "source", "cap", "budget",
+                F.when(F.col("frozen"), F.col("alloc"))
+                .otherwise(F.least(F.col("cap"), share)).alias("alloc"),
+                (F.col("frozen") | (F.col("cap") <= share)).alias("frozen"),
+            )
+        return state.select("source", "cap", "alloc",
+                            F.col("frozen").alias("saturated"))

@@ -359,3 +359,47 @@ def test_cli_list_and_run(spark, capsys):
     assert "digest" in _json.loads(lines[0])
 
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_engine_round5_facade(spark, tmp_path):
+    """Round-5 facade additions: table compaction, streaming dedup
+    ingest, water-filling allocation."""
+    from clx_etl_spark.api import Engine
+    from clx_etl_spark.sinks.versioned import append_version, read_version
+
+    eng = Engine(spark)
+
+    # compaction
+    path = str(tmp_path / "vt")
+    for i in range(4):
+        append_version(
+            spark.createDataFrame([(i,)], "id long").coalesce(1), path
+        )
+    v = eng.compact_table_version(path, target_bytes=1 << 30)
+    assert read_version(spark, path, v).count() == 4
+
+    # water-filling: budget 100 over caps (10, 200, 300) ->
+    # 10 saturates, the other two get 45 each
+    caps = spark.createDataFrame(
+        [("a", 10), ("b", 200), ("c", 300)], "source string, cap long"
+    )
+    got = {r.source: (r.alloc, r.saturated)
+           for r in eng.allocate_mix(caps, budget=100).collect()}
+    assert got == {"a": (10, True), "b": (45, False), "c": (45, False)}
+
+    # streaming ingest facade wires through (smoke: one batch, two docs)
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string").load(src)
+    )
+    q = eng.ingest_dedup_stream(
+        stream, str(tmp_path / "corpus"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "corpus")).count() == 2
