@@ -408,11 +408,18 @@ def read_changes(
 def expire_versions(path: str, keep_latest: int = 1) -> list[str]:
     """Drop all but the newest ``keep_latest`` manifests and delete data
     files no surviving manifest references (including crashed-writer
-    orphans under data/). Returns the deleted file paths."""
+    orphans under data/). TAGGED versions are retention leases: their
+    manifests and files always survive — delete the tag file first to
+    release them. Returns the deleted file paths."""
     latest = latest_version(path)
     if latest is None:
         return []
     keep = {v for v in range(latest - keep_latest + 1, latest + 1) if v >= 0}
+    mdir = _manifest_dir(path)
+    for entry in os.listdir(mdir):
+        if entry.startswith("tag-"):
+            with open(os.path.join(mdir, entry)) as fh:
+                keep.add(int(fh.read().strip()))
     survivors: set[str] = set()
     for v in keep:
         survivors.update(_read_manifest(path, v)["files"])
@@ -433,3 +440,42 @@ def expire_versions(path: str, keep_latest: int = 1) -> list[str]:
         if v not in keep and os.path.exists(_manifest_path(path, v)):
             os.remove(_manifest_path(path, v))
     return deleted
+
+
+def tag_version(path: str, name: str, version: int | None = None) -> int:
+    """Name a committed version (Iceberg tag / Delta named snapshot):
+    writes ``_manifests/tag-<name>`` pointing at the version number.
+    Tags pin versions for reproducibility — a training run records
+    ``corpus@run-2024-06-01`` and can re-read that exact file set for as
+    long as the tag exists. A tag is also a RETENTION LEASE:
+    expire_versions keeps tagged manifests and their files however old;
+    delete the tag file to release them."""
+    v = latest_version(path) if version is None else version
+    if v is None or not os.path.exists(_manifest_path(path, v)):
+        raise FileNotFoundError(f"no manifest for version {v} at {path}")
+    if "/" in name or name.startswith("_"):
+        raise ValueError(f"invalid tag name {name!r}")
+    with open(os.path.join(_manifest_dir(path), f"tag-{name}"), "w") as fh:
+        fh.write(str(v))
+    return v
+
+
+def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Time-travel read by tag name (see tag_version)."""
+    f = os.path.join(_manifest_dir(path), f"tag-{name}")
+    if not os.path.exists(f):
+        raise FileNotFoundError(f"no tag {name!r} at {path}")
+    with open(f) as fh:
+        return read_version(spark, path, int(fh.read().strip()))
+
+
+def rollback_version(path: str, to_version: int) -> int:
+    """Restore an earlier snapshot as the NEW head (Delta RESTORE):
+    commits a new version whose file list is exactly ``to_version``'s —
+    copy-on-write, so nothing is deleted and the bad history stays
+    readable for forensics until expired. The op records 'overwrite'
+    (a rollback rewrites row state; incremental readers must not cross
+    it silently)."""
+    m = _read_manifest(path, to_version)
+    new_v = (latest_version(path) or 0) + 1
+    return _commit(path, new_v, m["files"], "overwrite", m.get("stats", {}))

@@ -708,3 +708,64 @@ def test_versioned_compact_version(spark, tmp_path):
     deleted = expire_versions(path, keep_latest=1)
     assert len(deleted) >= 8
     assert {(r.id, r.v) for r in read_version(spark, path).collect()} == rows_before
+
+
+def test_versioned_tags_and_rollback(spark, tmp_path):
+    """Named snapshot tags pin exact file sets; rollback restores an
+    earlier snapshot as a NEW head without deleting history."""
+    import pytest as _pytest
+
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               latest_version, read_tag,
+                                               read_version,
+                                               rollback_version,
+                                               tag_version)
+
+    path = str(tmp_path / "vt")
+    for i in range(3):
+        append_version(
+            spark.createDataFrame([(i,)], "id long").coalesce(1), path
+        )
+    assert tag_version(path, "golden", version=1) == 1
+    assert {r.id for r in read_tag(spark, path, "golden").collect()} == {0, 1}
+
+    # a bad commit lands; roll back to the tagged version
+    append_version(spark.createDataFrame([(99,)], "id long").coalesce(1), path)
+    assert {r.id for r in read_version(spark, path).collect()} == {0, 1, 2, 99}
+    new_head = rollback_version(path, to_version=1)
+    assert new_head == latest_version(path)
+    assert {r.id for r in read_version(spark, path).collect()} == {0, 1}
+    # forensics: the bad version is still readable
+    assert {r.id for r in read_version(spark, path, 3).collect()} == {0, 1, 2, 99}
+
+    with _pytest.raises(FileNotFoundError):
+        read_tag(spark, path, "nope")
+    with _pytest.raises(ValueError):
+        tag_version(path, "_bad")
+
+
+def test_versioned_tags_are_retention_leases(spark, tmp_path):
+    """expire_versions must never strand a tag: tagged manifests and
+    their files survive expiry until the tag is deleted."""
+    import os
+
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               expire_versions, read_tag,
+                                               read_version, tag_version)
+
+    path = str(tmp_path / "vt")
+    for i in range(5):
+        append_version(
+            spark.createDataFrame([(i,)], "id long").coalesce(1), path
+        )
+    tag_version(path, "pinned", version=1)
+    expire_versions(path, keep_latest=1)
+    # tag still readable after an expiry that would have swept v1
+    assert {r.id for r in read_tag(spark, path, "pinned").collect()} == {0, 1}
+    assert read_version(spark, path).count() == 5
+    # releasing the tag lets the next expiry reclaim it
+    os.remove(os.path.join(path, "_manifests", "tag-pinned"))
+    expire_versions(path, keep_latest=1)
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        read_tag(spark, path, "pinned")
