@@ -197,11 +197,16 @@ def _write_files(
 
 
 def _commit(
-    path: str, version: int, files: list[str], op: str, stats: dict | None = None
+    path: str,
+    version: int,
+    files: list[str],
+    op: str,
+    stats: dict | None = None,
+    txn: dict | None = None,
 ) -> int:
     os.makedirs(_manifest_dir(path), exist_ok=True)
     manifest = {"version": version, "op": op, "files": files,
-                "stats": stats or {}}
+                "stats": stats or {}, "txn": txn or {}}
     with open(_manifest_path(path, version), "w") as fh:
         json.dump(manifest, fh, default=str)
     with open(os.path.join(_manifest_dir(path), "_latest"), "w") as fh:
@@ -210,19 +215,40 @@ def _commit(
 
 
 def append_version(
-    df: DataFrame, path: str, stats_cols: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    stats_cols: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit a new version = previous files + this batch's new files.
     Returns the committed version number (0 for a fresh table).
     ``stats_cols`` records per-file min/max in the manifest so
-    ``scan_version`` can skip files by predicate."""
+    ``scan_version`` can skip files by predicate.
+
+    ``txn=(app_id, txn_version)`` makes the append TRANSACTIONAL
+    (Delta's txnAppId/txnVersion): the manifest carries each app's
+    highest applied txn_version, and an append whose txn_version is not
+    greater than the recorded one is a NO-OP returning the current head
+    — exactly-once for at-least-once producers (foreachBatch replays),
+    because the txn watermark commits atomically inside the same
+    manifest JSON as the file list. Data files written by a skipped
+    replay's crashed predecessor are orphans, reclaimed by expire.
+    txn_versions must be monotone per app_id (true for structured
+    streaming batch ids)."""
     prev = latest_version(path)
     prev_m = _read_manifest(path, prev) if prev is not None else {}
+    prev_txn = {k: int(v) for k, v in prev_m.get("txn", {}).items()}
+    if txn is not None:
+        app_id, txn_v = txn
+        if prev_txn.get(app_id, -1) >= int(txn_v):
+            return prev  # replayed transaction: already committed
+        prev_txn[app_id] = int(txn_v)
     version = 0 if prev is None else prev + 1
     new_files, stats = _write_files(df, path, version, stats_cols)
     return _commit(
         path, version, prev_m.get("files", []) + new_files, "append",
         {**prev_m.get("stats", {}), **stats},
+        txn=prev_txn,
     )
 
 

@@ -563,3 +563,37 @@ def near_dup_ingest_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def versioned_ingest_stream(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    stats_cols: list[str] | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Exactly-once streaming append into a versioned table: every
+    micro-batch commits through append_version with
+    txn=(checkpoint-id, batch_id) — the txn watermark lives INSIDE the
+    manifest JSON, so it becomes visible atomically with the file list
+    and a replayed batch is a no-op (sinks/versioned.py). This is the
+    manifest-native form of the rollup sink's marker pattern, and the
+    natural lakehouse tail for a fact stream: downstream consumers get
+    time travel, O(delta) read_changes, manifest data skipping, tags,
+    and rollback on the ingested table for free."""
+    import hashlib as _hashlib
+
+    from ..sinks.versioned import append_version
+
+    app_id = "stream-" + _hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        append_version(batch, table_path, stats_cols=stats_cols,
+                       txn=(app_id, batch_id))
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

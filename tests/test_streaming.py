@@ -1363,3 +1363,43 @@ def test_streaming_quantiles_bottom_k_sample(spark, tmp_path):
     # bounded sample (documented); the sample itself stays bounded
     assert 100 <= last2.n_seen <= 110 and last2.n_sample == 32
     assert abs(last2.q_0_5 - 50.5) < 25  # ~O(1/sqrt(32)) rank error
+
+
+def test_versioned_ingest_stream_exactly_once(spark, tmp_path):
+    """Streaming append into the versioned table format: each
+    micro-batch is one committed version; a replayed batch id is a
+    manifest-level no-op (txn watermark commits atomically with the
+    file list), so at-least-once delivery cannot duplicate rows."""
+    from clx_etl_spark.sinks.versioned import (latest_version,
+                                               read_changes, read_version)
+    from clx_etl_spark.streaming.jobs import versioned_ingest_stream
+
+    src = str(tmp_path / "in")
+    table = str(tmp_path / "vt")
+    _write_batch(spark, src, [(i, FX.BASE_TS + i, "x") for i in range(5)])
+    _write_batch(spark, src, [(i, FX.BASE_TS + i, "y") for i in range(5, 8)])
+
+    stream = (
+        spark.readStream.format("parquet").schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    ckpt = str(tmp_path / "ck")
+    q = versioned_ingest_stream(stream, table, checkpoint=ckpt)
+    q.awaitTermination(120)
+    assert read_version(spark, table).count() == 8
+    assert latest_version(table) == 1  # one version per micro-batch
+    # incremental consumers read only the delta
+    assert read_changes(spark, table, after_version=0).count() == 3
+
+    # crash-replay: re-deliver batch 0 through the same sink lineage
+    from clx_etl_spark.streaming.jobs import versioned_ingest_stream as _v
+    import clx_etl_spark.sinks.versioned as V
+    import hashlib
+    app_id = "stream-" + hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    replay = spark.read.parquet(src).limit(5)
+    v = V.append_version(replay, table, txn=(app_id, 0))
+    assert v == 1  # no-op: returns current head
+    assert read_version(spark, table).count() == 8
+    # a NEW batch id still commits
+    v2 = V.append_version(replay.limit(1), table, txn=(app_id, 2))
+    assert v2 == 2 and read_version(spark, table).count() == 9
