@@ -58,6 +58,7 @@ def merge_upsert(
     update_cols: list[str] | None = None,
     partition_cols: list[str] | None = None,
     commit_files: dict[str, str] | None = None,
+    evolve_schema: bool = False,
 ) -> None:
     """MERGE INTO semantics on a parquet table: update rows matching
     ``keys``, insert the rest. ``update_cols`` restricts which columns an
@@ -72,6 +73,15 @@ def merge_upsert(
     partition values (true for all engine fact tables: dt_date derives
     from ts) — a key can then never "move" between partitions, so pruning
     the merge to touched partitions is exact.
+
+    ``evolve_schema=True`` accepts batches whose schema drifted from the
+    stored table: update-side columns the table lacks are ADDED (stored
+    rows read NULL), stored columns the batch lacks are carried as NULL
+    on inserts / kept on matches. Without it, drift is a loud error —
+    the right default, paired with expectations.schema_contract for
+    gating. Unpartitioned targets rewrite wholesale, so the evolved
+    schema lands everywhere; partitioned targets rewrite only touched
+    partitions — read those tables with mergeSchema.
 
     ``commit_files`` (unpartitioned targets only): sidecar files
     {name: content} written into the staging directory BEFORE the atomic
@@ -101,6 +111,29 @@ def merge_upsert(
             updates.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
         return
     stored = spark.read.parquet(path)
+    if (
+        not evolve_schema
+        and update_cols is None
+        and set(updates.columns) != set(stored.columns)
+    ):
+        # silent column dropping is how pipelines lose data: a widened
+        # batch must either evolve the table or fail loudly (update_cols
+        # callers legitimately send a column subset and are exempt)
+        raise ValueError(
+            "merge_upsert: batch schema drifted from stored table "
+            f"(batch-only: {sorted(set(updates.columns) - set(stored.columns))}, "
+            f"stored-only: {sorted(set(stored.columns) - set(updates.columns))}); "
+            "pass evolve_schema=True to evolve, or align the batch"
+        )
+    if evolve_schema:
+        for c in [c for c in updates.columns if c not in stored.columns]:
+            stored = stored.withColumn(
+                c, F.lit(None).cast(updates.schema[c].dataType)
+            )
+        for c in [c for c in stored.columns if c not in updates.columns]:
+            updates = updates.withColumn(
+                c, F.lit(None).cast(stored.schema[c].dataType)
+            )
     if partition_cols:
         # prune the merge to partitions the batch touches: a broadcast
         # semi-join on the partition columns, so dynamic partition pruning

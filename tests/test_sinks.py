@@ -769,3 +769,33 @@ def test_versioned_tags_are_retention_leases(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         read_tag(spark, path, "pinned")
+
+
+def test_merge_upsert_schema_evolution(spark, tmp_path):
+    """evolve_schema=True: a batch adding a column merges (stored rows
+    read NULL); a batch missing a stored column carries NULL on insert
+    and keeps stored values on match. Default stays a loud error."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "dim")
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        path, keys=["k"],
+    )
+    widened = spark.createDataFrame(
+        [(2, "b2", 9.5), (3, "c", 1.0)], "k long, v string, score double"
+    )
+    with _pytest.raises(Exception):
+        merge_upsert(spark, widened, path, keys=["k"])
+    merge_upsert(spark, widened, path, keys=["k"], evolve_schema=True)
+    out = {r.k: (r.v, r.score) for r in spark.read.parquet(path).collect()}
+    assert out == {1: ("a", None), 2: ("b2", 9.5), 3: ("c", 1.0)}
+
+    # narrower batch: stored-only column survives on match, NULL on insert
+    narrower = spark.createDataFrame([(3, "c3"), (4, "d")], "k long, v string")
+    merge_upsert(spark, narrower, path, keys=["k"], evolve_schema=True)
+    out = {r.k: (r.v, r.score) for r in spark.read.parquet(path).collect()}
+    assert out[3] == ("c3", None)  # last-wins replaces the whole row
+    assert out[4] == ("d", None)
+    assert out[2] == ("b2", 9.5)
