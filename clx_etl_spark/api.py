@@ -23,16 +23,26 @@ class Engine:
 
     # -- catalog ----------------------------------------------------------
     def table(self, name: str, via: str = "parquet", url: str | None = None,
+              version: int | None = None, tag: str | None = None,
               **jdbc_opts) -> DataFrame:
         """Load a table. ``via="jdbc"`` reads a relational dimension store
         instead of the parquet catalog (SURVEY S12; ``name`` is the remote
-        table, ``url`` the JDBC URL, ``jdbc_opts`` e.g. partition_column)."""
+        table, ``url`` the JDBC URL, ``jdbc_opts`` e.g. partition_column).
+        ``via="versioned"`` time-travel-reads a manifest-versioned table
+        (``name`` is its path; pick a snapshot with ``version=`` or
+        ``tag=``, default latest)."""
         if via == "jdbc":
             if url is None:
                 raise ValueError('table(via="jdbc") requires url=')
             from .sinks.jdbc import read_jdbc
 
             return read_jdbc(self.spark, url, name, **jdbc_opts)
+        if via == "versioned":
+            from .sinks.versioned import read_tag, read_version
+
+            if tag is not None:
+                return read_tag(self.spark, name, tag)
+            return read_version(self.spark, name, version)
         return catalog.load_table(self.spark, self.sf_dir, name)
 
     def sql(self, query: str) -> DataFrame:

@@ -403,3 +403,17 @@ def test_engine_round5_facade(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "corpus")).count() == 2
+
+
+def test_engine_table_via_versioned(spark, tmp_path):
+    from clx_etl_spark.api import Engine
+    from clx_etl_spark.sinks.versioned import append_version, tag_version
+
+    eng = Engine(spark)
+    path = str(tmp_path / "vt")
+    for i in range(2):
+        append_version(spark.createDataFrame([(i,)], "id long"), path)
+    tag_version(path, "first", version=0)
+    assert eng.table(path, via="versioned").count() == 2
+    assert eng.table(path, via="versioned", version=0).count() == 1
+    assert eng.table(path, via="versioned", tag="first").count() == 1
