@@ -505,3 +505,51 @@ def rollback_version(path: str, to_version: int) -> int:
     m = _read_manifest(path, to_version)
     new_v = (latest_version(path) or 0) + 1
     return _commit(path, new_v, m["files"], "overwrite", m.get("stats", {}))
+
+
+def delete_version(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    stats_cols: list[str] | None = None,
+) -> tuple[int, int, int]:
+    """Range DELETE as a new version, with file-level pruning: files
+    whose manifest [min, max] for ``col`` provably cannot contain
+    [lo, hi] are CARRIED UNTOUCHED into the new manifest (copy-on-write
+    file reuse — zero IO for them); only overlapping files are read,
+    anti-filtered, and rewritten. The Delta/Iceberg DELETE shape: at
+    100 TB a narrow time-range purge (GDPR, bad-batch removal) rewrites
+    one day's files, not the table. Files without stats rewrite
+    conservatively. Records op 'overwrite' (row state changed —
+    incremental readers must not cross silently). Returns
+    (new_version, files_untouched, files_rewritten)."""
+    v = latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no versions committed at {path}")
+    m = _read_manifest(path, v)
+    stats = m.get("stats", {})
+    untouched = [
+        f for f in m["files"] if not _stat_overlaps(lo, hi, stats.get(f, {}).get(col))
+    ]
+    rewrite = [f for f in m["files"] if f not in set(untouched)]
+    new_v = v + 1
+    new_files: list[str] = []
+    new_stats: dict = {}
+    if rewrite:
+        from pyspark.sql import functions as F
+
+        remaining = (
+            spark.read.option("mergeSchema", "true").parquet(*rewrite)
+            .filter(~F.col(col).between(lo, hi))
+        )
+        new_files, new_stats = _write_files(
+            remaining, path, new_v, stats_cols or ([col] if stats else None)
+        )
+    carried_stats = {f: stats[f] for f in untouched if f in stats}
+    _commit(
+        path, new_v, untouched + new_files, "overwrite",
+        {**carried_stats, **new_stats}, txn=m.get("txn", {}),
+    )
+    return new_v, len(untouched), len(rewrite)

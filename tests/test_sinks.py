@@ -799,3 +799,39 @@ def test_merge_upsert_schema_evolution(spark, tmp_path):
     assert out[3] == ("c3", None)  # last-wins replaces the whole row
     assert out[4] == ("d", None)
     assert out[2] == ("b2", 9.5)
+
+
+def test_versioned_delete_prunes_untouched_files(spark, tmp_path):
+    """Range delete: non-overlapping files carry through by reference
+    (zero IO), only overlapping files rewrite; prior versions intact."""
+    from clx_etl_spark.sinks.versioned import (_read_manifest,
+                                               append_version,
+                                               delete_version,
+                                               read_version)
+
+    path = str(tmp_path / "vt")
+    for lo in (0, 100, 200):
+        append_version(
+            spark.createDataFrame(
+                [(lo + i,) for i in range(50)], "id long"
+            ).coalesce(1),
+            path,
+            stats_cols=["id"],
+        )
+    before = {f for f in _read_manifest(path, 2)["files"]}
+    v, untouched, rewritten = delete_version(spark, path, "id", 110, 120)
+    assert (untouched, rewritten) == (2, 1)
+    m = _read_manifest(path, v)
+    # the two non-overlapping files are the SAME paths (no rewrite)
+    assert len(set(m["files"]) & before) == 2
+    ids = {r.id for r in read_version(spark, path).collect()}
+    want = (
+        set(range(0, 50)) | set(range(100, 150)) | set(range(200, 250))
+    ) - set(range(110, 121))
+    assert ids == want and len(ids) == 139
+    # time travel to before the delete still sees everything
+    assert read_version(spark, path, 2).count() == 150
+    # carried stats still prune on the new head
+    from clx_etl_spark.sinks.versioned import pruned_file_count
+    keep, total = pruned_file_count(path, "id", 200, 210)
+    assert keep == 1
