@@ -371,30 +371,66 @@ def compact_version(
 
 
 def merge_version(
-    updates: DataFrame, path: str, keys: list[str]
+    updates: DataFrame, path: str, keys: list[str],
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit a keyed MERGE as a new version: rows matching ``keys``
     update, the rest insert (last-wins within the batch, same contract
-    as sinks.upsert). Copy-on-write at table granularity: the merged
-    result is written as a fresh file set (op 'overwrite' in the
-    manifest — correct, because a merge rewrites row state and must
-    break incremental append lineage), prior versions stay readable.
-    For partition-scoped merge economics at fact scale, use
-    sinks.upsert.merge_upsert on a partitioned layout instead; the
-    versioned MERGE trades that for time travel."""
+    as sinks.upsert). Copy-on-write with FILE PRUNING when the current
+    manifest carries stats on the first key column: files whose key
+    range provably cannot contain any batch key carry into the new
+    manifest BY REFERENCE (zero IO); only overlapping files are read,
+    anti-joined, and rewritten together with the batch — at 100 TB a
+    narrow-key merge rewrites its key neighborhood, not the table
+    (Delta MERGE's file-skipping shape; pair with
+    overwrite_version_zordered so key ranges are tight per file).
+    Stat-less files rewrite conservatively. Records op 'overwrite'
+    (row state changes break incremental append lineage); prior
+    versions stay readable."""
     prev = latest_version(path)
     if prev is None:
-        return overwrite_version(updates, path)
+        return overwrite_version(updates, path, stats_cols=stats_cols)
     from .upsert import _dedup_updates
 
     spark = updates.sparkSession
-    stored = read_version(spark, path, prev)
     up = _dedup_updates(updates, keys)
-    merged = stored.join(up.select(*keys), keys, "left_anti").unionByName(up)
+    m = _read_manifest(path, prev)
+    stats = m.get("stats", {})
+    kcol = keys[0]
+    have_stats = [f for f in m["files"] if stats.get(f, {}).get(kcol)]
+    if have_stats:
+        from pyspark.sql import functions as F
+
+        row = up.agg(F.min(kcol).alias("lo"), F.max(kcol).alias("hi")).first()
+        lo, hi = row["lo"], row["hi"]
+        untouched = [
+            f for f in m["files"]
+            if not _stat_overlaps(lo, hi, stats.get(f, {}).get(kcol))
+        ]
+    else:
+        untouched = []
+    rewrite = [f for f in m["files"] if f not in set(untouched)]
+    if rewrite:
+        stored_slice = spark.read.option("mergeSchema", "true").parquet(*rewrite)
+        merged = stored_slice.join(
+            up.select(*keys), keys, "left_anti"
+        ).unionByName(up)
+    else:
+        merged = up
     # materialize before the commit writes new files (the lineage reads
-    # the previous version's files, which remain on disk — but localCheckpoint
-    # also bounds the double-scan to one pass)
-    return overwrite_version(merged.localCheckpoint(eager=True), path)
+    # the previous version's files, which remain on disk — but
+    # localCheckpoint also bounds the double-scan to one pass)
+    merged = merged.localCheckpoint(eager=True)
+    new_v = prev + 1
+    new_files, new_stats = _write_files(
+        merged, path, new_v,
+        stats_cols or ([kcol] if have_stats else None),
+    )
+    carried = {f: stats[f] for f in untouched if f in stats}
+    return _commit(
+        path, new_v, untouched + new_files, "overwrite",
+        {**carried, **new_stats}, txn=m.get("txn", {}),
+    )
 
 
 def read_version(

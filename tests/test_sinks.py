@@ -835,3 +835,37 @@ def test_versioned_delete_prunes_untouched_files(spark, tmp_path):
     from clx_etl_spark.sinks.versioned import pruned_file_count
     keep, total = pruned_file_count(path, "id", 200, 210)
     assert keep == 1
+
+
+def test_versioned_merge_prunes_by_key_stats(spark, tmp_path):
+    """Keyed MERGE with manifest-stat pruning: files whose key range
+    can't contain any batch key carry by reference; only the key
+    neighborhood rewrites."""
+    from clx_etl_spark.sinks.versioned import (_read_manifest,
+                                               append_version,
+                                               merge_version, read_version)
+
+    path = str(tmp_path / "vt")
+    for lo in (0, 100, 200):
+        append_version(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(50)], "id long, v string"
+            ).coalesce(1),
+            path,
+            stats_cols=["id"],
+        )
+    before = set(_read_manifest(path, 2)["files"])
+    batch = spark.createDataFrame(
+        [(105, "UPDATED"), (140, "UPDATED"), (130, "UPDATED")],
+        "id long, v string",
+    )
+    v = merge_version(batch, path, keys=["id"])
+    m = _read_manifest(path, v)
+    # the 0-49 and 200-249 files survive as the same paths
+    assert len(set(m["files"]) & before) == 2
+    out = {r.id: r.v for r in read_version(spark, path).collect()}
+    assert len(out) == 150
+    assert out[105] == out[130] == out[140] == "UPDATED"
+    assert out[0] == "v0" and out[249] == "v249"
+    # prior version still reads pre-merge values
+    assert {r.v for r in read_version(spark, path, 2).collect() if r.id == 105} == {"v105"}
