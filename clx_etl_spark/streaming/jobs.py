@@ -597,3 +597,49 @@ def versioned_ingest_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_stream_attribution(
+    views: DataFrame,
+    clicks: DataFrame,
+    key: str,
+    view_time_col: str = "view_time",
+    click_time_col: str = "click_time",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time interval join: attribute each click to a
+    preceding view by the same key within ``window`` — the two-stream
+    funnel that stream-static joins can't express (both sides arrive
+    continuously). Both inputs carry watermarks, and the join condition
+    time-bounds the match, so Spark buffers each side only within the
+    watermark horizon: state is O(events inside horizon), evicted as the
+    watermark advances — never unbounded.
+
+    ``how="left_outer"`` additionally emits views that never converted,
+    with NULL click columns, once the watermark proves no match can
+    still arrive (exactly the reference's gap-accounting posture:
+    late data inside the horizon still matches; beyond it, the batch
+    reconciliation owns repair). Column names must be disjoint apart
+    from ``key``."""
+    v = views.withWatermark(view_time_col, watermark).alias("v")
+    c = clicks.withWatermark(click_time_col, watermark).alias("c")
+    cond = (
+        (F.col(f"v.{key}") == F.col(f"c.{key}"))
+        & (F.col(f"c.{click_time_col}") >= F.col(f"v.{view_time_col}"))
+        & (
+            F.col(f"c.{click_time_col}")
+            <= F.col(f"v.{view_time_col}") + F.expr(f"INTERVAL {window}")
+        )
+    )
+    joined = v.join(c, cond, how)
+    out_cols = [F.col(f"v.{key}").alias(key), F.col(f"v.{view_time_col}")]
+    out_cols += [
+        F.col(f"v.{x}") for x in views.columns if x not in (key, view_time_col)
+    ]
+    out_cols += [F.col(f"c.{click_time_col}")]
+    out_cols += [
+        F.col(f"c.{x}") for x in clicks.columns if x not in (key, click_time_col)
+    ]
+    return joined.select(*out_cols)

@@ -1403,3 +1403,57 @@ def test_versioned_ingest_stream_exactly_once(spark, tmp_path):
     # a NEW batch id still commits
     v2 = V.append_version(replay.limit(1), table, txn=(app_id, 2))
     assert v2 == 2 and read_version(spark, table).count() == 9
+
+
+def test_stream_stream_attribution_interval_join(spark, tmp_path):
+    """Two continuously-arriving streams joined on key within an
+    event-time window: a click in a LATER micro-batch still attributes
+    to its view; clicks outside the window never match; left_outer
+    emits unconverted views once the watermark proves no match can
+    arrive."""
+    from pyspark.sql.types import TimestampType
+
+    from clx_etl_spark.streaming.jobs import stream_stream_attribution
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    vschema = StructType(
+        [StructField("k", LongType()), StructField("view_time", TimestampType()),
+         StructField("page", StringType())]
+    )
+    cschema = StructType(
+        [StructField("k", LongType()), StructField("click_time", TimestampType()),
+         StructField("target", StringType())]
+    )
+    vsrc, csrc = str(tmp_path / "v"), str(tmp_path / "c")
+    # views: k=1 (will convert), k=2 (click too late), k=3 (no click)
+    spark.createDataFrame(
+        [(1, base, "home"), (2, base, "home"), (3, base, "home")], vschema
+    ).coalesce(1).write.mode("append").parquet(vsrc)
+    # clicks arrive in a separate batch: k=1 inside the 1h window,
+    # k=2 outside it; a far-future click advances the watermark so the
+    # left-outer emits k=3 (and k=2's view) as unconverted
+    spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=30), "buy"),
+         (2, base + dt.timedelta(hours=5), "buy"),
+         (99, base + dt.timedelta(hours=12), "noise")], cschema
+    ).coalesce(1).write.mode("append").parquet(csrc)
+
+    views = spark.readStream.format("parquet").schema(vschema).load(vsrc)
+    clicks = spark.readStream.format("parquet").schema(cschema).load(csrc)
+    out = stream_stream_attribution(
+        views, clicks, key="k", window="1 hour", watermark="2 hours",
+        how="left_outer",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("attr")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = {r.k: (r.click_time, r.target)
+            for r in spark.sql("SELECT * FROM attr").collect()}
+    assert rows[1] == (base + dt.timedelta(minutes=30), "buy")
+    assert rows[2] == (None, None)  # click outside window -> unconverted
+    assert rows[3] == (None, None)  # no click at all
+    assert 99 not in rows  # click without a view never appears
