@@ -622,7 +622,22 @@ def stream_stream_attribution(
     still arrive (exactly the reference's gap-accounting posture:
     late data inside the horizon still matches; beyond it, the batch
     reconciliation owns repair). Column names must be disjoint apart
-    from ``key``."""
+    from ``key``.
+
+    Eviction caveat (standard Spark semantics, worth stating): under
+    the default ``spark.sql.streaming.multipleWatermarkPolicy=min``
+    the GLOBAL watermark is the minimum across BOTH inputs, so
+    unmatched-view emission requires the views stream itself to keep
+    advancing — an idle views source pins the global watermark at its
+    last event time minus ``watermark`` and the outer state never
+    flushes, even across restarts. In production both streams tick
+    continuously so this is moot; in a drained/backfill run, either
+    feed a heartbeat event through the views side or set the policy to
+    ``max``. Given both watermarks advance, a single
+    ``Trigger.AvailableNow`` pass IS sufficient: Spark runs the extra
+    no-data batch that evicts and emits outer rows before terminating
+    (verified on 4.1.2 by tests/test_streaming.py::
+    test_stream_stream_attribution_interval_join)."""
     v = views.withWatermark(view_time_col, watermark).alias("v")
     c = clicks.withWatermark(click_time_col, watermark).alias("c")
     cond = (

@@ -1427,13 +1427,19 @@ def test_stream_stream_attribution_interval_join(spark, tmp_path):
          StructField("target", StringType())]
     )
     vsrc, csrc = str(tmp_path / "v"), str(tmp_path / "c")
-    # views: k=1 (will convert), k=2 (click too late), k=3 (no click)
+    # views: k=1 (will convert), k=2 (click too late), k=3 (no click).
+    # k=98 is a far-future heartbeat view: under Spark's default
+    # multipleWatermarkPolicy=min the GLOBAL watermark is the minimum
+    # across both inputs, so the views side must also advance or the
+    # outer state never evicts (an idle stream pins the watermark).
     spark.createDataFrame(
-        [(1, base, "home"), (2, base, "home"), (3, base, "home")], vschema
+        [(1, base, "home"), (2, base, "home"), (3, base, "home"),
+         (98, base + dt.timedelta(hours=12), "noise-view")], vschema
     ).coalesce(1).write.mode("append").parquet(vsrc)
     # clicks arrive in a separate batch: k=1 inside the 1h window,
-    # k=2 outside it; a far-future click advances the watermark so the
-    # left-outer emits k=3 (and k=2's view) as unconverted
+    # k=2 outside it; a far-future click advances the click-side
+    # watermark so the left-outer emits k=3 (and k=2's view) as
+    # unconverted
     spark.createDataFrame(
         [(1, base + dt.timedelta(minutes=30), "buy"),
          (2, base + dt.timedelta(hours=5), "buy"),
@@ -1457,3 +1463,6 @@ def test_stream_stream_attribution_interval_join(spark, tmp_path):
     assert rows[2] == (None, None)  # click outside window -> unconverted
     assert rows[3] == (None, None)  # no click at all
     assert 99 not in rows  # click without a view never appears
+    # the heartbeat view itself is still inside the watermark horizon
+    # (view_time + window > global watermark), so it stays buffered
+    assert 98 not in rows
