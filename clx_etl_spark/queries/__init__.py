@@ -45,72 +45,21 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # registry. Queries that have not yet earned a green CORRECTNESS row are
 # rotated to the front each round so the driver sweep eventually covers the
 # whole registry; the repo's own oracle suite (tests/test_queries_oracle.py)
-# always sweeps everything at sf0.01 regardless. Round-5 front: the 58
-# hash-oracled registry queries with no driver CORRECTNESS row across
-# r01-r04 (the round-4 additions at prior positions ~51+), flagships
-# first (graph pair, CDC, multimodal legs per VERDICT r04 §Next-round-1).
-# 58 > 50 slots, so the 8 with the strongest alternative proof sit at
-# 51-58 for the round-6 rotation, followed by the rows-only entries
-# (which can never hash-match) and the 124 already-proven queries.
+# always sweeps everything at sf0.01 regardless. Round-6 front, closing the
+# proof ledger (VERDICT r05 Next-round-2): positions 1-16 are the LAST 13
+# hash-oracled queries that have never had a driver row, k1_upsert_last_wins
+# (its sinks/upsert.py backing changed after its r03 row), and the two new
+# round-6 queries (versioned_merge_replay, attribution_interval_join);
+# positions 17-50 backfill with the STALEST driver rows (every r01 row, then
+# the oldest r02 rows) so proof freshness rotates too. After this round every
+# hash-oracled registry query has a driver CORRECTNESS row.
 SWEEP_FRONT: list[str] = [
-    # flagships
-    "doc_pagerank",
-    "label_propagation_srp",
-    "cdc_current_state",
-    "mm_scene_cuts",
-    "mm_audio_segments",
-    "mm_phash_near_dup",
-    # dedup / curation family
-    "dedup_jaccard_prefix",
-    "substring_run_dedup",
-    "dedup_containment",
-    "dedup_cluster_size_histogram",
-    "decontam_bloom",
-    "cms_token_frequencies",
-    "curation_drop_attribution",
-    "contrastive_hard_negatives",
-    "lang_temperature_sample",
-    "quality_rank_normalize",
-    "eval_holdout_min_coverage",
-    "split_with_holdout",
-    "kfold_balance_audit",
-    "span_corruption_masking",
-    # LM / IR / text
-    "lm_kneser_ney_scores",
-    "token_pmi",
-    "rrf_fusion",
-    "phrase_search",
-    "oov_rate_by_lang",
-    "readability_scores",
-    "srp_pair_label_purity",
-    "embedding_outlier_scores",
-    # sequence / path analytics
-    "markov_transitions",
-    "top_event_paths",
-    "step_transitions",
-    "funnel_time_bounded",
-    "conversion_lag_stats",
-    "rolling_7d_distinct_users",
-    "session_entry_exit_stats",
-    "interarrival_percentiles",
-    "market_basket_pairs",
-    "rfm_segmentation",
-    "pareto_abc_customers",
-    "daily_type_correlation",
-    # profiling / storage-ops / versioned
-    "grouping_sets_revenue",
-    "histogram_event_values",
-    "trend_slope_by_type",
-    "winsorize_event_values",
-    "column_gini_profile",
-    "compaction_bin_packing",
-    "partition_skew_report",
-    "zorder_locality_stats",
-    "incremental_agg_merge",
-    "snapshot_diff",
-    # ---- position 51+: past the driver's ~50 cap. First the 8
-    # hash-oracled stragglers queued for the round-6 rotation, then
-    # new round-5 queries, then rows-only entries, then the proven 124.
+    # never driver-proven (13) — the final stragglers
+    "graph_suite",
+    "sketch_daily_users_exact",
+    "mix_waterfill",
+    "class_balance_oversample",
+    "table_profile",
     "fk_inclusion_audit",
     "source_content_overlap",
     "embedding_label_centroids",
@@ -119,12 +68,49 @@ SWEEP_FRONT: list[str] = [
     "dq_orders_expectations",
     "anomaly_mad_by_type",
     "lm_score_heldout",
-    # new round-5 queries (hash-oracled; queued behind the stragglers)
-    "graph_suite",
-    "sketch_daily_users_exact",
-    "mix_waterfill",
-    "class_balance_oversample",
-    "table_profile",
+    # re-prove: backing sinks/upsert.py changed after its last driver row
+    "k1_upsert_last_wins",
+    # new round-6 queries (lakehouse MERGE round-trip; attribution twin)
+    "versioned_merge_replay",
+    "attribution_interval_join",
+    # freshness backfill: every query whose last driver row is r01
+    "cube_revenue",
+    "j1_semi_active_customers",
+    "j6_anti_new_only",
+    "q10_top_returns",
+    "q14_promo_ratio",
+    "q17_small_quantity_revenue",
+    "q18_group_having",
+    "q19_disjunctive_pushdown",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q4_exists_semijoin",
+    "q5_region_revenue",
+    "q6_revenue_delta",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_revenue_by_nation_year",
+    "rollup_revenue",
+    "t11_entity_classify",
+    "t14_threshold_by_prefix",
+    "t15_explode_dims",
+    "topk_per_group",
+    "u3_union_by_name",
+    "w4_sliding_window_counts",
+    # freshness backfill: oldest r02 rows (11 of 12 fit in the 50)
+    "mm_audio_windows",
+    "mm_embedding_knn",
+    "mm_frame_sample",
+    "mm_image_resize",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q1_pricing_summary",
+    "q20_heavy_suppliers",
+    "q21_last_shipper",
+    # ---- position 51+: past the driver's ~50 cap
+    "q3_shipping_priority",
     # rows-only (no hash oracle by design; driver records rows-only)
     "sketch_daily_users",
     "bpe_train_encode",

@@ -53,6 +53,73 @@ def k1_upsert_last_wins(spark, sf):
     )
 
 
+@register(
+    "versioned_merge_replay",
+    oracle="""
+    WITH batch AS (
+      SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 1.0
+      FROM orders WHERE o_orderkey % 101 = 0)
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM batch b
+                      WHERE b.o_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM batch
+    """,
+    doc="Lakehouse MERGE round-trip through the ACTUAL write path "
+    "(sinks/versioned.merge_version): orders seeds a versioned table in "
+    "four key-range appends (manifest per-file key stats, the layout a "
+    "z-ordered 100 TB table has), a deterministic CDC batch (updates on "
+    "one residue class, inserts beyond the key domain) merges in — "
+    "per-file membership pruning rewrites only the touched key "
+    "neighborhood — and the batch REPLAYS a second time to prove the "
+    "upsert is idempotent; the returned rows are read back from the "
+    "committed files, so the hash oracle checks the storage round-trip, "
+    "not just the plan",
+)
+def versioned_merge_replay(spark, sf):
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import (append_version, merge_version,
+                                   read_version)
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    upd = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    batch = upd.unionByName(ins)
+
+    tmp = tempfile.mkdtemp(prefix="clx_vmr_")
+    path = tmp + "/t"
+    try:
+        hi = orders.agg(F.max("o_orderkey")).first()[0] or 1
+        step = hi // 4 + 1
+        for i in range(4):
+            sl = orders.filter(
+                (F.col("o_orderkey") >= i * step)
+                & (F.col("o_orderkey") < (i + 1) * step)
+            )
+            append_version(sl.coalesce(1), path, stats_cols=["o_orderkey"])
+        merge_version(batch, path, keys=["o_orderkey"])
+        merge_version(batch, path, keys=["o_orderkey"])  # replay: idempotent
+        # materialize before the tempdir vanishes
+        out = read_version(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 from ..operators import multimodal as MM
 
 # shared stub-decode oracle fragment: identical sha256-derived arithmetic

@@ -220,6 +220,66 @@ def conversion_lag_stats(spark, sf):
     )
 
 
+@register(
+    "attribution_interval_join",
+    oracle=f"""
+    WITH v AS (SELECT user_id, event_id AS view_id, {EV_MS} AS view_ms
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id AS purchase_id, {EV_MS} AS purchase_ms,
+                 value
+          FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT v.user_id, v.view_id, v.view_ms,
+                 p.purchase_id, p.purchase_ms, p.value,
+                 ROW_NUMBER() OVER (PARTITION BY v.view_id
+                   ORDER BY p.purchase_ms, p.purchase_id) AS rn
+          FROM v LEFT JOIN p
+            ON v.user_id = p.user_id
+           AND p.purchase_ms >= v.view_ms
+           AND p.purchase_ms <= v.view_ms + 3600000)
+    SELECT user_id, view_id, view_ms, purchase_id,
+           purchase_ms, value AS attributed_value
+    FROM j WHERE rn = 1
+    """,
+    doc="Interval-join attribution, the BATCH TWIN of "
+    "streaming/jobs.stream_stream_attribution: every view attributes to "
+    "the EARLIEST same-user purchase within 1h (event_id tie-break); "
+    "views that never converted emit with NULL purchase columns — the "
+    "same left-outer semantics the streaming test pins, here with a "
+    "full DuckDB hash oracle. Plan: equi-join on user_id (one shuffle "
+    "key, co-partitioned) with the time bounds as residual predicates, "
+    "then one per-view window — never a time-range nested loop",
+)
+def attribution_interval_join(spark, sf):
+    ev = _t(spark, sf, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts_ms").alias("view_ms"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_ms").alias("purchase_ms"),
+        F.col("value").alias("attributed_value"),
+    )
+    j = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ms") >= F.col("view_ms"))
+        & (F.col("purchase_ms") <= F.col("view_ms") + 3600000),
+        "left",
+    )
+    w = Window.partitionBy("view_id").orderBy(
+        F.asc_nulls_last("purchase_ms"), F.asc_nulls_last("purchase_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "view_id", "view_ms", "purchase_id",
+                "purchase_ms", "attributed_value")
+    )
+
+
 # --------------------------------------------------------------------------
 # Storage-ops planning
 # --------------------------------------------------------------------------

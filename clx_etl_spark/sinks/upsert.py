@@ -126,14 +126,23 @@ def merge_upsert(
             "pass evolve_schema=True to evolve, or align the batch"
         )
     if evolve_schema:
+        batch_cols = list(updates.columns)
         for c in [c for c in updates.columns if c not in stored.columns]:
             stored = stored.withColumn(
                 c, F.lit(None).cast(updates.schema[c].dataType)
             )
-        for c in [c for c in stored.columns if c not in updates.columns]:
+        missing = [c for c in stored.columns if c not in updates.columns]
+        for c in missing:
             updates = updates.withColumn(
                 c, F.lit(None).cast(stored.schema[c].dataType)
             )
+        if update_cols is None and missing:
+            # a narrowed batch must not null stored columns on matched
+            # rows (Delta updateAll-with-evolution keeps the target
+            # value): restrict updates to the columns the batch actually
+            # carries, so the carry path below recovers the rest from
+            # the stored row on matches and NULLs them only on inserts
+            update_cols = [c for c in batch_cols if c not in keys]
     if partition_cols:
         # prune the merge to partitions the batch touches: a broadcast
         # semi-join on the partition columns, so dynamic partition pruning

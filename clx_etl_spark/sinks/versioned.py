@@ -196,6 +196,12 @@ def _write_files(
     return files, stats
 
 
+class VersionConflictError(RuntimeError):
+    """Two writers raced to commit the same version number — the
+    single-writer contract was violated. The loser's data files are
+    orphans (reclaimed by expire_versions); retry from the new head."""
+
+
 def _commit(
     path: str,
     version: int,
@@ -207,7 +213,19 @@ def _commit(
     os.makedirs(_manifest_dir(path), exist_ok=True)
     manifest = {"version": version, "op": op, "files": files,
                 "stats": stats or {}, "txn": txn or {}}
-    with open(_manifest_path(path, version), "w") as fh:
+    # CAS-style guard: exclusive-create of the manifest is the atomic
+    # commit point (mirrors Delta's "put-if-absent on the next JSON
+    # log entry"); a concurrent writer that computed the same next
+    # version loses loudly instead of silently clobbering history.
+    try:
+        fh = open(_manifest_path(path, version), "x")
+    except FileExistsError:
+        raise VersionConflictError(
+            f"concurrent commit detected: version {version} already "
+            f"exists at {path} — another writer committed first; "
+            f"re-read the head and retry"
+        ) from None
+    with fh:
         json.dump(manifest, fh, default=str)
     with open(os.path.join(_manifest_dir(path), "_latest"), "w") as fh:
         fh.write(str(version))
@@ -253,14 +271,25 @@ def append_version(
 
 
 def overwrite_version(
-    df: DataFrame, path: str, stats_cols: list[str] | None = None
+    df: DataFrame, path: str, stats_cols: list[str] | None = None,
+    txn: dict | None = None,
 ) -> int:
     """Commit a new version containing ONLY this DataFrame's files; all
-    prior versions remain readable until expired."""
+    prior versions remain readable until expired.
+
+    ``txn`` (an app_id -> txn_version map) is the exactly-once
+    watermark. Default None CARRIES the previous head's map forward
+    (Delta keeps SetTransaction watermarks across snapshots until
+    retention-expired) — so compaction / rollback / re-layout commits
+    cannot silently discard it and a replayed foreachBatch append
+    after maintenance stays a no-op. Pass ``txn={}`` to explicitly
+    reset the watermarks (a true logical table replacement)."""
     prev = latest_version(path)
+    if txn is None and prev is not None:
+        txn = _read_manifest(path, prev).get("txn", {})
     version = 0 if prev is None else prev + 1
     files, stats = _write_files(df, path, version, stats_cols)
-    return _commit(path, version, files, "overwrite", stats)
+    return _commit(path, version, files, "overwrite", stats, txn=txn)
 
 
 def overwrite_version_zordered(
@@ -355,13 +384,26 @@ def compact_version(
     (expire_versions then reclaims the small files). File sizes come
     from the manifest's file list via one os.stat pass — bounded by
     file count, never data size. The planning twin is the
-    compaction_bin_packing registry query; this is the executor."""
+    compaction_bin_packing registry query; this is the executor.
+
+    ``stats_cols=None`` re-derives manifest stats for the union of
+    columns the current manifest already tracks — compaction must not
+    silently drop the table's file-skipping index (every post-compaction
+    scan/merge/delete would degrade to full reads until the next
+    stats-bearing commit). The previous head's txn watermarks carry
+    through (overwrite_version's default), so replayed streaming
+    batches stay no-ops after compaction."""
     import math
 
     v = latest_version(path)
     if v is None:
         raise FileNotFoundError(f"no versions committed at {path}")
-    files = _read_manifest(path, v)["files"]
+    m = _read_manifest(path, v)
+    files = m["files"]
+    if stats_cols is None:
+        tracked = {c for fstats in m.get("stats", {}).values()
+                   for c in fstats}
+        stats_cols = sorted(tracked) or None
     total = sum(os.path.getsize(f) for f in files)
     n = max(1, math.ceil(total / target_bytes))
     df = read_version(spark, path, v)
@@ -384,9 +426,18 @@ def merge_version(
     narrow-key merge rewrites its key neighborhood, not the table
     (Delta MERGE's file-skipping shape; pair with
     overwrite_version_zordered so key ranges are tight per file).
-    Stat-less files rewrite conservatively. Records op 'overwrite'
-    (row state changes break incremental append lineage); prior
-    versions stay readable."""
+
+    Pruning is PER-FILE MEMBERSHIP, not a single global batch interval:
+    the batch's distinct keys join against the (bounded, broadcast)
+    file-interval list, so a sparse batch touching keys at both ends of
+    the domain still skips every interior file — the global-interval
+    prune would rewrite the whole table (Delta MERGE runs the same
+    touched-files join). Cost is one map-side pass over the distinct
+    batch keys times the broadcast interval list; the collected result
+    is file NAMES, bounded by the manifest, never data. Files whose
+    stats fail to coerce into the key's type, and stat-less files,
+    rewrite conservatively. Records op 'overwrite' (row state changes
+    break incremental append lineage); prior versions stay readable."""
     prev = latest_version(path)
     if prev is None:
         return overwrite_version(updates, path, stats_cols=stats_cols)
@@ -400,13 +451,36 @@ def merge_version(
     have_stats = [f for f in m["files"] if stats.get(f, {}).get(kcol)]
     if have_stats:
         from pyspark.sql import functions as F
+        from pyspark.sql.types import StringType, StructField, StructType
 
-        row = up.agg(F.min(kcol).alias("lo"), F.max(kcol).alias("hi")).first()
-        lo, hi = row["lo"], row["hi"]
-        untouched = [
-            f for f in m["files"]
-            if not _stat_overlaps(lo, hi, stats.get(f, {}).get(kcol))
-        ]
+        ktype = up.schema[kcol].dataType
+        iv = spark.createDataFrame(
+            [(f, str(stats[f][kcol][0]), str(stats[f][kcol][1]))
+             for f in have_stats],
+            StructType([StructField("_file", StringType()),
+                        StructField("_lo", StringType()),
+                        StructField("_hi", StringType())]),
+        ).select(
+            "_file",
+            F.col("_lo").cast(ktype).alias("_lo"),
+            F.col("_hi").cast(ktype).alias("_hi"),
+        ).localCheckpoint(eager=True)
+        # stats that don't cast into the key domain can't prove anything:
+        # those files rewrite conservatively (iv is manifest-bounded, so
+        # this collect is file names, not data)
+        bad = {r._file for r in
+               iv.filter(F.col("_lo").isNull() | F.col("_hi").isNull())
+               .collect()}
+        touched = {
+            r._file
+            for r in up.select(kcol).distinct().join(
+                F.broadcast(iv),
+                (F.col(kcol) >= F.col("_lo")) & (F.col(kcol) <= F.col("_hi")),
+                "inner",
+            ).select("_file").distinct().collect()
+        }
+        untouched = [f for f in have_stats
+                     if f not in touched and f not in bad]
     else:
         untouched = []
     rewrite = [f for f in m["files"] if f not in set(untouched)]
@@ -537,10 +611,17 @@ def rollback_version(path: str, to_version: int) -> int:
     copy-on-write, so nothing is deleted and the bad history stays
     readable for forensics until expired. The op records 'overwrite'
     (a rollback rewrites row state; incremental readers must not cross
-    it silently)."""
+    it silently). The CURRENT head's txn watermarks carry into the new
+    manifest — NOT ``to_version``'s — because a batch applied after
+    ``to_version`` was still applied: replaying it after the rollback
+    must remain a no-op (the data rows it wrote are gone by design;
+    Delta RESTORE has the same SetTransaction caveat and this is the
+    conservative resolution)."""
     m = _read_manifest(path, to_version)
-    new_v = (latest_version(path) or 0) + 1
-    return _commit(path, new_v, m["files"], "overwrite", m.get("stats", {}))
+    head = latest_version(path) or 0
+    head_txn = _read_manifest(path, head).get("txn", {})
+    return _commit(path, head + 1, m["files"], "overwrite",
+                   m.get("stats", {}), txn=head_txn)
 
 
 def delete_version(

@@ -156,6 +156,12 @@ def streaming_sessionizer(
     seen at the watermark ms — bounded by the same-ms burst size).
     Without an id column, a cross-batch row landing exactly on the
     watermark ms is conservatively treated as a replay and dropped.
+
+    Checkpoint compatibility: the ``last_ts_ids`` state field is new as
+    of round 5 — checkpoints written by earlier revisions fail state
+    schema validation on restart. Start a new checkpoint location when
+    upgrading (the emitted sessions are deterministic from the source,
+    so a reprocess converges).
     """
     import json as _json
 
@@ -270,6 +276,12 @@ def streaming_heavy_hitters(
     the global top-k is simply the top-k over the union of shard
     snapshots (merge_heavy_hitter_snapshots) with NO merge error — the
     error bound even TIGHTENS to N_shard/capacity per shard.
+
+    Checkpoint compatibility: round 5 changed the state encoding (three
+    joined strings -> one JSON column) and the output schema (new
+    ``shard`` column) — checkpoints written by earlier revisions fail
+    validation or misread state on restart; start a new checkpoint
+    location when upgrading.
     """
     from pyspark.sql.types import StringType
 
@@ -373,10 +385,14 @@ def streaming_quantiles(
     value_col: str,
     probabilities: tuple[float, ...] = (0.5, 0.9, 0.99),
     sample_size: int = 1024,
+    fingerprint_cols: list[str] | None = None,
 ) -> DataFrame:
     """Streaming per-key quantile estimates from a BOTTOM-K PRIORITY
     SAMPLE: every row gets a deterministic hash priority (md5 of its
-    (ts-ish fingerprint, value) pair) and state keeps only the
+    (key, value, per-row fingerprint) triple, where the fingerprint is
+    ``fingerprint_cols`` — default: every other column of the input,
+    i.e. the ts/event-id columns that make a row unique) and state
+    keeps only the
     ``sample_size`` smallest-priority rows per key — a uniform sample of
     everything seen, with O(sample_size) state however long the stream
     runs (the bottom-k sketch; mergeable by union + re-trim).
@@ -385,7 +401,12 @@ def streaming_quantiles(
     SAME priorities, so at-least-once redelivery cannot distort the
     SAMPLE (a replayed retained row collapses on its fingerprint; a
     replayed EVICTED row re-enters with its original priority and is
-    re-evicted by the same comparison). ``n_seen`` is exact under
+    re-evicted by the same comparison). Because the fingerprint carries
+    the per-row unique columns, REPEATED VALUES are distinct sample
+    entries — quantiles reflect the stream's value DISTRIBUTION (e.g.
+    a stream of 999 zeros and one 1000 has median 0), not its distinct
+    values; only byte-identical full rows collapse, which is replay
+    detection, not value dedup. ``n_seen`` is exact under
     exactly-once delivery but may over-count replays of already-evicted
     rows — bounded state cannot remember every fingerprint ever seen.
     Quantiles use the same exact interpolation contract as the batch
@@ -393,9 +414,22 @@ def streaming_quantiles(
 
     Emits (keys..., n_seen, n_sample, q_... per probability, seq) per
     micro-batch — the monitoring twin of group_quantiles_approx; rank
-    error shrinks as O(1/sqrt(sample_size))."""
+    error shrinks as O(1/sqrt(sample_size)).
+
+    Checkpoint compatibility: round 6 changed the priority hash to
+    carry the per-row fingerprint (repeated values were previously
+    collapsed to one sample entry). The state SCHEMA is unchanged so
+    old checkpoints restart cleanly, but their retained samples were
+    drawn distinct-value-biased — start a new checkpoint location if
+    exact sampling semantics matter for history."""
     import hashlib as _hashlib
     import json as _json
+
+    fp_cols = (
+        fingerprint_cols
+        if fingerprint_cols is not None
+        else [c for c in events.columns if c not in keys and c != value_col]
+    )
 
     key_fields = [events.schema[k] for k in keys]
     out_schema = StructType(
@@ -439,12 +473,16 @@ def streaming_quantiles(
             sample, n_seen, seq = [], 0, 0
         seen = {p for p, _ in sample}
         for pdf in pdfs:
-            for v in pdf[value_col]:
+            fps = pdf[fp_cols].astype(str).agg("|".join, axis=1) if fp_cols \
+                else pd.Series([""] * len(pdf))
+            for v, fp in zip(pdf[value_col], fps):
                 fv = float(v)
-                pr = _hashlib.md5(repr(fv).encode() + b"|" + repr(key).encode()
-                                  ).hexdigest()
+                pr = _hashlib.md5(
+                    repr(fv).encode() + b"|" + repr(key).encode()
+                    + b"|" + fp.encode()
+                ).hexdigest()
                 if pr in seen:
-                    continue  # replayed / duplicate fingerprint
+                    continue  # replayed full row (same key/value/fingerprint)
                 seen.add(pr)
                 n_seen += 1
                 sample.append((pr, fv))

@@ -744,6 +744,84 @@ def test_versioned_tags_and_rollback(spark, tmp_path):
         tag_version(path, "_bad")
 
 
+def test_versioned_txn_survives_compaction_and_rollback(spark, tmp_path):
+    """Maintenance commits must carry the exactly-once txn watermark
+    forward: after a compaction or a rollback, replaying an
+    already-applied streaming batch is still a manifest-level no-op —
+    otherwise at-least-once delivery duplicates rows (the Delta
+    RESTORE / SetTransaction caveat, resolved conservatively)."""
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               compact_version,
+                                               read_version,
+                                               rollback_version)
+
+    path = str(tmp_path / "vt")
+    b0 = spark.createDataFrame([(0, "a"), (1, "a")], "id long, v string")
+    b1 = spark.createDataFrame([(2, "b")], "id long, v string")
+    append_version(b0.coalesce(1), path, txn=("app", 0))
+    append_version(b1.coalesce(1), path, txn=("app", 1))
+    assert read_version(spark, path).count() == 3
+
+    compact_version(spark, path, target_bytes=1 << 30)
+    # replay batch 1 after compaction: must be a no-op
+    v = append_version(b1.coalesce(1), path, txn=("app", 1))
+    assert read_version(spark, path).count() == 3
+    assert read_version(spark, path, v).count() == 3
+
+    # roll back to the pre-compaction head; replays still no-ops
+    rollback_version(path, to_version=1)
+    append_version(b1.coalesce(1), path, txn=("app", 1))
+    append_version(b0.coalesce(1), path, txn=("app", 0))
+    assert read_version(spark, path).count() == 3
+    # a genuinely NEW batch still commits
+    append_version(b1.coalesce(1), path, txn=("app", 2))
+    assert read_version(spark, path).count() == 4
+
+
+def test_versioned_compact_rederives_manifest_stats(spark, tmp_path):
+    """compact_version with stats_cols=None re-derives stats for every
+    column the current manifest tracks — compaction must not drop the
+    table's file-skipping index."""
+    from clx_etl_spark.sinks.versioned import (_read_manifest,
+                                               append_version,
+                                               compact_version)
+
+    path = str(tmp_path / "vt")
+    for i in range(4):
+        append_version(
+            spark.createDataFrame([(i, i * 10)], "id long, ts long").coalesce(1),
+            path, stats_cols=["id", "ts"],
+        )
+    v = compact_version(spark, path, target_bytes=1 << 30)
+    m = _read_manifest(path, v)
+    assert m["files"], "compaction committed no files"
+    for f in m["files"]:
+        assert set(m["stats"][f]) == {"id", "ts"}
+
+
+def test_versioned_concurrent_commit_conflict(spark, tmp_path):
+    """Two writers racing to the same version number: the second
+    exclusive-create of the manifest fails loudly (VersionConflictError)
+    instead of silently clobbering the first writer's history."""
+    import pytest as _pytest
+
+    from clx_etl_spark.sinks.versioned import (VersionConflictError,
+                                               _commit, append_version,
+                                               latest_version, read_version)
+
+    path = str(tmp_path / "vt")
+    append_version(
+        spark.createDataFrame([(0,)], "id long").coalesce(1), path
+    )
+    # writer A commits version 1; writer B computed the same next
+    # version from the stale head and loses at the manifest create
+    _commit(path, 1, [], "append")
+    with _pytest.raises(VersionConflictError, match="version 1"):
+        _commit(path, 1, [], "append")
+    assert latest_version(path) == 1
+    assert read_version(spark, path, 0).count() == 1
+
+
 def test_versioned_tags_are_retention_leases(spark, tmp_path):
     """expire_versions must never strand a tag: tagged manifests and
     their files survive expiry until the tag is deleted."""
@@ -792,13 +870,17 @@ def test_merge_upsert_schema_evolution(spark, tmp_path):
     out = {r.k: (r.v, r.score) for r in spark.read.parquet(path).collect()}
     assert out == {1: ("a", None), 2: ("b2", 9.5), 3: ("c", 1.0)}
 
-    # narrower batch: stored-only column survives on match, NULL on insert
-    narrower = spark.createDataFrame([(3, "c3"), (4, "d")], "k long, v string")
+    # narrower batch: stored-only column KEEPS its value on match
+    # (Delta updateAll-with-evolution semantics), carries NULL on insert
+    narrower = spark.createDataFrame(
+        [(2, "b3"), (3, "c3"), (4, "d")], "k long, v string"
+    )
     merge_upsert(spark, narrower, path, keys=["k"], evolve_schema=True)
     out = {r.k: (r.v, r.score) for r in spark.read.parquet(path).collect()}
-    assert out[3] == ("c3", None)  # last-wins replaces the whole row
-    assert out[4] == ("d", None)
-    assert out[2] == ("b2", 9.5)
+    assert out[2] == ("b3", 9.5)  # matched: batch col updates, stored kept
+    assert out[3] == ("c3", 1.0)  # matched: stored score kept, not nulled
+    assert out[4] == ("d", None)  # inserted: missing column is NULL
+    assert out[1] == ("a", None)  # untouched
 
 
 def test_versioned_delete_prunes_untouched_files(spark, tmp_path):
@@ -869,3 +951,39 @@ def test_versioned_merge_prunes_by_key_stats(spark, tmp_path):
     assert out[0] == "v0" and out[249] == "v249"
     # prior version still reads pre-merge values
     assert {r.v for r in read_version(spark, path, 2).collect() if r.id == 105} == {"v105"}
+
+
+def test_versioned_merge_per_file_pruning_sparse_batch(spark, tmp_path):
+    """Per-file membership pruning: a 2-key batch spanning BOTH ends of
+    the key domain rewrites only the 2 containing files — a global
+    [min,max] batch-interval prune would cover every file and rewrite
+    the whole table."""
+    from clx_etl_spark.sinks.versioned import (_read_manifest,
+                                               append_version,
+                                               merge_version, read_version)
+
+    path = str(tmp_path / "vt")
+    for lo in (0, 100, 200, 300, 400):
+        append_version(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(50)], "id long, v string"
+            ).coalesce(1),
+            path,
+            stats_cols=["id"],
+        )
+    before = set(_read_manifest(path, 4)["files"])
+    assert len(before) == 5
+    # keys at the extreme ends: global interval [5, 445] overlaps ALL
+    # five files; per-file membership overlaps exactly two
+    batch = spark.createDataFrame(
+        [(5, "UPDATED"), (445, "UPDATED"), (500, "INSERTED")],
+        "id long, v string",
+    )
+    v = merge_version(batch, path, keys=["id"])
+    m = _read_manifest(path, v)
+    # the three interior files (100s, 200s, 300s) survive by reference
+    assert len(set(m["files"]) & before) == 3
+    out = {r.id: r.v for r in read_version(spark, path).collect()}
+    assert len(out) == 251
+    assert out[5] == out[445] == "UPDATED" and out[500] == "INSERTED"
+    assert out[100] == "v100" and out[300] == "v300"

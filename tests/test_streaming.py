@@ -1365,6 +1365,45 @@ def test_streaming_quantiles_bottom_k_sample(spark, tmp_path):
     assert abs(last2.q_0_5 - 50.5) < 25  # ~O(1/sqrt(32)) rank error
 
 
+def test_streaming_quantiles_repeated_values(spark, tmp_path):
+    """Repeated values are distinct sample entries (the fingerprint
+    carries the per-row ts), so quantiles follow the stream
+    DISTRIBUTION, not the distinct-value set: 99 zeros and one 1000
+    has median 0 — while a byte-identical replayed row still collapses
+    on its fingerprint."""
+    from pyspark.sql.types import DoubleType, StringType
+
+    from clx_etl_spark.streaming.stateful import streaming_quantiles
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("value", DoubleType()),
+            StructField("ts_ms", LongType()),
+        ]
+    )
+    src = str(tmp_path / "in")
+    rows = [("a", 0.0, FX.BASE_TS + i) for i in range(99)]
+    rows.append(("a", 1000.0, FX.BASE_TS + 99))
+    rows += rows[:7]  # replay 7 byte-identical rows -> no effect
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = spark.readStream.format("parquet").schema(schema).load(src)
+    out = streaming_quantiles(stream, keys=["k"], value_col="value",
+                              sample_size=4096)
+    q = (
+        out.writeStream.format("memory").queryName("sq_rep")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    last = spark.sql(
+        "SELECT * FROM sq_rep ORDER BY seq DESC LIMIT 1").collect()[0]
+    assert last.n_seen == 100 and last.n_sample == 100
+    assert last.q_0_5 == 0.0  # distribution median, not distinct-set median
+    assert last.q_0_99 > 0.0
+
+
 def test_versioned_ingest_stream_exactly_once(spark, tmp_path):
     """Streaming append into the versioned table format: each
     micro-batch is one committed version; a replayed batch id is a
