@@ -125,12 +125,69 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+_BLOOM_KEY = "__bloom__:"  # manifest stats key prefix for per-file blooms
+_BLOOM_MAX_BITS = 1 << 19  # 64 KiB bitmap cap per file per column
+_BLOOM_K = 7  # hash functions (~1% fpr at 10 bits/key)
+_BLOOM_PROBE_BUDGET = 5_000_000  # max keys x bloom-files tested per merge
+
+
+def _bloom_seed(value) -> tuple[int, int]:
+    """Two 64-bit hash halves for a canonical key value (int or str) —
+    the Kirsch-Mitzenmacher base pair; per-file probes derive all k bit
+    positions from it with modular arithmetic only, so a key is hashed
+    ONCE per merge however many file blooms it is tested against."""
+    import hashlib as _hashlib
+
+    d = _hashlib.md5(repr(value).encode()).digest()
+    return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
+
+
+def _bloom_build(values, m_bits: int) -> str:
+    """base64 bitmap with every value's k=_BLOOM_K positions set."""
+    import base64 as _b64
+
+    bits = bytearray(m_bits >> 3)
+    for v in values:
+        h1, h2 = _bloom_seed(v)
+        for i in range(_BLOOM_K):
+            p = (h1 + i * h2) % m_bits
+            bits[p >> 3] |= 1 << (p & 7)
+    return _b64.b64encode(bytes(bits)).decode("ascii")
+
+
+def _bloom_any_hit(bloom: dict, seeds: list[tuple[int, int]]) -> bool:
+    """True when ANY pre-seeded key might be in the file (or on any
+    decode problem — conservative)."""
+    import base64 as _b64
+
+    try:
+        m = int(bloom["m"])
+        bits = _b64.b64decode(bloom["b"])
+    except Exception:
+        return True
+    for h1, h2 in seeds:
+        if all(
+            bits[(p := (h1 + i * h2) % m) >> 3] & (1 << (p & 7))
+            for i in range(_BLOOM_K)
+        ):
+            return True
+    return False
+
+
 def _write_files(
-    df: DataFrame, path: str, version: int, stats_cols: list[str] | None = None
+    df: DataFrame, path: str, version: int, stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> tuple[list[str], dict]:
     """Write the batch as immutable files; when ``stats_cols`` is given,
     collect per-file min/max from the parquet FOOTERS (no data re-read)
-    so the manifest doubles as a file-skipping index."""
+    so the manifest doubles as a file-skipping index.
+
+    ``bloom_cols`` additionally records a per-file KEY BLOOM (int/str
+    columns only) under the ``__bloom__:<col>`` stats key — the
+    point-membership index min/max ranges can't give: a merge batch key
+    that falls inside a file's [min,max] GAP still skips the file
+    (Delta's bloom-filter-index shape). Cost: one single-column read of
+    each written file at commit time, bitmap <= 64 KiB per file."""
     sub = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
     # INT96 (Spark's legacy default) carries no footer statistics, which
     # defeats both manifest skipping and parquet row-group pruning —
@@ -193,6 +250,27 @@ def _write_files(
                         per_col[c] = [jlo, jhi]
             if per_col:
                 stats[f] = per_col
+    if bloom_cols:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for f in files:
+            tbl = pq.read_table(f, columns=[c for c in bloom_cols])
+            for c in bloom_cols:
+                if c not in tbl.column_names:
+                    continue
+                col = tbl.column(c)
+                if not (pa.types.is_integer(col.type)
+                        or pa.types.is_string(col.type)
+                        or pa.types.is_large_string(col.type)):
+                    continue  # unsupported key domain: no bloom, min/max only
+                vals = [v for v in col.to_pylist() if v is not None]
+                m_bits = 1024
+                while m_bits < 10 * len(vals) and m_bits < _BLOOM_MAX_BITS:
+                    m_bits <<= 1
+                stats.setdefault(f, {})[_BLOOM_KEY + c] = {
+                    "m": m_bits, "b": _bloom_build(vals, m_bits),
+                }
     return files, stats
 
 
@@ -237,6 +315,7 @@ def append_version(
     path: str,
     stats_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit a new version = previous files + this batch's new files.
     Returns the committed version number (0 for a fresh table).
@@ -262,7 +341,8 @@ def append_version(
             return prev  # replayed transaction: already committed
         prev_txn[app_id] = int(txn_v)
     version = 0 if prev is None else prev + 1
-    new_files, stats = _write_files(df, path, version, stats_cols)
+    new_files, stats = _write_files(df, path, version, stats_cols,
+                                    bloom_cols=bloom_cols)
     return _commit(
         path, version, prev_m.get("files", []) + new_files, "append",
         {**prev_m.get("stats", {}), **stats},
@@ -273,6 +353,7 @@ def append_version(
 def overwrite_version(
     df: DataFrame, path: str, stats_cols: list[str] | None = None,
     txn: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit a new version containing ONLY this DataFrame's files; all
     prior versions remain readable until expired.
@@ -288,7 +369,8 @@ def overwrite_version(
     if txn is None and prev is not None:
         txn = _read_manifest(path, prev).get("txn", {})
     version = 0 if prev is None else prev + 1
-    files, stats = _write_files(df, path, version, stats_cols)
+    files, stats = _write_files(df, path, version, stats_cols,
+                                bloom_cols=bloom_cols)
     return _commit(path, version, files, "overwrite", stats, txn=txn)
 
 
@@ -400,16 +482,21 @@ def compact_version(
         raise FileNotFoundError(f"no versions committed at {path}")
     m = _read_manifest(path, v)
     files = m["files"]
+    bloom_cols = sorted({
+        c[len(_BLOOM_KEY):] for fstats in m.get("stats", {}).values()
+        for c in fstats if c.startswith(_BLOOM_KEY)
+    }) or None
     if stats_cols is None:
         tracked = {c for fstats in m.get("stats", {}).values()
-                   for c in fstats}
+                   for c in fstats if not c.startswith(_BLOOM_KEY)}
         stats_cols = sorted(tracked) or None
     total = sum(os.path.getsize(f) for f in files)
     n = max(1, math.ceil(total / target_bytes))
     df = read_version(spark, path, v)
     if n < len(files):
         df = df.repartition(n)
-    return overwrite_version(df, path, stats_cols=stats_cols)
+    return overwrite_version(df, path, stats_cols=stats_cols,
+                             bloom_cols=bloom_cols)
 
 
 def merge_version(
@@ -432,11 +519,16 @@ def merge_version(
     file-interval list, so a sparse batch touching keys at both ends of
     the domain still skips every interior file — the global-interval
     prune would rewrite the whole table (Delta MERGE runs the same
-    touched-files join). Cost is one map-side pass over the distinct
-    batch keys times the broadcast interval list; the collected result
-    is file NAMES, bounded by the manifest, never data. Files whose
-    stats fail to coerce into the key's type, and stat-less files,
-    rewrite conservatively. Records op 'overwrite' (row state changes
+    touched-files join). When the manifest carries per-file key BLOOMS
+    (``bloom_cols`` at write time), a second stage drops
+    interval-overlapping files none of whose blooms contain any batch
+    key — point-lookup merges skip files whose [min,max] merely spans
+    the key (Delta's bloom index shape). Cost is one map-side pass over
+    the distinct batch keys times the broadcast interval list (plus,
+    for narrow batches, one bounded key collect hashed once per key);
+    the collected result is file NAMES, bounded by the manifest, never
+    data. Files whose stats fail to coerce into the key's type, and
+    stat-less files, rewrite conservatively. Records op 'overwrite' (row state changes
     break incremental append lineage); prior versions stay readable."""
     prev = latest_version(path)
     if prev is None:
@@ -479,6 +571,26 @@ def merge_version(
                 "inner",
             ).select("_file").distinct().collect()
         }
+        # second-stage prune: per-file key BLOOMS catch batch keys that
+        # fall inside a file's [min,max] GAP. Only worth driver-side work
+        # for narrow batches (the CDC/point-upsert case blooms exist
+        # for) — a bounded key collect, each key hashed once, bitmap
+        # probes per file; any budget/shape miss keeps the file
+        # (conservative).
+        bloomed = [f for f in touched
+                   if stats.get(f, {}).get(_BLOOM_KEY + kcol)]
+        if bloomed:
+            n_keys = up.select(kcol).distinct().count()
+            if 0 < n_keys * len(bloomed) <= _BLOOM_PROBE_BUDGET:
+                keys_list = [r[0] for r in
+                             up.select(kcol).distinct().collect()]
+                if all(isinstance(v, (int, str)) for v in keys_list):
+                    seeds = [_bloom_seed(v) for v in keys_list]
+                    for f in bloomed:
+                        if not _bloom_any_hit(
+                            stats[f][_BLOOM_KEY + kcol], seeds
+                        ):
+                            touched.discard(f)
         untouched = [f for f in have_stats
                      if f not in touched and f not in bad]
     else:
@@ -499,6 +611,11 @@ def merge_version(
     new_files, new_stats = _write_files(
         merged, path, new_v,
         stats_cols or ([kcol] if have_stats else None),
+        # keep the bloom index maintained: rebuild for rewritten files
+        # when the table carries one on the merge key
+        bloom_cols=[kcol] if any(
+            _BLOOM_KEY + kcol in stats.get(f, {}) for f in m["files"]
+        ) else None,
     )
     carried = {f: stats[f] for f in untouched if f in stats}
     return _commit(

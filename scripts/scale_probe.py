@@ -71,6 +71,61 @@ def _probe_scan_version(spark, sf: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def _probe_merge_delete(spark, sf: str) -> dict:
+    """Non-registry probe: lakehouse MERGE and range-DELETE file-pruning
+    effectiveness (VERDICT r05 item 7). Seeds a versioned table from
+    events in 8 key-range files (manifest stats on event_id), then runs
+    (a) a narrow MERGE whose batch touches keys at BOTH extremes of the
+    domain — the per-file-membership case a global-interval prune would
+    rewrite wholesale — and (b) a narrow range DELETE. Reports wall
+    times AND the untouched-file ratios, so pruning is measured, not
+    asserted."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clx_etl_spark.catalog import load_table
+    from clx_etl_spark.sinks.versioned import (_read_manifest,
+                                               append_version,
+                                               delete_version,
+                                               latest_version, merge_version)
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    row = ev.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi")).head()
+    lo, hi = row["lo"], row["hi"]
+    path = tempfile.mkdtemp(prefix="probe_md_") + "/t"
+    try:
+        step = (hi - lo) // 8 + 1
+        for i in range(8):
+            sl = ev.filter(
+                (F.col("event_id") >= lo + i * step)
+                & (F.col("event_id") < lo + (i + 1) * step)
+            )
+            append_version(sl.coalesce(1), path, stats_cols=["event_id"])
+        before = set(_read_manifest(path, latest_version(path))["files"])
+        batch = ev.filter(
+            (F.col("event_id") <= lo + 5) | (F.col("event_id") >= hi - 5)
+        ).withColumn("value", F.col("value") + 1.0)
+        t0 = time.perf_counter()
+        v = merge_version(batch, path, keys=["event_id"])
+        merge_s = round(time.perf_counter() - t0, 3)
+        kept = len(set(_read_manifest(path, v)["files"]) & before)
+        t0 = time.perf_counter()
+        _, unt, rew = delete_version(
+            spark, path, "event_id", lo + step, lo + step + step // 4
+        )
+        delete_s = round(time.perf_counter() - t0, 3)
+        return {
+            "merge_s": merge_s,
+            "delete_s": delete_s,
+            "merge_untouched_ratio": round(kept / len(before), 3),
+            "delete_untouched_ratio": round(unt / (unt + rew), 3),
+        }
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("clx-scale-probe")
     reg = load_all()
@@ -90,7 +145,14 @@ def main() -> None:
         _probe_scan_version(spark, sf)
         times.append(round(time.perf_counter() - t0, 3))
     results["versioned_scan_version"] = times
-    print(json.dumps({"sfs": SFS, "times": results}))
+    md = [_probe_merge_delete(spark, sf) for sf in SFS]
+    results["versioned_merge_narrow"] = [r["merge_s"] for r in md]
+    results["versioned_delete_range"] = [r["delete_s"] for r in md]
+    ratios = {
+        "merge_untouched_ratio": [r["merge_untouched_ratio"] for r in md],
+        "delete_untouched_ratio": [r["delete_untouched_ratio"] for r in md],
+    }
+    print(json.dumps({"sfs": SFS, "times": results, "pruning": ratios}))
     print(f"\n{'query':32s} {'sf.001':>8s} {'sf.01':>8s} {'sf.1':>8s} "
           f"{'r(10x)':>7s} {'r(100x)':>8s}")
     for name, t in results.items():
@@ -98,6 +160,8 @@ def main() -> None:
         r100 = t[2] / t[0] if t[0] else float("inf")
         print(f"{name:32s} {t[0]:8.2f} {t[1]:8.2f} {t[2]:8.2f} "
               f"{r10:7.2f} {r100:8.2f}")
+    for k, v in ratios.items():
+        print(f"{k:32s} {v[0]:8.2f} {v[1]:8.2f} {v[2]:8.2f}")
     spark.stop()
 
 

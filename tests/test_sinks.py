@@ -799,6 +799,68 @@ def test_versioned_compact_rederives_manifest_stats(spark, tmp_path):
         assert set(m["stats"][f]) == {"id", "ts"}
 
 
+def test_versioned_merge_bloom_prunes_interval_gaps(spark, tmp_path):
+    """Per-file key blooms: a batch key inside a file's [min,max] GAP
+    skips the file (min/max alone would rewrite it); a key actually in
+    the file still rewrites it; compaction re-derives blooms."""
+    from clx_etl_spark.sinks.versioned import (_BLOOM_KEY, _read_manifest,
+                                               append_version,
+                                               compact_version,
+                                               merge_version, read_version)
+
+    path = str(tmp_path / "vt")
+    # two files with gappy key sets: A = {0, 100}, B = {200, 300}
+    append_version(
+        spark.createDataFrame([(0, "a0"), (100, "a100")],
+                              "id long, v string").coalesce(1),
+        path, stats_cols=["id"], bloom_cols=["id"],
+    )
+    append_version(
+        spark.createDataFrame([(200, "b200"), (300, "b300")],
+                              "id long, v string").coalesce(1),
+        path, stats_cols=["id"], bloom_cols=["id"],
+    )
+    m = _read_manifest(path, 1)
+    assert all(_BLOOM_KEY + "id" in m["stats"][f] for f in m["files"])
+    before = set(m["files"])
+
+    # key 50 is INSIDE file A's interval [0,100] but NOT in the file:
+    # interval pruning alone rewrites A; the bloom proves absence
+    v = merge_version(
+        spark.createDataFrame([(50, "NEW")], "id long, v string"),
+        path, keys=["id"],
+    )
+    m2 = _read_manifest(path, v)
+    assert before <= set(m2["files"])  # BOTH original files untouched
+    out = {r.id: r.v for r in read_version(spark, path).collect()}
+    assert out == {0: "a0", 100: "a100", 200: "b200",
+                   300: "b300", 50: "NEW"}
+
+    # a key actually present still rewrites exactly its file
+    v = merge_version(
+        spark.createDataFrame([(100, "UPD")], "id long, v string"),
+        path, keys=["id"],
+    )
+    m3 = _read_manifest(path, v)
+    out = {r.id: r.v for r in read_version(spark, path).collect()}
+    assert out[100] == "UPD" and out[0] == "a0" and len(out) == 5
+    # file B survives by reference across both merges
+    b_file = [f for f in before if m["stats"][f]["id"] == [200, 300]][0]
+    assert b_file in set(m3["files"])
+    # rewritten files carry fresh blooms (index maintained by merge)
+    new_files = [f for f in m3["files"] if f not in before]
+    assert new_files and all(
+        _BLOOM_KEY + "id" in m3["stats"].get(f, {}) for f in new_files
+    )
+
+    # compaction re-derives both min/max stats and blooms
+    vc = compact_version(spark, path, target_bytes=1 << 30)
+    mc = _read_manifest(path, vc)
+    for f in mc["files"]:
+        assert "id" in mc["stats"][f]
+        assert _BLOOM_KEY + "id" in mc["stats"][f]
+
+
 def test_versioned_concurrent_commit_conflict(spark, tmp_path):
     """Two writers racing to the same version number: the second
     exclusive-create of the manifest fails loudly (VersionConflictError)
