@@ -380,6 +380,7 @@ def overwrite_version_zordered(
     cols: list[str],
     n_files: int = 16,
     bits: int = 16,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit a Z-ordered snapshot with manifest stats on the same
     columns: rows are range-partitioned and sorted by the Morton
@@ -403,7 +404,8 @@ def overwrite_version_zordered(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
-    return overwrite_version(keyed, path, stats_cols=cols)
+    return overwrite_version(keyed, path, stats_cols=cols,
+                             bloom_cols=bloom_cols)
 
 
 def scan_version(
@@ -419,17 +421,20 @@ def scan_version(
     committed without stats for ``col`` are conservatively read. At 100 TB
     this is the Delta/Iceberg planning step — pruning happens on the
     kilobyte manifest BEFORE any file is opened, so a narrow time-range
-    query touches only its files regardless of table size."""
+    query touches only its files regardless of table size.
+
+    POINT lookups (``lo == hi`` on an int/str column) additionally probe
+    the per-file key bloom when the table carries one (``bloom_cols`` at
+    write time): a file whose interval spans the key but provably lacks
+    it is skipped — the needle-in-a-haystack id fetch opens only its
+    true files."""
     from pyspark.sql import functions as F
 
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no versions committed at {path}")
     m = _read_manifest(path, v)
-    stats = m.get("stats", {})
-    keep = [
-        f for f in m["files"] if _stat_overlaps(lo, hi, stats.get(f, {}).get(col))
-    ]
+    keep = _files_for_scan(m, col, lo, hi)
     if not keep:
         return read_version(spark, path, v).limit(0).filter(F.col(col).between(lo, hi))
     return (
@@ -438,16 +443,31 @@ def scan_version(
     )
 
 
+def _files_for_scan(manifest: dict, col: str, lo, hi) -> list[str]:
+    """The manifest-level planning step shared by scan_version and
+    pruned_file_count: interval overlap on [min,max], then a bloom probe
+    for point lookups."""
+    stats = manifest.get("stats", {})
+    keep = [
+        f for f in manifest["files"]
+        if _stat_overlaps(lo, hi, stats.get(f, {}).get(col))
+    ]
+    if lo == hi and isinstance(lo, (int, str)):
+        seeds = [_bloom_seed(lo)]
+        keep = [
+            f for f in keep
+            if _BLOOM_KEY + col not in stats.get(f, {})
+            or _bloom_any_hit(stats[f][_BLOOM_KEY + col], seeds)
+        ]
+    return keep
+
+
 def pruned_file_count(path: str, col: str, lo, hi, version: int | None = None) -> tuple[int, int]:
     """(files kept, files total) for a scan_version predicate — the
-    planning-time skipping evidence."""
+    planning-time skipping evidence (bloom-aware for point lookups)."""
     v = latest_version(path) if version is None else version
     m = _read_manifest(path, v)
-    stats = m.get("stats", {})
-    keep = sum(
-        1 for f in m["files"] if _stat_overlaps(lo, hi, stats.get(f, {}).get(col))
-    )
-    return keep, len(m["files"])
+    return len(_files_for_scan(m, col, lo, hi)), len(m["files"])
 
 
 def compact_version(

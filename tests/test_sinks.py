@@ -861,6 +861,48 @@ def test_versioned_merge_bloom_prunes_interval_gaps(spark, tmp_path):
         assert _BLOOM_KEY + "id" in mc["stats"][f]
 
 
+def test_versioned_scan_point_lookup_bloom_prune(spark, tmp_path):
+    """Point-lookup scan_version (lo == hi) probes the key bloom: a key
+    inside a file's [min,max] gap skips the file; a present key reads
+    it; range scans never consult blooms (conservative)."""
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               overwrite_version_zordered,
+                                               pruned_file_count,
+                                               scan_version)
+
+    path = str(tmp_path / "vt")
+    append_version(
+        spark.createDataFrame([(0, "a0"), (100, "a100")],
+                              "id long, v string").coalesce(1),
+        path, stats_cols=["id"], bloom_cols=["id"],
+    )
+    append_version(
+        spark.createDataFrame([(200, "b200"), (300, "b300")],
+                              "id long, v string").coalesce(1),
+        path, stats_cols=["id"], bloom_cols=["id"],
+    )
+    # key 50 overlaps file A's interval, but the bloom proves absence:
+    # the planning step keeps ZERO files (interval alone would keep 1)
+    assert pruned_file_count(path, "id", 50, 50) == (0, 2)
+    assert pruned_file_count(path, "id", 100, 100) == (1, 2)  # present key
+    assert scan_version(spark, path, "id", 50, 50).count() == 0
+    # a present key reads exactly its rows
+    assert [r.v for r in scan_version(spark, path, "id", 200, 200).collect()] \
+        == ["b200"]
+    # ranges keep the conservative interval behavior
+    assert scan_version(spark, path, "id", 50, 250).count() == 2
+
+    # zordered commits thread blooms through
+    ev = spark.createDataFrame(
+        [(i * 10, f"z{i}") for i in range(64)], "id long, v string"
+    )
+    zpath = str(tmp_path / "zt")
+    overwrite_version_zordered(ev, zpath, cols=["id"], n_files=4,
+                               bloom_cols=["id"])
+    assert scan_version(spark, zpath, "id", 315, 315).count() == 0  # gap key
+    assert scan_version(spark, zpath, "id", 320, 320).count() == 1
+
+
 def test_versioned_concurrent_commit_conflict(spark, tmp_path):
     """Two writers racing to the same version number: the second
     exclusive-create of the manifest fails loudly (VersionConflictError)
