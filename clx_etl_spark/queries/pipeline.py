@@ -120,6 +120,63 @@ def versioned_merge_replay(spark, sf):
     return out
 
 
+@register(
+    "versioned_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM orders)
+       OR o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+    """,
+    doc="Lakehouse point-lookup through the ACTUAL read path "
+    "(sinks/versioned.scan_version): orders seeds a versioned table in "
+    "four key-range files with manifest min/max stats AND per-file key "
+    "blooms, then two needle-in-a-haystack id fetches (min and max key) "
+    "read back — planning must open at most each key's one true file "
+    "(asserted in-query: a loud error, not a silent full read); gap-key "
+    "bloom absence is pinned by the sink tests. The read-path twin of "
+    "versioned_merge_replay",
+)
+def versioned_point_lookup(spark, sf):
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import (append_version, pruned_file_count,
+                                   scan_version)
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    row = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
+    lo_k, hi_k = row["lo"], row["hi"]
+    tmp = tempfile.mkdtemp(prefix="clx_vpl_")
+    path = tmp + "/t"
+    try:
+        step = (hi_k - lo_k) // 4 + 1
+        for i in range(4):
+            sl = orders.filter(
+                (F.col("o_orderkey") >= lo_k + i * step)
+                & (F.col("o_orderkey") < lo_k + (i + 1) * step)
+            )
+            append_version(sl.coalesce(1), path,
+                           stats_cols=["o_orderkey"],
+                           bloom_cols=["o_orderkey"])
+        # each present key must plan to at most ONE file — a loud error,
+        # not a silent full read (gap-key bloom pruning itself is pinned
+        # by tests/test_sinks.py::test_versioned_scan_point_lookup_bloom_prune)
+        for k in (lo_k, hi_k):
+            kept, total = pruned_file_count(path, "o_orderkey", k, k)
+            if kept > 1:
+                raise AssertionError(f"point lookup kept {kept}/{total}")
+        out = scan_version(spark, path, "o_orderkey", lo_k, lo_k).unionByName(
+            scan_version(spark, path, "o_orderkey", hi_k, hi_k)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 from ..operators import multimodal as MM
 
 # shared stub-decode oracle fragment: identical sha256-derived arithmetic
