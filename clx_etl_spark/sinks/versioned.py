@@ -522,10 +522,21 @@ def compact_version(
 def merge_version(
     updates: DataFrame, path: str, keys: list[str],
     stats_cols: list[str] | None = None,
+    deletes: DataFrame | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit a keyed MERGE as a new version: rows matching ``keys``
     update, the rest insert (last-wins within the batch, same contract
-    as sinks.upsert). Copy-on-write with FILE PRUNING when the current
+    as sinks.upsert). ``deletes`` (a frame carrying the key columns)
+    additionally REMOVES its keys — the full Delta MERGE triad (WHEN
+    MATCHED UPDATE / DELETE, WHEN NOT MATCHED INSERT) a CDC apply
+    needs; a key present in BOTH frames survives as its update row
+    (callers folding a changelog emit one winner per key anyway).
+    ``txn=(app_id, txn_version)`` makes the merge idempotent exactly
+    like append_version: a replayed txn_version is a no-op returning
+    the current head, the watermark committing atomically inside the
+    manifest — so at-least-once foreachBatch CDC producers get
+    exactly-once merges (streaming/jobs.versioned_cdc_stream). Copy-on-write with FILE PRUNING when the current
     manifest carries stats on the first key column: files whose key
     range provably cannot contain any batch key carry into the new
     manifest BY REFERENCE (zero IO); only overlapping files are read,
@@ -551,16 +562,30 @@ def merge_version(
     stat-less files, rewrite conservatively. Records op 'overwrite' (row state changes
     break incremental append lineage); prior versions stay readable."""
     prev = latest_version(path)
+    prev_m = _read_manifest(path, prev) if prev is not None else {}
+    new_txn = {k: int(v) for k, v in prev_m.get("txn", {}).items()}
+    if txn is not None:
+        app_id, txn_v = txn
+        if new_txn.get(app_id, -1) >= int(txn_v):
+            return prev  # replayed transaction: already committed
+        new_txn[app_id] = int(txn_v)
     if prev is None:
-        return overwrite_version(updates, path, stats_cols=stats_cols)
+        # deletes against an empty table are no-ops by definition
+        return overwrite_version(updates, path, stats_cols=stats_cols,
+                                 txn=new_txn)
     from .upsert import _dedup_updates
 
     spark = updates.sparkSession
     up = _dedup_updates(updates, keys)
-    m = _read_manifest(path, prev)
+    del_keys = deletes.select(*keys).distinct() if deletes is not None else None
+    m = prev_m
     stats = m.get("stats", {})
     kcol = keys[0]
     have_stats = [f for f in m["files"] if stats.get(f, {}).get(kcol)]
+    batch_keys_k = up.select(kcol)
+    if del_keys is not None:
+        batch_keys_k = batch_keys_k.unionByName(del_keys.select(kcol))
+    batch_keys_k = batch_keys_k.distinct()
     if have_stats:
         from pyspark.sql import functions as F
         from pyspark.sql.types import StringType, StructField, StructType
@@ -585,7 +610,7 @@ def merge_version(
                .collect()}
         touched = {
             r._file
-            for r in up.select(kcol).distinct().join(
+            for r in batch_keys_k.join(
                 F.broadcast(iv),
                 (F.col(kcol) >= F.col("_lo")) & (F.col(kcol) <= F.col("_hi")),
                 "inner",
@@ -600,10 +625,9 @@ def merge_version(
         bloomed = [f for f in touched
                    if stats.get(f, {}).get(_BLOOM_KEY + kcol)]
         if bloomed:
-            n_keys = up.select(kcol).distinct().count()
+            n_keys = batch_keys_k.count()
             if 0 < n_keys * len(bloomed) <= _BLOOM_PROBE_BUDGET:
-                keys_list = [r[0] for r in
-                             up.select(kcol).distinct().collect()]
+                keys_list = [r[0] for r in batch_keys_k.collect()]
                 if all(isinstance(v, (int, str)) for v in keys_list):
                     seeds = [_bloom_seed(v) for v in keys_list]
                     for f in bloomed:
@@ -617,10 +641,11 @@ def merge_version(
         untouched = []
     rewrite = [f for f in m["files"] if f not in set(untouched)]
     if rewrite:
+        gone = up.select(*keys)
+        if del_keys is not None:
+            gone = gone.unionByName(del_keys).distinct()
         stored_slice = spark.read.option("mergeSchema", "true").parquet(*rewrite)
-        merged = stored_slice.join(
-            up.select(*keys), keys, "left_anti"
-        ).unionByName(up)
+        merged = stored_slice.join(gone, keys, "left_anti").unionByName(up)
     else:
         merged = up
     # materialize before the commit writes new files (the lineage reads
@@ -640,7 +665,7 @@ def merge_version(
     carried = {f: stats[f] for f in untouched if f in stats}
     return _commit(
         path, new_v, untouched + new_files, "overwrite",
-        {**carried, **new_stats}, txn=m.get("txn", {}),
+        {**carried, **new_stats}, txn=new_txn,
     )
 
 

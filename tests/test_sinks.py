@@ -903,6 +903,65 @@ def test_versioned_scan_point_lookup_bloom_prune(spark, tmp_path):
     assert scan_version(spark, zpath, "id", 320, 320).count() == 1
 
 
+def test_versioned_merge_with_deletes_and_txn(spark, tmp_path):
+    """Full MERGE triad: update / insert / DELETE in one commit, file
+    pruning driven by the union of update+delete keys, and txn
+    idempotence — a replayed (app, version) merge is a manifest no-op,
+    so at-least-once CDC delivery cannot regress a key."""
+    from clx_etl_spark.sinks.versioned import (_read_manifest,
+                                               append_version,
+                                               latest_version,
+                                               merge_version, read_version)
+
+    path = str(tmp_path / "vt")
+    for lo in (0, 100, 200):
+        append_version(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(50)], "id long, v string"
+            ).coalesce(1),
+            path, stats_cols=["id"],
+        )
+    before = set(_read_manifest(path, 2)["files"])
+
+    ups = spark.createDataFrame(
+        [(105, "UPD"), (500, "INS")], "id long, v string"
+    )
+    dels = spark.createDataFrame([(210,), (211,)], "id long")
+    v = merge_version(ups, path, keys=["id"], deletes=dels, txn=("cdc", 0))
+    m = _read_manifest(path, v)
+    # file 0-49 untouched; 100s (update) and 200s (delete) rewrite
+    assert len(set(m["files"]) & before) == 1
+    out = {r.id: r.v for r in read_version(spark, path).collect()}
+    assert len(out) == 149  # 150 - 2 deleted + 1 inserted
+    assert out[105] == "UPD" and out[500] == "INS"
+    assert 210 not in out and 211 not in out
+
+    # replay the SAME txn: no new version, state unchanged
+    assert merge_version(ups, path, keys=["id"], deletes=dels,
+                         txn=("cdc", 0)) == v
+    assert latest_version(path) == v
+    assert read_version(spark, path).count() == 149
+
+    # a later txn re-inserting a deleted key applies normally
+    v2 = merge_version(
+        spark.createDataFrame([(210, "BACK")], "id long, v string"),
+        path, keys=["id"], txn=("cdc", 1),
+    )
+    assert v2 == v + 1
+    out = {r.id: r.v for r in read_version(spark, path).collect()}
+    assert out[210] == "BACK" and len(out) == 150
+
+    # key in BOTH frames: the update wins (changelog folds emit one
+    # winner per key, but the contract is pinned anyway)
+    v3 = merge_version(
+        spark.createDataFrame([(105, "WINS")], "id long, v string"),
+        path, keys=["id"],
+        deletes=spark.createDataFrame([(105,)], "id long"),
+    )
+    out = {r.id: r.v for r in read_version(spark, path, v3).collect()}
+    assert out[105] == "WINS" and len(out) == 150
+
+
 def test_versioned_concurrent_commit_conflict(spark, tmp_path):
     """Two writers racing to the same version number: the second
     exclusive-create of the manifest fails loudly (VersionConflictError)

@@ -1444,6 +1444,64 @@ def test_versioned_ingest_stream_exactly_once(spark, tmp_path):
     assert v2 == 2 and read_version(spark, table).count() == 9
 
 
+def test_versioned_cdc_stream_exactly_once_apply(spark, tmp_path):
+    """Streaming CDC apply: each micro-batch of a changelog folds to
+    its per-key net effect and commits ONE merge_version (updates +
+    deletes + txn). Later batches supersede earlier state, deletes
+    remove keys, and replaying a batch through the same (app, batch_id)
+    is a manifest no-op."""
+    import hashlib
+
+    from pyspark.sql.types import StringType
+
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.streaming.jobs import versioned_cdc_stream
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ts_ms", LongType()),
+            StructField("op", StringType()),
+            StructField("v", StringType()),
+        ]
+    )
+    src, table = str(tmp_path / "in"), str(tmp_path / "vt")
+    ckpt = str(tmp_path / "ck")
+    # batch 0: inserts k=1..4; within-batch, k=2 updates after insert
+    b0 = [(1, 10, "I", "a1"), (2, 10, "I", "a2"), (2, 20, "U", "b2"),
+          (3, 10, "I", "a3"), (4, 10, "I", "a4")]
+    # batch 1: delete k=3, update k=1, insert k=5; stale replay of an
+    # OLD k=4 op must lose to nothing (k=4 untouched)
+    b1 = [(3, 30, "D", None), (1, 30, "U", "c1"), (5, 30, "I", "a5")]
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    q = versioned_cdc_stream(stream, table, checkpoint=ckpt, keys=["k"],
+                             stats_cols=["k"])
+    q.awaitTermination(180)
+
+    out = {r.k: r.v for r in V.read_version(spark, table).collect()}
+    assert out == {1: "c1", 2: "b2", 4: "a4", 5: "a5"}  # k=3 deleted
+
+    # crash-replay batch 1 through the same app id: manifest no-op
+    app_id = "cdc-" + hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    head = V.latest_version(table)
+    replay_ups = spark.createDataFrame(
+        [(1, 30, "c1"), (5, 30, "a5")], "k long, ts_ms long, v string"
+    )
+    replay_dels = spark.createDataFrame([(3,)], "k long")
+    assert V.merge_version(replay_ups, table, keys=["k"],
+                           deletes=replay_dels, txn=(app_id, 1)) == head
+    assert V.latest_version(table) == head
+    assert {r.k: r.v for r in V.read_version(spark, table).collect()} == out
+
+
 def test_stream_stream_attribution_interval_join(spark, tmp_path):
     """Two continuously-arriving streams joined on key within an
     event-time window: a click in a LATER micro-batch still attributes
