@@ -46,12 +46,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # rotated to the front each round so the driver sweep eventually covers the
 # whole registry; the repo's own oracle suite (tests/test_queries_oracle.py)
 # always sweeps everything at sf0.01 regardless. Round-6 front, closing the
-# proof ledger (VERDICT r05 Next-round-2): positions 1-17 are the LAST 13
+# proof ledger (VERDICT r05 Next-round-2): positions 1-18 are the LAST 13
 # hash-oracled queries that have never had a driver row, k1_upsert_last_wins
-# (its sinks/upsert.py backing changed after its r03 row), and the three
+# (its sinks/upsert.py backing changed after its r03 row), and the four
 # new round-6 queries (versioned_merge_replay, versioned_point_lookup,
-# attribution_interval_join);
-# positions 18-50 backfill with the STALEST driver rows (every r01 row, then
+# versioned_cdc_replay, attribution_interval_join);
+# positions 19-50 backfill with the STALEST driver rows (every r01 row, then
 # the oldest r02 rows) so proof freshness rotates too. After this round every
 # hash-oracled registry query has a driver CORRECTNESS row.
 SWEEP_FRONT: list[str] = [
@@ -72,9 +72,10 @@ SWEEP_FRONT: list[str] = [
     # re-prove: backing sinks/upsert.py changed after its last driver row
     "k1_upsert_last_wins",
     # new round-6 queries (lakehouse MERGE round-trip + bloom point
-    # lookup; attribution twin)
+    # lookup + CDC apply through storage; attribution twin)
     "versioned_merge_replay",
     "versioned_point_lookup",
+    "versioned_cdc_replay",
     "attribution_interval_join",
     # freshness backfill: every query whose last driver row is r01
     "cube_revenue",
@@ -100,7 +101,7 @@ SWEEP_FRONT: list[str] = [
     "topk_per_group",
     "u3_union_by_name",
     "w4_sliding_window_counts",
-    # freshness backfill: oldest r02 rows (10 of 12 fit in the 50)
+    # freshness backfill: oldest r02 rows (9 of 12 fit in the 50)
     "mm_audio_windows",
     "mm_embedding_knn",
     "mm_frame_sample",
@@ -110,8 +111,8 @@ SWEEP_FRONT: list[str] = [
     "q15_top_supplier",
     "q16_supplier_variety",
     "q1_pricing_summary",
-    "q20_heavy_suppliers",
     # ---- position 51+: past the driver's ~50 cap
+    "q20_heavy_suppliers",
     "q21_last_shipper",
     "q3_shipping_priority",
     # rows-only (no hash oracle by design; driver records rows-only)

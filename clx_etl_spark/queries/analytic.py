@@ -1801,3 +1801,85 @@ def cdc_current_state(spark, sf):
     return apply_changelog(
         log, keys=["user_id"], ts_col="ts_ms", order_cols=["event_id"]
     )
+
+
+@register(
+    "versioned_cdc_replay",
+    oracle=f"""
+    WITH log AS (SELECT user_id, {EV_MS} AS ts_ms, event_id, value,
+                        CASE event_type WHEN 'purchase' THEN 'D'
+                                        WHEN 'view' THEN 'U'
+                                        ELSE 'I' END AS op
+                 FROM events),
+    ranked AS (SELECT *,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts_ms DESC, event_id DESC) AS rn
+               FROM log)
+    SELECT user_id, ts_ms, event_id, value
+    FROM ranked WHERE rn = 1 AND op IN ('I', 'U')
+    """,
+    doc="CDC replay through the ACTUAL lakehouse apply path "
+    "(sinks/versioned.merge_version with updates+deletes+txn — the "
+    "storage twin of cdc_current_state's pure-plan fold): the events "
+    "changelog splits at its median ts into two ordered batches, each "
+    "folds to per-key winners and commits ONE exactly-once MERGE "
+    "(exactly what streaming/jobs.versioned_cdc_stream does per "
+    "micro-batch), then batch 1 REPLAYS (txn no-op) and the final "
+    "table reads back from committed files — hash-proven equal to the "
+    "single-pass changelog fold, so sequential CDC application is "
+    "provably order-insensitive across batch boundaries",
+)
+def versioned_cdc_replay(spark, sf):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..sinks.versioned import merge_version, read_version
+
+    ev = _t(spark, sf, "events")
+    log = ev.select(
+        "user_id", "ts_ms", "event_id", "value",
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .when(F.col("event_type") == "view", F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+    )
+    split = log.agg(
+        F.percentile_approx("ts_ms", 0.5).alias("m")
+    ).first()["m"]
+
+    def fold(batch):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts_ms").desc(), F.col("event_id").desc()
+        )
+        winners = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn")
+        )
+        ups = winners.filter(F.col("op") != "D").drop("op")
+        dels = winners.filter(F.col("op") == "D").select("user_id")
+        return ups, dels
+
+    tmp = tempfile.mkdtemp(prefix="clx_cdc_")
+    path = tmp + "/t"
+    try:
+        app = "cdc-replay"
+        for i, batch in enumerate(
+            (log.filter(F.col("ts_ms") < split),
+             log.filter(F.col("ts_ms") >= split))
+        ):
+            ups, dels = fold(batch)
+            merge_version(ups, path, keys=["user_id"],
+                          stats_cols=["user_id"], deletes=dels,
+                          txn=(app, i))
+        # crash-replay of batch 1: the txn watermark makes it a no-op
+        ups, dels = fold(log.filter(F.col("ts_ms") >= split))
+        merge_version(ups, path, keys=["user_id"],
+                      stats_cols=["user_id"], deletes=dels, txn=(app, 1))
+        out = read_version(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select("user_id", "ts_ms", "event_id", "value")
+
+
