@@ -371,15 +371,43 @@ class Engine:
         ).select(*keys, change.alias("change_type"), "_old", "_new")
 
     def commit_version(self, df: DataFrame, path: str,
-                       mode: str = "append") -> int:
+                       mode: str = "append",
+                       stats_cols: list[str] | None = None,
+                       bloom_cols: list[str] | None = None) -> int:
         """Commit a table snapshot (manifest-based copy-on-write,
         sinks/versioned.py): 'append' adds this batch to the previous
-        version's files, 'overwrite' starts fresh. Prior versions stay
+        version's files, 'overwrite' starts fresh. ``stats_cols``
+        records per-file min/max (data skipping), ``bloom_cols`` a
+        per-file key bloom (point-lookup skipping). Prior versions stay
         readable until expire_versions."""
         from .sinks.versioned import append_version, overwrite_version
 
         fn = append_version if mode == "append" else overwrite_version
-        return fn(df, path)
+        return fn(df, path, stats_cols=stats_cols, bloom_cols=bloom_cols)
+
+    def merge_table_version(self, updates: DataFrame, path: str,
+                            keys: list[str],
+                            deletes: DataFrame | None = None,
+                            txn: tuple[str, int] | None = None) -> int:
+        """Keyed MERGE into a versioned table (WHEN MATCHED UPDATE /
+        DELETE, WHEN NOT MATCHED INSERT): file pruning by manifest key
+        ranges + blooms rewrites only the batch's key neighborhood;
+        ``txn`` makes replays manifest-level no-ops
+        (sinks/versioned.merge_version)."""
+        from .sinks.versioned import merge_version
+
+        return merge_version(updates, path, keys, deletes=deletes, txn=txn)
+
+    def apply_cdc_stream(self, changelog: DataFrame, path: str,
+                         checkpoint: str, keys: list[str],
+                         ts_col: str = "ts_ms", op_col: str = "op"):
+        """Exactly-once streaming CDC apply: each micro-batch of a
+        Debezium-shaped changelog folds to per-key winners and commits
+        one idempotent MERGE (streaming/jobs.versioned_cdc_stream)."""
+        from .streaming.jobs import versioned_cdc_stream
+
+        return versioned_cdc_stream(changelog, path, checkpoint, keys,
+                                    ts_col=ts_col, op_col=op_col)
 
     def read_version(self, path: str, version: int | None = None) -> DataFrame:
         """Time-travel read of a committed snapshot (default latest)."""

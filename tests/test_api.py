@@ -417,3 +417,50 @@ def test_engine_table_via_versioned(spark, tmp_path):
     assert eng.table(path, via="versioned").count() == 2
     assert eng.table(path, via="versioned", version=0).count() == 1
     assert eng.table(path, via="versioned", tag="first").count() == 1
+
+
+def test_engine_round6_facade(spark, tmp_path):
+    """Round-6 surface: bloom-indexed commits, MERGE triad with txn,
+    and the streaming CDC apply wired through the Engine facade."""
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    path = str(tmp_path / "vt")
+    eng.commit_version(
+        spark.createDataFrame([(0, "a"), (100, "b")],
+                              "id long, v string").coalesce(1),
+        path, stats_cols=["id"], bloom_cols=["id"],
+    )
+    # point lookup in the interval gap: bloom-pruned to zero files
+    from clx_etl_spark.sinks.versioned import pruned_file_count
+    assert pruned_file_count(path, "id", 50, 50) == (0, 1)
+
+    # MERGE triad: update 0, delete 100, insert 200; replayed txn no-ops
+    v = eng.merge_table_version(
+        spark.createDataFrame([(0, "a2"), (200, "c")], "id long, v string"),
+        path, keys=["id"],
+        deletes=spark.createDataFrame([(100,)], "id long"),
+        txn=("api", 0),
+    )
+    assert eng.merge_table_version(
+        spark.createDataFrame([(0, "a2")], "id long, v string"),
+        path, keys=["id"], txn=("api", 0),
+    ) == v
+    assert {(r.id, r.v) for r in eng.read_version(path).collect()} == {
+        (0, "a2"), (200, "c")
+    }
+
+    # streaming CDC apply end-to-end
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("k", LongType()), StructField("ts_ms", LongType()),
+        StructField("op", StringType()), StructField("v", StringType()),
+    ])
+    src, table, ck = str(tmp_path / "in"), str(tmp_path / "cdc"), str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, 10, "I", "x"), (1, 20, "U", "y"), (2, 10, "I", "z"),
+         (2, 30, "D", None)], schema
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.format("parquet").schema(schema).load(src)
+    q = eng.apply_cdc_stream(stream, table, checkpoint=ck, keys=["k"])
+    q.awaitTermination(120)
+    assert {(r.k, r.v) for r in eng.read_version(table).collect()} == {(1, "y")}
