@@ -388,15 +388,28 @@ class Engine:
     def merge_table_version(self, updates: DataFrame, path: str,
                             keys: list[str],
                             deletes: DataFrame | None = None,
-                            txn: tuple[str, int] | None = None) -> int:
+                            txn: tuple[str, int] | None = None,
+                            change_feed: bool = False) -> int:
         """Keyed MERGE into a versioned table (WHEN MATCHED UPDATE /
         DELETE, WHEN NOT MATCHED INSERT): file pruning by manifest key
         ranges + blooms rewrites only the batch's key neighborhood;
-        ``txn`` makes replays manifest-level no-ops
+        ``txn`` makes replays manifest-level no-ops; ``change_feed``
+        persists the row-level change set for ``table_changes``
         (sinks/versioned.merge_version)."""
         from .sinks.versioned import merge_version
 
-        return merge_version(updates, path, keys, deletes=deletes, txn=txn)
+        return merge_version(updates, path, keys, deletes=deletes, txn=txn,
+                             change_feed=change_feed)
+
+    def table_changes(self, path: str, after_version: int,
+                      to_version: int | None = None) -> DataFrame:
+        """Row-level change feed (Delta CDF): every row each commit
+        changed, tagged _change_type / _commit_version — appends read
+        from their added files, change_feed=True merges/deletes from
+        their persisted change sets (sinks/versioned.table_changes)."""
+        from .sinks.versioned import table_changes
+
+        return table_changes(self.spark, path, after_version, to_version)
 
     def apply_cdc_stream(self, changelog: DataFrame, path: str,
                          checkpoint: str, keys: list[str],
@@ -478,13 +491,16 @@ class Engine:
 
     def compact_table_version(self, path: str,
                               target_bytes: int = 128 << 20,
-                              stats_cols: list[str] | None = None) -> int:
+                              stats_cols: list[str] | None = None,
+                              change_feed: bool = False) -> int:
         """OPTIMIZE-style small-file compaction of the current version
         (rows unchanged, committed as a new version; prior versions stay
-        readable until expiry)."""
+        readable until expiry). ``change_feed`` records an EMPTY change
+        set so table_changes crosses the commit."""
         from .sinks.versioned import compact_version
 
-        return compact_version(self.spark, path, target_bytes, stats_cols)
+        return compact_version(self.spark, path, target_bytes, stats_cols,
+                               change_feed=change_feed)
 
     def ingest_dedup_stream(self, docs: DataFrame, corpus_path: str,
                             checkpoint: str, threshold: float = 0.5):

@@ -76,6 +76,7 @@ SWEEP_FRONT: list[str] = [
     "versioned_merge_replay",
     "versioned_point_lookup",
     "versioned_cdc_replay",
+    "versioned_change_feed",
     "attribution_interval_join",
     # freshness backfill: every query whose last driver row is r01
     "cube_revenue",

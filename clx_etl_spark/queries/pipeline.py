@@ -177,6 +177,88 @@ def versioned_point_lookup(spark, sf):
     return out
 
 
+@register(
+    "versioned_change_feed",
+    oracle="""
+    WITH appends AS (
+      SELECT o_orderkey, o_totalprice, 'insert' AS change_type,
+             CAST(o_orderkey // ((SELECT MAX(o_orderkey) FROM orders) // 4 + 1)
+                  AS INTEGER) AS commit_version
+      FROM orders),
+    upd AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 = 0)
+    SELECT * FROM appends
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'update_preimage', 4 FROM upd
+    UNION ALL
+    SELECT o_orderkey, o_totalprice + 10.0, 'update_postimage', 4 FROM upd
+    UNION ALL
+    SELECT o_orderkey + 100000000, 1.0, 'insert', 4
+    FROM orders WHERE o_orderkey % 101 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete', 4
+    FROM orders WHERE o_orderkey % 103 = 0 AND o_orderkey % 97 <> 0
+    """,
+    doc="Row-level change data feed through the ACTUAL lakehouse write "
+    "path (sinks/versioned.table_changes — Delta CDF): orders seeds a "
+    "versioned table in four key-range appends, then one "
+    "change_feed=True MERGE triad (updates on the %97 residue, inserts "
+    "beyond the key domain, deletes on %103 minus the update overlap) "
+    "lands as v4; table_changes(-1..head) replays the WHOLE history — "
+    "append inserts read straight from the added data files (zero "
+    "write amplification), the merge's insert/update_preimage/"
+    "update_postimage/delete rows from the change set the rewrite "
+    "persisted. The hash oracle recomputes every change row in SQL, so "
+    "classification exactness UNDER FILE PRUNING is what's checked "
+    "(matched rows are provably inside the rewritten slice)",
+)
+def versioned_change_feed(spark, sf):
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import (append_version, merge_version,
+                                   table_changes)
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    upd = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    dels = orders.filter(F.col("o_orderkey") % 103 == 0).select("o_orderkey")
+    batch = upd.unionByName(ins)
+    tmp = tempfile.mkdtemp(prefix="clx_vcf_")
+    path = tmp + "/t"
+    try:
+        hi = orders.agg(F.max("o_orderkey")).first()[0] or 1
+        step = hi // 4 + 1
+        for i in range(4):
+            sl = orders.filter(
+                (F.col("o_orderkey") >= i * step)
+                & (F.col("o_orderkey") < (i + 1) * step)
+            )
+            append_version(sl.coalesce(1), path, stats_cols=["o_orderkey"])
+        merge_version(batch, path, keys=["o_orderkey"], deletes=dels,
+                      change_feed=True)
+        out = (
+            table_changes(spark, path, -1)
+            .select(
+                "o_orderkey", "o_totalprice",
+                F.col("_change_type").alias("change_type"),
+                F.col("_commit_version").alias("commit_version"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 from ..operators import multimodal as MM
 
 # shared stub-decode oracle fragment: identical sha256-derived arithmetic

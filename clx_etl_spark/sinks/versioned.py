@@ -475,6 +475,7 @@ def compact_version(
     path: str,
     target_bytes: int = 128 << 20,
     stats_cols: list[str] | None = None,
+    change_feed: bool = False,
 ) -> int:
     """OPTIMIZE-style small-file compaction: rewrite the CURRENT
     version's file set into ceil(total/target_bytes) files committed as
@@ -515,6 +516,21 @@ def compact_version(
     df = read_version(spark, path, v)
     if n < len(files):
         df = df.repartition(n)
+    if change_feed:
+        # compaction rewrites file identity, not row state: an EMPTY
+        # change set lets table_changes cross the commit (Delta CDF's
+        # OPTIMIZE behavior) instead of raising on the overwrite op
+        from pyspark.sql import functions as F
+
+        _write_change_feed(
+            df.limit(0).withColumn("_change_type", F.lit("")), path, v + 1
+        )
+        try:
+            return overwrite_version(df, path, stats_cols=stats_cols,
+                                     bloom_cols=bloom_cols)
+        except VersionConflictError:
+            _drop_change_feed(path, v + 1)
+            raise
     return overwrite_version(df, path, stats_cols=stats_cols,
                              bloom_cols=bloom_cols)
 
@@ -524,6 +540,7 @@ def merge_version(
     stats_cols: list[str] | None = None,
     deletes: DataFrame | None = None,
     txn: tuple[str, int] | None = None,
+    change_feed: bool = False,
 ) -> int:
     """Commit a keyed MERGE as a new version: rows matching ``keys``
     update, the rest insert (last-wins within the batch, same contract
@@ -560,7 +577,15 @@ def merge_version(
     the collected result is file NAMES, bounded by the manifest, never
     data. Files whose stats fail to coerce into the key's type, and
     stat-less files, rewrite conservatively. Records op 'overwrite' (row state changes
-    break incremental append lineage); prior versions stay readable."""
+    break incremental append lineage); prior versions stay readable.
+
+    ``change_feed=True`` additionally persists the commit's row-level
+    change set (insert / update_preimage / update_postimage / delete)
+    under ``_changes/`` for ``table_changes`` — exact because pruning
+    is conservative: any stored row sharing a batch key is provably in
+    the rewritten slice, so matched-vs-insert classification against
+    that slice alone is complete. Cost: one extra write of O(changed
+    rows), never the table."""
     prev = latest_version(path)
     prev_m = _read_manifest(path, prev) if prev is not None else {}
     new_txn = {k: int(v) for k, v in prev_m.get("txn", {}).items()}
@@ -571,6 +596,18 @@ def merge_version(
         new_txn[app_id] = int(txn_v)
     if prev is None:
         # deletes against an empty table are no-ops by definition
+        if change_feed:
+            from pyspark.sql import functions as F
+
+            _write_change_feed(
+                updates.withColumn("_change_type", F.lit("insert")), path, 0
+            )
+            try:
+                return overwrite_version(updates, path, stats_cols=stats_cols,
+                                         txn=new_txn)
+            except VersionConflictError:
+                _drop_change_feed(path, 0)
+                raise
         return overwrite_version(updates, path, stats_cols=stats_cols,
                                  txn=new_txn)
     from .upsert import _dedup_updates
@@ -640,6 +677,7 @@ def merge_version(
     else:
         untouched = []
     rewrite = [f for f in m["files"] if f not in set(untouched)]
+    stored_slice = None
     if rewrite:
         gone = up.select(*keys)
         if del_keys is not None:
@@ -653,6 +691,37 @@ def merge_version(
     # localCheckpoint also bounds the double-scan to one pass)
     merged = merged.localCheckpoint(eager=True)
     new_v = prev + 1
+    if change_feed:
+        from functools import reduce as _reduce
+
+        from pyspark.sql import functions as F
+
+        # pruning is conservative, so EVERY stored row sharing a batch
+        # key sits in stored_slice — matched/insert classification
+        # against the slice is exact without touching untouched files
+        up_k = up.select(*keys).distinct()
+        if stored_slice is not None:
+            stored_k = stored_slice.select(*keys).distinct()
+            legs = [
+                stored_slice.join(up_k, keys, "semi")
+                .withColumn("_change_type", F.lit("update_preimage")),
+                up.join(stored_k, keys, "semi")
+                .withColumn("_change_type", F.lit("update_postimage")),
+                up.join(stored_k, keys, "left_anti")
+                .withColumn("_change_type", F.lit("insert")),
+            ]
+            if del_keys is not None:
+                pure_del = del_keys.join(up_k, keys, "left_anti")
+                legs.append(
+                    stored_slice.join(pure_del, keys, "semi")
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+        else:
+            legs = [up.withColumn("_change_type", F.lit("insert"))]
+        changes = _reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), legs
+        )
+        _write_change_feed(changes, path, new_v)
     new_files, new_stats = _write_files(
         merged, path, new_v,
         stats_cols or ([kcol] if have_stats else None),
@@ -663,10 +732,15 @@ def merge_version(
         ) else None,
     )
     carried = {f: stats[f] for f in untouched if f in stats}
-    return _commit(
-        path, new_v, untouched + new_files, "overwrite",
-        {**carried, **new_stats}, txn=new_txn,
-    )
+    try:
+        return _commit(
+            path, new_v, untouched + new_files, "overwrite",
+            {**carried, **new_stats}, txn=new_txn,
+        )
+    except VersionConflictError:
+        if change_feed:
+            _drop_change_feed(path, new_v)
+        raise
 
 
 def read_version(
@@ -680,6 +754,105 @@ def read_version(
         raise FileNotFoundError(f"no versions committed at {path}")
     files = _read_manifest(path, v)["files"]
     return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
+def _changes_dir(path: str, version: int) -> str:
+    return os.path.join(path, "_changes", f"v{version:06d}")
+
+
+def _write_change_feed(changes: DataFrame, path: str, version: int) -> str:
+    """Materialize a commit's row-level change set (Delta CDF's
+    ``_change_data`` shape) under ``_changes/v<k>``. Written BEFORE the
+    manifest commit so a committed version implies its change file
+    exists; mode=overwrite so a retried writer replaces its own crashed
+    predecessor's partial output. The caller removes the directory if
+    the commit itself loses the CAS race (the winner's change set is
+    whatever the winner wrote)."""
+    cdir = _changes_dir(path, version)
+    spark = changes.sparkSession
+    prev_tt = spark.conf.get("spark.sql.parquet.outputTimestampType", "INT96")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        changes.write.mode("overwrite").parquet(cdir)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev_tt)
+    return cdir
+
+
+def _drop_change_feed(path: str, version: int) -> None:
+    import shutil
+
+    shutil.rmtree(_changes_dir(path, version), ignore_errors=True)
+
+
+def table_changes(
+    spark: SparkSession, path: str, after_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed (Delta's ``table_changes`` / CDF): every
+    row changed by each commit in ``(after_version, to_version]``,
+    tagged ``_change_type`` in {insert, update_preimage,
+    update_postimage, delete} and ``_commit_version``.
+
+    Per commit:
+      * ``append`` commits need no change files — the added data files
+        ARE the inserts (read directly, zero write amplification; the
+        reason Delta CDF is free for appends).
+      * ``merge_version`` / ``delete_version`` / ``compact_version``
+        called with ``change_feed=True`` persist their change set under
+        ``_changes/v<k>`` at commit time (compaction's is empty — file
+        identity changed, row state did not).
+      * any other data-rewriting commit (plain overwrite, rollback, or
+        a merge/delete that skipped ``change_feed``) raises: its
+        row-level delta was never recorded and reconstructing it would
+        need a full snapshot diff — the same contract as Delta CDF
+        across a non-CDF write. Use ``read_version`` + a keyed diff
+        (the snapshot_diff query shape) for those ranges.
+
+    Incremental consumers at 100 TB read O(changed rows), never the
+    table: appends stream straight from the new files, merges from the
+    bounded change files the rewrite already had in hand."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    to_v = latest_version(path) if to_version is None else to_version
+    frames: list[DataFrame] = []
+    for v in range(after_version + 1, to_v + 1):
+        m = _read_manifest(path, v)
+        cdir = _changes_dir(path, v)
+        if os.path.exists(cdir):
+            df = spark.read.option("mergeSchema", "true").parquet(cdir)
+            if df.isEmpty():
+                continue
+        elif m["op"] == "append":
+            base = (
+                set(_read_manifest(path, v - 1)["files"]) if v > 0 else set()
+            )
+            added = [f for f in m["files"] if f not in base]
+            if not added:
+                continue
+            df = (
+                spark.read.option("mergeSchema", "true").parquet(*added)
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        else:
+            raise ValueError(
+                f"version {v} rewrote rows without a recorded change set "
+                "(change_feed=False or a plain overwrite/rollback) — the "
+                "row-level delta does not exist; snapshot-diff that range "
+                "instead"
+            )
+        frames.append(df.withColumn("_commit_version", F.lit(v)))
+    if not frames:
+        empty = read_version(spark, path, to_v).limit(0)
+        return (
+            empty.withColumn("_change_type", F.lit(""))
+            .withColumn("_commit_version", F.lit(0).cast("int"))
+        )
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
 
 
 def read_changes(
@@ -737,6 +910,8 @@ def expire_versions(path: str, keep_latest: int = 1) -> list[str]:
     for v in range(0, latest + 1):
         if v not in keep and os.path.exists(_manifest_path(path, v)):
             os.remove(_manifest_path(path, v))
+            # an expired version's change set is unreadable history too
+            _drop_change_feed(path, v)
     return deleted
 
 
@@ -793,6 +968,7 @@ def delete_version(
     lo,
     hi,
     stats_cols: list[str] | None = None,
+    change_feed: bool = False,
 ) -> tuple[int, int, int]:
     """Range DELETE as a new version, with file-level pruning: files
     whose manifest [min, max] for ``col`` provably cannot contain
@@ -802,7 +978,10 @@ def delete_version(
     100 TB a narrow time-range purge (GDPR, bad-batch removal) rewrites
     one day's files, not the table. Files without stats rewrite
     conservatively. Records op 'overwrite' (row state changed —
-    incremental readers must not cross silently). Returns
+    incremental readers must not cross silently). ``change_feed=True``
+    persists the deleted rows (tagged 'delete') under ``_changes/`` for
+    ``table_changes`` — exact because pruned files provably hold no
+    in-range rows. Returns
     (new_version, files_untouched, files_rewritten)."""
     v = latest_version(path)
     if v is None:
@@ -819,16 +998,35 @@ def delete_version(
     if rewrite:
         from pyspark.sql import functions as F
 
-        remaining = (
-            spark.read.option("mergeSchema", "true").parquet(*rewrite)
-            .filter(~F.col(col).between(lo, hi))
-        )
+        slice_df = spark.read.option("mergeSchema", "true").parquet(*rewrite)
+        remaining = slice_df.filter(~F.col(col).between(lo, hi))
+        if change_feed:
+            _write_change_feed(
+                slice_df.filter(F.col(col).between(lo, hi))
+                .withColumn("_change_type", F.lit("delete")),
+                path, new_v,
+            )
         new_files, new_stats = _write_files(
             remaining, path, new_v, stats_cols or ([col] if stats else None)
         )
+    elif change_feed:
+        # every file pruned: the delete touched nothing — record an
+        # empty change set so table_changes can cross this commit
+        from pyspark.sql import functions as F
+
+        _write_change_feed(
+            read_version(spark, path, v).limit(0)
+            .withColumn("_change_type", F.lit("delete")),
+            path, new_v,
+        )
     carried_stats = {f: stats[f] for f in untouched if f in stats}
-    _commit(
-        path, new_v, untouched + new_files, "overwrite",
-        {**carried_stats, **new_stats}, txn=m.get("txn", {}),
-    )
+    try:
+        _commit(
+            path, new_v, untouched + new_files, "overwrite",
+            {**carried_stats, **new_stats}, txn=m.get("txn", {}),
+        )
+    except VersionConflictError:
+        if change_feed:
+            _drop_change_feed(path, new_v)
+        raise
     return new_v, len(untouched), len(rewrite)

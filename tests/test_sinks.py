@@ -1150,3 +1150,123 @@ def test_versioned_merge_per_file_pruning_sparse_batch(spark, tmp_path):
     assert len(out) == 251
     assert out[5] == out[445] == "UPDATED" and out[500] == "INSERTED"
     assert out[100] == "v100" and out[300] == "v300"
+
+
+def test_versioned_change_feed_merge_delete_compact(spark, tmp_path):
+    """table_changes reconstructs the full row-level history: appends
+    read straight from added files, merge/delete/compact from the
+    change sets their change_feed=True rewrite persisted (Delta CDF)."""
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               compact_version,
+                                               delete_version, merge_version,
+                                               read_version, table_changes)
+
+    path = str(tmp_path / "vt")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    append_version(df.filter("k < 5").coalesce(1), path, stats_cols=["k"])
+    append_version(df.filter("k >= 5").coalesce(1), path, stats_cols=["k"])
+    upd = spark.createDataFrame([(3, 999), (100, 1)], "k long, v long")
+    dels = spark.createDataFrame([(7,), (3,)], "k long")
+    # key 3 in BOTH updates and deletes: survives as its update row
+    merge_version(upd, path, keys=["k"], deletes=dels, change_feed=True)
+    delete_version(spark, path, "k", 8, 9, change_feed=True)
+    compact_version(spark, path, change_feed=True)
+    ch = table_changes(spark, path, -1)
+    got = {(r.k, r.v, r._change_type, r._commit_version) for r in ch.collect()}
+    assert {(k, k * 10, "insert", 0) for k in range(5)} <= got
+    assert {(k, k * 10, "insert", 1) for k in range(5, 10)} <= got
+    assert (3, 30, "update_preimage", 2) in got
+    assert (3, 999, "update_postimage", 2) in got
+    assert (100, 1, "insert", 2) in got
+    assert (7, 70, "delete", 2) in got
+    assert (8, 80, "delete", 3) in got and (9, 90, "delete", 3) in got
+    assert len(got) == 16  # compaction contributes nothing
+    # replaying the feed over the v1 snapshot reproduces the head
+    assert {(r.k, r.v) for r in read_version(spark, path).collect()} == {
+        (0, 0), (1, 10), (2, 20), (3, 999), (4, 40), (5, 50), (6, 60),
+        (100, 1),
+    }
+    # a window crossing only appends needs no change files at all
+    inc = {(r.k, r._change_type) for r in
+           table_changes(spark, path, 0, 1).collect()}
+    assert inc == {(k, "insert") for k in range(5, 10)}
+
+
+def test_versioned_change_feed_exact_under_pruning(spark, tmp_path):
+    """Matched-vs-insert classification stays exact when file pruning
+    leaves most files untouched: any stored row sharing a batch key is
+    provably inside the rewritten slice."""
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               latest_version, merge_version,
+                                               table_changes)
+
+    path = str(tmp_path / "vt")
+    for i in range(4):
+        sl = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").alias("k"), F.lit(f"f{i}").alias("v")
+        )
+        append_version(sl.coalesce(1), path, stats_cols=["k"])
+    before = set(
+        __import__("json").load(
+            open(str(tmp_path / "vt" / "_manifests" / f"v{latest_version(path)}.json"))
+        )["files"]
+    )
+    batch = spark.createDataFrame(
+        [(5, "UPD"), (1000, "INS")], "k long, v string"
+    )
+    merge_version(batch, path, keys=["k"], change_feed=True)
+    import json as _json
+
+    m = _json.load(open(str(tmp_path / "vt" / "_manifests" / "v4.json")))
+    # pruning really happened: 3 of 4 files carried by reference
+    assert len(set(m["files"]) & before) == 3
+    got = {(r.k, r.v, r._change_type) for r in
+           table_changes(spark, path, 3).collect()}
+    assert got == {
+        (5, "f0", "update_preimage"),
+        (5, "UPD", "update_postimage"),
+        (1000, "INS", "insert"),
+    }
+
+
+def test_versioned_change_feed_guard_and_expiry(spark, tmp_path):
+    """A rewrite WITHOUT change_feed breaks the feed loudly; expiring a
+    version reclaims its change directory."""
+    import os
+
+    import pytest
+
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               expire_versions, merge_version,
+                                               table_changes)
+
+    path = str(tmp_path / "vt")
+    append_version(
+        spark.createDataFrame([(1, "a")], "k long, v string"), path,
+        stats_cols=["k"],
+    )
+    merge_version(
+        spark.createDataFrame([(1, "b")], "k long, v string"), path,
+        keys=["k"],
+    )  # no change_feed: row-level delta unrecorded
+    with pytest.raises(ValueError, match="change set"):
+        table_changes(spark, path, -1)
+    merge_version(
+        spark.createDataFrame([(2, "c")], "k long, v string"), path,
+        keys=["k"], change_feed=True,
+    )
+    # a window that starts after the gap is fine
+    assert {(r.k, r._change_type) for r in
+            table_changes(spark, path, 1).collect()} == {(2, "insert")}
+    cdir = str(tmp_path / "vt" / "_changes" / "v000002")
+    assert os.path.exists(cdir)
+    expire_versions(path, keep_latest=1)
+    assert os.path.exists(cdir)  # v2 is the surviving head: feed kept
+    append_version(
+        spark.createDataFrame([(3, "d")], "k long, v string"), path,
+        stats_cols=["k"],
+    )
+    expire_versions(path, keep_latest=1)
+    assert not os.path.exists(cdir)  # v2 expired: its change set too
