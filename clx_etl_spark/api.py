@@ -401,6 +401,21 @@ class Engine:
         return merge_version(updates, path, keys, deletes=deletes, txn=txn,
                              change_feed=change_feed)
 
+    def refresh_rollup_from_changes(self, changes: DataFrame,
+                                    rollup_path: str,
+                                    value_col: str = "value",
+                                    ts_ms_col: str = "ts_ms",
+                                    keys: tuple[str, ...] = ("event_type",),
+                                    txn: tuple[str, int] | None = None) -> int:
+        """Incremental view maintenance with retractions: fold a
+        change-feed window into a versioned daily rollup — inserts add,
+        deletes subtract, updates net to their delta, zeroed groups
+        drop (operators/incremental.refresh_from_change_feed)."""
+        from .operators.incremental import refresh_from_change_feed
+
+        return refresh_from_change_feed(self.spark, changes, rollup_path,
+                                        value_col, ts_ms_col, keys, txn=txn)
+
     def table_changes(self, path: str, after_version: int,
                       to_version: int | None = None) -> DataFrame:
         """Row-level change feed (Delta CDF): every row each commit

@@ -90,6 +90,92 @@ def finalize_state(state: DataFrame) -> DataFrame:
     )
 
 
+def retractable_delta_state(
+    changes: DataFrame,
+    value_col: str = "value",
+    ts_ms_col: str = "ts_ms",
+    keys: tuple[str, ...] = ("event_type",),
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """Signed partial state from a row-level change feed
+    (sinks/versioned.table_changes): insert / update_postimage count +1,
+    delete / update_preimage count -1, so an in-place value update nets
+    to (new - old) in the sum and 0 in the count. Only the RETRACTABLE
+    aggregates are kept — count and decimal sum (avg derived at read
+    time). min/max are deliberately absent: they do not merge under
+    deletion (retracting the current minimum needs the group's full
+    value multiset or a rescan — Flink retract streams and Materialize
+    draw the same line), and a rollup that silently kept stale extrema
+    would be wrong, not incremental. Other change-feed rows (e.g. the
+    empty compaction marker) contribute nothing."""
+    sign = (
+        F.when(F.col(change_col).isin("insert", "update_postimage"), F.lit(1))
+        .when(F.col(change_col).isin("delete", "update_preimage"), F.lit(-1))
+    )
+    d = changes.withColumn("_sign", sign).filter(F.col("_sign").isNotNull())
+    return d.groupBy(
+        F.expr(f"{ts_ms_col} div {DAY_MS}").alias("day_id"), *keys
+    ).agg(
+        F.sum("_sign").alias("n"),
+        F.sum(
+            F.col("_sign") * F.col(value_col).cast(DEC6)
+        ).alias("sum_v"),
+    )
+
+
+def refresh_from_change_feed(
+    spark: SparkSession,
+    changes: DataFrame,
+    rollup_path: str,
+    value_col: str = "value",
+    ts_ms_col: str = "ts_ms",
+    keys: tuple[str, ...] = ("event_type",),
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Incremental view maintenance with RETRACTIONS: fold one window of
+    a table's change feed into a VERSIONED daily rollup — the consumer
+    side of sinks/versioned.table_changes. Inserts add, deletes
+    subtract, updates net to their value delta; groups whose count
+    reaches zero are REMOVED from the rollup (merge_version's delete
+    leg), so the maintained state is exactly what a full recompute over
+    the current fact snapshot would produce (the equivalence the
+    ivm_rollup_from_cdf query hash-proves cross-engine).
+
+    Cost is O(change rows + touched groups) — the fact history is never
+    rescanned, and merge_version's file pruning keeps the rollup
+    rewrite to the touched day neighborhood. Pass ``txn=(app_id,
+    to_version)`` so a replayed window is a manifest-level no-op:
+    change-feed windows are at-least-once-safe end to end. Returns the
+    rollup's new version."""
+    from ..sinks.versioned import latest_version, merge_version
+
+    delta = retractable_delta_state(changes, value_col, ts_ms_col, keys)
+    dims = ["day_id", *keys]
+    if latest_version(rollup_path) is not None:
+        from ..sinks.versioned import read_version
+
+        stored = read_version(spark, rollup_path)
+        joined = delta.alias("d").join(
+            stored.alias("s"), dims, "left_outer"
+        ).select(
+            *dims,
+            (F.coalesce(F.col("s.n"), F.lit(0)) + F.col("d.n")).alias("n"),
+            (
+                F.coalesce(F.col("s.sum_v"), F.lit(0).cast(DEC6))
+                + F.col("d.sum_v")
+            ).alias("sum_v"),
+        )
+    else:
+        joined = delta
+    # bounded: delta-group-sized; materialize before the merge rewrites
+    # the files the `stored` lineage reads
+    joined = joined.localCheckpoint(eager=True)
+    ups = joined.filter(F.col("n") > 0)
+    dels = joined.filter(F.col("n") <= 0).select(*dims)
+    return merge_version(ups, rollup_path, keys=dims, deletes=dels,
+                         stats_cols=["day_id"], txn=txn)
+
+
 def incremental_refresh(
     spark: SparkSession,
     new_events: DataFrame,

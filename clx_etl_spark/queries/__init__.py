@@ -77,6 +77,7 @@ SWEEP_FRONT: list[str] = [
     "versioned_point_lookup",
     "versioned_cdc_replay",
     "versioned_change_feed",
+    "ivm_rollup_from_cdf",
     "attribution_interval_join",
     # freshness backfill: every query whose last driver row is r01
     "cube_revenue",

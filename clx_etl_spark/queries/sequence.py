@@ -519,6 +519,90 @@ def incremental_agg_merge(spark, sf):
     )
 
 
+@register(
+    "ivm_rollup_from_cdf",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, {EV_MS} AS ts_ms, event_type, value
+                FROM events),
+    final AS (
+      SELECT event_id, ts_ms, event_type,
+             CASE WHEN event_id % 11 = 0 THEN value + 5.0 ELSE value END
+               AS value
+      FROM ev
+      WHERE NOT (event_id % 13 = 0 AND event_id % 11 <> 0))
+    SELECT ts_ms // {DAY_MS} AS day_id, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_value
+    FROM final GROUP BY day_id, event_type
+    """,
+    doc="Incremental view maintenance WITH RETRACTIONS through the real "
+    "storage loop (operators/incremental.refresh_from_change_feed over "
+    "sinks/versioned.table_changes): events seed a versioned fact table "
+    "in two appends, the daily rollup is built from their change feed "
+    "(pure inserts), then a change_feed=True MERGE triad mutates the "
+    "facts (value updates on the %11 residue, deletes on %13 minus the "
+    "update overlap) and ONLY that commit's change rows fold into the "
+    "rollup — updates net to their value delta, deletes subtract, "
+    "zeroed groups drop. The oracle aggregates the FINAL fact state "
+    "directly, so the hash match proves maintained-state == recompute "
+    "across an update/delete workload — the O(changes)-per-refresh "
+    "contract that replaces O(history) rescans at 100 TB",
+)
+def ivm_rollup_from_cdf(spark, sf):
+    import shutil
+    import tempfile
+
+    from ..operators.incremental import refresh_from_change_feed
+    from ..sinks.versioned import (append_version, latest_version,
+                                   merge_version, read_version,
+                                   table_changes)
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "ts_ms", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="clx_ivm_")
+    facts, rollup = tmp + "/facts", tmp + "/rollup"
+    try:
+        append_version(
+            ev.filter(F.col("event_id") % 2 == 0).coalesce(1), facts,
+            stats_cols=["event_id"],
+        )
+        append_version(
+            ev.filter(F.col("event_id") % 2 == 1).coalesce(1), facts,
+            stats_cols=["event_id"],
+        )
+        refresh_from_change_feed(
+            spark, table_changes(spark, facts, -1), rollup,
+            txn=("ivm", latest_version(facts)),
+        )
+        upd = ev.filter(F.col("event_id") % 11 == 0).withColumn(
+            "value", F.col("value") + 5.0
+        )
+        dels = ev.filter(F.col("event_id") % 13 == 0).select("event_id")
+        v_before = latest_version(facts)
+        merge_version(upd, facts, keys=["event_id"], deletes=dels,
+                      change_feed=True)
+        refresh_from_change_feed(
+            spark, table_changes(spark, facts, v_before), rollup,
+            txn=("ivm", latest_version(facts)),
+        )
+        out = (
+            read_version(spark, rollup)
+            .select(
+                "day_id", "event_type", "n",
+                F.col("sum_v").cast("double").alias("sum_value"),
+                (F.col("sum_v").cast("double") / F.col("n").cast("double"))
+                .alias("avg_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Snapshot diffing and distribution profiling
 # --------------------------------------------------------------------------

@@ -332,6 +332,51 @@ def test_incremental_refresh_converges_to_full_recompute(spark, tmp_path):
     assert abs(r0.avg_value - r0.sum_value / r0.n) < 1e-12
 
 
+def test_refresh_from_change_feed_retracts_and_replays(spark, tmp_path):
+    """CDF-driven rollup maintenance: updates net to their value delta,
+    deletes subtract, a group whose count reaches zero is REMOVED, and
+    a replayed change window is a txn no-op."""
+    from pyspark.sql import functions as F
+
+    from clx_etl_spark.operators.incremental import refresh_from_change_feed
+    from clx_etl_spark.sinks.versioned import (append_version, latest_version,
+                                               merge_version, read_version,
+                                               table_changes)
+
+    facts = str(tmp_path / "facts")
+    rollup = str(tmp_path / "rollup")
+    ev = spark.createDataFrame(
+        [(1, 0, "a", 10.0), (2, 0, "a", 20.0), (3, 0, "b", 7.0),
+         (4, 86_400_000, "a", 5.0)],
+        "event_id long, ts_ms long, event_type string, value double",
+    )
+    append_version(ev.coalesce(1), facts, stats_cols=["event_id"])
+    refresh_from_change_feed(spark, table_changes(spark, facts, -1), rollup,
+                             txn=("t", 0))
+    got0 = {(r.day_id, r.event_type): (r.n, float(r.sum_v))
+            for r in read_version(spark, rollup).collect()}
+    assert got0 == {(0, "a"): (2, 30.0), (0, "b"): (1, 7.0),
+                    (1, "a"): (1, 5.0)}
+    # update event 1 (+5), delete event 3 — day-0 'b' zeroes out
+    upd = spark.createDataFrame([(1, 0, "a", 15.0)], ev.schema)
+    dels = spark.createDataFrame([(3,)], "event_id long")
+    v_before = latest_version(facts)
+    merge_version(upd, facts, keys=["event_id"], deletes=dels,
+                  change_feed=True)
+    changes = table_changes(spark, facts, v_before).localCheckpoint(eager=True)
+    refresh_from_change_feed(spark, changes, rollup, txn=("t", 1))
+    got1 = {(r.day_id, r.event_type): (r.n, float(r.sum_v))
+            for r in read_version(spark, rollup).collect()}
+    assert got1 == {(0, "a"): (2, 35.0), (1, "a"): (1, 5.0)}
+    # replaying the same window is a manifest-level no-op
+    v = latest_version(rollup)
+    refresh_from_change_feed(spark, changes, rollup, txn=("t", 1))
+    assert latest_version(rollup) == v
+    got2 = {(r.day_id, r.event_type): (r.n, float(r.sum_v))
+            for r in read_version(spark, rollup).collect()}
+    assert got2 == got1
+
+
 def test_rfm_scores_balanced_quintiles(spark):
     rows = _rows(spark, "rfm_segmentation")
     n = len(rows)
