@@ -401,6 +401,29 @@ class Engine:
         return merge_version(updates, path, keys, deletes=deletes, txn=txn,
                              change_feed=change_feed)
 
+    def set_table_constraints(self, path: str,
+                              constraints: dict[str, str]) -> None:
+        """Declare CHECK constraints on a versioned table (Delta ADD
+        CONSTRAINT): every later append/overwrite/merge validates its
+        batch in one aggregate pass and refuses to commit on violation
+        (sinks/versioned.set_constraints)."""
+        from .sinks.versioned import set_constraints
+
+        set_constraints(path, constraints)
+
+    def sync_rollup(self, facts_path: str, rollup_path: str,
+                    value_col: str = "value", ts_ms_col: str = "ts_ms",
+                    keys: tuple[str, ...] = ("event_type",),
+                    app_id: str = "ivm") -> int | None:
+        """Catch a versioned rollup up to its fact table's head via the
+        change feed — stateless (the cursor is the rollup manifest's txn
+        watermark), idempotent at any cadence
+        (operators/incremental.sync_rollup_from_table)."""
+        from .operators.incremental import sync_rollup_from_table
+
+        return sync_rollup_from_table(self.spark, facts_path, rollup_path,
+                                      value_col, ts_ms_col, keys, app_id)
+
     def refresh_rollup_from_changes(self, changes: DataFrame,
                                     rollup_path: str,
                                     value_col: str = "value",

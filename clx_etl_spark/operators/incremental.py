@@ -176,6 +176,44 @@ def refresh_from_change_feed(
                          stats_cols=["day_id"], txn=txn)
 
 
+def sync_rollup_from_table(
+    spark: SparkSession,
+    facts_path: str,
+    rollup_path: str,
+    value_col: str = "value",
+    ts_ms_col: str = "ts_ms",
+    keys: tuple[str, ...] = ("event_type",),
+    app_id: str = "ivm",
+) -> int | None:
+    """Catch the rollup up to the fact table's head — STATELESS
+    maintenance: the cursor is the rollup manifest's own txn watermark
+    (``app_id`` -> last applied fact version), so there is no side
+    checkpoint to lose, and a crashed/duplicated invocation re-applies
+    nothing (refresh_from_change_feed commits the new watermark
+    atomically with the rollup files). Call it from cron, from a
+    foreachBatch hook after each fact commit, or ad hoc — any cadence
+    converges to the same state. Returns the rollup's new version, or
+    None when already caught up."""
+    from ..sinks.versioned import (_read_manifest, latest_version,
+                                   table_changes)
+
+    head = latest_version(facts_path)
+    if head is None:
+        return None
+    rv = latest_version(rollup_path)
+    applied = -1
+    if rv is not None:
+        applied = int(_read_manifest(rollup_path, rv).get("txn", {})
+                      .get(app_id, -1))
+    if applied >= head:
+        return None
+    changes = table_changes(spark, facts_path, applied, head)
+    return refresh_from_change_feed(
+        spark, changes, rollup_path, value_col, ts_ms_col, keys,
+        txn=(app_id, head),
+    )
+
+
 def incremental_refresh(
     spark: SparkSession,
     new_events: DataFrame,

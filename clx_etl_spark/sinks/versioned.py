@@ -274,6 +274,63 @@ def _write_files(
     return files, stats
 
 
+class ConstraintViolation(ValueError):
+    """A batch violated the table's CHECK constraints; carries the
+    per-constraint violating-row counts."""
+
+    def __init__(self, path: str, counts: dict[str, int]):
+        self.counts = counts
+        super().__init__(
+            f"constraint violation writing to {path}: "
+            + ", ".join(f"{k}={v} rows" for k, v in counts.items())
+        )
+
+
+def set_constraints(path: str, constraints: dict[str, str]) -> None:
+    """Declare table-level CHECK constraints (Delta's ``ADD CONSTRAINT``):
+    a name -> boolean-SQL-expression map stored as table metadata
+    (``_manifests/_constraints.json``). Every subsequent data-adding
+    commit (append / overwrite / merge updates) validates its batch in
+    ONE aggregate pass and refuses to commit on any violation —
+    enforcement costs O(batch), never a table scan. SQL CHECK
+    semantics: a row violates only when the expression is FALSE (NULL
+    passes — express NOT NULL explicitly as ``col IS NOT NULL``).
+    Replaces the whole map; pass {} to drop all constraints."""
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    with open(os.path.join(_manifest_dir(path), "_constraints.json"), "w") as fh:
+        json.dump(constraints, fh)
+
+
+def get_constraints(path: str) -> dict[str, str]:
+    p = os.path.join(_manifest_dir(path), "_constraints.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _validate_constraints(df: DataFrame, path: str) -> None:
+    """One aggregate pass over the batch: per-constraint violating-row
+    counts (violation = expression IS FALSE; NULL passes, SQL CHECK
+    semantics). Raises ConstraintViolation if any count > 0. Cost is a
+    second scan of the BATCH (map-side-combined sums) — bounded by the
+    write itself, never by the table."""
+    cons = get_constraints(path)
+    if not cons:
+        return
+    from pyspark.sql import functions as F
+
+    row = df.agg(*[
+        F.sum(
+            F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
+        ).alias(name)
+        for name, expr in cons.items()
+    ]).first()
+    bad = {name: int(row[name] or 0) for name in cons if (row[name] or 0) > 0}
+    if bad:
+        raise ConstraintViolation(path, bad)
+
+
 class VersionConflictError(RuntimeError):
     """Two writers raced to commit the same version number — the
     single-writer contract was violated. The loser's data files are
@@ -331,7 +388,10 @@ def append_version(
     manifest JSON as the file list. Data files written by a skipped
     replay's crashed predecessor are orphans, reclaimed by expire.
     txn_versions must be monotone per app_id (true for structured
-    streaming batch ids)."""
+    streaming batch ids).
+
+    Declared CHECK constraints (set_constraints) validate the batch in
+    one aggregate pass before any file is written."""
     prev = latest_version(path)
     prev_m = _read_manifest(path, prev) if prev is not None else {}
     prev_txn = {k: int(v) for k, v in prev_m.get("txn", {}).items()}
@@ -340,6 +400,7 @@ def append_version(
         if prev_txn.get(app_id, -1) >= int(txn_v):
             return prev  # replayed transaction: already committed
         prev_txn[app_id] = int(txn_v)
+    _validate_constraints(df, path)
     version = 0 if prev is None else prev + 1
     new_files, stats = _write_files(df, path, version, stats_cols,
                                     bloom_cols=bloom_cols)
@@ -354,9 +415,13 @@ def overwrite_version(
     df: DataFrame, path: str, stats_cols: list[str] | None = None,
     txn: dict | None = None,
     bloom_cols: list[str] | None = None,
+    validate: bool = True,
 ) -> int:
     """Commit a new version containing ONLY this DataFrame's files; all
-    prior versions remain readable until expired.
+    prior versions remain readable until expired. Declared CHECK
+    constraints validate the frame first (``validate=False`` for
+    maintenance rewrites of rows already in the table — compaction —
+    where revalidation would rescan the table for nothing).
 
     ``txn`` (an app_id -> txn_version map) is the exactly-once
     watermark. Default None CARRIES the previous head's map forward
@@ -368,6 +433,8 @@ def overwrite_version(
     prev = latest_version(path)
     if txn is None and prev is not None:
         txn = _read_manifest(path, prev).get("txn", {})
+    if validate:
+        _validate_constraints(df, path)
     version = 0 if prev is None else prev + 1
     files, stats = _write_files(df, path, version, stats_cols,
                                 bloom_cols=bloom_cols)
@@ -527,12 +594,12 @@ def compact_version(
         )
         try:
             return overwrite_version(df, path, stats_cols=stats_cols,
-                                     bloom_cols=bloom_cols)
+                                     bloom_cols=bloom_cols, validate=False)
         except VersionConflictError:
             _drop_change_feed(path, v + 1)
             raise
     return overwrite_version(df, path, stats_cols=stats_cols,
-                             bloom_cols=bloom_cols)
+                             bloom_cols=bloom_cols, validate=False)
 
 
 def merge_version(
@@ -614,6 +681,9 @@ def merge_version(
 
     spark = updates.sparkSession
     up = _dedup_updates(updates, keys)
+    # CHECK constraints gate the NEW rows only (carried stored rows were
+    # validated on their own way in; deletes add nothing)
+    _validate_constraints(up, path)
     del_keys = deletes.select(*keys).distinct() if deletes is not None else None
     m = prev_m
     stats = m.get("stats", {})

@@ -377,6 +377,38 @@ def test_refresh_from_change_feed_retracts_and_replays(spark, tmp_path):
     assert got2 == got1
 
 
+def test_sync_rollup_from_table_stateless_cursor(spark, tmp_path):
+    """sync_rollup_from_table catches up using the rollup manifest's own
+    txn watermark as the cursor: repeated calls are no-ops, new fact
+    commits are picked up exactly once."""
+    from pyspark.sql import functions as F
+
+    from clx_etl_spark.operators.incremental import sync_rollup_from_table
+    from clx_etl_spark.sinks.versioned import (append_version, merge_version,
+                                               read_version)
+
+    facts = str(tmp_path / "facts")
+    rollup = str(tmp_path / "rollup")
+    ev = spark.createDataFrame(
+        [(1, 0, "a", 10.0), (2, 0, "b", 4.0)],
+        "event_id long, ts_ms long, event_type string, value double",
+    )
+    append_version(ev.coalesce(1), facts, stats_cols=["event_id"])
+    assert sync_rollup_from_table(spark, facts, rollup) is not None
+    assert sync_rollup_from_table(spark, facts, rollup) is None  # caught up
+    merge_version(
+        spark.createDataFrame([(1, 0, "a", 12.0)],
+                              "event_id long, ts_ms long, event_type string,"
+                              " value double"),
+        facts, keys=["event_id"], change_feed=True,
+    )
+    assert sync_rollup_from_table(spark, facts, rollup) is not None
+    got = {(r.day_id, r.event_type): (r.n, float(r.sum_v))
+           for r in read_version(spark, rollup).collect()}
+    assert got == {(0, "a"): (1, 12.0), (0, "b"): (1, 4.0)}
+    assert sync_rollup_from_table(spark, facts, rollup) is None
+
+
 def test_rfm_scores_balanced_quintiles(spark):
     rows = _rows(spark, "rfm_segmentation")
     n = len(rows)

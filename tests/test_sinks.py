@@ -1270,3 +1270,52 @@ def test_versioned_change_feed_guard_and_expiry(spark, tmp_path):
     )
     expire_versions(path, keep_latest=1)
     assert not os.path.exists(cdir)  # v2 expired: its change set too
+
+
+def test_versioned_check_constraints_gate_writes(spark, tmp_path):
+    """Declared CHECK constraints refuse violating batches on append,
+    merge, and overwrite — with per-constraint violating-row counts —
+    while NULLs pass (SQL CHECK semantics) and compaction never
+    revalidates."""
+    import pytest
+
+    from clx_etl_spark.sinks.versioned import (ConstraintViolation,
+                                               append_version,
+                                               compact_version,
+                                               get_constraints, merge_version,
+                                               overwrite_version,
+                                               read_version, set_constraints)
+
+    path = str(tmp_path / "vt")
+    set_constraints(path, {
+        "price_positive": "price > 0",
+        "status_known": "status IN ('ok', 'late')",
+    })
+    assert get_constraints(path)["price_positive"] == "price > 0"
+    good = spark.createDataFrame(
+        [(1, 5.0, "ok"), (2, 1.0, None)],  # NULL status passes (SQL CHECK)
+        "id long, price double, status string",
+    )
+    append_version(good.coalesce(1), path, stats_cols=["id"])
+    bad = spark.createDataFrame(
+        [(3, -1.0, "ok"), (4, 2.0, "bogus"), (5, -2.0, "bogus")],
+        "id long, price double, status string",
+    )
+    with pytest.raises(ConstraintViolation) as ei:
+        append_version(bad, path)
+    assert ei.value.counts == {"price_positive": 2, "status_known": 2}
+    with pytest.raises(ConstraintViolation):
+        merge_version(bad, path, keys=["id"])
+    with pytest.raises(ConstraintViolation):
+        overwrite_version(bad, path)
+    # nothing committed by the refused writes
+    assert {r.id for r in read_version(spark, path).collect()} == {1, 2}
+    # compaction skips revalidation (rows already in the table) even if
+    # constraints were tightened after ingest
+    set_constraints(path, {"impossible": "1 = 0"})
+    compact_version(spark, path)
+    assert {r.id for r in read_version(spark, path).collect()} == {1, 2}
+    # dropping constraints re-opens the gate
+    set_constraints(path, {})
+    append_version(bad.coalesce(1), path)
+    assert {r.id for r in read_version(spark, path).collect()} == {1, 2, 3, 4, 5}
