@@ -571,6 +571,10 @@ def versioned_ingest_stream(
     checkpoint: str,
     stats_cols: list[str] | None = None,
     trigger_available_now: bool = True,
+    rollup_path: str | None = None,
+    rollup_value_col: str = "value",
+    rollup_ts_col: str = "ts_ms",
+    rollup_keys: tuple[str, ...] = ("event_type",),
 ) -> StreamingQuery:
     """Exactly-once streaming append into a versioned table: every
     micro-batch commits through append_version with
@@ -580,7 +584,14 @@ def versioned_ingest_stream(
     manifest-native form of the rollup sink's marker pattern, and the
     natural lakehouse tail for a fact stream: downstream consumers get
     time travel, O(delta) read_changes, manifest data skipping, tags,
-    and rollback on the ingested table for free."""
+    and rollback on the ingested table for free.
+
+    ``rollup_path`` additionally maintains a versioned daily rollup
+    after each batch commit (incremental.sync_rollup_from_table): the
+    rollup's cursor is its own manifest txn watermark, so the
+    facts-append and rollup-sync pair is exactly-once END TO END with
+    no extra checkpoint — a crash between the two self-heals on the
+    next batch (the sync re-reads only the unapplied change window)."""
     import hashlib as _hashlib
 
     from ..sinks.versioned import append_version
@@ -590,6 +601,13 @@ def versioned_ingest_stream(
     def sink(batch: DataFrame, batch_id: int) -> None:
         append_version(batch, table_path, stats_cols=stats_cols,
                        txn=(app_id, batch_id))
+        if rollup_path is not None:
+            from ..operators.incremental import sync_rollup_from_table
+
+            sync_rollup_from_table(
+                batch.sparkSession, table_path, rollup_path,
+                rollup_value_col, rollup_ts_col, rollup_keys,
+            )
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint
@@ -611,6 +629,11 @@ def versioned_cdc_stream(
     order_cols: list[str] | None = None,
     stats_cols: list[str] | None = None,
     trigger_available_now: bool = True,
+    change_feed: bool = False,
+    rollup_path: str | None = None,
+    rollup_value_col: str = "value",
+    rollup_ts_col: str = "ts_ms",
+    rollup_keys: tuple[str, ...] = ("event_type",),
 ) -> StreamingQuery:
     """Exactly-once CDC apply into a versioned table: each micro-batch
     of a Debezium/binlog-shaped changelog (key, ts, op, payload) folds
@@ -629,11 +652,24 @@ def versioned_cdc_stream(
     touches its key neighborhood, not the table. Pair with
     read_version/scan_version for serving and read_changes is N/A
     across merges by design (op 'overwrite' breaks append lineage
-    loudly)."""
+    loudly) — pass ``change_feed=True`` for row-level table_changes
+    across the CDC commits instead.
+
+    ``rollup_path`` (requires ``change_feed=True``) maintains a
+    versioned daily rollup after each merge via the change feed
+    (incremental.sync_rollup_from_table): updates net to their value
+    delta, deletes retract — so streaming CDC keeps downstream
+    aggregates continuously correct, exactly-once end to end, with no
+    side checkpoint."""
     import hashlib as _hashlib
 
     from ..sinks.versioned import merge_version
 
+    if rollup_path is not None and not change_feed:
+        raise ValueError(
+            "rollup maintenance over a CDC stream needs change_feed=True "
+            "(the rollup folds the merge's row-level change set)"
+        )
     app_id = "cdc-" + _hashlib.md5(checkpoint.encode()).hexdigest()[:12]
     order_cols = order_cols or []
 
@@ -649,7 +685,15 @@ def versioned_cdc_stream(
         ups = winners.filter(F.col(op_col).isin(*upsert_ops)).drop(op_col)
         dels = winners.filter(F.col(op_col) == delete_op).select(*keys)
         merge_version(ups, table_path, keys=keys, stats_cols=stats_cols,
-                      deletes=dels, txn=(app_id, batch_id))
+                      deletes=dels, txn=(app_id, batch_id),
+                      change_feed=change_feed)
+        if rollup_path is not None:
+            from ..operators.incremental import sync_rollup_from_table
+
+            sync_rollup_from_table(
+                batch.sparkSession, table_path, rollup_path,
+                rollup_value_col, rollup_ts_col, rollup_keys,
+            )
 
     writer = changelog.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint

@@ -1444,6 +1444,44 @@ def test_versioned_ingest_stream_exactly_once(spark, tmp_path):
     assert v2 == 2 and read_version(spark, table).count() == 9
 
 
+def test_versioned_ingest_stream_maintains_rollup(spark, tmp_path):
+    """Ingest stream with rollup_path: after each appended micro-batch
+    the versioned rollup catches up through the change feed — no side
+    checkpoint, end state equals a full recompute."""
+    from pyspark.sql.types import DoubleType, StringType
+
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.streaming.jobs import versioned_ingest_stream
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_ms", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src, table = str(tmp_path / "in"), str(tmp_path / "vt")
+    rollup, ckpt = str(tmp_path / "ru"), str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, 0, "a", 10.0), (2, 0, "b", 4.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, 86_400_000, "a", 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    q = versioned_ingest_stream(stream, table, checkpoint=ckpt,
+                                rollup_path=rollup)
+    q.awaitTermination(120)
+    got = {(r.day_id, r.event_type): (r.n, float(r.sum_v))
+           for r in V.read_version(spark, rollup).collect()}
+    assert got == {(0, "a"): (1, 10.0), (0, "b"): (1, 4.0),
+                   (1, "a"): (1, 2.0)}
+
+
 def test_versioned_cdc_stream_exactly_once_apply(spark, tmp_path):
     """Streaming CDC apply: each micro-batch of a changelog folds to
     its per-key net effect and commits ONE merge_version (updates +
@@ -1500,6 +1538,65 @@ def test_versioned_cdc_stream_exactly_once_apply(spark, tmp_path):
                            deletes=replay_dels, txn=(app_id, 1)) == head
     assert V.latest_version(table) == head
     assert {r.k: r.v for r in V.read_version(spark, table).collect()} == out
+
+
+def test_versioned_cdc_stream_with_rollup_maintenance(spark, tmp_path):
+    """Streaming CDC with change_feed + rollup maintenance: each batch
+    merges exactly-once AND folds its change set into a versioned daily
+    rollup — after both batches the rollup equals a full recompute of
+    the final fact state, and the change feed is readable across every
+    CDC commit."""
+    from pyspark.sql.types import DoubleType, StringType
+
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.streaming.jobs import versioned_cdc_stream
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ts_ms", LongType()),
+            StructField("op", StringType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src, table = str(tmp_path / "in"), str(tmp_path / "vt")
+    rollup, ckpt = str(tmp_path / "ru"), str(tmp_path / "ck")
+    b0 = [(1, 10, "I", "a", 10.0), (2, 10, "I", "a", 20.0),
+          (3, 10, "I", "b", 7.0)]
+    # batch 1: update k=1 (+5 into day 0 'a'), delete k=3 ('b' zeroes)
+    b1 = [(1, 30, "U", "a", 15.0), (3, 30, "D", "b", None)]
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    q = versioned_cdc_stream(stream, table, checkpoint=ckpt, keys=["k"],
+                             stats_cols=["k"], change_feed=True,
+                             rollup_path=rollup)
+    q.awaitTermination(180)
+
+    assert {r.k: r.value for r in V.read_version(spark, table).collect()} \
+        == {1: 15.0, 2: 20.0}
+    got = {(r.day_id, r.event_type): (r.n, float(r.sum_v))
+           for r in V.read_version(spark, rollup).collect()}
+    assert got == {(0, "a"): (2, 35.0)}  # 'b' retracted to zero: dropped
+    # the change feed spans both CDC commits
+    ch = V.table_changes(spark, table, -1)
+    types = {(r.k, r._change_type, r._commit_version) for r in ch.collect()}
+    assert (1, "update_preimage", 1) in types
+    assert (1, "update_postimage", 1) in types
+    assert (3, "delete", 1) in types
+    # rollup_path without change_feed is a loud config error
+    import pytest
+
+    with pytest.raises(ValueError, match="change_feed"):
+        versioned_cdc_stream(stream, table, checkpoint=ckpt, keys=["k"],
+                             rollup_path=rollup)
 
 
 def test_stream_stream_attribution_interval_join(spark, tmp_path):
