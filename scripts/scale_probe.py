@@ -126,6 +126,59 @@ def _probe_merge_delete(spark, sf: str) -> dict:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
+def _probe_ivm_refresh(spark, sf: str) -> float:
+    """Non-registry probe: CDF-driven rollup refresh cost. Seeds a
+    versioned fact table from events (8 key-range appends) and a rollup
+    from its full change feed (setup, untimed), then times ONE
+    maintenance cycle: a narrow change_feed MERGE (~1k keys) + folding
+    that window into the rollup. The claim under test is O(changes +
+    touched groups) per refresh — the timed cycle should stay flat
+    across the 100x data range (history is never rescanned)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clx_etl_spark.catalog import load_table
+    from clx_etl_spark.operators.incremental import refresh_from_change_feed
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               latest_version, merge_version,
+                                               table_changes)
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "ts_ms", "event_type", "value"
+    )
+    row = ev.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi")).head()
+    lo, hi = row["lo"], row["hi"]
+    base = tempfile.mkdtemp(prefix="probe_ivm_")
+    facts, rollup = base + "/facts", base + "/rollup"
+    try:
+        step = (hi - lo) // 8 + 1
+        for i in range(8):
+            sl = ev.filter(
+                (F.col("event_id") >= lo + i * step)
+                & (F.col("event_id") < lo + (i + 1) * step)
+            )
+            append_version(sl.coalesce(1), facts, stats_cols=["event_id"])
+        refresh_from_change_feed(
+            spark, table_changes(spark, facts, -1), rollup,
+            txn=("probe", latest_version(facts)),
+        )
+        batch = ev.filter(F.col("event_id") <= lo + 1000).withColumn(
+            "value", F.col("value") + 1.0
+        ).localCheckpoint(eager=True)
+        v_before = latest_version(facts)
+        t0 = time.perf_counter()
+        merge_version(batch, facts, keys=["event_id"], change_feed=True)
+        refresh_from_change_feed(
+            spark, table_changes(spark, facts, v_before), rollup,
+            txn=("probe", latest_version(facts)),
+        )
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("clx-scale-probe")
     reg = load_all()
@@ -148,6 +201,8 @@ def main() -> None:
     md = [_probe_merge_delete(spark, sf) for sf in SFS]
     results["versioned_merge_narrow"] = [r["merge_s"] for r in md]
     results["versioned_delete_range"] = [r["delete_s"] for r in md]
+    results["ivm_refresh_cycle"] = [_probe_ivm_refresh(spark, sf)
+                                    for sf in SFS]
     ratios = {
         "merge_untouched_ratio": [r["merge_untouched_ratio"] for r in md],
         "delete_untouched_ratio": [r["delete_untouched_ratio"] for r in md],
