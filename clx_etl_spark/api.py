@@ -424,6 +424,19 @@ class Engine:
         return sync_rollup_from_table(self.spark, facts_path, rollup_path,
                                       value_col, ts_ms_col, keys, app_id)
 
+    def stream_table_changes(self, path: str,
+                             starting_version: int | str = 0,
+                             max_versions_per_batch: int = 100) -> DataFrame:
+        """Structured-Streaming source over a versioned table's change
+        feed (format 'clx_cdf', Delta readChangeFeed shape): manifest
+        versions are the checkpointed offsets, appends stream their
+        added files as inserts, change_feed=True rewrites stream their
+        persisted change sets (sources/cdf_source.py)."""
+        from .sources.cdf_source import stream_changes
+
+        return stream_changes(self.spark, path, starting_version,
+                              max_versions_per_batch)
+
     def refresh_rollup_from_changes(self, changes: DataFrame,
                                     rollup_path: str,
                                     value_col: str = "value",

@@ -1660,3 +1660,125 @@ def test_stream_stream_attribution_interval_join(spark, tmp_path):
     # the heartbeat view itself is still inside the watermark horizon
     # (view_time + window > global watermark), so it stays buffered
     assert 98 not in rows
+
+
+# --- change feed as a streaming source (clx_cdf) ---------------------------
+
+
+def test_cdf_stream_source_full_history_and_restart(spark, tmp_path):
+    """spark.readStream.format('clx_cdf'): version numbers are the
+    checkpointed offsets — the first run drains the whole history
+    (append inserts + merge change sets), a restarted query picks up
+    ONLY commits made while it was down, and a non-CDF rewrite breaks
+    the stream loudly at planning time."""
+    from pyspark.sql import functions as F
+
+    from clx_etl_spark.sinks.versioned import (append_version, merge_version,
+                                               overwrite_version)
+    from clx_etl_spark.sources.cdf_source import stream_changes
+
+    path = str(tmp_path / "vt")
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    df = spark.range(0, 6).select(
+        F.col("id").alias("k"), (F.col("id") * 10.0).alias("v")
+    )
+    append_version(df.filter("k < 3").coalesce(1), path, stats_cols=["k"])
+    append_version(df.filter("k >= 3").coalesce(1), path, stats_cols=["k"])
+    merge_version(
+        spark.createDataFrame([(1, 99.0), (100, 1.0)], "k long, v double"),
+        path, keys=["k"],
+        deletes=spark.createDataFrame([(5,)], "k long"), change_feed=True,
+    )
+    q = (
+        stream_changes(spark, path)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.k, r._change_type, r._commit_version)
+           for r in spark.read.parquet(out).collect()}
+    assert {(k, "insert", 0) for k in range(3)} <= got
+    assert {(k, "insert", 1) for k in range(3, 6)} <= got
+    assert {(1, "update_preimage", 2), (1, "update_postimage", 2),
+            (100, "insert", 2), (5, "delete", 2)} <= got
+    assert len(got) == 10
+
+    # new commits while the stream is down; restart resumes at v3
+    append_version(
+        spark.createDataFrame([(7, 70.0)], "k long, v double").coalesce(1),
+        path, stats_cols=["k"],
+    )
+    q2 = (
+        stream_changes(spark, path)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    got2 = {(r.k, r._change_type, r._commit_version)
+            for r in spark.read.parquet(out).collect()}
+    assert got2 - got == {(7, "insert", 3)}
+
+    # a change_feed=False merge poisons the NEXT window loudly
+    merge_version(
+        spark.createDataFrame([(2, 0.0)], "k long, v double"), path,
+        keys=["k"],
+    )
+    q3 = (
+        stream_changes(spark, path)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).trigger(availableNow=True).start()
+    )
+    try:
+        q3.awaitTermination(120)
+        raised = False
+    except Exception as exc:  # StreamingQueryException wraps the ValueError
+        raised = "change" in str(exc)
+    assert raised
+
+
+def test_cdf_stream_source_latest_and_catchup_cap(spark, tmp_path):
+    """startingVersion='latest' skips history; maxVersionsPerBatch caps
+    the END offset per trigger (bounded catch-up, nothing skipped)."""
+    from pyspark.sql import functions as F
+
+    from clx_etl_spark.sinks.versioned import append_version
+    from clx_etl_spark.sources.cdf_source import stream_changes
+
+    path = str(tmp_path / "vt")
+    for i in range(4):
+        append_version(
+            spark.createDataFrame([(i, float(i))], "k long, v double")
+            .coalesce(1), path,
+        )
+    # latest: the pre-existing 4 commits are NOT streamed
+    ck1, out1 = str(tmp_path / "ck1"), str(tmp_path / "out1")
+    q = (
+        stream_changes(spark, path, starting_version="latest")
+        .writeStream.format("parquet").option("path", out1)
+        .option("checkpointLocation", ck1).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    append_version(
+        spark.createDataFrame([(9, 9.0)], "k long, v double").coalesce(1),
+        path,
+    )
+    q2 = (
+        stream_changes(spark, path, starting_version="latest")
+        .writeStream.format("parquet").option("path", out1)
+        .option("checkpointLocation", ck1).trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    assert {r.k for r in spark.read.parquet(out1).collect()} == {9}
+
+    # cap=1: one availableNow run still drains everything (multiple
+    # capped micro-batches), no version skipped
+    ck2, out2 = str(tmp_path / "ck2"), str(tmp_path / "out2")
+    q3 = (
+        stream_changes(spark, path, max_versions_per_batch=1)
+        .writeStream.format("parquet").option("path", out2)
+        .option("checkpointLocation", ck2).trigger(availableNow=True).start()
+    )
+    q3.awaitTermination(180)
+    got = sorted((r.k, r._commit_version)
+                 for r in spark.read.parquet(out2).collect())
+    assert got == [(0, 0), (1, 1), (2, 2), (3, 3), (9, 4)]
