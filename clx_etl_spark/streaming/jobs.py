@@ -617,6 +617,57 @@ def versioned_ingest_stream(
     return writer.start()
 
 
+def rollup_maintenance_stream(
+    spark: SparkSession,
+    facts_path: str,
+    rollup_path: str,
+    checkpoint: str,
+    value_col: str = "value",
+    ts_ms_col: str = "ts_ms",
+    keys: tuple[str, ...] = ("event_type",),
+    starting_version: int | str = 0,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous incremental view maintenance, DECOUPLED from the
+    writer: subscribe to a versioned fact table's change feed (the
+    clx_cdf DSv2 source — manifest versions as checkpointed offsets)
+    and fold every micro-batch of change rows into a versioned rollup
+    (incremental.refresh_from_change_feed). Inserts add, deletes
+    retract, updates net to their delta — downstream aggregates stay
+    continuously correct under a mutating workload WITHOUT the ingest
+    job knowing the rollup exists (contrast versioned_ingest_stream's
+    rollup_path, which couples them in one foreachBatch).
+
+    Exactly-once end to end with two independent cursors: the stream's
+    checkpoint tracks which fact versions were DELIVERED, and the
+    rollup manifest's txn watermark (app 'cdf-maintenance', version =
+    the batch's max _commit_version) makes a redelivered batch a
+    manifest-level no-op — so a crash between sink and checkpoint
+    cannot double-apply."""
+    from ..operators.incremental import refresh_from_change_feed
+    from ..sources.cdf_source import stream_changes
+
+    changes = stream_changes(spark, facts_path,
+                             starting_version=starting_version)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        row = batch.agg(F.max("_commit_version").alias("v")).first()
+        if row["v"] is None:
+            return  # empty micro-batch: nothing delivered
+        refresh_from_change_feed(
+            batch.sparkSession, batch, rollup_path,
+            value_col, ts_ms_col, keys,
+            txn=("cdf-maintenance", int(row["v"])),
+        )
+
+    writer = changes.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def versioned_cdc_stream(
     changelog: DataFrame,
     table_path: str,

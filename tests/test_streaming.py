@@ -1782,3 +1782,48 @@ def test_cdf_stream_source_latest_and_catchup_cap(spark, tmp_path):
     got = sorted((r.k, r._commit_version)
                  for r in spark.read.parquet(out2).collect())
     assert got == [(0, 0), (1, 1), (2, 2), (3, 3), (9, 4)]
+
+
+def test_rollup_maintenance_stream_decoupled(spark, tmp_path):
+    """Continuous IVM decoupled from the writer: the clx_cdf stream
+    delivers each fact commit once; the rollup converges to a full
+    recompute and a restart applies only the new commits."""
+    from pyspark.sql import functions as F
+
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.streaming.jobs import rollup_maintenance_stream
+
+    facts = str(tmp_path / "facts")
+    rollup = str(tmp_path / "ru")
+    ck = str(tmp_path / "ck")
+    ev = spark.createDataFrame(
+        [(1, 0, "a", 10.0), (2, 0, "a", 20.0), (3, 0, "b", 7.0)],
+        "event_id long, ts_ms long, event_type string, value double",
+    )
+    V.append_version(ev.coalesce(1), facts, stats_cols=["event_id"])
+    V.merge_version(
+        spark.createDataFrame(
+            [(1, 0, "a", 15.0)],
+            "event_id long, ts_ms long, event_type string, value double",
+        ),
+        facts, keys=["event_id"],
+        deletes=spark.createDataFrame([(3,)], "event_id long"),
+        change_feed=True,
+    )
+    q = rollup_maintenance_stream(spark, facts, rollup, ck)
+    q.awaitTermination(120)
+    got = {(r.day_id, r.event_type): (r.n, float(r.sum_v))
+           for r in V.read_version(spark, rollup).collect()}
+    assert got == {(0, "a"): (2, 35.0)}  # 'b' retracted away
+    # writer keeps writing while maintenance is down
+    V.append_version(
+        spark.createDataFrame(
+            [(9, 86_400_000, "a", 2.0)],
+            "event_id long, ts_ms long, event_type string, value double",
+        ).coalesce(1), facts, stats_cols=["event_id"],
+    )
+    q2 = rollup_maintenance_stream(spark, facts, rollup, ck)
+    q2.awaitTermination(120)
+    got2 = {(r.day_id, r.event_type): (r.n, float(r.sum_v))
+            for r in V.read_version(spark, rollup).collect()}
+    assert got2 == {(0, "a"): (2, 35.0), (1, "a"): (1, 2.0)}
