@@ -1319,3 +1319,78 @@ def test_versioned_check_constraints_gate_writes(spark, tmp_path):
     set_constraints(path, {})
     append_version(bad.coalesce(1), path)
     assert {r.id for r in read_version(spark, path).collect()} == {1, 2, 3, 4, 5}
+
+
+def test_versioned_change_feed_replay_reconstructs_snapshots(spark, tmp_path):
+    """Model-based property: for EVERY consecutive version pair, folding
+    the commit's change set onto snapshot(v) reproduces snapshot(v+1)
+    exactly — state' = state minus (update_preimage ∪ delete keys) plus
+    (update_postimage ∪ insert rows). Runs a deterministic pseudo-random
+    schedule of appends / MERGE triads / range deletes / compactions."""
+    import random
+
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               compact_version,
+                                               delete_version, latest_version,
+                                               merge_version, read_version,
+                                               table_changes)
+
+    rng = random.Random(60614)
+    path = str(tmp_path / "vt")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, v double")
+
+    append_version(
+        mk([(k, float(k)) for k in range(0, 40, 2)]).coalesce(1), path,
+        stats_cols=["k"],
+    )
+    for step in range(8):
+        op = rng.choice(["append", "merge", "delete", "compact"])
+        if op == "append":
+            base = rng.randrange(100, 1000)
+            append_version(
+                mk([(base + i, float(i)) for i in range(5)]).coalesce(1),
+                path, stats_cols=["k"],
+            )
+        elif op == "merge":
+            ups = mk([(rng.randrange(0, 60), rng.random() * 100)
+                      for _ in range(6)])
+            dels = spark.createDataFrame(
+                [(rng.randrange(0, 60),) for _ in range(3)], "k long"
+            )
+            merge_version(ups, path, keys=["k"], deletes=dels,
+                          change_feed=True)
+        elif op == "delete":
+            lo = rng.randrange(0, 50)
+            delete_version(spark, path, "k", lo, lo + 10, change_feed=True)
+        else:
+            compact_version(spark, path, change_feed=True)
+
+    head = latest_version(path)
+    for v in range(0, head):
+        prev = {r.k: r.v for r in read_version(spark, path, v).collect()}
+        nxt = {r.k: r.v for r in read_version(spark, path, v + 1).collect()}
+        ch = table_changes(spark, path, v, v + 1).collect()
+        state = dict(prev)
+        for r in ch:
+            if r._change_type in ("update_preimage", "delete"):
+                state.pop(r.k, None)
+        for r in ch:
+            if r._change_type in ("update_postimage", "insert"):
+                state[r.k] = r.v
+        assert state == nxt, f"replay mismatch at v{v}->v{v+1}"
+    # and the cumulative fold from the beginning reconstructs the head
+    # (two passes per version: pre/post images share keys)
+    state = {}
+    by_v = {}
+    for r in table_changes(spark, path, -1).collect():
+        by_v.setdefault(r._commit_version, []).append(r)
+    for v in sorted(by_v):
+        for r in by_v[v]:
+            if r._change_type in ("update_preimage", "delete"):
+                state.pop(r.k, None)
+        for r in by_v[v]:
+            if r._change_type in ("update_postimage", "insert"):
+                state[r.k] = r.v
+    assert state == {r.k: r.v for r in read_version(spark, path).collect()}
