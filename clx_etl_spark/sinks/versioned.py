@@ -113,11 +113,25 @@ def _manifest_path(path: str, version: int) -> str:
 
 
 def latest_version(path: str) -> int | None:
+    """The current head. ``_latest`` is a HINT, not the truth: with
+    concurrent appenders (optimistic rebase), the loser of the CAS may
+    write the hint file after the winner, leaving it one behind — so
+    probe forward from the hint for higher committed manifests (the
+    manifest's exclusive-create is the real commit point; the probe is
+    O(concurrent writers), almost always zero extra stats)."""
     f = os.path.join(_manifest_dir(path), "_latest")
     if not os.path.exists(f):
         return None
     with open(f) as fh:
-        return int(fh.read().strip())
+        v = int(fh.read().strip())
+    while os.path.exists(_manifest_path(path, v + 1)):
+        try:
+            with open(_manifest_path(path, v + 1)) as nh:
+                json.load(nh)
+        except (OSError, ValueError):
+            break  # claimed slot still being written: not committed yet
+        v += 1
+    return v
 
 
 def _read_manifest(path: str, version: int) -> dict:
@@ -373,6 +387,7 @@ def append_version(
     stats_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     bloom_cols: list[str] | None = None,
+    max_retries: int = 10,
 ) -> int:
     """Commit a new version = previous files + this batch's new files.
     Returns the committed version number (0 for a fresh table).
@@ -391,23 +406,44 @@ def append_version(
     streaming batch ids).
 
     Declared CHECK constraints (set_constraints) validate the batch in
-    one aggregate pass before any file is written."""
-    prev = latest_version(path)
-    prev_m = _read_manifest(path, prev) if prev is not None else {}
-    prev_txn = {k: int(v) for k, v in prev_m.get("txn", {}).items()}
-    if txn is not None:
-        app_id, txn_v = txn
-        if prev_txn.get(app_id, -1) >= int(txn_v):
-            return prev  # replayed transaction: already committed
-        prev_txn[app_id] = int(txn_v)
+    one aggregate pass before any file is written.
+
+    Appends use OPTIMISTIC CONCURRENCY (Delta's AppendOnly commit
+    class): two appends can never logically conflict, so losing the
+    manifest CAS triggers a REBASE — re-read the new head, recompute
+    file list / stats / txn against it, and retry the commit with the
+    ALREADY-WRITTEN data files (no data rewrite; the loop writes only
+    manifest JSON). ``max_retries`` bounds pathological contention;
+    rewriting commits (merge / delete / overwrite) intentionally do NOT
+    rebase — their read-set went stale, so the conflict surfaces as
+    VersionConflictError and the caller re-runs against the new head."""
     _validate_constraints(df, path)
-    version = 0 if prev is None else prev + 1
-    new_files, stats = _write_files(df, path, version, stats_cols,
-                                    bloom_cols=bloom_cols)
-    return _commit(
-        path, version, prev_m.get("files", []) + new_files, "append",
-        {**prev_m.get("stats", {}), **stats},
-        txn=prev_txn,
+    new_files: list[str] | None = None
+    stats: dict = {}
+    for _ in range(max_retries + 1):
+        prev = latest_version(path)
+        prev_m = _read_manifest(path, prev) if prev is not None else {}
+        prev_txn = {k: int(v) for k, v in prev_m.get("txn", {}).items()}
+        if txn is not None:
+            app_id, txn_v = txn
+            if prev_txn.get(app_id, -1) >= int(txn_v):
+                return prev  # replayed transaction: already committed
+            prev_txn[app_id] = int(txn_v)
+        version = 0 if prev is None else prev + 1
+        if new_files is None:  # data files are written exactly once
+            new_files, stats = _write_files(df, path, version, stats_cols,
+                                            bloom_cols=bloom_cols)
+        try:
+            return _commit(
+                path, version, prev_m.get("files", []) + new_files, "append",
+                {**prev_m.get("stats", {}), **stats},
+                txn=prev_txn,
+            )
+        except VersionConflictError:
+            continue  # rebase onto the winner's head and retry
+    raise VersionConflictError(
+        f"append to {path} lost the commit race {max_retries + 1} times — "
+        "pathological contention; retry with backoff"
     )
 
 

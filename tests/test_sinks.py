@@ -1394,3 +1394,64 @@ def test_versioned_change_feed_replay_reconstructs_snapshots(spark, tmp_path):
             if r._change_type in ("update_postimage", "insert"):
                 state[r.k] = r.v
     assert state == {r.k: r.v for r in read_version(spark, path).collect()}
+
+
+def test_versioned_append_optimistic_rebase_two_writers(spark, tmp_path):
+    """Optimistic concurrency for appends: two threads appending to the
+    same table race the manifest CAS; losers REBASE onto the winner's
+    head and retry with their already-written files — every batch lands
+    exactly once, no VersionConflictError escapes."""
+    import threading
+
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               latest_version, read_version)
+
+    path = str(tmp_path / "vt")
+    errs: list[Exception] = []
+
+    def writer(base: int) -> None:
+        try:
+            for i in range(4):
+                append_version(
+                    spark.createDataFrame(
+                        [(base + i, float(base + i))], "k long, v double"
+                    ).coalesce(1),
+                    path, stats_cols=["k"],
+                )
+        except Exception as exc:  # surface in the main thread
+            errs.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(b,))
+               for b in (100, 200)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert latest_version(path) == 7  # 8 commits, zero lost
+    got = {r.k for r in read_version(spark, path).collect()}
+    assert got == {100, 101, 102, 103, 200, 201, 202, 203}
+
+
+def test_versioned_latest_version_probes_past_stale_hint(spark, tmp_path):
+    """_latest is a hint: when a losing writer overwrites it with an
+    older version, latest_version probes forward to the true committed
+    head (the manifest exclusive-create is the commit point)."""
+    import os
+
+    from clx_etl_spark.sinks.versioned import (_commit, append_version,
+                                               latest_version)
+
+    path = str(tmp_path / "vt")
+    append_version(
+        spark.createDataFrame([(0,)], "id long").coalesce(1), path
+    )
+    _commit(path, 1, [], "append")
+    # simulate the loser's late hint write
+    with open(os.path.join(path, "_manifests", "_latest"), "w") as fh:
+        fh.write("0")
+    assert latest_version(path) == 1
+    # a half-written claimed slot does NOT advance the probe
+    with open(os.path.join(path, "_manifests", "v2.json"), "w") as fh:
+        fh.write('{"version": 2, "fi')  # torn write
+    assert latest_version(path) == 1
