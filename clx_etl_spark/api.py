@@ -424,6 +424,22 @@ class Engine:
         return sync_rollup_from_table(self.spark, facts_path, rollup_path,
                                       value_col, ts_ms_col, keys, app_id)
 
+    def table_history(self, path: str) -> DataFrame:
+        """Commit history of a versioned table (DESCRIBE HISTORY shape):
+        per-version op, file/byte deltas, change-feed presence, txn
+        summary (sinks/versioned.history)."""
+        from .sinks.versioned import history
+
+        return history(self.spark, path)
+
+    def describe_table(self, path: str) -> dict:
+        """Head-state summary of a versioned table: stats/bloom
+        coverage, constraints, tags, txn watermarks, CDF coverage
+        (sinks/versioned.describe_table)."""
+        from .sinks.versioned import describe_table
+
+        return describe_table(path)
+
     def stream_table_changes(self, path: str,
                              starting_version: int | str = 0,
                              max_versions_per_batch: int = 100) -> DataFrame:

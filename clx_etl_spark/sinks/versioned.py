@@ -1021,6 +1021,105 @@ def expire_versions(path: str, keep_latest: int = 1) -> list[str]:
     return deleted
 
 
+def history(spark: SparkSession, path: str) -> DataFrame:
+    """Commit history as a DataFrame (Delta DESCRIBE HISTORY shape):
+    one row per committed version with its op, file/byte deltas vs the
+    previous manifest, change-feed presence, and txn watermark summary.
+    Driver-side manifest JSON only — kilobytes per version, no data
+    files touched; missing (expired) manifests are skipped."""
+    from pyspark.sql.types import (BooleanType, LongType, StringType,
+                                   StructField, StructType)
+
+    head = latest_version(path)
+    schema = StructType([
+        StructField("version", LongType()),
+        StructField("op", StringType()),
+        StructField("n_files", LongType()),
+        StructField("files_added", LongType()),
+        StructField("files_removed", LongType()),
+        StructField("bytes_total", LongType()),
+        StructField("has_change_feed", BooleanType()),
+        StructField("txn", StringType()),
+    ])
+    rows = []
+    if head is not None:
+        prev_files: set[str] | None = None
+        for v in range(0, head + 1):
+            if not os.path.exists(_manifest_path(path, v)):
+                prev_files = None  # expired gap: deltas restart
+                continue
+            m = _read_manifest(path, v)
+            files = set(m["files"])
+            added = len(files - prev_files) if prev_files is not None else len(files)
+            removed = len(prev_files - files) if prev_files is not None else 0
+            size = 0
+            for f in m["files"]:
+                try:
+                    size += os.path.getsize(f)
+                except OSError:
+                    pass
+            rows.append((
+                v, m["op"], len(m["files"]), added, removed, size,
+                os.path.isdir(_changes_dir(path, v)),
+                json.dumps(m.get("txn", {}), sort_keys=True),
+            ))
+            prev_files = files
+    return spark.createDataFrame(rows, schema)
+
+
+def describe_table(path: str) -> dict:
+    """Operability snapshot of a versioned table: head version, file
+    count/bytes, stats + bloom coverage per column, declared CHECK
+    constraints, tags, txn watermarks, and change-feed coverage.
+    Driver-side metadata only."""
+    head = latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no versions committed at {path}")
+    m = _read_manifest(path, head)
+    stats = m.get("stats", {})
+    n = len(m["files"])
+    col_cov: dict[str, int] = {}
+    bloom_cov: dict[str, int] = {}
+    for fstats in stats.values():
+        for c in fstats:
+            if c.startswith(_BLOOM_KEY):
+                bloom_cov[c[len(_BLOOM_KEY):]] = bloom_cov.get(
+                    c[len(_BLOOM_KEY):], 0) + 1
+            else:
+                col_cov[c] = col_cov.get(c, 0) + 1
+    tags = {}
+    mdir = _manifest_dir(path)
+    for entry in sorted(os.listdir(mdir)):
+        if entry.startswith("tag-"):
+            with open(os.path.join(mdir, entry)) as fh:
+                tags[entry[4:]] = int(fh.read().strip())
+    size = 0
+    for f in m["files"]:
+        try:
+            size += os.path.getsize(f)
+        except OSError:
+            pass
+    cdf_versions = sorted(
+        int(d[1:]) for d in (
+            os.listdir(os.path.join(path, "_changes"))
+            if os.path.isdir(os.path.join(path, "_changes")) else []
+        )
+        if d.startswith("v")
+    )
+    return {
+        "version": head,
+        "op": m["op"],
+        "n_files": n,
+        "bytes_total": size,
+        "stats_coverage": {c: k / n for c, k in col_cov.items()} if n else {},
+        "bloom_coverage": {c: k / n for c, k in bloom_cov.items()} if n else {},
+        "constraints": get_constraints(path),
+        "tags": tags,
+        "txn": {k: int(v) for k, v in m.get("txn", {}).items()},
+        "change_feed_versions": cdf_versions,
+    }
+
+
 def tag_version(path: str, name: str, version: int | None = None) -> int:
     """Name a committed version (Iceberg tag / Delta named snapshot):
     writes ``_manifests/tag-<name>`` pointing at the version number.

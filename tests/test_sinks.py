@@ -1455,3 +1455,40 @@ def test_versioned_latest_version_probes_past_stale_hint(spark, tmp_path):
     with open(os.path.join(path, "_manifests", "v2.json"), "w") as fh:
         fh.write('{"version": 2, "fi')  # torn write
     assert latest_version(path) == 1
+
+
+def test_versioned_history_and_describe(spark, tmp_path):
+    """history() reports per-commit op + file deltas + CDF presence;
+    describe_table() summarizes head state, stats/bloom coverage,
+    constraints, tags, txn watermarks."""
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               describe_table, history,
+                                               merge_version, set_constraints,
+                                               tag_version)
+
+    path = str(tmp_path / "vt")
+    set_constraints(path, {"v_pos": "v >= 0"})
+    append_version(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+        .coalesce(1), path, stats_cols=["k"], bloom_cols=["k"],
+        txn=("app", 0),
+    )
+    merge_version(
+        spark.createDataFrame([(1, 9.0), (3, 3.0)], "k long, v double"),
+        path, keys=["k"], change_feed=True,
+    )
+    tag_version(path, "golden", 0)
+    h = {r.version: r for r in history(spark, path).collect()}
+    assert h[0].op == "append" and h[0].files_added == 1
+    assert h[0].has_change_feed is False and "app" in h[0].txn
+    assert h[1].op == "overwrite" and h[1].has_change_feed is True
+    assert h[1].files_removed >= 1
+    d = describe_table(path)
+    assert d["version"] == 1 and d["op"] == "overwrite"
+    assert d["constraints"] == {"v_pos": "v >= 0"}
+    assert d["tags"] == {"golden": 0}
+    assert d["txn"] == {"app": 0}
+    assert d["stats_coverage"].get("k") == 1.0
+    assert d["bloom_coverage"].get("k") == 1.0  # merge rebuilt the bloom
+    assert d["change_feed_versions"] == [1]
+    assert d["bytes_total"] > 0 and d["n_files"] >= 1
