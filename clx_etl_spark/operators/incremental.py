@@ -131,6 +131,7 @@ def refresh_from_change_feed(
     ts_ms_col: str = "ts_ms",
     keys: tuple[str, ...] = ("event_type",),
     txn: tuple[str, int] | None = None,
+    facts: DataFrame | None = None,
 ) -> int:
     """Incremental view maintenance with RETRACTIONS: fold one window of
     a table's change feed into a VERSIONED daily rollup — the consumer
@@ -146,7 +147,17 @@ def refresh_from_change_feed(
     rewrite to the touched day neighborhood. Pass ``txn=(app_id,
     to_version)`` so a replayed window is a manifest-level no-op:
     change-feed windows are at-least-once-safe end to end. Returns the
-    rollup's new version."""
+    rollup's new version.
+
+    ``facts`` (the CURRENT fact snapshot, i.e. read_version after the
+    window's last commit) opts into EXACT min/max maintenance: extrema
+    don't merge under retraction, so touched groups recompute theirs
+    from the snapshot — a semi-join on the bounded touched-group set,
+    O(touched groups' fact slices), untouched groups keep stored
+    extrema. This is the recompute-on-retraction strategy (the other
+    options are per-group multiset state or wrong answers). Choose at
+    rollup creation and stay consistent: mixing extrema and
+    non-extrema refreshes fails loudly on schema mismatch."""
     from ..sinks.versioned import latest_version, merge_version
 
     delta = retractable_delta_state(changes, value_col, ts_ms_col, keys)
@@ -167,6 +178,20 @@ def refresh_from_change_feed(
         )
     else:
         joined = delta
+    if facts is not None:
+        # exact extrema for the touched groups only: semi-join the fact
+        # snapshot down to the (bounded) touched-group set, one keyed
+        # min/max aggregate; zeroed groups simply find no rows
+        fact_days = facts.withColumn(
+            "day_id", F.expr(f"{ts_ms_col} div {DAY_MS}")
+        )
+        ext = (
+            fact_days.join(joined.select(*dims), dims, "left_semi")
+            .groupBy(*dims)
+            .agg(F.min(value_col).alias("min_v"),
+                 F.max(value_col).alias("max_v"))
+        )
+        joined = joined.join(ext, dims, "left_outer")
     # bounded: delta-group-sized; materialize before the merge rewrites
     # the files the `stored` lineage reads
     joined = joined.localCheckpoint(eager=True)
@@ -184,6 +209,7 @@ def sync_rollup_from_table(
     ts_ms_col: str = "ts_ms",
     keys: tuple[str, ...] = ("event_type",),
     app_id: str = "ivm",
+    extrema: bool = False,
 ) -> int | None:
     """Catch the rollup up to the fact table's head — STATELESS
     maintenance: the cursor is the rollup manifest's own txn watermark
@@ -192,8 +218,10 @@ def sync_rollup_from_table(
     nothing (refresh_from_change_feed commits the new watermark
     atomically with the rollup files). Call it from cron, from a
     foreachBatch hook after each fact commit, or ad hoc — any cadence
-    converges to the same state. Returns the rollup's new version, or
-    None when already caught up."""
+    converges to the same state. ``extrema=True`` additionally
+    maintains exact per-group min/max by recomputing touched groups
+    from the head snapshot (see refresh_from_change_feed). Returns the
+    rollup's new version, or None when already caught up."""
     from ..sinks.versioned import (_read_manifest, latest_version,
                                    table_changes)
 
@@ -208,9 +236,14 @@ def sync_rollup_from_table(
     if applied >= head:
         return None
     changes = table_changes(spark, facts_path, applied, head)
+    facts = None
+    if extrema:
+        from ..sinks.versioned import read_version
+
+        facts = read_version(spark, facts_path, head)
     return refresh_from_change_feed(
         spark, changes, rollup_path, value_col, ts_ms_col, keys,
-        txn=(app_id, head),
+        txn=(app_id, head), facts=facts,
     )
 
 

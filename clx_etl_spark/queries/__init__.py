@@ -78,6 +78,7 @@ SWEEP_FRONT: list[str] = [
     "versioned_cdc_replay",
     "versioned_change_feed",
     "ivm_rollup_from_cdf",
+    "ivm_rollup_extrema_from_cdf",
     "attribution_interval_join",
     # freshness backfill: every query whose last driver row is r01
     "cube_revenue",

@@ -603,6 +603,91 @@ def ivm_rollup_from_cdf(spark, sf):
     return out
 
 
+@register(
+    "ivm_rollup_extrema_from_cdf",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, {EV_MS} AS ts_ms, event_type, value
+                FROM events),
+    final AS (
+      SELECT event_id, ts_ms, event_type,
+             CASE WHEN event_id % 11 = 0 THEN value + 5.0 ELSE value END
+               AS value
+      FROM ev
+      WHERE NOT (event_id % 13 = 0 AND event_id % 11 <> 0))
+    SELECT ts_ms // {DAY_MS} AS day_id, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_v, MAX(value) AS max_v
+    FROM final GROUP BY day_id, event_type
+    """,
+    doc="IVM with EXACT EXTREMA under retraction (the aggregate family "
+    "ivm_rollup_from_cdf deliberately excludes): min/max don't merge "
+    "under deletion, so refresh_from_change_feed(facts=snapshot) "
+    "recomputes them for TOUCHED groups only — a semi-join of the fact "
+    "snapshot onto the bounded touched-group set, untouched groups "
+    "keep stored extrema (recompute-on-retraction, the strategy "
+    "engines with multiset state pay memory for). Same workload as the "
+    "sibling query: two appends, then a change_feed MERGE with value "
+    "updates (%11, which MOVE each group's max up by 5) and deletes "
+    "(%13, which can REMOVE a group's extremum — the case naive "
+    "stale-extrema maintenance gets wrong); the oracle recomputes the "
+    "final state directly, so the hash proves maintained extrema == "
+    "true extrema after both update- and delete-driven movement",
+)
+def ivm_rollup_extrema_from_cdf(spark, sf):
+    import shutil
+    import tempfile
+
+    from ..operators.incremental import refresh_from_change_feed
+    from ..sinks.versioned import (append_version, latest_version,
+                                   merge_version, read_version,
+                                   table_changes)
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "ts_ms", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="clx_ivmx_")
+    facts, rollup = tmp + "/facts", tmp + "/rollup"
+    try:
+        append_version(
+            ev.filter(F.col("event_id") % 2 == 0).coalesce(1), facts,
+            stats_cols=["event_id"],
+        )
+        append_version(
+            ev.filter(F.col("event_id") % 2 == 1).coalesce(1), facts,
+            stats_cols=["event_id"],
+        )
+        refresh_from_change_feed(
+            spark, table_changes(spark, facts, -1), rollup,
+            txn=("ivm", latest_version(facts)),
+            facts=read_version(spark, facts),
+        )
+        upd = ev.filter(F.col("event_id") % 11 == 0).withColumn(
+            "value", F.col("value") + 5.0
+        )
+        dels = ev.filter(F.col("event_id") % 13 == 0).select("event_id")
+        v_before = latest_version(facts)
+        merge_version(upd, facts, keys=["event_id"], deletes=dels,
+                      change_feed=True)
+        refresh_from_change_feed(
+            spark, table_changes(spark, facts, v_before), rollup,
+            txn=("ivm", latest_version(facts)),
+            facts=read_version(spark, facts),
+        )
+        out = (
+            read_version(spark, rollup)
+            .select(
+                "day_id", "event_type", "n",
+                F.col("sum_v").cast("double").alias("sum_value"),
+                "min_v", "max_v",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Snapshot diffing and distribution profiling
 # --------------------------------------------------------------------------

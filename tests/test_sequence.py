@@ -377,6 +377,48 @@ def test_refresh_from_change_feed_retracts_and_replays(spark, tmp_path):
     assert got2 == got1
 
 
+def test_refresh_extrema_recompute_on_retraction(spark, tmp_path):
+    """facts= opts into exact min/max: deleting a group's maximum
+    recomputes that group's extrema from the snapshot, while an
+    untouched group keeps its stored extrema (no recompute, no
+    staleness)."""
+    from pyspark.sql import functions as F
+
+    from clx_etl_spark.operators.incremental import refresh_from_change_feed
+    from clx_etl_spark.sinks.versioned import (append_version, merge_version,
+                                               read_version, table_changes)
+
+    facts = str(tmp_path / "facts")
+    rollup = str(tmp_path / "ru")
+    ev = spark.createDataFrame(
+        [(1, 0, "a", 10.0), (2, 0, "a", 99.0), (3, 0, "b", 7.0),
+         (4, 0, "b", 1.0)],
+        "event_id long, ts_ms long, event_type string, value double",
+    )
+    append_version(ev.coalesce(1), facts, stats_cols=["event_id"])
+    refresh_from_change_feed(
+        spark, table_changes(spark, facts, -1), rollup, txn=("t", 0),
+        facts=read_version(spark, facts),
+    )
+    got0 = {(r.day_id, r.event_type): (r.n, r.min_v, r.max_v)
+            for r in read_version(spark, rollup).collect()}
+    assert got0 == {(0, "a"): (2, 10.0, 99.0), (0, "b"): (2, 1.0, 7.0)}
+    # delete the 'a' maximum — naive stale-extrema maintenance would
+    # keep 99.0; group 'b' is untouched and must not be recomputed
+    merge_version(
+        ev.limit(0), facts, keys=["event_id"],
+        deletes=spark.createDataFrame([(2,)], "event_id long"),
+        change_feed=True,
+    )
+    refresh_from_change_feed(
+        spark, table_changes(spark, facts, 0), rollup, txn=("t", 1),
+        facts=read_version(spark, facts),
+    )
+    got1 = {(r.day_id, r.event_type): (r.n, r.min_v, r.max_v)
+            for r in read_version(spark, rollup).collect()}
+    assert got1 == {(0, "a"): (1, 10.0, 10.0), (0, "b"): (2, 1.0, 7.0)}
+
+
 def test_sync_rollup_from_table_stateless_cursor(spark, tmp_path):
     """sync_rollup_from_table catches up using the rollup manifest's own
     txn watermark as the cursor: repeated calls are no-ops, new fact
