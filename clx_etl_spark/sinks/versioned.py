@@ -982,12 +982,15 @@ def read_changes(
     return spark.read.parquet(*files)
 
 
-def expire_versions(path: str, keep_latest: int = 1) -> list[str]:
+def expire_versions(path: str, keep_latest: int = 1,
+                    dry_run: bool = False) -> list[str]:
     """Drop all but the newest ``keep_latest`` manifests and delete data
     files no surviving manifest references (including crashed-writer
     orphans under data/). TAGGED versions are retention leases: their
     manifests and files always survive — delete the tag file first to
-    release them. Returns the deleted file paths."""
+    release them. Returns the deleted file paths. ``dry_run=True``
+    returns what WOULD be deleted without touching anything (the VACUUM
+    DRY RUN audit before an irreversible reclaim)."""
     latest = latest_version(path)
     if latest is None:
         return []
@@ -1007,17 +1010,21 @@ def expire_versions(path: str, keep_latest: int = 1) -> list[str]:
         for f in sorted(os.listdir(subdir)):
             full = os.path.join(subdir, f)
             if f.endswith(".parquet") and full not in survivors:
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 deleted.append(full)
-        if not any(f.endswith(".parquet") for f in os.listdir(subdir)):
+        if not dry_run and not any(
+            f.endswith(".parquet") for f in os.listdir(subdir)
+        ):
             for leftover in os.listdir(subdir):
                 os.remove(os.path.join(subdir, leftover))
             os.rmdir(subdir)
-    for v in range(0, latest + 1):
-        if v not in keep and os.path.exists(_manifest_path(path, v)):
-            os.remove(_manifest_path(path, v))
-            # an expired version's change set is unreadable history too
-            _drop_change_feed(path, v)
+    if not dry_run:
+        for v in range(0, latest + 1):
+            if v not in keep and os.path.exists(_manifest_path(path, v)):
+                os.remove(_manifest_path(path, v))
+                # an expired version's change set is unreadable history too
+                _drop_change_feed(path, v)
     return deleted
 
 

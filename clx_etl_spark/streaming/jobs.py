@@ -627,6 +627,7 @@ def rollup_maintenance_stream(
     keys: tuple[str, ...] = ("event_type",),
     starting_version: int | str = 0,
     trigger_available_now: bool = True,
+    extrema: bool = False,
 ) -> StreamingQuery:
     """Continuous incremental view maintenance, DECOUPLED from the
     writer: subscribe to a versioned fact table's change feed (the
@@ -643,7 +644,12 @@ def rollup_maintenance_stream(
     rollup manifest's txn watermark (app 'cdf-maintenance', version =
     the batch's max _commit_version) makes a redelivered batch a
     manifest-level no-op — so a crash between sink and checkpoint
-    cannot double-apply."""
+    cannot double-apply.
+
+    ``extrema=True`` maintains exact per-group min/max: touched groups
+    recompute from the fact snapshot AT the batch's last delivered
+    version (a time-travel read — consistent even if the writer has
+    already committed past it)."""
     from ..operators.incremental import refresh_from_change_feed
     from ..sources.cdf_source import stream_changes
 
@@ -654,10 +660,17 @@ def rollup_maintenance_stream(
         row = batch.agg(F.max("_commit_version").alias("v")).first()
         if row["v"] is None:
             return  # empty micro-batch: nothing delivered
+        facts = None
+        if extrema:
+            from ..sinks.versioned import read_version
+
+            facts = read_version(batch.sparkSession, facts_path,
+                                 int(row["v"]))
         refresh_from_change_feed(
             batch.sparkSession, batch, rollup_path,
             value_col, ts_ms_col, keys,
             txn=("cdf-maintenance", int(row["v"])),
+            facts=facts,
         )
 
     writer = changes.writeStream.foreachBatch(sink).option(

@@ -1492,3 +1492,25 @@ def test_versioned_history_and_describe(spark, tmp_path):
     assert d["bloom_coverage"].get("k") == 1.0  # merge rebuilt the bloom
     assert d["change_feed_versions"] == [1]
     assert d["bytes_total"] > 0 and d["n_files"] >= 1
+
+
+def test_expire_versions_dry_run(spark, tmp_path):
+    """dry_run lists exactly what a real expiry would delete and
+    touches nothing."""
+    import os
+
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               expire_versions,
+                                               overwrite_version,
+                                               read_version)
+
+    path = str(tmp_path / "vt")
+    append_version(spark.createDataFrame([(1,)], "id long").coalesce(1), path)
+    overwrite_version(spark.createDataFrame([(2,)], "id long").coalesce(1),
+                      path)
+    would = expire_versions(path, keep_latest=1, dry_run=True)
+    assert len(would) >= 1 and all(os.path.exists(f) for f in would)
+    assert read_version(spark, path, 0).count() == 1  # v0 still readable
+    did = expire_versions(path, keep_latest=1)
+    assert sorted(did) == sorted(would)
+    assert all(not os.path.exists(f) for f in did)
