@@ -503,11 +503,13 @@ class Engine:
 
         return read_changes(self.spark, path, after_version, to_version)
 
-    def expire_table_versions(self, path: str, keep_latest: int = 1) -> list[str]:
-        """Drop old manifests; physically delete only unreferenced files."""
+    def expire_table_versions(self, path: str, keep_latest: int = 1,
+                              dry_run: bool = False) -> list[str]:
+        """Drop old manifests; physically delete only unreferenced files
+        (``dry_run`` lists the reclaim without touching anything)."""
         from .sinks.versioned import expire_versions
 
-        return expire_versions(path, keep_latest)
+        return expire_versions(path, keep_latest, dry_run=dry_run)
 
     def scan_version(self, path: str, col: str, lo, hi,
                      version: int | None = None) -> DataFrame:
