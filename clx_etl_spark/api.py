@@ -504,12 +504,33 @@ class Engine:
         return read_changes(self.spark, path, after_version, to_version)
 
     def expire_table_versions(self, path: str, keep_latest: int = 1,
-                              dry_run: bool = False) -> list[str]:
+                              dry_run: bool = False,
+                              keep_since_ms: int | None = None) -> list[str]:
         """Drop old manifests; physically delete only unreferenced files
-        (``dry_run`` lists the reclaim without touching anything)."""
+        (``dry_run`` lists the reclaim without touching anything;
+        ``keep_since_ms`` additionally retains every version committed
+        at or after that wall-clock time)."""
         from .sinks.versioned import expire_versions
 
-        return expire_versions(path, keep_latest, dry_run=dry_run)
+        return expire_versions(path, keep_latest, dry_run=dry_run,
+                               keep_since_ms=keep_since_ms)
+
+    def read_version_as_of(self, path: str, ts_ms: int) -> DataFrame:
+        """Time-travel read by wall-clock time (``TIMESTAMP AS OF``):
+        the newest version committed at or before ``ts_ms``."""
+        from .sinks.versioned import read_version_as_of
+
+        return read_version_as_of(self.spark, path, ts_ms)
+
+    def clone_table_version(self, src: str, dst: str,
+                            version: int | None = None,
+                            deep: bool = False) -> int:
+        """CLONE a versioned table: shallow (metadata-only, references
+        the source files in place) or deep (physical copy). The clone's
+        history diverges independently; stats/blooms/constraints carry."""
+        from .sinks.versioned import clone_table
+
+        return clone_table(src, dst, version=version, deep=deep)
 
     def scan_version(self, path: str, col: str, lo, hi,
                      version: int | None = None) -> DataFrame:

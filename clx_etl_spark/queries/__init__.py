@@ -80,6 +80,8 @@ SWEEP_FRONT: list[str] = [
     "ivm_rollup_from_cdf",
     "ivm_rollup_extrema_from_cdf",
     "attribution_interval_join",
+    "versioned_clone_divergence",
+    "versioned_time_travel_ts",
     # freshness backfill: every query whose last driver row is r01
     "cube_revenue",
     "j1_semi_active_customers",

@@ -566,3 +566,158 @@ def mm_audio_segments(spark, sf):
 def mm_phash_near_dup(spark, sf):
     docs = load_table(spark, sf, "documents")
     return MM.phash_near_duplicates(MM.media_assets(docs, mime="image/fake"))
+
+
+@register(
+    "versioned_clone_divergence",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_totalprice + 5.0 AS clone_price
+      FROM orders WHERE o_orderkey % 97 = 0),
+    ins AS (
+      SELECT o_orderkey + 100000000 AS o_orderkey, 1.0 AS clone_price
+      FROM orders WHERE o_orderkey % 101 = 0)
+    SELECT u.o_orderkey, o.o_totalprice AS src_price, u.clone_price
+    FROM upd u JOIN orders o USING (o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS DOUBLE) AS src_price, clone_price
+    FROM ins
+    """,
+    doc="Lakehouse shallow CLONE through the ACTUAL storage path "
+    "(sinks/versioned.clone_table — Delta CREATE TABLE CLONE): orders "
+    "seeds a versioned source in two key-range appends with manifest "
+    "key stats, a metadata-only shallow clone references those files "
+    "in place (O(manifest) however large the table), then a MERGE "
+    "lands ONLY on the clone (updates on the %97 residue, inserts "
+    "beyond the key domain). The result is the full-outer divergence "
+    "between the two tables' head snapshots read back from committed "
+    "files — exactly the %97 updates and %101 inserts, which proves "
+    "copy-on-write isolation: the clone's rewrite touched none of the "
+    "shared files the source still reads",
+)
+def versioned_clone_divergence(spark, sf):
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import (append_version, clone_table,
+                                   merge_version, read_version)
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    upd = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 5.0).alias("o_totalprice"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    tmp = tempfile.mkdtemp(prefix="clx_vcd_")
+    src, dst = tmp + "/src", tmp + "/clone"
+    try:
+        hi = orders.agg(F.max("o_orderkey")).first()[0] or 1
+        step = hi // 2 + 1
+        for i in range(2):
+            sl = orders.filter(
+                (F.col("o_orderkey") >= i * step)
+                & (F.col("o_orderkey") < (i + 1) * step)
+            )
+            append_version(sl.coalesce(1), src, stats_cols=["o_orderkey"])
+        clone_table(src, dst)
+        merge_version(upd.unionByName(ins), dst, keys=["o_orderkey"])
+        s = read_version(spark, src).withColumnRenamed(
+            "o_totalprice", "src_price")
+        c = read_version(spark, dst).withColumnRenamed(
+            "o_totalprice", "clone_price")
+        out = (
+            s.join(c, "o_orderkey", "full_outer")
+            .filter(
+                F.col("src_price").isNull()
+                | (F.col("clone_price") != F.col("src_price"))
+            )
+            .select("o_orderkey", "src_price", "clone_price")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
+    "versioned_time_travel_ts",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey < (SELECT MAX(o_orderkey) // 2 + 1 FROM orders)),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders)
+    SELECT CAST(1500 AS BIGINT) AS as_of_ms, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM v0
+    UNION ALL
+    SELECT CAST(2500 AS BIGINT), COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT CAST(9999 AS BIGINT), COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+    FROM v2
+    """,
+    doc="TIMESTAMP AS OF time travel through the ACTUAL storage path "
+    "(sinks/versioned.read_version_as_of — Delta's rule: resolve by "
+    "the log entry's modification time): three commits build the "
+    "history (v0 = low key half, v1 = append of the high half, v2 = "
+    "MERGE updating the %97 residue), their manifest mtimes pinned to "
+    "1000/2000/3000 ms, then three as-of reads (1500/2500/9999 ms) "
+    "must resolve to exactly v0/v1/v2 — each snapshot aggregated from "
+    "the files its manifest references, so the hash oracle checks both "
+    "the resolution rule and the per-version file sets",
+)
+def versioned_time_travel_ts(spark, sf):
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import (_manifest_path, append_version,
+                                   merge_version, read_version_as_of)
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="clx_vtt_")
+    path = tmp + "/t"
+    try:
+        hi = orders.agg(F.max("o_orderkey")).first()[0] or 1
+        step = hi // 2 + 1
+        append_version(
+            orders.filter(F.col("o_orderkey") < step).coalesce(1), path,
+            stats_cols=["o_orderkey"])
+        append_version(
+            orders.filter(F.col("o_orderkey") >= step).coalesce(1), path,
+            stats_cols=["o_orderkey"])
+        upd = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        )
+        merge_version(upd, path, keys=["o_orderkey"])
+        for v, t in [(0, 1.0), (1, 2.0), (2, 3.0)]:
+            os.utime(_manifest_path(path, v), (t, t))
+        legs = []
+        for ts in (1500, 2500, 9999):
+            legs.append(
+                read_version_as_of(spark, path, ts).agg(
+                    F.lit(ts).cast("long").alias("as_of_ms"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                    .cast("double").alias("total"),
+                )
+            )
+        out = legs[0].unionByName(legs[1]).unionByName(
+            legs[2]).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

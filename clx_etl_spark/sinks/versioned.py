@@ -983,18 +983,31 @@ def read_changes(
 
 
 def expire_versions(path: str, keep_latest: int = 1,
-                    dry_run: bool = False) -> list[str]:
+                    dry_run: bool = False,
+                    keep_since_ms: int | None = None) -> list[str]:
     """Drop all but the newest ``keep_latest`` manifests and delete data
     files no surviving manifest references (including crashed-writer
     orphans under data/). TAGGED versions are retention leases: their
     manifests and files always survive — delete the tag file first to
-    release them. Returns the deleted file paths. ``dry_run=True``
-    returns what WOULD be deleted without touching anything (the VACUUM
-    DRY RUN audit before an irreversible reclaim)."""
+    release them. ``keep_since_ms`` adds TIME-BASED retention (Delta's
+    ``logRetentionDuration`` shape): every version committed at or
+    after that wall-clock time also survives, whatever ``keep_latest``
+    says — commit time is the manifest mtime, as in
+    version_as_of_timestamp, so ``TIMESTAMP AS OF`` stays answerable
+    across the retained window. Returns the deleted file paths.
+    ``dry_run=True`` returns what WOULD be deleted without touching
+    anything (the VACUUM DRY RUN audit before an irreversible
+    reclaim)."""
     latest = latest_version(path)
     if latest is None:
         return []
     keep = {v for v in range(latest - keep_latest + 1, latest + 1) if v >= 0}
+    if keep_since_ms is not None:
+        for v in range(0, latest + 1):
+            p = _manifest_path(path, v)
+            if (os.path.exists(p)
+                    and int(os.path.getmtime(p) * 1000) >= keep_since_ms):
+                keep.add(v)
     mdir = _manifest_dir(path)
     for entry in os.listdir(mdir):
         if entry.startswith("tag-"):
@@ -1152,6 +1165,97 @@ def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
         raise FileNotFoundError(f"no tag {name!r} at {path}")
     with open(f) as fh:
         return read_version(spark, path, int(fh.read().strip()))
+
+
+def version_as_of_timestamp(path: str, ts_ms: int) -> int:
+    """``TIMESTAMP AS OF`` resolution: the newest surviving version
+    whose commit time is <= ``ts_ms``. Commit time is the manifest
+    file's modification time — the same resolution rule Delta documents
+    for ``TIMESTAMP AS OF`` (the log entry's modification timestamp),
+    with the same caveat: it reflects the writer host's clock, so skew
+    across writers can reorder apparent commit times. Manifests are
+    written exactly once (exclusive-create in _commit) and never
+    rewritten, so the mtime is stable. Expired (missing) manifests are
+    skipped; asking for a time before the first surviving commit
+    raises, matching Delta's out-of-range error."""
+    head = latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no versions committed at {path}")
+    best = None
+    for v in range(0, head + 1):
+        p = _manifest_path(path, v)
+        if not os.path.exists(p):
+            continue
+        if int(os.path.getmtime(p) * 1000) <= ts_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts_ms} predates the earliest surviving commit "
+            f"at {path} — history before it has been expired or never "
+            "existed"
+        )
+    return best
+
+
+def read_version_as_of(spark: SparkSession, path: str, ts_ms: int) -> DataFrame:
+    """Time-travel read by wall-clock time (``TIMESTAMP AS OF``); see
+    version_as_of_timestamp for the resolution rule."""
+    return read_version(spark, path, version_as_of_timestamp(path, ts_ms))
+
+
+def clone_table(
+    src: str, dst: str, version: int | None = None, deep: bool = False,
+) -> int:
+    """CLONE a versioned table (Delta ``CREATE TABLE ... CLONE`` shape).
+
+    Shallow (default): ``dst``'s version-0 manifest references the
+    source snapshot's data files IN PLACE — a metadata-only, O(manifest)
+    operation however large the table. The clone's history then
+    diverges freely: appends / merges / deletes / compactions against
+    the clone write new files under ``dst`` and never touch the source
+    (copy-on-write makes this safe — versioned data files are
+    immutable). File stats and key blooms carry over verbatim (keys are
+    the referenced paths), so file skipping keeps working; CHECK
+    constraints carry over too. Caveat shared with Delta shallow
+    clones: ``expire_versions`` on the SOURCE can physically delete
+    files the clone still references (the source knows nothing of the
+    clone) — tag the cloned version on the source as a retention lease,
+    or use ``deep=True`` when the source's retention is not under your
+    control.
+
+    Deep: physically copies the snapshot's files under ``dst`` and
+    remaps stats onto the copies — fully independent of source
+    retention.
+
+    Returns the clone's version number (always 0)."""
+    src_v = latest_version(src) if version is None else version
+    if src_v is None:
+        raise FileNotFoundError(f"no versions committed at {src}")
+    m = _read_manifest(src, src_v)
+    if latest_version(dst) is not None:
+        raise FileExistsError(f"{dst} already has committed versions")
+    files, stats = m["files"], dict(m.get("stats", {}))
+    if deep:
+        import shutil
+
+        sub = os.path.join(dst, "data", f"v0-{uuid.uuid4().hex[:8]}")
+        os.makedirs(sub, exist_ok=True)
+        copied, remapped = [], {}
+        for i, f in enumerate(sorted(files)):
+            # index prefix: distinct source dirs may reuse basenames
+            target = os.path.join(sub, f"{i:05d}-{os.path.basename(f)}")
+            shutil.copyfile(f, target)
+            copied.append(target)
+            if f in stats:
+                remapped[target] = stats[f]
+        files, stats = copied, remapped
+    cons = get_constraints(src)
+    if cons:
+        set_constraints(dst, cons)
+    # txn watermarks do NOT carry: the clone is a new table and its
+    # ingest streams start their own exactly-once history (Delta clones
+    # drop SetTransaction state for the same reason)
+    return _commit(dst, 0, files, "clone", stats, txn={})
 
 
 def rollback_version(path: str, to_version: int) -> int:

@@ -1514,3 +1514,132 @@ def test_expire_versions_dry_run(spark, tmp_path):
     did = expire_versions(path, keep_latest=1)
     assert sorted(did) == sorted(would)
     assert all(not os.path.exists(f) for f in did)
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF resolves by manifest mtime: newest commit at or
+    before the asked time; before-first-commit raises; expired
+    manifests are skipped."""
+    import os
+
+    import pytest
+
+    from clx_etl_spark.sinks.versioned import (
+        _manifest_path, append_version, expire_versions, overwrite_version,
+        read_version_as_of, version_as_of_timestamp)
+
+    path = str(tmp_path / "vt")
+    append_version(spark.createDataFrame([(1,)], "id long").coalesce(1), path)
+    append_version(spark.createDataFrame([(2,)], "id long").coalesce(1), path)
+    overwrite_version(spark.createDataFrame([(9,)], "id long").coalesce(1),
+                      path)
+    # pin deterministic commit times: v0@1000ms v1@2000ms v2@3000ms
+    for v, t in [(0, 1.0), (1, 2.0), (2, 3.0)]:
+        os.utime(_manifest_path(path, v), (t, t))
+    assert version_as_of_timestamp(path, 1000) == 0
+    assert version_as_of_timestamp(path, 2500) == 1
+    assert version_as_of_timestamp(path, 99999) == 2
+    assert sorted(
+        r.id for r in read_version_as_of(spark, path, 2500).collect()
+    ) == [1, 2]
+    with pytest.raises(ValueError):
+        version_as_of_timestamp(path, 999)  # predates first commit
+    # expire v0/v1: as-of 2500 now resolves to nothing surviving <= it
+    expire_versions(path, keep_latest=1)
+    with pytest.raises(ValueError):
+        version_as_of_timestamp(path, 2500)
+
+
+def test_expire_time_based_retention(spark, tmp_path):
+    """keep_since_ms retains every version committed in the window even
+    when keep_latest would drop it."""
+    import os
+
+    from clx_etl_spark.sinks.versioned import (
+        _manifest_path, append_version, expire_versions, read_version)
+
+    path = str(tmp_path / "vt")
+    for i in range(4):
+        append_version(
+            spark.createDataFrame([(i,)], "id long").coalesce(1), path)
+    for v, t in [(0, 1.0), (1, 2.0), (2, 3.0), (3, 4.0)]:
+        os.utime(_manifest_path(path, v), (t, t))
+    # keep_latest=1 alone would drop v0-v2; the window keeps v2 (3000ms)
+    expire_versions(path, keep_latest=1, keep_since_ms=3000)
+    assert read_version(spark, path, 2).count() == 3
+    assert read_version(spark, path, 3).count() == 4
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, path, 1)
+
+
+def test_clone_shallow_isolation(spark, tmp_path):
+    """Shallow clone is metadata-only, reads identically, carries
+    stats/blooms/constraints, and diverges independently of the
+    source."""
+    import pytest
+
+    from clx_etl_spark.sinks.versioned import (
+        ConstraintViolation, _read_manifest, append_version, clone_table,
+        merge_version, read_version, set_constraints)
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+    append_version(df.coalesce(1), src, stats_cols=["k"], bloom_cols=["k"])
+    set_constraints(src, {"v_pos": "v >= 0"})
+    v = clone_table(src, dst)
+    assert v == 0
+    m = _read_manifest(dst, 0)
+    assert m["op"] == "clone"
+    # metadata-only: the clone references the source's files in place
+    assert m["files"] == _read_manifest(src, 0)["files"]
+    assert m["stats"]  # stats carried -> file skipping works on the clone
+    assert sorted((r.k, r.v) for r in read_version(spark, dst).collect()) == \
+        [(1, 10), (2, 20), (3, 30)]
+    # constraints carried
+    with pytest.raises(ConstraintViolation):
+        append_version(
+            spark.createDataFrame([(4, -1)], "k long, v long").coalesce(1),
+            dst)
+    # divergence: merge into the clone; source snapshot unchanged
+    merge_version(
+        spark.createDataFrame([(2, 99)], "k long, v long").coalesce(1),
+        dst, keys=["k"])
+    assert sorted((r.k, r.v) for r in read_version(spark, dst).collect()) == \
+        [(1, 10), (2, 99), (3, 30)]
+    assert sorted((r.k, r.v) for r in read_version(spark, src).collect()) == \
+        [(1, 10), (2, 20), (3, 30)]
+
+
+def test_clone_deep_survives_source_expiry(spark, tmp_path):
+    """Deep clone physically copies files (stats remapped onto the
+    copies); expiring + rewriting the source cannot break it, while a
+    shallow clone of the same snapshot goes dark."""
+    import pytest
+
+    from clx_etl_spark.sinks.versioned import (
+        _read_manifest, append_version, clone_table, expire_versions,
+        overwrite_version, read_version)
+
+    src = str(tmp_path / "src")
+    deep = str(tmp_path / "deep")
+    shallow = str(tmp_path / "shallow")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    append_version(df.coalesce(1), src, stats_cols=["k"])
+    clone_table(src, deep, deep=True)
+    clone_table(src, shallow)
+    m = _read_manifest(deep, 0)
+    assert all(f.startswith(deep) for f in m["files"])  # physical copies
+    assert m["stats"] and all(k in m["files"] for k in m["stats"])
+    # rewrite the source and reclaim its old files
+    overwrite_version(
+        spark.createDataFrame([(9, 9)], "k long, v long").coalesce(1), src)
+    expire_versions(src, keep_latest=1)
+    assert sorted(r.k for r in read_version(spark, deep).collect()) == [1, 2]
+    with pytest.raises(Exception):
+        read_version(spark, shallow).collect()  # documented caveat
+    # a second clone into an existing table refuses
+    with pytest.raises(FileExistsError):
+        clone_table(src, deep)
