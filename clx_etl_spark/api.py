@@ -522,6 +522,14 @@ class Engine:
 
         return read_version_as_of(self.spark, path, ts_ms)
 
+    def table_files(self, path: str,
+                    version: int | None = None) -> DataFrame:
+        """Snapshot file inventory (size / rows / stats / blooms per
+        file) — the layout-maintenance operability view."""
+        from .sinks.versioned import files_table
+
+        return files_table(self.spark, path, version)
+
     def clone_table_version(self, src: str, dst: str,
                             version: int | None = None,
                             deep: bool = False) -> int:
@@ -582,15 +590,17 @@ class Engine:
     def compact_table_version(self, path: str,
                               target_bytes: int = 128 << 20,
                               stats_cols: list[str] | None = None,
-                              change_feed: bool = False) -> int:
+                              change_feed: bool = False,
+                              zorder_by: list[str] | None = None) -> int:
         """OPTIMIZE-style small-file compaction of the current version
         (rows unchanged, committed as a new version; prior versions stay
         readable until expiry). ``change_feed`` records an EMPTY change
-        set so table_changes crosses the commit."""
+        set so table_changes crosses the commit; ``zorder_by``
+        additionally Z-order-clusters the rewrite (OPTIMIZE ZORDER BY)."""
         from .sinks.versioned import compact_version
 
         return compact_version(self.spark, path, target_bytes, stats_cols,
-                               change_feed=change_feed)
+                               change_feed=change_feed, zorder_by=zorder_by)
 
     def ingest_dedup_stream(self, docs: DataFrame, corpus_path: str,
                             checkpoint: str, threshold: float = 0.5):

@@ -579,6 +579,8 @@ def compact_version(
     target_bytes: int = 128 << 20,
     stats_cols: list[str] | None = None,
     change_feed: bool = False,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 16,
 ) -> int:
     """OPTIMIZE-style small-file compaction: rewrite the CURRENT
     version's file set into ceil(total/target_bytes) files committed as
@@ -598,7 +600,18 @@ def compact_version(
     scan/merge/delete would degrade to full reads until the next
     stats-bearing commit). The previous head's txn watermarks carry
     through (overwrite_version's default), so replayed streaming
-    batches stay no-ops after compaction."""
+    batches stay no-ops after compaction.
+
+    ``zorder_by`` additionally CLUSTERS the rewrite (Delta ``OPTIMIZE
+    ... ZORDER BY``): rows are range-partitioned and sorted by the
+    Morton interleave of those columns, so every rewritten file gets a
+    tight bounding box in ALL listed dimensions and manifest pruning
+    becomes selective for multi-dimensional predicates — small-file
+    cleanup and layout maintenance in one rewrite, the standard nightly
+    OPTIMIZE job on a streaming-ingested table (ingest appends arrive
+    time-ordered; queries filter on other keys). The zorder columns
+    join the tracked stats so the improved bounding boxes land in the
+    manifest."""
     import math
 
     v = latest_version(path)
@@ -617,7 +630,25 @@ def compact_version(
     total = sum(os.path.getsize(f) for f in files)
     n = max(1, math.ceil(total / target_bytes))
     df = read_version(spark, path, v)
-    if n < len(files):
+    if zorder_by:
+        from pyspark.sql import functions as F
+
+        from .layout import zorder_key
+
+        aggs = []
+        for c in zorder_by:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        row = df.agg(*aggs).first()
+        bounds = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in zorder_by}
+        df = (
+            df.withColumn(
+                "_z", zorder_key(zorder_by, bits=zorder_bits, bounds=bounds))
+            .repartitionByRange(n, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        stats_cols = sorted(set(stats_cols or []) | set(zorder_by))
+    elif n < len(files):
         df = df.repartition(n)
     if change_feed:
         # compaction rewrites file identity, not row state: an EMPTY
@@ -1138,6 +1169,50 @@ def describe_table(path: str) -> dict:
         "txn": {k: int(v) for k, v in m.get("txn", {}).items()},
         "change_feed_versions": cdf_versions,
     }
+
+
+def files_table(spark: SparkSession, path: str,
+                version: int | None = None) -> DataFrame:
+    """The snapshot's file inventory as a DataFrame (Iceberg's
+    ``.files`` metadata table / Delta DESCRIBE DETAIL granularity): one
+    row per data file with its size, row count (parquet footer only —
+    no data read), tracked min/max stats as a JSON map, and which
+    columns carry a key bloom. The operability query behind layout
+    decisions — skew in ``bytes`` says compact, wide ``stats`` boxes
+    say re-cluster (compact_version(zorder_by=...)). Cost is bounded by
+    FILE COUNT (one os.stat + one footer read each, driver-side),
+    never data size."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType)
+
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no versions committed at {path}")
+    m = _read_manifest(path, v)
+    schema = StructType([
+        StructField("file", StringType()),
+        StructField("bytes", LongType()),
+        StructField("rows", LongType()),
+        StructField("stats", StringType()),
+        StructField("bloom_cols", ArrayType(StringType())),
+    ])
+    out = []
+    for f in m["files"]:
+        fstats = m.get("stats", {}).get(f, {})
+        plain = {c: rng for c, rng in fstats.items()
+                 if not c.startswith(_BLOOM_KEY)}
+        blooms = sorted(c[len(_BLOOM_KEY):] for c in fstats
+                        if c.startswith(_BLOOM_KEY))
+        out.append((
+            f,
+            os.path.getsize(f),
+            pq.ParquetFile(f).metadata.num_rows,
+            json.dumps(plain, sort_keys=True, default=str),
+            blooms,
+        ))
+    return spark.createDataFrame(out, schema)
 
 
 def tag_version(path: str, name: str, version: int | None = None) -> int:

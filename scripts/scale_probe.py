@@ -179,6 +179,42 @@ def _probe_ivm_refresh(spark, sf: str) -> float:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _probe_clone(spark, sf: str) -> float:
+    """Non-registry probe: shallow CLONE is metadata-only, so its cost
+    must stay FLAT across the 100x data range (O(manifest), never
+    O(data)). Seeds a versioned table from events in 8 key-range files
+    (setup, untimed), then times clone_table + reading the clone's
+    manifest head — the whole create-a-dev-copy-of-the-lake operation."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clx_etl_spark.catalog import load_table
+    from clx_etl_spark.sinks.versioned import (append_version, clone_table,
+                                               latest_version)
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    row = ev.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi")).head()
+    lo, hi = row["lo"], row["hi"]
+    base = tempfile.mkdtemp(prefix="probe_cl_")
+    src, dst = base + "/src", base + "/clone"
+    try:
+        step = (hi - lo) // 8 + 1
+        for i in range(8):
+            sl = ev.filter(
+                (F.col("event_id") >= lo + i * step)
+                & (F.col("event_id") < lo + (i + 1) * step)
+            )
+            append_version(sl.coalesce(1), src, stats_cols=["event_id"])
+        t0 = time.perf_counter()
+        clone_table(src, dst)
+        assert latest_version(dst) == 0
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("clx-scale-probe")
     reg = load_all()
@@ -203,6 +239,8 @@ def main() -> None:
     results["versioned_delete_range"] = [r["delete_s"] for r in md]
     results["ivm_refresh_cycle"] = [_probe_ivm_refresh(spark, sf)
                                     for sf in SFS]
+    results["versioned_clone_shallow"] = [_probe_clone(spark, sf)
+                                          for sf in SFS]
     ratios = {
         "merge_untouched_ratio": [r["merge_untouched_ratio"] for r in md],
         "delete_untouched_ratio": [r["delete_untouched_ratio"] for r in md],

@@ -1643,3 +1643,61 @@ def test_clone_deep_survives_source_expiry(spark, tmp_path):
     # a second clone into an existing table refuses
     with pytest.raises(FileExistsError):
         clone_table(src, deep)
+
+
+def test_compact_zorder_reclusters(spark, tmp_path):
+    """compact_version(zorder_by=) is OPTIMIZE ZORDER BY: the rewrite
+    re-clusters a time-ordered ingest layout so manifest pruning on the
+    OTHER dimension becomes selective; rows unchanged, txn carried."""
+    from clx_etl_spark.sinks.versioned import (
+        _read_manifest, append_version, compact_version, latest_version,
+        pruned_file_count, read_version)
+
+    path = str(tmp_path / "vt")
+    # streaming-shaped ingest: 8 time-ordered appends, each spanning the
+    # WHOLE key domain -> key pruning is useless before maintenance
+    for t in range(8):
+        batch = spark.range(1000).selectExpr(
+            "id * 8 + {} as k".format(t), "id % 7 as v")
+        append_version(batch.coalesce(1), path, stats_cols=["k"],
+                       txn=("ingest", t))
+    before_open, total_before = pruned_file_count(path, "k", 100, 120)
+    assert before_open == total_before == 8  # every file overlaps
+    v = compact_version(spark, path, target_bytes=8 << 10,
+                        zorder_by=["k", "v"])
+    after_open, total_after = pruned_file_count(path, "k", 100, 120)
+    assert total_after > 1  # the rewrite actually produced several files
+    assert after_open < total_after  # ...with selective k bounding boxes
+    # rows survive bit-identically
+    assert read_version(spark, path, v).count() == 8000
+    assert read_version(spark, path, v).agg({"k": "sum"}).first()[0] == \
+        sum(range(8000))
+    m = _read_manifest(path, latest_version(path))
+    assert m["txn"] == {"ingest": 7}  # exactly-once watermark survives
+    # zorder cols joined the tracked stats
+    assert any("v" in fstats for fstats in m["stats"].values())
+
+
+def test_files_table_inventory(spark, tmp_path):
+    """files_table is the .files metadata view: one row per file with
+    footer row counts, sizes, stats JSON, and bloom presence."""
+    import json as _json
+
+    from clx_etl_spark.sinks.versioned import append_version, files_table
+
+    path = str(tmp_path / "vt")
+    append_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+        .coalesce(1), path, stats_cols=["k"], bloom_cols=["k"])
+    append_version(
+        spark.createDataFrame([(3, "c")], "k long, s string").coalesce(1),
+        path, stats_cols=["k"], bloom_cols=["k"])
+    inv = files_table(spark, path).collect()
+    assert len(inv) == 2
+    assert sum(r.rows for r in inv) == 3
+    assert all(r.bytes > 0 for r in inv)
+    assert all(r.bloom_cols == ["k"] for r in inv)
+    boxes = sorted(tuple(_json.loads(r.stats)["k"]) for r in inv)
+    assert boxes == [[1, 2], [3, 3]] or boxes == [(1, 2), (3, 3)]
+    # old snapshot's inventory is still addressable
+    assert len(files_table(spark, path, version=0).collect()) == 1
