@@ -413,10 +413,12 @@ def append_version(
     manifest CAS triggers a REBASE — re-read the new head, recompute
     file list / stats / txn against it, and retry the commit with the
     ALREADY-WRITTEN data files (no data rewrite; the loop writes only
-    manifest JSON). ``max_retries`` bounds pathological contention;
-    rewriting commits (merge / delete / overwrite) intentionally do NOT
-    rebase — their read-set went stale, so the conflict surfaces as
-    VersionConflictError and the caller re-runs against the new head."""
+    manifest JSON). ``max_retries`` bounds pathological contention.
+    Rewriting commits are stricter: merge_version rebases only when the
+    interleaved commits are PROVABLY key-disjoint appends (semantic
+    conflict detection, see _disjoint_append_interleave); delete /
+    overwrite surface VersionConflictError — their read-set went stale,
+    so the caller re-runs against the new head."""
     _validate_constraints(df, path)
     new_files: list[str] | None = None
     stats: dict = {}
@@ -669,6 +671,59 @@ def compact_version(
                              bloom_cols=bloom_cols, validate=False)
 
 
+def _disjoint_append_interleave(
+    path: str, base_v: int | None, head_v: int | None,
+    base_files: set[str], batch_keys_k: DataFrame, kcol: str,
+) -> list[str] | None:
+    """Semantic conflict detection for a rewriting commit that lost the
+    manifest CAS (Delta's WriteSerializable rule): the loser may rebase
+    iff EVERY interleaved commit is an append AND no appended file can
+    contain any of the batch's keys — proven by the appended files'
+    manifest [min,max] stats on the merge key (a file without stats
+    proves nothing and forces the conservative path). Returns the
+    appended file list when the rebase is safe, else None (true
+    conflict: the merge's read-set went stale and it must re-run
+    against the new head)."""
+    if base_v is None or head_v is None:
+        return None
+    for v in range(base_v + 1, head_v + 1):
+        if not os.path.exists(_manifest_path(path, v)):
+            return None
+        if _read_manifest(path, v)["op"] != "append":
+            return None
+    head_m = _read_manifest(path, head_v)
+    appended = [f for f in head_m["files"] if f not in base_files]
+    stats = head_m.get("stats", {})
+    if any(not stats.get(f, {}).get(kcol) for f in appended):
+        return None
+    if appended:
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        spark = batch_keys_k.sparkSession
+        ktype = batch_keys_k.schema[kcol].dataType
+        iv = spark.createDataFrame(
+            [(f, str(stats[f][kcol][0]), str(stats[f][kcol][1]))
+             for f in appended],
+            StructType([StructField("_file", StringType()),
+                        StructField("_lo", StringType()),
+                        StructField("_hi", StringType())]),
+        ).select(
+            "_file",
+            F.col("_lo").cast(ktype).alias("_lo"),
+            F.col("_hi").cast(ktype).alias("_hi"),
+        )
+        overlap = batch_keys_k.join(
+            F.broadcast(iv),
+            (F.col("_lo").isNull() | F.col("_hi").isNull())
+            | ((F.col(kcol) >= F.col("_lo")) & (F.col(kcol) <= F.col("_hi"))),
+            "inner",
+        ).limit(1).count()
+        if overlap:
+            return None
+    return appended
+
+
 def merge_version(
     updates: DataFrame, path: str, keys: list[str],
     stats_cols: list[str] | None = None,
@@ -687,7 +742,17 @@ def merge_version(
     like append_version: a replayed txn_version is a no-op returning
     the current head, the watermark committing atomically inside the
     manifest — so at-least-once foreachBatch CDC producers get
-    exactly-once merges (streaming/jobs.versioned_cdc_stream). Copy-on-write with FILE PRUNING when the current
+    exactly-once merges (streaming/jobs.versioned_cdc_stream).
+
+    Concurrency (Delta WriteSerializable): losing the manifest CAS to
+    interleaved commits that are all APPENDS provably key-disjoint from
+    this batch (their files' manifest stats on the merge key exclude
+    every batch key) triggers a REBASE — the appended files ride along
+    into the retried commit, no data rewritten, because re-running the
+    merge on the new head would classify identically. Any other
+    interleave (a rewrite, or an append that may contain a batch key)
+    raises VersionConflictError: the read-set is stale and the caller
+    must re-run. Copy-on-write with FILE PRUNING when the current
     manifest carries stats on the first key column: files whose key
     range provably cannot contain any batch key carry into the new
     manifest BY REFERENCE (zero IO); only overlapping files are read,
@@ -869,15 +934,57 @@ def merge_version(
         ) else None,
     )
     carried = {f: stats[f] for f in untouched if f in stats}
-    try:
-        return _commit(
-            path, new_v, untouched + new_files, "overwrite",
-            {**carried, **new_stats}, txn=new_txn,
-        )
-    except VersionConflictError:
-        if change_feed:
-            _drop_change_feed(path, new_v)
-        raise
+    commit_files = untouched + new_files
+    commit_stats = {**carried, **new_stats}
+    base_files = set(m["files"])
+    base_v = prev
+    for _ in range(10):
+        try:
+            return _commit(
+                path, new_v, commit_files, "overwrite",
+                commit_stats, txn=new_txn,
+            )
+        except VersionConflictError:
+            head = latest_version(path)
+            appended = _disjoint_append_interleave(
+                path, base_v, head, base_files, batch_keys_k, kcol)
+            if appended is None:
+                if change_feed:
+                    _drop_change_feed(path, new_v)
+                raise
+            # REBASE (Delta WriteSerializable conflict resolution): every
+            # interleaved commit is an append whose files are PROVABLY
+            # key-disjoint from this batch, so re-running the merge on
+            # the new head would classify and rewrite identically — carry
+            # the appended files + stats into the commit and retry with
+            # the already-written data files (manifest JSON only).
+            head_m = _read_manifest(path, head)
+            head_stats = head_m.get("stats", {})
+            new_txn = {k: int(v) for k, v in head_m.get("txn", {}).items()}
+            if txn is not None:
+                if new_txn.get(txn[0], -1) >= int(txn[1]):
+                    if change_feed:
+                        _drop_change_feed(path, new_v)
+                    return head  # our own replay won the race
+                new_txn[txn[0]] = int(txn[1])
+            old_v, new_v = new_v, head + 1
+            commit_files = untouched + appended + new_files
+            commit_stats = {
+                **{f: head_stats[f] for f in untouched + appended
+                   if f in head_stats},
+                **new_stats,
+            }
+            base_v, base_files = head, set(head_m["files"])
+            untouched = untouched + appended
+            if change_feed and old_v != new_v:
+                os.rename(_changes_dir(path, old_v),
+                          _changes_dir(path, new_v))
+    if change_feed:
+        _drop_change_feed(path, new_v)
+    raise VersionConflictError(
+        f"merge into {path} lost the commit race 10 times against "
+        "disjoint appends — pathological contention; retry with backoff"
+    )
 
 
 def read_version(

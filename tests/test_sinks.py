@@ -1701,3 +1701,103 @@ def test_files_table_inventory(spark, tmp_path):
     assert boxes == [[1, 2], [3, 3]] or boxes == [(1, 2), (3, 3)]
     # old snapshot's inventory is still addressable
     assert len(files_table(spark, path, version=0).collect()) == 1
+
+
+def _seed_merge_race_table(spark, path):
+    from clx_etl_spark.sinks.versioned import append_version
+
+    for lo in (0, 5):
+        append_version(
+            spark.createDataFrame([(k, 0) for k in range(lo, lo + 5)],
+                                  "k long, v long").coalesce(1),
+            path, stats_cols=["k"])
+
+
+def test_merge_rebases_over_disjoint_append(spark, tmp_path, monkeypatch):
+    """A MERGE losing the commit race to a key-disjoint append REBASES
+    (Delta WriteSerializable): the appended rows ride into the retried
+    commit, nothing is lost, no data is rewritten twice."""
+    import clx_etl_spark.sinks.versioned as V
+
+    path = str(tmp_path / "vt")
+    _seed_merge_race_table(spark, path)
+    appended = spark.createDataFrame([(100, 9), (101, 9)], "k long, v long")
+    orig = V._commit
+    fired = {}
+
+    def racing(path_, version, files, op, stats=None, txn=None):
+        if op == "overwrite" and not fired:
+            fired["x"] = True  # concurrent writer lands first
+            V.append_version(appended.coalesce(1), path_, stats_cols=["k"],
+                             txn=("other", 1))
+        return orig(path_, version, files, op, stats, txn)
+
+    monkeypatch.setattr(V, "_commit", racing)
+    batch = spark.createDataFrame([(0, 7), (1, 7)], "k long, v long")
+    v = V.merge_version(batch, path, keys=["k"], txn=("mine", 3))
+    assert v == V.latest_version(path)
+    rows = {r.k: r.v for r in V.read_version(spark, path).collect()}
+    assert rows[0] == 7 and rows[1] == 7          # merge applied
+    assert rows[100] == 9 and rows[101] == 9      # append survived
+    assert len(rows) == 12
+    m = V._read_manifest(path, v)
+    assert m["txn"] == {"other": 1, "mine": 3}    # both watermarks carried
+    # appended file carried by reference with its stats (no rewrite)
+    app_files = set(V._read_manifest(path, v - 1)["files"]) - \
+        set(V._read_manifest(path, v - 2)["files"])
+    assert app_files <= set(m["files"])
+    assert all(m["stats"].get(f, {}).get("k") for f in app_files)
+
+
+def test_merge_conflict_on_overlapping_append(spark, tmp_path, monkeypatch):
+    """An interleaved append that MAY contain a batch key is a true
+    conflict: the merge must surface VersionConflictError, never
+    silently duplicate or drop the racing rows."""
+    import pytest
+
+    import clx_etl_spark.sinks.versioned as V
+
+    path = str(tmp_path / "vt")
+    _seed_merge_race_table(spark, path)
+    orig = V._commit
+    fired = {}
+
+    def racing(path_, version, files, op, stats=None, txn=None):
+        if op == "overwrite" and not fired:
+            fired["x"] = True
+            V.append_version(
+                spark.createDataFrame([(1, 9)], "k long, v long")
+                .coalesce(1), path_, stats_cols=["k"])
+        return orig(path_, version, files, op, stats, txn)
+
+    monkeypatch.setattr(V, "_commit", racing)
+    batch = spark.createDataFrame([(1, 7)], "k long, v long")
+    with pytest.raises(V.VersionConflictError):
+        V.merge_version(batch, path, keys=["k"])
+
+
+def test_merge_rebase_carries_change_feed(spark, tmp_path, monkeypatch):
+    """When a change_feed merge rebases, its change set follows to the
+    final committed version and the feed replays cleanly."""
+    import clx_etl_spark.sinks.versioned as V
+
+    path = str(tmp_path / "vt")
+    _seed_merge_race_table(spark, path)
+    orig = V._commit
+    fired = {}
+
+    def racing(path_, version, files, op, stats=None, txn=None):
+        if op == "overwrite" and not fired:
+            fired["x"] = True
+            V.append_version(
+                spark.createDataFrame([(200, 9)], "k long, v long")
+                .coalesce(1), path_, stats_cols=["k"])
+        return orig(path_, version, files, op, stats, txn)
+
+    monkeypatch.setattr(V, "_commit", racing)
+    batch = spark.createDataFrame([(0, 7), (300, 1)], "k long, v long")
+    v = V.merge_version(batch, path, keys=["k"], change_feed=True)
+    ch = V.table_changes(spark, path, v - 1, v).collect()
+    got = {(r.k, r._change_type) for r in ch}
+    assert (0, "update_postimage") in got and (300, "insert") in got
+    assert all(r._commit_version == v for r in ch)
