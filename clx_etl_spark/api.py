@@ -401,6 +401,21 @@ class Engine:
         return merge_version(updates, path, keys, deletes=deletes, txn=txn,
                              change_feed=change_feed)
 
+    def delete_table_range(self, path: str, col: str, lo, hi,
+                           merge_on_read: bool = False,
+                           change_feed: bool = False) -> tuple[int, int, int]:
+        """Range DELETE from a versioned table. Copy-on-write (default)
+        rewrites only the files whose manifest [min,max] overlap the
+        range (sinks/versioned.delete_version). ``merge_on_read=True``
+        rewrites NOTHING — deleted row positions land in a deletion
+        vector readers anti-join away, O(deleted rows) write
+        amplification for narrow deletes; compaction purges the debt
+        (sinks/versioned.delete_version_dv)."""
+        from .sinks.versioned import delete_version, delete_version_dv
+
+        fn = delete_version_dv if merge_on_read else delete_version
+        return fn(self.spark, path, col, lo, hi, change_feed=change_feed)
+
     def set_table_constraints(self, path: str,
                               constraints: dict[str, str]) -> None:
         """Declare CHECK constraints on a versioned table (Delta ADD

@@ -82,6 +82,7 @@ SWEEP_FRONT: list[str] = [
     "attribution_interval_join",
     "versioned_clone_divergence",
     "versioned_time_travel_ts",
+    "versioned_dv_delete",
     # freshness backfill: every query whose last driver row is r01
     "cube_revenue",
     "j1_semi_active_customers",

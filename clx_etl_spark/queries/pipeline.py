@@ -178,6 +178,67 @@ def versioned_point_lookup(spark, sf):
 
 
 @register(
+    "versioned_dv_delete",
+    oracle="""
+    WITH b AS (SELECT MAX(o_orderkey) // 4 + 1 AS step FROM orders)
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o, b
+    WHERE NOT (o.o_orderkey BETWEEN b.step // 2
+                                AND b.step // 2 + b.step // 10)
+      AND NOT (o.o_orderkey BETWEEN 3 * b.step + b.step // 2
+                                AND 3 * b.step + b.step // 2 + b.step // 10)
+    """,
+    doc="Merge-on-read DELETE through the ACTUAL lakehouse write path "
+    "(sinks/versioned.delete_version_dv — Delta deletion vectors): "
+    "orders seeds a versioned table in four key-range appends, then two "
+    "narrow range deletes land as deletion vectors — row positions in a "
+    "parquet sidecar, anti-joined away on read — and the query ASSERTS "
+    "the manifest file list is byte-identical to the seeded one (zero "
+    "data-file churn; at 100 TB a GDPR purge writes kilobytes, not "
+    "terabytes). The returned rows are read back dv-applied from the "
+    "committed snapshot, so the hash oracle checks the merge-on-read "
+    "read path end-to-end",
+)
+def versioned_dv_delete(spark, sf):
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import (_read_manifest, append_version,
+                                   delete_version_dv, latest_version,
+                                   read_version)
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="clx_vdv_")
+    path = tmp + "/t"
+    try:
+        hi = orders.agg(F.max("o_orderkey")).first()[0] or 1
+        step = hi // 4 + 1
+        for i in range(4):
+            sl = orders.filter(
+                (F.col("o_orderkey") >= i * step)
+                & (F.col("o_orderkey") < (i + 1) * step)
+            )
+            append_version(sl.coalesce(1), path, stats_cols=["o_orderkey"])
+        seeded = _read_manifest(path, latest_version(path))["files"]
+        delete_version_dv(spark, path, "o_orderkey",
+                          step // 2, step // 2 + step // 10)
+        delete_version_dv(spark, path, "o_orderkey",
+                          3 * step + step // 2,
+                          3 * step + step // 2 + step // 10)
+        m = _read_manifest(path, latest_version(path))
+        if m["files"] != seeded:
+            raise AssertionError(
+                "merge-on-read delete rewrote data files"
+            )
+        out = read_version(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
     "versioned_change_feed",
     oracle="""
     WITH appends AS (

@@ -134,9 +134,23 @@ def latest_version(path: str) -> int | None:
     return v
 
 
+_READER_FEATURES = {"deletion-vectors"}
+
+
 def _read_manifest(path: str, version: int) -> dict:
     with open(_manifest_path(path, version)) as fh:
-        return json.load(fh)
+        m = json.load(fh)
+    # forward-compat guard (Delta's reader protocol version): a manifest
+    # written by a future engine revision with a feature this reader
+    # cannot honor must fail LOUDLY, not silently return wrong rows
+    # (e.g. ignoring deletion vectors would resurrect deleted rows)
+    unknown = set(m.get("reader_features", [])) - _READER_FEATURES
+    if unknown:
+        raise ValueError(
+            f"{path} v{version} requires unsupported reader features "
+            f"{sorted(unknown)} — upgrade the engine to read this table"
+        )
+    return m
 
 
 _BLOOM_KEY = "__bloom__:"  # manifest stats key prefix for per-file blooms
@@ -186,6 +200,97 @@ def _bloom_any_hit(bloom: dict, seeds: list[tuple[int, int]]) -> bool:
         ):
             return True
     return False
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read deletes — Delta DV shape)
+#
+# A DV commit leaves every data file in place and instead records the
+# POSITIONS of deleted rows: one parquet directory per commit under
+# <table>/_dv/, rows of (_file, _pos) keyed by Spark's stable
+# ``_metadata.file_path`` / ``_metadata.row_index``. The manifest maps
+# each affected data file -> [{"d": dv_dir, "n": rows_deleted}, ...]
+# (lists accumulate across commits; reads union them). Readers apply DVs
+# as a (file, pos) LEFT ANTI join — the DV side is O(deleted rows), tiny
+# relative to the table, so AQE broadcasts it; a dv-free table takes the
+# exact pre-DV read path (zero overhead). Write amplification of a
+# narrow delete drops from "rewrite every touched file" to "write the
+# deleted positions" — at 100 TB a GDPR purge of a few thousand rows
+# scattered across thousands of files writes kilobytes, not terabytes.
+# The read-amplification debt (metadata columns + anti-join per scan) is
+# repaid by compact_version, which materializes DV-applied rows and
+# commits a dv-free snapshot (Delta's REORG ... APPLY (PURGE)).
+
+_DV_FILE = "_file"
+_DV_POS = "_pos"
+
+
+def _dv_root(path: str) -> str:
+    return os.path.join(path, "_dv")
+
+
+def _dv_dirs_for(manifest: dict, files: list[str]) -> list[str]:
+    dv_map = manifest.get("dv", {})
+    return sorted({e["d"] for f in files for e in dv_map.get(f, [])})
+
+
+def _read_with_dv(
+    spark: SparkSession, files: list[str], manifest: dict,
+    with_pos: bool = False,
+) -> DataFrame:
+    """Snapshot read of ``files`` with the manifest's deletion vectors
+    applied. ``with_pos=True`` keeps the ``_file``/``_pos`` identity
+    columns (DV writers need them); otherwise the schema is exactly the
+    data schema. A dv-free read is a plain ``spark.read.parquet`` — no
+    metadata columns, no join."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    dirs = _dv_dirs_for(manifest, files)
+    if not dirs and not with_pos:
+        return df
+    cols = df.columns
+    # normalize the file_path URI (file:/x or file:///x) to the plain
+    # local path the manifest keys files by — dv rows, manifest entries,
+    # and this join column all share one key form
+    df = (
+        df.withColumn(
+            _DV_FILE,
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+        )
+        .withColumn(_DV_POS, F.col("_metadata.row_index"))
+    )
+    if dirs:
+        # dv rows for files outside this read simply never match the
+        # anti-join — shared per-commit dv dirs need no re-filtering
+        dv = spark.read.parquet(*dirs).select(_DV_FILE, _DV_POS)
+        df = df.join(dv, [_DV_FILE, _DV_POS], "left_anti")
+    return df if with_pos else df.select(*cols)
+
+
+def _write_dv(
+    matches: DataFrame, path: str, version: int
+) -> tuple[str, dict[str, int]]:
+    """Persist a commit's deleted positions (``_file``/``_pos`` columns
+    of ``matches``) as one parquet dir; returns (dv_dir, per-manifest-
+    file deleted-row counts). The count pass reads only the just-written
+    positions parquet — O(deleted rows), grouped down to file names."""
+    dvdir = os.path.join(_dv_root(path), f"v{version}-{uuid.uuid4().hex[:8]}")
+    spark = matches.sparkSession
+    matches.select(_DV_FILE, _DV_POS).write.mode("overwrite").parquet(dvdir)
+    counts = {
+        r[_DV_FILE]: int(r["n"])
+        for r in spark.read.parquet(dvdir)
+        .groupBy(_DV_FILE).agg({"*": "count"})
+        .withColumnRenamed("count(1)", "n").collect()
+    }
+    return dvdir, counts
+
+
+def _drop_dv_dir(dvdir: str) -> None:
+    import shutil
+
+    shutil.rmtree(dvdir, ignore_errors=True)
 
 
 def _write_files(
@@ -358,10 +463,18 @@ def _commit(
     op: str,
     stats: dict | None = None,
     txn: dict | None = None,
+    dv: dict | None = None,
 ) -> int:
     os.makedirs(_manifest_dir(path), exist_ok=True)
     manifest = {"version": version, "op": op, "files": files,
                 "stats": stats or {}, "txn": txn or {}}
+    # only files still in the snapshot keep their deletion vectors; a
+    # dv-bearing manifest declares the reader feature so an older engine
+    # revision fails loudly instead of resurrecting deleted rows
+    dv = {f: e for f, e in (dv or {}).items() if f in set(files) and e}
+    if dv:
+        manifest["dv"] = dv
+        manifest["reader_features"] = ["deletion-vectors"]
     # CAS-style guard: exclusive-create of the manifest is the atomic
     # commit point (mirrors Delta's "put-if-absent on the next JSON
     # log entry"); a concurrent writer that computed the same next
@@ -440,6 +553,9 @@ def append_version(
                 path, version, prev_m.get("files", []) + new_files, "append",
                 {**prev_m.get("stats", {}), **stats},
                 txn=prev_txn,
+                # carried files keep their deletion vectors — dropping the
+                # map here would resurrect merge-on-read-deleted rows
+                dv=prev_m.get("dv"),
             )
         except VersionConflictError:
             continue  # rebase onto the winner's head and retry
@@ -542,10 +658,7 @@ def scan_version(
     keep = _files_for_scan(m, col, lo, hi)
     if not keep:
         return read_version(spark, path, v).limit(0).filter(F.col(col).between(lo, hi))
-    return (
-        spark.read.option("mergeSchema", "true").parquet(*keep)
-        .filter(F.col(col).between(lo, hi))
-    )
+    return _read_with_dv(spark, keep, m).filter(F.col(col).between(lo, hi))
 
 
 def _files_for_scan(manifest: dict, col: str, lo, hi) -> list[str]:
@@ -613,7 +726,13 @@ def compact_version(
     OPTIMIZE job on a streaming-ingested table (ingest appends arrive
     time-ordered; queries filter on other keys). The zorder columns
     join the tracked stats so the improved bounding boxes land in the
-    manifest."""
+    manifest.
+
+    Compaction also PURGES deletion vectors (Delta ``REORG ... APPLY
+    (PURGE)``): the rewrite materializes the dv-applied rows, the new
+    manifest carries no dv map, reads drop the anti-join, and manifest
+    stats tighten back onto the live rows (expire then reclaims the
+    sidecars)."""
     import math
 
     v = latest_version(path)
@@ -884,7 +1003,9 @@ def merge_version(
         gone = up.select(*keys)
         if del_keys is not None:
             gone = gone.unionByName(del_keys).distinct()
-        stored_slice = spark.read.option("mergeSchema", "true").parquet(*rewrite)
+        # dv-applied read: rows merge-on-read-deleted from the rewrite
+        # slice must not resurrect; rewritten files come out dv-free
+        stored_slice = _read_with_dv(spark, rewrite, m)
         merged = stored_slice.join(gone, keys, "left_anti").unionByName(up)
     else:
         merged = up
@@ -936,13 +1057,14 @@ def merge_version(
     carried = {f: stats[f] for f in untouched if f in stats}
     commit_files = untouched + new_files
     commit_stats = {**carried, **new_stats}
+    commit_dv = m.get("dv")  # untouched files keep their deletion vectors
     base_files = set(m["files"])
     base_v = prev
     for _ in range(10):
         try:
             return _commit(
                 path, new_v, commit_files, "overwrite",
-                commit_stats, txn=new_txn,
+                commit_stats, txn=new_txn, dv=commit_dv,
             )
         except VersionConflictError:
             head = latest_version(path)
@@ -975,6 +1097,7 @@ def merge_version(
                 **new_stats,
             }
             base_v, base_files = head, set(head_m["files"])
+            commit_dv = head_m.get("dv")  # appends carry dv forward
             untouched = untouched + appended
             if change_feed and old_v != new_v:
                 os.rename(_changes_dir(path, old_v),
@@ -990,14 +1113,16 @@ def merge_version(
 def read_version(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
-    """Snapshot read: the exact file set of ``version`` (default latest).
-    mergeSchema handles append-time column evolution — files committed
-    before a column existed read it as NULL."""
+    """Snapshot read: the exact file set of ``version`` (default latest),
+    with the manifest's deletion vectors applied (a dv-free snapshot is
+    a plain parquet read — zero overhead). mergeSchema handles
+    append-time column evolution — files committed before a column
+    existed read it as NULL."""
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no versions committed at {path}")
-    files = _read_manifest(path, v)["files"]
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    m = _read_manifest(path, v)
+    return _read_with_dv(spark, m["files"], m)
 
 
 def _changes_dir(path: str, version: int) -> str:
@@ -1110,8 +1235,10 @@ def read_changes(
     for v in range(after_version + 1, to_v + 1):
         if _read_manifest(path, v)["op"] != "append":
             raise ValueError(
-                f"version {v} is an overwrite; incremental reads are only "
-                "exact across append-only ranges — re-read the snapshot"
+                f"version {v} rewrote row state (op "
+                f"{_read_manifest(path, v)['op']!r}); incremental reads "
+                "are only exact across append-only ranges — re-read the "
+                "snapshot"
             )
     base = set(_read_manifest(path, after_version)["files"])
     files = [f for f in _read_manifest(path, to_v)["files"] if f not in base]
@@ -1152,8 +1279,13 @@ def expire_versions(path: str, keep_latest: int = 1,
             with open(os.path.join(mdir, entry)) as fh:
                 keep.add(int(fh.read().strip()))
     survivors: set[str] = set()
+    dv_survivors: set[str] = set()
     for v in keep:
-        survivors.update(_read_manifest(path, v)["files"])
+        m = _read_manifest(path, v)
+        survivors.update(m["files"])
+        dv_survivors.update(
+            e["d"] for es in m.get("dv", {}).values() for e in es
+        )
     deleted: list[str] = []
     data_root = os.path.join(path, "data")
     for sub in sorted(os.listdir(data_root)) if os.path.exists(data_root) else []:
@@ -1170,6 +1302,15 @@ def expire_versions(path: str, keep_latest: int = 1,
             for leftover in os.listdir(subdir):
                 os.remove(os.path.join(subdir, leftover))
             os.rmdir(subdir)
+    # dv sidecars no surviving manifest references (expired deletes,
+    # crashed/CAS-losing writers' orphans) are reclaimable the same way
+    dv_root = _dv_root(path)
+    for d in sorted(os.listdir(dv_root)) if os.path.isdir(dv_root) else []:
+        full = os.path.join(dv_root, d)
+        if full not in dv_survivors:
+            if not dry_run:
+                _drop_dv_dir(full)
+            deleted.append(full)
     if not dry_run:
         for v in range(0, latest + 1):
             if v not in keep and os.path.exists(_manifest_path(path, v)):
@@ -1264,6 +1405,7 @@ def describe_table(path: str) -> dict:
         )
         if d.startswith("v")
     )
+    dv_map = m.get("dv", {})
     return {
         "version": head,
         "op": m["op"],
@@ -1275,6 +1417,12 @@ def describe_table(path: str) -> dict:
         "tags": tags,
         "txn": {k: int(v) for k, v in m.get("txn", {}).items()},
         "change_feed_versions": cdf_versions,
+        # merge-on-read debt: files carrying deletion vectors and the
+        # total rows anti-joined on every read — compact_version purges
+        "dv_files": len(dv_map),
+        "dv_deleted_rows": sum(
+            e["n"] for es in dv_map.values() for e in es
+        ),
     }
 
 
@@ -1304,7 +1452,9 @@ def files_table(spark: SparkSession, path: str,
         StructField("rows", LongType()),
         StructField("stats", StringType()),
         StructField("bloom_cols", ArrayType(StringType())),
+        StructField("dv_deleted", LongType()),
     ])
+    dv_map = m.get("dv", {})
     out = []
     for f in m["files"]:
         fstats = m.get("stats", {}).get(f, {})
@@ -1315,9 +1465,11 @@ def files_table(spark: SparkSession, path: str,
         out.append((
             f,
             os.path.getsize(f),
+            # physical footer rows; live rows = rows - dv_deleted
             pq.ParquetFile(f).metadata.num_rows,
             json.dumps(plain, sort_keys=True, default=str),
             blooms,
+            sum(e["n"] for e in dv_map.get(f, [])),
         ))
     return spark.createDataFrame(out, schema)
 
@@ -1417,27 +1569,70 @@ def clone_table(
     if latest_version(dst) is not None:
         raise FileExistsError(f"{dst} already has committed versions")
     files, stats = m["files"], dict(m.get("stats", {}))
+    dv = {f: list(e) for f, e in m.get("dv", {}).items()}
     if deep:
         import shutil
 
         sub = os.path.join(dst, "data", f"v0-{uuid.uuid4().hex[:8]}")
         os.makedirs(sub, exist_ok=True)
-        copied, remapped = [], {}
+        copied, remapped, path_map = [], {}, {}
         for i, f in enumerate(sorted(files)):
             # index prefix: distinct source dirs may reuse basenames
             target = os.path.join(sub, f"{i:05d}-{os.path.basename(f)}")
             shutil.copyfile(f, target)
             copied.append(target)
+            path_map[f] = target
             if f in stats:
                 remapped[target] = stats[f]
+        if dv:
+            # deletion vectors key rows by (file path, row position);
+            # byte-identical copies preserve positions, so the dv rows
+            # remap 1:1 onto the copied paths — rewritten into ONE
+            # consolidated sidecar under the clone (O(deleted rows))
+            dv = _remap_dv(dv, path_map, dst)
         files, stats = copied, remapped
     cons = get_constraints(src)
     if cons:
         set_constraints(dst, cons)
     # txn watermarks do NOT carry: the clone is a new table and its
     # ingest streams start their own exactly-once history (Delta clones
-    # drop SetTransaction state for the same reason)
-    return _commit(dst, 0, files, "clone", stats, txn={})
+    # drop SetTransaction state for the same reason). Shallow clones
+    # reference the source's dv sidecars in place — the same
+    # source-retention caveat as the data files.
+    return _commit(dst, 0, files, "clone", stats, txn={}, dv=dv)
+
+
+def _remap_dv(
+    dv: dict, path_map: dict[str, str], dst: str
+) -> dict:
+    """Deep-clone helper: rewrite the source snapshot's dv rows with
+    file paths remapped onto the copied files, as one consolidated
+    sidecar under ``dst``. Driver-side pyarrow over O(deleted rows)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dirs = sorted({e["d"] for es in dv.values() for e in es})
+    parts = [
+        pq.read_table(p)
+        for d in dirs
+        for p in sorted(glob.glob(os.path.join(d, "*.parquet")))
+    ]
+    t = pa.concat_tables(parts)
+    pdf = t.to_pandas()
+    pdf = pdf[pdf[_DV_FILE].isin(path_map)].copy()
+    pdf[_DV_FILE] = pdf[_DV_FILE].map(path_map)
+    dvdir = os.path.join(_dv_root(dst), f"v0-{uuid.uuid4().hex[:8]}")
+    os.makedirs(dvdir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(dvdir, "part-00000.parquet"),
+    )
+    return {
+        f: [{"d": dvdir, "n": int(n)}]
+        for f, n in pdf.groupby(_DV_FILE).size().items()
+    }
 
 
 def rollback_version(path: str, to_version: int) -> int:
@@ -1455,8 +1650,11 @@ def rollback_version(path: str, to_version: int) -> int:
     m = _read_manifest(path, to_version)
     head = latest_version(path) or 0
     head_txn = _read_manifest(path, head).get("txn", {})
+    # the restored snapshot's deletion vectors come back with it —
+    # expire_versions keeps dv dirs referenced by any surviving manifest,
+    # so a restorable to_version implies its dv dirs still exist
     return _commit(path, head + 1, m["files"], "overwrite",
-                   m.get("stats", {}), txn=head_txn)
+                   m.get("stats", {}), txn=head_txn, dv=m.get("dv"))
 
 
 def delete_version(
@@ -1496,7 +1694,7 @@ def delete_version(
     if rewrite:
         from pyspark.sql import functions as F
 
-        slice_df = spark.read.option("mergeSchema", "true").parquet(*rewrite)
+        slice_df = _read_with_dv(spark, rewrite, m)
         remaining = slice_df.filter(~F.col(col).between(lo, hi))
         if change_feed:
             _write_change_feed(
@@ -1522,9 +1720,97 @@ def delete_version(
         _commit(
             path, new_v, untouched + new_files, "overwrite",
             {**carried_stats, **new_stats}, txn=m.get("txn", {}),
+            dv=m.get("dv"),  # untouched files keep their deletion vectors
         )
     except VersionConflictError:
         if change_feed:
             _drop_change_feed(path, new_v)
         raise
     return new_v, len(untouched), len(rewrite)
+
+
+def delete_version_dv(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    change_feed: bool = False,
+) -> tuple[int, int, int]:
+    """Merge-on-read range DELETE (Delta DELETE with deletion vectors):
+    no data file is rewritten — the commit records the POSITIONS of the
+    deleted rows in a tiny parquet sidecar under ``_dv/`` and maps them
+    to their files in the manifest; every reader anti-joins them away.
+    Write amplification is O(deleted rows) regardless of file layout —
+    the shape for frequent narrow deletes (GDPR erasure, bad-record
+    tombstones) where copy-on-write ``delete_version`` would rewrite a
+    wide slice for a handful of rows. The trade is read amplification
+    (a broadcast anti-join per scan), repaid by ``compact_version``,
+    which materializes dv-applied rows and commits a dv-free snapshot
+    (Delta ``REORG ... APPLY (PURGE)``).
+
+    Candidate files come from the same manifest [min,max] pruning as
+    the copy-on-write path; rows already dv-deleted are excluded before
+    matching, so repeated overlapping deletes never double-count.
+    Manifest min/max stats and blooms of dv-bearing files become
+    conservative (the deleted rows may have been the extrema) — pruning
+    stays correct, merely looser until compaction refreshes them.
+
+    ``change_feed=True`` persists the deleted rows (tagged 'delete')
+    for ``table_changes`` — exact, because positions are derived from
+    the same dv-applied match. The commit records op 'delete-dv': row
+    state changed without an append, so ``read_changes`` refuses to
+    cross it silently, mirroring the copy-on-write delete.
+
+    Returns (new_version, files_with_new_dv, rows_deleted). A delete
+    matching nothing still commits (an empty delete is a recorded
+    decision, same as the copy-on-write path)."""
+    from pyspark.sql import functions as F
+
+    v = latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no versions committed at {path}")
+    m = _read_manifest(path, v)
+    stats = m.get("stats", {})
+    candidates = [
+        f for f in m["files"]
+        if _stat_overlaps(lo, hi, stats.get(f, {}).get(col))
+    ]
+    new_v = v + 1
+    dv_map = {f: list(e) for f, e in m.get("dv", {}).items()}
+    dvdir = None
+    counts: dict[str, int] = {}
+    if candidates:
+        matches = _read_with_dv(spark, candidates, m, with_pos=True).filter(
+            F.col(col).between(lo, hi)
+        )
+        dvdir, counts = _write_dv(matches, path, new_v)
+        if not counts:
+            _drop_dv_dir(dvdir)
+            dvdir = None
+        else:
+            for f, n in counts.items():
+                dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
+    if change_feed:
+        # deterministic re-derivation from files still on disk; empty
+        # when nothing matched so table_changes can cross the commit
+        deleted = (
+            _read_with_dv(spark, candidates, m).filter(
+                F.col(col).between(lo, hi))
+            if candidates else read_version(spark, path, v).limit(0)
+        )
+        _write_change_feed(
+            deleted.withColumn("_change_type", F.lit("delete")), path, new_v
+        )
+    try:
+        _commit(
+            path, new_v, m["files"], "delete-dv", stats,
+            txn=m.get("txn", {}), dv=dv_map,
+        )
+    except VersionConflictError:
+        if dvdir:
+            _drop_dv_dir(dvdir)
+        if change_feed:
+            _drop_change_feed(path, new_v)
+        raise
+    return new_v, len(counts), sum(counts.values())

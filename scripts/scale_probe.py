@@ -79,16 +79,20 @@ def _probe_merge_delete(spark, sf: str) -> dict:
     domain — the per-file-membership case a global-interval prune would
     rewrite wholesale — and (b) a narrow range DELETE. Reports wall
     times AND the untouched-file ratios, so pruning is measured, not
-    asserted."""
+    asserted. A third leg runs the same-width delete MERGE-ON-READ
+    (delete_version_dv): zero files rewritten by construction, so the
+    measured signal is the sidecar-bytes-to-table-bytes ratio — the
+    write amplification a deletion vector buys down."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
     from clx_etl_spark.catalog import load_table
-    from clx_etl_spark.sinks.versioned import (_read_manifest,
+    from clx_etl_spark.sinks.versioned import (_dv_root, _read_manifest,
                                                append_version,
                                                delete_version,
+                                               delete_version_dv,
                                                latest_version, merge_version)
 
     ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
@@ -116,11 +120,27 @@ def _probe_merge_delete(spark, sf: str) -> dict:
             spark, path, "event_id", lo + step, lo + step + step // 4
         )
         delete_s = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        delete_version_dv(
+            spark, path, "event_id",
+            lo + 2 * step, lo + 2 * step + step // 4,
+        )
+        dv_delete_s = round(time.perf_counter() - t0, 3)
+        dv_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(_dv_root(path)) for f in fs
+        )
+        table_bytes = sum(
+            os.path.getsize(f)
+            for f in _read_manifest(path, latest_version(path))["files"]
+        )
         return {
             "merge_s": merge_s,
             "delete_s": delete_s,
+            "dv_delete_s": dv_delete_s,
             "merge_untouched_ratio": round(kept / len(before), 3),
             "delete_untouched_ratio": round(unt / (unt + rew), 3),
+            "dv_bytes_ratio": round(dv_bytes / table_bytes, 5),
         }
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
@@ -237,6 +257,7 @@ def main() -> None:
     md = [_probe_merge_delete(spark, sf) for sf in SFS]
     results["versioned_merge_narrow"] = [r["merge_s"] for r in md]
     results["versioned_delete_range"] = [r["delete_s"] for r in md]
+    results["versioned_delete_dv"] = [r["dv_delete_s"] for r in md]
     results["ivm_refresh_cycle"] = [_probe_ivm_refresh(spark, sf)
                                     for sf in SFS]
     results["versioned_clone_shallow"] = [_probe_clone(spark, sf)
@@ -244,6 +265,7 @@ def main() -> None:
     ratios = {
         "merge_untouched_ratio": [r["merge_untouched_ratio"] for r in md],
         "delete_untouched_ratio": [r["delete_untouched_ratio"] for r in md],
+        "dv_bytes_ratio": [r["dv_bytes_ratio"] for r in md],
     }
     print(json.dumps({"sfs": SFS, "times": results, "pruning": ratios}))
     print(f"\n{'query':32s} {'sf.001':>8s} {'sf.01':>8s} {'sf.1':>8s} "

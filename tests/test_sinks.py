@@ -1725,12 +1725,12 @@ def test_merge_rebases_over_disjoint_append(spark, tmp_path, monkeypatch):
     orig = V._commit
     fired = {}
 
-    def racing(path_, version, files, op, stats=None, txn=None):
+    def racing(path_, version, files, op, stats=None, txn=None, **kw):
         if op == "overwrite" and not fired:
             fired["x"] = True  # concurrent writer lands first
             V.append_version(appended.coalesce(1), path_, stats_cols=["k"],
                              txn=("other", 1))
-        return orig(path_, version, files, op, stats, txn)
+        return orig(path_, version, files, op, stats, txn, **kw)
 
     monkeypatch.setattr(V, "_commit", racing)
     batch = spark.createDataFrame([(0, 7), (1, 7)], "k long, v long")
@@ -1762,13 +1762,13 @@ def test_merge_conflict_on_overlapping_append(spark, tmp_path, monkeypatch):
     orig = V._commit
     fired = {}
 
-    def racing(path_, version, files, op, stats=None, txn=None):
+    def racing(path_, version, files, op, stats=None, txn=None, **kw):
         if op == "overwrite" and not fired:
             fired["x"] = True
             V.append_version(
                 spark.createDataFrame([(1, 9)], "k long, v long")
                 .coalesce(1), path_, stats_cols=["k"])
-        return orig(path_, version, files, op, stats, txn)
+        return orig(path_, version, files, op, stats, txn, **kw)
 
     monkeypatch.setattr(V, "_commit", racing)
     batch = spark.createDataFrame([(1, 7)], "k long, v long")
@@ -1786,13 +1786,13 @@ def test_merge_rebase_carries_change_feed(spark, tmp_path, monkeypatch):
     orig = V._commit
     fired = {}
 
-    def racing(path_, version, files, op, stats=None, txn=None):
+    def racing(path_, version, files, op, stats=None, txn=None, **kw):
         if op == "overwrite" and not fired:
             fired["x"] = True
             V.append_version(
                 spark.createDataFrame([(200, 9)], "k long, v long")
                 .coalesce(1), path_, stats_cols=["k"])
-        return orig(path_, version, files, op, stats, txn)
+        return orig(path_, version, files, op, stats, txn, **kw)
 
     monkeypatch.setattr(V, "_commit", racing)
     batch = spark.createDataFrame([(0, 7), (300, 1)], "k long, v long")

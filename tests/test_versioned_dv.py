@@ -1,0 +1,281 @@
+"""Deletion-vector (merge-on-read DELETE) tests for sinks/versioned.py:
+no-rewrite deletes, dv carry-through across append/merge/delete/rollback/
+clone, purge on compaction, sidecar reclaim on expire, the change-feed
+leg, and the reader-features forward-compat guard (Delta DV semantics;
+reference has no lakehouse layer — this is the beyond-§2 surface)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from clx_etl_spark.sinks.versioned import (
+    _dv_root,
+    _read_manifest,
+    append_version,
+    clone_table,
+    compact_version,
+    delete_version,
+    delete_version_dv,
+    describe_table,
+    expire_versions,
+    files_table,
+    merge_version,
+    read_version,
+    rollback_version,
+    scan_version,
+    table_changes,
+)
+
+
+def _seed(spark, path, blocks=(0, 100, 200), bloom=False):
+    """One 50-row file per block with id stats (and optional blooms)."""
+    for lo in blocks:
+        append_version(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(50)],
+                "id long, v string",
+            ).coalesce(1),
+            path,
+            stats_cols=["id"],
+            bloom_cols=["id"] if bloom else None,
+        )
+
+
+def test_dv_delete_rewrites_nothing(spark, tmp_path):
+    """The headline: a narrow dv delete leaves every data file
+    byte-identical on disk, the manifest file list unchanged, and the
+    rows gone from every reader."""
+    path = str(tmp_path / "vt")
+    _seed(spark, path)
+    m2 = _read_manifest(path, 2)
+    sizes = {f: (os.path.getsize(f), os.path.getmtime(f)) for f in m2["files"]}
+    v, files_with_dv, n_deleted = delete_version_dv(spark, path, "id", 110, 120)
+    assert (v, files_with_dv, n_deleted) == (3, 1, 11)
+    m = _read_manifest(path, v)
+    assert m["files"] == m2["files"]  # zero data-file churn
+    assert m["op"] == "delete-dv"
+    assert m.get("reader_features") == ["deletion-vectors"]
+    for f in m2["files"]:
+        assert (os.path.getsize(f), os.path.getmtime(f)) == sizes[f]
+    ids = {r.id for r in read_version(spark, path).collect()}
+    assert ids == (
+        set(range(0, 50)) | set(range(100, 150)) | set(range(200, 250))
+    ) - set(range(110, 121))
+    # time travel to before the delete still sees everything
+    assert read_version(spark, path, 2).count() == 150
+    # scan_version applies the dv too (the deleted range scans empty,
+    # its neighbors intact)
+    assert scan_version(spark, path, "id", 110, 120).count() == 0
+    assert scan_version(spark, path, "id", 100, 130).count() == 20
+    # observability: describe + files_table surface the dv debt
+    d = describe_table(path)
+    assert (d["dv_files"], d["dv_deleted_rows"]) == (1, 11)
+    inv = {r.file: r for r in files_table(spark, path).collect()}
+    assert sum(r.dv_deleted for r in inv.values()) == 11
+    dv_file = next(f for f, r in inv.items() if r.dv_deleted)
+    assert inv[dv_file].rows == 50  # physical footer rows unchanged
+
+
+def test_dv_cumulative_no_double_count(spark, tmp_path):
+    """Overlapping dv deletes accumulate; already-deleted positions are
+    excluded before matching, so re-deleting the same range adds zero."""
+    path = str(tmp_path / "vt")
+    _seed(spark, path, blocks=(0,))
+    assert delete_version_dv(spark, path, "id", 10, 19)[2] == 10
+    # overlap [15, 24]: only 20..24 are still live
+    assert delete_version_dv(spark, path, "id", 15, 24)[2] == 5
+    # exact replay: nothing live in range -> no dv entry added
+    v, files_with_dv, n = delete_version_dv(spark, path, "id", 10, 24)
+    assert (files_with_dv, n) == (0, 0)
+    m = _read_manifest(path, v)
+    assert sum(len(e) for e in m["dv"].values()) == 2  # no empty 3rd entry
+    ids = {r.id for r in read_version(spark, path).collect()}
+    assert ids == set(range(50)) - set(range(10, 25))
+    d = describe_table(path)
+    assert d["dv_deleted_rows"] == 15
+
+
+def test_dv_empty_delete_still_commits(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _seed(spark, path, blocks=(0,))
+    v, files_with_dv, n = delete_version_dv(spark, path, "id", 900, 999)
+    assert (v, files_with_dv, n) == (1, 0, 0)
+    assert "dv" not in _read_manifest(path, v)
+    assert read_version(spark, path).count() == 50
+
+
+def test_dv_survives_append_and_merge(spark, tmp_path):
+    """Appends and merges carry the dv map: deleted rows stay deleted;
+    a merge whose rewrite slice includes a dv-bearing file must not
+    resurrect its deleted rows, and untouched files keep their dv."""
+    path = str(tmp_path / "vt")
+    _seed(spark, path)
+    delete_version_dv(spark, path, "id", 110, 120)
+    # append: dv carried, deleted ids still gone, new rows visible
+    append_version(
+        spark.createDataFrame([(300 + i, f"v{300 + i}") for i in range(10)],
+                              "id long, v string").coalesce(1),
+        path, stats_cols=["id"],
+    )
+    ids = {r.id for r in read_version(spark, path).collect()}
+    assert 115 not in ids and 300 in ids and len(ids) == 149
+    # merge updating a key in the dv-bearing file: that file rewrites
+    # dv-applied; the other files keep their (non-)dv entries
+    batch = spark.createDataFrame([(125, "UPDATED")], "id long, v string")
+    v = merge_version(batch, path, keys=["id"])
+    m = _read_manifest(path, v)
+    assert "dv" not in m  # the only dv-bearing file was rewritten clean
+    out = {r.id: r.v for r in read_version(spark, path).collect()}
+    assert out[125] == "UPDATED"
+    assert len(out) == 149 and 115 not in out  # no resurrection
+
+
+def test_dv_merge_keeps_untouched_file_dv(spark, tmp_path):
+    """A merge whose key neighborhood excludes the dv-bearing file must
+    carry that file's dv entries into the new manifest."""
+    path = str(tmp_path / "vt")
+    _seed(spark, path)
+    delete_version_dv(spark, path, "id", 0, 4)  # dv on the 0-49 file
+    batch = spark.createDataFrame([(205, "UPDATED")], "id long, v string")
+    v = merge_version(batch, path, keys=["id"])
+    m = _read_manifest(path, v)
+    assert sum(e["n"] for es in m["dv"].values() for e in es) == 5
+    out = {r.id: r.v for r in read_version(spark, path).collect()}
+    assert out[205] == "UPDATED" and 0 not in out and len(out) == 145
+
+
+def test_dv_then_cow_delete(spark, tmp_path):
+    """Copy-on-write delete over a dv-bearing table: the rewritten slice
+    reads dv-applied, untouched files keep their dv entries."""
+    path = str(tmp_path / "vt")
+    _seed(spark, path)
+    delete_version_dv(spark, path, "id", 0, 4)
+    v, untouched, rewritten = delete_version(spark, path, "id", 110, 120)
+    assert (untouched, rewritten) == (2, 1)
+    m = _read_manifest(path, v)
+    assert sum(e["n"] for es in m["dv"].values() for e in es) == 5
+    ids = {r.id for r in read_version(spark, path).collect()}
+    assert ids == (
+        set(range(5, 50)) | set(range(100, 150)) | set(range(200, 250))
+    ) - set(range(110, 121))
+
+
+def test_dv_compaction_purges(spark, tmp_path):
+    """Compaction materializes dv-applied rows and commits dv-free
+    (REORG APPLY PURGE); expire then reclaims the orphaned sidecars."""
+    path = str(tmp_path / "vt")
+    _seed(spark, path)
+    delete_version_dv(spark, path, "id", 110, 120)
+    before = read_version(spark, path).count()
+    compact_version(spark, path)
+    m = _read_manifest(path, 4)
+    assert "dv" not in m and "reader_features" not in m
+    assert read_version(spark, path).count() == before == 139
+    assert describe_table(path)["dv_deleted_rows"] == 0
+    assert os.listdir(_dv_root(path))  # sidecar still held by history
+    gone = expire_versions(path, keep_latest=1)
+    assert any("_dv" in p for p in gone)
+    assert not os.path.isdir(_dv_root(path)) or not os.listdir(_dv_root(path))
+    assert read_version(spark, path).count() == 139
+
+
+def test_dv_expire_keeps_referenced_sidecars(spark, tmp_path):
+    """expire keep_latest=1 right after a dv commit must KEEP the
+    referenced sidecar (and the head stays readable)."""
+    path = str(tmp_path / "vt")
+    _seed(spark, path)
+    delete_version_dv(spark, path, "id", 110, 120)
+    deleted = expire_versions(path, keep_latest=1)
+    assert not any("_dv" in p for p in deleted)
+    assert read_version(spark, path).count() == 139
+
+
+def test_dv_rollback_restores_dv_state(spark, tmp_path):
+    """RESTORE to a dv-bearing version brings its deletion vectors back;
+    restore to a pre-dv version clears them."""
+    path = str(tmp_path / "vt")
+    _seed(spark, path, blocks=(0,))
+    delete_version_dv(spark, path, "id", 10, 19)  # v1: dv
+    append_version(
+        spark.createDataFrame([(100, "x")], "id long, v string"), path,
+        stats_cols=["id"],
+    )  # v2
+    rollback_version(path, 1)  # v3 == v1's state
+    assert {r.id for r in read_version(spark, path).collect()} == (
+        set(range(50)) - set(range(10, 20))
+    )
+    assert "dv" in _read_manifest(path, 3)
+    rollback_version(path, 0)  # v4 == pre-dv state
+    assert read_version(spark, path).count() == 50
+    assert "dv" not in _read_manifest(path, 4)
+
+
+def test_dv_clone_shallow_and_deep(spark, tmp_path):
+    """Shallow clones reference dv sidecars in place; deep clones remap
+    positions onto the copied files and survive source expiry."""
+    src = str(tmp_path / "src")
+    _seed(spark, src)
+    delete_version_dv(spark, src, "id", 110, 120)
+    want = {r.id for r in read_version(spark, src).collect()}
+
+    shallow = str(tmp_path / "shallow")
+    clone_table(src, shallow)
+    assert {r.id for r in read_version(spark, shallow).collect()} == want
+
+    deep = str(tmp_path / "deep")
+    clone_table(src, deep, deep=True)
+    m = _read_manifest(deep, 0)
+    assert sum(e["n"] for es in m["dv"].values() for e in es) == 11
+    # every remapped dv path lives under the clone
+    assert all(f.startswith(deep) for f in m["dv"])
+    assert all(e["d"].startswith(deep) for es in m["dv"].values() for e in es)
+    assert {r.id for r in read_version(spark, deep).collect()} == want
+    # deep clone is independent: nuke the source entirely
+    import shutil
+
+    shutil.rmtree(src)
+    assert {r.id for r in read_version(spark, deep).collect()} == want
+
+
+def test_dv_change_feed(spark, tmp_path):
+    """change_feed=True on a dv delete records the deleted rows exactly;
+    table_changes crosses the commit."""
+    path = str(tmp_path / "vt")
+    _seed(spark, path, blocks=(0,))
+    delete_version_dv(spark, path, "id", 10, 14, change_feed=True)
+    ch = table_changes(spark, path, after_version=0).collect()
+    assert {(r.id, r._change_type, r._commit_version) for r in ch} == {
+        (i, "delete", 1) for i in range(10, 15)
+    }
+    # without change_feed the row-level delta doesn't exist -> loud error
+    delete_version_dv(spark, path, "id", 20, 24)
+    with pytest.raises(ValueError, match="without a recorded change set"):
+        table_changes(spark, path, after_version=1).collect()
+
+
+def test_dv_point_lookup_with_bloom(spark, tmp_path):
+    """Bloom-pruned point lookups stay correct over dv-bearing files:
+    a dv-deleted key scans empty, a live key in the same file scans."""
+    path = str(tmp_path / "vt")
+    _seed(spark, path, bloom=True)
+    delete_version_dv(spark, path, "id", 115, 115)
+    assert scan_version(spark, path, "id", 115, 115).count() == 0
+    assert scan_version(spark, path, "id", 116, 116).count() == 1
+
+
+def test_reader_features_forward_compat_guard(spark, tmp_path):
+    """A manifest declaring a feature this reader lacks fails LOUDLY on
+    read instead of silently returning wrong rows."""
+    path = str(tmp_path / "vt")
+    _seed(spark, path, blocks=(0,))
+    mp = os.path.join(path, "_manifests", "v0.json")
+    with open(mp) as fh:
+        m = json.load(fh)
+    m["reader_features"] = ["deletion-vectors", "column-mapping-v9"]
+    with open(mp, "w") as fh:
+        json.dump(m, fh)
+    with pytest.raises(ValueError, match="column-mapping-v9"):
+        read_version(spark, path)
