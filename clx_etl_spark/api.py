@@ -389,17 +389,22 @@ class Engine:
                             keys: list[str],
                             deletes: DataFrame | None = None,
                             txn: tuple[str, int] | None = None,
-                            change_feed: bool = False) -> int:
+                            change_feed: bool = False,
+                            merge_on_read: bool = False) -> int:
         """Keyed MERGE into a versioned table (WHEN MATCHED UPDATE /
         DELETE, WHEN NOT MATCHED INSERT): file pruning by manifest key
         ranges + blooms rewrites only the batch's key neighborhood;
         ``txn`` makes replays manifest-level no-ops; ``change_feed``
         persists the row-level change set for ``table_changes``
-        (sinks/versioned.merge_version)."""
-        from .sinks.versioned import merge_version
+        (sinks/versioned.merge_version). ``merge_on_read=True`` instead
+        dv-tombstones matched rows and appends only the batch — O(batch)
+        write amplification, repaid at compaction
+        (sinks/versioned.merge_version_dv)."""
+        from .sinks.versioned import merge_version, merge_version_dv
 
-        return merge_version(updates, path, keys, deletes=deletes, txn=txn,
-                             change_feed=change_feed)
+        fn = merge_version_dv if merge_on_read else merge_version
+        return fn(updates, path, keys, deletes=deletes, txn=txn,
+                  change_feed=change_feed)
 
     def delete_table_range(self, path: str, col: str, lo, hi,
                            merge_on_read: bool = False,

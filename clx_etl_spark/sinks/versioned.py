@@ -843,6 +843,72 @@ def _disjoint_append_interleave(
     return appended
 
 
+def _untouched_files_for_batch(
+    spark: SparkSession, m: dict, batch_keys_k: DataFrame, kcol: str, ktype,
+) -> list[str]:
+    """Per-file key-membership pruning shared by merge_version (copy-on-
+    write) and merge_version_dv / delete_keys_dv (merge-on-read): the
+    files whose manifest [min,max] on ``kcol`` — and per-file bloom,
+    when present — provably exclude EVERY batch key. Stat-less files
+    and files whose stats don't coerce into the key domain are never
+    returned (conservative). Cost: one map-side pass of the distinct
+    batch keys over the broadcast manifest-bounded interval list, plus
+    (for narrow batches over bloomed files) one bounded key collect
+    hashed once per key; collects are file NAMES, never data."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    stats = m.get("stats", {})
+    have_stats = [f for f in m["files"] if stats.get(f, {}).get(kcol)]
+    if not have_stats:
+        return []
+    iv = spark.createDataFrame(
+        [(f, str(stats[f][kcol][0]), str(stats[f][kcol][1]))
+         for f in have_stats],
+        StructType([StructField("_file", StringType()),
+                    StructField("_lo", StringType()),
+                    StructField("_hi", StringType())]),
+    ).select(
+        "_file",
+        F.col("_lo").cast(ktype).alias("_lo"),
+        F.col("_hi").cast(ktype).alias("_hi"),
+    ).localCheckpoint(eager=True)
+    # stats that don't cast into the key domain can't prove anything:
+    # those files rewrite conservatively (iv is manifest-bounded, so
+    # this collect is file names, not data)
+    bad = {r._file for r in
+           iv.filter(F.col("_lo").isNull() | F.col("_hi").isNull())
+           .collect()}
+    touched = {
+        r._file
+        for r in batch_keys_k.join(
+            F.broadcast(iv),
+            (F.col(kcol) >= F.col("_lo")) & (F.col(kcol) <= F.col("_hi")),
+            "inner",
+        ).select("_file").distinct().collect()
+    }
+    # second-stage prune: per-file key BLOOMS catch batch keys that
+    # fall inside a file's [min,max] GAP. Only worth driver-side work
+    # for narrow batches (the CDC/point-upsert case blooms exist
+    # for) — a bounded key collect, each key hashed once, bitmap
+    # probes per file; any budget/shape miss keeps the file
+    # (conservative).
+    bloomed = [f for f in touched
+               if stats.get(f, {}).get(_BLOOM_KEY + kcol)]
+    if bloomed:
+        n_keys = batch_keys_k.count()
+        if 0 < n_keys * len(bloomed) <= _BLOOM_PROBE_BUDGET:
+            keys_list = [r[0] for r in batch_keys_k.collect()]
+            if all(isinstance(v, (int, str)) for v in keys_list):
+                seeds = [_bloom_seed(v) for v in keys_list]
+                for f in bloomed:
+                    if not _bloom_any_hit(
+                        stats[f][_BLOOM_KEY + kcol], seeds
+                    ):
+                        touched.discard(f)
+    return [f for f in have_stats if f not in touched and f not in bad]
+
+
 def merge_version(
     updates: DataFrame, path: str, keys: list[str],
     stats_cols: list[str] | None = None,
@@ -944,59 +1010,9 @@ def merge_version(
     if del_keys is not None:
         batch_keys_k = batch_keys_k.unionByName(del_keys.select(kcol))
     batch_keys_k = batch_keys_k.distinct()
-    if have_stats:
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import StringType, StructField, StructType
-
-        ktype = up.schema[kcol].dataType
-        iv = spark.createDataFrame(
-            [(f, str(stats[f][kcol][0]), str(stats[f][kcol][1]))
-             for f in have_stats],
-            StructType([StructField("_file", StringType()),
-                        StructField("_lo", StringType()),
-                        StructField("_hi", StringType())]),
-        ).select(
-            "_file",
-            F.col("_lo").cast(ktype).alias("_lo"),
-            F.col("_hi").cast(ktype).alias("_hi"),
-        ).localCheckpoint(eager=True)
-        # stats that don't cast into the key domain can't prove anything:
-        # those files rewrite conservatively (iv is manifest-bounded, so
-        # this collect is file names, not data)
-        bad = {r._file for r in
-               iv.filter(F.col("_lo").isNull() | F.col("_hi").isNull())
-               .collect()}
-        touched = {
-            r._file
-            for r in batch_keys_k.join(
-                F.broadcast(iv),
-                (F.col(kcol) >= F.col("_lo")) & (F.col(kcol) <= F.col("_hi")),
-                "inner",
-            ).select("_file").distinct().collect()
-        }
-        # second-stage prune: per-file key BLOOMS catch batch keys that
-        # fall inside a file's [min,max] GAP. Only worth driver-side work
-        # for narrow batches (the CDC/point-upsert case blooms exist
-        # for) — a bounded key collect, each key hashed once, bitmap
-        # probes per file; any budget/shape miss keeps the file
-        # (conservative).
-        bloomed = [f for f in touched
-                   if stats.get(f, {}).get(_BLOOM_KEY + kcol)]
-        if bloomed:
-            n_keys = batch_keys_k.count()
-            if 0 < n_keys * len(bloomed) <= _BLOOM_PROBE_BUDGET:
-                keys_list = [r[0] for r in batch_keys_k.collect()]
-                if all(isinstance(v, (int, str)) for v in keys_list):
-                    seeds = [_bloom_seed(v) for v in keys_list]
-                    for f in bloomed:
-                        if not _bloom_any_hit(
-                            stats[f][_BLOOM_KEY + kcol], seeds
-                        ):
-                            touched.discard(f)
-        untouched = [f for f in have_stats
-                     if f not in touched and f not in bad]
-    else:
-        untouched = []
+    untouched = _untouched_files_for_batch(
+        spark, m, batch_keys_k, kcol, up.schema[kcol].dataType
+    )
     rewrite = [f for f in m["files"] if f not in set(untouched)]
     stored_slice = None
     if rewrite:
@@ -1814,3 +1830,215 @@ def delete_version_dv(
             _drop_change_feed(path, new_v)
         raise
     return new_v, len(counts), sum(counts.values())
+
+
+def delete_keys_dv(
+    spark: SparkSession,
+    path: str,
+    key_rows: DataFrame,
+    keys: list[str],
+    txn: tuple[str, int] | None = None,
+    change_feed: bool = False,
+) -> tuple[int, int, int]:
+    """Merge-on-read KEYED delete (the GDPR / CDC tombstone shape):
+    every stored row matching a key tuple in ``key_rows`` is
+    dv-tombstoned — no data file is rewritten and no file is added.
+    Candidate files come from the same per-file key-membership pruning
+    as merge_version (manifest [min,max] + blooms on ``keys[0]``), so a
+    purge of a few ids over a z-ordered 100 TB table semi-joins a
+    handful of files and writes kilobytes. ``txn`` gives exactly-once
+    replays (a CDC delete stream's foreachBatch); ``change_feed=True``
+    records the deleted rows for ``table_changes``. Returns
+    (new_version, files_with_new_dv, rows_deleted)."""
+    from pyspark.sql import functions as F  # noqa: F401  (parity w/ range)
+
+    v = latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no versions committed at {path}")
+    m = _read_manifest(path, v)
+    new_txn = {k: int(x) for k, x in m.get("txn", {}).items()}
+    if txn is not None:
+        app_id, txn_v = txn
+        if new_txn.get(app_id, -1) >= int(txn_v):
+            return v, 0, 0  # replayed transaction: already committed
+        new_txn[app_id] = int(txn_v)
+    kcol = keys[0]
+    gone = key_rows.select(*keys).distinct()
+    untouched = _untouched_files_for_batch(
+        spark, m, gone.select(kcol).distinct(), kcol,
+        gone.schema[kcol].dataType,
+    )
+    candidates = [f for f in m["files"] if f not in set(untouched)]
+    new_v = v + 1
+    dv_map = {f: list(e) for f, e in m.get("dv", {}).items()}
+    dvdir = None
+    counts: dict[str, int] = {}
+    if candidates:
+        matches = _read_with_dv(spark, candidates, m, with_pos=True).join(
+            gone, keys, "semi"
+        )
+        dvdir, counts = _write_dv(matches, path, new_v)
+        if not counts:
+            _drop_dv_dir(dvdir)
+            dvdir = None
+        else:
+            for f, n in counts.items():
+                dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
+    if change_feed:
+        from pyspark.sql import functions as F
+
+        deleted = (
+            _read_with_dv(spark, candidates, m).join(gone, keys, "semi")
+            if candidates else read_version(spark, path, v).limit(0)
+        )
+        _write_change_feed(
+            deleted.withColumn("_change_type", F.lit("delete")), path, new_v
+        )
+    try:
+        _commit(
+            path, new_v, m["files"], "delete-dv", m.get("stats", {}),
+            txn=new_txn, dv=dv_map,
+        )
+    except VersionConflictError:
+        if dvdir:
+            _drop_dv_dir(dvdir)
+        if change_feed:
+            _drop_change_feed(path, new_v)
+        raise
+    return new_v, len(counts), sum(counts.values())
+
+
+def merge_version_dv(
+    updates: DataFrame, path: str, keys: list[str],
+    stats_cols: list[str] | None = None,
+    deletes: DataFrame | None = None,
+    txn: tuple[str, int] | None = None,
+    change_feed: bool = False,
+) -> int:
+    """Merge-on-read MERGE (Delta MERGE over deletion vectors): the
+    full WHEN MATCHED UPDATE / DELETE, WHEN NOT MATCHED INSERT triad
+    with write amplification O(batch) instead of O(touched files) —
+    matched stored rows are dv-tombstoned IN PLACE (positions in a
+    ``_dv/`` sidecar), and the batch's update+insert rows append as new
+    files; no existing data file is rewritten. The shape for frequent
+    narrow CDC upserts into a wide z-ordered table, where copy-on-write
+    ``merge_version`` would rewrite each touched file for a handful of
+    rows per commit. The accumulated read debt (one broadcast anti-join
+    per scan, loosening stats) is repaid by ``compact_version``; the
+    steady state is many cheap dv merges punctuated by one purging
+    OPTIMIZE — Delta's documented DV-MERGE maintenance cycle.
+
+    Same contracts as merge_version: last-wins within the batch, a key
+    in both ``updates`` and ``deletes`` survives as its update row,
+    ``txn`` makes replays manifest no-ops, candidate files come from
+    the shared per-file key-membership pruning (manifest [min,max] +
+    blooms), already-dv-deleted rows are excluded before matching, and
+    ``change_feed=True`` persists the exact row-level change set. The
+    op records 'merge-dv' (row state changed without a rewrite —
+    incremental append readers refuse to cross it, like a delete).
+    CONCURRENCY is conservative: losing the manifest CAS raises
+    VersionConflictError (no append-rebase path — re-run on the new
+    head); use copy-on-write merge_version where racing appenders are
+    the norm."""
+    prev = latest_version(path)
+    if prev is None:
+        # initial write: no stored rows to tombstone — identical to a
+        # copy-on-write merge into an empty table
+        return merge_version(updates, path, keys, stats_cols=stats_cols,
+                             deletes=deletes, txn=txn,
+                             change_feed=change_feed)
+    m = _read_manifest(path, prev)
+    new_txn = {k: int(x) for k, x in m.get("txn", {}).items()}
+    if txn is not None:
+        app_id, txn_v = txn
+        if new_txn.get(app_id, -1) >= int(txn_v):
+            return prev  # replayed transaction: already committed
+        new_txn[app_id] = int(txn_v)
+    from pyspark.sql import functions as F
+
+    from .upsert import _dedup_updates
+
+    spark = updates.sparkSession
+    up = _dedup_updates(updates, keys)
+    _validate_constraints(up, path)
+    del_keys = deletes.select(*keys).distinct() if deletes is not None else None
+    kcol = keys[0]
+    stats = m.get("stats", {})
+    batch_keys_k = up.select(kcol)
+    if del_keys is not None:
+        batch_keys_k = batch_keys_k.unionByName(del_keys.select(kcol))
+    batch_keys_k = batch_keys_k.distinct()
+    untouched = _untouched_files_for_batch(
+        spark, m, batch_keys_k, kcol, up.schema[kcol].dataType
+    )
+    candidates = [f for f in m["files"] if f not in set(untouched)]
+    new_v = prev + 1
+    # tombstone every stored row sharing a batch key (update or delete)
+    gone = up.select(*keys)
+    if del_keys is not None:
+        gone = gone.unionByName(del_keys).distinct()
+    dv_map = {f: list(e) for f, e in m.get("dv", {}).items()}
+    dvdir = None
+    stored_slice = None
+    if candidates:
+        stored_pos = _read_with_dv(spark, candidates, m, with_pos=True)
+        matches = stored_pos.join(gone, keys, "semi")
+        dvdir, counts = _write_dv(matches, path, new_v)
+        if not counts:
+            _drop_dv_dir(dvdir)
+            dvdir = None
+        else:
+            for f, n in counts.items():
+                dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
+        stored_slice = stored_pos.drop(_DV_FILE, _DV_POS)
+    try:
+        if change_feed:
+            from functools import reduce as _reduce
+
+            # conservative pruning => every stored row sharing a batch
+            # key is in stored_slice; classification is exact (the same
+            # argument as merge_version's change feed)
+            up_k = up.select(*keys).distinct()
+            if stored_slice is not None:
+                stored_k = stored_slice.select(*keys).distinct()
+                legs = [
+                    stored_slice.join(up_k, keys, "semi")
+                    .withColumn("_change_type", F.lit("update_preimage")),
+                    up.join(stored_k, keys, "semi")
+                    .withColumn("_change_type", F.lit("update_postimage")),
+                    up.join(stored_k, keys, "left_anti")
+                    .withColumn("_change_type", F.lit("insert")),
+                ]
+                if del_keys is not None:
+                    pure_del = del_keys.join(up_k, keys, "left_anti")
+                    legs.append(
+                        stored_slice.join(pure_del, keys, "semi")
+                        .withColumn("_change_type", F.lit("delete"))
+                    )
+            else:
+                legs = [up.withColumn("_change_type", F.lit("insert"))]
+            changes = _reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), legs
+            )
+            _write_change_feed(changes, path, new_v)
+        new_files: list[str] = []
+        new_stats: dict = {}
+        if not up.isEmpty():  # pure-delete batches add no files
+            new_files, new_stats = _write_files(
+                up, path, new_v,
+                stats_cols or ([kcol] if stats else None),
+                bloom_cols=[kcol] if any(
+                    _BLOOM_KEY + kcol in stats.get(f, {}) for f in m["files"]
+                ) else None,
+            )
+        _commit(
+            path, new_v, m["files"] + new_files, "merge-dv",
+            {**stats, **new_stats}, txn=new_txn, dv=dv_map,
+        )
+    except VersionConflictError:
+        if dvdir:
+            _drop_dv_dir(dvdir)
+        if change_feed:
+            _drop_change_feed(path, new_v)
+        raise
+    return new_v

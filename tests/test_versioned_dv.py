@@ -279,3 +279,120 @@ def test_reader_features_forward_compat_guard(spark, tmp_path):
         json.dump(m, fh)
     with pytest.raises(ValueError, match="column-mapping-v9"):
         read_version(spark, path)
+
+
+def test_merge_dv_triad_no_rewrite(spark, tmp_path):
+    """Merge-on-read MERGE: matched rows dv-tombstone in place, the
+    batch appends as new files, deletes tombstone without appending —
+    every pre-existing data file survives byte-identical."""
+    from clx_etl_spark.sinks.versioned import merge_version_dv
+
+    path = str(tmp_path / "vt")
+    _seed(spark, path)
+    m2 = _read_manifest(path, 2)
+    sizes = {f: os.path.getsize(f) for f in m2["files"]}
+    upd = spark.createDataFrame(
+        [(105, "UPDATED"), (900, "NEW")], "id long, v string"
+    )
+    dels = spark.createDataFrame([(210,)], "id long")
+    v = merge_version_dv(upd, path, keys=["id"], deletes=dels)
+    m = _read_manifest(path, v)
+    assert m["op"] == "merge-dv"
+    assert set(m2["files"]) <= set(m["files"])  # nothing removed
+    assert len(m["files"]) == len(m2["files"]) + 1  # one appended file
+    for f in m2["files"]:
+        assert os.path.getsize(f) == sizes[f]  # nothing rewritten
+    out = {r.id: r.v for r in read_version(spark, path).collect()}
+    assert out[105] == "UPDATED" and out[900] == "NEW"
+    assert 210 not in out and len(out) == 150  # 150 - 1 del + 1 ins
+    assert out[0] == "v0" and out[249] == "v249"
+    # dv tombstones: 1 update preimage + 1 delete = 2 positions
+    assert describe_table(path)["dv_deleted_rows"] == 2
+    # time travel: pre-merge snapshot intact
+    assert read_version(spark, path, 2).count() == 150
+
+
+def test_merge_dv_repeated_then_compact(spark, tmp_path):
+    """Steady state: many dv merges accumulate tombstones + small files;
+    one compaction purges both and the result is bit-equal."""
+    from clx_etl_spark.sinks.versioned import merge_version_dv
+
+    path = str(tmp_path / "vt")
+    _seed(spark, path)
+    for i in range(3):
+        upd = spark.createDataFrame(
+            [(105, f"U{i}"), (140, f"U{i}")], "id long, v string"
+        )
+        merge_version_dv(upd, path, keys=["id"])
+    # 105/140 tombstoned twice (originals + each superseded update)
+    assert describe_table(path)["dv_deleted_rows"] == 6
+    want = {r.id: r.v for r in read_version(spark, path).collect()}
+    assert want[105] == want[140] == "U2" and len(want) == 150
+    compact_version(spark, path)
+    m = _read_manifest(path, 6)
+    assert "dv" not in m
+    got = {r.id: r.v for r in read_version(spark, path).collect()}
+    assert got == want
+
+
+def test_merge_dv_txn_replay_noop(spark, tmp_path):
+    from clx_etl_spark.sinks.versioned import merge_version_dv
+
+    path = str(tmp_path / "vt")
+    _seed(spark, path, blocks=(0,))
+    upd = spark.createDataFrame([(5, "U")], "id long, v string")
+    v1 = merge_version_dv(upd, path, keys=["id"], txn=("app", 7))
+    v2 = merge_version_dv(upd, path, keys=["id"], txn=("app", 7))
+    assert v2 == v1  # replay: no new version
+    assert read_version(spark, path).count() == 50
+    assert describe_table(path)["dv_deleted_rows"] == 1
+
+
+def test_merge_dv_change_feed_classification(spark, tmp_path):
+    from clx_etl_spark.sinks.versioned import merge_version_dv
+
+    path = str(tmp_path / "vt")
+    _seed(spark, path, blocks=(0,))
+    upd = spark.createDataFrame(
+        [(5, "U"), (900, "NEW")], "id long, v string"
+    )
+    dels = spark.createDataFrame([(7,)], "id long")
+    merge_version_dv(upd, path, keys=["id"], deletes=dels, change_feed=True)
+    ch = {(r.id, r._change_type)
+          for r in table_changes(spark, path, after_version=0).collect()}
+    assert ch == {(5, "update_preimage"), (5, "update_postimage"),
+                  (900, "insert"), (7, "delete")}
+
+
+def test_delete_keys_dv_purge(spark, tmp_path):
+    """Keyed GDPR-style purge: pruned candidates, no files added or
+    rewritten, txn-idempotent."""
+    from clx_etl_spark.sinks.versioned import delete_keys_dv
+
+    path = str(tmp_path / "vt")
+    _seed(spark, path)
+    m2 = _read_manifest(path, 2)
+    ids = spark.createDataFrame([(5,), (115,), (115,), (999,)], "id long")
+    v, files_with_dv, n = delete_keys_dv(
+        spark, path, ids, ["id"], txn=("purge", 1)
+    )
+    assert (files_with_dv, n) == (2, 2)  # 999 absent; dup key once
+    m = _read_manifest(path, v)
+    assert m["files"] == m2["files"]
+    out = {r.id for r in read_version(spark, path).collect()}
+    assert 5 not in out and 115 not in out and len(out) == 148
+    # replay is a manifest no-op
+    assert delete_keys_dv(spark, path, ids, ["id"], txn=("purge", 1)) == (v, 0, 0)
+
+
+def test_merge_dv_pure_delete_adds_no_files(spark, tmp_path):
+    from clx_etl_spark.sinks.versioned import merge_version_dv
+
+    path = str(tmp_path / "vt")
+    _seed(spark, path, blocks=(0,))
+    empty = spark.createDataFrame([], "id long, v string")
+    dels = spark.createDataFrame([(3,), (4,)], "id long")
+    v = merge_version_dv(empty, path, keys=["id"], deletes=dels)
+    m = _read_manifest(path, v)
+    assert m["files"] == _read_manifest(path, 0)["files"]
+    assert read_version(spark, path).count() == 48
