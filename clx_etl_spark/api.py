@@ -611,16 +611,22 @@ class Engine:
                               target_bytes: int = 128 << 20,
                               stats_cols: list[str] | None = None,
                               change_feed: bool = False,
-                              zorder_by: list[str] | None = None) -> int:
+                              zorder_by: list[str] | None = None,
+                              where: tuple | None = None) -> int:
         """OPTIMIZE-style small-file compaction of the current version
         (rows unchanged, committed as a new version; prior versions stay
         readable until expiry). ``change_feed`` records an EMPTY change
         set so table_changes crosses the commit; ``zorder_by``
-        additionally Z-order-clusters the rewrite (OPTIMIZE ZORDER BY)."""
+        additionally Z-order-clusters the rewrite (OPTIMIZE ZORDER BY);
+        ``where=(col, lo, hi)`` compacts only the overlapping files
+        (OPTIMIZE ... WHERE — the nightly job compacts yesterday's
+        range, never the table), purging deletion vectors in the
+        rewritten slice only."""
         from .sinks.versioned import compact_version
 
         return compact_version(self.spark, path, target_bytes, stats_cols,
-                               change_feed=change_feed, zorder_by=zorder_by)
+                               change_feed=change_feed, zorder_by=zorder_by,
+                               where=where)
 
     def ingest_dedup_stream(self, docs: DataFrame, corpus_path: str,
                             checkpoint: str, threshold: float = 0.5):

@@ -696,6 +696,7 @@ def compact_version(
     change_feed: bool = False,
     zorder_by: list[str] | None = None,
     zorder_bits: int = 16,
+    where: tuple[str, object, object] | None = None,
 ) -> int:
     """OPTIMIZE-style small-file compaction: rewrite the CURRENT
     version's file set into ceil(total/target_bytes) files committed as
@@ -732,7 +733,18 @@ def compact_version(
     (PURGE)``): the rewrite materializes the dv-applied rows, the new
     manifest carries no dv map, reads drop the anti-join, and manifest
     stats tighten back onto the live rows (expire then reclaims the
-    sidecars)."""
+    sidecars).
+
+    ``where=(col, lo, hi)`` makes the compaction PARTIAL (Delta
+    ``OPTIMIZE ... WHERE``): only files whose manifest [min,max] on
+    ``col`` overlaps [lo, hi] — plus stat-less files, conservatively —
+    rewrite; everything else carries by reference with its stats,
+    blooms, and deletion vectors intact (dv purge applies to the
+    rewritten slice only). At 100 TB the nightly OPTIMIZE compacts
+    yesterday's ingest range, never the table — a full-table rewrite
+    per maintenance cycle would dwarf the ingest itself. Records op
+    'overwrite' like the full path (file identity changed); a losing
+    manifest CAS surfaces VersionConflictError (maintenance re-runs)."""
     import math
 
     v = latest_version(path)
@@ -740,6 +752,15 @@ def compact_version(
         raise FileNotFoundError(f"no versions committed at {path}")
     m = _read_manifest(path, v)
     files = m["files"]
+    if where is not None:
+        wcol, wlo, whi = where
+        fstats = m.get("stats", {})
+        sel = [f for f in files
+               if _stat_overlaps(wlo, whi, fstats.get(f, {}).get(wcol))]
+        return _compact_partial(
+            spark, path, m, sel, target_bytes, stats_cols, change_feed,
+            zorder_by, zorder_bits,
+        )
     bloom_cols = sorted({
         c[len(_BLOOM_KEY):] for fstats in m.get("stats", {}).values()
         for c in fstats if c.startswith(_BLOOM_KEY)
@@ -788,6 +809,78 @@ def compact_version(
             raise
     return overwrite_version(df, path, stats_cols=stats_cols,
                              bloom_cols=bloom_cols, validate=False)
+
+
+def _compact_partial(
+    spark: SparkSession, path: str, m: dict, sel: list[str],
+    target_bytes: int, stats_cols: list[str] | None, change_feed: bool,
+    zorder_by: list[str] | None, zorder_bits: int,
+) -> int:
+    """The ``where=``-selected leg of compact_version: rewrite only
+    ``sel`` (dv-applied, optionally z-ordered), carry the rest by
+    reference with stats/blooms/dvs intact."""
+    import math
+
+    v = m["version"]
+    keep = [f for f in m["files"] if f not in set(sel)]
+    new_v = v + 1
+    stats = m.get("stats", {})
+    new_files: list[str] = []
+    new_stats: dict = {}
+    if sel:
+        bloom_cols = sorted({
+            c[len(_BLOOM_KEY):] for f in sel
+            for c in stats.get(f, {}) if c.startswith(_BLOOM_KEY)
+        }) or None
+        if stats_cols is None:
+            tracked = {c for fstats in stats.values()
+                       for c in fstats if not c.startswith(_BLOOM_KEY)}
+            stats_cols = sorted(tracked) or None
+        total = sum(os.path.getsize(f) for f in sel)
+        n = max(1, math.ceil(total / target_bytes))
+        df = _read_with_dv(spark, sel, m)
+        if zorder_by:
+            from pyspark.sql import functions as F
+
+            from .layout import zorder_key
+
+            aggs = []
+            for c in zorder_by:
+                aggs += [F.min(c).alias(f"_lo_{c}"),
+                         F.max(c).alias(f"_hi_{c}")]
+            row = df.agg(*aggs).first()
+            bounds = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"])
+                      for c in zorder_by}
+            df = (
+                df.withColumn("_z", zorder_key(zorder_by, bits=zorder_bits,
+                                               bounds=bounds))
+                .repartitionByRange(n, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+            stats_cols = sorted(set(stats_cols or []) | set(zorder_by))
+        elif n < len(sel):
+            df = df.repartition(n)
+        new_files, new_stats = _write_files(df, path, new_v, stats_cols,
+                                            bloom_cols=bloom_cols)
+    if change_feed:
+        from pyspark.sql import functions as F
+
+        _write_change_feed(
+            read_version(spark, path, v).limit(0)
+            .withColumn("_change_type", F.lit("")), path, new_v,
+        )
+    carried = {f: stats[f] for f in keep if f in stats}
+    try:
+        return _commit(
+            path, new_v, keep + new_files, "overwrite",
+            {**carried, **new_stats}, txn=m.get("txn", {}),
+            dv=m.get("dv"),  # kept files' deletion vectors survive
+        )
+    except VersionConflictError:
+        if change_feed:
+            _drop_change_feed(path, new_v)
+        raise
 
 
 def _disjoint_append_interleave(

@@ -396,3 +396,58 @@ def test_merge_dv_pure_delete_adds_no_files(spark, tmp_path):
     m = _read_manifest(path, v)
     assert m["files"] == _read_manifest(path, 0)["files"]
     assert read_version(spark, path).count() == 48
+
+
+def test_partial_compaction_where(spark, tmp_path):
+    """OPTIMIZE ... WHERE: only files overlapping the range rewrite;
+    out-of-range files carry by reference with stats AND deletion
+    vectors intact; the rewritten slice purges its dv."""
+    path = str(tmp_path / "vt")
+    # two small files per block so the in-range slice has something to bin
+    _seed(spark, path, blocks=(0, 50, 100, 150, 200, 250))
+    delete_version_dv(spark, path, "id", 5, 9)      # dv on the 0-49 file
+    delete_version_dv(spark, path, "id", 105, 109)  # dv on the 100-149 file
+    m_before = _read_manifest(path, 7)
+    want = {r.id for r in read_version(spark, path).collect()}
+    v = compact_version(spark, path, where=("id", 100, 199))
+    m = _read_manifest(path, v)
+    in_range = {f for f in m_before["files"]
+                if m_before["stats"][f]["id"][0] >= 100
+                and m_before["stats"][f]["id"][1] <= 199}
+    out_range = set(m_before["files"]) - in_range
+    # out-of-range files carried by reference with their stats
+    assert out_range <= set(m["files"])
+    assert all(f not in m["files"] for f in in_range)
+    assert all(m["stats"][f] == m_before["stats"][f] for f in out_range)
+    # the 100-149 dv was purged by the rewrite; the 0-49 dv survives
+    assert sum(e["n"] for es in m["dv"].values() for e in es) == 5
+    assert {r.id for r in read_version(spark, path).collect()} == want
+    # the two in-range small files binned into one
+    assert len(m["files"]) == len(m_before["files"]) - 1
+
+
+def test_partial_compaction_zorder_slice(spark, tmp_path):
+    """where= + zorder_by: the in-range slice re-clusters; pruning on
+    the zorder column turns selective inside the compacted range."""
+    from clx_etl_spark.sinks.versioned import _stat_overlaps
+
+    path = str(tmp_path / "vt")
+    # interleaved second dim so pre-compaction boxes are wide
+    for lo in (0, 100):
+        append_version(
+            spark.createDataFrame(
+                [(lo + i, (i * 37) % 100) for i in range(100)],
+                "id long, d long",
+            ).coalesce(1),
+            path, stats_cols=["id"],
+        )
+    v = compact_version(spark, path, target_bytes=1 << 10,
+                        where=("id", 100, 199), zorder_by=["d"])
+    m = _read_manifest(path, v)
+    # the untouched 0-99 file has no d stats; rewritten files do
+    rewritten = [f for f in m["files"] if m["stats"][f].get("d")]
+    assert len(rewritten) >= 2  # slice actually split
+    narrow = [f for f in rewritten
+              if not _stat_overlaps(0, 5, m["stats"][f]["d"])]
+    assert narrow  # at least one rewritten file prunes for d in [0,5]
+    assert read_version(spark, path).count() == 200
