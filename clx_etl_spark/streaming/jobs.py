@@ -698,6 +698,7 @@ def versioned_cdc_stream(
     rollup_value_col: str = "value",
     rollup_ts_col: str = "ts_ms",
     rollup_keys: tuple[str, ...] = ("event_type",),
+    merge_on_read: bool = False,
 ) -> StreamingQuery:
     """Exactly-once CDC apply into a versioned table: each micro-batch
     of a Debezium/binlog-shaped changelog (key, ts, op, payload) folds
@@ -724,11 +725,20 @@ def versioned_cdc_stream(
     (incremental.sync_rollup_from_table): updates net to their value
     delta, deletes retract — so streaming CDC keeps downstream
     aggregates continuously correct, exactly-once end to end, with no
-    side checkpoint."""
+    side checkpoint.
+
+    ``merge_on_read=True`` routes each batch through merge_version_dv
+    instead: matched rows dv-tombstone in place and the batch appends —
+    O(batch) write amplification per commit, the right steady state for
+    high-frequency narrow binlog batches; schedule
+    ``compact_version(where=...)`` over the hot key range to purge the
+    accumulated tombstones + small files (same txn idempotence either
+    way)."""
     import hashlib as _hashlib
 
-    from ..sinks.versioned import merge_version
+    from ..sinks.versioned import merge_version, merge_version_dv
 
+    merge_fn = merge_version_dv if merge_on_read else merge_version
     if rollup_path is not None and not change_feed:
         raise ValueError(
             "rollup maintenance over a CDC stream needs change_feed=True "
@@ -748,9 +758,9 @@ def versioned_cdc_stream(
         )
         ups = winners.filter(F.col(op_col).isin(*upsert_ops)).drop(op_col)
         dels = winners.filter(F.col(op_col) == delete_op).select(*keys)
-        merge_version(ups, table_path, keys=keys, stats_cols=stats_cols,
-                      deletes=dels, txn=(app_id, batch_id),
-                      change_feed=change_feed)
+        merge_fn(ups, table_path, keys=keys, stats_cols=stats_cols,
+                 deletes=dels, txn=(app_id, batch_id),
+                 change_feed=change_feed)
         if rollup_path is not None:
             from ..operators.incremental import sync_rollup_from_table
 

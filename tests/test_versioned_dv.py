@@ -451,3 +451,61 @@ def test_partial_compaction_zorder_slice(spark, tmp_path):
               if not _stat_overlaps(0, 5, m["stats"][f]["d"])]
     assert narrow  # at least one rewritten file prunes for d in [0,5]
     assert read_version(spark, path).count() == 200
+
+
+def test_versioned_cdc_stream_merge_on_read(spark, tmp_path):
+    """CDC stream with merge_on_read=True: per batch one merge_version_dv
+    — seeded files are never rewritten (tombstones only), batches append,
+    replays are manifest no-ops."""
+    import hashlib
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.streaming.jobs import versioned_cdc_stream
+
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("op", StringType()),
+        StructField("v", StringType()),
+    ])
+    src, table = str(tmp_path / "in"), str(tmp_path / "vt")
+    ckpt = str(tmp_path / "ck")
+    b0 = [(1, 10, "I", "a1"), (2, 10, "I", "a2"), (3, 10, "I", "a3")]
+    b1 = [(2, 30, "U", "b2"), (3, 30, "D", None), (4, 30, "I", "a4")]
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    q = versioned_cdc_stream(stream, table, checkpoint=ckpt, keys=["k"],
+                             stats_cols=["k"], merge_on_read=True)
+    q.awaitTermination(180)
+
+    out = {r.k: r.v for r in V.read_version(spark, table).collect()}
+    assert out == {1: "a1", 2: "b2", 4: "a4"}  # k=3 deleted
+    # batch 0's files survived batch 1 untouched (merge-on-read)
+    head = V.latest_version(table)
+    m0 = V._read_manifest(table, head - 1)
+    m1 = V._read_manifest(table, head)
+    assert set(m0["files"]) <= set(m1["files"])
+    assert m1["op"] == "merge-dv"
+    # tombstones: k=2 superseded + k=3 deleted
+    assert sum(e["n"] for es in m1["dv"].values() for e in es) == 2
+    # crash-replay of batch 1 is a manifest no-op
+    app_id = "cdc-" + hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    ups = spark.createDataFrame([(2, 30, "b2"), (4, 30, "a4")],
+                                "k long, ts_ms long, v string")
+    dels = spark.createDataFrame([(3,)], "k long")
+    assert V.merge_version_dv(ups, table, keys=["k"], deletes=dels,
+                              txn=(app_id, 1)) == head
+    assert V.latest_version(table) == head
+    # compaction purges the stream's accumulated debt, state unchanged
+    compact_version(spark, table)
+    assert "dv" not in V._read_manifest(table, head + 1)
+    assert {r.k: r.v for r in read_version(spark, table).collect()} == out
