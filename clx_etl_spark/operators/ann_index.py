@@ -65,7 +65,7 @@ def build_ann_index(
     cells = assign_ivf_cells(vectors, cents, id_col=id_col, vec_col=vec_col)
     coded = pq_assign(
         cells, books, id_col=id_col, vec_col=vec_col, keep_cols=("ivf_cell",)
-    ).drop(vec_col)
+    ).drop(vec_col).withColumn("_epoch", F.lit(0))
     coded.write.mode(mode).partitionBy("ivf_cell").parquet(f"{path}/index")
     model = {
         "centroids": cents,
@@ -123,26 +123,89 @@ def query_ann_index(
         F.col(id_col).alias("query_id"), "ivf_cell", F.col(vec_col).alias("_qvec")
     ).cache()
     probed = sorted({r.ivf_cell for r in q.select("ivf_cell").distinct().collect()})
-    idx = (
-        spark.read.parquet(f"{path}/index")
+    raw = (
+        spark.read.option("mergeSchema", "true").parquet(f"{path}/index")
         .filter(F.col("ivf_cell").isin(probed))
-        .select(
-            F.col(model["id_col"]).alias("neighbor_id"),
-            "ivf_cell",
-            pq_reconstruct(model["codebooks"]).alias("_vvec"),
+    )
+    # lakehouse-maintained indexes (sync_ann_index_from_table) version
+    # entries by the table commit that produced them: drop replayed sync
+    # duplicates, then tombstoned generations — all AFTER cell pruning,
+    # so the dedup/anti cost is bounded by the probed slice, never the
+    # index. Non-synced indexes (no cursor) skip the dedup entirely;
+    # pre-epoch indexes read as epoch 0 with no tombstones.
+    if "_epoch" not in raw.columns:
+        raw = raw.withColumn("_epoch", F.lit(0))
+    elif _read_cursor(spark, path) is not None:
+        raw = raw.dropDuplicates([model["id_col"], "_epoch"])
+    tomb = _read_tombstones(spark, path, model)
+    if tomb is not None:
+        raw = (
+            raw.join(tomb, raw[model["id_col"]] == tomb["_tomb_id"], "left")
+            .filter(F.col("_tomb_v").isNull()
+                    | (F.col("_epoch") >= F.col("_tomb_v")))
+            .drop("_tomb_id", "_tomb_v")
         )
+    idx = raw.select(
+        F.col(model["id_col"]).alias("neighbor_id"),
+        "ivf_cell",
+        pq_reconstruct(model["codebooks"]).alias("_vvec"),
     )
     return adc_cell_topk(idx, q, k=k, nprobe=nprobe, exclude_self=exclude_self)
+
+
+def _read_tombstones(spark: SparkSession, path: str, model: dict):
+    """Max tombstone version per id, or None when the index has never
+    been tombstoned (the common fast path adds nothing to the plan)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        t = spark.read.parquet(f"{path}/tombstones")
+    except AnalysisException:
+        return None
+    idc = model["id_col"]
+    return (
+        t.groupBy(F.col(idc).alias("_tomb_id"))
+        .agg(F.max("_tomb_v").alias("_tomb_v"))
+    )
+
+
+def tombstone_ann_index(
+    spark: SparkSession, path: str, ids: DataFrame, version: int,
+) -> int:
+    """Logical deletes for a persisted index: append (id, version) rows
+    under ``{path}/tombstones``; queries drop index entries whose epoch
+    predates their id's max tombstone. O(deleted ids) — the index files
+    stay untouched (the same merge-on-read trade as the versioned
+    tables' deletion vectors; a model rebuild is the purge)."""
+    model = load_ann_model(spark, path)
+    idc = model["id_col"]
+    rows = ids.select(
+        F.col(idc), F.lit(int(version)).alias("_tomb_v")
+    ).distinct().cache()
+    try:
+        rows.write.mode("append").parquet(f"{path}/tombstones")
+        return rows.count()
+    finally:
+        rows.unpersist()
 
 
 def append_to_ann_index(
     vectors: DataFrame,
     path: str,
+    epoch: int = 0,
+    epoch_col: str | None = None,
 ) -> int:
     """Incremental index maintenance: encode a NEW vector batch with the
     persisted model (no retraining — the codebooks/centroids are frozen,
     exactly how production IVFPQ indexes absorb inserts) and append the
     codes into the existing cell partitions. Returns rows appended.
+
+    ``epoch`` / ``epoch_col`` stamps each entry's generation (the table
+    commit version for lakehouse-synced indexes): tombstones kill only
+    generations OLDER than their version, so an id deleted-then-
+    reinserted serves its new vector. ``epoch_col`` requires ids unique
+    within the batch (the encode stage keeps only (id, vec); the epoch
+    rejoins by id).
 
     Dynamic-partition append touches only the cells the batch lands in;
     existing partitions' files are untouched. Re-training cadence is an
@@ -159,7 +222,16 @@ def append_to_ann_index(
         cells, model["codebooks"],
         id_col=model["id_col"], vec_col=model["vec_col"],
         keep_cols=("ivf_cell",),
-    ).drop(model["vec_col"]).cache()  # one encode pass: write + count
+    ).drop(model["vec_col"])
+    if epoch_col is not None:
+        coded = coded.join(
+            vectors.select(model["id_col"],
+                           F.col(epoch_col).alias("_epoch")),
+            model["id_col"],
+        )
+    else:
+        coded = coded.withColumn("_epoch", F.lit(int(epoch)))
+    coded = coded.cache()  # one encode pass: write + count
     try:
         coded.write.mode("append").partitionBy("ivf_cell").parquet(
             f"{path}/index"
@@ -167,3 +239,114 @@ def append_to_ann_index(
         return coded.count()
     finally:
         coded.unpersist()
+
+
+def build_ann_index_from_table(
+    spark: SparkSession,
+    table_path: str,
+    index_path: str,
+    nlist: int = 8,
+    m: int = 4,
+    k_codes: int = 16,
+) -> dict:
+    """Build the index from a versioned embedding table's CURRENT
+    snapshot and record the table version as the index's sync cursor —
+    the setup step for sync_ann_index_from_table."""
+    from ..sinks.versioned import latest_version, read_version
+
+    head = latest_version(table_path)
+    if head is None:
+        raise FileNotFoundError(f"no versions committed at {table_path}")
+    vecs = read_version(spark, table_path, head)
+    model = build_ann_index(
+        vecs, index_path, nlist=nlist, m=m, k_codes=k_codes,
+        id_col="vec_id", vec_col="embedding",
+    )
+    _write_cursor(spark, index_path, head)
+    return model
+
+
+def _write_cursor(spark: SparkSession, path: str, version: int) -> None:
+    spark.createDataFrame(
+        [(json.dumps({"table_version": int(version)}),)], "c string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/cursor")
+
+
+def _read_cursor(spark: SparkSession, path: str) -> int | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        return json.loads(
+            spark.read.text(f"{path}/cursor").collect()[0][0]
+        )["table_version"]
+    except AnalysisException:
+        return None
+
+
+def sync_ann_index_from_table(
+    spark: SparkSession,
+    table_path: str,
+    index_path: str,
+) -> dict | None:
+    """Catch a persisted ANN index up to a versioned embedding table's
+    head through the CHANGE FEED — the similarity-search sibling of
+    incremental.sync_rollup_from_table: inserts/update-postimages encode
+    and append under the frozen model, deletes/update-preimages land as
+    tombstones versioned by their commit, and the cursor (the last
+    synced table version, stored beside the model) advances only after
+    both writes. Cost per sync is O(changed embeddings), never the
+    corpus — at 100 TB the nightly index catch-up reads the day's
+    change files, not a billion vectors.
+
+    The insert window folds to ONE winner per id (highest commit
+    version) before encoding: earlier same-window generations would be
+    tombstoned by the later update's preimage anyway, and the fold keeps
+    the epoch rejoin unambiguous. Replayed syncs (crash between writes
+    and cursor) re-append the same (id, epoch) rows — harmless, the
+    query path dedups by (id, epoch). Returns
+    {table_version, inserted, tombstoned}, or None when already caught
+    up. Requires the table's rewriting commits to carry
+    ``change_feed=True`` (table_changes raises loudly otherwise);
+    rebuild via build_ann_index_from_table when the corpus distribution
+    drifts — the rebuild also purges tombstones' read cost."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sinks.versioned import latest_version, table_changes
+
+    model = load_ann_model(spark, index_path)
+    cur = _read_cursor(spark, index_path)
+    if cur is None:
+        raise ValueError(
+            f"{index_path} has no table cursor — create the index with "
+            "build_ann_index_from_table to bind it to the table"
+        )
+    head = latest_version(table_path)
+    if head is None or head <= cur:
+        return None
+    idc, vc = model["id_col"], model["vec_col"]
+    ch = table_changes(spark, table_path, cur, head)
+    dels = (
+        ch.filter(F.col("_change_type").isin("delete", "update_preimage"))
+        .groupBy(idc).agg(F.max("_commit_version").alias("_tomb_v"))
+    )
+    n_tomb = 0
+    if not dels.isEmpty():
+        dels = dels.cache()
+        try:
+            dels.write.mode("append").parquet(f"{index_path}/tombstones")
+            n_tomb = dels.count()
+        finally:
+            dels.unpersist()
+    w = Window.partitionBy(idc).orderBy(F.col("_commit_version").desc())
+    ins = (
+        ch.filter(F.col("_change_type").isin("insert", "update_postimage"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(idc, vc, F.col("_commit_version").alias("_epoch"))
+    )
+    n_ins = 0
+    if not ins.isEmpty():
+        n_ins = append_to_ann_index(ins, index_path, epoch_col="_epoch")
+    _write_cursor(spark, index_path, head)
+    return {"table_version": head, "inserted": n_ins, "tombstoned": n_tomb}

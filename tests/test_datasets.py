@@ -432,3 +432,79 @@ def test_schema_contract_drift_and_enforcement(spark):
     assert out.columns == ["id", "v", "x"]  # contract order, extras dropped
     missing = spark.createDataFrame([(1,)], "id long")
     assert {d["kind"] for d in schema_drift(missing, contract)} == {"removed"}
+
+
+def test_ann_index_synced_from_versioned_table(spark, tmp_path):
+    """Lakehouse-maintained ANN index: build from a versioned embedding
+    table, then MERGE (update one vector, insert one, delete one) with
+    change_feed=True and sync — the index serves the update's NEW
+    vector, the insert appears, the delete disappears, and a replayed
+    sync is harmless (query-path dedup by (id, epoch))."""
+    from clx_etl_spark.operators.ann_index import (
+        _read_cursor, build_ann_index_from_table, query_ann_index,
+        sync_ann_index_from_table)
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               merge_version)
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    table = str(tmp_path / "vt")
+    index = str(tmp_path / "ann")
+    append_version(emb.filter(F.col("vec_id") < 400).coalesce(2), table,
+                   stats_cols=["vec_id"])
+    build_ann_index_from_table(spark, table, index, nlist=4, m=4, k_codes=8)
+    assert _read_cursor(spark, index) == 0
+    assert sync_ann_index_from_table(spark, table, index) is None  # caught up
+
+    # CDC batch: vec 10 takes vec 450's embedding (update), vec 9000 is
+    # a brand-new id with vec 451's embedding (insert), vec 20 deleted
+    v500 = emb.filter(F.col("vec_id") == 450).select(
+        F.lit(10).cast("long").alias("vec_id"), "embedding")
+    v501 = emb.filter(F.col("vec_id") == 451).select(
+        F.lit(9000).cast("long").alias("vec_id"), "embedding")
+    merge_version(v500.unionByName(v501), table, keys=["vec_id"],
+                  deletes=spark.createDataFrame([(20,)], "vec_id long"),
+                  change_feed=True)
+    res = sync_ann_index_from_table(spark, table, index)
+    assert res == {"table_version": 1, "inserted": 2, "tombstoned": 2}
+
+    # query with vec 450's embedding: neighbor 10 must now match exactly
+    q450 = emb.filter(F.col("vec_id") == 450).select(
+        F.lit(777).cast("long").alias("vec_id"), "embedding")
+    top = query_ann_index(spark, index, q450, k=3, nprobe=4,
+                          exclude_self=False).collect()
+    # PQ codes are lossy, so assert the RANKING, not the raw cosine:
+    # vec 10 now carries vec 450's embedding and must be the top match
+    assert top[0].neighbor_id == 10
+    # deleted id 20 is gone from search entirely
+    all_ids = {r.neighbor_id for r in query_ann_index(
+        spark, index, q450, k=10_000, nprobe=4,
+        exclude_self=False).collect()}
+    assert 20 not in all_ids and 9000 in all_ids
+
+    # replayed sync window (crash before cursor write): re-append the
+    # same rows; the (id, epoch) dedup keeps results identical
+    from clx_etl_spark.operators.ann_index import (_write_cursor,
+                                                   append_to_ann_index)
+    ins_replay = v500.withColumn("_epoch", F.lit(1)).unionByName(
+        v501.withColumn("_epoch", F.lit(1)))
+    append_to_ann_index(ins_replay, index, epoch_col="_epoch")
+    _write_cursor(spark, index, 1)
+    again = query_ann_index(spark, index, q450, k=3, nprobe=4,
+                            exclude_self=False).collect()
+    assert [ (r.neighbor_id, round(r.cosine, 6)) for r in again ] == \
+        [ (r.neighbor_id, round(r.cosine, 6)) for r in top ]
+
+    # delete-then-reinsert across commits: the new generation survives
+    merge_version(
+        emb.filter(F.col("vec_id") == 452).select(
+            F.lit(20).cast("long").alias("vec_id"), "embedding"),
+        table, keys=["vec_id"], change_feed=True)
+    res2 = sync_ann_index_from_table(spark, table, index)
+    assert res2["inserted"] == 1
+    q452 = emb.filter(F.col("vec_id") == 452).select(
+        F.lit(778).cast("long").alias("vec_id"), "embedding")
+    top2 = query_ann_index(spark, index, q452, k=1, nprobe=4,
+                           exclude_self=False).collect()
+    assert top2[0].neighbor_id == 20
