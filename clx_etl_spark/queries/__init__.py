@@ -83,6 +83,7 @@ SWEEP_FRONT: list[str] = [
     "versioned_clone_divergence",
     "versioned_time_travel_ts",
     "versioned_dv_delete",
+    "versioned_dv_merge_replay",
     # freshness backfill: every query whose last driver row is r01
     "cube_revenue",
     "j1_semi_active_customers",

@@ -178,6 +178,82 @@ def versioned_point_lookup(spark, sf):
 
 
 @register(
+    "versioned_dv_merge_replay",
+    oracle="""
+    WITH batch AS (
+      SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 1.0
+      FROM orders WHERE o_orderkey % 101 = 0)
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM batch b
+                      WHERE b.o_orderkey = o.o_orderkey)
+      AND o.o_orderkey % 103 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM batch
+    """,
+    doc="Merge-on-read MERGE through the ACTUAL write path "
+    "(sinks/versioned.merge_version_dv — Delta MERGE over deletion "
+    "vectors): same CDC triad as versioned_merge_replay (updates on the "
+    "%97 residue, inserts beyond the key domain, deletes on %103) but "
+    "applied by dv-tombstoning the matched rows and appending ONLY the "
+    "batch — the query ASSERTS every seeded data file survives in the "
+    "committed manifest (O(batch) write amplification, not O(touched "
+    "files)), replays the txn to prove manifest-level idempotence, and "
+    "hash-oracles the dv-applied read-back, so copy-on-write and "
+    "merge-on-read MERGE are proven equivalent on the same inputs",
+)
+def versioned_dv_merge_replay(spark, sf):
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import (_read_manifest, append_version,
+                                   latest_version, merge_version_dv,
+                                   read_version)
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    upd = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    dels = orders.filter(F.col("o_orderkey") % 103 == 0).select("o_orderkey")
+    batch = upd.unionByName(ins)
+    tmp = tempfile.mkdtemp(prefix="clx_vdm_")
+    path = tmp + "/t"
+    try:
+        hi = orders.agg(F.max("o_orderkey")).first()[0] or 1
+        step = hi // 4 + 1
+        for i in range(4):
+            sl = orders.filter(
+                (F.col("o_orderkey") >= i * step)
+                & (F.col("o_orderkey") < (i + 1) * step)
+            )
+            append_version(sl.coalesce(1), path, stats_cols=["o_orderkey"])
+        seeded = set(_read_manifest(path, latest_version(path))["files"])
+        v = merge_version_dv(batch, path, keys=["o_orderkey"],
+                             deletes=dels, txn=("vdm", 1))
+        # replay: manifest-level no-op
+        if merge_version_dv(batch, path, keys=["o_orderkey"],
+                            deletes=dels, txn=("vdm", 1)) != v:
+            raise AssertionError("dv merge replay was not a no-op")
+        m = _read_manifest(path, latest_version(path))
+        if not seeded <= set(m["files"]):
+            raise AssertionError("merge-on-read MERGE rewrote seeded files")
+        out = read_version(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
     "versioned_dv_delete",
     oracle="""
     WITH b AS (SELECT MAX(o_orderkey) // 4 + 1 AS step FROM orders)
