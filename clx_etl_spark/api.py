@@ -30,13 +30,21 @@ class Engine:
         table, ``url`` the JDBC URL, ``jdbc_opts`` e.g. partition_column).
         ``via="versioned"`` time-travel-reads a manifest-versioned table
         (``name`` is its path; pick a snapshot with ``version=`` or
-        ``tag=``, default latest)."""
+        ``tag=``, default latest). ``via="clx_table"`` reads the same
+        snapshot through the DSv2 source instead — registrable as a SQL
+        temp view, with manifest file pruning pushed into the scan
+        (sources/table_source.py)."""
         if via == "jdbc":
             if url is None:
                 raise ValueError('table(via="jdbc") requires url=')
             from .sinks.jdbc import read_jdbc
 
             return read_jdbc(self.spark, url, name, **jdbc_opts)
+        if via == "clx_table":
+            from .sources.table_source import read_table_source
+
+            return read_table_source(self.spark, name, version=version,
+                                     tag=tag)
         if via == "versioned":
             from .sinks.versioned import read_tag, read_version
 

@@ -50,6 +50,9 @@ def get_spark(app_name: str = "clx-spark", master: str | None = None) -> SparkSe
         # at 100 TB: bound scan task size; AQE re-coalesces small ones
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # lets the clx_table DSv2 source prune files off the manifest at
+        # plan time (read_table_source degrades gracefully without it)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():

@@ -224,3 +224,68 @@ def test_read_jsonl_strict_routes_corrupt_rows(spark, tmp_path):
     assert {r.symbol for r in clean.collect()} == {"BTCUSDT", "ETHUSDT"}
     rej = rejects.collect()
     assert len(rej) == 1 and rej[0].raw.startswith("{broken")
+
+
+def test_clx_table_batch_source_time_travel_and_dv(spark, tmp_path):
+    """clx_table DSv2 batch source: SQL-facing reads of a versioned
+    table — head snapshot with deletion vectors applied executor-side,
+    time travel by version and tag, evolution-gap columns as NULL."""
+    from pyspark.sql import functions as F
+
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               delete_version_dv,
+                                               tag_version)
+    from clx_etl_spark.sources.table_source import read_table_source
+
+    path = str(tmp_path / "vt")
+    for lo in (0, 100, 200):
+        append_version(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(50)],
+                "id long, v string").coalesce(1),
+            path, stats_cols=["id"], bloom_cols=["id"])
+    tag_version(path, "seeded")
+    delete_version_dv(spark, path, "id", 110, 120)
+    df = read_table_source(spark, path)
+    assert df.count() == 139
+    assert df.filter(F.col("id").between(110, 120)).count() == 0
+    assert read_table_source(spark, path, version=2).count() == 150
+    assert read_table_source(spark, path, tag="seeded").count() == 150
+    # SQL door: a temp view over the source
+    df.createOrReplaceTempView("clx_vt")
+    assert spark.sql(
+        "SELECT COUNT(*) FROM clx_vt WHERE id >= 200").collect()[0][0] == 50
+    got = {r.id: r.v for r in spark.sql(
+        "SELECT id, v FROM clx_vt WHERE id = 205").collect()}
+    assert got == {205: "v205"}
+
+
+def test_clx_table_pushdown_prunes_partitions(spark, tmp_path):
+    """DSv2 filter pushdown: the manifest prunes files out of the
+    partition list at plan time — an equality on a bloom-indexed key
+    plans one partition of three; a range keeps its two; filters are
+    never consumed (rows still re-filter), so stat-less files are safe."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from clx_etl_spark.sinks.versioned import append_version
+    from clx_etl_spark.sources.table_source import _PushdownTableReader
+
+    path = str(tmp_path / "vt")
+    for lo in (0, 100, 200):
+        append_version(
+            spark.createDataFrame(
+                [(lo + i, i) for i in range(50)], "id long, n long"
+            ).coalesce(1),
+            path, stats_cols=["id"], bloom_cols=["id"])
+    sch = spark.createDataFrame([], "id long, n long").schema
+    r = _PushdownTableReader(sch, {"path": path})
+    back = list(r.pushFilters([EqualTo(("id",), 205)]))
+    assert len(back) == 1  # advisory: every filter handed back
+    assert len(r.partitions()) == 1
+    r2 = _PushdownTableReader(sch, {"path": path})
+    list(r2.pushFilters([GreaterThanOrEqual(("id",), 100)]))
+    assert len(r2.partitions()) == 2
+    # bloom gap: id 60 is inside no file's range -> zero partitions
+    r3 = _PushdownTableReader(sch, {"path": path})
+    list(r3.pushFilters([EqualTo(("id",), 60)]))
+    assert len(r3.partitions()) == 0
