@@ -697,6 +697,7 @@ def compact_version(
     zorder_by: list[str] | None = None,
     zorder_bits: int = 16,
     where: tuple[str, object, object] | None = None,
+    small_only_below: int | None = None,
 ) -> int:
     """OPTIMIZE-style small-file compaction: rewrite the CURRENT
     version's file set into ceil(total/target_bytes) files committed as
@@ -744,7 +745,16 @@ def compact_version(
     yesterday's ingest range, never the table — a full-table rewrite
     per maintenance cycle would dwarf the ingest itself. Records op
     'overwrite' like the full path (file identity changed); a losing
-    manifest CAS surfaces VersionConflictError (maintenance re-runs)."""
+    manifest CAS surfaces VersionConflictError (maintenance re-runs).
+
+    ``small_only_below=N`` restricts the rewrite to files SMALLER than
+    N bytes (Delta OPTIMIZE's bin-packing rule: right-sized files are
+    never rewritten) — the steady-state maintenance shape for a
+    streaming-ingested table, where each micro-batch appends one small
+    file and the nightly job folds only the accumulated fragments, plus
+    any dv-bearing files among them. Composes with ``where=`` (both
+    conditions must hold). A selection that would rewrite a single file
+    into itself commits a no-op version (a recorded decision)."""
     import math
 
     v = latest_version(path)
@@ -752,11 +762,16 @@ def compact_version(
         raise FileNotFoundError(f"no versions committed at {path}")
     m = _read_manifest(path, v)
     files = m["files"]
-    if where is not None:
-        wcol, wlo, whi = where
+    if where is not None or small_only_below is not None:
         fstats = m.get("stats", {})
-        sel = [f for f in files
-               if _stat_overlaps(wlo, whi, fstats.get(f, {}).get(wcol))]
+        sel = list(files)
+        if where is not None:
+            wcol, wlo, whi = where
+            sel = [f for f in sel
+                   if _stat_overlaps(wlo, whi, fstats.get(f, {}).get(wcol))]
+        if small_only_below is not None:
+            sel = [f for f in sel
+                   if os.path.getsize(f) < small_only_below]
         return _compact_partial(
             spark, path, m, sel, target_bytes, stats_cols, change_feed,
             zorder_by, zorder_bits,

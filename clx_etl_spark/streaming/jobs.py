@@ -575,6 +575,8 @@ def versioned_ingest_stream(
     rollup_value_col: str = "value",
     rollup_ts_col: str = "ts_ms",
     rollup_keys: tuple[str, ...] = ("event_type",),
+    auto_compact_every: int | None = None,
+    auto_compact_target_bytes: int = 128 << 20,
 ) -> StreamingQuery:
     """Exactly-once streaming append into a versioned table: every
     micro-batch commits through append_version with
@@ -591,16 +593,33 @@ def versioned_ingest_stream(
     rollup's cursor is its own manifest txn watermark, so the
     facts-append and rollup-sync pair is exactly-once END TO END with
     no extra checkpoint — a crash between the two self-heals on the
-    next batch (the sync re-reads only the unapplied change window)."""
+    next batch (the sync re-reads only the unapplied change window).
+
+    ``auto_compact_every=k`` folds the accumulated SMALL files (below
+    ``auto_compact_target_bytes``) every k-th batch — streaming ingest
+    writes one file per micro-batch, and without maintenance the table
+    degrades into thousands of fragments; the bin-packing rewrite never
+    touches right-sized files, so each maintenance commit is O(recent
+    fragments), not O(table). The compaction's overwrite commit carries
+    the txn watermarks (exactly-once replays stay no-ops across it);
+    read_changes consumers must window their reads between compactions
+    or switch to the change feed."""
     import hashlib as _hashlib
 
-    from ..sinks.versioned import append_version
+    from ..sinks.versioned import append_version, compact_version
 
     app_id = "stream-" + _hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         append_version(batch, table_path, stats_cols=stats_cols,
                        txn=(app_id, batch_id))
+        if auto_compact_every and batch_id % auto_compact_every == (
+                auto_compact_every - 1):
+            compact_version(
+                batch.sparkSession, table_path,
+                target_bytes=auto_compact_target_bytes,
+                small_only_below=auto_compact_target_bytes,
+            )
         if rollup_path is not None:
             from ..operators.incremental import sync_rollup_from_table
 

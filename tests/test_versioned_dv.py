@@ -509,3 +509,67 @@ def test_versioned_cdc_stream_merge_on_read(spark, tmp_path):
     compact_version(spark, table)
     assert "dv" not in V._read_manifest(table, head + 1)
     assert {r.k: r.v for r in read_version(spark, table).collect()} == out
+
+
+def test_compaction_small_only_bin_packing(spark, tmp_path):
+    """OPTIMIZE bin-packing rule: only files below the threshold
+    rewrite; right-sized files are never touched (Delta's behavior —
+    the steady-state maintenance for streaming ingest)."""
+    path = str(tmp_path / "vt")
+    # one big file (500 rows) + three per-batch fragments (5 rows each)
+    append_version(
+        spark.createDataFrame([(i, f"v{i}") for i in range(500)],
+                              "id long, v string").coalesce(1),
+        path, stats_cols=["id"])
+    for lo in (1000, 2000, 3000):
+        append_version(
+            spark.createDataFrame([(lo + i, f"v{lo + i}") for i in range(5)],
+                                  "id long, v string").coalesce(1),
+            path, stats_cols=["id"])
+    m0 = _read_manifest(path, 3)
+    big = max(m0["files"], key=os.path.getsize)
+    threshold = os.path.getsize(big)  # strictly-below keeps the big file
+    v = compact_version(spark, path, small_only_below=threshold)
+    m = _read_manifest(path, v)
+    assert big in m["files"]  # right-sized file untouched
+    assert len(m["files"]) == 2  # big + one packed fragment file
+    assert read_version(spark, path).count() == 515
+    # carried stats keep pruning for the untouched file
+    assert m["stats"][big] == m0["stats"][big]
+
+
+def test_ingest_stream_auto_compaction(spark, tmp_path):
+    """Streaming ingest with auto_compact_every: fragments fold every
+    k batches, rows and txn idempotence intact across the compaction."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from clx_etl_spark.sinks.versioned import (append_version as _av,
+                                               latest_version)
+    from clx_etl_spark.streaming.jobs import versioned_ingest_stream
+
+    schema = StructType([StructField("k", LongType()),
+                         StructField("n", LongType())])
+    src, table = str(tmp_path / "in"), str(tmp_path / "vt")
+    ckpt = str(tmp_path / "ck")
+    for b in range(4):
+        spark.createDataFrame([(b * 10 + i, b) for i in range(10)],
+                              schema).coalesce(1).write.mode(
+            "append").parquet(src)
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    q = versioned_ingest_stream(stream, table, checkpoint=ckpt,
+                                stats_cols=["k"], auto_compact_every=2)
+    q.awaitTermination(180)
+    m = _read_manifest(table, latest_version(table))
+    assert read_version(spark, table).count() == 40
+    # 4 ingest fragments folded by 2 compactions -> far fewer than 4 files
+    assert len(m["files"]) <= 2
+    # txn watermark survived the compactions: replaying batch 3 is a no-op
+    import hashlib
+    app_id = "stream-" + hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    head = latest_version(table)
+    replay = spark.createDataFrame([(35, 3)], schema)
+    assert _av(replay, table, txn=(app_id, 3)) == head
+    assert read_version(spark, table).count() == 40
