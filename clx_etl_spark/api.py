@@ -219,6 +219,24 @@ class Engine:
 
         return build_ann_index(vectors, path, **kw)
 
+    def ann_index_from_table(self, table_path: str, index_path: str,
+                             **kw) -> dict:
+        """Build the persisted ANN index from a versioned embedding
+        table's current snapshot and bind the sync cursor
+        (operators/ann_index.build_ann_index_from_table)."""
+        from .operators.ann_index import build_ann_index_from_table
+
+        return build_ann_index_from_table(self.spark, table_path,
+                                          index_path, **kw)
+
+    def sync_ann_index(self, table_path: str, index_path: str) -> dict | None:
+        """Catch a persisted ANN index up to its versioned table's head
+        through the change feed — O(changed embeddings) per sync
+        (operators/ann_index.sync_ann_index_from_table)."""
+        from .operators.ann_index import sync_ann_index_from_table
+
+        return sync_ann_index_from_table(self.spark, table_path, index_path)
+
     def ann_query(self, path: str, queries: DataFrame, k: int = 5,
                   nprobe: int = 1, **kw) -> DataFrame:
         """ADC top-k against a persisted index; scans only the probed

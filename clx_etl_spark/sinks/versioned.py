@@ -1387,6 +1387,11 @@ def expire_versions(path: str, keep_latest: int = 1,
     ``dry_run=True`` returns what WOULD be deleted without touching
     anything (the VACUUM DRY RUN audit before an irreversible
     reclaim)."""
+    if keep_latest < 1:
+        raise ValueError(
+            f"keep_latest={keep_latest} would expire the table HEAD — "
+            "a vacuum must keep at least the current version"
+        )
     latest = latest_version(path)
     if latest is None:
         return []
