@@ -84,6 +84,7 @@ SWEEP_FRONT: list[str] = [
     "versioned_time_travel_ts",
     "versioned_dv_delete",
     "versioned_dv_merge_replay",
+    "versioned_sql_scan",
     # freshness backfill: every query whose last driver row is r01
     "cube_revenue",
     "j1_semi_active_customers",

@@ -178,6 +178,61 @@ def versioned_point_lookup(spark, sf):
 
 
 @register(
+    "versioned_sql_scan",
+    oracle="""
+    WITH b AS (SELECT MAX(o_orderkey) // 4 + 1 AS step FROM orders)
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o, b
+    WHERE o.o_orderkey BETWEEN b.step AND 2 * b.step - 1
+      AND NOT (o.o_orderkey BETWEEN b.step + b.step // 2
+                                AND b.step + b.step // 2 + b.step // 10)
+    """,
+    doc="SQL-facing lakehouse read through the clx_table DSv2 source "
+    "(sources/table_source.py): orders seeds a versioned table in four "
+    "key-range files, one deletion-vector delete lands inside the "
+    "second file, the source registers as a SQL TEMP VIEW and the "
+    "query runs as plain spark.sql over it — the returned rows prove "
+    "the whole DSv2 chain (option-based snapshot resolution, Arrow "
+    "batch transport, executor-side dv masking, row-level re-filter "
+    "over the advisory pruning) end to end against the DuckDB oracle",
+)
+def versioned_sql_scan(spark, sf):
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from ..sinks.versioned import append_version, delete_version_dv
+    from ..sources.table_source import read_table_source
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="clx_vsq_")
+    path = tmp + "/t"
+    try:
+        hi = orders.agg(F.max("o_orderkey")).first()[0] or 1
+        step = hi // 4 + 1
+        for i in range(4):
+            sl = orders.filter(
+                (F.col("o_orderkey") >= i * step)
+                & (F.col("o_orderkey") < (i + 1) * step)
+            )
+            append_version(sl.coalesce(1), path, stats_cols=["o_orderkey"])
+        delete_version_dv(spark, path, "o_orderkey",
+                          step + step // 2, step + step // 2 + step // 10)
+        view = f"clx_vsq_{_uuid.uuid4().hex[:8]}"
+        read_table_source(spark, path).createOrReplaceTempView(view)
+        out = spark.sql(
+            f"SELECT o_orderkey, o_totalprice FROM {view} "
+            f"WHERE o_orderkey BETWEEN {step} AND {2 * step - 1}"
+        ).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(view)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
     "versioned_dv_merge_replay",
     oracle="""
     WITH batch AS (

@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -129,9 +130,10 @@ class TableReader(DataSourceReader):
         path, v = _resolve_version(options)
         self._manifest = _read_manifest(path, v)
         # col -> [lo, hi] bounds accumulated from pushed filters, plus
-        # equality point values for the bloom probe
+        # equality/IN point-value lists for the bloom probe (a file is
+        # skipped only when NO point can be present)
         self._bounds: dict[str, list] = {}
-        self._points: dict[str, object] = {}
+        self._points: dict[str, list] = {}
 
     def partitions(self) -> list[TableFilePartition]:
         from ..sinks.versioned import (_BLOOM_KEY, _bloom_any_hit,
@@ -154,10 +156,12 @@ class TableReader(DataSourceReader):
                     ok = False
                     break
             if ok:
-                for col, val in self._points.items():
+                for col, vals in self._points.items():
                     bloom = fstats.get(_BLOOM_KEY + col)
-                    if bloom and isinstance(val, (int, str)) and \
-                            not _bloom_any_hit(bloom, [_bloom_seed(val)]):
+                    if bloom and all(isinstance(v, (int, str))
+                                     for v in vals) and \
+                            not _bloom_any_hit(
+                                bloom, [_bloom_seed(v) for v in vals]):
                         ok = False
                         break
             if ok:
@@ -215,14 +219,23 @@ class _PushdownTableReader(TableReader):
         for f in filters:
             col = None
             if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
-                              LessThan, LessThanOrEqual)):
+                              LessThan, LessThanOrEqual, In)):
                 if len(f.attribute) == 1:
                     col = f.attribute[0]
             if col is not None:
                 lo, hi = self._bounds.get(col, [None, None])
                 if isinstance(f, EqualTo):
                     lo, hi = f.value, f.value
-                    self._points[col] = f.value
+                    self._points[col] = [f.value]
+                elif isinstance(f, In):
+                    vals = [v for v in f.value if v is not None]
+                    if not vals:
+                        continue
+                    try:
+                        lo, hi = min(vals), max(vals)
+                    except TypeError:  # incomparable mix: points only
+                        lo, hi = None, None
+                    self._points[col] = vals
                 elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                     lo = f.value if lo is None else max(lo, f.value)
                 elif isinstance(f, (LessThan, LessThanOrEqual)):

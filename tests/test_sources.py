@@ -289,3 +289,28 @@ def test_clx_table_pushdown_prunes_partitions(spark, tmp_path):
     r3 = _PushdownTableReader(sch, {"path": path})
     list(r3.pushFilters([EqualTo(("id",), 60)]))
     assert len(r3.partitions()) == 0
+
+
+def test_clx_table_pushdown_in_list(spark, tmp_path):
+    """IN-list pushdown: bounds from min/max of the list plus the bloom
+    probe — a 2-value IN spanning two files plans exactly those two; an
+    IN whose values all fall in stat gaps plans zero."""
+    from pyspark.sql.datasource import In
+
+    from clx_etl_spark.sinks.versioned import append_version
+    from clx_etl_spark.sources.table_source import _PushdownTableReader
+
+    path = str(tmp_path / "vt")
+    for lo in (0, 100, 200):
+        append_version(
+            spark.createDataFrame(
+                [(lo + i, i) for i in range(50)], "id long, n long"
+            ).coalesce(1),
+            path, stats_cols=["id"], bloom_cols=["id"])
+    sch = spark.createDataFrame([], "id long, n long").schema
+    r = _PushdownTableReader(sch, {"path": path})
+    list(r.pushFilters([In(("id",), (5, 205))]))
+    assert len(r.partitions()) == 2
+    r2 = _PushdownTableReader(sch, {"path": path})
+    list(r2.pushFilters([In(("id",), (60, 160))]))  # both in stat gaps
+    assert len(r2.partitions()) == 0
