@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
 )
 from pyspark.sql.types import StructType
 
@@ -219,7 +220,8 @@ class _PushdownTableReader(TableReader):
         for f in filters:
             col = None
             if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
-                              LessThan, LessThanOrEqual, In)):
+                              LessThan, LessThanOrEqual, In,
+                              StringStartsWith)):
                 if len(f.attribute) == 1:
                     col = f.attribute[0]
             if col is not None:
@@ -236,6 +238,13 @@ class _PushdownTableReader(TableReader):
                     except TypeError:  # incomparable mix: points only
                         lo, hi = None, None
                     self._points[col] = vals
+                elif isinstance(f, StringStartsWith):
+                    # prefix p covers exactly [p, p + U+10FFFF...): every
+                    # string with the prefix sorts inside that interval
+                    p = f.value
+                    top = p + chr(0x10FFFF)
+                    lo = p if lo is None else max(lo, p)
+                    hi = top if hi is None else min(hi, top)
                 elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                     lo = f.value if lo is None else max(lo, f.value)
                 elif isinstance(f, (LessThan, LessThanOrEqual)):

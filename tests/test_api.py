@@ -464,3 +464,19 @@ def test_engine_round6_facade(spark, tmp_path):
     q = eng.apply_cdc_stream(stream, table, checkpoint=ck, keys=["k"])
     q.awaitTermination(120)
     assert {(r.k, r.v) for r in eng.read_version(table).collect()} == {(1, "y")}
+
+
+def test_engine_table_via_clx_table(spark, tmp_path):
+    """Engine.table(via="clx_table") reads the snapshot through the
+    DSv2 source, honoring version time travel."""
+    from clx_etl_spark.api import Engine
+    from clx_etl_spark.sinks.versioned import append_version
+
+    eng = Engine(spark)
+    path = str(tmp_path / "vt")
+    append_version(spark.createDataFrame([(1, "a")], "k long, v string"),
+                   path, stats_cols=["k"])
+    append_version(spark.createDataFrame([(2, "b")], "k long, v string"),
+                   path, stats_cols=["k"])
+    assert eng.table(path, via="clx_table").count() == 2
+    assert eng.table(path, via="clx_table", version=0).count() == 1
