@@ -573,3 +573,37 @@ def test_ingest_stream_auto_compaction(spark, tmp_path):
     replay = spark.createDataFrame([(35, 3)], schema)
     assert _av(replay, table, txn=(app_id, 3)) == head
     assert read_version(spark, table).count() == 40
+
+
+def test_dv_delete_conflict_cleans_up_sidecar(spark, tmp_path, monkeypatch):
+    """A dv delete losing the manifest CAS raises VersionConflictError
+    and removes its orphaned sidecar; the winner's state is intact and
+    the retry against the new head succeeds."""
+    import clx_etl_spark.sinks.versioned as V
+
+    path = str(tmp_path / "vt")
+    _seed(spark, path, blocks=(0,))
+    orig = V._commit
+    fired = {}
+
+    def racing(path_, version, files, op, stats=None, txn=None, **kw):
+        if op == "delete-dv" and not fired:
+            fired["x"] = True  # a concurrent append lands first
+            V.append_version(
+                spark.createDataFrame([(500, "x")], "id long, v string")
+                .coalesce(1),
+                path_, stats_cols=["id"])
+        return orig(path_, version, files, op, stats, txn, **kw)
+
+    monkeypatch.setattr(V, "_commit", racing)
+    with pytest.raises(V.VersionConflictError):
+        delete_version_dv(spark, path, "id", 10, 19)
+    monkeypatch.setattr(V, "_commit", orig)
+    # loser's sidecar reclaimed eagerly; winner intact
+    root = _dv_root(path)
+    assert not os.path.isdir(root) or not os.listdir(root)
+    assert read_version(spark, path).count() == 51
+    # retry on the new head lands
+    v, nf, n = delete_version_dv(spark, path, "id", 10, 19)
+    assert (nf, n) == (1, 10)
+    assert read_version(spark, path).count() == 41
