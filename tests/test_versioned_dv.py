@@ -607,3 +607,23 @@ def test_dv_delete_conflict_cleans_up_sidecar(spark, tmp_path, monkeypatch):
     v, nf, n = delete_version_dv(spark, path, "id", 10, 19)
     assert (nf, n) == (1, 10)
     assert read_version(spark, path).count() == 41
+
+
+def test_dv_read_plan_is_broadcast_anti_join(spark, tmp_path):
+    """Plan discipline for the merge-on-read read path: the dv
+    anti-join must broadcast the (tiny) position side — a sort-merge or
+    nested-loop here would shuffle the table per scan at 100 TB."""
+    path = str(tmp_path / "vt")
+    _seed(spark, path)
+    delete_version_dv(spark, path, "id", 110, 120)
+    df = read_version(spark, path)
+    df.collect()  # let AQE settle the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # and a dv-free snapshot plans NO join at all (zero read debt)
+    clean = read_version(spark, path, 2)
+    clean.collect()
+    plan2 = clean._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan2
