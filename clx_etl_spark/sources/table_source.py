@@ -174,11 +174,24 @@ class TableReader(DataSourceReader):
         import glob
         import os
 
+        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        t = pq.read_table(partition.file)
+        # COLUMN PRUNING: read only the query-schema columns the file
+        # actually has — the parquet reader never decodes the rest (a
+        # narrow projection over a wide snapshot reads its columns only,
+        # same as Spark's native scan). Evolution-gap columns pad NULL.
+        pf = pq.ParquetFile(partition.file)
+        have = set(pf.schema_arrow.names)
+        want = [c for c in self._cols if c in have]
+        if want:
+            t = pf.read(columns=want)
+            n = t.num_rows
+        else:  # pure-gap projection (or COUNT(*)): footer row count only
+            t = None
+            n = pf.metadata.num_rows
         if partition.dv_dirs:
             # tombstoned positions for THIS file only — the sidecars are
             # O(deleted rows); row order in the file IS the row index
@@ -189,18 +202,26 @@ class TableReader(DataSourceReader):
                     mask = pc.equal(dt["_file"], partition.file)
                     dead.update(dt.filter(mask)["_pos"].to_pylist())
             if dead:
-                alive = [i for i in range(t.num_rows) if i not in dead]
-                t = t.take(pa.array(alive, type=pa.int64()))
+                # vectorized keep-mask: one boolean scatter over the row
+                # index domain, never a per-row Python loop
+                keep = np.ones(n, dtype=bool)
+                idx = np.fromiter(dead, dtype=np.int64, count=len(dead))
+                keep[idx[idx < n]] = False
+                if t is not None:
+                    t = t.filter(pa.array(keep))
+                n = int(keep.sum())
+        if t is not None:
+            n = t.num_rows
         # project/pad to the query schema: evolution-gap columns -> NULL
         from pyspark.sql.pandas.types import to_arrow_type
 
         arrays = []
         for field in self._schema.fields:
-            if field.name in t.column_names:
+            if t is not None and field.name in t.column_names:
                 arrays.append(t[field.name].combine_chunks())
             else:
                 arrays.append(
-                    pa.nulls(t.num_rows, type=to_arrow_type(field.dataType))
+                    pa.nulls(n, type=to_arrow_type(field.dataType))
                 )
         out = pa.table(dict(zip(self._cols, arrays)))
         yield from out.to_batches(max_chunksize=1 << 16)
@@ -239,12 +260,18 @@ class _PushdownTableReader(TableReader):
                         lo, hi = None, None
                     self._points[col] = vals
                 elif isinstance(f, StringStartsWith):
-                    # prefix p covers exactly [p, p + U+10FFFF...): every
-                    # string with the prefix sorts inside that interval
+                    # standard parquet startsWith rule: matches sort in
+                    # [p, succ(p)) where succ increments p's last code
+                    # point (dropping trailing U+10FFFF first — such a
+                    # prefix has no finite successor, so no upper bound;
+                    # naive p+chr(0x10FFFF) would prune files holding
+                    # longer matches that sort above it)
                     p = f.value
-                    top = p + chr(0x10FFFF)
                     lo = p if lo is None else max(lo, p)
-                    hi = top if hi is None else min(hi, top)
+                    base = p.rstrip(chr(0x10FFFF))
+                    if base:
+                        succ = base[:-1] + chr(ord(base[-1]) + 1)
+                        hi = succ if hi is None else min(hi, succ)
                 elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                     lo = f.value if lo is None else max(lo, f.value)
                 elif isinstance(f, (LessThan, LessThanOrEqual)):

@@ -344,3 +344,87 @@ def test_clx_table_pushdown_prefix(spark, tmp_path):
 
     df = read_table_source(spark, path)
     assert df.filter(F.col("name").startswith("mango-")).count() == 20
+
+
+def test_clx_table_prefix_prune_keeps_max_codepoint_rows(spark, tmp_path):
+    """File-level prefix pruning must NEVER drop a file whose only
+    matching rows sort ABOVE prefix+U+10FFFF (prefix followed by U+10FFFF
+    plus more characters) — the naive upper bound would prune it, and
+    file pruning is not recoverable by Spark's row-level re-filter."""
+    from pyspark.sql.datasource import StringStartsWith
+
+    from clx_etl_spark.sinks.versioned import append_version
+    from clx_etl_spark.sources.table_source import _PushdownTableReader
+
+    path = str(tmp_path / "vt")
+    hot = "q" + chr(0x10FFFF) + "zzz"  # startswith("q"), > "q"+U+10FFFF
+    append_version(
+        spark.createDataFrame([(hot, 1), (hot + "a", 2)], "name string, n long")
+        .coalesce(1),
+        path, stats_cols=["name"])
+    sch = spark.createDataFrame([], "name string, n long").schema
+    r = _PushdownTableReader(sch, {"path": path})
+    list(r.pushFilters([StringStartsWith(("name",), "q")]))
+    assert len(r.partitions()) == 1  # kept: succ("q") = "r" bounds it
+    # a prefix that is ALL U+10FFFF has no finite successor: no upper
+    # bound, so a file whose rows DO match survives
+    path2 = str(tmp_path / "vt2")
+    append_version(
+        spark.createDataFrame(
+            [(chr(0x10FFFF) * 2 + "tail", 1)], "name string, n long")
+        .coalesce(1),
+        path2, stats_cols=["name"])
+    r2 = _PushdownTableReader(sch, {"path": path2})
+    list(r2.pushFilters([StringStartsWith(("name",), chr(0x10FFFF))]))
+    assert len(r2.partitions()) == 1
+    # and a provable miss still prunes
+    r3 = _PushdownTableReader(sch, {"path": path})
+    list(r3.pushFilters([StringStartsWith(("name",), "a")]))
+    assert len(r3.partitions()) == 0
+
+
+def test_clx_table_reader_prunes_columns_and_vectorizes_dv(spark, tmp_path):
+    """TableReader.read passes a column projection to the parquet reader
+    (narrow schemas never decode unread columns) and applies deletion
+    vectors with a vectorized mask — results stay exact on a dv-bearing
+    multi-row file."""
+    import pyarrow.parquet as pq
+
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               delete_version_dv)
+    from clx_etl_spark.sources.table_source import (TableFilePartition,
+                                                    TableReader)
+
+    path = str(tmp_path / "vt")
+    append_version(
+        spark.range(10_000)
+        .selectExpr("id", "id * 2 AS a", "repeat('x', 20) AS b")
+        .coalesce(1),
+        path, stats_cols=["id"])
+    delete_version_dv(spark, path, "id", 100, 199)
+    # narrow schema: only (id, a) — column b must never be decoded
+    sch = spark.createDataFrame([], "id long, a long").schema
+    r = TableReader(sch, {"path": path})
+    parts = r.partitions()
+    assert len(parts) == 1
+    seen_cols = []
+    orig = pq.ParquetFile.read
+
+    def spy(self, *a, **kw):
+        seen_cols.append(kw.get("columns") or (a[0] if a else None))
+        return orig(self, *a, **kw)
+
+    import unittest.mock as mock
+    with mock.patch.object(pq.ParquetFile, "read", spy):
+        batches = list(r.read(parts[0]))
+    assert seen_cols == [["id", "a"]]
+    total = sum(b.num_rows for b in batches)
+    assert total == 10_000 - 100
+    ids = {i for b in batches for i in b.column("id").to_pylist()}
+    assert not any(100 <= i <= 199 for i in ids)
+    # evolution gap: a column absent from the file reads as NULL
+    sch2 = spark.createDataFrame([], "id long, missing string").schema
+    r2 = TableReader(sch2, {"path": path})
+    b2 = list(r2.read(r2.partitions()[0]))
+    assert all(b.column("missing").null_count == b.num_rows for b in b2)
+    assert sum(b.num_rows for b in b2) == 9_900
