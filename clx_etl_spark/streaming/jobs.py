@@ -601,9 +601,14 @@ def versioned_ingest_stream(
     degrades into thousands of fragments; the bin-packing rewrite never
     touches right-sized files, so each maintenance commit is O(recent
     fragments), not O(table). The compaction's overwrite commit carries
-    the txn watermarks (exactly-once replays stay no-ops across it);
-    read_changes consumers must window their reads between compactions
-    or switch to the change feed."""
+    the txn watermarks (exactly-once replays stay no-ops across it) and
+    always records an EMPTY change set (change_feed=True) so row-level
+    consumers — table_changes, the rollup_path sync below, any
+    clx_cdf/rollup_maintenance_stream subscriber — cross the
+    maintenance commit instead of failing permanently on an
+    unrecorded rewrite; file-level read_changes consumers must still
+    window their reads between compactions or switch to the change
+    feed."""
     import hashlib as _hashlib
 
     from ..sinks.versioned import append_version, compact_version
@@ -619,6 +624,11 @@ def versioned_ingest_stream(
                 batch.sparkSession, table_path,
                 target_bytes=auto_compact_target_bytes,
                 small_only_below=auto_compact_target_bytes,
+                # the empty change marker lets table_changes (and with
+                # it the rollup sync / clx_cdf consumers) cross the
+                # maintenance commit — without it the stream would fail
+                # permanently at this version
+                change_feed=True,
             )
         if rollup_path is not None:
             from ..operators.incremental import sync_rollup_from_table

@@ -1482,6 +1482,55 @@ def test_versioned_ingest_stream_maintains_rollup(spark, tmp_path):
                    (1, "a"): (1, 2.0)}
 
 
+def test_versioned_ingest_stream_auto_compact_keeps_rollup_alive(
+        spark, tmp_path):
+    """auto_compact_every + rollup_path together: the maintenance
+    compaction commits WITH an (empty) change marker, so the rollup
+    sync — and any table_changes consumer — crosses it; before the fix
+    the first post-compaction batch raised ValueError on the unrecorded
+    rewrite and the stream died permanently."""
+    from pyspark.sql.types import DoubleType, StringType
+
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.streaming.jobs import versioned_ingest_stream
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_ms", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src, table = str(tmp_path / "in"), str(tmp_path / "vt")
+    rollup, ckpt = str(tmp_path / "ru"), str(tmp_path / "ck")
+    rows = [(1, 0, "a", 10.0), (2, 0, "b", 4.0), (3, 0, "a", 2.0),
+            (4, 86_400_000, "b", 5.0)]
+    for r in rows:
+        spark.createDataFrame([r], schema).coalesce(1).write.mode(
+            "append").parquet(src)
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    # 4 micro-batches; compaction fires after batches 1 and 3, so the
+    # rollup sync at batches 2 and 3 must cross a compaction commit
+    q = versioned_ingest_stream(stream, table, checkpoint=ckpt,
+                                rollup_path=rollup, auto_compact_every=2)
+    q.awaitTermination(180)
+    assert q.exception() is None
+    ops = [V._read_manifest(table, v)["op"]
+           for v in range(V.latest_version(table) + 1)]
+    assert "overwrite" in ops  # the compaction really committed
+    got = {(r.day_id, r.event_type): (r.n, float(r.sum_v))
+           for r in V.read_version(spark, rollup).collect()}
+    assert got == {(0, "a"): (2, 12.0), (0, "b"): (1, 4.0),
+                   (1, "b"): (1, 5.0)}
+    # a row-level consumer can cross the whole history too
+    assert V.table_changes(spark, table, after_version=-1).filter(
+        "_change_type = 'insert'").count() == 4
+
+
 def test_versioned_cdc_stream_exactly_once_apply(spark, tmp_path):
     """Streaming CDC apply: each micro-batch of a changelog folds to
     its per-key net effect and commits ONE merge_version (updates +
