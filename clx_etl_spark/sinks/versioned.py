@@ -104,6 +104,19 @@ def _stat_overlaps(lo, hi, rng) -> bool:
         return True
 
 
+def _norm_path(path: str) -> str:
+    """Absolutize the table root at every public write entry point.
+    Manifest file entries must share ONE key form with Spark's
+    normalized ``_metadata.file_path`` (always absolute): deletion-
+    vector map keys come from that column and join against the manifest
+    file list, so a relative table root would make ``_commit``'s
+    files-membership filter silently orphan the whole dv map —
+    reporting rows deleted while every read resurrects them. Symlink
+    aliases can still disagree (Spark does not resolve them either);
+    ``_commit`` raises loudly on any residual mismatch for dv ops."""
+    return os.path.abspath(path)
+
+
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, "_manifests")
 
@@ -150,7 +163,239 @@ def _read_manifest(path: str, version: int) -> dict:
             f"{path} v{version} requires unsupported reader features "
             f"{sorted(unknown)} — upgrade the engine to read this table"
         )
+    sc = m.get("stats_sidecar")
+    if sc:
+        # stats live in the columnar sidecar: hand back a lazy mapping
+        # so planning paths can stay column-selective (_stats_for_cols)
+        m["stats"] = _SidecarStats(os.path.join(_manifest_dir(path), sc))
     return m
+
+
+# --------------------------------------------------------------------------
+# Columnar stats sidecar (manifest scale-out — the Delta-checkpoint /
+# Iceberg-manifest-file shape)
+#
+# Inline per-file [min,max] stats and 64-KiB key blooms are fine at tens
+# of files, but at 100 TB (~100k files) a single JSON holding them is
+# gigabytes parsed driver-side PER READ — planning becomes the
+# bottleneck. Past _STATS_SIDECAR_MIN_FILES stats-bearing files, _commit
+# moves the stats out of the manifest JSON into one parquet sidecar per
+# version (rows of file/col/lo/hi/bloom) next to it; the manifest keeps
+# the file list plus a pointer. Readers get a LAZY mapping (full Mapping
+# access loads once), and the planner hot paths (_stats_for_cols) read
+# ONLY the pruning columns' rows — a range predicate never decodes a
+# single bloom byte, and a stat-free full scan never opens the sidecar
+# at all. Small tables keep the inline, human-debuggable JSON.
+
+_STATS_SIDECAR_MIN_FILES = 200
+
+
+def _pad_num(v, down: bool) -> float | None:
+    """Conservative float64 image of a numeric bound, padded one ulp
+    outward (down for mins, up for maxes) so the vectorized exclusion
+    test can never prune a file the exact value would keep — ints above
+    2**53 (ns epochs) stay safe through the padding instead of losing
+    their typed column."""
+    import math
+
+    if type(v) not in (int, float):  # NB: bool is not a numeric bound
+        return None
+    try:
+        f = float(v)
+    except OverflowError:
+        return None
+    return math.nextafter(f, -math.inf if down else math.inf)
+
+
+def _write_stats_sidecar(path: str, version: int, stats: dict) -> str:
+    """Persist the per-file stats map as a columnar sidecar under
+    ``_manifests/``; returns the sidecar's file name (manifest-relative).
+    Bounds are stored JSON-encoded (they are _json_stat-canonical, so
+    the round-trip is exact) PLUS typed shadow columns — float64 padded
+    one ulp outward, and raw strings — that let the planner run the
+    whole interval-overlap test inside arrow compute with zero per-row
+    Python; blooms keep their base64 payload in a column a
+    range-predicate read never touches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files, cols_, los, his, bms, bbs = [], [], [], [], [], []
+    lo_nums, hi_nums, lo_strs, hi_strs = [], [], [], []
+    for f in sorted(stats):
+        for c, v in sorted(stats[f].items()):
+            files.append(f)
+            cols_.append(c)
+            if c.startswith(_BLOOM_KEY):
+                los.append(None)
+                his.append(None)
+                bms.append(int(v["m"]))
+                bbs.append(v["b"])
+                lo_nums.append(None)
+                hi_nums.append(None)
+                lo_strs.append(None)
+                hi_strs.append(None)
+            else:
+                los.append(json.dumps(v[0]))
+                his.append(json.dumps(v[1]))
+                bms.append(None)
+                bbs.append(None)
+                lo_nums.append(_pad_num(v[0], down=True))
+                hi_nums.append(_pad_num(v[1], down=False))
+                lo_strs.append(v[0] if isinstance(v[0], str) else None)
+                hi_strs.append(v[1] if isinstance(v[1], str) else None)
+    t = pa.table({
+        "file": pa.array(files, pa.string()),
+        "col": pa.array(cols_, pa.string()),
+        "lo": pa.array(los, pa.string()),
+        "hi": pa.array(his, pa.string()),
+        "lo_num": pa.array(lo_nums, pa.float64()),
+        "hi_num": pa.array(hi_nums, pa.float64()),
+        "lo_str": pa.array(lo_strs, pa.string()),
+        "hi_str": pa.array(hi_strs, pa.string()),
+        "bloom_m": pa.array(bms, pa.int64()),
+        "bloom_b": pa.array(bbs, pa.large_string()),
+    })
+    name = f"v{version}-stats-{uuid.uuid4().hex[:8]}.parquet"
+    pq.write_table(t, os.path.join(_manifest_dir(path), name))
+    return name
+
+
+def _sidecar_excluded(sidecar: str, col: str, lo, hi) -> set[str] | None:
+    """Vectorized planning over a stats sidecar: the set of files whose
+    [min,max] on ``col`` provably cannot overlap [lo, hi] (either side
+    None = unbounded), computed entirely in arrow compute over the
+    typed bound columns — no bloom bytes decoded, no per-row Python, so
+    a 100k-file plan is one filtered column scan. Returns None when the
+    bound types need the generic coercion path (datetime / decimal /
+    bool / mixed); files lacking stats rows are never excluded."""
+    import math
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    kinds = set()
+    for v in (lo, hi):
+        if v is None:
+            continue
+        if type(v) in (int, float):
+            kinds.add("num")
+        elif isinstance(v, str):
+            kinds.add("str")
+        else:
+            return None
+    if len(kinds) != 1:
+        return None
+    kind = kinds.pop()
+    cols = (["file", "lo_num", "hi_num"] if kind == "num"
+            else ["file", "lo_str", "hi_str"])
+    try:
+        t = pq.read_table(sidecar, columns=cols,
+                          filters=[("col", "==", col)])
+    except Exception:
+        return None
+    lo_c, hi_c = t[cols[1]], t[cols[2]]
+    tests = []
+    if kind == "num":
+        if lo is not None:
+            tests.append(pc.less(hi_c, math.nextafter(float(lo), -math.inf)))
+        if hi is not None:
+            tests.append(pc.greater(lo_c, math.nextafter(float(hi), math.inf)))
+    else:
+        if lo is not None:
+            tests.append(pc.less(hi_c, lo))
+        if hi is not None:
+            tests.append(pc.greater(lo_c, hi))
+    excl = tests[0] if len(tests) == 1 else pc.or_kleene(tests[0], tests[1])
+    excl = pc.fill_null(excl, False)  # null bound columns: cannot prove
+    return set(pc.filter(t["file"], excl).to_pylist())
+
+
+def _load_stats_sidecar(sidecar: str, cols: list[str] | None = None,
+                        blooms: bool = True,
+                        files: list[str] | None = None) -> dict:
+    """Read a stats sidecar back into the in-memory stats-map shape.
+    ``cols`` restricts to those columns' rows (parquet row filter);
+    ``blooms=False`` additionally skips the bloom payload columns — the
+    dominant bytes — for predicates that cannot use them; ``files``
+    narrows to specific files' rows (the bloom probe after a range
+    prune loads survivors only)."""
+    import pyarrow.parquet as pq
+
+    kw: dict = {}
+    filters = []
+    if cols is not None:
+        want = list(cols)
+        if blooms:
+            want += [_BLOOM_KEY + c for c in cols]
+        filters.append(("col", "in", want))
+    if files is not None:
+        filters.append(("file", "in", list(files)))
+    if filters:
+        kw["filters"] = filters
+    kw["columns"] = (["file", "col", "lo", "hi", "bloom_m", "bloom_b"]
+                     if blooms else ["file", "col", "lo", "hi"])
+    t = pq.read_table(sidecar, **kw)
+    n = t.num_rows
+    fs, cs = t["file"].to_pylist(), t["col"].to_pylist()
+    los, his = t["lo"].to_pylist(), t["hi"].to_pylist()
+    bms = t["bloom_m"].to_pylist() if "bloom_m" in t.column_names else [None] * n
+    bbs = t["bloom_b"].to_pylist() if "bloom_b" in t.column_names else [None] * n
+    out: dict = {}
+    for f, c, lo, hi, bm, bb in zip(fs, cs, los, his, bms, bbs):
+        if c.startswith(_BLOOM_KEY):
+            out.setdefault(f, {})[c] = {"m": int(bm), "b": bb}
+        else:
+            out.setdefault(f, {})[c] = [json.loads(lo), json.loads(hi)]
+    return out
+
+
+from collections.abc import Mapping as _Mapping  # noqa: E402
+
+
+class _SidecarStats(_Mapping):
+    """Lazy per-file stats mapping backed by a version's columnar
+    sidecar: any full Mapping access (iteration, membership, item get)
+    loads and caches the whole map — commit paths that carry stats
+    forward still see every column — while planner hot paths bypass it
+    through _stats_for_cols to read only what they prune on.
+    Deliberately NOT a dict subclass: C-level fast paths ({**d},
+    json.dump) would bypass the lazy load and silently see {}."""
+
+    def __init__(self, sidecar: str):
+        self._sidecar = sidecar
+        self._full: dict | None = None
+
+    def _ensure(self) -> dict:
+        if self._full is None:
+            self._full = _load_stats_sidecar(self._sidecar)
+        return self._full
+
+    def __getitem__(self, k):
+        return self._ensure()[k]
+
+    def __iter__(self):
+        return iter(self._ensure())
+
+    def __len__(self):
+        return len(self._ensure())
+
+    def __bool__(self):
+        return True  # a sidecar is only ever written for non-empty stats
+
+
+def _stats_for_cols(m: dict, cols: list[str], blooms: bool = True):
+    """Planning-time stats access: for a sidecar-backed manifest load
+    ONLY ``cols``'s rows (and skip bloom bytes when ``blooms=False``);
+    an inline or already-cached map returns as-is. This is what keeps
+    planning near-flat in file count — a one-column range scan of a
+    100k-file snapshot reads a few thousand tiny rows, not gigabytes
+    of JSON and bloom bitmaps."""
+    s = m.get("stats", {})
+    if isinstance(s, _SidecarStats):
+        if s._full is not None:
+            return s._full
+        return _load_stats_sidecar(s._sidecar, cols=cols, blooms=blooms)
+    return s
 
 
 _BLOOM_KEY = "__bloom__:"  # manifest stats key prefix for per-file blooms
@@ -323,6 +568,16 @@ def _write_files(
         for f in sorted(os.listdir(sub))
         if f.endswith(".parquet")
     ]
+    return files, _file_stats(files, stats_cols, bloom_cols)
+
+
+def _file_stats(files: list[str], stats_cols: list[str] | None,
+                bloom_cols: list[str] | None = None) -> dict:
+    """Per-file manifest stats derived WITHOUT Spark: min/max from the
+    parquet footers (no data read), key blooms from one single-column
+    read per file. Shared by _write_files and the clx_table DSv2
+    writer's driver-side commit (which has parquet files in hand but no
+    SparkSession)."""
     stats: dict = {}
     if stats_cols:
         import pyarrow.parquet as pq
@@ -390,7 +645,7 @@ def _write_files(
                 stats.setdefault(f, {})[_BLOOM_KEY + c] = {
                     "m": m_bits, "b": _bloom_build(vals, m_bits),
                 }
-    return files, stats
+    return stats
 
 
 class ConstraintViolation(ValueError):
@@ -466,12 +721,34 @@ def _commit(
     dv: dict | None = None,
 ) -> int:
     os.makedirs(_manifest_dir(path), exist_ok=True)
+    # materialize through .items() — carried stats may be a lazy
+    # _SidecarStats whose C-level dict fast paths would otherwise see {}
+    stats = {f: dict(per) for f, per in (stats or {}).items()}
     manifest = {"version": version, "op": op, "files": files,
-                "stats": stats or {}, "txn": txn or {}}
+                "stats": stats, "txn": txn or {}}
+    sidecar = None
+    if len(stats) > _STATS_SIDECAR_MIN_FILES:
+        sidecar = _write_stats_sidecar(path, version, stats)
+        manifest["stats"] = {}
+        manifest["stats_sidecar"] = sidecar
     # only files still in the snapshot keep their deletion vectors; a
     # dv-bearing manifest declares the reader feature so an older engine
     # revision fails loudly instead of resurrecting deleted rows
+    dropped_dv = {f for f, e in (dv or {}).items()
+                  if e and f not in set(files)}
     dv = {f: e for f, e in (dv or {}).items() if f in set(files) and e}
+    if dropped_dv and op.endswith("-dv"):
+        # a dv op never removes files, so every dv key MUST be in the
+        # snapshot; a miss means the dv writer's file_path key form
+        # (Spark-normalized absolute path) diverged from the manifest's
+        # file entries (e.g. a symlink-aliased table root) — committing
+        # would silently resurrect the deleted rows on every read
+        raise RuntimeError(
+            f"deletion-vector keys reference files outside the v{version} "
+            f"snapshot of {path}: {sorted(dropped_dv)[:3]} — the table "
+            "root is aliased (symlink/relative form mismatch); address "
+            "the table by its canonical absolute path"
+        )
     if dv:
         manifest["dv"] = dv
         manifest["reader_features"] = ["deletion-vectors"]
@@ -482,6 +759,11 @@ def _commit(
     try:
         fh = open(_manifest_path(path, version), "x")
     except FileExistsError:
+        if sidecar:  # the loser's sidecar is unreferenced — reclaim now
+            try:
+                os.remove(os.path.join(_manifest_dir(path), sidecar))
+            except OSError:
+                pass
         raise VersionConflictError(
             f"concurrent commit detected: version {version} already "
             f"exists at {path} — another writer committed first; "
@@ -532,6 +814,7 @@ def append_version(
     conflict detection, see _disjoint_append_interleave); delete /
     overwrite surface VersionConflictError — their read-set went stale,
     so the caller re-runs against the new head."""
+    path = _norm_path(path)
     _validate_constraints(df, path)
     new_files: list[str] | None = None
     stats: dict = {}
@@ -584,6 +867,7 @@ def overwrite_version(
     cannot silently discard it and a replayed foreachBatch append
     after maintenance stays a no-op. Pass ``txn={}`` to explicitly
     reset the watermarks (a true logical table replacement)."""
+    path = _norm_path(path)
     prev = latest_version(path)
     if txn is None and prev is not None:
         txn = _read_manifest(path, prev).get("txn", {})
@@ -665,12 +949,31 @@ def _files_for_scan(manifest: dict, col: str, lo, hi) -> list[str]:
     """The manifest-level planning step shared by scan_version and
     pruned_file_count: interval overlap on [min,max], then a bloom probe
     for point lookups."""
-    stats = manifest.get("stats", {})
+    point = lo == hi and isinstance(lo, (int, str))
+    s = manifest.get("stats", {})
+    if isinstance(s, _SidecarStats) and s._full is None:
+        # sidecar fast path: exclusion computed wholly in arrow compute;
+        # blooms load only for the (usually few) range survivors
+        excl = _sidecar_excluded(s._sidecar, col, lo, hi)
+        if excl is not None:
+            keep = [f for f in manifest["files"] if f not in excl]
+            if point and keep:
+                bl = _load_stats_sidecar(
+                    s._sidecar, cols=[col], blooms=True,
+                    files=keep if len(keep) <= 1024 else None)
+                seeds = [_bloom_seed(lo)]
+                keep = [
+                    f for f in keep
+                    if _BLOOM_KEY + col not in bl.get(f, {})
+                    or _bloom_any_hit(bl[f][_BLOOM_KEY + col], seeds)
+                ]
+            return keep
+    stats = _stats_for_cols(manifest, [col], blooms=point)
     keep = [
         f for f in manifest["files"]
         if _stat_overlaps(lo, hi, stats.get(f, {}).get(col))
     ]
-    if lo == hi and isinstance(lo, (int, str)):
+    if point:
         seeds = [_bloom_seed(lo)]
         keep = [
             f for f in keep
@@ -757,16 +1060,18 @@ def compact_version(
     into itself commits a no-op version (a recorded decision)."""
     import math
 
+    path = _norm_path(path)
+
     v = latest_version(path)
     if v is None:
         raise FileNotFoundError(f"no versions committed at {path}")
     m = _read_manifest(path, v)
     files = m["files"]
     if where is not None or small_only_below is not None:
-        fstats = m.get("stats", {})
         sel = list(files)
         if where is not None:
             wcol, wlo, whi = where
+            fstats = _stats_for_cols(m, [wcol], blooms=False)
             sel = [f for f in sel
                    if _stat_overlaps(wlo, whi, fstats.get(f, {}).get(wcol))]
         if small_only_below is not None:
@@ -898,6 +1203,29 @@ def _compact_partial(
         raise
 
 
+def _append_only_interleave(
+    path: str, base_v: int, head_v: int | None,
+) -> tuple[list[str], dict] | None:
+    """Shared precondition of every dv-commit rebase (Delta's
+    disjoint-files rule): the loser of the manifest CAS may only rebase
+    when EVERY interleaved commit is an append — appends never remove
+    or rewrite data files, so dv positions computed against the base
+    snapshot stay valid against the head. Returns (appended files, head
+    manifest) when that holds, else None (a compaction / delete /
+    overwrite interleaved: the dv read-set files may be gone — true
+    conflict, re-run on the new head)."""
+    if head_v is None or head_v <= base_v:
+        return None
+    for v in range(base_v + 1, head_v + 1):
+        if not os.path.exists(_manifest_path(path, v)):
+            return None
+        if _read_manifest(path, v)["op"] != "append":
+            return None
+    head_m = _read_manifest(path, head_v)
+    base_files = set(_read_manifest(path, base_v)["files"])
+    return [f for f in head_m["files"] if f not in base_files], head_m
+
+
 def _disjoint_append_interleave(
     path: str, base_v: int | None, head_v: int | None,
     base_files: set[str], batch_keys_k: DataFrame, kcol: str,
@@ -920,7 +1248,7 @@ def _disjoint_append_interleave(
             return None
     head_m = _read_manifest(path, head_v)
     appended = [f for f in head_m["files"] if f not in base_files]
-    stats = head_m.get("stats", {})
+    stats = _stats_for_cols(head_m, [kcol], blooms=False)
     if any(not stats.get(f, {}).get(kcol) for f in appended):
         return None
     if appended:
@@ -966,7 +1294,7 @@ def _untouched_files_for_batch(
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructField, StructType
 
-    stats = m.get("stats", {})
+    stats = _stats_for_cols(m, [kcol])
     have_stats = [f for f in m["files"] if stats.get(f, {}).get(kcol)]
     if not have_stats:
         return []
@@ -1078,6 +1406,7 @@ def merge_version(
     the rewritten slice, so matched-vs-insert classification against
     that slice alone is complete. Cost: one extra write of O(changed
     rows), never the table."""
+    path = _norm_path(path)
     prev = latest_version(path)
     prev_m = _read_manifest(path, prev) if prev is not None else {}
     new_txn = {k: int(v) for k, v in prev_m.get("txn", {}).items()}
@@ -1443,7 +1772,17 @@ def expire_versions(path: str, keep_latest: int = 1,
     if not dry_run:
         for v in range(0, latest + 1):
             if v not in keep and os.path.exists(_manifest_path(path, v)):
+                try:  # raw read: just the sidecar pointer, if any
+                    with open(_manifest_path(path, v)) as fh:
+                        sc = json.load(fh).get("stats_sidecar")
+                except (OSError, ValueError):
+                    sc = None
                 os.remove(_manifest_path(path, v))
+                if sc:  # the expired version's stats sidecar goes with it
+                    try:
+                        os.remove(os.path.join(mdir, sc))
+                    except OSError:
+                        pass
                 # an expired version's change set is unreadable history too
                 _drop_change_feed(path, v)
     return deleted
@@ -1691,6 +2030,7 @@ def clone_table(
     retention.
 
     Returns the clone's version number (always 0)."""
+    src, dst = _norm_path(src), _norm_path(dst)
     src_v = latest_version(src) if version is None else version
     if src_v is None:
         raise FileNotFoundError(f"no versions committed at {src}")
@@ -1808,13 +2148,15 @@ def delete_version(
     ``table_changes`` — exact because pruned files provably hold no
     in-range rows. Returns
     (new_version, files_untouched, files_rewritten)."""
+    path = _norm_path(path)
     v = latest_version(path)
     if v is None:
         raise FileNotFoundError(f"no versions committed at {path}")
     m = _read_manifest(path, v)
     stats = m.get("stats", {})
+    prune = _stats_for_cols(m, [col], blooms=False)
     untouched = [
-        f for f in m["files"] if not _stat_overlaps(lo, hi, stats.get(f, {}).get(col))
+        f for f in m["files"] if not _stat_overlaps(lo, hi, prune.get(f, {}).get(col))
     ]
     rewrite = [f for f in m["files"] if f not in set(untouched)]
     new_v = v + 1
@@ -1891,19 +2233,30 @@ def delete_version_dv(
     state changed without an append, so ``read_changes`` refuses to
     cross it silently, mirroring the copy-on-write delete.
 
+    Concurrency (Delta's disjoint-files rule): losing the manifest CAS
+    to interleaved commits that are ALL APPENDS whose files' manifest
+    stats provably exclude [lo, hi] triggers a REBASE — appends never
+    touch the base files, so the already-written dv positions stay
+    valid, and the proven exclusion means re-running the delete on the
+    new head would tombstone exactly the same rows. Any other
+    interleave (a rewrite, or an append that may hold in-range rows —
+    including stat-less files, conservatively) raises
+    VersionConflictError: the read-set is stale, re-run on the head.
+
     Returns (new_version, files_with_new_dv, rows_deleted). A delete
     matching nothing still commits (an empty delete is a recorded
     decision, same as the copy-on-write path)."""
     from pyspark.sql import functions as F
 
+    path = _norm_path(path)
     v = latest_version(path)
     if v is None:
         raise FileNotFoundError(f"no versions committed at {path}")
     m = _read_manifest(path, v)
-    stats = m.get("stats", {})
+    prune = _stats_for_cols(m, [col], blooms=False)
     candidates = [
         f for f in m["files"]
-        if _stat_overlaps(lo, hi, stats.get(f, {}).get(col))
+        if _stat_overlaps(lo, hi, prune.get(f, {}).get(col))
     ]
     new_v = v + 1
     dv_map = {f: list(e) for f, e in m.get("dv", {}).items()}
@@ -1931,18 +2284,46 @@ def delete_version_dv(
         _write_change_feed(
             deleted.withColumn("_change_type", F.lit("delete")), path, new_v
         )
-    try:
-        _commit(
-            path, new_v, m["files"], "delete-dv", stats,
-            txn=m.get("txn", {}), dv=dv_map,
-        )
-    except VersionConflictError:
-        if dvdir:
-            _drop_dv_dir(dvdir)
-        if change_feed:
-            _drop_change_feed(path, new_v)
-        raise
-    return new_v, len(counts), sum(counts.values())
+    base_v, cur_m = v, m
+    for _ in range(10):
+        try:
+            _commit(
+                path, base_v + 1, cur_m["files"], "delete-dv",
+                cur_m.get("stats", {}), txn=cur_m.get("txn", {}), dv=dv_map,
+            )
+            return base_v + 1, len(counts), sum(counts.values())
+        except VersionConflictError:
+            head = latest_version(path)
+            ai = _append_only_interleave(path, base_v, head)
+            if ai is None or any(
+                _stat_overlaps(lo, hi,
+                               ai[1].get("stats", {}).get(f, {}).get(col))
+                for f in ai[0]
+            ):
+                if dvdir:
+                    _drop_dv_dir(dvdir)
+                if change_feed:
+                    _drop_change_feed(path, base_v + 1)
+                raise
+            # rebase: appends preserved every base file (positions stay
+            # valid) and provably hold no in-range rows — re-point the
+            # commit at the head, re-attaching our dv entries to its map
+            head_m = ai[1]
+            dv_map = {f: list(e) for f, e in head_m.get("dv", {}).items()}
+            for f, n in counts.items():
+                dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
+            if change_feed:
+                os.rename(_changes_dir(path, base_v + 1),
+                          _changes_dir(path, head + 1))
+            base_v, cur_m = head, head_m
+    if dvdir:
+        _drop_dv_dir(dvdir)
+    if change_feed:
+        _drop_change_feed(path, base_v + 1)
+    raise VersionConflictError(
+        f"dv delete at {path} lost the commit race 10 times — "
+        "pathological contention; retry with backoff"
+    )
 
 
 def delete_keys_dv(
@@ -1961,10 +2342,17 @@ def delete_keys_dv(
     purge of a few ids over a z-ordered 100 TB table semi-joins a
     handful of files and writes kilobytes. ``txn`` gives exactly-once
     replays (a CDC delete stream's foreachBatch); ``change_feed=True``
-    records the deleted rows for ``table_changes``. Returns
+    records the deleted rows for ``table_changes``.
+
+    Concurrency: a lost manifest CAS REBASES when every interleaved
+    commit is an append provably key-disjoint from the purge keys
+    (_disjoint_append_interleave — Delta's disjoint-files rule; base
+    files untouched, so dv positions stay valid); any other interleave
+    raises VersionConflictError. Returns
     (new_version, files_with_new_dv, rows_deleted)."""
     from pyspark.sql import functions as F  # noqa: F401  (parity w/ range)
 
+    path = _norm_path(path)
     v = latest_version(path)
     if v is None:
         raise FileNotFoundError(f"no versions committed at {path}")
@@ -2007,18 +2395,51 @@ def delete_keys_dv(
         _write_change_feed(
             deleted.withColumn("_change_type", F.lit("delete")), path, new_v
         )
-    try:
-        _commit(
-            path, new_v, m["files"], "delete-dv", m.get("stats", {}),
-            txn=new_txn, dv=dv_map,
-        )
-    except VersionConflictError:
-        if dvdir:
-            _drop_dv_dir(dvdir)
-        if change_feed:
-            _drop_change_feed(path, new_v)
-        raise
-    return new_v, len(counts), sum(counts.values())
+    base_v, cur_m = v, m
+    for _ in range(10):
+        try:
+            _commit(
+                path, base_v + 1, cur_m["files"], "delete-dv",
+                cur_m.get("stats", {}), txn=new_txn, dv=dv_map,
+            )
+            return base_v + 1, len(counts), sum(counts.values())
+        except VersionConflictError:
+            head = latest_version(path)
+            appended = _disjoint_append_interleave(
+                path, base_v, head, set(cur_m["files"]),
+                gone.select(kcol).distinct(), kcol,
+            )
+            if appended is None:
+                if dvdir:
+                    _drop_dv_dir(dvdir)
+                if change_feed:
+                    _drop_change_feed(path, base_v + 1)
+                raise
+            head_m = _read_manifest(path, head)
+            # a replayed txn may have landed in the interleave: no-op
+            head_txn = {k: int(x) for k, x in head_m.get("txn", {}).items()}
+            if txn is not None and head_txn.get(txn[0], -1) >= int(txn[1]):
+                if dvdir:
+                    _drop_dv_dir(dvdir)
+                if change_feed:
+                    _drop_change_feed(path, base_v + 1)
+                return head, 0, 0
+            new_txn = {**head_txn, **({txn[0]: int(txn[1])} if txn else {})}
+            dv_map = {f: list(e) for f, e in head_m.get("dv", {}).items()}
+            for f, n in counts.items():
+                dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
+            if change_feed:
+                os.rename(_changes_dir(path, base_v + 1),
+                          _changes_dir(path, head + 1))
+            base_v, cur_m = head, head_m
+    if dvdir:
+        _drop_dv_dir(dvdir)
+    if change_feed:
+        _drop_change_feed(path, base_v + 1)
+    raise VersionConflictError(
+        f"keyed dv delete at {path} lost the commit race 10 times — "
+        "pathological contention; retry with backoff"
+    )
 
 
 def merge_version_dv(
@@ -2049,10 +2470,14 @@ def merge_version_dv(
     ``change_feed=True`` persists the exact row-level change set. The
     op records 'merge-dv' (row state changed without a rewrite —
     incremental append readers refuse to cross it, like a delete).
-    CONCURRENCY is conservative: losing the manifest CAS raises
-    VersionConflictError (no append-rebase path — re-run on the new
-    head); use copy-on-write merge_version where racing appenders are
-    the norm."""
+    CONCURRENCY matches merge_version (Delta WriteSerializable): a
+    lost manifest CAS REBASES when every interleaved commit is an
+    append provably key-disjoint from the batch — appends never touch
+    the base files, so the tombstone positions stay valid and the
+    interleaved rows provably contain no batch key; any other
+    interleave raises VersionConflictError (stale read-set — re-run on
+    the new head)."""
+    path = _norm_path(path)
     prev = latest_version(path)
     if prev is None:
         # initial write: no stored rows to tombstone — identical to a
@@ -2092,6 +2517,7 @@ def merge_version_dv(
         gone = gone.unionByName(del_keys).distinct()
     dv_map = {f: list(e) for f, e in m.get("dv", {}).items()}
     dvdir = None
+    counts: dict[str, int] = {}
     stored_slice = None
     if candidates:
         stored_pos = _read_with_dv(spark, candidates, m, with_pos=True)
@@ -2104,6 +2530,7 @@ def merge_version_dv(
             for f, n in counts.items():
                 dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
         stored_slice = stored_pos.drop(_DV_FILE, _DV_POS)
+    cf_v = new_v  # tracks where the change-feed dir currently lives
     try:
         if change_feed:
             from functools import reduce as _reduce
@@ -2144,14 +2571,52 @@ def merge_version_dv(
                     _BLOOM_KEY + kcol in stats.get(f, {}) for f in m["files"]
                 ) else None,
             )
-        _commit(
-            path, new_v, m["files"] + new_files, "merge-dv",
-            {**stats, **new_stats}, txn=new_txn, dv=dv_map,
+        base_v, cur_m = prev, m
+        for _ in range(10):
+            try:
+                _commit(
+                    path, base_v + 1, cur_m["files"] + new_files, "merge-dv",
+                    {**cur_m.get("stats", {}), **new_stats},
+                    txn=new_txn, dv=dv_map,
+                )
+                return base_v + 1
+            except VersionConflictError:
+                head = latest_version(path)
+                appended = _disjoint_append_interleave(
+                    path, base_v, head, set(cur_m["files"]),
+                    batch_keys_k, kcol,
+                )
+                if appended is None:
+                    raise
+                head_m = _read_manifest(path, head)
+                head_txn = {k: int(x)
+                            for k, x in head_m.get("txn", {}).items()}
+                if txn is not None and \
+                        head_txn.get(txn[0], -1) >= int(txn[1]):
+                    # a replay of this txn won the race: ours is a no-op
+                    if dvdir:
+                        _drop_dv_dir(dvdir)
+                    if change_feed:
+                        _drop_change_feed(path, cf_v)
+                    return head
+                new_txn = {**head_txn,
+                           **({txn[0]: int(txn[1])} if txn else {})}
+                dv_map = {f: list(e)
+                          for f, e in head_m.get("dv", {}).items()}
+                for f, n in counts.items():
+                    dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
+                if change_feed:
+                    os.rename(_changes_dir(path, base_v + 1),
+                              _changes_dir(path, head + 1))
+                    cf_v = head + 1
+                base_v, cur_m = head, head_m
+        raise VersionConflictError(
+            f"dv merge at {path} lost the commit race 10 times — "
+            "pathological contention; retry with backoff"
         )
     except VersionConflictError:
         if dvdir:
             _drop_dv_dir(dvdir)
         if change_feed:
-            _drop_change_feed(path, new_v)
+            _drop_change_feed(path, cf_v)
         raise
-    return new_v

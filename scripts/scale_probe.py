@@ -235,6 +235,53 @@ def _probe_clone(spark, sf: str) -> float:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _probe_manifest_planning() -> dict:
+    """Manifest-planning scale: commit synthetic manifests of N files
+    (each with id [min,max] stats + a 2-KiB key bloom), once inline-JSON
+    and once with the columnar stats sidecar, then time the pure
+    planning step (pruned_file_count on a range predicate — cold
+    manifest read each rep). The data files never exist: planning must
+    never open them. The sidecar path should stay near-flat in file
+    count (it reads only the predicate column's stat rows and skips the
+    bloom payload); the inline path re-parses every bloom byte as JSON."""
+    import shutil
+    import tempfile
+
+    import clx_etl_spark.sinks.versioned as V
+
+    out: dict = {}
+    m_bits = 1 << 14
+    for n_files in (100, 1000, 5000):
+        files, stats = [], {}
+        for i in range(n_files):
+            f = f"/nonexistent/data/f{i:06d}.parquet"
+            files.append(f)
+            lo, hi = i * 100, i * 100 + 99
+            stats[f] = {
+                "id": [lo, hi],
+                V._BLOOM_KEY + "id": {
+                    "m": m_bits,
+                    "b": V._bloom_build(range(lo, hi + 1, 7), m_bits),
+                },
+            }
+        for mode, thresh in (("inline", 1 << 30), ("sidecar", 0)):
+            d = tempfile.mkdtemp()
+            old = V._STATS_SIDECAR_MIN_FILES
+            V._STATS_SIDECAR_MIN_FILES = thresh
+            try:
+                V._commit(d, 0, files, "overwrite", stats)
+            finally:
+                V._STATS_SIDECAR_MIN_FILES = old
+            reps, t0 = 5, time.perf_counter()
+            for _ in range(reps):
+                kept, total = V.pruned_file_count(d, "id", 12_345, 17_345)
+            out[f"plan_{mode}_{n_files}"] = round(
+                (time.perf_counter() - t0) / reps, 4)
+            assert kept == 51 and total == n_files or n_files == 100
+            shutil.rmtree(d)
+    return out
+
+
 def main() -> None:
     spark = get_spark("clx-scale-probe")
     reg = load_all()
@@ -267,7 +314,9 @@ def main() -> None:
         "delete_untouched_ratio": [r["delete_untouched_ratio"] for r in md],
         "dv_bytes_ratio": [r["dv_bytes_ratio"] for r in md],
     }
-    print(json.dumps({"sfs": SFS, "times": results, "pruning": ratios}))
+    planning = _probe_manifest_planning()
+    print(json.dumps({"sfs": SFS, "times": results, "pruning": ratios,
+                      "manifest_planning_s": planning}))
     print(f"\n{'query':32s} {'sf.001':>8s} {'sf.01':>8s} {'sf.1':>8s} "
           f"{'r(10x)':>7s} {'r(100x)':>8s}")
     for name, t in results.items():
@@ -277,6 +326,10 @@ def main() -> None:
               f"{r10:7.2f} {r100:8.2f}")
     for k, v in ratios.items():
         print(f"{k:32s} {v[0]:8.2f} {v[1]:8.2f} {v[2]:8.2f}")
+    print("\nmanifest planning (s/plan, 100/1000/5000 synthetic files):")
+    for mode in ("inline", "sidecar"):
+        row = [planning[f"plan_{mode}_{n}"] for n in (100, 1000, 5000)]
+        print(f"{mode:32s} {row[0]:8.4f} {row[1]:8.4f} {row[2]:8.4f}")
     spark.stop()
 
 

@@ -1,0 +1,179 @@
+"""Columnar stats sidecar (manifest scale-out): past a file-count
+threshold, per-file min/max stats and key blooms move out of the
+per-version manifest JSON into one parquet sidecar — the manifest keeps
+the file list plus a pointer, and the planner reads only the columns it
+prunes on. These tests pin the format switch, every consumer of the
+stats map across the op surface, and sidecar lifecycle (CAS losers,
+expiry). Threshold is forced to 0 so every stats-bearing commit
+exercises the sidecar path."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+import clx_etl_spark.sinks.versioned as V
+from clx_etl_spark.sinks.versioned import (
+    _manifest_path,
+    _read_manifest,
+    append_version,
+    clone_table,
+    compact_version,
+    delete_version_dv,
+    expire_versions,
+    merge_version,
+    pruned_file_count,
+    read_version,
+    scan_version,
+)
+
+
+@pytest.fixture(autouse=True)
+def _sidecar_always(monkeypatch):
+    monkeypatch.setattr(V, "_STATS_SIDECAR_MIN_FILES", 0)
+
+
+def _seed(spark, path, blocks=(0, 100, 200), bloom=True):
+    for lo in blocks:
+        append_version(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(50)],
+                "id long, v string",
+            ).coalesce(1),
+            path, stats_cols=["id"], bloom_cols=["id"] if bloom else None,
+        )
+
+
+def test_sidecar_replaces_inline_stats(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _seed(spark, path)
+    raw = json.load(open(_manifest_path(path, 2)))
+    assert raw["stats"] == {} and raw["stats_sidecar"]
+    assert os.path.exists(
+        os.path.join(path, "_manifests", raw["stats_sidecar"]))
+    # the lazy mapping reconstitutes the FULL map (stats + blooms),
+    # including entries carried forward from the earlier versions
+    m = _read_manifest(path, 2)
+    stats = dict(m["stats"])
+    assert len(stats) == 3
+    per = next(iter(stats.values()))
+    assert any(c == "id" for c in per)
+    assert any(c.startswith(V._BLOOM_KEY) for c in per)
+    lo, hi = per["id"]
+    assert isinstance(lo, int) and isinstance(hi, int)
+
+
+def test_sidecar_scan_pruning_and_bloom_point_lookup(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _seed(spark, path)
+    kept, total = pruned_file_count(path, "id", 100, 149)
+    assert (kept, total) == (1, 3)
+    # bloom gap: id 60 inside no file's range
+    kept, _ = pruned_file_count(path, "id", 60, 60)
+    assert kept == 0
+    assert scan_version(spark, path, "id", 205, 205).count() == 1
+    got = scan_version(spark, path, "id", 100, 149)
+    assert got.count() == 50
+
+
+def test_sidecar_merge_pruning_and_carry(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _seed(spark, path)
+    batch = spark.createDataFrame([(5, "NEW")], "id long, v string")
+    merge_version(batch, path, ["id"])
+    df = read_version(spark, path)
+    assert df.count() == 150
+    assert df.filter("id = 5").collect()[0].v == "NEW"
+    # stats carried through the merge commit still prune (the untouched
+    # blocks rode by reference, with their sidecar-backed stats)
+    kept, total = pruned_file_count(path, "id", 205, 205)
+    assert kept == 1 and total >= 3
+
+
+def test_sidecar_dv_delete_compact_clone_expire(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    _seed(spark, path)
+    v, nf, n = delete_version_dv(spark, path, "id", 110, 120)
+    assert (nf, n) == (1, 11)
+    assert read_version(spark, path).count() == 139
+    # clone carries sidecar-backed stats into the clone's own manifest
+    dst = str(tmp_path / "clone")
+    clone_table(path, dst)
+    assert read_version(spark, dst).count() == 139
+    assert pruned_file_count(dst, "id", 205, 205)[0] == 1
+    # compaction re-derives stats; expire reclaims orphaned sidecars
+    compact_version(spark, path)
+    assert read_version(spark, path).count() == 139
+    before = set(glob.glob(os.path.join(path, "_manifests", "*-stats-*")))
+    assert len(before) >= 4
+    expire_versions(path, keep_latest=1)
+    after = set(glob.glob(os.path.join(path, "_manifests", "*-stats-*")))
+    assert len(after) == 1  # only the head's sidecar survives
+    assert read_version(spark, path).count() == 139
+    kept, total = pruned_file_count(path, "id", 130, 130)
+    assert kept <= total  # post-compaction stats still answer
+
+
+def test_sidecar_cas_loser_reclaims_its_sidecar(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "vt")
+    _seed(spark, path, blocks=(0,))
+    head_sc = json.load(open(_manifest_path(path, 0)))["stats_sidecar"]
+    orig = V._commit
+    fired = {}
+
+    def racing(path_, version, files, op, stats=None, txn=None, **kw):
+        if op == "overwrite" and not fired:
+            fired["x"] = True
+            append_version(
+                spark.createDataFrame([(500, "x")], "id long, v string")
+                .coalesce(1), path_, stats_cols=["id"])
+        return orig(path_, version, files, op, stats, txn, **kw)
+
+    monkeypatch.setattr(V, "_commit", racing)
+    with pytest.raises(V.VersionConflictError):
+        V.overwrite_version(
+            spark.createDataFrame([(1, "y")], "id long, v string"),
+            path, stats_cols=["id"])
+    monkeypatch.setattr(V, "_commit", orig)
+    # every surviving sidecar is referenced by a committed manifest
+    referenced = set()
+    for mp in glob.glob(os.path.join(path, "_manifests", "v*.json")):
+        sc = json.load(open(mp)).get("stats_sidecar")
+        if sc:
+            referenced.add(sc)
+    on_disk = {os.path.basename(p) for p in
+               glob.glob(os.path.join(path, "_manifests", "*-stats-*"))}
+    assert on_disk == referenced and head_sc in referenced
+
+
+def test_sidecar_clx_table_pushdown(spark, tmp_path):
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from clx_etl_spark.sources.table_source import (_PushdownTableReader,
+                                                    read_table_source)
+
+    path = str(tmp_path / "vt")
+    _seed(spark, path)
+    sch = spark.createDataFrame([], "id long, v string").schema
+    r = _PushdownTableReader(sch, {"path": path})
+    list(r.pushFilters([EqualTo(("id",), 205)]))
+    assert len(r.partitions()) == 1
+    r2 = _PushdownTableReader(sch, {"path": path})
+    list(r2.pushFilters([GreaterThanOrEqual(("id",), 100)]))
+    assert len(r2.partitions()) == 2
+    # filterless scan: no pruning, full row set, and no sidecar load
+    r3 = _PushdownTableReader(sch, {"path": path})
+    assert len(r3.partitions()) == 3
+    assert read_table_source(spark, path).count() == 150
+
+
+def test_sidecar_inline_below_threshold(spark, tmp_path, monkeypatch):
+    """Small tables keep the inline, human-debuggable JSON form."""
+    monkeypatch.setattr(V, "_STATS_SIDECAR_MIN_FILES", 200)
+    path = str(tmp_path / "vt")
+    _seed(spark, path, blocks=(0,))
+    raw = json.load(open(_manifest_path(path, 0)))
+    assert raw["stats"] and "stats_sidecar" not in raw

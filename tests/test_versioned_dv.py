@@ -576,9 +576,10 @@ def test_ingest_stream_auto_compaction(spark, tmp_path):
 
 
 def test_dv_delete_conflict_cleans_up_sidecar(spark, tmp_path, monkeypatch):
-    """A dv delete losing the manifest CAS raises VersionConflictError
-    and removes its orphaned sidecar; the winner's state is intact and
-    the retry against the new head succeeds."""
+    """A dv delete losing the manifest CAS to an append that MAY hold
+    in-range rows raises VersionConflictError and removes its orphaned
+    sidecar; the winner's state is intact and the retry against the new
+    head succeeds (and now also tombstones the raced-in row)."""
     import clx_etl_spark.sinks.versioned as V
 
     path = str(tmp_path / "vt")
@@ -588,9 +589,9 @@ def test_dv_delete_conflict_cleans_up_sidecar(spark, tmp_path, monkeypatch):
 
     def racing(path_, version, files, op, stats=None, txn=None, **kw):
         if op == "delete-dv" and not fired:
-            fired["x"] = True  # a concurrent append lands first
+            fired["x"] = True  # a concurrent OVERLAPPING append wins
             V.append_version(
-                spark.createDataFrame([(500, "x")], "id long, v string")
+                spark.createDataFrame([(15, "x")], "id long, v string")
                 .coalesce(1),
                 path_, stats_cols=["id"])
         return orig(path_, version, files, op, stats, txn, **kw)
@@ -603,10 +604,102 @@ def test_dv_delete_conflict_cleans_up_sidecar(spark, tmp_path, monkeypatch):
     root = _dv_root(path)
     assert not os.path.isdir(root) or not os.listdir(root)
     assert read_version(spark, path).count() == 51
-    # retry on the new head lands
+    # retry on the new head lands, covering the raced-in id=15 too
     v, nf, n = delete_version_dv(spark, path, "id", 10, 19)
+    assert (nf, n) == (2, 11)
+    assert read_version(spark, path).count() == 40
+
+
+def test_dv_delete_rebases_over_disjoint_append(spark, tmp_path, monkeypatch):
+    """Delta's disjoint-files rule: a dv delete losing the CAS to an
+    append whose file stats provably exclude the delete range REBASES —
+    both the appended rows and the tombstones land, no error, no data
+    rewrite."""
+    import clx_etl_spark.sinks.versioned as V
+
+    path = str(tmp_path / "vt")
+    _seed(spark, path, blocks=(0,))
+    orig = V._commit
+    fired = {}
+
+    def racing(path_, version, files, op, stats=None, txn=None, **kw):
+        if op == "delete-dv" and not fired:
+            fired["x"] = True  # a concurrent DISJOINT append wins
+            V.append_version(
+                spark.createDataFrame([(500, "x")], "id long, v string")
+                .coalesce(1),
+                path_, stats_cols=["id"])
+        return orig(path_, version, files, op, stats, txn, **kw)
+
+    monkeypatch.setattr(V, "_commit", racing)
+    v, nf, n = delete_version_dv(spark, path, "id", 10, 19)
+    monkeypatch.setattr(V, "_commit", orig)
     assert (nf, n) == (1, 10)
-    assert read_version(spark, path).count() == 41
+    df = read_version(spark, path)
+    assert df.count() == 41  # 50 - 10 deleted + 1 raced-in append
+    assert df.filter("id = 500").count() == 1
+    assert df.filter("id BETWEEN 10 AND 19").count() == 0
+    # the rebase re-pointed the commit past the winner
+    assert V.latest_version(path) == v and v == 2
+
+
+def test_dv_delete_racing_compaction_still_raises(spark, tmp_path,
+                                                  monkeypatch):
+    """A dv delete racing a compaction of its own files is a TRUE
+    conflict: positions were computed against files the winner
+    rewrote — must raise, never rebase."""
+    import clx_etl_spark.sinks.versioned as V
+
+    path = str(tmp_path / "vt")
+    _seed(spark, path, blocks=(0, 100))
+    orig = V._commit
+    fired = {}
+
+    def racing(path_, version, files, op, stats=None, txn=None, **kw):
+        if op == "delete-dv" and not fired:
+            fired["x"] = True
+            V.compact_version(spark, path_)
+        return orig(path_, version, files, op, stats, txn, **kw)
+
+    monkeypatch.setattr(V, "_commit", racing)
+    with pytest.raises(V.VersionConflictError):
+        delete_version_dv(spark, path, "id", 10, 19)
+    monkeypatch.setattr(V, "_commit", orig)
+    root = _dv_root(path)
+    assert not os.path.isdir(root) or not os.listdir(root)
+    assert read_version(spark, path).count() == 100
+
+
+def test_dv_merge_rebases_over_disjoint_append(spark, tmp_path, monkeypatch):
+    """merge_version_dv losing the CAS to a key-disjoint append rebases:
+    tombstones + batch files ride onto the new head."""
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.sinks.versioned import merge_version_dv
+
+    path = str(tmp_path / "vt")
+    _seed(spark, path, blocks=(0,))
+    orig = V._commit
+    fired = {}
+
+    def racing(path_, version, files, op, stats=None, txn=None, **kw):
+        if op == "merge-dv" and not fired:
+            fired["x"] = True
+            V.append_version(
+                spark.createDataFrame([(500, "x")], "id long, v string")
+                .coalesce(1),
+                path_, stats_cols=["id"])
+        return orig(path_, version, files, op, stats, txn, **kw)
+
+    monkeypatch.setattr(V, "_commit", racing)
+    batch = spark.createDataFrame(
+        [(5, "NEW5"), (60, "NEW60")], "id long, v string")
+    v = merge_version_dv(batch, path, ["id"])
+    monkeypatch.setattr(V, "_commit", orig)
+    assert v == V.latest_version(path) == 2
+    df = read_version(spark, path)
+    got = {r.id: r.v for r in df.filter("id IN (5, 60, 500)").collect()}
+    assert got == {5: "NEW5", 60: "NEW60", 500: "x"}
+    assert df.count() == 52  # 50 + insert(60) + raced append(500)
 
 
 def test_dv_read_plan_is_broadcast_anti_join(spark, tmp_path):
@@ -627,3 +720,25 @@ def test_dv_read_plan_is_broadcast_anti_join(spark, tmp_path):
     clean.collect()
     plan2 = clean._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan2
+
+
+def test_dv_delete_via_relative_path(spark, tmp_path, monkeypatch):
+    """A table addressed by a RELATIVE path must still commit a live dv
+    map: write entry points normalize to the absolute form Spark keys
+    _metadata.file_path by, so the manifest's files-membership filter
+    cannot silently orphan the deletion vectors (which would report
+    rows deleted while every read resurrects them)."""
+    monkeypatch.chdir(tmp_path)
+    _seed(spark, "vt_rel")
+    new_v, files_hit, n = delete_version_dv(spark, "vt_rel", "id", 110, 120)
+    assert n == 11 and files_hit == 1
+    m = _read_manifest(str(tmp_path / "vt_rel"), new_v)
+    assert m.get("dv"), "dv map must survive a relative-path commit"
+    assert read_version(spark, "vt_rel").count() == 139
+    # keyed purge and merge-on-read via relative paths too
+    from clx_etl_spark.sinks.versioned import delete_keys_dv
+
+    gone = spark.createDataFrame([(5,)], "id long")
+    _, _, n2 = delete_keys_dv(spark, "vt_rel", gone, ["id"])
+    assert n2 == 1
+    assert read_version(spark, "vt_rel").count() == 138
