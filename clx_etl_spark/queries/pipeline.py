@@ -233,6 +233,73 @@ def versioned_sql_scan(spark, sf):
 
 
 @register(
+    "versioned_sql_write",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    UNION ALL
+    SELECT o_orderkey + 100000000 AS o_orderkey,
+           o_totalprice * 2.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 101 = 0
+    """,
+    doc="SQL-facing lakehouse WRITE through the clx_table DSv2 writer "
+    "(sources/table_source.py TableWriter): orders lands in the "
+    "versioned format via df.write.format('clx_table') — two key-range "
+    "appends (the first declares statsCols, the second proves the "
+    "writer re-derives the table's tracked stats/bloom columns from "
+    "the head manifest so SQL writers can't degrade the file-skipping "
+    "index) plus one derived-batch append; the query ASSERTS the "
+    "committed footer stats actually prune before reading everything "
+    "back through the DSv2 reader under plain spark.sql — the full "
+    "SQL write -> manifest commit -> SQL read round-trip against the "
+    "DuckDB oracle. (Catalog INSERT INTO is blocked upstream: Spark "
+    "4.1 passes empty options to Python DSv2 readers/writers resolved "
+    "through the session catalog; the DataFrameWriter door is the "
+    "supported SQL write path.)",
+)
+def versioned_sql_write(spark, sf):
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from ..sinks.versioned import pruned_file_count
+    from ..sources.table_source import read_table_source, write_table_source
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="clx_vsw_")
+    path = tmp + "/t"
+    try:
+        hi = orders.agg(F.max("o_orderkey")).first()[0] or 1
+        step = hi // 2 + 1
+        write_table_source(
+            orders.filter(F.col("o_orderkey") < step).coalesce(1),
+            path, mode="append",
+            stats_cols=["o_orderkey"], bloom_cols=["o_orderkey"])
+        # no statsCols here: the writer re-derives the tracked columns
+        write_table_source(
+            orders.filter(F.col("o_orderkey") >= step).coalesce(1),
+            path, mode="append")
+        extra = orders.filter(F.col("o_orderkey") % 101 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            (F.col("o_totalprice") * 2.0).alias("o_totalprice"))
+        write_table_source(extra.coalesce(1), path, mode="append")
+        kept, total = pruned_file_count(path, "o_orderkey", 0, step - 1)
+        if not kept < total:
+            raise AssertionError(
+                f"SQL-written stats must prune: kept {kept} of {total}")
+        view = f"clx_vsw_{_uuid.uuid4().hex[:8]}"
+        read_table_source(spark, path).createOrReplaceTempView(view)
+        out = spark.sql(
+            f"SELECT o_orderkey, o_totalprice FROM {view}"
+        ).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(view)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
     "versioned_dv_merge_replay",
     oracle="""
     WITH batch AS (

@@ -28,11 +28,13 @@ the SQL/catalog door to the same storage."""
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -43,6 +45,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -94,7 +97,14 @@ class TableDataSource(DataSource):
         return "clx_table"
 
     def _opts(self) -> dict:
-        return {k.lower(): v for k, v in self.options.items()}
+        opts = {k.lower(): v for k, v in self.options.items()}
+        if "path" in opts:
+            # the session catalog qualifies CREATE TABLE paths into
+            # file: URIs; manifests live on the plain local path
+            import re
+
+            opts["path"] = re.sub("^file:/+", "/", opts["path"])
+        return opts
 
     def schema(self) -> str:
         opts = self._opts()
@@ -121,6 +131,9 @@ class TableDataSource(DataSource):
                if opts.get("pushdown", "").lower() == "true" else TableReader)
         return cls(schema, opts)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "TableWriter":
+        return TableWriter(self._opts(), overwrite)
+
 
 class TableReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
@@ -137,17 +150,46 @@ class TableReader(DataSourceReader):
         self._points: dict[str, list] = {}
 
     def partitions(self) -> list[TableFilePartition]:
-        from ..sinks.versioned import (_BLOOM_KEY, _bloom_any_hit,
-                                       _bloom_seed, _stat_overlaps)
+        from ..sinks.versioned import (_BLOOM_KEY, _SidecarStats,
+                                       _bloom_any_hit, _bloom_seed,
+                                       _load_stats_sidecar, _sidecar_excluded,
+                                       _stat_overlaps, _stats_for_cols)
 
         m = self._manifest
-        stats = m.get("stats", {})
+        files = m["files"]
         dv_map = m.get("dv", {})
+        # column-selective planning: a filterless scan never opens the
+        # stats sidecar at all; range predicates run vectorized in arrow
+        # compute over the typed bound columns (no bloom bytes, no
+        # per-row Python); only non-vectorizable bound types and bloom
+        # point probes fall back to the per-file loop, and then only
+        # over the range survivors
+        need = sorted(set(self._bounds) | set(self._points))
+        stats: dict = {}
+        bounds = dict(self._bounds)
+        if need:
+            s = m.get("stats", {})
+            if isinstance(s, _SidecarStats) and s._full is None:
+                excluded: set[str] = set()
+                for col, (lo, hi) in self._bounds.items():
+                    e = _sidecar_excluded(s._sidecar, col, lo, hi)
+                    if e is not None:
+                        excluded |= e
+                        del bounds[col]
+                if excluded:
+                    files = [f for f in files if f not in excluded]
+                rest = sorted(set(bounds) | set(self._points))
+                if rest:
+                    stats = _load_stats_sidecar(
+                        s._sidecar, cols=rest, blooms=bool(self._points),
+                        files=files if len(files) <= 1024 else None)
+            else:
+                stats = _stats_for_cols(m, need, blooms=bool(self._points))
         keep = []
-        for f in m["files"]:
+        for f in files:
             fstats = stats.get(f, {})
             ok = True
-            for col, (lo, hi) in self._bounds.items():
+            for col, (lo, hi) in bounds.items():
                 rng = fstats.get(col)
                 if rng is not None and not _stat_overlaps(
                     lo if lo is not None else rng[0],
@@ -278,6 +320,163 @@ class _PushdownTableReader(TableReader):
                     hi = f.value if hi is None else min(hi, f.value)
                 self._bounds[col] = [lo, hi]
         return list(filters)  # none consumed: pruning is advisory
+
+
+class TableCommitMessage(WriterCommitMessage):
+    """Per-task result: the parquet files the task staged."""
+
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+class TableWriter(DataSourceArrowWriter):
+    """DSv2 BATCH writer for versioned tables — the SQL write door
+    (``df.write.format("clx_table")``, ``INSERT INTO`` on a
+    ``CREATE TABLE ... USING clx_table`` relation) onto the same
+    manifest format the Python API commits.
+
+    Shape: each task streams its Arrow batches into ONE immutable
+    parquet file under a staging dir inside ``<table>/data/`` (never
+    rewritten — a crashed/aborted job leaves orphans that
+    expire_versions reclaims); the driver-side ``commit`` then derives
+    per-file footer stats + key blooms (_file_stats — pyarrow only, no
+    SparkSession exists here), enforces the table's CHECK constraints,
+    and runs the same manifest CAS loop as append_version /
+    overwrite_version (append rebases through interleaved commits; an
+    overwrite that loses the race surfaces VersionConflictError).
+
+    Options: ``statsCols`` / ``bloomCols`` (comma-separated) override
+    the tracked columns; by default the commit re-derives whatever the
+    table's head manifest already tracks, so SQL writers cannot
+    silently degrade the table's file-skipping index.
+
+    Constraint note: CHECK expressions are validated here with DuckDB
+    over the staged files (no SparkSession on the commit path), so
+    they must stay in the ANSI subset both engines parse — true for
+    the comparison/null-test shapes constraints are made of; anything
+    unparseable fails CLOSED (the write is refused, never silently
+    unchecked)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self._path = options["path"]
+        self._overwrite = overwrite
+        self._stats_cols = [c for c in options.get("statscols", "").split(",")
+                            if c] or None
+        self._bloom_cols = [c for c in options.get("bloomcols", "").split(",")
+                            if c] or None
+        import uuid as _uuid
+
+        self._staging = os.path.join(
+            self._path, "data", f"dsv2-{_uuid.uuid4().hex[:8]}")
+
+    def write(self, iterator) -> TableCommitMessage:
+        import uuid as _uuid
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._staging, exist_ok=True)
+        fname = os.path.join(
+            self._staging, f"part-{_uuid.uuid4().hex}.parquet")
+        writer = None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(fname, batch.schema)
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        return TableCommitMessage([fname] if writer is not None else [])
+
+    def commit(self, messages) -> None:
+        from ..sinks.versioned import (ConstraintViolation, _commit,
+                                       _file_stats, _norm_path,
+                                       _read_manifest, get_constraints,
+                                       latest_version, VersionConflictError)
+
+        path = _norm_path(self._path)
+        files = sorted(f for msg in messages if msg for f in msg.files)
+        cons = get_constraints(path)
+        if cons and files:
+            import duckdb
+
+            con = duckdb.connect()
+            flist = ", ".join(
+                "'" + f.replace("'", "''") + "'" for f in files)
+            bad: dict[str, int] = {}
+            for name, expr in cons.items():
+                n = con.execute(
+                    f"SELECT count(*) FROM read_parquet([{flist}]) "
+                    f"WHERE NOT coalesce(({expr}), true)"
+                ).fetchone()[0]
+                if n:
+                    bad[name] = int(n)
+            if bad:
+                self.abort(messages)
+                raise ConstraintViolation(path, bad)
+        head = latest_version(path)
+        head_m = _read_manifest(path, head) if head is not None else {}
+        stats_cols, bloom_cols = self._stats_cols, self._bloom_cols
+        if stats_cols is None:  # keep the table's file-skipping contract
+            hs = dict(head_m.get("stats", {}))
+            from ..sinks.versioned import _BLOOM_KEY
+
+            tracked = {c for per in hs.values()
+                       for c in per if not c.startswith(_BLOOM_KEY)}
+            stats_cols = sorted(tracked) or None
+            if bloom_cols is None:
+                blooms = {c[len(_BLOOM_KEY):] for per in hs.values()
+                          for c in per if c.startswith(_BLOOM_KEY)}
+                bloom_cols = sorted(blooms) or None
+        stats = _file_stats(files, stats_cols, bloom_cols)
+        for _ in range(11):
+            prev = latest_version(path)
+            prev_m = _read_manifest(path, prev) if prev is not None else {}
+            version = 0 if prev is None else prev + 1
+            try:
+                if self._overwrite:
+                    # carry txn watermarks like overwrite_version(txn=None)
+                    _commit(path, version, files, "overwrite", stats,
+                            txn=prev_m.get("txn", {}))
+                else:
+                    _commit(
+                        path, version, prev_m.get("files", []) + files,
+                        "append", {**dict(prev_m.get("stats", {})), **stats},
+                        txn=prev_m.get("txn", {}), dv=prev_m.get("dv"),
+                    )
+                return
+            except VersionConflictError:
+                if self._overwrite:
+                    raise  # an overwrite's read-set is the whole table
+                continue  # append rebase: manifest JSON only, no rewrite
+        raise VersionConflictError(
+            f"DSv2 write to {path} lost the commit race 11 times — "
+            "pathological contention; retry with backoff"
+        )
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+
+def write_table_source(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> None:
+    """DataFrameWriter door onto a versioned table via the clx_table
+    DSv2 source (see TableWriter). ``mode`` is 'append' or
+    'overwrite'."""
+    df.sparkSession.dataSource.register(TableDataSource)
+    w = df.write.format("clx_table").option("path", path).mode(mode)
+    if stats_cols:
+        w = w.option("statsCols", ",".join(stats_cols))
+    if bloom_cols:
+        w = w.option("bloomCols", ",".join(bloom_cols))
+    w.save()
 
 
 def read_table_source(

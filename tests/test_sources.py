@@ -428,3 +428,112 @@ def test_clx_table_reader_prunes_columns_and_vectorizes_dv(spark, tmp_path):
     b2 = list(r2.read(r2.partitions()[0]))
     assert all(b.column("missing").null_count == b.num_rows for b in b2)
     assert sum(b.num_rows for b in b2) == 9_900
+
+
+def test_clx_table_writer_append_and_overwrite(spark, tmp_path):
+    """DSv2 batch writer: df.write.format('clx_table') appends land as
+    committed versions with footer stats + blooms; a second append
+    without statsCols re-derives the tracked columns from the head
+    manifest; mode('overwrite') starts a fresh file list."""
+    from clx_etl_spark.sinks.versioned import (_BLOOM_KEY, _read_manifest,
+                                               latest_version,
+                                               pruned_file_count,
+                                               read_version)
+    from clx_etl_spark.sources.table_source import write_table_source
+
+    path = str(tmp_path / "vt")
+    df = spark.range(100).selectExpr("id", "cast(id * 2 as double) AS x")
+    write_table_source(df.coalesce(1), path, mode="append",
+                       stats_cols=["id"], bloom_cols=["id"])
+    assert latest_version(path) == 0
+    assert read_version(spark, path).count() == 100
+    write_table_source(
+        spark.range(100, 200).selectExpr("id", "cast(0.0 as double) AS x")
+        .coalesce(1), path, mode="append")  # no statsCols: derived
+    assert read_version(spark, path).count() == 200
+    m = _read_manifest(path, 1)
+    tracked = {c for per in dict(m["stats"]).values() for c in per}
+    assert tracked == {"id", _BLOOM_KEY + "id"}
+    kept, total = pruned_file_count(path, "id", 150, 150)
+    assert (kept, total) == (1, 2)
+    write_table_source(
+        spark.range(10).selectExpr("id", "cast(1.0 as double) AS x")
+        .coalesce(1), path, mode="overwrite")
+    assert read_version(spark, path).count() == 10
+    assert _read_manifest(path, 2)["op"] == "overwrite"
+
+
+def test_clx_table_writer_constraints_fail_closed(spark, tmp_path):
+    """CHECK constraints gate SQL writes: a violating batch is refused
+    (table state intact) and an expression the commit-side validator
+    cannot evaluate also refuses — never a silent skip."""
+    import pytest
+
+    from clx_etl_spark.sinks.versioned import (latest_version, read_version,
+                                               set_constraints)
+    from clx_etl_spark.sources.table_source import write_table_source
+
+    path = str(tmp_path / "vt")
+    write_table_source(
+        spark.range(5).selectExpr("id", "cast(1.0 as double) AS x")
+        .coalesce(1), path, mode="append", stats_cols=["id"])
+    set_constraints(path, {"id_nonneg": "id >= 0"})
+    with pytest.raises(Exception, match="constraint violation|id_nonneg"):
+        write_table_source(
+            spark.range(-3, 3).selectExpr("id", "cast(0.0 as double) AS x")
+            .coalesce(1), path, mode="append")
+    assert latest_version(path) == 0
+    assert read_version(spark, path).count() == 5
+    # fail CLOSED on an unparseable expression
+    set_constraints(path, {"bad": "totally_bogus_fn(id) == 1"})
+    with pytest.raises(Exception):
+        write_table_source(
+            spark.range(5, 8).selectExpr("id", "cast(0.0 as double) AS x")
+            .coalesce(1), path, mode="append")
+    assert latest_version(path) == 0
+
+
+def test_clx_table_writer_commit_rebases_over_append(spark, tmp_path,
+                                                     monkeypatch):
+    """The writer's driver-side commit loop: losing the manifest CAS to
+    an interleaved append rebases (manifest JSON only) and both commits'
+    rows survive; a lost overwrite raises."""
+    import pytest
+
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.sources.table_source import (TableWriter,
+                                                    write_table_source)
+
+    path = str(tmp_path / "vt")
+    write_table_source(
+        spark.range(10).selectExpr("id", "cast(1.0 as double) AS x")
+        .coalesce(1), path, mode="append", stats_cols=["id"])
+    orig = V._commit
+    fired = {}
+
+    def racing(path_, version, files, op, stats=None, txn=None, **kw):
+        if not fired:
+            fired["x"] = True
+            V.append_version(
+                spark.createDataFrame([(500, 0.0)], "id long, x double")
+                .coalesce(1), path_, stats_cols=["id"])
+        return orig(path_, version, files, op, stats, txn, **kw)
+
+    # drive the commit loop in-process with a pre-staged file
+    w = TableWriter({"path": path}, overwrite=False)
+    import pyarrow as pa
+    msg = w.write(iter([pa.record_batch({"id": pa.array([99], pa.int64()),
+                                         "x": pa.array([9.9])})]))
+    monkeypatch.setattr(V, "_commit", racing)
+    w.commit([msg])
+    monkeypatch.setattr(V, "_commit", orig)
+    got = {r.id for r in V.read_version(spark, path).collect()}
+    assert 99 in got and 500 in got and len(got) == 12
+    # overwrite loses the race -> loud conflict
+    fired.clear()
+    w2 = TableWriter({"path": path}, overwrite=True)
+    msg2 = w2.write(iter([pa.record_batch({"id": pa.array([1], pa.int64()),
+                                           "x": pa.array([0.0])})]))
+    monkeypatch.setattr(V, "_commit", racing)
+    with pytest.raises(V.VersionConflictError):
+        w2.commit([msg2])
