@@ -721,3 +721,222 @@ def knn_ivf_pq(
         F.col(id_col).alias("query_id"), "ivf_cell", F.col(vec_col).alias("_qvec")
     )
     return adc_cell_topk(recon, q, k=k, nprobe=nprobe)
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer ANN (hash-oracle-able PQ / IVF+PQ)
+#
+# The float k-means above (train_ivf_centroids / pq_train) is seeded and
+# deterministic WITHIN Spark, but its numpy float means cannot be
+# reproduced bit-for-bit by an independent SQL engine — which kept
+# pq_ann / sim_knn_ivfpq in the rows-only correctness class. These
+# variants move EVERY arithmetic step onto an exact integer lattice so
+# a DuckDB twin reproduces the full pipeline bit-for-bit:
+#
+#   * quantization  floor((double)x * 2^20) + 4*2^20 — the 2^20 scale is
+#     an exponent shift (lossless on float32 inputs), floor is exact,
+#     and the offset keeps every component positive so floor-division
+#     agrees across engines (Spark `div` truncates toward zero, DuckDB
+#     `//` floors — identical on non-negatives);
+#   * init          the k corpus vectors ranked first by
+#     (md5(vec_id), vec_id) — a distributed TakeOrdered, no RNG;
+#   * iterations    a FIXED unrolled count (the PageRank treatment):
+#     assign by integer squared distance (ties -> lowest centroid id),
+#     update by elementwise floor-mean; empty clusters keep their
+#     previous centroid;
+#   * scoring       integer ADC — per-subspace (query, code) LUT joined
+#     onto the corpus codes, summed, fully tie-broken top-k.
+#
+# Scale shape: training is one k-row broadcast cross join + one
+# positional aggregate per iteration (all map-side-combinable); no
+# driver-side model state at all — unlike the numpy path, nothing is
+# ever collected.
+
+_EXACT_SCALE = 1 << 20
+_EXACT_OFF = _EXACT_SCALE * 4
+
+
+def quantize_exact(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    out_id: str | None = None,
+) -> DataFrame:
+    """(id, q: array<long>) on the exact integer lattice."""
+    return df.select(
+        F.col(id_col).alias(out_id or id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(_EXACT_SCALE))
+            ).cast("long") + F.lit(_EXACT_OFF),
+        ).alias("q"),
+    )
+
+
+def _int_sq_dist(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def train_centroids_exact(
+    sub: DataFrame, k: int, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "v",
+) -> DataFrame:
+    """Exact-integer k-means over (id, v: array<long>): returns
+    (cid 1..k, c: array<long>). See the block comment above for the
+    determinism contract; the SQL twin lives in queries/datasets.py."""
+    seed = (
+        sub.orderBy(F.md5(F.col(id_col).cast("string").cast("binary")),
+                    F.col(id_col))
+        .limit(k)
+    )
+    w0 = Window.orderBy(
+        F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
+    cent = (
+        seed.withColumn("cid", F.row_number().over(w0))
+        .select("cid", F.col(vec_col).alias("c"))
+    )
+    for _ in range(iters):
+        best = (
+            sub.crossJoin(F.broadcast(cent))
+            .withColumn("dist", _int_sq_dist(F.col(vec_col), F.col("c")))
+            .groupBy(id_col)
+            .agg(F.min(F.struct("dist", "cid", vec_col)).alias("s"))
+            .select(F.col("s.cid").alias("cid"),
+                    F.col(f"s.{vec_col}").alias("v"))
+        )
+        mean = (
+            best.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.expr("sum(val) div count(1)").alias("comp"))
+        )
+        newc = (
+            mean.groupBy("cid")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("pos", "comp"))).alias("pc"))
+            .select("cid",
+                    F.transform("pc", lambda s: s["comp"]).alias("nc"))
+        )
+        cent = (
+            cent.join(newc, "cid", "left")
+            .select("cid", F.coalesce("nc", "c").alias("c"))
+            .localCheckpoint(eager=True)  # cut the per-iteration lineage
+        )
+    return cent
+
+
+def _pq_codes_and_lut_exact(
+    qcorp: DataFrame, qq: DataFrame, dim: int, m: int, k_codes: int,
+    iters: int, id_col: str,
+) -> DataFrame:
+    """Shared PQ tail: per-subspace exact codebooks, corpus codes, and
+    query LUTs, returned as the unioned (query_id, neighbor_id, dist)
+    per-subspace partial distances (sum = integer ADC)."""
+    from functools import reduce
+
+    d = dim // m
+    parts = []
+    for s in range(m):
+        lo = s * d + 1
+        sub = qcorp.select(id_col, F.slice("q", lo, d).alias("v"))
+        cb = train_centroids_exact(sub, k_codes, iters, id_col=id_col)
+        codes = (
+            sub.crossJoin(F.broadcast(cb))
+            .withColumn("dist", _int_sq_dist(F.col("v"), F.col("c")))
+            .groupBy(id_col)
+            .agg(F.min(F.struct("dist", "cid")).alias("s"))
+            .select(F.col(id_col).alias("neighbor_id"),
+                    F.col("s.cid").alias("code"))
+        )
+        lut = (
+            qq.select("query_id", F.slice("q", lo, d).alias("qs"))
+            .crossJoin(F.broadcast(cb))
+            .select("query_id", F.col("cid").alias("code"),
+                    _int_sq_dist(F.col("qs"), F.col("c")).alias("dist"))
+        )
+        parts.append(
+            codes.join(F.broadcast(lut), "code")
+            .select("query_id", "neighbor_id", "dist")
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def knn_pq_exact(
+    vectors: DataFrame, queries: DataFrame,
+    m: int = 4, k_codes: int = 8, k: int = 5, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN with integer ADC scoring, bit-reproducible by the DuckDB
+    oracle (query pq_ann). Self-matches excluded; top-k fully
+    tie-broken by (adc_dist, neighbor_id)."""
+    dim = len(vectors.select(vec_col).first()[0])
+    qcorp = quantize_exact(vectors, id_col, vec_col)
+    qq = quantize_exact(queries, id_col, vec_col, out_id="query_id")
+    adc = (
+        _pq_codes_and_lut_exact(qcorp, qq, dim, m, k_codes, iters, id_col)
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dist").alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def knn_ivf_pq_exact(
+    vectors: DataFrame, queries: DataFrame,
+    nlist: int = 8, m: int = 4, k_codes: int = 8, k: int = 5,
+    nprobe: int = 2, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ with exact-integer trainings and integer ADC — the FAISS
+    IVFPQ layout, hash-oracle-able end to end. Candidate generation is
+    an EQUI-JOIN on the coarse cell id (the scale path: 1/nlist of the
+    corpus per probe); only the constant-size centroid broadcasts are
+    nested-loop shapes."""
+    dim = len(vectors.select(vec_col).first()[0])
+    qcorp = quantize_exact(vectors, id_col, vec_col)
+    qq = quantize_exact(queries, id_col, vec_col, out_id="query_id")
+    coarse = train_centroids_exact(
+        qcorp.select(id_col, F.col("q").alias("v")), nlist, iters,
+        id_col=id_col)
+    v_cells = (
+        qcorp.select(id_col, F.col("q").alias("v"))
+        .crossJoin(F.broadcast(coarse))
+        .withColumn("dist", _int_sq_dist(F.col("v"), F.col("c")))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("dist", "cid")).alias("s"))
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col("s.cid").alias("cell"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "cid")
+    q_cells = (
+        qq.select("query_id", F.col("q").alias("v"))
+        .crossJoin(F.broadcast(coarse))
+        .withColumn("dist", _int_sq_dist(F.col("v"), F.col("c")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    cand = (
+        v_cells.join(F.broadcast(q_cells), "cell")
+        .select("query_id", "neighbor_id").distinct()
+    )
+    adc = (
+        _pq_codes_and_lut_exact(qcorp, qq, dim, m, k_codes, iters, id_col)
+        .join(cand, ["query_id", "neighbor_id"], "semi")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dist").alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

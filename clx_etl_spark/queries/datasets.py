@@ -5,9 +5,10 @@ pipeline (tokenize / score / split / index).
 
 Oracle determinism follows the queries/__init__ contract; the LM score
 uses exact BIGINT fixed-point probabilities (see operators/lm.py — no
-ln(), no order-dependent float sums). The two iterative entries
-(bpe_train_encode, pq_ann) are registered rows-only: multi-round
-argmax/k-means loops are the documented non-SQL-expressible class.
+ln(), no order-dependent float sums). bpe_train_encode remains the one
+documented rows-only entry here (multi-round argmax loop); the ANN
+entries graduated to hash-oracled in round 7 via exact-integer k-means
+(operators/similarity.knn_pq_exact — the SQL twins are generated below).
 """
 
 from __future__ import annotations
@@ -186,21 +187,150 @@ def bpe_train_encode(spark, sf):
     )
 
 
+# --- exact-integer ANN oracle builders (the SQL twins of
+# operators/similarity.py knn_pq_exact / knn_ivf_pq_exact; every
+# arithmetic step is on the same integer lattice, so DuckDB reproduces
+# the trained codebooks, codes, and ADC ranking bit-for-bit) ----------
+
+_EX_DIM, _EX_M, _EX_D = 64, 4, 16  # embeddings dim, subspaces, sub-dim
+
+
+def _fold_sum_int(elems: str) -> str:
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), {elems}), "
+            "(acc, x) -> acc + x)")
+
+
+def _int_dist_sql(a: str, b: str, d: int) -> str:
+    return _fold_sum_int(
+        f"[({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+        f"FOR i IN generate_series(1, {d})]"
+    )
+
+
+def _kmeans_ctes(n: str, src: str, k: int, d: int, iters: int = 2) -> str:
+    """CTE chain training exact-integer k-means over {src}(vec_id, v)
+    into {n}_c{iters}(cid, c) — md5-ranked init, fixed unrolled
+    iterations, floor-mean update, empty clusters carry."""
+    ctes = [f"""{n}_c0 AS (
+      SELECT cid, v AS c FROM (
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid, v
+        FROM {src}) WHERE cid <= {k})"""]
+    for i in range(1, iters + 1):
+        prev = f"{n}_c{i - 1}"
+        ctes.append(f"""{n}_a{i} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT s.vec_id, s.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                 ORDER BY {_int_dist_sql('s.v', 'c.c', d)}, c.cid) AS rn
+        FROM {src} s, {prev} c) WHERE rn = 1)""")
+        ctes.append(f"""{n}_m{i} AS (
+      SELECT cid, pos, CAST(SUM(v[pos]) // COUNT(*) AS BIGINT) AS comp
+      FROM {n}_a{i}, UNNEST(generate_series(1, {d})) AS g(pos)
+      GROUP BY cid, pos)""")
+        ctes.append(f"""{n}_cl{i} AS (
+      SELECT cid, list(comp ORDER BY pos) AS c FROM {n}_m{i} GROUP BY cid)""")
+        ctes.append(f"""{n}_c{i} AS (
+      SELECT p.cid, COALESCE(w.c, p.c) AS c
+      FROM {prev} p LEFT JOIN {n}_cl{i} w USING (cid))""")
+    return ",\n    ".join(ctes)
+
+
+def _pq_subspace_ctes(iters: int = 2, k_codes: int = 8) -> str:
+    """Per-subspace training + corpus codes + query LUT CTEs, and the
+    unioned per-subspace partial ADC distances as ``parts``."""
+    blocks, unions = [], []
+    for s in range(_EX_M):
+        lo, hi = s * _EX_D + 1, (s + 1) * _EX_D
+        n = f"pq{s}"
+        blocks.append(
+            f"{n}_sub AS (SELECT vec_id, q[{lo}:{hi}] AS v FROM qv)")
+        blocks.append(_kmeans_ctes(n, f"{n}_sub", k_codes, _EX_D, iters))
+        blocks.append(f"""{n}_code AS (
+      SELECT vec_id AS neighbor_id, cid AS code FROM (
+        SELECT s.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                 ORDER BY {_int_dist_sql('s.v', 'c.c', _EX_D)}, c.cid) AS rn
+        FROM {n}_sub s, {n}_c{iters} c) WHERE rn = 1)""")
+        blocks.append(f"""{n}_lut AS (
+      SELECT u.vec_id AS query_id, c.cid AS code,
+             {_int_dist_sql('u.v', 'c.c', _EX_D)} AS dist
+      FROM {n}_sub u, {n}_c{iters} c WHERE u.vec_id < 8)""")
+        unions.append(
+            f"SELECT l.query_id, c.neighbor_id, l.dist "
+            f"FROM {n}_code c JOIN {n}_lut l USING (code)")
+    blocks.append("parts AS (" + " UNION ALL ".join(unions) + ")")
+    return ",\n    ".join(blocks)
+
+
+_QV_CTE = f"""qv AS (
+      SELECT vec_id,
+             [CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+              + 4194304 FOR i IN generate_series(1, {_EX_DIM})] AS q
+      FROM embeddings)"""
+
+_PQ_ANN_ORACLE = f"""
+    WITH {_QV_CTE},
+    {_pq_subspace_ctes()},
+    adc AS (SELECT query_id, neighbor_id, CAST(SUM(dist) AS BIGINT) AS adc_dist
+            FROM parts GROUP BY query_id, neighbor_id)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rank
+      FROM adc WHERE query_id <> neighbor_id) WHERE rank <= 5
+    """
+
+_IVF_PQ_ORACLE = f"""
+    WITH {_QV_CTE},
+    ivf_sub AS (SELECT vec_id, q AS v FROM qv),
+    {_kmeans_ctes('ivf', 'ivf_sub', 8, _EX_DIM)},
+    v_cells AS (
+      SELECT vec_id AS neighbor_id, cid AS cell FROM (
+        SELECT s.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                 ORDER BY {_int_dist_sql('s.v', 'c.c', _EX_DIM)}, c.cid) AS rn
+        FROM ivf_sub s, ivf_c2 c) WHERE rn = 1),
+    q_cells AS (
+      SELECT query_id, cell FROM (
+        SELECT s.vec_id AS query_id, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                 ORDER BY {_int_dist_sql('s.v', 'c.c', _EX_DIM)}, c.cid) AS rn
+        FROM ivf_sub s, ivf_c2 c WHERE s.vec_id < 8) WHERE rn <= 2),
+    cand AS (SELECT DISTINCT q.query_id, v.neighbor_id
+             FROM v_cells v JOIN q_cells q USING (cell)),
+    {_pq_subspace_ctes()},
+    adc AS (SELECT p.query_id, p.neighbor_id,
+                   CAST(SUM(p.dist) AS BIGINT) AS adc_dist
+            FROM parts p
+            JOIN cand USING (query_id, neighbor_id)
+            GROUP BY p.query_id, p.neighbor_id)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rank
+      FROM adc WHERE query_id <> neighbor_id) WHERE rank <= 5
+    """
+
+
 @register(
     "pq_ann",
-    oracle=None,  # k-means codebook training is iterative: rows-only class
-    doc="Product-quantization ANN (asymmetric distance): codebooks "
-    "k-means-trained per subspace on a deterministic hash sample "
-    "(seeded, bounded collect), corpus encoded to m=4 one-byte codes by "
-    "pure literal expressions, exact queries scored against "
-    "reconstructed vectors with fully tie-broken top-5. Iterative "
-    "training, hence rows-only; encode/reconstruct round-trip and "
-    "recall-vs-bruteforce are asserted in tests/test_operators.py",
+    oracle=_PQ_ANN_ORACLE,
+    doc="Product-quantization ANN, HASH-ORACLED end to end: codebooks "
+    "trained by exact-integer k-means (md5-ranked init, 2 unrolled "
+    "iterations, floor-mean update — the PageRank treatment applied to "
+    "k-means, operators/similarity.knn_pq_exact), corpus encoded to "
+    "m=4 codes, queries scored by integer ADC (per-subspace LUT join), "
+    "fully tie-broken top-5. No driver-side model state: training is a "
+    "k-row broadcast + positional aggregate per iteration. The float "
+    "knn_pq path remains for the persisted-index operators; its "
+    "recall-vs-bruteforce is unit-asserted",
 )
 def pq_ann(spark, sf):
     emb = load_table(spark, sf, "embeddings")
-    out = S.knn_pq(emb, emb.filter(F.col("vec_id") < 8), m=4, k_codes=8, k=5)
-    return out.withColumn("rank", F.col("rank").cast("int"))
+    return S.knn_pq_exact(
+        emb, emb.filter(F.col("vec_id") < 8), m=4, k_codes=8, k=5
+    )
 
 
 @register(
@@ -239,20 +369,22 @@ def dsir_importance_weights(spark, sf):
 
 @register(
     "sim_knn_ivfpq",
-    oracle=None,  # both trainings (coarse k-means + PQ k-means) are iterative
-    doc="IVF+PQ composed ANN (the FAISS-IVFPQ billion-scale layout): "
-    "trained coarse cells prune candidates via an EQUI-JOIN on cell id "
-    "(no nested-loop shape — unlike the declared bruteforce baselines), "
-    "PQ codes compress candidate storage/scoring, 2-probe recovers "
-    "boundary neighbors. Iterative trainings, hence rows-only; ADC-score "
-    "bit-consistency with knn_pq and determinism are unit-asserted",
+    oracle=_IVF_PQ_ORACLE,
+    doc="IVF+PQ composed ANN (the FAISS-IVFPQ billion-scale layout), "
+    "HASH-ORACLED end to end: exact-integer coarse k-means prunes "
+    "candidates via an EQUI-JOIN on cell id with 2-probe boundary "
+    "recovery, exact-integer PQ codebooks compress candidate scoring "
+    "to an integer ADC LUT join (operators/similarity.knn_ivf_pq_exact)"
+    " — only the constant-size centroid broadcasts are nested-loop "
+    "shapes; candidate generation touches 1/nlist of the corpus per "
+    "probe. The float knn_ivf_pq path remains for the persisted index",
 )
 def sim_knn_ivfpq(spark, sf):
     emb = load_table(spark, sf, "embeddings")
-    out = S.knn_ivf_pq(
-        emb, emb.filter(F.col("vec_id") < 8), nlist=8, m=4, k_codes=8, k=5, nprobe=2
+    return S.knn_ivf_pq_exact(
+        emb, emb.filter(F.col("vec_id") < 8),
+        nlist=8, m=4, k_codes=8, k=5, nprobe=2,
     )
-    return out.withColumn("rank", F.col("rank").cast("int"))
 
 
 from .corpus import _CURATION_KEPT_CTES  # noqa: E402

@@ -45,9 +45,13 @@ NLJ_ALLOWED = {
     "lm_score_heldout",  # same 1-row vocab-size stats broadcast
     "dsir_importance_weights",  # broadcast of the 1-row (nr, nt) totals
     "hybrid_search_rerank",  # two 1-row broadcasts (bm25 stats + query vec)
-    "pq_ann",  # tiny query set x corpus, same declared shape as
-    # sim_knn_bruteforce — PQ shrinks per-candidate cost (4-byte codes);
-    # compose with IVF cell pruning (sim_knn_ivf) to drop the NLJ at scale
+    "pq_ann",  # constant-size (k_codes-row) codebook broadcasts from the
+    # exact-integer k-means trainings + the tiny query-LUT broadcast;
+    # corpus-side scoring is an equi-join on code — compose with IVF cell
+    # pruning (sim_knn_ivfpq) for the candidate-pruned scale path
+    "sim_knn_ivfpq",  # same constant-size centroid/codebook broadcasts
+    # (8-row coarse + 8-row per-subspace); candidate generation is the
+    # cell EQUI-join — 1/nlist of the corpus per probe, never all-pairs
     "contrastive_hard_negatives",  # broadcast anchor subset x corpus —
     # same declared shape as sim_knn_bruteforce; swap in IVF/SRP candidate
     # pruning at scale (semantics unchanged, see hard_negative_mining doc)
