@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -133,6 +134,10 @@ class TableDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "TableWriter":
         return TableWriter(self._opts(), overwrite)
+
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> "TableStreamWriter":
+        return TableStreamWriter(self._opts())
 
 
 class TableReader(DataSourceReader):
@@ -389,75 +394,174 @@ class TableWriter(DataSourceArrowWriter):
         return TableCommitMessage([fname] if writer is not None else [])
 
     def commit(self, messages) -> None:
-        from ..sinks.versioned import (ConstraintViolation, _commit,
-                                       _file_stats, _norm_path,
-                                       _read_manifest, get_constraints,
-                                       latest_version, VersionConflictError)
-
-        path = _norm_path(self._path)
         files = sorted(f for msg in messages if msg for f in msg.files)
-        cons = get_constraints(path)
-        if cons and files:
-            import duckdb
-
-            con = duckdb.connect()
-            flist = ", ".join(
-                "'" + f.replace("'", "''") + "'" for f in files)
-            bad: dict[str, int] = {}
-            for name, expr in cons.items():
-                n = con.execute(
-                    f"SELECT count(*) FROM read_parquet([{flist}]) "
-                    f"WHERE NOT coalesce(({expr}), true)"
-                ).fetchone()[0]
-                if n:
-                    bad[name] = int(n)
-            if bad:
-                self.abort(messages)
-                raise ConstraintViolation(path, bad)
-        head = latest_version(path)
-        head_m = _read_manifest(path, head) if head is not None else {}
-        stats_cols, bloom_cols = self._stats_cols, self._bloom_cols
-        if stats_cols is None:  # keep the table's file-skipping contract
-            hs = dict(head_m.get("stats", {}))
-            from ..sinks.versioned import _BLOOM_KEY
-
-            tracked = {c for per in hs.values()
-                       for c in per if not c.startswith(_BLOOM_KEY)}
-            stats_cols = sorted(tracked) or None
-            if bloom_cols is None:
-                blooms = {c[len(_BLOOM_KEY):] for per in hs.values()
-                          for c in per if c.startswith(_BLOOM_KEY)}
-                bloom_cols = sorted(blooms) or None
-        stats = _file_stats(files, stats_cols, bloom_cols)
-        for _ in range(11):
-            prev = latest_version(path)
-            prev_m = _read_manifest(path, prev) if prev is not None else {}
-            version = 0 if prev is None else prev + 1
-            try:
-                if self._overwrite:
-                    # carry txn watermarks like overwrite_version(txn=None)
-                    _commit(path, version, files, "overwrite", stats,
-                            txn=prev_m.get("txn", {}))
-                else:
-                    _commit(
-                        path, version, prev_m.get("files", []) + files,
-                        "append", {**dict(prev_m.get("stats", {})), **stats},
-                        txn=prev_m.get("txn", {}), dv=prev_m.get("dv"),
-                    )
-                return
-            except VersionConflictError:
-                if self._overwrite:
-                    raise  # an overwrite's read-set is the whole table
-                continue  # append rebase: manifest JSON only, no rewrite
-        raise VersionConflictError(
-            f"DSv2 write to {path} lost the commit race 11 times — "
-            "pathological contention; retry with backoff"
-        )
+        try:
+            _commit_staged_files(
+                self._path, files, overwrite=self._overwrite,
+                stats_cols=self._stats_cols, bloom_cols=self._bloom_cols,
+            )
+        except Exception:
+            self.abort(messages)
+            raise
 
     def abort(self, messages) -> None:
         import shutil
 
         shutil.rmtree(self._staging, ignore_errors=True)
+
+
+class TableStreamWriter(DataSourceStreamArrowWriter):
+    """DSv2 STREAMING writer — ``stream.writeStream.format("clx_table")``
+    — the declarative form of streaming/jobs.versioned_ingest_stream:
+    every micro-batch commits one version through the shared staged-file
+    commit, with ``txn=(txnAppId, batchId)`` recorded atomically inside
+    the manifest, so a replayed epoch (at-least-once delivery, restart
+    from checkpoint) is a manifest-level no-op and ingestion is
+    EXACTLY-ONCE end to end without foreachBatch.
+
+    Options: ``txnAppId`` — the exactly-once identity; it must be
+    STABLE across restarts and UNIQUE per logical stream. Defaults to
+    a hash of the table path, which is correct for the common
+    one-stream-per-table layout; set it explicitly when several
+    streams append to one table. ``statsCols`` / ``bloomCols`` as on
+    the batch writer (default: re-derive the head manifest's tracked
+    columns). CHECK constraints are enforced per batch (fail closed).
+
+    Epoch semantics: ``commit(messages, batchId)`` is invoked once per
+    successful epoch with every task's staged files; ``abort`` removes
+    only that epoch's files (staged per-batch subdirs); a batch id at
+    or below the table's recorded watermark leaves its staged files as
+    expire-reclaimable orphans and commits nothing."""
+
+    def __init__(self, options: dict):
+        import hashlib as _hashlib
+
+        self._path = options["path"]
+        self._stats_cols = [c for c in options.get("statscols", "").split(",")
+                            if c] or None
+        self._bloom_cols = [c for c in options.get("bloomcols", "").split(",")
+                            if c] or None
+        self._app_id = options.get("txnappid") or (
+            "clx-table-stream-"
+            + _hashlib.md5(self._path.encode()).hexdigest()[:12]
+        )
+        import uuid as _uuid
+
+        self._staging = os.path.join(
+            self._path, "data", f"dsv2s-{_uuid.uuid4().hex[:8]}")
+
+    def write(self, iterator) -> TableCommitMessage:
+        import uuid as _uuid
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._staging, exist_ok=True)
+        fname = os.path.join(
+            self._staging, f"part-{_uuid.uuid4().hex}.parquet")
+        writer = None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(fname, batch.schema)
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        return TableCommitMessage([fname] if writer is not None else [])
+
+    def commit(self, messages, batchId: int) -> None:
+        files = sorted(f for msg in messages if msg for f in msg.files)
+        _commit_staged_files(
+            self._path, files, overwrite=False,
+            stats_cols=self._stats_cols, bloom_cols=self._bloom_cols,
+            txn=(self._app_id, int(batchId)),
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for msg in messages:
+            if msg:
+                for f in msg.files:
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
+
+
+def _commit_staged_files(
+    path: str, files: list[str], overwrite: bool,
+    stats_cols: list[str] | None, bloom_cols: list[str] | None,
+    txn: tuple[str, int] | None = None,
+) -> int | None:
+    """Driver-side commit shared by the batch and streaming DSv2
+    writers: constraint check (DuckDB — no SparkSession on this path,
+    fail CLOSED on anything unevaluable), footer stats + bloom
+    derivation (defaulting to the head manifest's tracked columns), and
+    the manifest CAS loop (appends rebase; overwrites raise).
+    ``txn=(app_id, batch_id)`` gives streaming exactly-once: a replayed
+    batch id is a no-op returning None with its staged files left as
+    expire-reclaimable orphans."""
+    from ..sinks.versioned import (ConstraintViolation, _BLOOM_KEY, _commit,
+                                   _file_stats, _norm_path, _read_manifest,
+                                   get_constraints, latest_version,
+                                   VersionConflictError)
+
+    path = _norm_path(path)
+    cons = get_constraints(path)
+    if cons and files:
+        import duckdb
+
+        con = duckdb.connect()
+        flist = ", ".join("'" + f.replace("'", "''") + "'" for f in files)
+        bad: dict[str, int] = {}
+        for name, expr in cons.items():
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet([{flist}]) "
+                f"WHERE NOT coalesce(({expr}), true)"
+            ).fetchone()[0]
+            if n:
+                bad[name] = int(n)
+        if bad:
+            raise ConstraintViolation(path, bad)
+    head = latest_version(path)
+    head_m = _read_manifest(path, head) if head is not None else {}
+    if stats_cols is None:  # keep the table's file-skipping contract
+        hs = dict(head_m.get("stats", {}))
+        tracked = {c for per in hs.values()
+                   for c in per if not c.startswith(_BLOOM_KEY)}
+        stats_cols = sorted(tracked) or None
+        if bloom_cols is None:
+            blooms = {c[len(_BLOOM_KEY):] for per in hs.values()
+                      for c in per if c.startswith(_BLOOM_KEY)}
+            bloom_cols = sorted(blooms) or None
+    stats = _file_stats(files, stats_cols, bloom_cols)
+    for _ in range(11):
+        prev = latest_version(path)
+        prev_m = _read_manifest(path, prev) if prev is not None else {}
+        prev_txn = {k: int(v) for k, v in prev_m.get("txn", {}).items()}
+        if txn is not None:
+            app_id, txn_v = txn
+            if prev_txn.get(app_id, -1) >= int(txn_v):
+                return None  # replayed batch: already committed
+            prev_txn[app_id] = int(txn_v)
+        version = 0 if prev is None else prev + 1
+        try:
+            if overwrite:
+                # carry txn watermarks like overwrite_version(txn=None)
+                return _commit(path, version, files, "overwrite", stats,
+                               txn=prev_txn)
+            return _commit(
+                path, version, prev_m.get("files", []) + files,
+                "append", {**dict(prev_m.get("stats", {})), **stats},
+                txn=prev_txn, dv=prev_m.get("dv"),
+            )
+        except VersionConflictError:
+            if overwrite:
+                raise  # an overwrite's read-set is the whole table
+            continue  # append rebase: manifest JSON only, no rewrite
+    raise VersionConflictError(
+        f"DSv2 write to {path} lost the commit race 11 times — "
+        "pathological contention; retry with backoff"
+    )
 
 
 def write_table_source(

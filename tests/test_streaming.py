@@ -1876,3 +1876,60 @@ def test_rollup_maintenance_stream_decoupled(spark, tmp_path):
     got2 = {(r.day_id, r.event_type): (r.n, float(r.sum_v))
             for r in V.read_version(spark, rollup).collect()}
     assert got2 == {(0, "a"): (2, 35.0), (1, "a"): (1, 2.0)}
+
+
+def test_clx_table_stream_writer_exactly_once(spark, tmp_path):
+    """writeStream.format('clx_table'): the declarative DSv2 form of
+    versioned_ingest_stream — one committed version per micro-batch
+    with txn=(txnAppId, batchId) atomic in the manifest; a restart from
+    the same checkpoint resumes without duplicating rows, and a stale
+    batch id through the shared commit path is a manifest no-op."""
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.sources.table_source import (TableDataSource,
+                                                    _commit_staged_files)
+
+    spark.dataSource.register(TableDataSource)
+    src = str(tmp_path / "in")
+    table = str(tmp_path / "vt")
+    ckpt = str(tmp_path / "ck")
+    for i in range(2):
+        spark.createDataFrame(
+            [(i * 10 + j, float(j)) for j in range(5)], "id long, x double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.format("parquet").schema("id long, x double")
+            .option("maxFilesPerTrigger", "1").load(src)
+        )
+        q = (
+            stream.writeStream.format("clx_table").option("path", table)
+            .option("statsCols", "id").option("txnAppId", "t1")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    run()
+    assert V.latest_version(table) == 1
+    assert V.read_version(spark, table).count() == 10
+    m = V._read_manifest(table, 1)
+    assert m["txn"] == {"t1": 1}
+    assert m["op"] == "append"
+    # footer stats landed: a narrow scan prunes
+    kept, total = V.pruned_file_count(table, "id", 0, 4)
+    assert (kept, total) == (1, 2)
+    # restart from the same checkpoint with one new input file: resumes
+    # at the next batch id, no duplication of the already-committed rows
+    spark.createDataFrame(
+        [(100 + j, 0.0) for j in range(3)], "id long, x double"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert V.read_version(spark, table).count() == 13
+    assert V._read_manifest(table, V.latest_version(table))["txn"] == {"t1": 2}
+    # an at-least-once replay of an old epoch is a manifest no-op
+    head = V.latest_version(table)
+    assert _commit_staged_files(table, [], overwrite=False, stats_cols=None,
+                                bloom_cols=None, txn=("t1", 1)) is None
+    assert V.latest_version(table) == head
