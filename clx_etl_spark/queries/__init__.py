@@ -42,75 +42,36 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver's correctness harness checks a bounded prefix (~50) of the
-# registry. Queries that have not yet earned a green CORRECTNESS row are
-# rotated to the front each round so the driver sweep eventually covers the
-# whole registry; the repo's own oracle suite (tests/test_queries_oracle.py)
-# always sweeps everything at sf0.01 regardless. Round-6 front, closing the
-# proof ledger (VERDICT r05 Next-round-2): positions 1-18 are the LAST 13
-# hash-oracled queries that have never had a driver row, k1_upsert_last_wins
-# (its sinks/upsert.py backing changed after its r03 row), and the four
-# new round-6 queries (versioned_merge_replay, versioned_point_lookup,
-# versioned_cdc_replay, attribution_interval_join);
-# positions 19-50 backfill with the STALEST driver rows (every r01 row, then
-# the oldest r02 rows) so proof freshness rotates too. After this round every
-# hash-oracled registry query has a driver CORRECTNESS row.
+# registry. The proof ledger CLOSED in round 6 (every hash-oracled query
+# has a cumulative green driver row), so from round 7 on the front is a
+# FRESHNESS rotation: (1) queries that are new or whose ORACLE STATUS
+# changed this round, (2) queries whose backing code changed this round
+# (sinks/versioned.py + sources/table_source.py — the whole versioned
+# family), (3) the stalest remaining rows (the 11 r02 rows that fell
+# past the 50-cap last round, then the oldest r03 rows). The repo's own
+# oracle suite (tests/test_queries_oracle.py) always sweeps everything
+# at sf0.01 regardless.
 SWEEP_FRONT: list[str] = [
-    # never driver-proven (13) — the final stragglers
-    "graph_suite",
-    "sketch_daily_users_exact",
-    "mix_waterfill",
-    "class_balance_oversample",
-    "table_profile",
-    "fk_inclusion_audit",
-    "source_content_overlap",
-    "embedding_label_centroids",
-    "split_dedup_aware",
-    "hybrid_search_rerank",
-    "dq_orders_expectations",
-    "anomaly_mad_by_type",
-    "lm_score_heldout",
-    # re-prove: backing sinks/upsert.py changed after its last driver row
-    "k1_upsert_last_wins",
-    # new round-6 queries (lakehouse MERGE round-trip + bloom point
-    # lookup + CDC apply through storage; attribution twin)
+    # new in round 7: the DSv2 SQL write round-trip
+    "versioned_sql_write",
+    # graduated from rows-only to hash-oracled in round 7 (exact-integer
+    # k-means) — first driver rows with an oracle
+    "pq_ann",
+    "sim_knn_ivfpq",
+    # re-prove: sinks/versioned.py + sources/table_source.py changed in
+    # round 7 (stats sidecar, dv rebase, path normalization, writer)
+    "versioned_sql_scan",
+    "versioned_dv_delete",
+    "versioned_dv_merge_replay",
     "versioned_merge_replay",
     "versioned_point_lookup",
     "versioned_cdc_replay",
     "versioned_change_feed",
     "ivm_rollup_from_cdf",
     "ivm_rollup_extrema_from_cdf",
-    "attribution_interval_join",
     "versioned_clone_divergence",
     "versioned_time_travel_ts",
-    "versioned_dv_delete",
-    "versioned_dv_merge_replay",
-    "versioned_sql_scan",
-    # freshness backfill: every query whose last driver row is r01
-    "cube_revenue",
-    "j1_semi_active_customers",
-    "j6_anti_new_only",
-    "q10_top_returns",
-    "q14_promo_ratio",
-    "q17_small_quantity_revenue",
-    "q18_group_having",
-    "q19_disjunctive_pushdown",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q4_exists_semijoin",
-    "q5_region_revenue",
-    "q6_revenue_delta",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_revenue_by_nation_year",
-    "rollup_revenue",
-    "t11_entity_classify",
-    "t14_threshold_by_prefix",
-    "t15_explode_dims",
-    "topk_per_group",
-    "u3_union_by_name",
-    "w4_sliding_window_counts",
-    # freshness backfill: oldest r02 rows (9 of 12 fit in the 50)
-    "mm_audio_windows",
+    # freshness: the r02 rows that fell past the 50-cap last round
     "mm_embedding_knn",
     "mm_frame_sample",
     "mm_image_resize",
@@ -119,15 +80,54 @@ SWEEP_FRONT: list[str] = [
     "q15_top_supplier",
     "q16_supplier_variety",
     "q1_pricing_summary",
-    # ---- position 51+: past the driver's ~50 cap
     "q20_heavy_suppliers",
     "q21_last_shipper",
     "q3_shipping_priority",
+    # freshness backfill: oldest r03 rows (25 of 39 fit in the 50)
+    "bm25_doc_scores",
+    "cap_per_source",
+    "corpus_curation",
+    "decontam_ngram_overlap",
+    "dedup_best_representative",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dod_revenue_change",
+    "fuzzy_name_match",
+    "heavy_hitters_tokens",
+    "inverted_index_terms",
+    "j4_double_left_tags",
+    "mode_per_group",
+    "pack_training_sequences",
+    "profile_orders_columns",
+    "q12_late_lines_by_status",
+    "quality_percentile_gate",
+    "ratio_to_report",
+    "shard_balance_stats",
+    "sim_embedding_near_dup",
+    "sim_knn_bruteforce",
+    "sim_knn_ivf",
+    # ---- position 51+: past the driver's ~50 cap (next round's backfill:
+    # the remaining 14 r03 rows)
+    "sim_srp_near_dup",
+    "span_dedup_rewrite",
+    "span_dup_stats",
+    "t2_normalize_enum_split",
+    "t3_t4_precision_roundtrip",
+    "text_fingerprints",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_repetition_signals",
+    "text_token_counts",
+    "training_mix",
+    "u4_intersect_repeat_buyers",
+    "u5_except_all_multiset",
+    "unpivot_melt",
     # rows-only (no hash oracle by design; driver records rows-only)
     "sketch_daily_users",
     "bpe_train_encode",
-    "pq_ann",
-    "sim_knn_ivfpq",
 ]
 
 
