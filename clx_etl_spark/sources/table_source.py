@@ -119,7 +119,11 @@ class TableDataSource(DataSource):
             raise ValueError(
                 f"version {v} of {path} has no files — pass outSchema"
             )
-        return _parquet_ddl(files[0])
+        # the NEWEST file (manifests append new files at the tail):
+        # schema evolution adds columns over time, so the last write
+        # carries the widest schema; older files' missing columns read
+        # as typed NULLs in TableReader
+        return _parquet_ddl(files[-1])
 
     def reader(self, schema: StructType) -> "TableReader":
         # Spark refuses a reader that merely DEFINES pushFilters while

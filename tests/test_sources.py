@@ -537,3 +537,23 @@ def test_clx_table_writer_commit_rebases_over_append(spark, tmp_path,
     monkeypatch.setattr(V, "_commit", racing)
     with pytest.raises(V.VersionConflictError):
         w2.commit([msg2])
+
+
+def test_clx_table_schema_evolution_via_writer(spark, tmp_path):
+    """A later append with an extra column widens the DSv2-derived
+    schema (newest file wins); older files read the new column as
+    NULL."""
+    from clx_etl_spark.sources.table_source import (read_table_source,
+                                                    write_table_source)
+
+    path = str(tmp_path / "vt")
+    write_table_source(
+        spark.range(3).selectExpr("id"), path, mode="append",
+        stats_cols=["id"])
+    write_table_source(
+        spark.range(3, 5).selectExpr("id", "cast(id as double) AS extra"),
+        path, mode="append")
+    df = read_table_source(spark, path)
+    assert set(df.columns) == {"id", "extra"}
+    got = {r.id: r.extra for r in df.collect()}
+    assert got[0] is None and got[4] == 4.0 and len(got) == 5
