@@ -760,15 +760,34 @@ def quantize_exact(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     out_id: str | None = None,
 ) -> DataFrame:
-    """(id, q: array<long>) on the exact integer lattice."""
+    """(id, q: array<long>) on the exact integer lattice.
+
+    The _EXACT_OFF positivity shift only guarantees non-negative lattice
+    values for components > -4.0 — below that, Spark's truncating ``div``
+    and DuckDB's flooring ``//`` diverge on the floor-mean and the
+    hash-oracle contract silently breaks. Out-of-range embeddings must
+    therefore FAIL LOUDLY: the whole quantized array is gated on one
+    per-row array_min check (raise_error on violation), not silently
+    mis-quantized."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(_EXACT_SCALE))
+        ).cast("long") + F.lit(_EXACT_OFF),
+    )
+    in_range = F.coalesce(
+        F.array_min(F.col(vec_col)).cast("double") > F.lit(-4.0),
+        F.lit(True),  # empty / all-null arrays carry no bad component
+    )
     return df.select(
         F.col(id_col).alias(out_id or id_col),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(
-                x.cast("double") * F.lit(float(_EXACT_SCALE))
-            ).cast("long") + F.lit(_EXACT_OFF),
-        ).alias("q"),
+        F.when(in_range, q).otherwise(F.raise_error(F.concat(
+            F.lit("quantize_exact: embedding component <= -4.0 for "
+                  f"{id_col}="),
+            F.col(id_col).cast("string"),
+            F.lit(" — outside the positivity range of the exact integer "
+                  "lattice (_EXACT_OFF)"),
+        ))).alias("q"),
     )
 
 

@@ -147,7 +147,7 @@ def latest_version(path: str) -> int | None:
     return v
 
 
-_READER_FEATURES = {"deletion-vectors"}
+_READER_FEATURES = {"deletion-vectors", "dv-sidecar"}
 
 
 def _read_manifest(path: str, version: int) -> dict:
@@ -168,6 +168,9 @@ def _read_manifest(path: str, version: int) -> dict:
         # stats live in the columnar sidecar: hand back a lazy mapping
         # so planning paths can stay column-selective (_stats_for_cols)
         m["stats"] = _SidecarStats(os.path.join(_manifest_dir(path), sc))
+    dsc = m.get("dv_sidecar")
+    if dsc:
+        m["dv"] = _SidecarDv(os.path.join(_manifest_dir(path), dsc))
     return m
 
 
@@ -343,6 +346,11 @@ def _load_stats_sidecar(sidecar: str, cols: list[str] | None = None,
     out: dict = {}
     for f, c, lo, hi, bm, bb in zip(fs, cs, los, his, bms, bbs):
         if c.startswith(_BLOOM_KEY):
+            if bm is None:
+                # blooms=False with no col filter still selects bloom
+                # ROWS (only the payload columns are dropped) — skip
+                # them instead of int(None)-crashing
+                continue
             out.setdefault(f, {})[c] = {"m": int(bm), "b": bb}
         else:
             out.setdefault(f, {})[c] = [json.loads(lo), json.loads(hi)]
@@ -383,6 +391,72 @@ class _SidecarStats(_Mapping):
         return True  # a sidecar is only ever written for non-empty stats
 
 
+def _write_dv_sidecar(path: str, version: int, dv: dict) -> str:
+    """Persist the manifest's file -> deletion-vector-entries map as a
+    parquet sidecar under ``_manifests/`` (rows of file/d/n); returns
+    the sidecar's manifest-relative name. Same scale-out rationale as
+    the stats sidecar: a heavy merge-on-read workload accumulates a dv
+    entry per touched file, and past a few hundred the inline JSON
+    regrows the manifest the way stats did pre-r07."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files, dirs, ns = [], [], []
+    for f in sorted(dv):
+        for e in dv[f]:
+            files.append(f)
+            dirs.append(e["d"])
+            ns.append(int(e["n"]))
+    name = f"dv-v{version:06d}-{uuid.uuid4().hex[:8]}.parquet"
+    t = pa.table({
+        "file": pa.array(files, pa.string()),
+        "d": pa.array(dirs, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+    })
+    pq.write_table(t, os.path.join(_manifest_dir(path), name))
+    return name
+
+
+def _load_dv_sidecar(sidecar: str) -> dict:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(sidecar)
+    out: dict = {}
+    for f, d, n in zip(t["file"].to_pylist(), t["d"].to_pylist(),
+                       t["n"].to_pylist()):
+        out.setdefault(f, []).append({"d": d, "n": int(n)})
+    return out
+
+
+class _SidecarDv(_Mapping):
+    """Lazy file -> dv-entries mapping backed by a version's dv sidecar
+    (mirror of _SidecarStats): any Mapping access loads and caches the
+    whole map — one small parquet read, O(dv-bearing files) not
+    O(snapshot files). Deliberately NOT a dict subclass (see
+    _SidecarStats)."""
+
+    def __init__(self, sidecar: str):
+        self._sidecar = sidecar
+        self._full: dict | None = None
+
+    def _ensure(self) -> dict:
+        if self._full is None:
+            self._full = _load_dv_sidecar(self._sidecar)
+        return self._full
+
+    def __getitem__(self, k):
+        return self._ensure()[k]
+
+    def __iter__(self):
+        return iter(self._ensure())
+
+    def __len__(self):
+        return len(self._ensure())
+
+    def __bool__(self):
+        return True  # a dv sidecar is only ever written when non-empty
+
+
 def _stats_for_cols(m: dict, cols: list[str], blooms: bool = True):
     """Planning-time stats access: for a sidecar-backed manifest load
     ONLY ``cols``'s rows (and skip bloom bytes when ``blooms=False``);
@@ -399,6 +473,13 @@ def _stats_for_cols(m: dict, cols: list[str], blooms: bool = True):
 
 
 _BLOOM_KEY = "__bloom__:"  # manifest stats key prefix for per-file blooms
+# per-file ROW COUNT stats key, stored as a degenerate [n, n] range so
+# the stats sidecar round-trips it unmodified. Recorded at every commit
+# (footer metadata / the writing task's own count — never a data read)
+# so COUNT(*)-style queries can be answered from the manifest alone,
+# the Delta/Iceberg metadata-query shape. Never a "tracked column":
+# every tracked-column derivation excludes it explicitly.
+_ROWS_KEY = "__rows__"
 _BLOOM_MAX_BITS = 1 << 19  # 64 KiB bitmap cap per file per column
 _BLOOM_K = 7  # hash functions (~1% fpr at 10 bits/key)
 _BLOOM_PROBE_BUDGET = 5_000_000  # max keys x bloom-files tested per merge
@@ -568,20 +649,69 @@ def _write_files(
         for f in sorted(os.listdir(sub))
         if f.endswith(".parquet")
     ]
-    return files, _file_stats(files, stats_cols, bloom_cols)
+    return files, _derive_stats(df.sparkSession, files, stats_cols,
+                                bloom_cols)
+
+
+# below this many committed bytes the per-file stats derivation stays on
+# the driver — a distributed derivation is one extra Spark job whose
+# scheduling overhead exceeds the work for small commits; above it (or
+# past a few hundred files) the O(rows) bloom reads move to executors
+_STATS_DISTRIBUTE_MIN_BYTES = 32 << 20
+_STATS_DISTRIBUTE_MIN_FILES = 200
+
+
+def _derive_stats(spark: SparkSession, files: list[str],
+                  stats_cols: list[str] | None,
+                  bloom_cols: list[str] | None) -> dict:
+    """Per-file manifest stats for a just-committed batch, derived
+    EXECUTOR-SIDE when the commit is big enough to matter: footer
+    min/max + row counts are KB-sized reads, but key blooms pull each
+    file's whole key column — through one machine if done on the
+    driver, O(committed rows) serialized (the r07 `weak`). Files are
+    independent, so the derivation ships as one no-shuffle task batch
+    (each task runs the exact same _file_stats per-file code — bitmaps
+    are byte-identical to the driver path) and the driver receives only
+    KB-sized stats dicts. Small commits skip the extra job."""
+    if not files:
+        return {}
+    big = (
+        len(files) > _STATS_DISTRIBUTE_MIN_FILES
+        or (bloom_cols
+            and sum(os.path.getsize(f) for f in files)
+            > _STATS_DISTRIBUTE_MIN_BYTES)
+    )
+    if not big:
+        return _file_stats(files, stats_cols, bloom_cols)
+    sc_cols = list(stats_cols) if stats_cols else None
+    bl_cols = list(bloom_cols) if bloom_cols else None
+    parts = (
+        spark.sparkContext
+        .parallelize(files, min(len(files), 1024))
+        .map(lambda f: _file_stats([f], sc_cols, bl_cols))
+        .collect()
+    )
+    out: dict = {}
+    for p in parts:
+        out.update(p)
+    return out
 
 
 def _file_stats(files: list[str], stats_cols: list[str] | None,
                 bloom_cols: list[str] | None = None) -> dict:
-    """Per-file manifest stats derived WITHOUT Spark: min/max from the
-    parquet footers (no data read), key blooms from one single-column
-    read per file. Shared by _write_files and the clx_table DSv2
-    writer's driver-side commit (which has parquet files in hand but no
-    SparkSession)."""
-    stats: dict = {}
-    if stats_cols:
-        import pyarrow.parquet as pq
+    """Per-file manifest stats derived WITHOUT Spark: row counts and
+    min/max from the parquet footers (no data read), key blooms from
+    one single-column read per file. The per-file unit of work behind
+    _derive_stats (executor tasks) and the clx_table DSv2 writers
+    (each write task stats its own staged file); also the driver-side
+    fallback for files committed outside the engine."""
+    import pyarrow.parquet as pq
 
+    stats: dict = {}
+    for f in files:
+        n = pq.ParquetFile(f).metadata.num_rows
+        stats[f] = {_ROWS_KEY: [n, n]}
+    if stats_cols:
         for f in files:
             md = pq.ParquetFile(f).metadata
             names = {md.schema.column(i).name: i for i in range(md.num_columns)}
@@ -623,10 +753,9 @@ def _file_stats(files: list[str], stats_cols: list[str] | None,
                     if jlo is not None and jhi is not None:
                         per_col[c] = [jlo, jhi]
             if per_col:
-                stats[f] = per_col
+                stats[f].update(per_col)
     if bloom_cols:
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         for f in files:
             tbl = pq.read_table(f, columns=[c for c in bloom_cols])
@@ -749,9 +878,21 @@ def _commit(
             "root is aliased (symlink/relative form mismatch); address "
             "the table by its canonical absolute path"
         )
+    dv_sidecar = None
     if dv:
-        manifest["dv"] = dv
-        manifest["reader_features"] = ["deletion-vectors"]
+        features = ["deletion-vectors"]
+        if len(dv) > _STATS_SIDECAR_MIN_FILES:
+            # dv-map scale-out: past a few hundred dv-bearing files the
+            # inline JSON regrows the manifest the way stats did — spill
+            # to a parquet sidecar. The extra reader feature makes an
+            # older engine revision FAIL LOUDLY on such a manifest
+            # instead of seeing no "dv" key and resurrecting deleted rows
+            dv_sidecar = _write_dv_sidecar(path, version, dv)
+            manifest["dv_sidecar"] = dv_sidecar
+            features.append("dv-sidecar")
+        else:
+            manifest["dv"] = dv
+        manifest["reader_features"] = features
     # CAS-style guard: exclusive-create of the manifest is the atomic
     # commit point (mirrors Delta's "put-if-absent on the next JSON
     # log entry"); a concurrent writer that computed the same next
@@ -759,11 +900,13 @@ def _commit(
     try:
         fh = open(_manifest_path(path, version), "x")
     except FileExistsError:
-        if sidecar:  # the loser's sidecar is unreferenced — reclaim now
-            try:
-                os.remove(os.path.join(_manifest_dir(path), sidecar))
-            except OSError:
-                pass
+        # the loser's sidecars are unreferenced — reclaim now
+        for name in (sidecar, dv_sidecar):
+            if name:
+                try:
+                    os.remove(os.path.join(_manifest_dir(path), name))
+                except OSError:
+                    pass
         raise VersionConflictError(
             f"concurrent commit detected: version {version} already "
             f"exists at {path} — another writer committed first; "
@@ -1087,7 +1230,8 @@ def compact_version(
     }) or None
     if stats_cols is None:
         tracked = {c for fstats in m.get("stats", {}).values()
-                   for c in fstats if not c.startswith(_BLOOM_KEY)}
+                   for c in fstats
+                   if not c.startswith(_BLOOM_KEY) and c != _ROWS_KEY}
         stats_cols = sorted(tracked) or None
     total = sum(os.path.getsize(f) for f in files)
     n = max(1, math.ceil(total / target_bytes))
@@ -1154,7 +1298,8 @@ def _compact_partial(
         }) or None
         if stats_cols is None:
             tracked = {c for fstats in stats.values()
-                       for c in fstats if not c.startswith(_BLOOM_KEY)}
+                       for c in fstats
+                       if not c.startswith(_BLOOM_KEY) and c != _ROWS_KEY}
             stats_cols = sorted(tracked) or None
         total = sum(os.path.getsize(f) for f in sel)
         n = max(1, math.ceil(total / target_bytes))
@@ -1553,8 +1698,11 @@ def merge_version(
             commit_dv = head_m.get("dv")  # appends carry dv forward
             untouched = untouched + appended
             if change_feed and old_v != new_v:
-                os.rename(_changes_dir(path, old_v),
-                          _changes_dir(path, new_v))
+                try:
+                    _rebase_change_feed(path, old_v, new_v)
+                except VersionConflictError:
+                    _drop_change_feed(path, old_v)
+                    raise
     if change_feed:
         _drop_change_feed(path, new_v)
     raise VersionConflictError(
@@ -1605,6 +1753,22 @@ def _drop_change_feed(path: str, version: int) -> None:
     import shutil
 
     shutil.rmtree(_changes_dir(path, version), ignore_errors=True)
+
+
+def _rebase_change_feed(path: str, old_v: int, new_v: int) -> None:
+    """Move a staged change feed to its rebased version slot. The target
+    can be CONTENDED — another change-feed-writing committer racing for
+    ``new_v`` may have created the directory first — in which case
+    os.rename fails (EEXIST/ENOTEMPTY); surface that as
+    VersionConflictError (the feed stays at ``old_v`` for the caller's
+    cleanup path) instead of leaking an uncaught OSError."""
+    try:
+        os.rename(_changes_dir(path, old_v), _changes_dir(path, new_v))
+    except OSError as e:
+        raise VersionConflictError(
+            f"change-feed rebase to v{new_v} at {path} collided with a "
+            f"concurrent committer: {e}"
+        ) from e
 
 
 def table_changes(
@@ -1772,17 +1936,19 @@ def expire_versions(path: str, keep_latest: int = 1,
     if not dry_run:
         for v in range(0, latest + 1):
             if v not in keep and os.path.exists(_manifest_path(path, v)):
-                try:  # raw read: just the sidecar pointer, if any
+                try:  # raw read: just the sidecar pointers, if any
                     with open(_manifest_path(path, v)) as fh:
-                        sc = json.load(fh).get("stats_sidecar")
+                        raw = json.load(fh)
+                    scs = [raw.get("stats_sidecar"), raw.get("dv_sidecar")]
                 except (OSError, ValueError):
-                    sc = None
+                    scs = []
                 os.remove(_manifest_path(path, v))
-                if sc:  # the expired version's stats sidecar goes with it
-                    try:
-                        os.remove(os.path.join(mdir, sc))
-                    except OSError:
-                        pass
+                for sc in scs:  # expired version's sidecars go with it
+                    if sc:
+                        try:
+                            os.remove(os.path.join(mdir, sc))
+                        except OSError:
+                            pass
                 # an expired version's change set is unreadable history too
                 _drop_change_feed(path, v)
     return deleted
@@ -1927,19 +2093,78 @@ def files_table(spark: SparkSession, path: str,
     for f in m["files"]:
         fstats = m.get("stats", {}).get(f, {})
         plain = {c: rng for c, rng in fstats.items()
-                 if not c.startswith(_BLOOM_KEY)}
+                 if not c.startswith(_BLOOM_KEY) and c != _ROWS_KEY}
         blooms = sorted(c[len(_BLOOM_KEY):] for c in fstats
                         if c.startswith(_BLOOM_KEY))
         out.append((
             f,
             os.path.getsize(f),
-            # physical footer rows; live rows = rows - dv_deleted
-            pq.ParquetFile(f).metadata.num_rows,
+            # physical rows (manifest-recorded at commit when available,
+            # else one footer read); live rows = rows - dv_deleted
+            int(fstats[_ROWS_KEY][0]) if _ROWS_KEY in fstats
+            else pq.ParquetFile(f).metadata.num_rows,
             json.dumps(plain, sort_keys=True, default=str),
             blooms,
             sum(e["n"] for e in dv_map.get(f, [])),
         ))
     return spark.createDataFrame(out, schema)
+
+
+def count_rows_meta(path: str, version: int | None = None) -> int:
+    """Exact ``COUNT(*)`` answered from table METADATA alone — the
+    Delta/Iceberg metadata-query shape. Per-file row counts are
+    recorded in the manifest at commit (``__rows__`` stats key, written
+    by every engine/DSv2 writer since r08); dv-tombstoned rows subtract
+    off per the manifest's dv map. Files committed by older revisions
+    fall back to one FOOTER read each (KB; still no data pages). At
+    100 TB this turns the hottest audit query there is (A1/A4 watermark
+    row counts, ingestion monitoring) into a manifest read."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no versions committed at {path}")
+    m = _read_manifest(path, v)
+    fstats = _stats_for_cols(m, [_ROWS_KEY], blooms=False)
+    rows = 0
+    missing = []
+    for f in m["files"]:
+        r = fstats.get(f, {}).get(_ROWS_KEY)
+        if r is None:
+            missing.append(f)
+        else:
+            rows += int(r[0])
+    if missing:
+        import pyarrow.parquet as pq
+
+        rows += sum(pq.ParquetFile(f).metadata.num_rows for f in missing)
+    dead = sum(e["n"] for es in m.get("dv", {}).values() for e in es)
+    return rows - dead
+
+
+def min_max_meta(path: str, col: str,
+                 version: int | None = None) -> tuple | None:
+    """``MIN(col)``/``MAX(col)`` answered from the manifest's per-file
+    bounds WITHOUT opening data files — or None when metadata cannot
+    answer EXACTLY, in which case the caller must scan. Exact requires:
+    no deletion vectors (a tombstone may have removed the extreme row),
+    every file carrying bounds for ``col``, and non-string bounds
+    (parquet writers may truncate string min/max in footers; numeric /
+    temporal / decimal bounds are exact). A None is a fall-back signal,
+    never an approximation."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no versions committed at {path}")
+    m = _read_manifest(path, v)
+    if m.get("dv"):
+        return None
+    fstats = _stats_for_cols(m, [col], blooms=False)
+    lo = hi = None
+    for f in m["files"]:
+        rng = fstats.get(f, {}).get(col)
+        if rng is None or isinstance(rng[0], str) or isinstance(rng[1], str):
+            return None
+        lo = rng[0] if lo is None else min(lo, rng[0])
+        hi = rng[1] if hi is None else max(hi, rng[1])
+    return None if lo is None else (lo, hi)
 
 
 def tag_version(path: str, name: str, version: int | None = None) -> int:
@@ -2313,8 +2538,13 @@ def delete_version_dv(
             for f, n in counts.items():
                 dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
             if change_feed:
-                os.rename(_changes_dir(path, base_v + 1),
-                          _changes_dir(path, head + 1))
+                try:
+                    _rebase_change_feed(path, base_v + 1, head + 1)
+                except VersionConflictError:
+                    if dvdir:
+                        _drop_dv_dir(dvdir)
+                    _drop_change_feed(path, base_v + 1)
+                    raise
             base_v, cur_m = head, head_m
     if dvdir:
         _drop_dv_dir(dvdir)
@@ -2429,8 +2659,13 @@ def delete_keys_dv(
             for f, n in counts.items():
                 dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
             if change_feed:
-                os.rename(_changes_dir(path, base_v + 1),
-                          _changes_dir(path, head + 1))
+                try:
+                    _rebase_change_feed(path, base_v + 1, head + 1)
+                except VersionConflictError:
+                    if dvdir:
+                        _drop_dv_dir(dvdir)
+                    _drop_change_feed(path, base_v + 1)
+                    raise
             base_v, cur_m = head, head_m
     if dvdir:
         _drop_dv_dir(dvdir)
@@ -2606,8 +2841,9 @@ def merge_version_dv(
                 for f, n in counts.items():
                     dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
                 if change_feed:
-                    os.rename(_changes_dir(path, base_v + 1),
-                              _changes_dir(path, head + 1))
+                    # outer except cleans up dvdir + the feed at cf_v
+                    # (still base_v + 1 if this rebase loses the slot)
+                    _rebase_change_feed(path, base_v + 1, head + 1)
                     cf_v = head + 1
                 base_v, cur_m = head, head_m
         raise VersionConflictError(

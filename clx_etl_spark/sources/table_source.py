@@ -28,6 +28,7 @@ the SQL/catalog door to the same storage."""
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Iterator
 
@@ -332,10 +333,51 @@ class _PushdownTableReader(TableReader):
 
 
 class TableCommitMessage(WriterCommitMessage):
-    """Per-task result: the parquet files the task staged."""
+    """Per-task result: the parquet files the task staged, plus the
+    per-file manifest stats (footer min/max, row count, key blooms) the
+    task derived from its OWN file — KB-sized bitmaps, so the driver
+    commit merges metadata instead of re-reading committed rows.
+    ``cols`` records the (stats_cols, bloom_cols) the task computed
+    for, so the commit can detect a concurrent tracked-column change
+    and fall back to driver-side derivation."""
 
-    def __init__(self, files: list[str]):
+    def __init__(self, files: list[str], stats: dict | None = None,
+                 cols: tuple | None = None):
         self.files = files
+        self.stats = stats or {}
+        self.cols = cols
+
+
+def _resolve_tracked_cols(
+    path: str, stats_cols: list[str] | None, bloom_cols: list[str] | None,
+) -> tuple[list[str] | None, list[str] | None]:
+    """Default the tracked stats/bloom columns to whatever the table's
+    head manifest already tracks, so SQL writers cannot silently degrade
+    the table's file-skipping index. Shared by the writers' driver-side
+    __init__ (tasks need the column list up front) and the commit path
+    (which re-resolves to detect drift)."""
+    if stats_cols is not None and bloom_cols is not None:
+        return stats_cols, bloom_cols
+    from ..sinks.versioned import (_BLOOM_KEY, _ROWS_KEY, _read_manifest,
+                                   latest_version)
+
+    head = latest_version(path)
+    hs = dict(_read_manifest(path, head).get("stats", {})) \
+        if head is not None else {}
+    if stats_cols is None:
+        tracked = {c for per in hs.values() for c in per
+                   if not c.startswith(_BLOOM_KEY) and c != _ROWS_KEY}
+        stats_cols = sorted(tracked) or None
+    if bloom_cols is None:
+        blooms = {c[len(_BLOOM_KEY):] for per in hs.values()
+                  for c in per if c.startswith(_BLOOM_KEY)}
+        bloom_cols = sorted(blooms) or None
+    return stats_cols, bloom_cols
+
+
+def _cols_key(stats_cols: list[str] | None,
+              bloom_cols: list[str] | None) -> tuple:
+    return (tuple(stats_cols or ()), tuple(bloom_cols or ()))
 
 
 class TableWriter(DataSourceArrowWriter):
@@ -347,12 +389,14 @@ class TableWriter(DataSourceArrowWriter):
     Shape: each task streams its Arrow batches into ONE immutable
     parquet file under a staging dir inside ``<table>/data/`` (never
     rewritten — a crashed/aborted job leaves orphans that
-    expire_versions reclaims); the driver-side ``commit`` then derives
-    per-file footer stats + key blooms (_file_stats — pyarrow only, no
-    SparkSession exists here), enforces the table's CHECK constraints,
-    and runs the same manifest CAS loop as append_version /
-    overwrite_version (append rebases through interleaved commits; an
-    overwrite that loses the race surfaces VersionConflictError).
+    expire_versions reclaims) and stats it TASK-SIDE (footer min/max,
+    row count, key blooms — the rows are already in the task's hands,
+    so a backfill-sized commit never serializes O(rows) reads through
+    the driver); the driver-side ``commit`` merges the KB-sized shipped
+    stats, enforces the table's CHECK constraints, and runs the same
+    manifest CAS loop as append_version / overwrite_version (append
+    rebases through interleaved commits; an overwrite that loses the
+    race surfaces VersionConflictError).
 
     Options: ``statsCols`` / ``bloomCols`` (comma-separated) override
     the tracked columns; by default the commit re-derives whatever the
@@ -373,29 +417,18 @@ class TableWriter(DataSourceArrowWriter):
                             if c] or None
         self._bloom_cols = [c for c in options.get("bloomcols", "").split(",")
                             if c] or None
+        # resolve the tracked columns NOW (driver-side planning): each
+        # write task stats its own staged file with the rows already in
+        # hand, so the driver commit never re-reads committed data
+        self._task_cols = _resolve_tracked_cols(
+            self._path, self._stats_cols, self._bloom_cols)
         import uuid as _uuid
 
         self._staging = os.path.join(
             self._path, "data", f"dsv2-{_uuid.uuid4().hex[:8]}")
 
     def write(self, iterator) -> TableCommitMessage:
-        import uuid as _uuid
-
-        import pyarrow.parquet as pq
-
-        os.makedirs(self._staging, exist_ok=True)
-        fname = os.path.join(
-            self._staging, f"part-{_uuid.uuid4().hex}.parquet")
-        writer = None
-        try:
-            for batch in iterator:
-                if writer is None:
-                    writer = pq.ParquetWriter(fname, batch.schema)
-                writer.write_batch(batch)
-        finally:
-            if writer is not None:
-                writer.close()
-        return TableCommitMessage([fname] if writer is not None else [])
+        return _write_task_file(self._staging, iterator, self._task_cols)
 
     def commit(self, messages) -> None:
         files = sorted(f for msg in messages if msg for f in msg.files)
@@ -403,6 +436,7 @@ class TableWriter(DataSourceArrowWriter):
             _commit_staged_files(
                 self._path, files, overwrite=self._overwrite,
                 stats_cols=self._stats_cols, bloom_cols=self._bloom_cols,
+                shipped=_merge_shipped(messages),
             )
         except Exception:
             self.abort(messages)
@@ -425,9 +459,13 @@ class TableStreamWriter(DataSourceStreamArrowWriter):
 
     Options: ``txnAppId`` — the exactly-once identity; it must be
     STABLE across restarts and UNIQUE per logical stream. Defaults to
-    a hash of the table path, which is correct for the common
-    one-stream-per-table layout; set it explicitly when several
-    streams append to one table. ``statsCols`` / ``bloomCols`` as on
+    a hash of the CHECKPOINT LOCATION (Delta's streaming-sink rule):
+    batch ids restart at 0 with a fresh checkpoint, so the identity
+    must reset with the checkpoint too — a table-path default would
+    silently no-op every batch of a restarted-with-new-checkpoint (or
+    second) stream at-or-below the table's recorded watermark. With
+    neither txnAppId nor a checkpointLocation option the writer FAILS
+    LOUDLY rather than guess. ``statsCols`` / ``bloomCols`` as on
     the batch writer (default: re-derive the head manifest's tracked
     columns). CHECK constraints are enforced per batch (fail closed).
 
@@ -445,33 +483,37 @@ class TableStreamWriter(DataSourceStreamArrowWriter):
                             if c] or None
         self._bloom_cols = [c for c in options.get("bloomcols", "").split(",")
                             if c] or None
-        self._app_id = options.get("txnappid") or (
-            "clx-table-stream-"
-            + _hashlib.md5(self._path.encode()).hexdigest()[:12]
-        )
+        ckpt = options.get("checkpointlocation")
+        if options.get("txnappid"):
+            self._app_id = options["txnappid"]
+        elif ckpt:
+            # per-checkpoint identity: batch ids and the app id reset
+            # TOGETHER, so a fresh checkpoint (or a second stream with
+            # its own checkpoint) never collides with the table's
+            # recorded watermark for a previous stream
+            self._app_id = (
+                "clx-table-stream-"
+                + _hashlib.md5(ckpt.encode()).hexdigest()[:12]
+            )
+        else:
+            raise ValueError(
+                "clx_table stream writer needs an exactly-once identity: "
+                "pass .option('txnAppId', ...) or a checkpointLocation "
+                "option (session-default checkpoint dirs are not visible "
+                "to the sink)"
+            )
+        # tracked columns resolved once at query start; a mid-stream
+        # tracked-column change is caught by the commit-time re-check
+        # (falls back to driver-side derivation for that batch)
+        self._task_cols = _resolve_tracked_cols(
+            self._path, self._stats_cols, self._bloom_cols)
         import uuid as _uuid
 
         self._staging = os.path.join(
             self._path, "data", f"dsv2s-{_uuid.uuid4().hex[:8]}")
 
     def write(self, iterator) -> TableCommitMessage:
-        import uuid as _uuid
-
-        import pyarrow.parquet as pq
-
-        os.makedirs(self._staging, exist_ok=True)
-        fname = os.path.join(
-            self._staging, f"part-{_uuid.uuid4().hex}.parquet")
-        writer = None
-        try:
-            for batch in iterator:
-                if writer is None:
-                    writer = pq.ParquetWriter(fname, batch.schema)
-                writer.write_batch(batch)
-        finally:
-            if writer is not None:
-                writer.close()
-        return TableCommitMessage([fname] if writer is not None else [])
+        return _write_task_file(self._staging, iterator, self._task_cols)
 
     def commit(self, messages, batchId: int) -> None:
         files = sorted(f for msg in messages if msg for f in msg.files)
@@ -479,6 +521,7 @@ class TableStreamWriter(DataSourceStreamArrowWriter):
             self._path, files, overwrite=False,
             stats_cols=self._stats_cols, bloom_cols=self._bloom_cols,
             txn=(self._app_id, int(batchId)),
+            shipped=_merge_shipped(messages),
         )
 
     def abort(self, messages, batchId: int) -> None:
@@ -491,24 +534,87 @@ class TableStreamWriter(DataSourceStreamArrowWriter):
                         pass
 
 
+def _write_task_file(staging: str, iterator, task_cols: tuple
+                     ) -> TableCommitMessage:
+    """The per-task body of both DSv2 writers: stream the task's Arrow
+    batches into ONE immutable staged parquet file, then stat THAT file
+    task-side (footer min/max + row count + key blooms — the rows are
+    right here; shipping the KB-sized result beats re-reading them
+    through the driver at commit, the r07 `weak`)."""
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(staging, exist_ok=True)
+    fname = os.path.join(staging, f"part-{_uuid.uuid4().hex}.parquet")
+    writer = None
+    try:
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(fname, batch.schema)
+            writer.write_batch(batch)
+    finally:
+        if writer is not None:
+            writer.close()
+    if writer is None:
+        return TableCommitMessage([])
+    from ..sinks.versioned import _file_stats
+
+    stats_cols, bloom_cols = task_cols
+    return TableCommitMessage(
+        [fname], _file_stats([fname], stats_cols, bloom_cols),
+        _cols_key(stats_cols, bloom_cols),
+    )
+
+
+def _merge_shipped(messages) -> tuple[tuple, dict] | None:
+    """Fold the tasks' shipped per-file stats into one (cols, stats)
+    pair; None when any file arrived without stats (legacy message) or
+    tasks disagree on the column set — the commit then falls back to
+    driver-side derivation."""
+    cols = None
+    stats: dict = {}
+    for msg in messages:
+        if not msg or not msg.files:
+            continue
+        if getattr(msg, "cols", None) is None or any(
+            f not in msg.stats for f in msg.files
+        ):
+            return None
+        if cols is None:
+            cols = msg.cols
+        elif cols != msg.cols:
+            return None
+        stats.update(msg.stats)
+    return None if cols is None else (cols, stats)
+
+
 def _commit_staged_files(
     path: str, files: list[str], overwrite: bool,
     stats_cols: list[str] | None, bloom_cols: list[str] | None,
     txn: tuple[str, int] | None = None,
+    shipped: tuple[tuple, dict] | None = None,
 ) -> int | None:
     """Driver-side commit shared by the batch and streaming DSv2
     writers: constraint check (DuckDB — no SparkSession on this path,
-    fail CLOSED on anything unevaluable), footer stats + bloom
-    derivation (defaulting to the head manifest's tracked columns), and
+    fail CLOSED on anything unevaluable), per-file stats assembly, and
     the manifest CAS loop (appends rebase; overwrites raise).
-    ``txn=(app_id, batch_id)`` gives streaming exactly-once: a replayed
-    batch id is a no-op returning None with its staged files left as
-    expire-reclaimable orphans."""
-    from ..sinks.versioned import (ConstraintViolation, _BLOOM_KEY, _commit,
-                                   _file_stats, _norm_path, _read_manifest,
-                                   get_constraints, latest_version,
-                                   VersionConflictError)
 
+    Stats come from the write TASKS (``shipped`` — each task stated its
+    own file with the rows in hand; this path merges KB-sized dicts and
+    reads no data), falling back to driver-side _file_stats only when a
+    message lacks them or the tracked-column set changed between
+    planning and commit. ``txn=(app_id, batch_id)`` gives streaming
+    exactly-once: a replayed batch id is a no-op returning None with
+    its staged files left as expire-reclaimable orphans."""
+    import time as _time
+
+    from ..sinks.versioned import (ConstraintViolation, _commit,
+                                   _file_stats, _manifest_dir, _norm_path,
+                                   _read_manifest, get_constraints,
+                                   latest_version, VersionConflictError)
+
+    t0 = _time.monotonic()
     path = _norm_path(path)
     cons = get_constraints(path)
     if cons and files:
@@ -526,18 +632,35 @@ def _commit_staged_files(
                 bad[name] = int(n)
         if bad:
             raise ConstraintViolation(path, bad)
-    head = latest_version(path)
-    head_m = _read_manifest(path, head) if head is not None else {}
-    if stats_cols is None:  # keep the table's file-skipping contract
-        hs = dict(head_m.get("stats", {}))
-        tracked = {c for per in hs.values()
-                   for c in per if not c.startswith(_BLOOM_KEY)}
-        stats_cols = sorted(tracked) or None
-        if bloom_cols is None:
-            blooms = {c[len(_BLOOM_KEY):] for per in hs.values()
-                      for c in per if c.startswith(_BLOOM_KEY)}
-            bloom_cols = sorted(blooms) or None
-    stats = _file_stats(files, stats_cols, bloom_cols)
+    # keep the table's file-skipping contract: default the tracked
+    # columns to whatever the head manifest already tracks
+    stats_cols, bloom_cols = _resolve_tracked_cols(
+        path, stats_cols, bloom_cols)
+    if shipped is not None and shipped[0] == _cols_key(stats_cols,
+                                                       bloom_cols):
+        stats = {f: shipped[1][f] for f in files}
+        stats_source = "tasks"
+    else:  # legacy message / tracked-column drift: derive on the driver
+        stats = _file_stats(files, stats_cols, bloom_cols)
+        stats_source = "driver"
+
+    def _metrics(version) -> None:
+        # probe/observability hook (never load-bearing): how long the
+        # DRIVER spent committing, and where the stats came from —
+        # scripts/scale_probe.py asserts this stays flat in committed
+        # rows now that derivation is task-side
+        try:
+            with open(os.path.join(_manifest_dir(path),
+                                   "_last_commit_metrics.json"), "w") as fh:
+                json.dump({
+                    "version": version,
+                    "driver_commit_secs": _time.monotonic() - t0,
+                    "stats_source": stats_source,
+                    "files": len(files),
+                }, fh)
+        except OSError:
+            pass
+
     for _ in range(11):
         prev = latest_version(path)
         prev_m = _read_manifest(path, prev) if prev is not None else {}
@@ -551,13 +674,16 @@ def _commit_staged_files(
         try:
             if overwrite:
                 # carry txn watermarks like overwrite_version(txn=None)
-                return _commit(path, version, files, "overwrite", stats,
-                               txn=prev_txn)
-            return _commit(
-                path, version, prev_m.get("files", []) + files,
-                "append", {**dict(prev_m.get("stats", {})), **stats},
-                txn=prev_txn, dv=prev_m.get("dv"),
-            )
+                v = _commit(path, version, files, "overwrite", stats,
+                            txn=prev_txn)
+            else:
+                v = _commit(
+                    path, version, prev_m.get("files", []) + files,
+                    "append", {**dict(prev_m.get("stats", {})), **stats},
+                    txn=prev_txn, dv=prev_m.get("dv"),
+                )
+            _metrics(v)
+            return v
         except VersionConflictError:
             if overwrite:
                 raise  # an overwrite's read-set is the whole table

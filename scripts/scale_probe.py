@@ -282,6 +282,88 @@ def _probe_manifest_planning() -> dict:
     return out
 
 
+def _probe_commit_driver_flat(spark) -> dict:
+    """The r08 write-path claim: with per-file stats/blooms derived by
+    the WRITE TASKS (rows already in hand, KB bitmaps shipped in the
+    commit messages), the driver-side commit does O(files) metadata
+    work — flat in committed ROWS. Fixed 8 files, rows/file stepped
+    100x; `dsv2_driver_commit_*` should stay ~constant (ms) while
+    `dsv2_total_*` grows with the data as any write must. The engine
+    path's equivalent (distributed _derive_stats vs the old driver
+    _file_stats) is timed head-to-head at the largest size."""
+    import shutil
+    import tempfile
+
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.sources.table_source import write_table_source
+
+    out: dict = {}
+    for rows in (2_500, 25_000, 250_000):
+        d = tempfile.mkdtemp()
+        t = d + "/t"
+        df = (
+            spark.range(rows)
+            .selectExpr("id", "cast(id as string) as k",
+                        "cast(id as double) as x")
+            .repartition(8)
+        )
+        t0 = time.perf_counter()
+        write_table_source(df, t, stats_cols=["id"], bloom_cols=["id", "k"])
+        out[f"dsv2_total_{rows}"] = round(time.perf_counter() - t0, 3)
+        with open(os.path.join(t, "_manifests",
+                               "_last_commit_metrics.json")) as fh:
+            mx = json.load(fh)
+        assert mx["stats_source"] == "tasks", mx
+        out[f"dsv2_driver_commit_{rows}"] = round(
+            mx["driver_commit_secs"], 4)
+        if rows == 250_000:
+            files = V._read_manifest(t, 0)["files"]
+            t0 = time.perf_counter()
+            drv = V._file_stats(files, ["id"], ["id", "k"])
+            out["bloom_derive_driver_s"] = round(
+                time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            dist = V._derive_stats(spark, files, ["id"], ["id", "k"])
+            out["bloom_derive_distributed_s"] = round(
+                time.perf_counter() - t0, 3)
+            assert drv == dist  # byte-identical bitmaps either path
+        shutil.rmtree(d)
+    return out
+
+
+def _probe_dv_manifest_size() -> dict:
+    """The r08 dv-map scale-out claim: manifest JSON bytes under K
+    dv-bearing files (fixed 5000-file snapshot). Inline-forced grows
+    O(K); at the DEFAULT threshold the map spills to the parquet
+    sidecar past ~200 dv-bearing files and the JSON stays near-flat
+    (the remaining growth is the file list itself, which every
+    manifest carries)."""
+    import shutil
+    import tempfile
+
+    import clx_etl_spark.sinks.versioned as V
+
+    out: dict = {}
+    files = [f"/nonexistent/data/f{i:06d}.parquet" for i in range(5000)]
+    for k in (100, 1000, 5000):
+        dv = {
+            f: [{"d": f"/nonexistent/_dv/v1-{i:06d}", "n": 17}]
+            for i, f in enumerate(files[:k])
+        }
+        for mode, thresh in (("inline", 1 << 30), ("default", 200)):
+            d = tempfile.mkdtemp()
+            old = V._STATS_SIDECAR_MIN_FILES
+            V._STATS_SIDECAR_MIN_FILES = thresh
+            try:
+                V._commit(d, 0, files, "delete-dv", {}, dv=dv)
+            finally:
+                V._STATS_SIDECAR_MIN_FILES = old
+            out[f"dv_manifest_{mode}_{k}"] = os.path.getsize(
+                V._manifest_path(d, 0))
+            shutil.rmtree(d)
+    return out
+
+
 def main() -> None:
     spark = get_spark("clx-scale-probe")
     reg = load_all()

@@ -177,3 +177,43 @@ def test_sidecar_inline_below_threshold(spark, tmp_path, monkeypatch):
     _seed(spark, path, blocks=(0,))
     raw = json.load(open(_manifest_path(path, 0)))
     assert raw["stats"] and "stats_sidecar" not in raw
+
+
+def test_dv_map_sidecar_spill_readback_carry_expire(spark, tmp_path):
+    """Past the threshold the manifest's file->dv-entries map moves to a
+    parquet sidecar (r08): the JSON keeps only a pointer + the extra
+    reader feature (old engines fail loudly instead of resurrecting
+    deleted rows), reads/metadata/carry behave identically, and expiry
+    reclaims the sidecar with its manifest."""
+    path = str(tmp_path / "vt")
+    _seed(spark, path)  # ids 0-49 / 100-149 / 200-249, one file each
+    delete_version_dv(spark, path, "id", 0, 4)        # file 1
+    delete_version_dv(spark, path, "id", 100, 104)    # file 2
+    v = V.latest_version(path)
+    raw = json.load(open(_manifest_path(path, v)))
+    assert "dv" not in raw and raw["dv_sidecar"]
+    assert set(raw["reader_features"]) == {"deletion-vectors", "dv-sidecar"}
+    assert os.path.exists(os.path.join(path, "_manifests",
+                                       raw["dv_sidecar"]))
+    # lazy mapping reconstitutes the full map; reads apply the dvs
+    m = _read_manifest(path, v)
+    assert sum(e["n"] for es in m["dv"].values() for e in es) == 10
+    got = {r.id for r in read_version(spark, path).collect()}
+    assert got == ({*range(5, 50)} | {*range(105, 150)} | {*range(200, 250)})
+    assert V.count_rows_meta(path) == 140
+    # an append CARRIES the spilled dv map forward (re-spilled)
+    append_version(
+        spark.createDataFrame([(300, "v300")], "id long, v string"),
+        path, stats_cols=["id"], bloom_cols=["id"])
+    assert read_version(spark, path).count() == 141
+    raw2 = json.load(open(_manifest_path(path, V.latest_version(path))))
+    assert raw2["dv_sidecar"] and "dv" not in raw2
+    # compaction purges dvs -> dv-free manifest, no dv sidecar
+    compact_version(spark, path)
+    raw3 = json.load(open(_manifest_path(path, V.latest_version(path))))
+    assert "dv_sidecar" not in raw3 and "dv" not in raw3
+    # expiry reclaims every unreferenced dv sidecar alongside manifests
+    expire_versions(path, keep_latest=1)
+    leftover = [f for f in os.listdir(os.path.join(path, "_manifests"))
+                if f.startswith("dv-v")]
+    assert leftover == []

@@ -796,7 +796,7 @@ def test_versioned_compact_rederives_manifest_stats(spark, tmp_path):
     m = _read_manifest(path, v)
     assert m["files"], "compaction committed no files"
     for f in m["files"]:
-        assert set(m["stats"][f]) == {"id", "ts"}
+        assert set(m["stats"][f]) == {"id", "ts", "__rows__"}
 
 
 def test_versioned_merge_bloom_prunes_interval_gaps(spark, tmp_path):
@@ -1801,3 +1801,64 @@ def test_merge_rebase_carries_change_feed(spark, tmp_path, monkeypatch):
     got = {(r.k, r._change_type) for r in ch}
     assert (0, "update_postimage") in got and (300, "insert") in got
     assert all(r._commit_version == v for r in ch)
+
+
+def test_derive_stats_distributed_parity_and_engine_path(
+    spark, tmp_path, monkeypatch
+):
+    """Executor-side stats derivation (r08): forcing the distributed
+    path must produce BYTE-IDENTICAL stats/bloom bitmaps to the driver
+    _file_stats (same per-file code runs in tasks), and the engine
+    write path keeps committing correct manifests under it."""
+    import clx_etl_spark.sinks.versioned as V
+
+    from clx_etl_spark.sinks.versioned import (_read_manifest,
+                                               append_version,
+                                               pruned_file_count,
+                                               read_version)
+
+    path = str(tmp_path / "vt")
+    monkeypatch.setattr(V, "_STATS_DISTRIBUTE_MIN_BYTES", 0)
+    monkeypatch.setattr(V, "_STATS_DISTRIBUTE_MIN_FILES", 0)
+    df = spark.createDataFrame(
+        [(i, f"k{i}", float(i)) for i in range(500)],
+        "id long, k string, x double",
+    ).repartition(4)
+    append_version(df, path, stats_cols=["id"], bloom_cols=["id", "k"])
+    m = _read_manifest(path, 0)
+    drv = V._file_stats(m["files"], ["id"], ["id", "k"])
+    assert drv == {f: dict(per) for f, per in m["stats"].items()}
+    # blooms actually prune through the distributed-derived manifest
+    kept, total = pruned_file_count(path, "id", 0, 0)
+    assert kept == 1 and total == 4
+    assert read_version(spark, path).count() == 500
+
+
+def test_count_rows_meta_and_min_max_meta(spark, tmp_path):
+    """Metadata-only aggregates (r08): COUNT(*) from the manifest's
+    __rows__ keys minus dv tombstones; MIN/MAX from per-file bounds —
+    None whenever metadata cannot answer EXACTLY (dv present, missing
+    bounds, string bounds)."""
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               count_rows_meta,
+                                               delete_version_dv,
+                                               min_max_meta)
+
+    path = str(tmp_path / "vt")
+    for lo in (0, 100):
+        append_version(
+            spark.createDataFrame(
+                [(lo + i, f"s{lo + i}") for i in range(50)],
+                "id long, name string",
+            ).coalesce(1),
+            path, stats_cols=["id", "name"],
+        )
+    assert count_rows_meta(path) == 100
+    assert min_max_meta(path, "id") == (0, 149)
+    assert min_max_meta(path, "missing") is None
+    assert min_max_meta(path, "name") is None  # strings: maybe truncated
+    delete_version_dv(spark, path, "id", 10, 19)
+    assert count_rows_meta(path) == 90
+    assert count_rows_meta(path, version=1) == 100  # time travel
+    assert min_max_meta(path, "id") is None  # dv: extremes may be dead
+    assert min_max_meta(path, "id", version=1) == (0, 149)

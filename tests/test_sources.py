@@ -453,7 +453,7 @@ def test_clx_table_writer_append_and_overwrite(spark, tmp_path):
     assert read_version(spark, path).count() == 200
     m = _read_manifest(path, 1)
     tracked = {c for per in dict(m["stats"]).values() for c in per}
-    assert tracked == {"id", _BLOOM_KEY + "id"}
+    assert tracked == {"id", _BLOOM_KEY + "id", "__rows__"}
     kept, total = pruned_file_count(path, "id", 150, 150)
     assert (kept, total) == (1, 2)
     write_table_source(

@@ -1933,3 +1933,64 @@ def test_clx_table_stream_writer_exactly_once(spark, tmp_path):
     assert _commit_staged_files(table, [], overwrite=False, stats_cols=None,
                                 bloom_cols=None, txn=("t1", 1)) is None
     assert V.latest_version(table) == head
+
+
+def test_clx_table_stream_writer_checkpoint_scoped_identity(spark, tmp_path):
+    """The stream writer's DEFAULT exactly-once identity is derived from
+    the checkpoint location, not the table path: batch ids restart at 0
+    with a fresh checkpoint, so a restarted-with-new-checkpoint (or
+    second) stream must get a fresh app id — a table-path default would
+    silently no-op its batch 0 against the first stream's watermark
+    (unreported data loss, ADVICE r07). With neither txnAppId nor a
+    checkpointLocation option the writer fails loudly."""
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.sources.table_source import TableDataSource
+
+    spark.dataSource.register(TableDataSource)
+    src = str(tmp_path / "in")
+    table = str(tmp_path / "vt")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.format("parquet").schema("id long")
+            .load(src)
+        )
+        q = (
+            stream.writeStream.format("clx_table").option("path", table)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    spark.createDataFrame([(1,), (2,)], "id long").coalesce(1) \
+        .write.mode("append").parquet(src)
+    run(str(tmp_path / "ck1"))
+    assert V.read_version(spark, table).count() == 2
+    m1 = V._read_manifest(table, V.latest_version(table))
+    (app1,) = m1["txn"].keys()
+    # a FRESH checkpoint reprocesses the source from scratch at batch 0;
+    # with the per-checkpoint identity those rows COMMIT (new app id)
+    # instead of vanishing under the old stream's watermark
+    run(str(tmp_path / "ck2"))
+    assert V.read_version(spark, table).count() == 4
+    m2 = V._read_manifest(table, V.latest_version(table))
+    assert len(m2["txn"]) == 2 and m2["txn"][app1] == m1["txn"][app1]
+    # no identity at all -> loud failure, not silent guessing: a
+    # SESSION-DEFAULT checkpoint dir satisfies Spark but is invisible
+    # to the sink's options, so the writer must refuse to construct
+    spark.conf.set("spark.sql.streaming.checkpointLocation",
+                   str(tmp_path / "ck-default"))
+    try:
+        stream = spark.readStream.format("parquet").schema("id long") \
+            .load(src)
+        q = (stream.writeStream.format("clx_table").option("path", table)
+             .queryName("noid").trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(120)
+            exc = q.exception()
+        except Exception as e:  # some paths raise from awaitTermination
+            exc = e
+        assert exc is not None and "exactly-once identity" in str(exc)
+    finally:
+        spark.conf.unset("spark.sql.streaming.checkpointLocation")
