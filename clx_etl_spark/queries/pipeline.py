@@ -300,6 +300,59 @@ def versioned_sql_write(spark, sf):
 
 
 @register(
+    "versioned_catalog_dml",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    UNION ALL
+    SELECT o_orderkey + 200000000 AS o_orderkey,
+           o_totalprice * 3.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+    doc="CATALOG SQL DML over a versioned table (r08 — closes the one "
+    "documented engine-surface gap): CREATE TABLE ... USING clx_table "
+    "LOCATION, then a pure-SQL INSERT INTO ... SELECT that reads and "
+    "appends the SAME catalog table, then SELECT * — no DataFrame "
+    "API anywhere. Spark 4.1 hands catalog-resolved Python DSv2 "
+    "sources EMPTY options; the table path rides field-0 schema "
+    "metadata (TableDataSource.schema -> _recover_path), the one "
+    "channel the catalog persists. Tracked stats/blooms carry through "
+    "the SQL-committed version (pinned by tests/test_sources.py)",
+)
+def versioned_catalog_dml(spark, sf):
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.table_source import (TableDataSource,
+                                        write_table_source)
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="clx_vcd_")
+    path = tmp + "/t"
+    t = f"clx_cat_{_uuid.uuid4().hex[:8]}"
+    try:
+        write_table_source(orders, path, mode="append",
+                           stats_cols=["o_orderkey"],
+                           bloom_cols=["o_orderkey"])
+        spark.dataSource.register(TableDataSource)
+        spark.sql(f"CREATE TABLE {t} USING clx_table LOCATION '{path}'")
+        spark.sql(
+            f"INSERT INTO {t} "
+            f"SELECT o_orderkey + 200000000, o_totalprice * 3.0 "
+            f"FROM {t} WHERE o_orderkey % 97 = 0"
+        )
+        out = spark.sql(
+            f"SELECT o_orderkey, o_totalprice FROM {t}"
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
     "versioned_meta_agg",
     oracle="""
     WITH b AS (SELECT MAX(o_orderkey) // 4 + 1 AS step FROM orders),

@@ -83,6 +83,39 @@ def _resolve_version(opts: dict) -> tuple[str, int]:
     return path, head
 
 
+_PATH_META_KEY = "clx_table_path"  # field-metadata carrier (see schema())
+
+
+def _recover_path(opts: dict, schema) -> dict:
+    """Recover the table path for a catalog-resolved scan/DML whose
+    options arrived empty (Spark 4.1 Python-DSv2 limitation): schema()
+    smuggled it through StructField metadata, the one channel the
+    catalog persists. Explicit options always win; catalog tables are
+    pinned to their path (no time travel / pushdown options can reach
+    them, so they read the HEAD with the base reader)."""
+    if "path" not in opts and schema is not None:
+        for f in getattr(schema, "fields", []):
+            p = (f.metadata or {}).get(_PATH_META_KEY)
+            if p:
+                import re
+
+                opts["path"] = re.sub("^file:/+", "/", p)
+                break
+    if "path" not in opts:
+        raise ValueError(
+            "clx_table: no table path reached this catalog-resolved "
+            "operation (Spark 4.1 hands Python data sources EMPTY "
+            "options after CREATE, and this statement's schema carries "
+            "no recovery metadata — CTAS and column-list CREATE hit "
+            "this). Two-step instead: seed the table with "
+            "df.write.format('clx_table').option('path', ...) or "
+            "write_table_source, THEN CREATE TABLE ... USING clx_table "
+            "LOCATION '<path>'; INSERT INTO / INSERT OVERWRITE / "
+            "SELECT on such a table work."
+        )
+    return opts
+
+
 class TableDataSource(DataSource):
     """format("clx_table") — options:
 
@@ -108,8 +141,47 @@ class TableDataSource(DataSource):
             opts["path"] = re.sub("^file:/+", "/", opts["path"])
         return opts
 
-    def schema(self) -> str:
+    def schema(self):
+        # CATALOG-DML ENABLER: Spark 4.1 constructs the Python data
+        # source with EMPTY options on every catalog-resolved scan/DML
+        # (only the CREATE TABLE instance sees LOCATION/OPTIONS — see
+        # README "catalog tables"). The one artifact the catalog DOES
+        # persist and hand back to reader()/writer() is the SCHEMA, and
+        # StructField metadata survives that round-trip. So when the
+        # schema derives from the table (path known, no outSchema
+        # override), it is returned as a StructType carrying the table
+        # path in field-0 metadata — _recover_path() reads it back when
+        # options arrive empty, making CREATE TABLE ... USING clx_table
+        # LOCATION ... + INSERT INTO/SELECT work end to end.
         opts = self._opts()
+        if "path" in opts and "outschema" not in opts:
+            import pyarrow.parquet as pq
+            import pyspark.sql.types as T
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            from ..sinks.versioned import _read_manifest
+
+            path, v = _resolve_version(opts)
+            files = _read_manifest(path, v)["files"]
+            if not files:
+                raise ValueError(
+                    f"version {v} of {path} has no files — pass outSchema"
+                )
+            # the NEWEST file: schema evolution adds columns over time
+            # (no SparkSession exists here, hence arrow not DDL parse).
+            # Every field reads as NULLABLE — older files' evolution-gap
+            # columns pad NULL whatever the newest file's writer said
+            st0 = from_arrow_schema(pq.read_schema(files[-1]))
+            fields = [T.StructField(f.name, f.dataType, True, f.metadata)
+                      for f in st0.fields]
+            f0 = fields[0]
+            md = dict(f0.metadata or {})
+            md[_PATH_META_KEY] = opts["path"]
+            fields[0] = T.StructField(f0.name, f0.dataType, True, md)
+            return T.StructType(fields)
+        return self._schema_ddl(opts)
+
+    def _schema_ddl(self, opts) -> str:
         if "outschema" in opts:
             return opts["outschema"]
         from ..sinks.versioned import _read_manifest
@@ -132,17 +204,17 @@ class TableDataSource(DataSource):
         # pushdown-capable subclass is chosen by option (set by
         # read_table_source from the live conf); the base reader still
         # serves every row correctly — pruning is pure optimization
-        opts = self._opts()
+        opts = _recover_path(self._opts(), schema)
         cls = (_PushdownTableReader
                if opts.get("pushdown", "").lower() == "true" else TableReader)
         return cls(schema, opts)
 
     def writer(self, schema: StructType, overwrite: bool) -> "TableWriter":
-        return TableWriter(self._opts(), overwrite)
+        return TableWriter(_recover_path(self._opts(), schema), overwrite)
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> "TableStreamWriter":
-        return TableStreamWriter(self._opts())
+        return TableStreamWriter(_recover_path(self._opts(), schema))
 
 
 class TableReader(DataSourceReader):
@@ -158,6 +230,13 @@ class TableReader(DataSourceReader):
         # skipped only when NO point can be present)
         self._bounds: dict[str, list] = {}
         self._points: dict[str, list] = {}
+        # explicit opt-in LIMIT (the Python DSv2 API has no pushLimit):
+        # each partition stops decoding after N surviving rows. Only
+        # correct when the query applies no predicates beyond the
+        # pushed ones, so it is an option the CALLER sets for
+        # point-lookup/sample shapes, never inferred
+        self._limit = (int(options["limit"])
+                       if options.get("limit") else None)
 
     def partitions(self) -> list[TableFilePartition]:
         from ..sinks.versioned import (_BLOOM_KEY, _SidecarStats,
@@ -223,6 +302,14 @@ class TableReader(DataSourceReader):
         return keep
 
     def read(self, partition: TableFilePartition):
+        """One data file -> Arrow batches, STREAMED: row groups decode
+        incrementally (iter_batches), so task memory is one batch — not
+        one file — and an early-stopping consumer (LIMIT via the
+        ``limit`` option) never decodes the tail. Column pruning: only
+        the query-schema columns the file actually has are read; the
+        parquet reader never decodes the rest. Deletion vectors apply
+        per batch as a numpy boolean scatter over the batch's row-index
+        window. Evolution-gap columns pad NULL."""
         import glob
         import os
 
@@ -230,20 +317,12 @@ class TableReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
 
-        # COLUMN PRUNING: read only the query-schema columns the file
-        # actually has — the parquet reader never decodes the rest (a
-        # narrow projection over a wide snapshot reads its columns only,
-        # same as Spark's native scan). Evolution-gap columns pad NULL.
         pf = pq.ParquetFile(partition.file)
         have = set(pf.schema_arrow.names)
         want = [c for c in self._cols if c in have]
-        if want:
-            t = pf.read(columns=want)
-            n = t.num_rows
-        else:  # pure-gap projection (or COUNT(*)): footer row count only
-            t = None
-            n = pf.metadata.num_rows
+        dead_idx = None
         if partition.dv_dirs:
             # tombstoned positions for THIS file only — the sidecars are
             # O(deleted rows); row order in the file IS the row index
@@ -254,29 +333,50 @@ class TableReader(DataSourceReader):
                     mask = pc.equal(dt["_file"], partition.file)
                     dead.update(dt.filter(mask)["_pos"].to_pylist())
             if dead:
-                # vectorized keep-mask: one boolean scatter over the row
-                # index domain, never a per-row Python loop
-                keep = np.ones(n, dtype=bool)
-                idx = np.fromiter(dead, dtype=np.int64, count=len(dead))
-                keep[idx[idx < n]] = False
-                if t is not None:
-                    t = t.filter(pa.array(keep))
-                n = int(keep.sum())
-        if t is not None:
-            n = t.num_rows
-        # project/pad to the query schema: evolution-gap columns -> NULL
-        from pyspark.sql.pandas.types import to_arrow_type
+                dead_idx = np.fromiter(dead, dtype=np.int64,
+                                       count=len(dead))
 
-        arrays = []
-        for field in self._schema.fields:
-            if t is not None and field.name in t.column_names:
-                arrays.append(t[field.name].combine_chunks())
-            else:
-                arrays.append(
-                    pa.nulls(n, type=to_arrow_type(field.dataType))
-                )
-        out = pa.table(dict(zip(self._cols, arrays)))
-        yield from out.to_batches(max_chunksize=1 << 16)
+        def _pad(t, n):
+            # project/pad to the query schema: gap columns -> NULL
+            arrays = []
+            for field in self._schema.fields:
+                if t is not None and field.name in t.column_names:
+                    arrays.append(t[field.name].combine_chunks())
+                else:
+                    arrays.append(
+                        pa.nulls(n, type=to_arrow_type(field.dataType))
+                    )
+            return pa.table(dict(zip(self._cols, arrays)))
+
+        limit = self._limit
+        if not want:  # pure-gap projection (or COUNT(*)): counts only
+            n = pf.metadata.num_rows
+            if dead_idx is not None:
+                n -= int((dead_idx < n).sum())
+            if limit is not None:
+                n = min(n, limit)
+            yield from _pad(None, n).to_batches(max_chunksize=1 << 16)
+            return
+        off = produced = 0
+        for rb in pf.iter_batches(batch_size=1 << 16, columns=want):
+            t = pa.Table.from_batches([rb])
+            n = rb.num_rows
+            if dead_idx is not None:
+                sel = dead_idx[(dead_idx >= off) & (dead_idx < off + n)]
+                if sel.size:
+                    keep = np.ones(n, dtype=bool)
+                    keep[sel - off] = False
+                    t = t.filter(pa.array(keep))
+            off += n
+            if t.num_rows == 0:
+                continue
+            if limit is not None and produced + t.num_rows > limit:
+                t = t.slice(0, limit - produced)
+            produced += t.num_rows
+            yield from _pad(t, t.num_rows).to_batches(
+                max_chunksize=1 << 16)
+            if limit is not None and produced >= limit:
+                return
 
 
 class _PushdownTableReader(TableReader):
@@ -719,6 +819,7 @@ def read_table_source(
     version: int | None = None,
     tag: str | None = None,
     timestamp_as_of_ms: int | None = None,
+    limit: int | None = None,
 ) -> DataFrame:
     """spark.read over a versioned table via the clx_table DSv2 source
     (registers the source; see TableDataSource for the option surface).
@@ -735,4 +836,9 @@ def read_table_source(
         reader = reader.option("tag", tag)
     if timestamp_as_of_ms is not None:
         reader = reader.option("timestampAsOf", str(timestamp_as_of_ms))
+    if limit is not None:
+        # per-partition early stop (no pushLimit in Python DSv2) — pair
+        # with .limit(n) on the result; only for queries with no
+        # predicates beyond the pushed ones
+        reader = reader.option("limit", str(limit))
     return reader.load()

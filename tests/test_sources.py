@@ -408,14 +408,14 @@ def test_clx_table_reader_prunes_columns_and_vectorizes_dv(spark, tmp_path):
     parts = r.partitions()
     assert len(parts) == 1
     seen_cols = []
-    orig = pq.ParquetFile.read
+    orig = pq.ParquetFile.iter_batches  # r08: reads STREAM in batches
 
     def spy(self, *a, **kw):
-        seen_cols.append(kw.get("columns") or (a[0] if a else None))
+        seen_cols.append(kw.get("columns"))
         return orig(self, *a, **kw)
 
     import unittest.mock as mock
-    with mock.patch.object(pq.ParquetFile, "read", spy):
+    with mock.patch.object(pq.ParquetFile, "iter_batches", spy):
         batches = list(r.read(parts[0]))
     assert seen_cols == [["id", "a"]]
     total = sum(b.num_rows for b in batches)
@@ -557,3 +557,79 @@ def test_clx_table_schema_evolution_via_writer(spark, tmp_path):
     assert set(df.columns) == {"id", "extra"}
     got = {r.id: r.extra for r in df.collect()}
     assert got[0] is None and got[4] == 4.0 and len(got) == 5
+
+
+def test_clx_table_catalog_sql_dml(spark, tmp_path):
+    """Catalog SQL DML (r08): CREATE TABLE ... USING clx_table LOCATION
+    + INSERT INTO / INSERT OVERWRITE / SELECT work even though Spark
+    4.1 hands catalog-resolved Python DSv2 sources EMPTY options — the
+    table path rides StructField metadata through the catalog schema
+    (_recover_path). Tracked stats/blooms carry through SQL commits;
+    CTAS (whose catalog schema is the query's, no metadata channel)
+    fails LOUDLY with the two-step recipe."""
+    import uuid as _uuid
+
+    import pytest
+
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.sources.table_source import (TableDataSource,
+                                                    write_table_source)
+
+    spark.dataSource.register(TableDataSource)
+    path = str(tmp_path / "vt")
+    write_table_source(
+        spark.createDataFrame([(i, float(i)) for i in range(10)],
+                              "id long, x double"),
+        path, stats_cols=["id"], bloom_cols=["id"])
+    t = f"clx_cat_test_{_uuid.uuid4().hex[:8]}"
+    try:
+        spark.sql(f"CREATE TABLE {t} USING clx_table LOCATION '{path}'")
+        assert spark.sql(f"SELECT count(*) c FROM {t}").first().c == 10
+        spark.sql(f"INSERT INTO {t} VALUES (100, 1.5), (101, 2.5)")
+        got = spark.sql(
+            f"SELECT sum(id) s, count(*) c FROM {t}").first()
+        assert (got.s, got.c) == (45 + 201, 12)
+        # the SQL-committed version keeps the file-skipping index
+        m = V._read_manifest(path, V.latest_version(path))
+        new_f = m["files"][-1]
+        assert set(m["stats"][new_f]) == {
+            "id", "__rows__", V._BLOOM_KEY + "id"}
+        spark.sql(f"INSERT OVERWRITE {t} VALUES (7, 0.0)")
+        assert spark.sql(f"SELECT count(*) c FROM {t}").first().c == 1
+        # full history retained: SQL DML commits versions like any writer
+        assert V.latest_version(path) == 2
+        assert V.read_version(spark, path, 0).count() == 10
+        # CTAS cannot recover a path -> loud two-step guidance
+        with pytest.raises(Exception, match="[Tt]wo-step"):
+            spark.sql(
+                f"CREATE TABLE {t}_ctas USING clx_table LOCATION "
+                f"'{tmp_path}/t2' AS SELECT 1 AS v")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {t}_ctas")
+
+
+def test_clx_table_reader_limit_option_early_stop(spark, tmp_path):
+    """Opt-in LIMIT (r08 — the Python DSv2 API has no pushLimit): the
+    ``limit`` option caps each partition's decoded output, streaming
+    batches stop early, and dv tombstones still apply before the cap."""
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               delete_version_dv)
+    from clx_etl_spark.sources.table_source import (TableReader,
+                                                    read_table_source)
+
+    path = str(tmp_path / "vt")
+    append_version(
+        spark.range(200_000).selectExpr("id", "id * 2 AS a").coalesce(1),
+        path, stats_cols=["id"])
+    delete_version_dv(spark, path, "id", 0, 9)
+    r = TableReader(
+        spark.createDataFrame([], "id long, a long").schema,
+        {"path": path, "limit": "5"})
+    batches = list(r.read(r.partitions()[0]))
+    rows = [i for b in batches for i in b.column("id").to_pylist()]
+    assert rows == [10, 11, 12, 13, 14]  # dv applied, then capped
+    # one 64k-batch window decoded, not the 200k-row file
+    assert len(batches) == 1
+    # DataFrame door: pair the option with .limit(n)
+    assert read_table_source(spark, path, limit=3).limit(3).count() == 3
