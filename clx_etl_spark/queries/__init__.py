@@ -52,14 +52,15 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # oracle suite (tests/test_queries_oracle.py) always sweeps everything
 # at sf0.01 regardless.
 SWEEP_FRONT: list[str] = [
-    # new in round 7: the DSv2 SQL write round-trip
+    # ---- round-8 front ----
+    # new this round (no driver row yet): metadata-only aggregates and
+    # the catalog SQL DML door
+    "versioned_meta_agg",
+    "versioned_catalog_dml",
+    # backing code changed this round (executor-side commit stats,
+    # __rows__ manifest key, dv-map sidecar, streamed DSv2 reads,
+    # schema-metadata catalog path): re-prove the whole versioned family
     "versioned_sql_write",
-    # graduated from rows-only to hash-oracled in round 7 (exact-integer
-    # k-means) — first driver rows with an oracle
-    "pq_ann",
-    "sim_knn_ivfpq",
-    # re-prove: sinks/versioned.py + sources/table_source.py changed in
-    # round 7 (stats sidecar, dv rebase, path normalization, writer)
     "versioned_sql_scan",
     "versioned_dv_delete",
     "versioned_dv_merge_replay",
@@ -71,46 +72,11 @@ SWEEP_FRONT: list[str] = [
     "ivm_rollup_extrema_from_cdf",
     "versioned_clone_divergence",
     "versioned_time_travel_ts",
-    # freshness: the r02 rows that fell past the 50-cap last round
-    "mm_embedding_knn",
-    "mm_frame_sample",
-    "mm_image_resize",
-    "q11_important_parts",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q1_pricing_summary",
-    "q20_heavy_suppliers",
-    "q21_last_shipper",
-    "q3_shipping_priority",
-    # freshness backfill: oldest r03 rows (25 of 39 fit in the 50)
-    "bm25_doc_scores",
-    "cap_per_source",
-    "corpus_curation",
-    "decontam_ngram_overlap",
-    "dedup_best_representative",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dod_revenue_change",
-    "fuzzy_name_match",
-    "heavy_hitters_tokens",
-    "inverted_index_terms",
-    "j4_double_left_tags",
-    "mode_per_group",
-    "pack_training_sequences",
-    "profile_orders_columns",
-    "q12_late_lines_by_status",
-    "quality_percentile_gate",
-    "ratio_to_report",
-    "shard_balance_stats",
-    "sim_embedding_near_dup",
-    "sim_knn_bruteforce",
-    "sim_knn_ivf",
-    # ---- position 51+: past the driver's ~50 cap (next round's backfill:
-    # the remaining 14 r03 rows)
+    # similarity.quantize_exact gained the lattice range guard: re-prove
+    # its two consumers
+    "pq_ann",
+    "sim_knn_ivfpq",
+    # freshness: the full r03 cohort (stalest cumulative proofs)
     "sim_srp_near_dup",
     "span_dedup_rewrite",
     "span_dup_stats",
@@ -125,6 +91,59 @@ SWEEP_FRONT: list[str] = [
     "u4_intersect_repeat_buyers",
     "u5_except_all_multiset",
     "unpivot_melt",
+    # freshness: first 20 of the 49-row r04 cohort (alphabetical; the
+    # remaining 29 lead the r09 front)
+    "a1_watermark",
+    "a2_integrity_hourly",
+    "a3_latest_per_key",
+    "a6_distinct_users",
+    "asof_last_purchase",
+    "bpe_pair_stats",
+    "chunk_documents",
+    "cohort_retention",
+    "dedup_incremental",
+    "densify_hourly_grid",
+    "dsir_importance_weights",
+    "ema_per_user",
+    "embed_quantize_int8",
+    "f6_stale_keys",
+    "funnel_conversion",
+    "j2_full_outer_merge",
+    "json_props_extract",
+    "lm_bigram_doc_scores",
+    "mm_media_metadata",
+    "percentiles_by_group",
+    # ---- position 51+: past the driver's ~50 cap (r09 backfill: the
+    # remaining r04 rows)
+    "pii_redact",
+    "pivot_event_values",
+    "quality_weighted_sample",
+    "range_join_attribution",
+    "resample_ohlcv_hourly",
+    "sample_stratified",
+    "scd2_value_runs",
+    "semantic_dedup",
+    "session_revenue",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "split_leakage_audit",
+    "split_train_val_test",
+    "t10_prob_normalize",
+    "t12_coalesce_tags",
+    "t5_align_5m",
+    "t7_dt_derive",
+    "t8_ratio_split",
+    "t9_interval_snap",
+    "training_manifest",
+    "tz_local_daily",
+    "u2_except_unseen",
+    "w1_gap_detect",
+    "w3_gap_fill_plan",
+    "w3_islands_sessionize",
+    "w4_locf_fill",
+    "w4_moving_frame",
+    "w4_range_frame",
+    "w4_rank_variants",
     # rows-only (no hash oracle by design; driver records rows-only)
     "sketch_daily_users",
     "bpe_train_encode",

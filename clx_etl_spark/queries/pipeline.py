@@ -343,9 +343,13 @@ def versioned_catalog_dml(spark, sf):
             f"SELECT o_orderkey + 200000000, o_totalprice * 3.0 "
             f"FROM {t} WHERE o_orderkey % 97 = 0"
         )
-        out = spark.sql(
+        from ..sources.table_source import strip_path_metadata
+
+        # strip the internal path-carrier metadata (a tempdir here):
+        # schemas must compare stable across rebuilds
+        out = strip_path_metadata(spark.sql(
             f"SELECT o_orderkey, o_totalprice FROM {t}"
-        ).localCheckpoint(eager=True)
+        )).localCheckpoint(eager=True)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(tmp, ignore_errors=True)

@@ -841,4 +841,24 @@ def read_table_source(
         # with .limit(n) on the result; only for queries with no
         # predicates beyond the pushed ones
         reader = reader.option("limit", str(limit))
-    return reader.load()
+    return strip_path_metadata(reader.load())
+
+
+def strip_path_metadata(df: DataFrame) -> DataFrame:
+    """Drop the internal path-carrier metadata key from a clx_table
+    read's columns. The key exists for the CATALOG round-trip
+    (_recover_path); on a returned DataFrame it is noise that makes
+    schemas compare unequal across table rebuilds (tempdir paths) —
+    user-facing reads strip it."""
+    from pyspark.sql import functions as F
+
+    if not any(_PATH_META_KEY in (f.metadata or {})
+               for f in df.schema.fields):
+        return df
+    return df.select(*[
+        F.col(f.name).alias(f.name, metadata={
+            k: v for k, v in (f.metadata or {}).items()
+            if k != _PATH_META_KEY
+        })
+        for f in df.schema.fields
+    ])
