@@ -53,6 +53,34 @@ class Engine:
             return read_version(self.spark, name, version)
         return catalog.load_table(self.spark, self.sf_dir, name)
 
+    def table_count(self, path: str, version: int | None = None) -> int:
+        """Exact COUNT(*) of a versioned table from METADATA alone
+        (manifest row counts minus dv tombstones — no data file opens;
+        sinks/versioned.count_rows_meta)."""
+        from .sinks.versioned import count_rows_meta
+
+        return count_rows_meta(path, version=version)
+
+    def table_min_max(self, path: str, col: str,
+                      version: int | None = None) -> tuple | None:
+        """MIN/MAX of ``col`` from the manifest's per-file bounds, or
+        None when metadata cannot answer exactly (then scan;
+        sinks/versioned.min_max_meta)."""
+        from .sinks.versioned import min_max_meta
+
+        return min_max_meta(path, col, version=version)
+
+    def create_sql_table(self, name: str, path: str) -> None:
+        """Register a versioned table in the session catalog for pure
+        SQL DML: after this, ``INSERT INTO name`` / ``INSERT OVERWRITE
+        name`` / ``SELECT ... FROM name`` work with no DataFrame API
+        (sources/table_source.py catalog-DML path)."""
+        from .sources.table_source import TableDataSource
+
+        self.spark.dataSource.register(TableDataSource)
+        self.spark.sql(
+            f"CREATE TABLE {name} USING clx_table LOCATION '{path}'")
+
     def sql(self, query: str) -> DataFrame:
         """ANSI SQL over the registered tables — the engine's replacement
         for the SQL the reference shipped to Doris (SURVEY S13)."""

@@ -480,3 +480,40 @@ def test_engine_table_via_clx_table(spark, tmp_path):
                    path, stats_cols=["k"])
     assert eng.table(path, via="clx_table").count() == 2
     assert eng.table(path, via="clx_table", version=0).count() == 1
+
+
+def test_engine_metadata_aggregates_and_sql_table(spark, tmp_path):
+    """Engine doors onto the r08 surface: table_count / table_min_max
+    answer from metadata; create_sql_table opens pure-SQL DML, and the
+    new rows are visible to the metadata count. Also pins the pre-r08
+    fallback: a manifest without __rows__ keys still counts via one
+    footer read per file."""
+    import uuid as _uuid
+
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.api import Engine
+    from clx_etl_spark.sinks.versioned import append_version
+
+    eng = Engine(spark)
+    path = str(tmp_path / "vt")
+    append_version(
+        spark.createDataFrame([(i, float(i)) for i in range(20)],
+                              "id long, x double"),
+        path, stats_cols=["id"])
+    assert eng.table_count(path) == 20
+    assert eng.table_min_max(path, "id") == (0, 19)
+    t = f"clx_api_{_uuid.uuid4().hex[:8]}"
+    try:
+        eng.create_sql_table(t, path)
+        spark.sql(f"INSERT INTO {t} VALUES (100, 1.0)")
+        assert eng.table_count(path) == 21
+        assert eng.table_min_max(path, "id") == (0, 100)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # pre-r08 manifest compatibility: strip __rows__, count still exact
+    m = V._read_manifest(path, V.latest_version(path))
+    stats = {f: {c: v for c, v in per.items() if c != V._ROWS_KEY}
+             for f, per in dict(m["stats"]).items()}
+    V._commit(path, V.latest_version(path) + 1, m["files"], "overwrite",
+              stats, txn=m.get("txn", {}))
+    assert eng.table_count(path) == 21
