@@ -70,6 +70,17 @@ class Engine:
 
         return min_max_meta(path, col, version=version)
 
+    def analyze_table(self, path: str, stats_cols: list[str],
+                      bloom_cols: list[str] | None = None) -> int:
+        """Backfill the file-skipping index (per-file min/max + blooms
+        + row counts) onto an existing versioned table via a
+        metadata-only commit; executor-side derivation
+        (sinks/versioned.analyze_table)."""
+        from .sinks.versioned import analyze_table
+
+        return analyze_table(self.spark, path, stats_cols,
+                             bloom_cols=bloom_cols)
+
     def create_sql_table(self, name: str, path: str) -> None:
         """Register a versioned table in the session catalog for pure
         SQL DML: after this, ``INSERT INTO name`` / ``INSERT OVERWRITE

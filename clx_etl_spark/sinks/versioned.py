@@ -1134,6 +1134,53 @@ def pruned_file_count(path: str, col: str, lo, hi, version: int | None = None) -
     return len(_files_for_scan(m, col, lo, hi)), len(m["files"])
 
 
+def analyze_table(
+    spark: SparkSession,
+    path: str,
+    stats_cols: list[str],
+    bloom_cols: list[str] | None = None,
+) -> int:
+    """Backfill the file-skipping index onto an EXISTING table
+    (Delta's ``ANALYZE TABLE ... COMPUTE STATISTICS`` shape): derive
+    per-file min/max (+ key blooms + row counts) for every head file
+    that lacks them and commit the SAME file list with the enriched
+    stats — a METADATA-ONLY commit, no data file rewritten. Derivation
+    runs executor-side (_derive_stats) for anything sizable, so
+    indexing a 100 TB table of untracked historical files is one
+    distributed single-column pass, never a driver read. Files already
+    carrying every requested column's stats are skipped (re-running is
+    cheap and idempotent). A lost CAS rebases onto the new head —
+    stats are derived per immutable file, so any interleaved commit's
+    surviving files keep their entries and files it removed simply
+    drop out. Returns the committed version."""
+    path = _norm_path(path)
+    want_blooms = [c for c in (bloom_cols or [])]
+    for _ in range(10):
+        v = latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no versions committed at {path}")
+        m = _read_manifest(path, v)
+        stats = {f: dict(per) for f, per in dict(m.get("stats", {})).items()}
+        todo = [
+            f for f in m["files"]
+            if any(c not in stats.get(f, {}) for c in stats_cols)
+            or any(_BLOOM_KEY + c not in stats.get(f, {})
+                   for c in want_blooms)
+        ]
+        derived = _derive_stats(spark, todo, stats_cols, want_blooms or None)
+        for f, per in derived.items():
+            stats.setdefault(f, {}).update(per)
+        try:
+            return _commit(path, v + 1, m["files"], "analyze", stats,
+                           txn=m.get("txn", {}), dv=m.get("dv"))
+        except VersionConflictError:
+            continue  # rebase: re-read the head, reuse nothing stale
+    raise VersionConflictError(
+        f"analyze_table at {path} lost the commit race 10 times — "
+        "pathological contention; retry with backoff"
+    )
+
+
 def compact_version(
     spark: SparkSession,
     path: str,

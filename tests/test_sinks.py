@@ -1862,3 +1862,36 @@ def test_count_rows_meta_and_min_max_meta(spark, tmp_path):
     assert count_rows_meta(path, version=1) == 100  # time travel
     assert min_max_meta(path, "id") is None  # dv: extremes may be dead
     assert min_max_meta(path, "id", version=1) == (0, 149)
+
+
+def test_analyze_table_backfills_skipping_index(spark, tmp_path):
+    """analyze_table (r08): a table committed WITHOUT tracking gains
+    per-file min/max + blooms via a metadata-only commit — same file
+    list, pruning works afterward, idempotent re-run, dv map carried."""
+    from clx_etl_spark.sinks.versioned import (_BLOOM_KEY, _read_manifest,
+                                               analyze_table,
+                                               append_version,
+                                               delete_version_dv,
+                                               pruned_file_count,
+                                               read_version)
+
+    path = str(tmp_path / "vt")
+    for lo in (0, 100, 200):
+        append_version(
+            spark.createDataFrame(
+                [(lo + i, f"s{lo + i}") for i in range(50)],
+                "id long, name string",
+            ).coalesce(1),
+            path)  # no stats tracking at all
+    delete_version_dv(spark, path, "id", 0, 4)
+    m0 = _read_manifest(path, 3)
+    v = analyze_table(spark, path, ["id"], bloom_cols=["id"])
+    m = _read_manifest(path, v)
+    assert m["files"] == m0["files"]  # metadata-only: zero file churn
+    assert m["op"] == "analyze"
+    assert all("id" in m["stats"][f] and _BLOOM_KEY + "id" in m["stats"][f]
+               for f in m["files"])
+    kept, total = pruned_file_count(path, "id", 120, 130)
+    assert (kept, total) == (1, 3)
+    assert read_version(spark, path).count() == 145  # dv carried
+    assert analyze_table(spark, path, ["id"], bloom_cols=["id"]) == v + 1
