@@ -57,6 +57,7 @@ SWEEP_FRONT: list[str] = [
     # the catalog SQL DML door
     "versioned_meta_agg",
     "versioned_catalog_dml",
+    "versioned_analyze_backfill",
     # backing code changed this round (executor-side commit stats,
     # __rows__ manifest key, dv-map sidecar, streamed DSv2 reads,
     # schema-metadata catalog path): re-prove the whole versioned family

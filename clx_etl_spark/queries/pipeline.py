@@ -357,6 +357,65 @@ def versioned_catalog_dml(spark, sf):
 
 
 @register(
+    "versioned_analyze_backfill",
+    oracle="""
+    WITH b AS (SELECT MAX(o_orderkey) // 4 + 1 AS step FROM orders)
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o, b
+    WHERE o.o_orderkey BETWEEN b.step AND 2 * b.step - 1
+    """,
+    doc="ANALYZE backfill through the ACTUAL maintenance path "
+    "(sinks/versioned.analyze_table, r08 — Delta's ANALYZE TABLE "
+    "COMPUTE STATISTICS shape): orders seeds a versioned table in four "
+    "key-range files with NO stats tracking (a narrow scan would read "
+    "everything), analyze_table backfills per-file min/max + key "
+    "blooms in a METADATA-ONLY commit (the query asserts zero file "
+    "churn AND that pruning now keeps 1 of 4 files — loud errors, not "
+    "silent full reads), then the pruned scan's rows hash-oracle "
+    "against DuckDB. At 100 TB this is how historical untracked data "
+    "gains the file-skipping index without rewriting a byte",
+)
+def versioned_analyze_backfill(spark, sf):
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import (analyze_table, append_version,
+                                   _read_manifest, latest_version,
+                                   pruned_file_count, scan_version)
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="clx_vab_")
+    path = tmp + "/t"
+    try:
+        hi = orders.agg(F.max("o_orderkey")).first()[0] or 1
+        step = hi // 4 + 1
+        for i in range(4):
+            sl = orders.filter(
+                (F.col("o_orderkey") >= i * step)
+                & (F.col("o_orderkey") < (i + 1) * step)
+            )
+            append_version(sl.coalesce(1), path)  # untracked on purpose
+        before = _read_manifest(path, latest_version(path))["files"]
+        v = analyze_table(spark, path, ["o_orderkey"],
+                          bloom_cols=["o_orderkey"])
+        after = _read_manifest(path, v)["files"]
+        if after != before:
+            raise AssertionError("analyze must be metadata-only")
+        kept, total = pruned_file_count(path, "o_orderkey",
+                                        step, 2 * step - 1)
+        if (kept, total) != (1, 4):
+            raise AssertionError(f"backfilled stats must prune: "
+                                 f"{kept}/{total}")
+        out = scan_version(spark, path, "o_orderkey", step,
+                           2 * step - 1).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
     "versioned_meta_agg",
     oracle="""
     WITH b AS (SELECT MAX(o_orderkey) // 4 + 1 AS step FROM orders),

@@ -397,8 +397,12 @@ def main() -> None:
         "dv_bytes_ratio": [r["dv_bytes_ratio"] for r in md],
     }
     planning = _probe_manifest_planning()
+    commit_flat = _probe_commit_driver_flat(spark)
+    dv_size = _probe_dv_manifest_size()
     print(json.dumps({"sfs": SFS, "times": results, "pruning": ratios,
-                      "manifest_planning_s": planning}))
+                      "manifest_planning_s": planning,
+                      "commit_driver_flat": commit_flat,
+                      "dv_manifest_bytes": dv_size}))
     print(f"\n{'query':32s} {'sf.001':>8s} {'sf.01':>8s} {'sf.1':>8s} "
           f"{'r(10x)':>7s} {'r(100x)':>8s}")
     for name, t in results.items():
@@ -412,6 +416,14 @@ def main() -> None:
     for mode in ("inline", "sidecar"):
         row = [planning[f"plan_{mode}_{n}"] for n in (100, 1000, 5000)]
         print(f"{mode:32s} {row[0]:8.4f} {row[1]:8.4f} {row[2]:8.4f}")
+    print("\ndsv2 commit (driver secs, 2.5k/25k/250k rows x 8 files):")
+    row = [commit_flat[f"dsv2_driver_commit_{n}"]
+           for n in (2_500, 25_000, 250_000)]
+    print(f"{'driver_commit':32s} {row[0]:8.4f} {row[1]:8.4f} {row[2]:8.4f}")
+    print("\ndv manifest bytes (100/1000/5000 dv-bearing of 5000 files):")
+    for mode in ("inline", "default"):
+        row = [dv_size[f"dv_manifest_{mode}_{k}"] for k in (100, 1000, 5000)]
+        print(f"{mode:32s} {row[0]:8d} {row[1]:8d} {row[2]:8d}")
     spark.stop()
 
 
