@@ -1271,55 +1271,16 @@ def compact_version(
             spark, path, m, sel, target_bytes, stats_cols, change_feed,
             zorder_by, zorder_bits,
         )
-    bloom_cols = sorted({
-        c[len(_BLOOM_KEY):] for fstats in m.get("stats", {}).values()
-        for c in fstats if c.startswith(_BLOOM_KEY)
-    }) or None
-    if stats_cols is None:
-        tracked = {c for fstats in m.get("stats", {}).values()
-                   for c in fstats
-                   if not c.startswith(_BLOOM_KEY) and c != _ROWS_KEY}
-        stats_cols = sorted(tracked) or None
-    total = sum(os.path.getsize(f) for f in files)
-    n = max(1, math.ceil(total / target_bytes))
-    df = read_version(spark, path, v)
-    if zorder_by:
-        from pyspark.sql import functions as F
-
-        from .layout import zorder_key
-
-        aggs = []
-        for c in zorder_by:
-            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
-        row = df.agg(*aggs).first()
-        bounds = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in zorder_by}
-        df = (
-            df.withColumn(
-                "_z", zorder_key(zorder_by, bits=zorder_bits, bounds=bounds))
-            .repartitionByRange(n, "_z")
-            .sortWithinPartitions("_z")
-            .drop("_z")
-        )
-        stats_cols = sorted(set(stats_cols or []) | set(zorder_by))
-    elif n < len(files):
-        df = df.repartition(n)
-    if change_feed:
-        # compaction rewrites file identity, not row state: an EMPTY
-        # change set lets table_changes cross the commit (Delta CDF's
-        # OPTIMIZE behavior) instead of raising on the overwrite op
-        from pyspark.sql import functions as F
-
-        _write_change_feed(
-            df.limit(0).withColumn("_change_type", F.lit("")), path, v + 1
-        )
-        try:
-            return overwrite_version(df, path, stats_cols=stats_cols,
-                                     bloom_cols=bloom_cols, validate=False)
-        except VersionConflictError:
-            _drop_change_feed(path, v + 1)
-            raise
-    return overwrite_version(df, path, stats_cols=stats_cols,
-                             bloom_cols=bloom_cols, validate=False)
+    # full compaction = the partial leg with every file selected: one
+    # shared pinned-base commit (the old overwrite_version delegation
+    # read the head AGAIN at commit time, so an append landing between
+    # the snapshot read and that re-read was silently dropped from the
+    # overwritten table — a data-loss race, closed r08) plus the
+    # append-only rebase both legs now share.
+    return _compact_partial(
+        spark, path, m, files, target_bytes, stats_cols, change_feed,
+        zorder_by, zorder_bits,
+    )
 
 
 def _compact_partial(
@@ -1383,16 +1344,51 @@ def _compact_partial(
             .withColumn("_change_type", F.lit("")), path, new_v,
         )
     carried = {f: stats[f] for f in keep if f in stats}
-    try:
-        return _commit(
-            path, new_v, keep + new_files, "overwrite",
-            {**carried, **new_stats}, txn=m.get("txn", {}),
-            dv=m.get("dv"),  # kept files' deletion vectors survive
-        )
-    except VersionConflictError:
-        if change_feed:
-            _drop_change_feed(path, new_v)
-        raise
+    base_v, cf_v = v, new_v
+    cur_files, cur_stats = keep, carried
+    cur_txn, cur_dv = m.get("txn", {}), m.get("dv")
+    for _ in range(10):
+        try:
+            return _commit(
+                path, base_v + 1, cur_files + new_files, "overwrite",
+                {**cur_stats, **new_stats}, txn=cur_txn,
+                dv=cur_dv,  # kept files' deletion vectors survive
+            )
+        except VersionConflictError:
+            # OPTIMIZE-vs-append rebase (Delta's rule: appends never
+            # conflict with compaction): when every interleaved commit
+            # is an append, carry the appended files by reference —
+            # they are outside the compacted read-set, their stats/dv
+            # ride along, and the winner's txn watermarks survive. Any
+            # rewriting interleave (delete/merge/another compaction)
+            # is a true conflict: the read-set went stale, re-run.
+            head = latest_version(path)
+            ai = _append_only_interleave(path, base_v, head)
+            if ai is None:
+                if change_feed:
+                    _drop_change_feed(path, cf_v)
+                raise
+            appended, head_m = ai
+            head_stats = dict(head_m.get("stats", {}))
+            cur_files = cur_files + appended
+            cur_stats = {**cur_stats,
+                         **{f: head_stats[f] for f in appended
+                            if f in head_stats}}
+            cur_txn, cur_dv = head_m.get("txn", {}), head_m.get("dv")
+            if change_feed:
+                try:
+                    _rebase_change_feed(path, cf_v, head + 1)
+                except VersionConflictError:
+                    _drop_change_feed(path, cf_v)
+                    raise
+                cf_v = head + 1
+            base_v = head
+    if change_feed:
+        _drop_change_feed(path, cf_v)
+    raise VersionConflictError(
+        f"compaction at {path} lost the commit race 10 times against "
+        "disjoint appends — pathological contention; retry with backoff"
+    )
 
 
 def _append_only_interleave(

@@ -1895,3 +1895,72 @@ def test_analyze_table_backfills_skipping_index(spark, tmp_path):
     assert (kept, total) == (1, 3)
     assert read_version(spark, path).count() == 145  # dv carried
     assert analyze_table(spark, path, ["id"], bloom_cols=["id"]) == v + 1
+
+
+def test_compaction_rebases_over_append_raises_on_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """OPTIMIZE-vs-append concurrency (r08, Delta's rule): a compaction
+    that loses the manifest CAS to an interleaved APPEND rebases —
+    appended files carry by reference with their stats and the winner's
+    txn watermarks, nothing appended is lost (this also pins the old
+    overwrite_version delegation's silent-loss race closed). A
+    rewriting interleave stays a true conflict."""
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.sinks.versioned import (VersionConflictError,
+                                               _read_manifest,
+                                               append_version,
+                                               compact_version,
+                                               delete_version,
+                                               latest_version,
+                                               read_version)
+
+    path = str(tmp_path / "vt")
+    for lo in (0, 100, 200):
+        append_version(
+            spark.createDataFrame(
+                [(lo + i, f"s{lo + i}") for i in range(30)],
+                "id long, v string",
+            ).coalesce(1),
+            path, stats_cols=["id"],
+            txn=("ingest", lo))
+    orig = V._commit
+    state = {"raced": False}
+
+    def racing(path_, version, files_, op, *a, **kw):
+        if op == "overwrite" and not state["raced"]:
+            state["raced"] = True
+            append_version(
+                spark.createDataFrame([(999, "z")], "id long, v string"),
+                path, stats_cols=["id"], txn=("ingest", 999))
+        return orig(path_, version, files_, op, *a, **kw)
+
+    monkeypatch.setattr(V, "_commit", racing)
+    v = compact_version(spark, path, target_bytes=1 << 30)
+    monkeypatch.setattr(V, "_commit", orig)
+    m = _read_manifest(path, v)
+    assert m["op"] == "overwrite"
+    got = {r.id for r in read_version(spark, path).collect()}
+    assert got == ({*range(0, 30)} | {*range(100, 130)}
+                   | {*range(200, 230)} | {999})  # nothing lost
+    # the appended file rides by reference with its stats + txn
+    assert any("id" in per and per["id"] == [999, 999]
+               for per in dict(m["stats"]).values())
+    assert m["txn"] == {"ingest": 999}
+    # rewriting interleave -> true conflict
+    state["raced"] = False
+
+    def racing_delete(path_, version, files_, op, *a, **kw):
+        if op == "overwrite" and not state["raced"]:
+            state["raced"] = True
+            delete_version(spark, path, "id", 999, 999)
+        return orig(path_, version, files_, op, *a, **kw)
+
+    monkeypatch.setattr(V, "_commit", racing_delete)
+    import pytest
+
+    with pytest.raises(VersionConflictError):
+        compact_version(spark, path, target_bytes=1 << 30)
+    monkeypatch.setattr(V, "_commit", orig)
+    assert read_version(spark, path).count() == 90  # delete won cleanly
+    assert latest_version(path) is not None
