@@ -649,8 +649,23 @@ def _write_files(
         for f in sorted(os.listdir(sub))
         if f.endswith(".parquet")
     ]
-    return files, _derive_stats(df.sparkSession, files, stats_cols,
-                                bloom_cols)
+    stats = _derive_stats(df.sparkSession, files, stats_cols, bloom_cols)
+    # ZERO-ROW files (Spark writes one per empty output partition) never
+    # enter the manifest: they bloat the file list at streaming-append
+    # rates and, being stat-less, force conservative no-rebase decisions
+    # on concurrent deletes/merges. Keep one only when the whole batch
+    # is empty — read paths need at least one footer for the schema.
+    empty = [f for f in files
+             if int(stats.get(f, {}).get(_ROWS_KEY, [1])[0]) == 0]
+    if empty and len(empty) < len(files):
+        for f in empty:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+            stats.pop(f, None)
+        files = [f for f in files if f not in set(empty)]
+    return files, stats
 
 
 # below this many committed bytes the per-file stats derivation stays on
@@ -2455,17 +2470,57 @@ def delete_version(
             path, new_v,
         )
     carried_stats = {f: stats[f] for f in untouched if f in stats}
-    try:
-        _commit(
-            path, new_v, untouched + new_files, "overwrite",
-            {**carried_stats, **new_stats}, txn=m.get("txn", {}),
-            dv=m.get("dv"),  # untouched files keep their deletion vectors
-        )
-    except VersionConflictError:
-        if change_feed:
-            _drop_change_feed(path, new_v)
-        raise
-    return new_v, len(untouched), len(rewrite)
+    base_v, cf_v = v, new_v
+    cur_untouched, cur_stats = untouched, carried_stats
+    cur_txn, cur_dv = m.get("txn", {}), m.get("dv")
+    for _ in range(10):
+        try:
+            _commit(
+                path, base_v + 1, cur_untouched + new_files, "overwrite",
+                {**cur_stats, **new_stats}, txn=cur_txn,
+                dv=cur_dv,  # untouched files keep their deletion vectors
+            )
+            return base_v + 1, len(cur_untouched), len(rewrite)
+        except VersionConflictError:
+            # same rebase rule as the dv delete (Delta's
+            # WriteSerializable DELETE): only when every interleaved
+            # commit is an append whose files' stats provably exclude
+            # [lo, hi] — the delete re-run on the head would rewrite
+            # exactly the same files, so carry the appends by reference
+            # instead. Stat-less or overlapping appends (they may hold
+            # in-range rows) and any rewrite are true conflicts.
+            head = latest_version(path)
+            ai = _append_only_interleave(path, base_v, head)
+            ap_stats = (_stats_for_cols(ai[1], [col], blooms=False)
+                        if ai is not None else {})
+            if ai is None or any(
+                _stat_overlaps(lo, hi, ap_stats.get(f, {}).get(col))
+                for f in ai[0]
+            ):
+                if change_feed:
+                    _drop_change_feed(path, cf_v)
+                raise
+            appended, head_m = ai
+            head_stats = dict(head_m.get("stats", {}))
+            cur_untouched = cur_untouched + appended
+            cur_stats = {**cur_stats,
+                         **{f: head_stats[f] for f in appended
+                            if f in head_stats}}
+            cur_txn, cur_dv = head_m.get("txn", {}), head_m.get("dv")
+            if change_feed:
+                try:
+                    _rebase_change_feed(path, cf_v, head + 1)
+                except VersionConflictError:
+                    _drop_change_feed(path, cf_v)
+                    raise
+                cf_v = head + 1
+            base_v = head
+    if change_feed:
+        _drop_change_feed(path, cf_v)
+    raise VersionConflictError(
+        f"delete at {path} lost the commit race 10 times against "
+        "disjoint appends — pathological contention; retry with backoff"
+    )
 
 
 def delete_version_dv(

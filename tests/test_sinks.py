@@ -1964,3 +1964,64 @@ def test_compaction_rebases_over_append_raises_on_rewrite(
     monkeypatch.setattr(V, "_commit", orig)
     assert read_version(spark, path).count() == 90  # delete won cleanly
     assert latest_version(path) is not None
+
+
+def test_cow_delete_rebases_over_disjoint_append(spark, tmp_path,
+                                                 monkeypatch):
+    """CoW delete_version now rebases over provably key-disjoint
+    appends (r08 — same WriteSerializable rule as its dv twin): the
+    appended file rides by reference, nothing is lost; an append whose
+    stats OVERLAP the delete range stays a true conflict."""
+    import pytest
+
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.sinks.versioned import (VersionConflictError,
+                                               append_version,
+                                               delete_version,
+                                               read_version)
+
+    path = str(tmp_path / "vt")
+    for lo in (0, 100):
+        append_version(
+            spark.createDataFrame(
+                [(lo + i, f"s{lo + i}") for i in range(30)],
+                "id long, v string",
+            ).coalesce(1),
+            path, stats_cols=["id"])
+    orig = V._commit
+    state = {"raced": False}
+
+    def race_disjoint(path_, version, files_, op, *a, **kw):
+        if op == "overwrite" and not state["raced"]:
+            state["raced"] = True
+            append_version(
+                spark.createDataFrame([(500, "z")], "id long, v string"),
+                path, stats_cols=["id"])
+        return orig(path_, version, files_, op, *a, **kw)
+
+    monkeypatch.setattr(V, "_commit", race_disjoint)
+    new_v, unt, rew = delete_version(spark, path, "id", 100, 104)
+    monkeypatch.setattr(V, "_commit", orig)
+    got = {r.id for r in read_version(spark, path).collect()}
+    assert got == ({*range(0, 30)} | {*range(105, 130)} | {500})
+    assert unt == 2  # the pruned base file + the rebased append
+    # overlapping append -> true conflict
+    state["raced"] = False
+
+    def race_overlap(path_, version, files_, op, *a, **kw):
+        if op == "overwrite" and not state["raced"]:
+            state["raced"] = True
+            append_version(
+                spark.createDataFrame([(20, "dup")], "id long, v string"),
+                path, stats_cols=["id"])
+        return orig(path_, version, files_, op, *a, **kw)
+
+    monkeypatch.setattr(V, "_commit", race_overlap)
+    with pytest.raises(VersionConflictError):
+        delete_version(spark, path, "id", 0, 29)
+    monkeypatch.setattr(V, "_commit", orig)
+    # the losing delete changed nothing; re-run on the head converges
+    assert read_version(spark, path).count() == 57
+    delete_version(spark, path, "id", 0, 29)
+    got = {r.id for r in read_version(spark, path).collect()}
+    assert got == ({*range(105, 130)} | {500})
