@@ -208,6 +208,13 @@ def test_dv_map_sidecar_spill_readback_carry_expire(spark, tmp_path):
     assert read_version(spark, path).count() == 141
     raw2 = json.load(open(_manifest_path(path, V.latest_version(path))))
     assert raw2["dv_sidecar"] and "dv" not in raw2
+    # the DSv2 reader resolves the lazy dv map too: one partition per
+    # file, tombstones applied executor-side from the sidecar-backed map
+    from clx_etl_spark.sources.table_source import read_table_source
+
+    got_sql = {r.id for r in
+               read_table_source(spark, path).select("id").collect()}
+    assert got_sql == got | {300}
     # compaction purges dvs -> dv-free manifest, no dv sidecar
     compact_version(spark, path)
     raw3 = json.load(open(_manifest_path(path, V.latest_version(path))))
