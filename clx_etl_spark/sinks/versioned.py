@@ -360,14 +360,12 @@ def _load_stats_sidecar(sidecar: str, cols: list[str] | None = None,
 from collections.abc import Mapping as _Mapping  # noqa: E402
 
 
-class _SidecarStats(_Mapping):
-    """Lazy per-file stats mapping backed by a version's columnar
-    sidecar: any full Mapping access (iteration, membership, item get)
-    loads and caches the whole map — commit paths that carry stats
-    forward still see every column — while planner hot paths bypass it
-    through _stats_for_cols to read only what they prune on.
-    Deliberately NOT a dict subclass: C-level fast paths ({**d},
-    json.dump) would bypass the lazy load and silently see {}."""
+class _LazySidecarMap(_Mapping):
+    """Lazy mapping backed by a per-version parquet sidecar: any full
+    Mapping access (iteration, membership, item get) loads and caches
+    the whole map via the subclass's ``_load``. Deliberately NOT a dict
+    subclass: C-level fast paths ({**d}, json.dump) would bypass the
+    lazy load and silently see {}."""
 
     def __init__(self, sidecar: str):
         self._sidecar = sidecar
@@ -375,7 +373,7 @@ class _SidecarStats(_Mapping):
 
     def _ensure(self) -> dict:
         if self._full is None:
-            self._full = _load_stats_sidecar(self._sidecar)
+            self._full = type(self)._load(self._sidecar)
         return self._full
 
     def __getitem__(self, k):
@@ -388,7 +386,15 @@ class _SidecarStats(_Mapping):
         return len(self._ensure())
 
     def __bool__(self):
-        return True  # a sidecar is only ever written for non-empty stats
+        return True  # a sidecar is only ever written when non-empty
+
+
+class _SidecarStats(_LazySidecarMap):
+    """Lazy per-file stats mapping: commit paths that carry stats
+    forward see every column, while planner hot paths bypass the full
+    load through _stats_for_cols to read only what they prune on."""
+
+    _load = staticmethod(_load_stats_sidecar)
 
 
 def _write_dv_sidecar(path: str, version: int, dv: dict) -> str:
@@ -428,33 +434,11 @@ def _load_dv_sidecar(sidecar: str) -> dict:
     return out
 
 
-class _SidecarDv(_Mapping):
-    """Lazy file -> dv-entries mapping backed by a version's dv sidecar
-    (mirror of _SidecarStats): any Mapping access loads and caches the
-    whole map — one small parquet read, O(dv-bearing files) not
-    O(snapshot files). Deliberately NOT a dict subclass (see
-    _SidecarStats)."""
+class _SidecarDv(_LazySidecarMap):
+    """Lazy file -> dv-entries mapping: one small parquet read,
+    O(dv-bearing files) not O(snapshot files)."""
 
-    def __init__(self, sidecar: str):
-        self._sidecar = sidecar
-        self._full: dict | None = None
-
-    def _ensure(self) -> dict:
-        if self._full is None:
-            self._full = _load_dv_sidecar(self._sidecar)
-        return self._full
-
-    def __getitem__(self, k):
-        return self._ensure()[k]
-
-    def __iter__(self):
-        return iter(self._ensure())
-
-    def __len__(self):
-        return len(self._ensure())
-
-    def __bool__(self):
-        return True  # a dv sidecar is only ever written when non-empty
+    _load = staticmethod(_load_dv_sidecar)
 
 
 def _stats_for_cols(m: dict, cols: list[str], blooms: bool = True):
@@ -470,6 +454,25 @@ def _stats_for_cols(m: dict, cols: list[str], blooms: bool = True):
             return s._full
         return _load_stats_sidecar(s._sidecar, cols=cols, blooms=blooms)
     return s
+
+
+def _tracked_col_sets(m: dict) -> tuple[set, set]:
+    """Column-NAME-only view of a manifest's tracked (stats, bloom)
+    columns. Sidecar-backed stats read just the kilobyte ``col`` column
+    — never the bloom payload bytes — so write-path planning on a
+    100k-file table stays O(columns), not O(sidecar bytes)."""
+    s = m.get("stats", {})
+    if isinstance(s, _SidecarStats) and s._full is None:
+        import pyarrow.parquet as pq
+
+        names = set(
+            pq.read_table(s._sidecar, columns=["col"])["col"].to_pylist())
+    else:
+        names = {c for per in dict(s).values() for c in per}
+    plain = {c for c in names
+             if not c.startswith(_BLOOM_KEY) and c != _ROWS_KEY}
+    blooms = {c[len(_BLOOM_KEY):] for c in names if c.startswith(_BLOOM_KEY)}
+    return plain, blooms
 
 
 _BLOOM_KEY = "__bloom__:"  # manifest stats key prefix for per-file blooms
@@ -657,7 +660,9 @@ def _write_files(
     # is empty — read paths need at least one footer for the schema.
     empty = [f for f in files
              if int(stats.get(f, {}).get(_ROWS_KEY, [1])[0]) == 0]
-    if empty and len(empty) < len(files):
+    if empty:
+        if len(empty) == len(files):  # whole batch empty: keep ONE anchor
+            empty = empty[1:]
         for f in empty:
             try:
                 os.remove(f)
@@ -723,12 +728,13 @@ def _file_stats(files: list[str], stats_cols: list[str] | None,
     import pyarrow.parquet as pq
 
     stats: dict = {}
+    mds = {f: pq.ParquetFile(f).metadata for f in files}  # one open each
     for f in files:
-        n = pq.ParquetFile(f).metadata.num_rows
+        n = mds[f].num_rows
         stats[f] = {_ROWS_KEY: [n, n]}
     if stats_cols:
         for f in files:
-            md = pq.ParquetFile(f).metadata
+            md = mds[f]
             names = {md.schema.column(i).name: i for i in range(md.num_columns)}
             per_col = {}
             for c in stats_cols:
@@ -1422,7 +1428,9 @@ def _append_only_interleave(
     for v in range(base_v + 1, head_v + 1):
         if not os.path.exists(_manifest_path(path, v)):
             return None
-        if _read_manifest(path, v)["op"] != "append":
+        # analyze is metadata-only (same file list, same rows, same
+        # dvs): as harmless to interleave with as an append
+        if _read_manifest(path, v)["op"] not in ("append", "analyze"):
             return None
     head_m = _read_manifest(path, head_v)
     base_files = set(_read_manifest(path, base_v)["files"])
@@ -1447,7 +1455,7 @@ def _disjoint_append_interleave(
     for v in range(base_v + 1, head_v + 1):
         if not os.path.exists(_manifest_path(path, v)):
             return None
-        if _read_manifest(path, v)["op"] != "append":
+        if _read_manifest(path, v)["op"] not in ("append", "analyze"):
             return None
     head_m = _read_manifest(path, head_v)
     appended = [f for f in head_m["files"] if f not in base_files]
@@ -1869,7 +1877,8 @@ def table_changes(
             df = spark.read.option("mergeSchema", "true").parquet(cdir)
             if df.isEmpty():
                 continue
-        elif m["op"] == "append":
+        elif m["op"] in ("append", "analyze"):
+            # analyze commits change no row state: added is empty
             base = (
                 set(_read_manifest(path, v - 1)["files"]) if v > 0 else set()
             )
@@ -1908,7 +1917,7 @@ def read_changes(
     delta, and silently treating them as new rows would double-count."""
     to_v = latest_version(path) if to_version is None else to_version
     for v in range(after_version + 1, to_v + 1):
-        if _read_manifest(path, v)["op"] != "append":
+        if _read_manifest(path, v)["op"] not in ("append", "analyze"):
             raise ValueError(
                 f"version {v} rewrote row state (op "
                 f"{_read_manifest(path, v)['op']!r}); incremental reads "
@@ -2076,7 +2085,7 @@ def describe_table(path: str) -> dict:
             if c.startswith(_BLOOM_KEY):
                 bloom_cov[c[len(_BLOOM_KEY):]] = bloom_cov.get(
                     c[len(_BLOOM_KEY):], 0) + 1
-            else:
+            elif c != _ROWS_KEY:  # internal row-count key, not a column
                 col_cov[c] = col_cov.get(c, 0) + 1
     tags = {}
     mdir = _manifest_dir(path)
@@ -2201,13 +2210,16 @@ def count_rows_meta(path: str, version: int | None = None) -> int:
 def min_max_meta(path: str, col: str,
                  version: int | None = None) -> tuple | None:
     """``MIN(col)``/``MAX(col)`` answered from the manifest's per-file
-    bounds WITHOUT opening data files — or None when metadata cannot
+    bounds WITHOUT opening data pages — or None when metadata cannot
     answer EXACTLY, in which case the caller must scan. Exact requires:
-    no deletion vectors (a tombstone may have removed the extreme row),
-    every file carrying bounds for ``col``, and non-string bounds
-    (parquet writers may truncate string min/max in footers; numeric /
-    temporal / decimal bounds are exact). A None is a fall-back signal,
-    never an approximation."""
+    no deletion vectors (a tombstone may have removed the extreme row)
+    and every file carrying bounds for ``col``. Temporal and decimal
+    bounds are stored string-CANONICALIZED (_json_stat: ISO / str —
+    exact, their fixed-width physical types never truncate in footers);
+    one footer SCHEMA read classifies the column and parses them back.
+    PHYSICAL string columns return None — parquet writers may truncate
+    byte-array footer stats. A None is a fall-back signal, never an
+    approximation."""
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no versions committed at {path}")
@@ -2215,14 +2227,47 @@ def min_max_meta(path: str, col: str,
     if m.get("dv"):
         return None
     fstats = _stats_for_cols(m, [col], blooms=False)
-    lo = hi = None
+    los, his = [], []
     for f in m["files"]:
         rng = fstats.get(f, {}).get(col)
-        if rng is None or isinstance(rng[0], str) or isinstance(rng[1], str):
+        if rng is None:
             return None
-        lo = rng[0] if lo is None else min(lo, rng[0])
-        hi = rng[1] if hi is None else max(hi, rng[1])
-    return None if lo is None else (lo, hi)
+        los.append(rng[0])
+        his.append(rng[1])
+    if not los:
+        return None
+    if any(isinstance(x, str) for x in los + his):
+        import datetime as _dt
+        import decimal as _dec
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        typ = None
+        for f in m["files"]:
+            sch = pq.read_schema(f)
+            if col in sch.names:
+                typ = sch.field(col).type
+                break
+        if typ is None:
+            return None
+        if pa.types.is_timestamp(typ):
+            conv = _dt.datetime.fromisoformat
+        elif pa.types.is_date(typ):
+            conv = _dt.date.fromisoformat
+        elif pa.types.is_decimal(typ):
+            conv = _dec.Decimal
+        else:
+            return None  # physical string: footer stats may be truncated
+        try:
+            los = [conv(x) if isinstance(x, str) else x for x in los]
+            his = [conv(x) if isinstance(x, str) else x for x in his]
+        except (ValueError, TypeError, _dec.InvalidOperation):
+            return None
+    try:
+        return (min(los), max(his))
+    except TypeError:  # incomparable mix (e.g. naive + aware timestamps)
+        return None
 
 
 def tag_version(path: str, name: str, version: int | None = None) -> int:

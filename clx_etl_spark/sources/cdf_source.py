@@ -178,7 +178,7 @@ class CdfStreamReader(DataSourceStreamReader):
                     if f.endswith(".parquet"):
                         parts.append(ChangeFilePartition(
                             os.path.join(cdir, f), v, None))
-            elif m["op"] == "append":
+            elif m["op"] in ("append", "analyze"):
                 base = (set(_read_manifest(self._path, v - 1)["files"])
                         if v > 0 else set())
                 for f in m["files"]:

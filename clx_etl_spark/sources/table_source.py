@@ -83,6 +83,22 @@ def _resolve_version(opts: dict) -> tuple[str, int]:
     return path, head
 
 
+def _newest_file(opts: dict) -> str:
+    """The snapshot's NEWEST data file (manifests append new files at
+    the tail): schema evolution adds columns over time, so the last
+    write carries the widest schema; older files' missing columns read
+    as typed NULLs in TableReader."""
+    from ..sinks.versioned import _read_manifest
+
+    path, v = _resolve_version(opts)
+    files = _read_manifest(path, v)["files"]
+    if not files:
+        raise ValueError(
+            f"version {v} of {path} has no files — pass outSchema"
+        )
+    return files[-1]
+
+
 _PATH_META_KEY = "clx_table_path"  # field-metadata carrier (see schema())
 
 
@@ -159,19 +175,10 @@ class TableDataSource(DataSource):
             import pyspark.sql.types as T
             from pyspark.sql.pandas.types import from_arrow_schema
 
-            from ..sinks.versioned import _read_manifest
-
-            path, v = _resolve_version(opts)
-            files = _read_manifest(path, v)["files"]
-            if not files:
-                raise ValueError(
-                    f"version {v} of {path} has no files — pass outSchema"
-                )
-            # the NEWEST file: schema evolution adds columns over time
             # (no SparkSession exists here, hence arrow not DDL parse).
             # Every field reads as NULLABLE — older files' evolution-gap
             # columns pad NULL whatever the newest file's writer said
-            st0 = from_arrow_schema(pq.read_schema(files[-1]))
+            st0 = from_arrow_schema(pq.read_schema(_newest_file(opts)))
             fields = [T.StructField(f.name, f.dataType, True, f.metadata)
                       for f in st0.fields]
             f0 = fields[0]
@@ -184,19 +191,7 @@ class TableDataSource(DataSource):
     def _schema_ddl(self, opts) -> str:
         if "outschema" in opts:
             return opts["outschema"]
-        from ..sinks.versioned import _read_manifest
-
-        path, v = _resolve_version(opts)
-        files = _read_manifest(path, v)["files"]
-        if not files:
-            raise ValueError(
-                f"version {v} of {path} has no files — pass outSchema"
-            )
-        # the NEWEST file (manifests append new files at the tail):
-        # schema evolution adds columns over time, so the last write
-        # carries the widest schema; older files' missing columns read
-        # as typed NULLs in TableReader
-        return _parquet_ddl(files[-1])
+        return _parquet_ddl(_newest_file(opts))
 
     def reader(self, schema: StructType) -> "TableReader":
         # Spark refuses a reader that merely DEFINES pushFilters while
@@ -458,19 +453,15 @@ def _resolve_tracked_cols(
     (which re-resolves to detect drift)."""
     if stats_cols is not None and bloom_cols is not None:
         return stats_cols, bloom_cols
-    from ..sinks.versioned import (_BLOOM_KEY, _ROWS_KEY, _read_manifest,
+    from ..sinks.versioned import (_read_manifest, _tracked_col_sets,
                                    latest_version)
 
     head = latest_version(path)
-    hs = dict(_read_manifest(path, head).get("stats", {})) \
-        if head is not None else {}
+    plain, blooms = (_tracked_col_sets(_read_manifest(path, head))
+                     if head is not None else (set(), set()))
     if stats_cols is None:
-        tracked = {c for per in hs.values() for c in per
-                   if not c.startswith(_BLOOM_KEY) and c != _ROWS_KEY}
-        stats_cols = sorted(tracked) or None
+        stats_cols = sorted(plain) or None
     if bloom_cols is None:
-        blooms = {c[len(_BLOOM_KEY):] for per in hs.values()
-                  for c in per if c.startswith(_BLOOM_KEY)}
         bloom_cols = sorted(blooms) or None
     return stats_cols, bloom_cols
 
@@ -565,7 +556,18 @@ class TableStreamWriter(DataSourceStreamArrowWriter):
     silently no-op every batch of a restarted-with-new-checkpoint (or
     second) stream at-or-below the table's recorded watermark. With
     neither txnAppId nor a checkpointLocation option the writer FAILS
-    LOUDLY rather than guess. ``statsCols`` / ``bloomCols`` as on
+    LOUDLY rather than guess.
+
+    UPGRADE NOTE (pre-r08 streams): the default identity used to be a
+    hash of the TABLE PATH. An existing no-txnAppId stream resuming the
+    same checkpoint under this revision commits under the new
+    checkpoint-derived id, so a batch that committed to the table but
+    not yet to Spark's checkpoint at upgrade time would replay once.
+    To retain the legacy watermark, set txnAppId explicitly to
+    'clx-table-stream-' + md5(table_path)[:12] — an automatic fallback
+    is deliberately NOT applied, because honoring the legacy watermark
+    under a FRESH checkpoint is exactly the silent-data-loss bug this
+    change fixes. ``statsCols`` / ``bloomCols`` as on
     the batch writer (default: re-derive the head manifest's tracked
     columns). CHECK constraints are enforced per batch (fail closed).
 

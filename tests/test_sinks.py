@@ -1895,6 +1895,19 @@ def test_analyze_table_backfills_skipping_index(spark, tmp_path):
     assert (kept, total) == (1, 3)
     assert read_version(spark, path).count() == 145  # dv carried
     assert analyze_table(spark, path, ["id"], bloom_cols=["id"]) == v + 1
+    # analyze is metadata-only: CDC consumers cross it as a no-change
+    # commit and incremental readers stay exact (code-review r08 fix)
+    from clx_etl_spark.sinks.versioned import read_changes, table_changes
+
+    assert read_changes(spark, path, after_version=v).count() == 0
+    ch = table_changes(spark, path, after_version=v)
+    assert ch.count() == 0
+    # an append racing an interleaved analyze still rebases (analyze
+    # never removes/rewrites files)
+    from clx_etl_spark.sinks.versioned import _append_only_interleave
+
+    ai = _append_only_interleave(path, v, v + 1)
+    assert ai is not None and ai[0] == []
 
 
 def test_compaction_rebases_over_append_raises_on_rewrite(
@@ -2025,3 +2038,51 @@ def test_cow_delete_rebases_over_disjoint_append(spark, tmp_path,
     delete_version(spark, path, "id", 0, 29)
     got = {r.id for r in read_version(spark, path).collect()}
     assert got == ({*range(105, 130)} | {500})
+
+
+def test_min_max_meta_temporal_decimal_and_empty_batch(spark, tmp_path):
+    """code-review r08 fixes: (a) min_max_meta answers EXACTLY for
+    timestamp/date/decimal columns (bounds are string-canonicalized in
+    the manifest; one footer-schema read classifies and parses them
+    back) while physical strings stay None; (b) an ALL-empty batch
+    commits exactly one schema-anchor file; (c) describe_table's
+    stats_coverage never reports the internal __rows__ key."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from clx_etl_spark.sinks.versioned import (_read_manifest,
+                                               append_version,
+                                               describe_table,
+                                               min_max_meta, read_version)
+
+    path = str(tmp_path / "vt")
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5), dt.date(2024, 1, 1),
+         Decimal("10.50"), "alpha"),
+        (2, dt.datetime(2024, 6, 30, 23), dt.date(2024, 6, 30),
+         Decimal("99.25"), "zeta"),
+    ]
+    sch = ("id long, ts timestamp, d date, amt decimal(10,2), s string")
+    for r in rows:
+        append_version(spark.createDataFrame([r], sch).coalesce(1), path,
+                       stats_cols=["id", "ts", "d", "amt", "s"])
+    assert min_max_meta(path, "id") == (1, 2)
+    # spark timestamps are UTC-adjusted: bounds come back tz-aware
+    utc = dt.timezone.utc
+    assert min_max_meta(path, "ts") == (
+        dt.datetime(2024, 1, 1, 5, tzinfo=utc),
+        dt.datetime(2024, 6, 30, 23, tzinfo=utc))
+    assert min_max_meta(path, "d") == (dt.date(2024, 1, 1),
+                                       dt.date(2024, 6, 30))
+    assert min_max_meta(path, "amt") == (Decimal("10.50"),
+                                         Decimal("99.25"))
+    assert min_max_meta(path, "s") is None  # maybe footer-truncated
+    cov = describe_table(path)["stats_coverage"]
+    assert "__rows__" not in cov and cov["id"] == 1.0
+    # all-empty batch -> exactly ONE anchor file, readable, zero rows
+    v = append_version(
+        spark.createDataFrame([], sch).repartition(8), path)
+    m = _read_manifest(path, v)
+    prev = set(_read_manifest(path, v - 1)["files"])
+    assert len([f for f in m["files"] if f not in prev]) == 1
+    assert read_version(spark, path).count() == 2
