@@ -163,11 +163,16 @@ def _read_manifest(path: str, version: int) -> dict:
             f"{path} v{version} requires unsupported reader features "
             f"{sorted(unknown)} — upgrade the engine to read this table"
         )
-    sc = m.get("stats_sidecar")
-    if sc:
-        # stats live in the columnar sidecar: hand back a lazy mapping
-        # so planning paths can stay column-selective (_stats_for_cols)
-        m["stats"] = _SidecarStats(os.path.join(_manifest_dir(path), sc))
+    segs = m.get("stats_segments") or (
+        [m["stats_sidecar"]] if m.get("stats_sidecar") else None
+    )
+    if segs:
+        # stats live in columnar sidecar segment(s): hand back a lazy
+        # mapping so planning paths stay column-selective
+        # (_stats_for_cols); pre-r09 manifests carry one full sidecar
+        m["stats"] = _SidecarStats(
+            [os.path.join(_manifest_dir(path), s) for s in segs], segs
+        )
     dsc = m.get("dv_sidecar")
     if dsc:
         m["dv"] = _SidecarDv(os.path.join(_manifest_dir(path), dsc))
@@ -182,15 +187,29 @@ def _read_manifest(path: str, version: int) -> dict:
 # of files, but at 100 TB (~100k files) a single JSON holding them is
 # gigabytes parsed driver-side PER READ — planning becomes the
 # bottleneck. Past _STATS_SIDECAR_MIN_FILES stats-bearing files, _commit
-# moves the stats out of the manifest JSON into one parquet sidecar per
-# version (rows of file/col/lo/hi/bloom) next to it; the manifest keeps
-# the file list plus a pointer. Readers get a LAZY mapping (full Mapping
-# access loads once), and the planner hot paths (_stats_for_cols) read
-# ONLY the pruning columns' rows — a range predicate never decodes a
+# moves the stats out of the manifest JSON into parquet sidecar SEGMENTS
+# (rows of file/col/lo/hi/bloom) next to it; the manifest keeps the file
+# list plus an ordered segment list. Readers get a LAZY mapping (full
+# Mapping access loads once), and the planner hot paths (_stats_for_cols)
+# read ONLY the pruning columns' rows — a range predicate never decodes a
 # single bloom byte, and a stat-free full scan never opens the sidecar
 # at all. Small tables keep the inline, human-debuggable JSON.
+#
+# INCREMENTAL metadata (the Iceberg manifest-list / Delta-checkpoint
+# shape, r09): a commit that only ADDS files (append / analyze / dv ops)
+# carries its parent's segments BY REFERENCE and writes one DELTA
+# segment holding just the new files' stats — O(batch) metadata per
+# commit, never O(table). Segments merge at load time in list order
+# (later wins per (file, column); safe because data files are immutable,
+# so a re-derived stat can never disagree). Every
+# _STATS_SEGMENT_MAX'th carry the list COALESCES into one full segment
+# (Delta's checkpoint cadence) so planning stays O(few parquet opens);
+# rewriting commits (overwrite / CoW merge / delete / compaction) always
+# coalesce — their carried-file set changed, and a fresh full segment is
+# the simplest proof no dropped file leaks a stale row.
 
 _STATS_SIDECAR_MIN_FILES = 200
+_STATS_SEGMENT_MAX = 16  # carries between coalesces (checkpoint cadence)
 
 
 def _pad_num(v, down: bool) -> float | None:
@@ -263,14 +282,17 @@ def _write_stats_sidecar(path: str, version: int, stats: dict) -> str:
     return name
 
 
-def _sidecar_excluded(sidecar: str, col: str, lo, hi) -> set[str] | None:
-    """Vectorized planning over a stats sidecar: the set of files whose
-    [min,max] on ``col`` provably cannot overlap [lo, hi] (either side
-    None = unbounded), computed entirely in arrow compute over the
+def _sidecar_excluded(segments, col: str, lo, hi) -> set[str] | None:
+    """Vectorized planning over stats sidecar segments: the set of files
+    whose [min,max] on ``col`` provably cannot overlap [lo, hi] (either
+    side None = unbounded), computed entirely in arrow compute over the
     typed bound columns — no bloom bytes decoded, no per-row Python, so
-    a 100k-file plan is one filtered column scan. Returns None when the
-    bound types need the generic coercion path (datetime / decimal /
-    bool / mixed); files lacking stats rows are never excluded."""
+    a 100k-file plan is a few filtered column scans (one per segment;
+    duplicate (file, col) rows across segments carry identical values —
+    immutable files — so the union of exclusions is exact). Returns
+    None when the bound types need the generic coercion path (datetime /
+    decimal / bool / mixed); files lacking stats rows are never
+    excluded."""
     import math
 
     import pyarrow.compute as pc
@@ -291,33 +313,41 @@ def _sidecar_excluded(sidecar: str, col: str, lo, hi) -> set[str] | None:
     kind = kinds.pop()
     cols = (["file", "lo_num", "hi_num"] if kind == "num"
             else ["file", "lo_str", "hi_str"])
-    try:
-        t = pq.read_table(sidecar, columns=cols,
-                          filters=[("col", "==", col)])
-    except Exception:
-        return None
-    lo_c, hi_c = t[cols[1]], t[cols[2]]
-    tests = []
-    if kind == "num":
-        if lo is not None:
-            tests.append(pc.less(hi_c, math.nextafter(float(lo), -math.inf)))
-        if hi is not None:
-            tests.append(pc.greater(lo_c, math.nextafter(float(hi), math.inf)))
-    else:
-        if lo is not None:
-            tests.append(pc.less(hi_c, lo))
-        if hi is not None:
-            tests.append(pc.greater(lo_c, hi))
-    excl = tests[0] if len(tests) == 1 else pc.or_kleene(tests[0], tests[1])
-    excl = pc.fill_null(excl, False)  # null bound columns: cannot prove
-    return set(pc.filter(t["file"], excl).to_pylist())
+    out: set[str] = set()
+    for sidecar in ([segments] if isinstance(segments, str) else segments):
+        try:
+            t = pq.read_table(sidecar, columns=cols,
+                              filters=[("col", "==", col)])
+        except Exception:
+            return None
+        lo_c, hi_c = t[cols[1]], t[cols[2]]
+        tests = []
+        if kind == "num":
+            if lo is not None:
+                tests.append(
+                    pc.less(hi_c, math.nextafter(float(lo), -math.inf)))
+            if hi is not None:
+                tests.append(
+                    pc.greater(lo_c, math.nextafter(float(hi), math.inf)))
+        else:
+            if lo is not None:
+                tests.append(pc.less(hi_c, lo))
+            if hi is not None:
+                tests.append(pc.greater(lo_c, hi))
+        excl = (tests[0] if len(tests) == 1
+                else pc.or_kleene(tests[0], tests[1]))
+        excl = pc.fill_null(excl, False)  # null bound cols: cannot prove
+        out |= set(pc.filter(t["file"], excl).to_pylist())
+    return out
 
 
-def _load_stats_sidecar(sidecar: str, cols: list[str] | None = None,
+def _load_stats_sidecar(segments, cols: list[str] | None = None,
                         blooms: bool = True,
                         files: list[str] | None = None) -> dict:
-    """Read a stats sidecar back into the in-memory stats-map shape.
-    ``cols`` restricts to those columns' rows (parquet row filter);
+    """Read stats sidecar segment(s) back into the in-memory stats-map
+    shape. ``segments`` is one path or an ordered list — later segments
+    win per (file, column), the incremental-metadata merge rule. ``cols``
+    restricts to those columns' rows (parquet row filter);
     ``blooms=False`` additionally skips the bloom payload columns — the
     dominant bytes — for predicates that cannot use them; ``files``
     narrows to specific files' rows (the bloom probe after a range
@@ -327,33 +357,35 @@ def _load_stats_sidecar(sidecar: str, cols: list[str] | None = None,
     kw: dict = {}
     filters = []
     if cols is not None:
-        want = list(cols)
-        if blooms:
-            want += [_BLOOM_KEY + c for c in cols]
+        want = list(cols) + [_BLOOM_KEY + c for c in cols]
         filters.append(("col", "in", want))
     if files is not None:
         filters.append(("file", "in", list(files)))
     if filters:
         kw["filters"] = filters
+    # blooms=False keeps bloom PRESENCE (the m size — one int column)
+    # but never decodes the base64 payload, the dominant bytes; the
+    # entry reads back {"m": m, "b": None}, which every probe treats as
+    # "cannot prove absent" (conservative) and the ANALYZE todo test
+    # treats as "already indexed"
     kw["columns"] = (["file", "col", "lo", "hi", "bloom_m", "bloom_b"]
-                     if blooms else ["file", "col", "lo", "hi"])
-    t = pq.read_table(sidecar, **kw)
-    n = t.num_rows
-    fs, cs = t["file"].to_pylist(), t["col"].to_pylist()
-    los, his = t["lo"].to_pylist(), t["hi"].to_pylist()
-    bms = t["bloom_m"].to_pylist() if "bloom_m" in t.column_names else [None] * n
-    bbs = t["bloom_b"].to_pylist() if "bloom_b" in t.column_names else [None] * n
+                     if blooms else ["file", "col", "lo", "hi", "bloom_m"])
     out: dict = {}
-    for f, c, lo, hi, bm, bb in zip(fs, cs, los, his, bms, bbs):
-        if c.startswith(_BLOOM_KEY):
-            if bm is None:
-                # blooms=False with no col filter still selects bloom
-                # ROWS (only the payload columns are dropped) — skip
-                # them instead of int(None)-crashing
-                continue
-            out.setdefault(f, {})[c] = {"m": int(bm), "b": bb}
-        else:
-            out.setdefault(f, {})[c] = [json.loads(lo), json.loads(hi)]
+    for sidecar in ([segments] if isinstance(segments, str) else segments):
+        t = pq.read_table(sidecar, **kw)
+        n = t.num_rows
+        fs, cs = t["file"].to_pylist(), t["col"].to_pylist()
+        los, his = t["lo"].to_pylist(), t["hi"].to_pylist()
+        bms = t["bloom_m"].to_pylist()
+        bbs = (t["bloom_b"].to_pylist()
+               if "bloom_b" in t.column_names else [None] * n)
+        for f, c, lo, hi, bm, bb in zip(fs, cs, los, his, bms, bbs):
+            if c.startswith(_BLOOM_KEY):
+                if bm is None:
+                    continue  # malformed row: conservatively absent
+                out.setdefault(f, {})[c] = {"m": int(bm), "b": bb}
+            else:
+                out.setdefault(f, {})[c] = [json.loads(lo), json.loads(hi)]
     return out
 
 
@@ -361,13 +393,13 @@ from collections.abc import Mapping as _Mapping  # noqa: E402
 
 
 class _LazySidecarMap(_Mapping):
-    """Lazy mapping backed by a per-version parquet sidecar: any full
-    Mapping access (iteration, membership, item get) loads and caches
-    the whole map via the subclass's ``_load``. Deliberately NOT a dict
-    subclass: C-level fast paths ({**d}, json.dump) would bypass the
-    lazy load and silently see {}."""
+    """Lazy mapping backed by parquet sidecar(s): any full Mapping
+    access (iteration, membership, item get) loads and caches the whole
+    map via the subclass's ``_load``. Deliberately NOT a dict subclass:
+    C-level fast paths ({**d}, json.dump) would bypass the lazy load
+    and silently see {}."""
 
-    def __init__(self, sidecar: str):
+    def __init__(self, sidecar):
         self._sidecar = sidecar
         self._full: dict | None = None
 
@@ -390,11 +422,22 @@ class _LazySidecarMap(_Mapping):
 
 
 class _SidecarStats(_LazySidecarMap):
-    """Lazy per-file stats mapping: commit paths that carry stats
+    """Lazy per-file stats mapping over an ordered SEGMENT list (later
+    segments win per (file, column)): commit paths that carry stats
     forward see every column, while planner hot paths bypass the full
-    load through _stats_for_cols to read only what they prune on."""
+    load through _stats_for_cols to read only what they prune on.
+    ``_segments`` are absolute paths; ``_names`` the manifest-relative
+    names an incremental child commit carries by reference."""
 
     _load = staticmethod(_load_stats_sidecar)
+
+    def __init__(self, segments: list[str], names: list[str]):
+        super().__init__(list(segments))
+        self._names = list(names)
+
+    @property
+    def _segments(self) -> list[str]:
+        return self._sidecar
 
 
 def _write_dv_sidecar(path: str, version: int, dv: dict) -> str:
@@ -452,7 +495,7 @@ def _stats_for_cols(m: dict, cols: list[str], blooms: bool = True):
     if isinstance(s, _SidecarStats):
         if s._full is not None:
             return s._full
-        return _load_stats_sidecar(s._sidecar, cols=cols, blooms=blooms)
+        return _load_stats_sidecar(s._segments, cols=cols, blooms=blooms)
     return s
 
 
@@ -465,8 +508,10 @@ def _tracked_col_sets(m: dict) -> tuple[set, set]:
     if isinstance(s, _SidecarStats) and s._full is None:
         import pyarrow.parquet as pq
 
-        names = set(
-            pq.read_table(s._sidecar, columns=["col"])["col"].to_pylist())
+        names = set()
+        for seg in s._segments:
+            names.update(
+                pq.read_table(seg, columns=["col"])["col"].to_pylist())
     else:
         names = {c for per in dict(s).values() for c in per}
     plain = {c for c in names
@@ -869,18 +914,71 @@ def _commit(
     stats: dict | None = None,
     txn: dict | None = None,
     dv: dict | None = None,
+    base_stats=None,
+    cf: str | None = None,
 ) -> int:
+    """Atomic manifest commit (exclusive-create CAS).
+
+    ``stats`` semantics depend on ``base_stats``:
+      * ``base_stats=None`` (rewriting commits): ``stats`` is the FULL
+        per-file map — inline under the threshold, else one coalesced
+        sidecar segment.
+      * ``base_stats=<parent's stats mapping>`` (file-adding commits:
+        append / analyze / dv ops / rollback): ``stats`` is a DELTA
+        (new files' stats, or per-file column enrichments). A
+        segment-backed parent carries BY REFERENCE — the commit writes
+        only an O(delta) segment, coalescing every
+        _STATS_SEGMENT_MAX'th carry (checkpoint cadence); an inline
+        parent merges per-file in memory. Callers must guarantee every
+        carried entry's file is in ``files`` (true for all
+        file-adding ops — their file list never shrinks).
+
+    ``cf`` names the commit's change-feed directory under
+    ``<table>/_changes/`` (written by the caller BEFORE this commit, so
+    a committed manifest implies its feed exists; the dir name is
+    uuid-owned by the caller, making CAS losers unable to clobber a
+    winner's feed)."""
     os.makedirs(_manifest_dir(path), exist_ok=True)
-    # materialize through .items() — carried stats may be a lazy
-    # _SidecarStats whose C-level dict fast paths would otherwise see {}
-    stats = {f: dict(per) for f, per in (stats or {}).items()}
     manifest = {"version": version, "op": op, "files": files,
-                "stats": stats, "txn": txn or {}}
-    sidecar = None
-    if len(stats) > _STATS_SIDECAR_MIN_FILES:
-        sidecar = _write_stats_sidecar(path, version, stats)
+                "txn": txn or {}}
+    if cf is not None:
+        manifest["cf"] = cf
+    new_segments: list[str] = []  # written by THIS call: CAS-loser cleanup
+    if base_stats is not None and isinstance(base_stats, _SidecarStats):
+        # incremental carry: parent's segments ride by reference
+        delta = {f: dict(per) for f, per in (stats or {}).items()}
+        segments = list(base_stats._names)
+        if delta and len(segments) >= _STATS_SEGMENT_MAX:
+            # periodic coalesce: fold parent + delta into ONE segment
+            full = (dict(base_stats._full) if base_stats._full is not None
+                    else _load_stats_sidecar(base_stats._segments))
+            full = {f: dict(per) for f, per in full.items()}
+            for f, per in delta.items():
+                full.setdefault(f, {}).update(per)
+            seg = _write_stats_sidecar(path, version, full)
+            new_segments.append(seg)
+            segments = [seg]
+        elif delta:
+            seg = _write_stats_sidecar(path, version, delta)
+            new_segments.append(seg)
+            segments = segments + [seg]
         manifest["stats"] = {}
-        manifest["stats_sidecar"] = sidecar
+        manifest["stats_segments"] = segments
+    else:
+        # materialize through .items() — carried stats may be a lazy
+        # _SidecarStats whose C-level dict fast paths would see {}
+        stats = {f: dict(per) for f, per in (stats or {}).items()}
+        if base_stats is not None:  # inline parent: per-file merge
+            merged = {f: dict(per) for f, per in dict(base_stats).items()}
+            for f, per in stats.items():
+                merged.setdefault(f, {}).update(per)
+            stats = merged
+        manifest["stats"] = stats
+        if len(stats) > _STATS_SIDECAR_MIN_FILES:
+            seg = _write_stats_sidecar(path, version, stats)
+            new_segments.append(seg)
+            manifest["stats"] = {}
+            manifest["stats_segments"] = [seg]
     # only files still in the snapshot keep their deletion vectors; a
     # dv-bearing manifest declares the reader feature so an older engine
     # revision fails loudly instead of resurrecting deleted rows
@@ -921,13 +1019,14 @@ def _commit(
     try:
         fh = open(_manifest_path(path, version), "x")
     except FileExistsError:
-        # the loser's sidecars are unreferenced — reclaim now
-        for name in (sidecar, dv_sidecar):
-            if name:
-                try:
-                    os.remove(os.path.join(_manifest_dir(path), name))
-                except OSError:
-                    pass
+        # the loser's OWN new sidecars are unreferenced — reclaim now
+        # (carried-by-reference parent segments are the winner's too:
+        # never touched)
+        for name in new_segments + ([dv_sidecar] if dv_sidecar else []):
+            try:
+                os.remove(os.path.join(_manifest_dir(path), name))
+            except OSError:
+                pass
         raise VersionConflictError(
             f"concurrent commit detected: version {version} already "
             f"exists at {path} — another writer committed first; "
@@ -998,11 +1097,12 @@ def append_version(
         try:
             return _commit(
                 path, version, prev_m.get("files", []) + new_files, "append",
-                {**prev_m.get("stats", {}), **stats},
+                stats,  # delta: the new files only — O(batch) metadata
                 txn=prev_txn,
                 # carried files keep their deletion vectors — dropping the
                 # map here would resurrect merge-on-read-deleted rows
                 dv=prev_m.get("dv"),
+                base_stats=prev_m.get("stats"),
             )
         except VersionConflictError:
             continue  # rebase onto the winner's head and retry
@@ -1017,6 +1117,7 @@ def overwrite_version(
     txn: dict | None = None,
     bloom_cols: list[str] | None = None,
     validate: bool = True,
+    cf: str | None = None,
 ) -> int:
     """Commit a new version containing ONLY this DataFrame's files; all
     prior versions remain readable until expired. Declared CHECK
@@ -1040,7 +1141,7 @@ def overwrite_version(
     version = 0 if prev is None else prev + 1
     files, stats = _write_files(df, path, version, stats_cols,
                                 bloom_cols=bloom_cols)
-    return _commit(path, version, files, "overwrite", stats, txn=txn)
+    return _commit(path, version, files, "overwrite", stats, txn=txn, cf=cf)
 
 
 def overwrite_version_zordered(
@@ -1118,12 +1219,12 @@ def _files_for_scan(manifest: dict, col: str, lo, hi) -> list[str]:
     if isinstance(s, _SidecarStats) and s._full is None:
         # sidecar fast path: exclusion computed wholly in arrow compute;
         # blooms load only for the (usually few) range survivors
-        excl = _sidecar_excluded(s._sidecar, col, lo, hi)
+        excl = _sidecar_excluded(s._segments, col, lo, hi)
         if excl is not None:
             keep = [f for f in manifest["files"] if f not in excl]
             if point and keep:
                 bl = _load_stats_sidecar(
-                    s._sidecar, cols=[col], blooms=True,
+                    s._segments, cols=[col], blooms=True,
                     files=keep if len(keep) <= 1024 else None)
                 seeds = [_bloom_seed(lo)]
                 keep = [
@@ -1181,19 +1282,39 @@ def analyze_table(
         if v is None:
             raise FileNotFoundError(f"no versions committed at {path}")
         m = _read_manifest(path, v)
-        stats = {f: dict(per) for f, per in dict(m.get("stats", {})).items()}
+        # the todo test needs only column NAMES per file — never bloom
+        # payload bytes (segment-backed manifests read the kilobyte
+        # col/file columns)
+        have = _stats_for_cols(
+            m, sorted(set(stats_cols) | set(want_blooms)), blooms=False)
         todo = [
             f for f in m["files"]
-            if any(c not in stats.get(f, {}) for c in stats_cols)
-            or any(_BLOOM_KEY + c not in stats.get(f, {})
+            if any(c not in have.get(f, {}) for c in stats_cols)
+            or any(_BLOOM_KEY + c not in have.get(f, {})
                    for c in want_blooms)
         ]
         derived = _derive_stats(spark, todo, stats_cols, want_blooms or None)
-        for f, per in derived.items():
-            stats.setdefault(f, {}).update(per)
+        # SENTINELS for analyzed-but-underivable entries: a column with
+        # no footer bounds (all-null, absent from the file) records
+        # [None, None]; an unbloomable column (non-int/str) records an
+        # all-ones 1-byte bloom. Both read back CONSERVATIVE everywhere
+        # (no prune ever fires on them) and make re-running ANALYZE a
+        # true no-op instead of re-reading those files' data each time.
+        import base64 as _b64
+        for f in todo:
+            per = derived.setdefault(f, {})
+            for c in stats_cols:
+                if c not in per and c not in have.get(f, {}):
+                    per[c] = [None, None]
+            for c in want_blooms:
+                k = _BLOOM_KEY + c
+                if k not in per and k not in have.get(f, {}):
+                    per[k] = {"m": 8,
+                              "b": _b64.b64encode(b"\xff").decode("ascii")}
         try:
-            return _commit(path, v + 1, m["files"], "analyze", stats,
-                           txn=m.get("txn", {}), dv=m.get("dv"))
+            return _commit(path, v + 1, m["files"], "analyze", derived,
+                           txn=m.get("txn", {}), dv=m.get("dv"),
+                           base_stats=m.get("stats"))
         except VersionConflictError:
             continue  # rebase: re-read the head, reuse nothing stale
     raise VersionConflictError(
@@ -1357,15 +1478,16 @@ def _compact_partial(
             df = df.repartition(n)
         new_files, new_stats = _write_files(df, path, new_v, stats_cols,
                                             bloom_cols=bloom_cols)
+    cf_name = None
     if change_feed:
         from pyspark.sql import functions as F
 
-        _write_change_feed(
+        cf_name = _write_change_feed(
             read_version(spark, path, v).limit(0)
-            .withColumn("_change_type", F.lit("")), path, new_v,
+            .withColumn("_change_type", F.lit("")), path,
         )
     carried = {f: stats[f] for f in keep if f in stats}
-    base_v, cf_v = v, new_v
+    base_v = v
     cur_files, cur_stats = keep, carried
     cur_txn, cur_dv = m.get("txn", {}), m.get("dv")
     for _ in range(10):
@@ -1374,6 +1496,7 @@ def _compact_partial(
                 path, base_v + 1, cur_files + new_files, "overwrite",
                 {**cur_stats, **new_stats}, txn=cur_txn,
                 dv=cur_dv,  # kept files' deletion vectors survive
+                cf=cf_name,
             )
         except VersionConflictError:
             # OPTIMIZE-vs-append rebase (Delta's rule: appends never
@@ -1386,26 +1509,25 @@ def _compact_partial(
             head = latest_version(path)
             ai = _append_only_interleave(path, base_v, head)
             if ai is None:
-                if change_feed:
-                    _drop_change_feed(path, cf_v)
+                if cf_name:
+                    _drop_change_feed_name(path, cf_name)
                 raise
             appended, head_m = ai
             head_stats = dict(head_m.get("stats", {}))
             cur_files = cur_files + appended
+            # HEAD's entries win for every carried file, not just the
+            # appended ones: an interleaved ANALYZE backfilled stats for
+            # the kept files, and rebasing from the base snapshot's
+            # carried map would silently drop that index
             cur_stats = {**cur_stats,
-                         **{f: head_stats[f] for f in appended
+                         **{f: head_stats[f] for f in cur_files
                             if f in head_stats}}
             cur_txn, cur_dv = head_m.get("txn", {}), head_m.get("dv")
-            if change_feed:
-                try:
-                    _rebase_change_feed(path, cf_v, head + 1)
-                except VersionConflictError:
-                    _drop_change_feed(path, cf_v)
-                    raise
-                cf_v = head + 1
+            # the uuid-owned change-feed dir needs no rebase: its name
+            # is version-independent and rides into the retried commit
             base_v = head
-    if change_feed:
-        _drop_change_feed(path, cf_v)
+    if cf_name:
+        _drop_change_feed_name(path, cf_name)
     raise VersionConflictError(
         f"compaction at {path} lost the commit race 10 times against "
         "disjoint appends — pathological contention; retry with backoff"
@@ -1631,14 +1753,14 @@ def merge_version(
         if change_feed:
             from pyspark.sql import functions as F
 
-            _write_change_feed(
-                updates.withColumn("_change_type", F.lit("insert")), path, 0
+            cf0 = _write_change_feed(
+                updates.withColumn("_change_type", F.lit("insert")), path
             )
             try:
                 return overwrite_version(updates, path, stats_cols=stats_cols,
-                                         txn=new_txn)
+                                         txn=new_txn, cf=cf0)
             except VersionConflictError:
-                _drop_change_feed(path, 0)
+                _drop_change_feed_name(path, cf0)
                 raise
         return overwrite_version(updates, path, stats_cols=stats_cols,
                                  txn=new_txn)
@@ -1678,6 +1800,7 @@ def merge_version(
     # localCheckpoint also bounds the double-scan to one pass)
     merged = merged.localCheckpoint(eager=True)
     new_v = prev + 1
+    cf_name = None
     if change_feed:
         from functools import reduce as _reduce
 
@@ -1708,7 +1831,7 @@ def merge_version(
         changes = _reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), legs
         )
-        _write_change_feed(changes, path, new_v)
+        cf_name = _write_change_feed(changes, path)
     new_files, new_stats = _write_files(
         merged, path, new_v,
         stats_cols or ([kcol] if have_stats else None),
@@ -1728,15 +1851,15 @@ def merge_version(
         try:
             return _commit(
                 path, new_v, commit_files, "overwrite",
-                commit_stats, txn=new_txn, dv=commit_dv,
+                commit_stats, txn=new_txn, dv=commit_dv, cf=cf_name,
             )
         except VersionConflictError:
             head = latest_version(path)
             appended = _disjoint_append_interleave(
                 path, base_v, head, base_files, batch_keys_k, kcol)
             if appended is None:
-                if change_feed:
-                    _drop_change_feed(path, new_v)
+                if cf_name:
+                    _drop_change_feed_name(path, cf_name)
                 raise
             # REBASE (Delta WriteSerializable conflict resolution): every
             # interleaved commit is an append whose files are PROVABLY
@@ -1749,11 +1872,11 @@ def merge_version(
             new_txn = {k: int(v) for k, v in head_m.get("txn", {}).items()}
             if txn is not None:
                 if new_txn.get(txn[0], -1) >= int(txn[1]):
-                    if change_feed:
-                        _drop_change_feed(path, new_v)
+                    if cf_name:
+                        _drop_change_feed_name(path, cf_name)
                     return head  # our own replay won the race
                 new_txn[txn[0]] = int(txn[1])
-            old_v, new_v = new_v, head + 1
+            new_v = head + 1
             commit_files = untouched + appended + new_files
             commit_stats = {
                 **{f: head_stats[f] for f in untouched + appended
@@ -1763,14 +1886,10 @@ def merge_version(
             base_v, base_files = head, set(head_m["files"])
             commit_dv = head_m.get("dv")  # appends carry dv forward
             untouched = untouched + appended
-            if change_feed and old_v != new_v:
-                try:
-                    _rebase_change_feed(path, old_v, new_v)
-                except VersionConflictError:
-                    _drop_change_feed(path, old_v)
-                    raise
-    if change_feed:
-        _drop_change_feed(path, new_v)
+            # the uuid-owned change-feed dir rides into the retried
+            # commit unchanged — no version-slot rename, no contention
+    if cf_name:
+        _drop_change_feed_name(path, cf_name)
     raise VersionConflictError(
         f"merge into {path} lost the commit race 10 times against "
         "disjoint appends — pathological contention; retry with backoff"
@@ -1792,27 +1911,50 @@ def read_version(
     return _read_with_dv(spark, m["files"], m)
 
 
+def _changes_root(path: str) -> str:
+    return os.path.join(path, "_changes")
+
+
 def _changes_dir(path: str, version: int) -> str:
-    return os.path.join(path, "_changes", f"v{version:06d}")
+    """LEGACY (pre-r09) change-feed slot, keyed by version number.
+    r09+ commits own a uuid-named dir recorded in the manifest's ``cf``
+    key instead — version-keyed slots were contended under concurrent
+    change-feed writers (a CAS loser could rmtree the winner's feed, or
+    os.rename onto a contender's empty dir and mix feeds — ADVICE r08)."""
+    return os.path.join(_changes_root(path), f"v{version:06d}")
 
 
-def _write_change_feed(changes: DataFrame, path: str, version: int) -> str:
+def _change_dir_for(path: str, m: dict, version: int) -> str | None:
+    """The committed change-feed directory of a manifest: the uuid-owned
+    dir the manifest itself names (r09+), else the legacy version slot
+    when it exists on disk, else None."""
+    if m.get("cf"):
+        return os.path.join(_changes_root(path), m["cf"])
+    legacy = _changes_dir(path, version)
+    return legacy if os.path.isdir(legacy) else None
+
+
+def _write_change_feed(changes: DataFrame, path: str) -> str:
     """Materialize a commit's row-level change set (Delta CDF's
-    ``_change_data`` shape) under ``_changes/v<k>``. Written BEFORE the
-    manifest commit so a committed version implies its change file
-    exists; mode=overwrite so a retried writer replaces its own crashed
-    predecessor's partial output. The caller removes the directory if
-    the commit itself loses the CAS race (the winner's change set is
-    whatever the winner wrote)."""
-    cdir = _changes_dir(path, version)
+    ``_change_data`` shape) under ``_changes/cf-<uuid>`` and return the
+    DIR NAME the caller passes to ``_commit(cf=...)``. Written BEFORE
+    the manifest commit, so a committed version implies its feed
+    exists. The uuid makes the dir WRITER-OWNED: concurrent committers
+    can never stage into (or drop) each other's feeds, a rebase needs
+    no rename (the name is version-independent — it rides into the
+    retried commit), and a CAS loser's cleanup removes only its own
+    dir. Losers/crashes leave orphan dirs reclaimed by expire_versions'
+    reference sweep."""
+    name = f"cf-{uuid.uuid4().hex[:16]}"
+    cdir = os.path.join(_changes_root(path), name)
     spark = changes.sparkSession
     prev_tt = spark.conf.get("spark.sql.parquet.outputTimestampType", "INT96")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try:
-        changes.write.mode("overwrite").parquet(cdir)
+        changes.write.mode("error").parquet(cdir)
     finally:
         spark.conf.set("spark.sql.parquet.outputTimestampType", prev_tt)
-    return cdir
+    return name
 
 
 def _drop_change_feed(path: str, version: int) -> None:
@@ -1821,20 +1963,11 @@ def _drop_change_feed(path: str, version: int) -> None:
     shutil.rmtree(_changes_dir(path, version), ignore_errors=True)
 
 
-def _rebase_change_feed(path: str, old_v: int, new_v: int) -> None:
-    """Move a staged change feed to its rebased version slot. The target
-    can be CONTENDED — another change-feed-writing committer racing for
-    ``new_v`` may have created the directory first — in which case
-    os.rename fails (EEXIST/ENOTEMPTY); surface that as
-    VersionConflictError (the feed stays at ``old_v`` for the caller's
-    cleanup path) instead of leaking an uncaught OSError."""
-    try:
-        os.rename(_changes_dir(path, old_v), _changes_dir(path, new_v))
-    except OSError as e:
-        raise VersionConflictError(
-            f"change-feed rebase to v{new_v} at {path} collided with a "
-            f"concurrent committer: {e}"
-        ) from e
+def _drop_change_feed_name(path: str, name: str) -> None:
+    import shutil
+
+    shutil.rmtree(os.path.join(_changes_root(path), name),
+                  ignore_errors=True)
 
 
 def table_changes(
@@ -1872,8 +2005,8 @@ def table_changes(
     frames: list[DataFrame] = []
     for v in range(after_version + 1, to_v + 1):
         m = _read_manifest(path, v)
-        cdir = _changes_dir(path, v)
-        if os.path.exists(cdir):
+        cdir = _change_dir_for(path, m, v)
+        if cdir is not None:
             df = spark.read.option("mergeSchema", "true").parquet(cdir)
             if df.isEmpty():
                 continue
@@ -2003,21 +2136,44 @@ def expire_versions(path: str, keep_latest: int = 1,
     if not dry_run:
         for v in range(0, latest + 1):
             if v not in keep and os.path.exists(_manifest_path(path, v)):
-                try:  # raw read: just the sidecar pointers, if any
-                    with open(_manifest_path(path, v)) as fh:
-                        raw = json.load(fh)
-                    scs = [raw.get("stats_sidecar"), raw.get("dv_sidecar")]
-                except (OSError, ValueError):
-                    scs = []
                 os.remove(_manifest_path(path, v))
-                for sc in scs:  # expired version's sidecars go with it
-                    if sc:
-                        try:
-                            os.remove(os.path.join(mdir, sc))
-                        except OSError:
-                            pass
                 # an expired version's change set is unreadable history too
                 _drop_change_feed(path, v)
+        # sidecar sweep BY REFERENCE: incremental commits share stats
+        # segments across versions (carry-by-reference), so a segment is
+        # reclaimable only when NO surviving manifest lists it — the
+        # same rule as data files. Also reclaims CAS-crashed writers'
+        # orphan sidecars.
+        referenced: set[str] = set()
+        referenced_cf: set[str] = set()
+        for v in keep:
+            try:
+                with open(_manifest_path(path, v)) as fh:
+                    raw = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            referenced.update(raw.get("stats_segments", []))
+            for k in ("stats_sidecar", "dv_sidecar"):
+                if raw.get(k):
+                    referenced.add(raw[k])
+            if raw.get("cf"):
+                referenced_cf.add(raw["cf"])
+        for entry in os.listdir(mdir):
+            if not entry.endswith(".parquet"):
+                continue
+            if ("-stats-" in entry or entry.startswith("dv-")) \
+                    and entry not in referenced:
+                try:
+                    os.remove(os.path.join(mdir, entry))
+                except OSError:
+                    pass
+        # uuid-owned change-feed dirs: reclaim the ones no surviving
+        # manifest names (expired history, CAS losers, crashed writers)
+        croot = _changes_root(path)
+        if os.path.isdir(croot):
+            for entry in os.listdir(croot):
+                if entry.startswith("cf-") and entry not in referenced_cf:
+                    _drop_change_feed_name(path, entry)
     return deleted
 
 
@@ -2060,7 +2216,7 @@ def history(spark: SparkSession, path: str) -> DataFrame:
                     pass
             rows.append((
                 v, m["op"], len(m["files"]), added, removed, size,
-                os.path.isdir(_changes_dir(path, v)),
+                _change_dir_for(path, m, v) is not None,
                 json.dumps(m.get("txn", {}), sort_keys=True),
             ))
             prev_files = files
@@ -2099,13 +2255,11 @@ def describe_table(path: str) -> dict:
             size += os.path.getsize(f)
         except OSError:
             pass
-    cdf_versions = sorted(
-        int(d[1:]) for d in (
-            os.listdir(os.path.join(path, "_changes"))
-            if os.path.isdir(os.path.join(path, "_changes")) else []
-        )
-        if d.startswith("v")
-    )
+    cdf_versions = [
+        v for v in range(0, head + 1)
+        if os.path.exists(_manifest_path(path, v))
+        and _change_dir_for(path, _read_manifest(path, v), v) is not None
+    ]
     dv_map = m.get("dv", {})
     return {
         "version": head,
@@ -2449,9 +2603,12 @@ def rollback_version(path: str, to_version: int) -> int:
     head_txn = _read_manifest(path, head).get("txn", {})
     # the restored snapshot's deletion vectors come back with it —
     # expire_versions keeps dv dirs referenced by any surviving manifest,
-    # so a restorable to_version implies its dv dirs still exist
+    # so a restorable to_version implies its dv dirs still exist. Its
+    # stats carry BY REFERENCE too (segment-backed restores are
+    # metadata-flat; the restored file list is exactly the segments')
     return _commit(path, head + 1, m["files"], "overwrite",
-                   m.get("stats", {}), txn=head_txn, dv=m.get("dv"))
+                   {}, txn=head_txn, dv=m.get("dv"),
+                   base_stats=m.get("stats"))
 
 
 def delete_version(
@@ -2490,16 +2647,17 @@ def delete_version(
     new_v = v + 1
     new_files: list[str] = []
     new_stats: dict = {}
+    cf_name = None
     if rewrite:
         from pyspark.sql import functions as F
 
         slice_df = _read_with_dv(spark, rewrite, m)
         remaining = slice_df.filter(~F.col(col).between(lo, hi))
         if change_feed:
-            _write_change_feed(
+            cf_name = _write_change_feed(
                 slice_df.filter(F.col(col).between(lo, hi))
                 .withColumn("_change_type", F.lit("delete")),
-                path, new_v,
+                path,
             )
         new_files, new_stats = _write_files(
             remaining, path, new_v, stats_cols or ([col] if stats else None)
@@ -2509,13 +2667,13 @@ def delete_version(
         # empty change set so table_changes can cross this commit
         from pyspark.sql import functions as F
 
-        _write_change_feed(
+        cf_name = _write_change_feed(
             read_version(spark, path, v).limit(0)
             .withColumn("_change_type", F.lit("delete")),
-            path, new_v,
+            path,
         )
     carried_stats = {f: stats[f] for f in untouched if f in stats}
-    base_v, cf_v = v, new_v
+    base_v = v
     cur_untouched, cur_stats = untouched, carried_stats
     cur_txn, cur_dv = m.get("txn", {}), m.get("dv")
     for _ in range(10):
@@ -2524,6 +2682,7 @@ def delete_version(
                 path, base_v + 1, cur_untouched + new_files, "overwrite",
                 {**cur_stats, **new_stats}, txn=cur_txn,
                 dv=cur_dv,  # untouched files keep their deletion vectors
+                cf=cf_name,
             )
             return base_v + 1, len(cur_untouched), len(rewrite)
         except VersionConflictError:
@@ -2542,26 +2701,21 @@ def delete_version(
                 _stat_overlaps(lo, hi, ap_stats.get(f, {}).get(col))
                 for f in ai[0]
             ):
-                if change_feed:
-                    _drop_change_feed(path, cf_v)
+                if cf_name:
+                    _drop_change_feed_name(path, cf_name)
                 raise
             appended, head_m = ai
             head_stats = dict(head_m.get("stats", {}))
             cur_untouched = cur_untouched + appended
+            # head entries win for every carried file (an interleaved
+            # ANALYZE's backfill must survive the rebase)
             cur_stats = {**cur_stats,
-                         **{f: head_stats[f] for f in appended
+                         **{f: head_stats[f] for f in cur_untouched
                             if f in head_stats}}
             cur_txn, cur_dv = head_m.get("txn", {}), head_m.get("dv")
-            if change_feed:
-                try:
-                    _rebase_change_feed(path, cf_v, head + 1)
-                except VersionConflictError:
-                    _drop_change_feed(path, cf_v)
-                    raise
-                cf_v = head + 1
-            base_v = head
-    if change_feed:
-        _drop_change_feed(path, cf_v)
+            base_v = head  # cf dir is uuid-owned: rides along unrenamed
+    if cf_name:
+        _drop_change_feed_name(path, cf_name)
     raise VersionConflictError(
         f"delete at {path} lost the commit race 10 times against "
         "disjoint appends — pathological contention; retry with backoff"
@@ -2641,6 +2795,7 @@ def delete_version_dv(
         else:
             for f, n in counts.items():
                 dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
+    cf_name = None
     if change_feed:
         # deterministic re-derivation from files still on disk; empty
         # when nothing matched so table_changes can cross the commit
@@ -2649,29 +2804,31 @@ def delete_version_dv(
                 F.col(col).between(lo, hi))
             if candidates else read_version(spark, path, v).limit(0)
         )
-        _write_change_feed(
-            deleted.withColumn("_change_type", F.lit("delete")), path, new_v
+        cf_name = _write_change_feed(
+            deleted.withColumn("_change_type", F.lit("delete")), path
         )
     base_v, cur_m = v, m
     for _ in range(10):
         try:
             _commit(
                 path, base_v + 1, cur_m["files"], "delete-dv",
-                cur_m.get("stats", {}), txn=cur_m.get("txn", {}), dv=dv_map,
+                {}, txn=cur_m.get("txn", {}), dv=dv_map,
+                base_stats=cur_m.get("stats"), cf=cf_name,
             )
             return base_v + 1, len(counts), sum(counts.values())
         except VersionConflictError:
             head = latest_version(path)
             ai = _append_only_interleave(path, base_v, head)
+            ap_stats = (_stats_for_cols(ai[1], [col], blooms=False)
+                        if ai is not None else {})
             if ai is None or any(
-                _stat_overlaps(lo, hi,
-                               ai[1].get("stats", {}).get(f, {}).get(col))
+                _stat_overlaps(lo, hi, ap_stats.get(f, {}).get(col))
                 for f in ai[0]
             ):
                 if dvdir:
                     _drop_dv_dir(dvdir)
-                if change_feed:
-                    _drop_change_feed(path, base_v + 1)
+                if cf_name:
+                    _drop_change_feed_name(path, cf_name)
                 raise
             # rebase: appends preserved every base file (positions stay
             # valid) and provably hold no in-range rows — re-point the
@@ -2680,19 +2837,11 @@ def delete_version_dv(
             dv_map = {f: list(e) for f, e in head_m.get("dv", {}).items()}
             for f, n in counts.items():
                 dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
-            if change_feed:
-                try:
-                    _rebase_change_feed(path, base_v + 1, head + 1)
-                except VersionConflictError:
-                    if dvdir:
-                        _drop_dv_dir(dvdir)
-                    _drop_change_feed(path, base_v + 1)
-                    raise
             base_v, cur_m = head, head_m
     if dvdir:
         _drop_dv_dir(dvdir)
-    if change_feed:
-        _drop_change_feed(path, base_v + 1)
+    if cf_name:
+        _drop_change_feed_name(path, cf_name)
     raise VersionConflictError(
         f"dv delete at {path} lost the commit race 10 times — "
         "pathological contention; retry with backoff"
@@ -2758,6 +2907,7 @@ def delete_keys_dv(
         else:
             for f, n in counts.items():
                 dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
+    cf_name = None
     if change_feed:
         from pyspark.sql import functions as F
 
@@ -2765,15 +2915,16 @@ def delete_keys_dv(
             _read_with_dv(spark, candidates, m).join(gone, keys, "semi")
             if candidates else read_version(spark, path, v).limit(0)
         )
-        _write_change_feed(
-            deleted.withColumn("_change_type", F.lit("delete")), path, new_v
+        cf_name = _write_change_feed(
+            deleted.withColumn("_change_type", F.lit("delete")), path
         )
     base_v, cur_m = v, m
     for _ in range(10):
         try:
             _commit(
                 path, base_v + 1, cur_m["files"], "delete-dv",
-                cur_m.get("stats", {}), txn=new_txn, dv=dv_map,
+                {}, txn=new_txn, dv=dv_map,
+                base_stats=cur_m.get("stats"), cf=cf_name,
             )
             return base_v + 1, len(counts), sum(counts.values())
         except VersionConflictError:
@@ -2785,8 +2936,8 @@ def delete_keys_dv(
             if appended is None:
                 if dvdir:
                     _drop_dv_dir(dvdir)
-                if change_feed:
-                    _drop_change_feed(path, base_v + 1)
+                if cf_name:
+                    _drop_change_feed_name(path, cf_name)
                 raise
             head_m = _read_manifest(path, head)
             # a replayed txn may have landed in the interleave: no-op
@@ -2794,26 +2945,18 @@ def delete_keys_dv(
             if txn is not None and head_txn.get(txn[0], -1) >= int(txn[1]):
                 if dvdir:
                     _drop_dv_dir(dvdir)
-                if change_feed:
-                    _drop_change_feed(path, base_v + 1)
+                if cf_name:
+                    _drop_change_feed_name(path, cf_name)
                 return head, 0, 0
             new_txn = {**head_txn, **({txn[0]: int(txn[1])} if txn else {})}
             dv_map = {f: list(e) for f, e in head_m.get("dv", {}).items()}
             for f, n in counts.items():
                 dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
-            if change_feed:
-                try:
-                    _rebase_change_feed(path, base_v + 1, head + 1)
-                except VersionConflictError:
-                    if dvdir:
-                        _drop_dv_dir(dvdir)
-                    _drop_change_feed(path, base_v + 1)
-                    raise
             base_v, cur_m = head, head_m
     if dvdir:
         _drop_dv_dir(dvdir)
-    if change_feed:
-        _drop_change_feed(path, base_v + 1)
+    if cf_name:
+        _drop_change_feed_name(path, cf_name)
     raise VersionConflictError(
         f"keyed dv delete at {path} lost the commit race 10 times — "
         "pathological contention; retry with backoff"
@@ -2908,7 +3051,7 @@ def merge_version_dv(
             for f, n in counts.items():
                 dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
         stored_slice = stored_pos.drop(_DV_FILE, _DV_POS)
-    cf_v = new_v  # tracks where the change-feed dir currently lives
+    cf_name = None
     try:
         if change_feed:
             from functools import reduce as _reduce
@@ -2938,7 +3081,7 @@ def merge_version_dv(
             changes = _reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True), legs
             )
-            _write_change_feed(changes, path, new_v)
+            cf_name = _write_change_feed(changes, path)
         new_files: list[str] = []
         new_stats: dict = {}
         if not up.isEmpty():  # pure-delete batches add no files
@@ -2954,8 +3097,9 @@ def merge_version_dv(
             try:
                 _commit(
                     path, base_v + 1, cur_m["files"] + new_files, "merge-dv",
-                    {**cur_m.get("stats", {}), **new_stats},
+                    new_stats,  # delta: the appended batch files only
                     txn=new_txn, dv=dv_map,
+                    base_stats=cur_m.get("stats"), cf=cf_name,
                 )
                 return base_v + 1
             except VersionConflictError:
@@ -2974,8 +3118,8 @@ def merge_version_dv(
                     # a replay of this txn won the race: ours is a no-op
                     if dvdir:
                         _drop_dv_dir(dvdir)
-                    if change_feed:
-                        _drop_change_feed(path, cf_v)
+                    if cf_name:
+                        _drop_change_feed_name(path, cf_name)
                     return head
                 new_txn = {**head_txn,
                            **({txn[0]: int(txn[1])} if txn else {})}
@@ -2983,11 +3127,7 @@ def merge_version_dv(
                           for f, e in head_m.get("dv", {}).items()}
                 for f, n in counts.items():
                     dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
-                if change_feed:
-                    # outer except cleans up dvdir + the feed at cf_v
-                    # (still base_v + 1 if this rebase loses the slot)
-                    _rebase_change_feed(path, base_v + 1, head + 1)
-                    cf_v = head + 1
+                # uuid-owned cf dir: rides into the retried commit
                 base_v, cur_m = head, head_m
         raise VersionConflictError(
             f"dv merge at {path} lost the commit race 10 times — "
@@ -2996,6 +3136,6 @@ def merge_version_dv(
     except VersionConflictError:
         if dvdir:
             _drop_dv_dir(dvdir)
-        if change_feed:
-            _drop_change_feed(path, cf_v)
+        if cf_name:
+            _drop_change_feed_name(path, cf_name)
         raise

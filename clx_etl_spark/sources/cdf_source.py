@@ -165,15 +165,15 @@ class CdfStreamReader(DataSourceStreamReader):
         return {"version": head}
 
     def partitions(self, start: dict, end: dict) -> list[ChangeFilePartition]:
-        from ..sinks.versioned import _changes_dir, _read_manifest
+        from ..sinks.versioned import _change_dir_for, _read_manifest
 
         s, e = int(start["version"]), int(end["version"])
         self._cursor = max(self._cursor or -1, s, e)
         parts: list[ChangeFilePartition] = []
         for v in range(s + 1, e + 1):
             m = _read_manifest(self._path, v)
-            cdir = _changes_dir(self._path, v)
-            if os.path.isdir(cdir):
+            cdir = _change_dir_for(self._path, m, v)
+            if cdir is not None and os.path.isdir(cdir):
                 for f in sorted(os.listdir(cdir)):
                     if f.endswith(".parquet"):
                         parts.append(ChangeFilePartition(

@@ -256,7 +256,7 @@ class TableReader(DataSourceReader):
             if isinstance(s, _SidecarStats) and s._full is None:
                 excluded: set[str] = set()
                 for col, (lo, hi) in self._bounds.items():
-                    e = _sidecar_excluded(s._sidecar, col, lo, hi)
+                    e = _sidecar_excluded(s._segments, col, lo, hi)
                     if e is not None:
                         excluded |= e
                         del bounds[col]
@@ -265,7 +265,7 @@ class TableReader(DataSourceReader):
                 rest = sorted(set(bounds) | set(self._points))
                 if rest:
                     stats = _load_stats_sidecar(
-                        s._sidecar, cols=rest, blooms=bool(self._points),
+                        s._segments, cols=rest, blooms=bool(self._points),
                         files=files if len(files) <= 1024 else None)
             else:
                 stats = _stats_for_cols(m, need, blooms=bool(self._points))
@@ -300,11 +300,18 @@ class TableReader(DataSourceReader):
         """One data file -> Arrow batches, STREAMED: row groups decode
         incrementally (iter_batches), so task memory is one batch — not
         one file — and an early-stopping consumer (LIMIT via the
-        ``limit`` option) never decodes the tail. Column pruning: only
-        the query-schema columns the file actually has are read; the
+        ``limit`` option) never decodes the tail. ROW-GROUP PRUNING
+        (r09): the pushed bounds/points are first tested against each
+        row group's footer statistics, so a point lookup into a
+        bloom-kept 1-GiB file decodes only its matching row groups —
+        the same skip Spark's native parquet reader gives the
+        engine-side scan_version path. Column pruning: only the
+        query-schema columns the file actually has are read; the
         parquet reader never decodes the rest. Deletion vectors apply
         per batch as a numpy boolean scatter over the batch's row-index
-        window. Evolution-gap columns pad NULL."""
+        window (dv positions are FILE-level row indexes, so each kept
+        row group's batches offset from that group's first file row).
+        Evolution-gap columns pad NULL."""
         import glob
         import os
 
@@ -352,26 +359,93 @@ class TableReader(DataSourceReader):
                 n = min(n, limit)
             yield from _pad(None, n).to_batches(max_chunksize=1 << 16)
             return
-        off = produced = 0
-        for rb in pf.iter_batches(batch_size=1 << 16, columns=want):
-            t = pa.Table.from_batches([rb])
-            n = rb.num_rows
-            if dead_idx is not None:
-                sel = dead_idx[(dead_idx >= off) & (dead_idx < off + n)]
-                if sel.size:
-                    keep = np.ones(n, dtype=bool)
-                    keep[sel - off] = False
-                    t = t.filter(pa.array(keep))
-            off += n
-            if t.num_rows == 0:
-                continue
-            if limit is not None and produced + t.num_rows > limit:
-                t = t.slice(0, limit - produced)
-            produced += t.num_rows
-            yield from _pad(t, t.num_rows).to_batches(
-                max_chunksize=1 << 16)
-            if limit is not None and produced >= limit:
-                return
+        kept_rgs, rg_offsets = _select_row_groups(
+            pf, self._bounds, self._points)
+        produced = 0
+        for rg in kept_rgs:
+            off = rg_offsets[rg]  # FILE-level row index of this group
+            for rb in pf.iter_batches(batch_size=1 << 16, columns=want,
+                                      row_groups=[rg]):
+                t = pa.Table.from_batches([rb])
+                n = rb.num_rows
+                if dead_idx is not None:
+                    sel = dead_idx[(dead_idx >= off) & (dead_idx < off + n)]
+                    if sel.size:
+                        keep = np.ones(n, dtype=bool)
+                        keep[sel - off] = False
+                        t = t.filter(pa.array(keep))
+                off += n
+                if t.num_rows == 0:
+                    continue
+                if limit is not None and produced + t.num_rows > limit:
+                    t = t.slice(0, limit - produced)
+                produced += t.num_rows
+                yield from _pad(t, t.num_rows).to_batches(
+                    max_chunksize=1 << 16)
+                if limit is not None and produced >= limit:
+                    return
+
+
+def _rg_minmax(rg_meta, col_idx):
+    """(min, max) of one row group's column from the footer, or None
+    when the writer recorded none / the logical type cannot surface
+    them — the caller keeps the group (conservative)."""
+    try:
+        st = rg_meta.column(col_idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        return (st.min, st.max)
+    except Exception:
+        return None
+
+
+def _select_row_groups(pf, bounds: dict, points: dict
+                       ) -> tuple[list[int], list[int]]:
+    """Row-group pruning for the DSv2 read path: test the pushed
+    bounds/point filters against each row group's FOOTER statistics
+    (already decoded with the file open — no data pages touched) and
+    return (kept row-group indices, per-group first-file-row offsets).
+    Conservative in every failure mode — a group is dropped only when
+    its stats PROVE the predicate empty; missing stats, absent columns,
+    and incomparable types keep it. Pruning is pure gain: Spark
+    re-applies all pushed filters row-level. The offsets let deletion
+    vectors (file-level row indexes) stay exact across skipped groups."""
+    from ..sinks.versioned import _stat_overlaps
+
+    md = pf.metadata
+    offsets, off = [], 0
+    for rg in range(md.num_row_groups):
+        offsets.append(off)
+        off += md.row_group(rg).num_rows
+    if not bounds and not points:
+        return list(range(md.num_row_groups)), offsets
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    kept = []
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        ok = True
+        for col, (lo, hi) in bounds.items():
+            ci = names.get(col)
+            rng = _rg_minmax(g, ci) if ci is not None else None
+            if rng is not None and not _stat_overlaps(
+                lo if lo is not None else rng[0],
+                hi if hi is not None else rng[1],
+                rng,
+            ):
+                ok = False
+                break
+        if ok:
+            for col, vals in points.items():
+                ci = names.get(col)
+                rng = _rg_minmax(g, ci) if ci is not None else None
+                if rng is not None and not any(
+                    _stat_overlaps(v, v, rng) for v in vals
+                ):
+                    ok = False
+                    break
+        if ok:
+            kept.append(rg)
+    return kept, offsets
 
 
 class _PushdownTableReader(TableReader):
@@ -781,8 +855,9 @@ def _commit_staged_files(
             else:
                 v = _commit(
                     path, version, prev_m.get("files", []) + files,
-                    "append", {**dict(prev_m.get("stats", {})), **stats},
+                    "append", stats,  # delta: this batch's files only
                     txn=prev_txn, dv=prev_m.get("dv"),
+                    base_stats=prev_m.get("stats"),
                 )
             _metrics(v)
             return v

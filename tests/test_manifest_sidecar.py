@@ -51,9 +51,14 @@ def test_sidecar_replaces_inline_stats(spark, tmp_path):
     path = str(tmp_path / "vt")
     _seed(spark, path)
     raw = json.load(open(_manifest_path(path, 2)))
-    assert raw["stats"] == {} and raw["stats_sidecar"]
-    assert os.path.exists(
-        os.path.join(path, "_manifests", raw["stats_sidecar"]))
+    # incremental carry (r09): each append writes one DELTA segment and
+    # references its parent's segments — v2 lists all three
+    assert raw["stats"] == {} and len(raw["stats_segments"]) == 3
+    for seg in raw["stats_segments"]:
+        assert os.path.exists(os.path.join(path, "_manifests", seg))
+    # the delta segments are shared by reference with the parents
+    raw1 = json.load(open(_manifest_path(path, 1)))
+    assert raw["stats_segments"][:2] == raw1["stats_segments"]
     # the lazy mapping reconstitutes the FULL map (stats + blooms),
     # including entries carried forward from the earlier versions
     m = _read_manifest(path, 2)
@@ -120,7 +125,7 @@ def test_sidecar_dv_delete_compact_clone_expire(spark, tmp_path):
 def test_sidecar_cas_loser_reclaims_its_sidecar(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "vt")
     _seed(spark, path, blocks=(0,))
-    head_sc = json.load(open(_manifest_path(path, 0)))["stats_sidecar"]
+    head_sc = json.load(open(_manifest_path(path, 0)))["stats_segments"][0]
     orig = V._commit
     fired = {}
 
@@ -141,9 +146,10 @@ def test_sidecar_cas_loser_reclaims_its_sidecar(spark, tmp_path, monkeypatch):
     # every surviving sidecar is referenced by a committed manifest
     referenced = set()
     for mp in glob.glob(os.path.join(path, "_manifests", "v*.json")):
-        sc = json.load(open(mp)).get("stats_sidecar")
-        if sc:
-            referenced.add(sc)
+        raw = json.load(open(mp))
+        referenced.update(raw.get("stats_segments", []))
+        if raw.get("stats_sidecar"):
+            referenced.add(raw["stats_sidecar"])
     on_disk = {os.path.basename(p) for p in
                glob.glob(os.path.join(path, "_manifests", "*-stats-*"))}
     assert on_disk == referenced and head_sc in referenced
@@ -224,3 +230,78 @@ def test_dv_map_sidecar_spill_readback_carry_expire(spark, tmp_path):
     leftover = [f for f in os.listdir(os.path.join(path, "_manifests"))
                 if f.startswith("dv-v")]
     assert leftover == []
+
+
+def test_incremental_segments_and_coalesce(spark, tmp_path, monkeypatch):
+    """r09 incremental metadata: an append writes one O(batch) DELTA
+    segment and carries the parent's segments by reference; every
+    _STATS_SEGMENT_MAX'th carry coalesces into one full segment (the
+    Delta-checkpoint cadence); expiry reclaims segments only when no
+    surviving manifest references them."""
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(V, "_STATS_SEGMENT_MAX", 4)
+    path = str(tmp_path / "vt")
+    _seed(spark, path, blocks=(0, 100, 200, 300))
+    mdir = os.path.join(path, "_manifests")
+    raw3 = json.load(open(_manifest_path(path, 3)))
+    assert len(raw3["stats_segments"]) == 4
+    # each DELTA segment holds exactly its commit's one new file
+    last = raw3["stats_segments"][-1]
+    t = pq.read_table(os.path.join(mdir, last), columns=["file"])
+    assert len(set(t["file"].to_pylist())) == 1
+    # 5th append: parent already at the cadence -> coalesce to ONE
+    _seed(spark, path, blocks=(400,))
+    raw4 = json.load(open(_manifest_path(path, 4)))
+    assert len(raw4["stats_segments"]) == 1
+    coal = pq.read_table(
+        os.path.join(mdir, raw4["stats_segments"][0]), columns=["file"])
+    assert len(set(coal["file"].to_pylist())) == 5
+    # planner answers identically across the whole carry chain
+    kept, total = pruned_file_count(path, "id", 405, 405)
+    assert (kept, total) == (1, 5)
+    assert read_version(spark, path).count() == 250
+    # shared segments survive expiry while ANY survivor references them
+    expire_versions(path, keep_latest=2)  # keeps v3 (4 segs) + v4 (1)
+    on_disk = {os.path.basename(p) for p in
+               glob.glob(os.path.join(path, "_manifests", "*-stats-*"))}
+    assert on_disk == set(raw3["stats_segments"]) | set(
+        raw4["stats_segments"])
+    expire_versions(path, keep_latest=1)  # only v4's coalesced segment
+    on_disk = {os.path.basename(p) for p in
+               glob.glob(os.path.join(path, "_manifests", "*-stats-*"))}
+    assert on_disk == set(raw4["stats_segments"])
+    assert pruned_file_count(path, "id", 405, 405) == (1, 5)
+
+
+def test_analyze_delta_segment_and_sentinels(spark, tmp_path):
+    """ANALYZE commits an O(todo) delta segment; columns that yield no
+    derivable bounds (all-null) or no bloom (unsupported type) record
+    conservative SENTINELS, so a re-run is a true metadata no-op
+    instead of re-reading those files' data (ADVICE r08)."""
+    from clx_etl_spark.sinks.versioned import analyze_table, min_max_meta
+
+    path = str(tmp_path / "vt")
+    for lo in (0, 100, 200):
+        append_version(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}", None) for i in range(50)],
+                "id long, v string, z double",
+            ).coalesce(1),
+            path, stats_cols=["id"],
+        )
+    v1 = analyze_table(spark, path, stats_cols=["id", "z"],
+                       bloom_cols=["z"])
+    raw_parent = json.load(open(_manifest_path(path, v1 - 1)))
+    raw = json.load(open(_manifest_path(path, v1)))
+    assert raw["stats_segments"][:-1] == raw_parent["stats_segments"]
+    # sentinels are conservative: z never prunes, min/max falls back
+    assert pruned_file_count(path, "z", 1.0, 2.0)[0] == 3
+    assert min_max_meta(path, "z") is None
+    # re-run: todo is empty -> same segment list, nothing new written
+    v2 = analyze_table(spark, path, stats_cols=["id", "z"],
+                       bloom_cols=["z"])
+    raw2 = json.load(open(_manifest_path(path, v2)))
+    assert raw2["stats_segments"] == raw["stats_segments"]
+    # id pruning still exact through the analyze carries
+    assert pruned_file_count(path, "id", 205, 205)[0] == 1

@@ -1260,10 +1260,16 @@ def test_versioned_change_feed_guard_and_expiry(spark, tmp_path):
     # a window that starts after the gap is fine
     assert {(r.k, r._change_type) for r in
             table_changes(spark, path, 1).collect()} == {(2, "insert")}
-    cdir = str(tmp_path / "vt" / "_changes" / "v000002")
-    assert os.path.exists(cdir)
+    # the feed dir is uuid-owned and named by the manifest (r09)
+    from clx_etl_spark.sinks.versioned import (_change_dir_for,
+                                               _read_manifest,
+                                               latest_version)
+
+    v2 = latest_version(path)
+    cdir = _change_dir_for(path, _read_manifest(path, v2), v2)
+    assert cdir is not None and os.path.isdir(cdir)
     expire_versions(path, keep_latest=1)
-    assert os.path.exists(cdir)  # v2 is the surviving head: feed kept
+    assert os.path.isdir(cdir)  # v2 is the surviving head: feed kept
     append_version(
         spark.createDataFrame([(3, "d")], "k long, v string"), path,
         stats_cols=["k"],
