@@ -906,6 +906,52 @@ class VersionConflictError(RuntimeError):
     orphans (reclaimed by expire_versions); retry from the new head."""
 
 
+def _commit_with_rebase(path: str, attempt, rebase, cleanup=None,
+                        retries: int = 10, what: str = "commit"):
+    """The ONE optimistic-concurrency skeleton every rewriting / dv
+    commit shares (Delta WriteSerializable). Concurrency loops are the
+    worst place for copy-drift — the r08 compaction data-loss race came
+    from a near-duplicate — so the loop, cleanup, and exhaustion
+    semantics live here exactly once and each op contributes only its
+    safety predicate.
+
+    ``attempt()`` runs the op's ``_commit`` (raising
+    VersionConflictError on a lost manifest CAS) and returns the final
+    result. On a lost CAS, ``rebase(head)`` is called with the new head
+    version; it must either
+      * mutate the op's pending-commit state onto the head and return
+        None — the loop retries with the already-written data files
+        (manifest metadata only, never a data rewrite);
+      * return ``("done", value)`` when the interleave made this commit
+        a no-op (a replay of the same txn won the race) — staged
+        artifacts are cleaned up and ``value`` returned;
+      * raise VersionConflictError for a TRUE conflict (the read-set
+        went stale: a rewriting interleave, or appends that may contain
+        the op's keys/range) — the caller re-runs on the new head.
+
+    ``cleanup`` (idempotent) reclaims staged artifacts — dv sidecar
+    dirs, change-feed dirs — before any conflict propagates and on
+    retry exhaustion; the success and no-op paths manage their own."""
+    cleanup = cleanup or (lambda: None)
+    try:
+        for _ in range(retries):
+            try:
+                return attempt()
+            except VersionConflictError:
+                done = rebase(latest_version(path))
+                if done is not None:
+                    cleanup()
+                    return done[1]
+    except VersionConflictError:
+        cleanup()
+        raise
+    cleanup()
+    raise VersionConflictError(
+        f"{what} at {path} lost the commit race {retries} times — "
+        "pathological contention; retry with backoff"
+    )
+
+
 def _commit(
     path: str,
     version: int,
@@ -1490,47 +1536,45 @@ def _compact_partial(
     base_v = v
     cur_files, cur_stats = keep, carried
     cur_txn, cur_dv = m.get("txn", {}), m.get("dv")
-    for _ in range(10):
-        try:
-            return _commit(
-                path, base_v + 1, cur_files + new_files, "overwrite",
-                {**cur_stats, **new_stats}, txn=cur_txn,
-                dv=cur_dv,  # kept files' deletion vectors survive
-                cf=cf_name,
-            )
-        except VersionConflictError:
-            # OPTIMIZE-vs-append rebase (Delta's rule: appends never
-            # conflict with compaction): when every interleaved commit
-            # is an append, carry the appended files by reference —
-            # they are outside the compacted read-set, their stats/dv
-            # ride along, and the winner's txn watermarks survive. Any
-            # rewriting interleave (delete/merge/another compaction)
-            # is a true conflict: the read-set went stale, re-run.
-            head = latest_version(path)
-            ai = _append_only_interleave(path, base_v, head)
-            if ai is None:
-                if cf_name:
-                    _drop_change_feed_name(path, cf_name)
-                raise
-            appended, head_m = ai
-            head_stats = dict(head_m.get("stats", {}))
-            cur_files = cur_files + appended
-            # HEAD's entries win for every carried file, not just the
-            # appended ones: an interleaved ANALYZE backfilled stats for
-            # the kept files, and rebasing from the base snapshot's
-            # carried map would silently drop that index
-            cur_stats = {**cur_stats,
-                         **{f: head_stats[f] for f in cur_files
-                            if f in head_stats}}
-            cur_txn, cur_dv = head_m.get("txn", {}), head_m.get("dv")
-            # the uuid-owned change-feed dir needs no rebase: its name
-            # is version-independent and rides into the retried commit
-            base_v = head
-    if cf_name:
-        _drop_change_feed_name(path, cf_name)
-    raise VersionConflictError(
-        f"compaction at {path} lost the commit race 10 times against "
-        "disjoint appends — pathological contention; retry with backoff"
+
+    def attempt() -> int:
+        return _commit(
+            path, base_v + 1, cur_files + new_files, "overwrite",
+            {**cur_stats, **new_stats}, txn=cur_txn,
+            dv=cur_dv,  # kept files' deletion vectors survive
+            cf=cf_name,
+        )
+
+    def rebase(head):
+        # OPTIMIZE-vs-append rebase (Delta's rule: appends never
+        # conflict with compaction): when every interleaved commit is
+        # an append, carry the appended files by reference — they are
+        # outside the compacted read-set, their stats/dv ride along,
+        # and the winner's txn watermarks survive. Any rewriting
+        # interleave (delete/merge/another compaction) is a true
+        # conflict: the read-set went stale, re-run.
+        nonlocal base_v, cur_files, cur_stats, cur_txn, cur_dv
+        ai = _append_only_interleave(path, base_v, head)
+        if ai is None:
+            raise  # true conflict: surface the lost CAS
+        appended, head_m = ai
+        head_stats = dict(head_m.get("stats", {}))
+        cur_files = cur_files + appended
+        # HEAD's entries win for every carried file, not just the
+        # appended ones: an interleaved ANALYZE backfilled stats for
+        # the kept files, and rebasing from the base snapshot's
+        # carried map would silently drop that index
+        cur_stats = {**cur_stats,
+                     **{f: head_stats[f] for f in cur_files
+                        if f in head_stats}}
+        cur_txn, cur_dv = head_m.get("txn", {}), head_m.get("dv")
+        base_v = head  # cf dir is uuid-owned: rides along unrenamed
+
+    return _commit_with_rebase(
+        path, attempt, rebase,
+        cleanup=(lambda: _drop_change_feed_name(path, cf_name))
+        if cf_name else None,
+        what="compaction",
     )
 
 
@@ -1847,52 +1891,50 @@ def merge_version(
     commit_dv = m.get("dv")  # untouched files keep their deletion vectors
     base_files = set(m["files"])
     base_v = prev
-    for _ in range(10):
-        try:
-            return _commit(
-                path, new_v, commit_files, "overwrite",
-                commit_stats, txn=new_txn, dv=commit_dv, cf=cf_name,
-            )
-        except VersionConflictError:
-            head = latest_version(path)
-            appended = _disjoint_append_interleave(
-                path, base_v, head, base_files, batch_keys_k, kcol)
-            if appended is None:
-                if cf_name:
-                    _drop_change_feed_name(path, cf_name)
-                raise
-            # REBASE (Delta WriteSerializable conflict resolution): every
-            # interleaved commit is an append whose files are PROVABLY
-            # key-disjoint from this batch, so re-running the merge on
-            # the new head would classify and rewrite identically — carry
-            # the appended files + stats into the commit and retry with
-            # the already-written data files (manifest JSON only).
-            head_m = _read_manifest(path, head)
-            head_stats = head_m.get("stats", {})
-            new_txn = {k: int(v) for k, v in head_m.get("txn", {}).items()}
-            if txn is not None:
-                if new_txn.get(txn[0], -1) >= int(txn[1]):
-                    if cf_name:
-                        _drop_change_feed_name(path, cf_name)
-                    return head  # our own replay won the race
-                new_txn[txn[0]] = int(txn[1])
-            new_v = head + 1
-            commit_files = untouched + appended + new_files
-            commit_stats = {
-                **{f: head_stats[f] for f in untouched + appended
-                   if f in head_stats},
-                **new_stats,
-            }
-            base_v, base_files = head, set(head_m["files"])
-            commit_dv = head_m.get("dv")  # appends carry dv forward
-            untouched = untouched + appended
-            # the uuid-owned change-feed dir rides into the retried
-            # commit unchanged — no version-slot rename, no contention
-    if cf_name:
-        _drop_change_feed_name(path, cf_name)
-    raise VersionConflictError(
-        f"merge into {path} lost the commit race 10 times against "
-        "disjoint appends — pathological contention; retry with backoff"
+    def attempt() -> int:
+        return _commit(
+            path, new_v, commit_files, "overwrite",
+            commit_stats, txn=new_txn, dv=commit_dv, cf=cf_name,
+        )
+
+    def rebase(head):
+        # REBASE (Delta WriteSerializable conflict resolution): every
+        # interleaved commit is an append whose files are PROVABLY
+        # key-disjoint from this batch, so re-running the merge on
+        # the new head would classify and rewrite identically — carry
+        # the appended files + stats into the commit and retry with
+        # the already-written data files (manifest JSON only).
+        nonlocal new_v, commit_files, commit_stats, base_v, base_files
+        nonlocal commit_dv, untouched, new_txn
+        appended = _disjoint_append_interleave(
+            path, base_v, head, base_files, batch_keys_k, kcol)
+        if appended is None:
+            raise
+        head_m = _read_manifest(path, head)
+        head_stats = head_m.get("stats", {})
+        new_txn = {k: int(v) for k, v in head_m.get("txn", {}).items()}
+        if txn is not None:
+            if new_txn.get(txn[0], -1) >= int(txn[1]):
+                return ("done", head)  # our own replay won the race
+            new_txn[txn[0]] = int(txn[1])
+        new_v = head + 1
+        commit_files = untouched + appended + new_files
+        commit_stats = {
+            **{f: head_stats[f] for f in untouched + appended
+               if f in head_stats},
+            **new_stats,
+        }
+        base_v, base_files = head, set(head_m["files"])
+        commit_dv = head_m.get("dv")  # appends carry dv forward
+        untouched = untouched + appended
+        # the uuid-owned change-feed dir rides into the retried
+        # commit unchanged — no version-slot rename, no contention
+
+    return _commit_with_rebase(
+        path, attempt, rebase,
+        cleanup=(lambda: _drop_change_feed_name(path, cf_name))
+        if cf_name else None,
+        what="merge into table",
     )
 
 
@@ -2676,49 +2718,49 @@ def delete_version(
     base_v = v
     cur_untouched, cur_stats = untouched, carried_stats
     cur_txn, cur_dv = m.get("txn", {}), m.get("dv")
-    for _ in range(10):
-        try:
-            _commit(
-                path, base_v + 1, cur_untouched + new_files, "overwrite",
-                {**cur_stats, **new_stats}, txn=cur_txn,
-                dv=cur_dv,  # untouched files keep their deletion vectors
-                cf=cf_name,
-            )
-            return base_v + 1, len(cur_untouched), len(rewrite)
-        except VersionConflictError:
-            # same rebase rule as the dv delete (Delta's
-            # WriteSerializable DELETE): only when every interleaved
-            # commit is an append whose files' stats provably exclude
-            # [lo, hi] — the delete re-run on the head would rewrite
-            # exactly the same files, so carry the appends by reference
-            # instead. Stat-less or overlapping appends (they may hold
-            # in-range rows) and any rewrite are true conflicts.
-            head = latest_version(path)
-            ai = _append_only_interleave(path, base_v, head)
-            ap_stats = (_stats_for_cols(ai[1], [col], blooms=False)
-                        if ai is not None else {})
-            if ai is None or any(
-                _stat_overlaps(lo, hi, ap_stats.get(f, {}).get(col))
-                for f in ai[0]
-            ):
-                if cf_name:
-                    _drop_change_feed_name(path, cf_name)
-                raise
-            appended, head_m = ai
-            head_stats = dict(head_m.get("stats", {}))
-            cur_untouched = cur_untouched + appended
-            # head entries win for every carried file (an interleaved
-            # ANALYZE's backfill must survive the rebase)
-            cur_stats = {**cur_stats,
-                         **{f: head_stats[f] for f in cur_untouched
-                            if f in head_stats}}
-            cur_txn, cur_dv = head_m.get("txn", {}), head_m.get("dv")
-            base_v = head  # cf dir is uuid-owned: rides along unrenamed
-    if cf_name:
-        _drop_change_feed_name(path, cf_name)
-    raise VersionConflictError(
-        f"delete at {path} lost the commit race 10 times against "
-        "disjoint appends — pathological contention; retry with backoff"
+
+    def attempt() -> tuple[int, int, int]:
+        _commit(
+            path, base_v + 1, cur_untouched + new_files, "overwrite",
+            {**cur_stats, **new_stats}, txn=cur_txn,
+            dv=cur_dv,  # untouched files keep their deletion vectors
+            cf=cf_name,
+        )
+        return base_v + 1, len(cur_untouched), len(rewrite)
+
+    def rebase(head):
+        # same rebase rule as the dv delete (Delta's WriteSerializable
+        # DELETE): only when every interleaved commit is an append
+        # whose files' stats provably exclude [lo, hi] — the delete
+        # re-run on the head would rewrite exactly the same files, so
+        # carry the appends by reference instead. Stat-less or
+        # overlapping appends (they may hold in-range rows) and any
+        # rewrite are true conflicts.
+        nonlocal base_v, cur_untouched, cur_stats, cur_txn, cur_dv
+        ai = _append_only_interleave(path, base_v, head)
+        ap_stats = (_stats_for_cols(ai[1], [col], blooms=False)
+                    if ai is not None else {})
+        if ai is None or any(
+            _stat_overlaps(lo, hi, ap_stats.get(f, {}).get(col))
+            for f in ai[0]
+        ):
+            raise
+        appended, head_m = ai
+        head_stats = dict(head_m.get("stats", {}))
+        cur_untouched = cur_untouched + appended
+        # head entries win for every carried file (an interleaved
+        # ANALYZE's backfill must survive the rebase)
+        cur_stats = {**cur_stats,
+                     **{f: head_stats[f] for f in cur_untouched
+                        if f in head_stats}}
+        cur_txn, cur_dv = head_m.get("txn", {}), head_m.get("dv")
+        base_v = head  # cf dir is uuid-owned: rides along unrenamed
+
+    return _commit_with_rebase(
+        path, attempt, rebase,
+        cleanup=(lambda: _drop_change_feed_name(path, cf_name))
+        if cf_name else None,
+        what="delete",
     )
 
 
@@ -2808,44 +2850,42 @@ def delete_version_dv(
             deleted.withColumn("_change_type", F.lit("delete")), path
         )
     base_v, cur_m = v, m
-    for _ in range(10):
-        try:
-            _commit(
-                path, base_v + 1, cur_m["files"], "delete-dv",
-                {}, txn=cur_m.get("txn", {}), dv=dv_map,
-                base_stats=cur_m.get("stats"), cf=cf_name,
-            )
-            return base_v + 1, len(counts), sum(counts.values())
-        except VersionConflictError:
-            head = latest_version(path)
-            ai = _append_only_interleave(path, base_v, head)
-            ap_stats = (_stats_for_cols(ai[1], [col], blooms=False)
-                        if ai is not None else {})
-            if ai is None or any(
-                _stat_overlaps(lo, hi, ap_stats.get(f, {}).get(col))
-                for f in ai[0]
-            ):
-                if dvdir:
-                    _drop_dv_dir(dvdir)
-                if cf_name:
-                    _drop_change_feed_name(path, cf_name)
-                raise
-            # rebase: appends preserved every base file (positions stay
-            # valid) and provably hold no in-range rows — re-point the
-            # commit at the head, re-attaching our dv entries to its map
-            head_m = ai[1]
-            dv_map = {f: list(e) for f, e in head_m.get("dv", {}).items()}
-            for f, n in counts.items():
-                dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
-            base_v, cur_m = head, head_m
-    if dvdir:
-        _drop_dv_dir(dvdir)
-    if cf_name:
-        _drop_change_feed_name(path, cf_name)
-    raise VersionConflictError(
-        f"dv delete at {path} lost the commit race 10 times — "
-        "pathological contention; retry with backoff"
-    )
+
+    def attempt() -> tuple[int, int, int]:
+        _commit(
+            path, base_v + 1, cur_m["files"], "delete-dv",
+            {}, txn=cur_m.get("txn", {}), dv=dv_map,
+            base_stats=cur_m.get("stats"), cf=cf_name,
+        )
+        return base_v + 1, len(counts), sum(counts.values())
+
+    def rebase(head):
+        nonlocal base_v, cur_m, dv_map
+        ai = _append_only_interleave(path, base_v, head)
+        ap_stats = (_stats_for_cols(ai[1], [col], blooms=False)
+                    if ai is not None else {})
+        if ai is None or any(
+            _stat_overlaps(lo, hi, ap_stats.get(f, {}).get(col))
+            for f in ai[0]
+        ):
+            raise
+        # rebase: appends preserved every base file (positions stay
+        # valid) and provably hold no in-range rows — re-point the
+        # commit at the head, re-attaching our dv entries to its map
+        head_m = ai[1]
+        dv_map = {f: list(e) for f, e in head_m.get("dv", {}).items()}
+        for f, n in counts.items():
+            dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
+        base_v, cur_m = head, head_m
+
+    def cleanup():
+        if dvdir:
+            _drop_dv_dir(dvdir)
+        if cf_name:
+            _drop_change_feed_name(path, cf_name)
+
+    return _commit_with_rebase(path, attempt, rebase, cleanup,
+                               what="dv delete")
 
 
 def delete_keys_dv(
@@ -2919,48 +2959,42 @@ def delete_keys_dv(
             deleted.withColumn("_change_type", F.lit("delete")), path
         )
     base_v, cur_m = v, m
-    for _ in range(10):
-        try:
-            _commit(
-                path, base_v + 1, cur_m["files"], "delete-dv",
-                {}, txn=new_txn, dv=dv_map,
-                base_stats=cur_m.get("stats"), cf=cf_name,
-            )
-            return base_v + 1, len(counts), sum(counts.values())
-        except VersionConflictError:
-            head = latest_version(path)
-            appended = _disjoint_append_interleave(
-                path, base_v, head, set(cur_m["files"]),
-                gone.select(kcol).distinct(), kcol,
-            )
-            if appended is None:
-                if dvdir:
-                    _drop_dv_dir(dvdir)
-                if cf_name:
-                    _drop_change_feed_name(path, cf_name)
-                raise
-            head_m = _read_manifest(path, head)
-            # a replayed txn may have landed in the interleave: no-op
-            head_txn = {k: int(x) for k, x in head_m.get("txn", {}).items()}
-            if txn is not None and head_txn.get(txn[0], -1) >= int(txn[1]):
-                if dvdir:
-                    _drop_dv_dir(dvdir)
-                if cf_name:
-                    _drop_change_feed_name(path, cf_name)
-                return head, 0, 0
-            new_txn = {**head_txn, **({txn[0]: int(txn[1])} if txn else {})}
-            dv_map = {f: list(e) for f, e in head_m.get("dv", {}).items()}
-            for f, n in counts.items():
-                dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
-            base_v, cur_m = head, head_m
-    if dvdir:
-        _drop_dv_dir(dvdir)
-    if cf_name:
-        _drop_change_feed_name(path, cf_name)
-    raise VersionConflictError(
-        f"keyed dv delete at {path} lost the commit race 10 times — "
-        "pathological contention; retry with backoff"
-    )
+
+    def attempt() -> tuple[int, int, int]:
+        _commit(
+            path, base_v + 1, cur_m["files"], "delete-dv",
+            {}, txn=new_txn, dv=dv_map,
+            base_stats=cur_m.get("stats"), cf=cf_name,
+        )
+        return base_v + 1, len(counts), sum(counts.values())
+
+    def rebase(head):
+        nonlocal base_v, cur_m, dv_map, new_txn
+        appended = _disjoint_append_interleave(
+            path, base_v, head, set(cur_m["files"]),
+            gone.select(kcol).distinct(), kcol,
+        )
+        if appended is None:
+            raise
+        head_m = _read_manifest(path, head)
+        # a replayed txn may have landed in the interleave: no-op
+        head_txn = {k: int(x) for k, x in head_m.get("txn", {}).items()}
+        if txn is not None and head_txn.get(txn[0], -1) >= int(txn[1]):
+            return ("done", (head, 0, 0))
+        new_txn = {**head_txn, **({txn[0]: int(txn[1])} if txn else {})}
+        dv_map = {f: list(e) for f, e in head_m.get("dv", {}).items()}
+        for f, n in counts.items():
+            dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
+        base_v, cur_m = head, head_m
+
+    def cleanup():
+        if dvdir:
+            _drop_dv_dir(dvdir)
+        if cf_name:
+            _drop_change_feed_name(path, cf_name)
+
+    return _commit_with_rebase(path, attempt, rebase, cleanup,
+                               what="keyed dv delete")
 
 
 def merge_version_dv(
@@ -3052,90 +3086,81 @@ def merge_version_dv(
                 dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
         stored_slice = stored_pos.drop(_DV_FILE, _DV_POS)
     cf_name = None
-    try:
-        if change_feed:
-            from functools import reduce as _reduce
+    if change_feed:
+        from functools import reduce as _reduce
 
-            # conservative pruning => every stored row sharing a batch
-            # key is in stored_slice; classification is exact (the same
-            # argument as merge_version's change feed)
-            up_k = up.select(*keys).distinct()
-            if stored_slice is not None:
-                stored_k = stored_slice.select(*keys).distinct()
-                legs = [
-                    stored_slice.join(up_k, keys, "semi")
-                    .withColumn("_change_type", F.lit("update_preimage")),
-                    up.join(stored_k, keys, "semi")
-                    .withColumn("_change_type", F.lit("update_postimage")),
-                    up.join(stored_k, keys, "left_anti")
-                    .withColumn("_change_type", F.lit("insert")),
-                ]
-                if del_keys is not None:
-                    pure_del = del_keys.join(up_k, keys, "left_anti")
-                    legs.append(
-                        stored_slice.join(pure_del, keys, "semi")
-                        .withColumn("_change_type", F.lit("delete"))
-                    )
-            else:
-                legs = [up.withColumn("_change_type", F.lit("insert"))]
-            changes = _reduce(
-                lambda a, b: a.unionByName(b, allowMissingColumns=True), legs
-            )
-            cf_name = _write_change_feed(changes, path)
-        new_files: list[str] = []
-        new_stats: dict = {}
-        if not up.isEmpty():  # pure-delete batches add no files
-            new_files, new_stats = _write_files(
-                up, path, new_v,
-                stats_cols or ([kcol] if stats else None),
-                bloom_cols=[kcol] if any(
-                    _BLOOM_KEY + kcol in stats.get(f, {}) for f in m["files"]
-                ) else None,
-            )
-        base_v, cur_m = prev, m
-        for _ in range(10):
-            try:
-                _commit(
-                    path, base_v + 1, cur_m["files"] + new_files, "merge-dv",
-                    new_stats,  # delta: the appended batch files only
-                    txn=new_txn, dv=dv_map,
-                    base_stats=cur_m.get("stats"), cf=cf_name,
+        # conservative pruning => every stored row sharing a batch
+        # key is in stored_slice; classification is exact (the same
+        # argument as merge_version's change feed)
+        up_k = up.select(*keys).distinct()
+        if stored_slice is not None:
+            stored_k = stored_slice.select(*keys).distinct()
+            legs = [
+                stored_slice.join(up_k, keys, "semi")
+                .withColumn("_change_type", F.lit("update_preimage")),
+                up.join(stored_k, keys, "semi")
+                .withColumn("_change_type", F.lit("update_postimage")),
+                up.join(stored_k, keys, "left_anti")
+                .withColumn("_change_type", F.lit("insert")),
+            ]
+            if del_keys is not None:
+                pure_del = del_keys.join(up_k, keys, "left_anti")
+                legs.append(
+                    stored_slice.join(pure_del, keys, "semi")
+                    .withColumn("_change_type", F.lit("delete"))
                 )
-                return base_v + 1
-            except VersionConflictError:
-                head = latest_version(path)
-                appended = _disjoint_append_interleave(
-                    path, base_v, head, set(cur_m["files"]),
-                    batch_keys_k, kcol,
-                )
-                if appended is None:
-                    raise
-                head_m = _read_manifest(path, head)
-                head_txn = {k: int(x)
-                            for k, x in head_m.get("txn", {}).items()}
-                if txn is not None and \
-                        head_txn.get(txn[0], -1) >= int(txn[1]):
-                    # a replay of this txn won the race: ours is a no-op
-                    if dvdir:
-                        _drop_dv_dir(dvdir)
-                    if cf_name:
-                        _drop_change_feed_name(path, cf_name)
-                    return head
-                new_txn = {**head_txn,
-                           **({txn[0]: int(txn[1])} if txn else {})}
-                dv_map = {f: list(e)
-                          for f, e in head_m.get("dv", {}).items()}
-                for f, n in counts.items():
-                    dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
-                # uuid-owned cf dir: rides into the retried commit
-                base_v, cur_m = head, head_m
-        raise VersionConflictError(
-            f"dv merge at {path} lost the commit race 10 times — "
-            "pathological contention; retry with backoff"
+        else:
+            legs = [up.withColumn("_change_type", F.lit("insert"))]
+        changes = _reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), legs
         )
-    except VersionConflictError:
+        cf_name = _write_change_feed(changes, path)
+    new_files: list[str] = []
+    new_stats: dict = {}
+    if not up.isEmpty():  # pure-delete batches add no files
+        new_files, new_stats = _write_files(
+            up, path, new_v,
+            stats_cols or ([kcol] if stats else None),
+            bloom_cols=[kcol] if any(
+                _BLOOM_KEY + kcol in stats.get(f, {}) for f in m["files"]
+            ) else None,
+        )
+    base_v, cur_m = prev, m
+
+    def attempt() -> int:
+        _commit(
+            path, base_v + 1, cur_m["files"] + new_files, "merge-dv",
+            new_stats,  # delta: the appended batch files only
+            txn=new_txn, dv=dv_map,
+            base_stats=cur_m.get("stats"), cf=cf_name,
+        )
+        return base_v + 1
+
+    def rebase(head):
+        nonlocal base_v, cur_m, dv_map, new_txn
+        appended = _disjoint_append_interleave(
+            path, base_v, head, set(cur_m["files"]),
+            batch_keys_k, kcol,
+        )
+        if appended is None:
+            raise
+        head_m = _read_manifest(path, head)
+        head_txn = {k: int(x) for k, x in head_m.get("txn", {}).items()}
+        if txn is not None and head_txn.get(txn[0], -1) >= int(txn[1]):
+            # a replay of this txn won the race: ours is a no-op
+            return ("done", head)
+        new_txn = {**head_txn, **({txn[0]: int(txn[1])} if txn else {})}
+        dv_map = {f: list(e) for f, e in head_m.get("dv", {}).items()}
+        for f, n in counts.items():
+            dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
+        # uuid-owned cf dir: rides into the retried commit
+        base_v, cur_m = head, head_m
+
+    def cleanup():
         if dvdir:
             _drop_dv_dir(dvdir)
         if cf_name:
             _drop_change_feed_name(path, cf_name)
-        raise
+
+    return _commit_with_rebase(path, attempt, rebase, cleanup,
+                               what="dv merge")
