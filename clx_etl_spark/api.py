@@ -693,6 +693,16 @@ class Engine:
                                change_feed=change_feed, zorder_by=zorder_by,
                                where=where)
 
+    def reorg_table_dvs(self, path: str) -> tuple[int, int, int]:
+        """Coalesce a table's accumulated deletion-vector sidecar dirs
+        into one (Delta REORG-light): metadata + dv sidecar only — k
+        narrow deletes no longer cost k sidecar opens per scan task.
+        Returns (version, dv_bearing_files, dirs_folded); see
+        sinks/versioned.reorg_dvs."""
+        from .sinks.versioned import reorg_dvs
+
+        return reorg_dvs(self.spark, path)
+
     def ingest_dedup_stream(self, docs: DataFrame, corpus_path: str,
                             checkpoint: str, threshold: float = 0.5):
         """Continuous corpus building with near-duplicate gating: each

@@ -520,6 +520,15 @@ def _tracked_col_sets(m: dict) -> tuple[set, set]:
     return plain, blooms
 
 
+# Ops that never REMOVE or REWRITE data files and never change row
+# state beyond adding rows: safe to interleave with (and rebase over)
+# for every conflict rule, and safe for incremental readers to cross.
+#   append    — adds files only
+#   analyze   — metadata-only stats backfill (same files, rows, dvs)
+#   reorg-dv  — metadata+dv-sidecar-only dv coalescing (same files,
+#               same live rows; dv positions merely re-homed)
+_APPEND_SAFE_OPS = ("append", "analyze", "reorg-dv")
+
 _BLOOM_KEY = "__bloom__:"  # manifest stats key prefix for per-file blooms
 # per-file ROW COUNT stats key, stored as a degenerate [n, n] range so
 # the stats sidecar round-trips it unmodified. Recorded at every commit
@@ -1596,7 +1605,7 @@ def _append_only_interleave(
             return None
         # analyze is metadata-only (same file list, same rows, same
         # dvs): as harmless to interleave with as an append
-        if _read_manifest(path, v)["op"] not in ("append", "analyze"):
+        if _read_manifest(path, v)["op"] not in _APPEND_SAFE_OPS:
             return None
     head_m = _read_manifest(path, head_v)
     base_files = set(_read_manifest(path, base_v)["files"])
@@ -1621,7 +1630,7 @@ def _disjoint_append_interleave(
     for v in range(base_v + 1, head_v + 1):
         if not os.path.exists(_manifest_path(path, v)):
             return None
-        if _read_manifest(path, v)["op"] not in ("append", "analyze"):
+        if _read_manifest(path, v)["op"] not in _APPEND_SAFE_OPS:
             return None
     head_m = _read_manifest(path, head_v)
     appended = [f for f in head_m["files"] if f not in base_files]
@@ -2052,7 +2061,7 @@ def table_changes(
             df = spark.read.option("mergeSchema", "true").parquet(cdir)
             if df.isEmpty():
                 continue
-        elif m["op"] in ("append", "analyze"):
+        elif m["op"] in _APPEND_SAFE_OPS:
             # analyze commits change no row state: added is empty
             base = (
                 set(_read_manifest(path, v - 1)["files"]) if v > 0 else set()
@@ -2092,7 +2101,7 @@ def read_changes(
     delta, and silently treating them as new rows would double-count."""
     to_v = latest_version(path) if to_version is None else to_version
     for v in range(after_version + 1, to_v + 1):
-        if _read_manifest(path, v)["op"] not in ("append", "analyze"):
+        if _read_manifest(path, v)["op"] not in _APPEND_SAFE_OPS:
             raise ValueError(
                 f"version {v} rewrote row state (op "
                 f"{_read_manifest(path, v)['op']!r}); incremental reads "
@@ -2315,11 +2324,13 @@ def describe_table(path: str) -> dict:
         "txn": {k: int(v) for k, v in m.get("txn", {}).items()},
         "change_feed_versions": cdf_versions,
         # merge-on-read debt: files carrying deletion vectors and the
-        # total rows anti-joined on every read — compact_version purges
+        # total rows anti-joined on every read — compact_version purges;
+        # dv_dirs is the read-side sidecar-open count reorg_dvs folds
         "dv_files": len(dv_map),
         "dv_deleted_rows": sum(
             e["n"] for es in dv_map.values() for e in es
         ),
+        "dv_dirs": len({e["d"] for es in dv_map.values() for e in es}),
     }
 
 
@@ -3164,3 +3175,90 @@ def merge_version_dv(
 
     return _commit_with_rebase(path, attempt, rebase, cleanup,
                                what="dv merge")
+
+
+def reorg_dvs(spark: SparkSession, path: str) -> tuple[int, int, int]:
+    """Coalesce every file's accumulated deletion-vector dirs into ONE
+    consolidated sidecar dir (a Delta ``REORG``-light): metadata + dv
+    sidecar only — no data file is read or rewritten and no row state
+    changes. Why: each narrow dv delete/merge appends one ``_dv/`` dir
+    per commit, and every read unions ALL dirs touching its files — k
+    deletes = k sidecar opens per scan task. After the reorg each
+    dv-bearing file maps to exactly one dir, so read-side dv opens drop
+    back to one however long the delete history; ``expire_versions``
+    then reclaims the old dirs once no surviving manifest references
+    them. The FULL purge (rewriting files dv-free) remains
+    ``compact_version``; this is the cheap intermediate for tables
+    whose maintenance window can't afford the rewrite.
+
+    Cost: one distributed pass over O(deleted rows) (the dv dirs),
+    never the table. Rows for files no longer in the snapshot (left
+    behind in shared dirs by partial compactions) are dropped via a
+    broadcast semi-join against the manifest's dv-bearing file list.
+
+    Concurrency: the commit records op ``reorg-dv`` — an _APPEND_SAFE_OP
+    (no file removed/rewritten, live rows identical), so every other
+    writer's rebase rule may carry it. Losing the CAS to append/analyze/
+    reorg interleaves rebases (appends carry the base dv map verbatim,
+    so the consolidated map replaces it 1:1); a dv-writing or rewriting
+    interleave is a true conflict (it changed the dv content this reorg
+    folded) and surfaces VersionConflictError — re-run.
+
+    Returns (version, dv_bearing_files, dv_dirs_folded). A table whose
+    dv map already uses <= 1 dir commits nothing and returns the
+    current head."""
+    from pyspark.sql import functions as F
+
+    path = _norm_path(path)
+    v = latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no versions committed at {path}")
+    m = _read_manifest(path, v)
+    dv_map = {f: list(e) for f, e in m.get("dv", {}).items()}
+    dirs_before = sorted({e["d"] for es in dv_map.values() for e in es})
+    if len(dirs_before) <= 1:
+        return v, len(dv_map), len(dirs_before)  # nothing to fold
+    new_v = v + 1
+    dvdir = os.path.join(_dv_root(path),
+                         f"v{new_v}-reorg-{uuid.uuid4().hex[:8]}")
+    keys = spark.createDataFrame([(f,) for f in dv_map],
+                                 f"{_DV_FILE} string")
+    (
+        spark.read.parquet(*dirs_before)
+        .select(_DV_FILE, _DV_POS)
+        .distinct()  # defensive: positions are disjoint by construction
+        .join(F.broadcast(keys), _DV_FILE, "semi")
+        .write.mode("overwrite").parquet(dvdir)
+    )
+    counts = {
+        r[_DV_FILE]: int(r["n"])
+        for r in spark.read.parquet(dvdir)
+        .groupBy(_DV_FILE).agg(F.count("*").alias("n")).collect()
+    }
+    new_dv = {f: [{"d": dvdir, "n": n}] for f, n in counts.items()}
+    base_v, cur_m = v, m
+
+    def attempt() -> tuple[int, int, int]:
+        _commit(
+            path, base_v + 1, cur_m["files"], "reorg-dv",
+            {}, txn=cur_m.get("txn", {}), dv=new_dv,
+            base_stats=cur_m.get("stats"),
+        )
+        return base_v + 1, len(new_dv), len(dirs_before)
+
+    def rebase(head):
+        # append/analyze/reorg interleaves never change existing files'
+        # dv entries (appends carry the base map forward verbatim), so
+        # the consolidated map still replaces the head's 1:1; anything
+        # else changed the dv content this reorg folded — true conflict
+        nonlocal base_v, cur_m
+        ai = _append_only_interleave(path, base_v, head)
+        if ai is None:
+            raise
+        base_v, cur_m = head, ai[1]
+
+    return _commit_with_rebase(
+        path, attempt, rebase,
+        cleanup=lambda: _drop_dv_dir(dvdir),
+        what="dv reorg",
+    )

@@ -165,7 +165,8 @@ class CdfStreamReader(DataSourceStreamReader):
         return {"version": head}
 
     def partitions(self, start: dict, end: dict) -> list[ChangeFilePartition]:
-        from ..sinks.versioned import _change_dir_for, _read_manifest
+        from ..sinks.versioned import (_APPEND_SAFE_OPS, _change_dir_for,
+                                       _read_manifest)
 
         s, e = int(start["version"]), int(end["version"])
         self._cursor = max(self._cursor or -1, s, e)
@@ -178,7 +179,7 @@ class CdfStreamReader(DataSourceStreamReader):
                     if f.endswith(".parquet"):
                         parts.append(ChangeFilePartition(
                             os.path.join(cdir, f), v, None))
-            elif m["op"] in ("append", "analyze"):
+            elif m["op"] in _APPEND_SAFE_OPS:
                 base = (set(_read_manifest(self._path, v - 1)["files"])
                         if v > 0 else set())
                 for f in m["files"]:
