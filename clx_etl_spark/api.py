@@ -59,7 +59,7 @@ class Engine:
         sinks/versioned.count_rows_meta)."""
         from .sinks.versioned import count_rows_meta
 
-        return count_rows_meta(path, version=version)
+        return count_rows_meta(path, version=version, spark=self.spark)
 
     def table_min_max(self, path: str, col: str,
                       version: int | None = None) -> tuple | None:

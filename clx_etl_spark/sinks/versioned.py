@@ -2384,15 +2384,21 @@ def files_table(spark: SparkSession, path: str,
     return spark.createDataFrame(out, schema)
 
 
-def count_rows_meta(path: str, version: int | None = None) -> int:
+def count_rows_meta(path: str, version: int | None = None,
+                    spark: SparkSession | None = None) -> int:
     """Exact ``COUNT(*)`` answered from table METADATA alone — the
     Delta/Iceberg metadata-query shape. Per-file row counts are
     recorded in the manifest at commit (``__rows__`` stats key, written
     by every engine/DSv2 writer since r08); dv-tombstoned rows subtract
     off per the manifest's dv map. Files committed by older revisions
-    fall back to one FOOTER read each (KB; still no data pages). At
-    100 TB this turns the hottest audit query there is (A1/A4 watermark
-    row counts, ingestion monitoring) into a manifest read."""
+    fall back to one FOOTER read each (KB; still no data pages) — and
+    past ~200 such legacy files the footer reads DISTRIBUTE as one
+    no-shuffle task batch instead of a serial driver loop (``spark``
+    explicit, else the active session; no session = serial, still
+    bounded at KB/file). ``analyze_table`` backfills ``__rows__`` so
+    the fallback pays at most once per legacy table. At 100 TB this
+    turns the hottest audit query there is (A1/A4 watermark row counts,
+    ingestion monitoring) into a manifest read."""
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no versions committed at {path}")
@@ -2407,11 +2413,24 @@ def count_rows_meta(path: str, version: int | None = None) -> int:
         else:
             rows += int(r[0])
     if missing:
-        import pyarrow.parquet as pq
-
-        rows += sum(pq.ParquetFile(f).metadata.num_rows for f in missing)
+        spark = spark or SparkSession.getActiveSession()
+        if spark is not None and len(missing) > _STATS_DISTRIBUTE_MIN_FILES:
+            rows += sum(
+                spark.sparkContext
+                .parallelize(missing, min(len(missing), 1024))
+                .map(_footer_rows)
+                .collect()
+            )
+        else:
+            rows += sum(_footer_rows(f) for f in missing)
     dead = sum(e["n"] for es in m.get("dv", {}).values() for e in es)
     return rows - dead
+
+
+def _footer_rows(f: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f).metadata.num_rows
 
 
 def min_max_meta(path: str, col: str,

@@ -141,6 +141,17 @@ class TableDataSource(DataSource):
     timestampAsOf  epoch ms — newest commit at-or-before (TIMESTAMP AS OF)
     outSchema      DDL override (else derived from the snapshot's first
                    parquet footer; evolution-gap columns read as NULL)
+
+    SQL surface on catalog tables (``CREATE TABLE ... USING clx_table
+    LOCATION ...``): SELECT, INSERT INTO, INSERT OVERWRITE. Row-level
+    SQL — UPDATE / DELETE / MERGE INTO — is refused by Spark's analyzer
+    before any data is touched (pyspark 4.1's Python DSv2 exposes no
+    SupportsRowLevelOperations; probed r09, pinned by
+    test_clx_table_sql_row_level_dml_fails_loudly): use the Engine
+    doors instead — ``merge_version`` / ``merge_version_dv`` for
+    MERGE/UPDATE, ``delete_version`` / ``delete_version_dv`` /
+    ``delete_keys_dv`` for DELETE. CTAS likewise requires the
+    documented two-step (seed with write_table_source, then CREATE).
     """
 
     @classmethod
@@ -671,6 +682,43 @@ class TableStreamWriter(DataSourceStreamArrowWriter):
                 "clx-table-stream-"
                 + _hashlib.md5(ckpt.encode()).hexdigest()[:12]
             )
+            # RUNTIME upgrade signal (ADVICE r08): pre-r08 the default
+            # identity hashed the TABLE PATH. If the table carries a
+            # watermark under that legacy id and none under the new
+            # checkpoint-derived one, this is very likely an existing
+            # stream resuming its old checkpoint across the upgrade —
+            # warn loudly, naming the exact option that restores
+            # watermark continuity. (No automatic fallback: honoring
+            # the legacy watermark under a FRESH checkpoint is the
+            # silent-data-loss bug the r08 change fixed.)
+            legacy = (
+                "clx-table-stream-"
+                + _hashlib.md5(self._path.encode()).hexdigest()[:12]
+            )
+            try:
+                from ..sinks.versioned import _read_manifest, latest_version
+
+                head = latest_version(self._path)
+                txn_map = (_read_manifest(self._path, head).get("txn", {})
+                           if head is not None else {})
+            except Exception:
+                txn_map = {}
+            if legacy in txn_map and self._app_id not in txn_map:
+                import warnings
+
+                warnings.warn(
+                    "clx_table stream writer: this table's exactly-once "
+                    f"watermark was recorded under the LEGACY identity "
+                    f"{legacy!r} (pre-r08 default: table-path hash), but "
+                    "this stream will commit under the checkpoint-derived "
+                    f"identity {self._app_id!r}. If this is the same "
+                    "logical stream resuming its old checkpoint, one "
+                    "in-flight batch may replay once — set "
+                    f".option('txnAppId', '{legacy}') to retain the "
+                    "legacy watermark. A stream with a fresh checkpoint "
+                    "should keep the new identity.",
+                    stacklevel=2,
+                )
         else:
             raise ValueError(
                 "clx_table stream writer needs an exactly-once identity: "

@@ -609,6 +609,45 @@ def test_clx_table_catalog_sql_dml(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t}_ctas")
 
 
+def test_clx_table_sql_row_level_dml_fails_loudly(spark, tmp_path):
+    """SQL UPDATE / DELETE / MERGE on a catalog clx_table table (r09
+    probe): pyspark 4.1's Python DSv2 has no SupportsRowLevelOperations,
+    so Spark's analyzer refuses all three BEFORE any data is touched —
+    a loud dead-end, never a silent no-op. There is no API hook to
+    customize the message, so the redirect to the Engine doors
+    (merge_version / merge_version_dv / delete_version / delete_keys_dv)
+    lives in the docs (README 'catalog tables', table_source docstring).
+    This pins the refusal so a Spark upgrade that ADDS the capability
+    surfaces as a test failure -> implement, don't document."""
+    import uuid as _uuid
+
+    import pytest
+
+    from clx_etl_spark.sources.table_source import (TableDataSource,
+                                                    write_table_source)
+
+    spark.dataSource.register(TableDataSource)
+    path = str(tmp_path / "vt")
+    write_table_source(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        path, stats_cols=["id"])
+    t = f"clx_dml_probe_{_uuid.uuid4().hex[:8]}"
+    try:
+        spark.sql(f"CREATE TABLE {t} USING clx_table LOCATION '{path}'")
+        with pytest.raises(Exception, match="does not support UPDATE"):
+            spark.sql(f"UPDATE {t} SET v = 'x' WHERE id = 1")
+        with pytest.raises(Exception, match="does not support deletes"):
+            spark.sql(f"DELETE FROM {t} WHERE id = 1")
+        with pytest.raises(Exception, match="does not support MERGE"):
+            spark.sql(
+                f"MERGE INTO {t} USING (SELECT 1 AS id, 'z' AS v) s "
+                f"ON {t}.id = s.id WHEN MATCHED THEN UPDATE SET *")
+        # nothing was touched: the table still answers, rows intact
+        assert spark.sql(f"SELECT count(*) c FROM {t}").first().c == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_clx_table_reader_limit_option_early_stop(spark, tmp_path):
     """Opt-in LIMIT (r08 — the Python DSv2 API has no pushLimit): the
     ``limit`` option caps each partition's decoded output, streaming
@@ -633,3 +672,66 @@ def test_clx_table_reader_limit_option_early_stop(spark, tmp_path):
     assert len(batches) == 1
     # DataFrame door: pair the option with .limit(n)
     assert read_table_source(spark, path, limit=3).limit(3).count() == 3
+
+
+def test_stream_writer_legacy_identity_migration_warning(spark, tmp_path):
+    """ADVICE r08: a table whose exactly-once watermark sits under the
+    pre-r08 TABLE-PATH-derived default identity gets a loud runtime
+    warning (naming the exact txnAppId to set) when a stream constructs
+    with the new checkpoint-derived default — the silent-replay upgrade
+    window is signalled instead of discovered. No warning with an
+    explicit txnAppId, and none for tables without a legacy watermark."""
+    import hashlib
+    import warnings
+
+    import pytest
+
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.sources.table_source import TableStreamWriter
+
+    table = str(tmp_path / "vt")
+    legacy = ("clx-table-stream-"
+              + hashlib.md5(table.encode()).hexdigest()[:12])
+    V.append_version(spark.createDataFrame([(1,)], "id long"), table,
+                     txn=(legacy, 3))
+    with pytest.warns(UserWarning, match=f"txnAppId', '{legacy}'"):
+        TableStreamWriter({"path": table,
+                           "checkpointlocation": str(tmp_path / "ck")})
+    # explicit identity or a legacy-free table: silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        TableStreamWriter({"path": table, "txnappid": "explicit-id"})
+    t2 = str(tmp_path / "vt2")
+    V.append_version(spark.createDataFrame([(1,)], "id long"), t2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        TableStreamWriter({"path": t2,
+                           "checkpointlocation": str(tmp_path / "ck2")})
+
+
+def test_count_rows_meta_distributed_legacy_fallback(spark, tmp_path,
+                                                     monkeypatch):
+    """VERDICT r08 #6: pre-r08 files (no __rows__ stats key) fall back
+    to footer reads — past the distribution threshold those reads ship
+    as one no-shuffle task batch instead of a serial driver loop, and
+    both paths agree."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import clx_etl_spark.sinks.versioned as V
+
+    path = str(tmp_path / "vt")
+    sub = os.path.join(path, "data", "v0-legacy")
+    os.makedirs(sub)
+    files = []
+    for i in range(6):
+        f = os.path.join(sub, f"part-{i}.parquet")
+        pq.write_table(pa.table({"id": pa.array(range(i + 1))}), f)
+        files.append(f)
+    V._commit(path, 0, files, "append", {})  # legacy: no stats at all
+    assert V.count_rows_meta(path) == 21  # serial fallback
+    monkeypatch.setattr(V, "_STATS_DISTRIBUTE_MIN_FILES", 1)
+    assert V.count_rows_meta(path, spark=spark) == 21  # distributed
+    assert V.count_rows_meta(path) == 21  # active-session discovery
