@@ -364,6 +364,113 @@ def _probe_dv_manifest_size() -> dict:
     return out
 
 
+def _probe_append_metadata_flat(spark) -> dict:
+    """The r09 incremental-metadata claim: an append's COMMIT metadata
+    work is O(batch), not O(table). Seeds tables of 100 / 2,000 /
+    10,000 synthetic stats+bloom-bearing files (the data files never
+    exist — only metadata is exercised), then runs 20 real one-file
+    appends against each and reports the MEDIAN _commit wall time and
+    MEDIAN new-sidecar bytes written per append. Pre-r09 every append
+    re-serialized the full per-file stats map (bloom payloads included)
+    — O(table) bytes per commit; now a delta segment is KB whatever the
+    table size, with one O(table) coalesce every _STATS_SEGMENT_MAX
+    carries (the Delta-checkpoint cadence — reported separately as the
+    max)."""
+    import shutil
+    import statistics
+    import tempfile
+
+    import clx_etl_spark.sinks.versioned as V
+
+    out: dict = {}
+    m_bits = 1 << 14
+    for n_files in (100, 2_000, 10_000):
+        files, stats = [], {}
+        for i in range(n_files):
+            f = f"/nonexistent/data/f{i:06d}.parquet"
+            files.append(f)
+            lo, hi = i * 100, i * 100 + 99
+            stats[f] = {
+                "id": [lo, hi],
+                "__rows__": [100, 100],
+                V._BLOOM_KEY + "id": {
+                    "m": m_bits,
+                    "b": V._bloom_build(range(lo, hi + 1, 7), m_bits),
+                },
+            }
+        d = tempfile.mkdtemp() + "/t"
+        V._commit(d, 0, files, "overwrite", stats)
+        mdir = os.path.join(d, "_manifests")
+        orig = V._commit
+        commit_s: list[float] = []
+
+        def timed(*a, **kw):
+            t0 = time.perf_counter()
+            r = orig(*a, **kw)
+            commit_s.append(time.perf_counter() - t0)
+            return r
+
+        V._commit = timed
+        seg_bytes: list[int] = []
+        try:
+            df = spark.createDataFrame(
+                [(10**9, "x")], "id long, v string").coalesce(1)
+            df.localCheckpoint(eager=True)
+            for k in range(20):
+                before = set(os.listdir(mdir))
+                V.append_version(df, d, stats_cols=["id"],
+                                 bloom_cols=["id"])
+                seg_bytes.append(sum(
+                    os.path.getsize(os.path.join(mdir, e))
+                    for e in set(os.listdir(mdir)) - before
+                    if e.endswith(".parquet")
+                ))
+        finally:
+            V._commit = orig
+        out[f"append_commit_s_{n_files}"] = round(
+            statistics.median(commit_s), 4)
+        out[f"append_meta_bytes_{n_files}"] = int(
+            statistics.median(seg_bytes))
+        out[f"append_meta_bytes_max_{n_files}"] = max(seg_bytes)  # coalesce
+        shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+    return out
+
+
+def _probe_dv_reorg(spark) -> dict:
+    """The r09 reorg_dvs claim: k narrow dv deletes leave k sidecar
+    dirs unioned by every read; one metadata-only reorg folds them to 1
+    and the dv-applied read gets cheaper, rows identical."""
+    import shutil
+    import tempfile
+
+    import clx_etl_spark.sinks.versioned as V
+
+    d = tempfile.mkdtemp() + "/t"
+    out: dict = {}
+    try:
+        V.append_version(
+            spark.range(200_000).selectExpr(
+                "id", "cast(id as double) as x").repartition(8),
+            d, stats_cols=["id"], bloom_cols=["id"])
+        for k in range(20):
+            V.delete_version_dv(spark, d, "id", k * 1000, k * 1000 + 50)
+        out["dv_dirs_before"] = V.describe_table(d)["dv_dirs"]
+        t0 = time.perf_counter()
+        n_before = V.read_version(spark, d).count()
+        out["read_s_before"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        V.reorg_dvs(spark, d)
+        out["reorg_s"] = round(time.perf_counter() - t0, 3)
+        out["dv_dirs_after"] = V.describe_table(d)["dv_dirs"]
+        t0 = time.perf_counter()
+        n_after = V.read_version(spark, d).count()
+        out["read_s_after"] = round(time.perf_counter() - t0, 3)
+        assert n_before == n_after == 200_000 - 20 * 51
+    finally:
+        shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark("clx-scale-probe")
     reg = load_all()
@@ -399,10 +506,14 @@ def main() -> None:
     planning = _probe_manifest_planning()
     commit_flat = _probe_commit_driver_flat(spark)
     dv_size = _probe_dv_manifest_size()
+    meta_flat = _probe_append_metadata_flat(spark)
+    dv_reorg = _probe_dv_reorg(spark)
     print(json.dumps({"sfs": SFS, "times": results, "pruning": ratios,
                       "manifest_planning_s": planning,
                       "commit_driver_flat": commit_flat,
-                      "dv_manifest_bytes": dv_size}))
+                      "dv_manifest_bytes": dv_size,
+                      "append_metadata_flat": meta_flat,
+                      "dv_reorg": dv_reorg}))
     print(f"\n{'query':32s} {'sf.001':>8s} {'sf.01':>8s} {'sf.1':>8s} "
           f"{'r(10x)':>7s} {'r(100x)':>8s}")
     for name, t in results.items():
@@ -424,6 +535,18 @@ def main() -> None:
     for mode in ("inline", "default"):
         row = [dv_size[f"dv_manifest_{mode}_{k}"] for k in (100, 1000, 5000)]
         print(f"{mode:32s} {row[0]:8d} {row[1]:8d} {row[2]:8d}")
+    print("\nappend metadata (median commit s / median seg bytes / "
+          "max=coalesce, 100/2000/10000-file tables):")
+    for n in (100, 2_000, 10_000):
+        print(f"{n:>6d} files  "
+              f"{meta_flat[f'append_commit_s_{n}']:8.4f}s  "
+              f"{meta_flat[f'append_meta_bytes_{n}']:>10d}B  "
+              f"max {meta_flat[f'append_meta_bytes_max_{n}']:>10d}B")
+    print(f"\ndv reorg: dirs {dv_reorg['dv_dirs_before']} -> "
+          f"{dv_reorg['dv_dirs_after']}, read "
+          f"{dv_reorg['read_s_before']:.2f}s -> "
+          f"{dv_reorg['read_s_after']:.2f}s, reorg "
+          f"{dv_reorg['reorg_s']:.2f}s")
     spark.stop()
 
 
