@@ -52,15 +52,18 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # oracle suite (tests/test_queries_oracle.py) always sweeps everything
 # at sf0.01 regardless.
 SWEEP_FRONT: list[str] = [
-    # ---- round-8 front ----
-    # new this round (no driver row yet): metadata-only aggregates and
-    # the catalog SQL DML door
+    # ---- round-9 front ----
+    # new this round (no driver row yet): dv-sidecar reorg and the
+    # incremental stats-segment scan
+    "versioned_dv_reorg",
+    "versioned_segment_scan",
+    # backing code changed this round (incremental sidecar segments +
+    # by-reference carry, shared CAS-rebase helper, uuid-owned change
+    # feeds, DSv2 row-group pruning, analyze sentinels, distributed
+    # row-count fallback): re-prove the whole versioned family
     "versioned_meta_agg",
     "versioned_catalog_dml",
     "versioned_analyze_backfill",
-    # backing code changed this round (executor-side commit stats,
-    # __rows__ manifest key, dv-map sidecar, streamed DSv2 reads,
-    # schema-metadata catalog path): re-prove the whole versioned family
     "versioned_sql_write",
     "versioned_sql_scan",
     "versioned_dv_delete",
@@ -73,49 +76,9 @@ SWEEP_FRONT: list[str] = [
     "ivm_rollup_extrema_from_cdf",
     "versioned_clone_divergence",
     "versioned_time_travel_ts",
-    # similarity.quantize_exact gained the lattice range guard: re-prove
-    # its two consumers
-    "pq_ann",
-    "sim_knn_ivfpq",
-    # freshness: the full r03 cohort (stalest cumulative proofs)
-    "sim_srp_near_dup",
-    "span_dedup_rewrite",
-    "span_dup_stats",
-    "t2_normalize_enum_split",
-    "t3_t4_precision_roundtrip",
-    "text_fingerprints",
-    "text_lang_id",
-    "text_quality_scores",
-    "text_repetition_signals",
-    "text_token_counts",
-    "training_mix",
-    "u4_intersect_repeat_buyers",
-    "u5_except_all_multiset",
-    "unpivot_melt",
-    # freshness: first 20 of the 49-row r04 cohort (alphabetical; the
-    # remaining 29 lead the r09 front)
-    "a1_watermark",
-    "a2_integrity_hourly",
-    "a3_latest_per_key",
-    "a6_distinct_users",
-    "asof_last_purchase",
-    "bpe_pair_stats",
-    "chunk_documents",
-    "cohort_retention",
-    "dedup_incremental",
-    "densify_hourly_grid",
-    "dsir_importance_weights",
-    "ema_per_user",
-    "embed_quantize_int8",
-    "f6_stale_keys",
-    "funnel_conversion",
-    "j2_full_outer_merge",
-    "json_props_extract",
-    "lm_bigram_doc_scores",
-    "mm_media_metadata",
+    # freshness: the full remaining r04 cohort (stalest cumulative
+    # proofs — retires r04, new floor r05)
     "percentiles_by_group",
-    # ---- position 51+: past the driver's ~50 cap (r09 backfill: the
-    # remaining r04 rows)
     "pii_redact",
     "pivot_event_values",
     "quality_weighted_sample",
@@ -145,6 +108,8 @@ SWEEP_FRONT: list[str] = [
     "w4_moving_frame",
     "w4_range_frame",
     "w4_rank_variants",
+    # ---- position 48+: at/past the driver's ~50 cap (next-stalest: the
+    # r05 cohort leads the r10 front)
     # rows-only (no hash oracle by design; driver records rows-only)
     "sketch_daily_users",
     "bpe_train_encode",

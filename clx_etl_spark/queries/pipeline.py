@@ -623,6 +623,137 @@ def versioned_dv_delete(spark, sf):
 
 
 @register(
+    "versioned_dv_reorg",
+    oracle="""
+    WITH b AS (SELECT MAX(o_orderkey) // 4 + 1 AS step FROM orders)
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o, b
+    WHERE NOT (o.o_orderkey BETWEEN b.step // 2
+                                AND b.step // 2 + b.step // 10)
+      AND NOT (o.o_orderkey BETWEEN 3 * b.step + b.step // 2
+                                AND 3 * b.step + b.step // 2 + b.step // 10)
+    """,
+    doc="Deletion-vector REORG through the ACTUAL lakehouse maintenance "
+    "path (sinks/versioned.reorg_dvs — Delta REORG-light, r09): orders "
+    "seeds a versioned table in four key-range appends, two narrow "
+    "range deletes land as two dv sidecar dirs, then reorg_dvs folds "
+    "them into ONE consolidated dir — metadata + dv sidecar only; the "
+    "query ASSERTS the data-file list stayed byte-identical AND the "
+    "read-side dv-dir count dropped 2 -> 1. The returned rows are read "
+    "back dv-applied AFTER the reorg, so the hash oracle proves the "
+    "consolidated vectors tombstone exactly the same rows",
+)
+def versioned_dv_reorg(spark, sf):
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import (_read_manifest, append_version,
+                                   delete_version_dv, describe_table,
+                                   latest_version, read_version, reorg_dvs)
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="clx_vdr_")
+    path = tmp + "/t"
+    try:
+        hi = orders.agg(F.max("o_orderkey")).first()[0] or 1
+        step = hi // 4 + 1
+        for i in range(4):
+            sl = orders.filter(
+                (F.col("o_orderkey") >= i * step)
+                & (F.col("o_orderkey") < (i + 1) * step)
+            )
+            append_version(sl.coalesce(1), path, stats_cols=["o_orderkey"])
+        seeded = _read_manifest(path, latest_version(path))["files"]
+        delete_version_dv(spark, path, "o_orderkey",
+                          step // 2, step // 2 + step // 10)
+        delete_version_dv(spark, path, "o_orderkey",
+                          3 * step + step // 2,
+                          3 * step + step // 2 + step // 10)
+        if describe_table(path)["dv_dirs"] != 2:
+            raise AssertionError("expected one dv dir per delete commit")
+        reorg_dvs(spark, path)
+        d = describe_table(path)
+        m = _read_manifest(path, latest_version(path))
+        if d["dv_dirs"] != 1 or m["files"] != seeded:
+            raise AssertionError(
+                "reorg must fold dv dirs to one without touching files"
+            )
+        out = read_version(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
+    "versioned_segment_scan",
+    oracle="""
+    WITH b AS (SELECT MAX(o_orderkey) // 8 + 1 AS step FROM orders)
+    SELECT o.o_orderkey, o.o_totalprice, o.o_custkey,
+           CAST(NULL AS DOUBLE) AS z
+    FROM orders o, b
+    WHERE o.o_orderkey BETWEEN b.step AND 3 * b.step
+    """,
+    doc="Incremental stats-sidecar SEGMENTS through the ACTUAL commit "
+    "path (r09 — the Iceberg manifest-list / Delta-checkpoint shape): "
+    "orders seeds a versioned table in eight key-range appends with the "
+    "sidecar threshold forced to 0 and the coalesce cadence to 4, so "
+    "the history exercises delta-segment carry AND a mid-chain "
+    "coalesce; ANALYZE then backfills o_custkey bounds as an O(todo) "
+    "delta segment and records a conservative [None,None] SENTINEL for "
+    "an all-null column (re-run = metadata no-op, ADVICE r08). The "
+    "returned rows come from scan_version over the segment-backed "
+    "manifest — the hash oracle proves segment-merged pruning loses no "
+    "row; the query additionally ASSERTS the range prune skipped files "
+    "and min_max_meta falls back (None) on the sentinel column",
+)
+def versioned_segment_scan(spark, sf):
+    import shutil
+    import tempfile
+
+    from ..sinks import versioned as V
+    from ..sinks.versioned import (analyze_table, append_version,
+                                   min_max_meta, pruned_file_count,
+                                   scan_version)
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_custkey"
+    ).withColumn("z", F.lit(None).cast("double"))
+    tmp = tempfile.mkdtemp(prefix="clx_vss_")
+    path = tmp + "/t"
+    old_min, old_max = V._STATS_SIDECAR_MIN_FILES, V._STATS_SEGMENT_MAX
+    V._STATS_SIDECAR_MIN_FILES, V._STATS_SEGMENT_MAX = 0, 4
+    try:
+        hi = orders.agg(F.max("o_orderkey")).first()[0] or 1
+        step = hi // 8 + 1
+        for i in range(8):
+            sl = orders.filter(
+                (F.col("o_orderkey") >= i * step)
+                & (F.col("o_orderkey") < (i + 1) * step)
+            )
+            append_version(sl.coalesce(1), path, stats_cols=["o_orderkey"])
+        v1 = analyze_table(spark, path, stats_cols=["o_custkey", "z"])
+        if analyze_table(spark, path, stats_cols=["o_custkey", "z"]) != v1 + 1:
+            raise AssertionError("analyze re-run should commit head+1")
+        m = V._read_manifest(path, V.latest_version(path))
+        if not isinstance(m.get("stats"), V._SidecarStats):
+            raise AssertionError("expected segment-backed stats")
+        if min_max_meta(path, "z") is not None:
+            raise AssertionError("sentinel column must fall back to scan")
+        kept, total = pruned_file_count(path, "o_orderkey", step, 3 * step)
+        if not (kept < total):
+            raise AssertionError("segment-backed range prune skipped nothing")
+        out = scan_version(
+            spark, path, "o_orderkey", step, 3 * step
+        ).localCheckpoint(eager=True)
+    finally:
+        V._STATS_SIDECAR_MIN_FILES, V._STATS_SEGMENT_MAX = old_min, old_max
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
     "versioned_change_feed",
     oracle="""
     WITH appends AS (
