@@ -1339,14 +1339,18 @@ def analyze_table(
         m = _read_manifest(path, v)
         # the todo test needs only column NAMES per file — never bloom
         # payload bytes (segment-backed manifests read the kilobyte
-        # col/file columns)
+        # col/file columns). __rows__ joins the test so ANALYZE also
+        # upgrades pre-r08 files onto the metadata-only COUNT(*) path
+        # (count_rows_meta's documented once-only fallback).
         have = _stats_for_cols(
-            m, sorted(set(stats_cols) | set(want_blooms)), blooms=False)
+            m, sorted(set(stats_cols) | set(want_blooms) | {_ROWS_KEY}),
+            blooms=False)
         todo = [
             f for f in m["files"]
             if any(c not in have.get(f, {}) for c in stats_cols)
             or any(_BLOOM_KEY + c not in have.get(f, {})
                    for c in want_blooms)
+            or _ROWS_KEY not in have.get(f, {})
         ]
         derived = _derive_stats(spark, todo, stats_cols, want_blooms or None)
         # SENTINELS for analyzed-but-underivable entries: a column with
@@ -2117,10 +2121,13 @@ def read_changes(
 
 def expire_versions(path: str, keep_latest: int = 1,
                     dry_run: bool = False,
-                    keep_since_ms: int | None = None) -> list[str]:
-    """Drop all but the newest ``keep_latest`` manifests and delete data
-    files no surviving manifest references (including crashed-writer
-    orphans under data/). TAGGED versions are retention leases: their
+                    keep_since_ms: int | None = None,
+                    orphan_grace_ms: int = 600_000) -> list[str]:
+    """Drop all but the newest ``keep_latest`` manifests and delete
+    artifacts no surviving manifest references — data files, stats
+    sidecar segments (shared across versions by the incremental carry,
+    so reclaimable only when NO survivor lists them), dv sidecar dirs,
+    and change-feed dirs. TAGGED versions are retention leases: their
     manifests and files always survive — delete the tag file first to
     release them. ``keep_since_ms`` adds TIME-BASED retention (Delta's
     ``logRetentionDuration`` shape): every version committed at or
@@ -2129,8 +2136,18 @@ def expire_versions(path: str, keep_latest: int = 1,
     version_as_of_timestamp, so ``TIMESTAMP AS OF`` stays answerable
     across the retained window. Returns the deleted file paths.
     ``dry_run=True`` returns what WOULD be deleted without touching
-    anything (the VACUUM DRY RUN audit before an irreversible
-    reclaim)."""
+    anything (the VACUUM DRY RUN audit before an irreversible reclaim).
+
+    ``orphan_grace_ms`` (Delta VACUUM's retention-check shape): an
+    artifact NEVER referenced by any manifest — surviving or expired —
+    may be a concurrent writer's staged-but-not-yet-committed output
+    (data files, delta segments, and change feeds are all written
+    BEFORE the manifest CAS by design), so it is reclaimed only once
+    older than the grace window; artifacts an expired manifest
+    referenced were committed and reclaim immediately. Crashed-writer
+    orphans thus survive one grace period, never forever."""
+    import time as _time
+
     if keep_latest < 1:
         raise ValueError(
             f"keep_latest={keep_latest} would expire the table HEAD — "
@@ -2153,34 +2170,80 @@ def expire_versions(path: str, keep_latest: int = 1,
                 keep.add(int(fh.read().strip()))
     survivors: set[str] = set()
     dv_survivors: set[str] = set()
+    referenced: set[str] = set()  # sidecar file names kept alive
+    referenced_cf: set[str] = set()
     for v in keep:
         m = _read_manifest(path, v)
         survivors.update(m["files"])
         dv_survivors.update(
             e["d"] for es in m.get("dv", {}).values() for e in es
         )
+        with open(_manifest_path(path, v)) as fh:
+            raw = json.load(fh)
+        referenced.update(raw.get("stats_segments", []))
+        for k in ("stats_sidecar", "dv_sidecar"):
+            if raw.get(k):
+                referenced.add(raw[k])
+        if raw.get("cf"):
+            referenced_cf.add(raw["cf"])
+    # artifacts the EXPIRED manifests referenced were committed history:
+    # reclaim immediately. Anything referenced by NO manifest at all may
+    # be in-flight staging — only the grace window may reclaim it.
+    expired_files: set[str] = set()
+    expired_dv: set[str] = set()
+    expired_sc: set[str] = set()
+    expired_cf: set[str] = set()
+    for v in range(0, latest + 1):
+        if v in keep or not os.path.exists(_manifest_path(path, v)):
+            continue
+        try:
+            with open(_manifest_path(path, v)) as fh:
+                raw = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        expired_files.update(raw.get("files", []))
+        expired_dv.update(
+            e["d"] for es in raw.get("dv", {}).values() for e in es
+        )
+        expired_sc.update(raw.get("stats_segments", []))
+        for k in ("stats_sidecar", "dv_sidecar"):
+            if raw.get(k):
+                expired_sc.add(raw[k])
+        if raw.get("cf"):
+            expired_cf.add(raw["cf"])
+    now_ms = _time.time() * 1000
+
+    def _past_grace(p: str) -> bool:
+        try:
+            return now_ms - os.path.getmtime(p) * 1000 >= orphan_grace_ms
+        except OSError:
+            return False  # vanished mid-sweep: nothing to reclaim
     deleted: list[str] = []
     data_root = os.path.join(path, "data")
     for sub in sorted(os.listdir(data_root)) if os.path.exists(data_root) else []:
         subdir = os.path.join(data_root, sub)
         for f in sorted(os.listdir(subdir)):
             full = os.path.join(subdir, f)
-            if f.endswith(".parquet") and full not in survivors:
+            if f.endswith(".parquet") and full not in survivors and (
+                full in expired_files or _past_grace(full)
+            ):
                 if not dry_run:
                     os.remove(full)
                 deleted.append(full)
         if not dry_run and not any(
             f.endswith(".parquet") for f in os.listdir(subdir)
         ):
+            # only Spark's write markers (_SUCCESS, .crc) remain
             for leftover in os.listdir(subdir):
                 os.remove(os.path.join(subdir, leftover))
             os.rmdir(subdir)
-    # dv sidecars no surviving manifest references (expired deletes,
-    # crashed/CAS-losing writers' orphans) are reclaimable the same way
+    # dv sidecar dirs follow the same committed-vs-staged rule
     dv_root = _dv_root(path)
     for d in sorted(os.listdir(dv_root)) if os.path.isdir(dv_root) else []:
         full = os.path.join(dv_root, d)
-        if full not in dv_survivors:
+        if full not in dv_survivors and (
+            full in expired_dv or _past_grace(full)
+        ):
             if not dry_run:
                 _drop_dv_dir(full)
             deleted.append(full)
@@ -2190,40 +2253,27 @@ def expire_versions(path: str, keep_latest: int = 1,
                 os.remove(_manifest_path(path, v))
                 # an expired version's change set is unreadable history too
                 _drop_change_feed(path, v)
-        # sidecar sweep BY REFERENCE: incremental commits share stats
-        # segments across versions (carry-by-reference), so a segment is
-        # reclaimable only when NO surviving manifest lists it — the
-        # same rule as data files. Also reclaims CAS-crashed writers'
-        # orphan sidecars.
-        referenced: set[str] = set()
-        referenced_cf: set[str] = set()
-        for v in keep:
-            try:
-                with open(_manifest_path(path, v)) as fh:
-                    raw = json.load(fh)
-            except (OSError, ValueError):
-                continue
-            referenced.update(raw.get("stats_segments", []))
-            for k in ("stats_sidecar", "dv_sidecar"):
-                if raw.get(k):
-                    referenced.add(raw[k])
-            if raw.get("cf"):
-                referenced_cf.add(raw["cf"])
+        # stats/dv sidecar sweep BY REFERENCE (segments are shared by
+        # the incremental carry): reclaim when no survivor lists them
+        # AND they are provably not in-flight staging
         for entry in os.listdir(mdir):
             if not entry.endswith(".parquet"):
                 continue
+            full = os.path.join(mdir, entry)
             if ("-stats-" in entry or entry.startswith("dv-")) \
-                    and entry not in referenced:
+                    and entry not in referenced and (
+                        entry in expired_sc or _past_grace(full)):
                 try:
-                    os.remove(os.path.join(mdir, entry))
+                    os.remove(full)
                 except OSError:
                     pass
-        # uuid-owned change-feed dirs: reclaim the ones no surviving
-        # manifest names (expired history, CAS losers, crashed writers)
+        # uuid-owned change-feed dirs: same rule
         croot = _changes_root(path)
         if os.path.isdir(croot):
             for entry in os.listdir(croot):
-                if entry.startswith("cf-") and entry not in referenced_cf:
+                if entry.startswith("cf-") and entry not in referenced_cf \
+                        and (entry in expired_cf
+                             or _past_grace(os.path.join(croot, entry))):
                     _drop_change_feed_name(path, entry)
     return deleted
 
@@ -2306,11 +2356,23 @@ def describe_table(path: str) -> dict:
             size += os.path.getsize(f)
         except OSError:
             pass
-    cdf_versions = [
-        v for v in range(0, head + 1)
-        if os.path.exists(_manifest_path(path, v))
-        and _change_dir_for(path, _read_manifest(path, v), v) is not None
-    ]
+    # change-feed coverage from one listdir of the surviving manifests
+    # (raw JSON only — no sidecar wiring) plus the legacy version slots;
+    # never an O(history) _read_manifest loop
+    cdf_versions = set()
+    for entry in os.listdir(mdir):
+        if entry.startswith("v") and entry.endswith(".json"):
+            try:
+                with open(os.path.join(mdir, entry)) as fh:
+                    if json.load(fh).get("cf"):
+                        cdf_versions.add(int(entry[1:-5]))
+            except (OSError, ValueError):
+                continue
+    croot = _changes_root(path)
+    for entry in os.listdir(croot) if os.path.isdir(croot) else []:
+        if entry.startswith("v") and entry[1:].isdigit():
+            cdf_versions.add(int(entry[1:]))
+    cdf_versions = sorted(cdf_versions)
     dv_map = m.get("dv", {})
     return {
         "version": head,

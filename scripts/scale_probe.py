@@ -415,7 +415,7 @@ def _probe_append_metadata_flat(spark) -> dict:
         try:
             df = spark.createDataFrame(
                 [(10**9, "x")], "id long, v string").coalesce(1)
-            df.localCheckpoint(eager=True)
+            df = df.localCheckpoint(eager=True)
             for k in range(20):
                 before = set(os.listdir(mdir))
                 V.append_version(df, d, stats_cols=["id"],

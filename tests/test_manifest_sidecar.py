@@ -305,3 +305,76 @@ def test_analyze_delta_segment_and_sentinels(spark, tmp_path):
     assert raw2["stats_segments"] == raw["stats_segments"]
     # id pruning still exact through the analyze carries
     assert pruned_file_count(path, "id", 205, 205)[0] == 1
+
+
+def test_expire_grace_protects_inflight_staging(spark, tmp_path):
+    """expire_versions vs a concurrent committer (code-review r09): data
+    files, delta segments, and change-feed dirs are all staged BEFORE
+    the manifest CAS, so a never-referenced artifact younger than the
+    grace window must survive the sweep — only committed-then-expired
+    artifacts (and aged-out orphans) reclaim."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clx_etl_spark.sinks.versioned import merge_version
+
+    path = str(tmp_path / "vt")
+    _seed(spark, path, blocks=(0, 100))
+    # a change-feed commit so an expired cf dir exists too
+    merge_version(
+        spark.createDataFrame([(0, "u")], "id long, v string"), path,
+        ["id"], change_feed=True)
+    v0_seg = json.load(open(_manifest_path(path, 0)))["stats_segments"][0]
+    # simulate an in-flight writer mid-commit: staged artifacts with NO
+    # manifest referencing them yet
+    staged_data = os.path.join(path, "data", "v9-staged", "part-0.parquet")
+    os.makedirs(os.path.dirname(staged_data))
+    pq.write_table(pa.table({"id": pa.array([1])}), staged_data)
+    staged_seg = os.path.join(path, "_manifests",
+                              "v9-stats-deadbeef.parquet")
+    pq.write_table(pa.table({"file": pa.array(["x"])}), staged_seg)
+    staged_cf = os.path.join(path, "_changes", "cf-ffffffffffffffff")
+    os.makedirs(staged_cf)
+    pq.write_table(pa.table({"id": pa.array([1])}), staged_cf + "/p.parquet")
+
+    expire_versions(path, keep_latest=1)  # default 10-min grace
+    assert os.path.exists(staged_data)
+    assert os.path.exists(staged_seg)
+    assert os.path.isdir(staged_cf)
+    # committed-then-expired history reclaimed immediately
+    assert not os.path.exists(os.path.join(path, "_manifests", v0_seg))
+    assert read_version(spark, path).count() == 100
+    # an aged-out orphan does reclaim (grace forced to zero)
+    expire_versions(path, keep_latest=1, orphan_grace_ms=0)
+    assert not os.path.exists(staged_data)
+    assert not os.path.exists(staged_seg)
+    assert not os.path.isdir(staged_cf)
+    assert read_version(spark, path).count() == 100
+
+
+def test_analyze_backfills_rows_key_for_legacy_files(spark, tmp_path):
+    """code-review r09: ANALYZE must upgrade pre-r08 files (bounds
+    present, __rows__ absent) onto the metadata-only COUNT(*) path —
+    proven the loud way, by deleting the data files and re-counting."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clx_etl_spark.sinks.versioned import analyze_table, count_rows_meta
+
+    path = str(tmp_path / "vt")
+    sub = os.path.join(path, "data", "v0-legacy")
+    os.makedirs(sub)
+    files, stats = [], {}
+    for i in range(3):
+        f = os.path.join(sub, f"part-{i}.parquet")
+        pq.write_table(pa.table({"id": pa.array(range(i * 10, i * 10 + 5))}),
+                       f)
+        files.append(f)
+        stats[f] = {"id": [i * 10, i * 10 + 4]}  # bounds, NO __rows__
+    V._commit(path, 0, files, "append", stats)
+    analyze_table(spark, path, stats_cols=["id"])
+    m = _read_manifest(path, V.latest_version(path))
+    assert all(V._ROWS_KEY in dict(m["stats"])[f] for f in files)
+    for f in files:
+        os.remove(f)
+    assert count_rows_meta(path) == 15  # answered from metadata alone
