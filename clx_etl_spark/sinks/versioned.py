@@ -3210,12 +3210,14 @@ def merge_version_dv(
     new_files: list[str] = []
     new_stats: dict = {}
     if not up.isEmpty():  # pure-delete batches add no files
+        # bloom presence from column NAMES only (_tracked_col_sets reads
+        # the kilobyte sidecar col column) — the O(batch) merge-on-read
+        # path must never pull every file's bloom payload just to decide
+        # whether to maintain the index
         new_files, new_stats = _write_files(
             up, path, new_v,
             stats_cols or ([kcol] if stats else None),
-            bloom_cols=[kcol] if any(
-                _BLOOM_KEY + kcol in stats.get(f, {}) for f in m["files"]
-            ) else None,
+            bloom_cols=[kcol] if kcol in _tracked_col_sets(m)[1] else None,
         )
     base_v, cur_m = prev, m
 
