@@ -438,17 +438,39 @@ class Engine:
     def commit_version(self, df: DataFrame, path: str,
                        mode: str = "append",
                        stats_cols: list[str] | None = None,
-                       bloom_cols: list[str] | None = None) -> int:
+                       bloom_cols: list[str] | None = None,
+                       evolve: bool = False) -> int:
         """Commit a table snapshot (manifest-based copy-on-write,
         sinks/versioned.py): 'append' adds this batch to the previous
         version's files, 'overwrite' starts fresh. ``stats_cols``
         records per-file min/max (data skipping), ``bloom_cols`` a
         per-file key bloom (point-lookup skipping). Prior versions stay
-        readable until expire_versions."""
+        readable until expire_versions. Batches are schema-enforced
+        against the table's recorded contract; ``evolve=True`` lets a
+        batch ADD nullable columns (Delta mergeSchema —
+        sinks/versioned._enforce_schema)."""
         from .sinks.versioned import append_version, overwrite_version
 
         fn = append_version if mode == "append" else overwrite_version
-        return fn(df, path, stats_cols=stats_cols, bloom_cols=bloom_cols)
+        return fn(df, path, stats_cols=stats_cols, bloom_cols=bloom_cols,
+                  evolve=evolve)
+
+    def add_table_columns(self, path: str, cols) -> int:
+        """METADATA-ONLY ``ALTER TABLE ... ADD COLUMNS`` on a versioned
+        table: widens the recorded schema contract with new nullable
+        columns; existing rows read them as NULL, no data file touched
+        (sinks/versioned.add_columns)."""
+        from .sinks.versioned import add_columns
+
+        return add_columns(path, cols)
+
+    def table_schema(self, path: str, version: int | None = None):
+        """The versioned table's recorded schema contract (StructType)
+        as of ``version`` (default head) — time travel sees the schema
+        of that version (sinks/versioned.table_schema)."""
+        from .sinks.versioned import table_schema
+
+        return table_schema(path, version)
 
     def merge_table_version(self, updates: DataFrame, path: str,
                             keys: list[str],

@@ -1297,3 +1297,80 @@ def versioned_time_travel_ts(spark, sf):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@register(
+    "versioned_schema_evolution",
+    oracle="""
+    SELECT o_orderkey AS okey,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(NULL AS VARCHAR) AS prio,
+           CAST(NULL AS BIGINT) AS qty
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority, NULL
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT o_orderkey, NULL, NULL, CAST(o_orderkey % 97 AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 2
+    """,
+    doc="Schema-contract round-trip through the versioned write path "
+    "(r09, sinks/versioned._enforce_schema): a two-column orders seed "
+    "records the contract; a drifted batch is REFUSED (asserted "
+    "in-query — the loud Delta enforcement shape, closing SURVEY "
+    "§1.3's implicit-dict-schema gap, reference "
+    "databases/doris/__init__.py:177-182), then evolves in with "
+    "evolve=True; a metadata-only add_columns widens the contract "
+    "with NO file touched (asserted); a narrow batch fills typed "
+    "NULLs and its int column silently upcasts into the declared "
+    "BIGINT. The final read-back is hash-checked against the oracle's "
+    "padded UNION — proving enforcement, evolution, typed-NULL fill, "
+    "upcast, and per-version time travel (v0 still reads two columns, "
+    "asserted) all at once",
+)
+def versioned_schema_evolution(spark, sf):
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType
+
+    from ..sinks.versioned import (SchemaEnforcementError, _read_manifest,
+                                   add_columns, append_version,
+                                   read_version, table_schema)
+
+    orders = load_table(spark, sf, "orders")
+    b0 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    b1 = orders.filter(F.col("o_orderkey") % 3 == 1).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    b2 = orders.filter(F.col("o_orderkey") % 3 == 2).select(
+        F.col("o_orderkey").alias("okey"),
+        # INT batch column into the declared BIGINT contract: upcast
+        (F.col("o_orderkey") % 97).cast("int").alias("qty"),
+    )
+    tmp = tempfile.mkdtemp(prefix="clx_vse_")
+    path = tmp + "/t"
+    try:
+        append_version(b0.coalesce(1), path, stats_cols=["okey"])
+        try:  # drift must refuse LOUDLY before any file lands
+            append_version(b1.coalesce(1), path)
+            raise AssertionError("drifted append must be refused")
+        except SchemaEnforcementError:
+            pass
+        append_version(b1.coalesce(1), path, evolve=True)
+        files_before = list(_read_manifest(path, 1)["files"])
+        v = add_columns(path, [("qty", LongType())])
+        if _read_manifest(path, v)["files"] != files_before:
+            raise AssertionError("add_columns must be metadata-only")
+        append_version(b2.coalesce(1), path)
+        if table_schema(path, 0).fieldNames() != ["okey", "price"]:
+            raise AssertionError("v0 must time-travel to the v0 schema")
+        out = read_version(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

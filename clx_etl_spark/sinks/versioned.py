@@ -527,7 +527,9 @@ def _tracked_col_sets(m: dict) -> tuple[set, set]:
 #   analyze   — metadata-only stats backfill (same files, rows, dvs)
 #   reorg-dv  — metadata+dv-sidecar-only dv coalescing (same files,
 #               same live rows; dv positions merely re-homed)
-_APPEND_SAFE_OPS = ("append", "analyze", "reorg-dv")
+#   add-columns — metadata-only schema widening (same files, rows, dvs;
+#               new columns read NULL everywhere until written)
+_APPEND_SAFE_OPS = ("append", "analyze", "reorg-dv", "add-columns")
 
 _BLOOM_KEY = "__bloom__:"  # manifest stats key prefix for per-file blooms
 # per-file ROW COUNT stats key, stored as a degenerate [n, n] range so
@@ -909,6 +911,162 @@ def _validate_constraints(df: DataFrame, path: str) -> None:
         raise ConstraintViolation(path, bad)
 
 
+class SchemaEnforcementError(ValueError):
+    """A batch's schema is incompatible with the table's recorded
+    schema contract (extra columns without ``evolve=True``, or a column
+    type that neither matches nor safely upcasts)."""
+
+
+# batch-side type -> table-side types a write may silently upcast INTO.
+# Only lossless widenings (Delta's store-assignment subset): the batch
+# column is cast to the TABLE type before any file is written, so every
+# committed file stays binary-uniform and reads need no type merging.
+_SAFE_UPCASTS = {
+    "byte": ("short", "integer", "long"),
+    "short": ("integer", "long"),
+    "integer": ("long",),
+    "float": ("double",),
+    "date": ("timestamp",),
+}
+
+
+def _all_nullable(schema):
+    """Normalize a StructType to all-nullable fields, metadata dropped —
+    the canonical form schemas are recorded and compared in (older
+    files' evolution-gap columns always read NULL, so nullability is
+    not part of the storage contract)."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(f.name, f.dataType, True) for f in schema.fields]
+    )
+
+
+def _schema_from_json(s: str | None):
+    if not s:
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(s))
+
+
+def table_schema(path: str, version: int | None = None):
+    """The table's recorded schema contract (a StructType) at
+    ``version`` (default: head), or None for tables whose manifests
+    predate schema tracking. Time travel reads the schema AS OF that
+    version — an ``add_columns`` after a snapshot does not retroactively
+    widen it."""
+    path = _norm_path(path)
+    v = latest_version(path) if version is None else version
+    if v is None:
+        return None
+    return _schema_from_json(_read_manifest(path, v).get("schema"))
+
+
+def _enforce_schema(df: DataFrame, tbl, evolve: bool):
+    """Delta-style schema enforcement of a write batch against the
+    table's recorded schema. Returns (normalized df, committed schema).
+
+    Rules (per top-level column):
+      * extra batch columns  -> SchemaEnforcementError unless
+        ``evolve=True``, which appends them to the schema as nullable
+        (Delta ``mergeSchema``);
+      * missing table columns -> filled with typed NULLs, so every
+        committed file carries the full width (nulls cost ~nothing in
+        parquet and reads never need schema merging);
+      * type mismatch -> cast silently only for the lossless upcasts in
+        _SAFE_UPCASTS (batch int into a long column, ...); anything
+        else raises — changing a column's type is never implicit, with
+        or without evolve (rewrite through an explicit cast instead);
+      * column order is normalized to the table schema, evolved columns
+        appended in batch order.
+    """
+    if tbl is None:
+        return df, _all_nullable(df.schema)
+    from pyspark.sql import functions as F
+
+    bf = {f.name: f for f in df.schema.fields}
+    tf = {f.name: f for f in tbl.fields}
+    extra = [n for n in df.columns if n not in tf]
+    if extra and not evolve:
+        raise SchemaEnforcementError(
+            f"batch columns {extra} are not in the table schema "
+            f"({sorted(tf)}); pass evolve=True to add them as nullable "
+            "columns, or drop them from the batch"
+        )
+    cols = []
+    for f in tbl.fields:
+        if f.name not in bf:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            continue
+        bt = bf[f.name].dataType
+        if bt == f.dataType:
+            cols.append(F.col(f.name))
+        elif f.dataType.typeName() in _SAFE_UPCASTS.get(bt.typeName(), ()):
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            raise SchemaEnforcementError(
+                f"column '{f.name}' arrives as {bt.simpleString()} but the "
+                f"table records {f.dataType.simpleString()} — not a "
+                "lossless upcast; cast explicitly before writing"
+            )
+    from pyspark.sql.types import StructField, StructType
+
+    out_fields = list(_all_nullable(tbl).fields)
+    for n in extra:
+        cols.append(F.col(n))
+        out_fields.append(StructField(n, bf[n].dataType, True))
+    return df.select(*cols), StructType(out_fields)
+
+
+def _merge_schema_json(head_json: str | None, ours) -> str:
+    """Rebase rule for a lost commit CAS: union the head's schema with
+    the schema this writer already normalized its (immutable, written)
+    files against — by name, exact type equality on overlap. Two
+    writers concurrently ADDING the same differently-typed column is a
+    true conflict."""
+    if not head_json:
+        return ours.json()
+    from pyspark.sql.types import StructField, StructType
+
+    head = _schema_from_json(head_json)
+    hf = {f.name: f for f in head.fields}
+    out = list(_all_nullable(head).fields)
+    for f in ours.fields:
+        got = hf.get(f.name)
+        if got is None:
+            out.append(StructField(f.name, f.dataType, True))
+        elif got.dataType != f.dataType:
+            raise SchemaEnforcementError(
+                f"concurrent schema change on column '{f.name}': this "
+                f"write normalized against {f.dataType.simpleString()} "
+                f"but an interleaved commit recorded "
+                f"{got.dataType.simpleString()} — re-run against the "
+                "new head"
+            )
+    return StructType(out).json()
+
+
+def _project_to_schema(df: DataFrame, schema_json: str | None) -> DataFrame:
+    """Project a snapshot read onto the version's recorded schema:
+    column order follows the contract, evolution-gap columns pad typed
+    NULLs, and legacy stray columns (pre-contract drift) drop. A no-op
+    (same names, same order) compiles to nothing in the plan."""
+    if not schema_json:
+        return df
+    st = _schema_from_json(schema_json)
+    if [f.name for f in st.fields] == df.columns:
+        return df
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    return df.select(*[
+        F.col(f.name) if f.name in have
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in st.fields
+    ])
+
+
 class VersionConflictError(RuntimeError):
     """Two writers raced to commit the same version number — the
     single-writer contract was violated. The loser's data files are
@@ -971,8 +1129,17 @@ def _commit(
     dv: dict | None = None,
     base_stats=None,
     cf: str | None = None,
+    schema: str | None = None,
 ) -> int:
     """Atomic manifest commit (exclusive-create CAS).
+
+    ``schema`` is the table's recorded schema contract (StructType
+    JSON) as of this version. ``None`` CARRIES the parent manifest's
+    schema forward (version-1 always exists at commit time — versions
+    are dense and the parent is the head this commit was computed
+    against), so maintenance commits (analyze / compaction / dv ops /
+    merges) can never silently drop the contract; writes that change
+    the schema pass it explicitly.
 
     ``stats`` semantics depend on ``base_stats``:
       * ``base_stats=None`` (rewriting commits): ``stats`` is the FULL
@@ -994,8 +1161,15 @@ def _commit(
     uuid-owned by the caller, making CAS losers unable to clobber a
     winner's feed)."""
     os.makedirs(_manifest_dir(path), exist_ok=True)
+    if schema is None and version > 0:
+        try:
+            schema = _read_manifest(path, version - 1).get("schema")
+        except (OSError, ValueError, KeyError):
+            schema = None  # legacy/expired parent: no contract to carry
     manifest = {"version": version, "op": op, "files": files,
                 "txn": txn or {}}
+    if schema is not None:
+        manifest["schema"] = schema
     if cf is not None:
         manifest["cf"] = cf
     new_segments: list[str] = []  # written by THIS call: CAS-loser cleanup
@@ -1101,6 +1275,7 @@ def append_version(
     txn: tuple[str, int] | None = None,
     bloom_cols: list[str] | None = None,
     max_retries: int = 10,
+    evolve: bool = False,
 ) -> int:
     """Commit a new version = previous files + this batch's new files.
     Returns the committed version number (0 for a fresh table).
@@ -1131,11 +1306,21 @@ def append_version(
     interleaved commits are PROVABLY key-disjoint appends (semantic
     conflict detection, see _disjoint_append_interleave); delete /
     overwrite surface VersionConflictError — their read-set went stale,
-    so the caller re-runs against the new head."""
+    so the caller re-runs against the new head.
+
+    The batch is SCHEMA-ENFORCED against the table's recorded contract
+    before any file is written (see _enforce_schema): extra columns
+    raise unless ``evolve=True`` (Delta mergeSchema — they join the
+    contract as nullable), missing columns fill typed NULLs, lossless
+    upcasts (int batch into a long column, ...) cast silently, anything
+    else raises. The committed manifest records the (possibly evolved)
+    schema; a lost CAS against a concurrent schema change merges by
+    name with exact-type equality or surfaces the conflict."""
     path = _norm_path(path)
-    _validate_constraints(df, path)
     new_files: list[str] | None = None
     stats: dict = {}
+    enforced_against: str | None = None
+    committed_schema = None
     for _ in range(max_retries + 1):
         prev = latest_version(path)
         prev_m = _read_manifest(path, prev) if prev is not None else {}
@@ -1147,8 +1332,18 @@ def append_version(
             prev_txn[app_id] = int(txn_v)
         version = 0 if prev is None else prev + 1
         if new_files is None:  # data files are written exactly once
-            new_files, stats = _write_files(df, path, version, stats_cols,
+            enforced_against = prev_m.get("schema")
+            batch, committed_schema = _enforce_schema(
+                df, _schema_from_json(enforced_against), evolve)
+            # constraints see the NORMALIZED batch (an evolution-gap
+            # column a CHECK references evaluates over its typed NULLs)
+            _validate_constraints(batch, path)
+            new_files, stats = _write_files(batch, path, version, stats_cols,
                                             bloom_cols=bloom_cols)
+        head_schema = prev_m.get("schema")
+        schema_json = (committed_schema.json()
+                       if head_schema == enforced_against
+                       else _merge_schema_json(head_schema, committed_schema))
         try:
             return _commit(
                 path, version, prev_m.get("files", []) + new_files, "append",
@@ -1158,6 +1353,7 @@ def append_version(
                 # map here would resurrect merge-on-read-deleted rows
                 dv=prev_m.get("dv"),
                 base_stats=prev_m.get("stats"),
+                schema=schema_json,
             )
         except VersionConflictError:
             continue  # rebase onto the winner's head and retry
@@ -1173,6 +1369,8 @@ def overwrite_version(
     bloom_cols: list[str] | None = None,
     validate: bool = True,
     cf: str | None = None,
+    evolve: bool = False,
+    replace_schema: bool = False,
 ) -> int:
     """Commit a new version containing ONLY this DataFrame's files; all
     prior versions remain readable until expired. Declared CHECK
@@ -1186,17 +1384,30 @@ def overwrite_version(
     retention-expired) — so compaction / rollback / re-layout commits
     cannot silently discard it and a replayed foreachBatch append
     after maintenance stays a no-op. Pass ``txn={}`` to explicitly
-    reset the watermarks (a true logical table replacement)."""
+    reset the watermarks (a true logical table replacement).
+
+    Like Delta, overwriting the ROWS does not overwrite the SCHEMA:
+    the frame is schema-enforced against the table's recorded contract
+    exactly as append_version (``evolve=True`` to add columns);
+    ``replace_schema=True`` (Delta ``overwriteSchema``) makes the
+    frame's own schema the new contract — a true table redefinition."""
     path = _norm_path(path)
     prev = latest_version(path)
+    prev_m = _read_manifest(path, prev) if prev is not None else {}
     if txn is None and prev is not None:
-        txn = _read_manifest(path, prev).get("txn", {})
+        txn = prev_m.get("txn", {})
+    if replace_schema:
+        sch = _all_nullable(df.schema)
+    else:
+        df, sch = _enforce_schema(
+            df, _schema_from_json(prev_m.get("schema")), evolve)
     if validate:
         _validate_constraints(df, path)
     version = 0 if prev is None else prev + 1
     files, stats = _write_files(df, path, version, stats_cols,
                                 bloom_cols=bloom_cols)
-    return _commit(path, version, files, "overwrite", stats, txn=txn, cf=cf)
+    return _commit(path, version, files, "overwrite", stats, txn=txn, cf=cf,
+                   schema=sch.json())
 
 
 def overwrite_version_zordered(
@@ -1262,7 +1473,13 @@ def scan_version(
     keep = _files_for_scan(m, col, lo, hi)
     if not keep:
         return read_version(spark, path, v).limit(0).filter(F.col(col).between(lo, hi))
-    return _read_with_dv(spark, keep, m).filter(F.col(col).between(lo, hi))
+    # schema projection AFTER the filter: the pushed predicate reaches
+    # the parquet scan untouched, and the kept files' evolution-gap
+    # columns still pad to the version's contract
+    return _project_to_schema(
+        _read_with_dv(spark, keep, m).filter(F.col(col).between(lo, hi)),
+        m.get("schema"),
+    )
 
 
 def _files_for_scan(manifest: dict, col: str, lo, hi) -> list[str]:
@@ -1378,6 +1595,75 @@ def analyze_table(
             continue  # rebase: re-read the head, reuse nothing stale
     raise VersionConflictError(
         f"analyze_table at {path} lost the commit race 10 times — "
+        "pathological contention; retry with backoff"
+    )
+
+
+def add_columns(path: str, cols) -> int:
+    """METADATA-ONLY ``ALTER TABLE ... ADD COLUMNS`` (the Delta shape):
+    widen the table's recorded schema contract with new nullable
+    columns — no data file is touched, every existing row reads the new
+    columns as NULL, and subsequent appends may (but need not) supply
+    them. ``cols`` is a StructType, a list of StructFields, or a list
+    of ``(name, DataType)`` pairs. Idempotent: a column that already
+    exists with the SAME type is skipped; a different type raises
+    (changing a column's type is never implicit — see _enforce_schema).
+    The op is append-safe ('add-columns'): concurrent writers rebase
+    across it and incremental readers cross it silently (no rows
+    changed). Returns the committed version."""
+    from pyspark.sql.types import StructField, StructType
+
+    path = _norm_path(path)
+    if isinstance(cols, StructType):
+        new_fields = list(cols.fields)
+    else:
+        new_fields = [
+            c if isinstance(c, StructField) else StructField(c[0], c[1], True)
+            for c in cols
+        ]
+    if not new_fields:
+        raise ValueError("add_columns: no columns given")
+    for _ in range(10):
+        v = latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no versions committed at {path}")
+        m = _read_manifest(path, v)
+        tbl = _schema_from_json(m.get("schema"))
+        if tbl is None:
+            # legacy pre-contract table: seed the contract from the
+            # newest file's footer (manifest file lists append in commit
+            # order, so the last entry carries the widest schema by the
+            # append-time evolution convention), then widen it
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            tbl = from_arrow_schema(pq.read_schema(m["files"][-1]))
+        have = {f.name: f for f in tbl.fields}
+        out = list(_all_nullable(tbl).fields)
+        added = 0
+        for f in new_fields:
+            got = have.get(f.name)
+            if got is None:
+                out.append(StructField(f.name, f.dataType, True))
+                added += 1
+            elif got.dataType != f.dataType:
+                raise SchemaEnforcementError(
+                    f"add_columns: column '{f.name}' already exists as "
+                    f"{got.dataType.simpleString()} (requested "
+                    f"{f.dataType.simpleString()}) — type changes are "
+                    "never implicit"
+                )
+        if not added and m.get("schema"):
+            return v  # fully idempotent replay: nothing to widen
+        try:
+            return _commit(path, v + 1, m["files"], "add-columns", {},
+                           txn=m.get("txn", {}), dv=m.get("dv"),
+                           base_stats=m.get("stats"),
+                           schema=StructType(out).json())
+        except VersionConflictError:
+            continue  # metadata-only: recompute against the new head
+    raise VersionConflictError(
+        f"add_columns at {path} lost the commit race 10 times — "
         "pathological contention; retry with backoff"
     )
 
@@ -1825,6 +2111,12 @@ def merge_version(
 
     spark = updates.sparkSession
     up = _dedup_updates(updates, keys)
+    # schema contract: the batch enforces against the recorded schema
+    # exactly like append (typed-NULL fill, lossless upcasts, extra
+    # columns refused) — so a drifted CDC batch fails loudly instead of
+    # forking the table's schema mid-merge
+    up, _ = _enforce_schema(
+        up, _schema_from_json(prev_m.get("schema")), evolve=False)
     # CHECK constraints gate the NEW rows only (carried stored rows were
     # validated on their own way in; deletes add nothing)
     _validate_constraints(up, path)
@@ -1847,8 +2139,13 @@ def merge_version(
         if del_keys is not None:
             gone = gone.unionByName(del_keys).distinct()
         # dv-applied read: rows merge-on-read-deleted from the rewrite
-        # slice must not resurrect; rewritten files come out dv-free
-        stored_slice = _read_with_dv(spark, rewrite, m)
+        # slice must not resurrect; rewritten files come out dv-free.
+        # Projected onto the contract so files predating an add_columns
+        # union cleanly against the (already-normalized) batch; legacy
+        # contract-less tables read as-is (the batch was not normalized
+        # either, so the union behaves exactly as before the contract)
+        stored_slice = _project_to_schema(
+            _read_with_dv(spark, rewrite, m), prev_m.get("schema"))
         merged = stored_slice.join(gone, keys, "left_anti").unionByName(up)
     else:
         merged = up
@@ -1956,14 +2253,16 @@ def read_version(
 ) -> DataFrame:
     """Snapshot read: the exact file set of ``version`` (default latest),
     with the manifest's deletion vectors applied (a dv-free snapshot is
-    a plain parquet read — zero overhead). mergeSchema handles
-    append-time column evolution — files committed before a column
-    existed read it as NULL."""
+    a plain parquet read — zero overhead). The result projects onto the
+    VERSION'S recorded schema contract (column order, typed NULLs for
+    evolution-gap columns) — time travel reads the schema as of that
+    version; mergeSchema underneath handles the physical file variety."""
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no versions committed at {path}")
     m = _read_manifest(path, v)
-    return _read_with_dv(spark, m["files"], m)
+    return _project_to_schema(
+        _read_with_dv(spark, m["files"], m), m.get("schema"))
 
 
 def _changes_root(path: str) -> str:
@@ -2684,7 +2983,8 @@ def clone_table(
     # drop SetTransaction state for the same reason). Shallow clones
     # reference the source's dv sidecars in place — the same
     # source-retention caveat as the data files.
-    return _commit(dst, 0, files, "clone", stats, txn={}, dv=dv)
+    return _commit(dst, 0, files, "clone", stats, txn={}, dv=dv,
+                   schema=m.get("schema"))
 
 
 def _remap_dv(
@@ -2740,9 +3040,13 @@ def rollback_version(path: str, to_version: int) -> int:
     # so a restorable to_version implies its dv dirs still exist. Its
     # stats carry BY REFERENCE too (segment-backed restores are
     # metadata-flat; the restored file list is exactly the segments')
+    # the restored snapshot's SCHEMA comes back with it (a restore past
+    # a bad add_columns restores the contract too); legacy pre-schema
+    # targets fall back to carrying the head's contract
     return _commit(path, head + 1, m["files"], "overwrite",
                    {}, txn=head_txn, dv=m.get("dv"),
-                   base_stats=m.get("stats"))
+                   base_stats=m.get("stats"),
+                   schema=m.get("schema"))
 
 
 def delete_version(
@@ -3145,6 +3449,11 @@ def merge_version_dv(
 
     spark = updates.sparkSession
     up = _dedup_updates(updates, keys)
+    # schema contract: the appended batch files must match the recorded
+    # schema (same rule as merge_version/append — a drifted CDC batch
+    # fails loudly rather than forking the schema)
+    up, _ = _enforce_schema(
+        up, _schema_from_json(m.get("schema")), evolve=False)
     _validate_constraints(up, path)
     del_keys = deletes.select(*keys).distinct() if deletes is not None else None
     kcol = keys[0]

@@ -186,10 +186,21 @@ class TableDataSource(DataSource):
             import pyspark.sql.types as T
             from pyspark.sql.pandas.types import from_arrow_schema
 
-            # (no SparkSession exists here, hence arrow not DDL parse).
+            from ..sinks.versioned import table_schema
+
+            # the manifest's recorded schema CONTRACT is authoritative
+            # (one small JSON read, and metadata-only add_columns are
+            # visible before any file carries them); legacy pre-contract
+            # tables fall back to the newest file's footer. (No
+            # SparkSession exists here, hence arrow not DDL parse.)
             # Every field reads as NULLABLE — older files' evolution-gap
             # columns pad NULL whatever the newest file's writer said
-            st0 = from_arrow_schema(pq.read_schema(_newest_file(opts)))
+            try:
+                st0 = table_schema(opts["path"])
+            except (OSError, ValueError, KeyError):
+                st0 = None
+            if st0 is None:
+                st0 = from_arrow_schema(pq.read_schema(_newest_file(opts)))
             fields = [T.StructField(f.name, f.dataType, True, f.metadata)
                       for f in st0.fields]
             f0 = fields[0]
@@ -593,6 +604,7 @@ class TableWriter(DataSourceArrowWriter):
                             if c] or None
         self._bloom_cols = [c for c in options.get("bloomcols", "").split(",")
                             if c] or None
+        self._evolve = options.get("mergeschema", "").lower() == "true"
         # resolve the tracked columns NOW (driver-side planning): each
         # write task stats its own staged file with the rows already in
         # hand, so the driver commit never re-reads committed data
@@ -613,6 +625,7 @@ class TableWriter(DataSourceArrowWriter):
                 self._path, files, overwrite=self._overwrite,
                 stats_cols=self._stats_cols, bloom_cols=self._bloom_cols,
                 shipped=_merge_shipped(messages),
+                evolve=self._evolve,
             )
         except Exception:
             self.abort(messages)
@@ -670,6 +683,7 @@ class TableStreamWriter(DataSourceStreamArrowWriter):
                             if c] or None
         self._bloom_cols = [c for c in options.get("bloomcols", "").split(",")
                             if c] or None
+        self._evolve = options.get("mergeschema", "").lower() == "true"
         ckpt = options.get("checkpointlocation")
         if options.get("txnappid"):
             self._app_id = options["txnappid"]
@@ -746,6 +760,7 @@ class TableStreamWriter(DataSourceStreamArrowWriter):
             stats_cols=self._stats_cols, bloom_cols=self._bloom_cols,
             txn=(self._app_id, int(batchId)),
             shipped=_merge_shipped(messages),
+            evolve=self._evolve,
         )
 
     def abort(self, messages, batchId: int) -> None:
@@ -818,6 +833,7 @@ def _commit_staged_files(
     stats_cols: list[str] | None, bloom_cols: list[str] | None,
     txn: tuple[str, int] | None = None,
     shipped: tuple[tuple, dict] | None = None,
+    evolve: bool = False,
 ) -> int | None:
     """Driver-side commit shared by the batch and streaming DSv2
     writers: constraint check (DuckDB — no SparkSession on this path,
@@ -833,13 +849,22 @@ def _commit_staged_files(
     its staged files left as expire-reclaimable orphans."""
     import time as _time
 
-    from ..sinks.versioned import (ConstraintViolation, _commit,
-                                   _file_stats, _manifest_dir, _norm_path,
-                                   _read_manifest, get_constraints,
+    from ..sinks.versioned import (ConstraintViolation,
+                                   SchemaEnforcementError, _all_nullable,
+                                   _commit, _file_stats, _manifest_dir,
+                                   _norm_path, _read_manifest,
+                                   _schema_from_json, get_constraints,
                                    latest_version, VersionConflictError)
 
     t0 = _time.monotonic()
     path = _norm_path(path)
+    staged_schema = None
+    if files:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        staged_schema = _all_nullable(from_arrow_schema(
+            pq.read_schema(files[0])))
     cons = get_constraints(path)
     if cons and files:
         import duckdb
@@ -895,17 +920,62 @@ def _commit_staged_files(
                 return None  # replayed batch: already committed
             prev_txn[app_id] = int(txn_v)
         version = 0 if prev is None else prev + 1
+        # schema contract: staged files were written with the query's
+        # schema (catalog INSERTs are pre-cast by Spark to the reported
+        # schema(), so they always match); path-based writes with
+        # DRIFTED schemas are checked here against the manifest contract
+        # — extra columns need option("mergeSchema","true"), type
+        # changes always refuse (the staged file is already written; a
+        # type-merged read would break — cast in the query instead).
+        tbl_json = prev_m.get("schema")
+        if staged_schema is None:
+            schema_json = None  # no-file commit: carry the contract
+        elif tbl_json is None:
+            # fresh table records the contract; LEGACY tables (files but
+            # no schema) only adopt one on overwrite — recording a
+            # narrow append's schema would project legacy columns away
+            schema_json = (staged_schema.json()
+                           if prev is None or overwrite else None)
+        else:
+            tbl = _schema_from_json(tbl_json)
+            tf = {f.name: f for f in tbl.fields}
+            extra = [f for f in staged_schema.fields if f.name not in tf]
+            for f in staged_schema.fields:
+                got = tf.get(f.name)
+                if got is not None and got.dataType != f.dataType:
+                    raise SchemaEnforcementError(
+                        f"DSv2 write to {path}: column '{f.name}' arrives "
+                        f"as {f.dataType.simpleString()} but the table "
+                        f"records {got.dataType.simpleString()} — cast in "
+                        "the writing query (staged files are immutable, "
+                        "so no implicit upcast is possible here)"
+                    )
+            if extra and not evolve:
+                raise SchemaEnforcementError(
+                    f"DSv2 write to {path}: columns "
+                    f"{[f.name for f in extra]} are not in the table "
+                    "schema; set option(\"mergeSchema\",\"true\") to add "
+                    "them as nullable columns"
+                )
+            if extra:
+                from pyspark.sql.types import StructType
+
+                schema_json = StructType(
+                    list(_all_nullable(tbl).fields) + list(extra)).json()
+            else:
+                schema_json = tbl_json
         try:
             if overwrite:
                 # carry txn watermarks like overwrite_version(txn=None)
                 v = _commit(path, version, files, "overwrite", stats,
-                            txn=prev_txn)
+                            txn=prev_txn, schema=schema_json)
             else:
                 v = _commit(
                     path, version, prev_m.get("files", []) + files,
                     "append", stats,  # delta: this batch's files only
                     txn=prev_txn, dv=prev_m.get("dv"),
                     base_stats=prev_m.get("stats"),
+                    schema=schema_json,
                 )
             _metrics(v)
             return v

@@ -409,11 +409,17 @@ def test_versioned_merge_and_schema_evolution(spark, tmp_path):
     assert {(r.id, r.v) for r in read_version(spark, path, 0).collect()} == {
         (1, "a"), (2, "b")
     }
-    # schema evolution: an appended batch adds a column; old files read NULL
-    append_version(
-        spark.createDataFrame([(4, "d", 9.5)], "id long, v string, score double"),
-        path,
-    )
+    # schema evolution is opt-in (r09 contract): the bare append refuses
+    # the extra column; evolve=True widens it and old files read NULL
+    import pytest
+
+    from clx_etl_spark.sinks.versioned import SchemaEnforcementError
+
+    wide = spark.createDataFrame(
+        [(4, "d", 9.5)], "id long, v string, score double")
+    with pytest.raises(SchemaEnforcementError, match="evolve=True"):
+        append_version(wide, path)
+    append_version(wide, path, evolve=True)
     rows = {r.id: r.score for r in read_version(spark, path).collect()}
     assert rows[4] == 9.5 and rows[1] is None
 

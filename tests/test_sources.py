@@ -540,19 +540,27 @@ def test_clx_table_writer_commit_rebases_over_append(spark, tmp_path,
 
 
 def test_clx_table_schema_evolution_via_writer(spark, tmp_path):
-    """A later append with an extra column widens the DSv2-derived
-    schema (newest file wins); older files read the new column as
-    NULL."""
-    from clx_etl_spark.sources.table_source import (read_table_source,
+    """A later append with an extra column is a contract violation
+    (r09 schema enforcement) until the writer opts into evolution with
+    option("mergeSchema","true") — then the schema widens and older
+    files read the new column as NULL."""
+    import pytest
+
+    from clx_etl_spark.sources.table_source import (TableDataSource,
+                                                    read_table_source,
                                                     write_table_source)
 
     path = str(tmp_path / "vt")
     write_table_source(
         spark.range(3).selectExpr("id"), path, mode="append",
         stats_cols=["id"])
-    write_table_source(
-        spark.range(3, 5).selectExpr("id", "cast(id as double) AS extra"),
-        path, mode="append")
+    drifted = spark.range(3, 5).selectExpr(
+        "id", "cast(id as double) AS extra")
+    with pytest.raises(Exception, match="mergeSchema"):
+        write_table_source(drifted, path, mode="append")
+    spark.dataSource.register(TableDataSource)
+    (drifted.write.format("clx_table").option("path", path)
+     .option("mergeSchema", "true").mode("append").save())
     df = read_table_source(spark, path)
     assert set(df.columns) == {"id", "extra"}
     got = {r.id: r.extra for r in df.collect()}
