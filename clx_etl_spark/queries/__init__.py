@@ -53,9 +53,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # at sf0.01 regardless.
 SWEEP_FRONT: list[str] = [
     # ---- round-9 front ----
-    # new this round (no driver row yet): schema contract, dv-sidecar
-    # reorg, and the incremental stats-segment scan
+    # new this round (no driver row yet): schema contract, whole-file
+    # metadata delete, dv-sidecar reorg, incremental stats-segment scan
     "versioned_schema_evolution",
+    "versioned_retention_purge",
     "versioned_dv_reorg",
     "versioned_segment_scan",
     # backing code changed this round (incremental sidecar segments +

@@ -1374,3 +1374,76 @@ def versioned_schema_evolution(spark, sf):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@register(
+    "versioned_retention_purge",
+    oracle="""
+    WITH b AS (SELECT MAX(o_orderkey) // 4 + 1 AS step FROM orders)
+    SELECT o_orderkey AS okey,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders, b
+    WHERE o_orderkey NOT BETWEEN b.step AND 2 * b.step - 1
+    """,
+    doc="Whole-file METADATA-ONLY DELETE (r09, Delta's fully-matching-"
+    "file removal): orders seeds four key-range files with per-file "
+    "min/max AND footer null counts; a retention purge spanning one "
+    "file's whole key range drops that file from the manifest WITHOUT "
+    "reading it — proven the loud way: the covered file's bytes are "
+    "os.rename()d away before the delete and back after (any read "
+    "would crash), and the commit is asserted to rewrite ZERO files. "
+    "At 100 TB this is the GDPR/retention shape: purging a day whose "
+    "files are date-clustered costs one manifest write, not a rewrite "
+    "of the day. Read-back is hash-checked against the oracle's "
+    "NOT BETWEEN — which also pins NULL-survivor semantics (DuckDB "
+    "DELETE keeps NULL-predicate rows; so does the engine since the "
+    "r09 IS NULL fix)",
+)
+def versioned_retention_purge(spark, sf):
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import (_read_manifest, append_version,
+                                   delete_version, latest_version,
+                                   read_version)
+
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    tmp = tempfile.mkdtemp(prefix="clx_vrp_")
+    path = tmp + "/t"
+    try:
+        hi = orders.agg(F.max("okey")).first()[0] or 1
+        step = hi // 4 + 1
+        for i in range(4):
+            sl = orders.filter(
+                (F.col("okey") >= i * step) & (F.col("okey") < (i + 1) * step)
+            )
+            append_version(sl.coalesce(1), path, stats_cols=["okey"])
+        m0 = _read_manifest(path, latest_version(path))
+        # file 1 holds exactly [step, 2*step): hide its bytes — the
+        # metadata-only drop must never open it
+        victims = []
+        for f in m0["files"]:
+            st = m0.get("stats", {})[f].get("okey")
+            if st and st[0] >= step and st[1] <= 2 * step - 1:
+                os.rename(f, f + ".hidden")
+                victims.append(f)
+        if not victims:
+            raise AssertionError("seed produced no fully-covered file")
+        v, unt, rew = delete_version(spark, path, "okey",
+                                     step, 2 * step - 1)
+        if rew != 0:
+            raise AssertionError(
+                f"retention purge must rewrite nothing, rewrote {rew}")
+        m1 = _read_manifest(path, v)
+        if len(m1["files"]) != len(m0["files"]) - len(victims):
+            raise AssertionError("covered files must leave the manifest")
+        for f in victims:
+            os.rename(f + ".hidden", f)  # old snapshots stay readable
+        out = read_version(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -104,6 +104,21 @@ def _stat_overlaps(lo, hi, rng) -> bool:
         return True
 
 
+def _stat_covered(lo, hi, rng, nulls) -> bool:
+    """True when the stats PROVE every row of the file matches
+    ``col BETWEEN lo AND hi``: the file's [min, max] sits entirely
+    inside the bound AND the column has zero nulls (null rows don't
+    match BETWEEN and must survive a delete, so an unknown or nonzero
+    null count fails the proof). Every failure mode returns False —
+    'cannot prove fully covered, so rewrite the file'."""
+    if rng is None or nulls is None or nulls[0] != 0:
+        return False
+    try:
+        return _coerce_stat(rng[0], lo) >= lo and _coerce_stat(rng[1], hi) <= hi
+    except Exception:
+        return False
+
+
 def _norm_path(path: str) -> str:
     """Absolutize the table root at every public write entry point.
     Manifest file entries must share ONE key form with Spark's
@@ -515,7 +530,8 @@ def _tracked_col_sets(m: dict) -> tuple[set, set]:
     else:
         names = {c for per in dict(s).values() for c in per}
     plain = {c for c in names
-             if not c.startswith(_BLOOM_KEY) and c != _ROWS_KEY}
+             if not c.startswith(_BLOOM_KEY) and c != _ROWS_KEY
+             and not c.startswith(_NULLS_KEY)}
     blooms = {c[len(_BLOOM_KEY):] for c in names if c.startswith(_BLOOM_KEY)}
     return plain, blooms
 
@@ -539,6 +555,15 @@ _BLOOM_KEY = "__bloom__:"  # manifest stats key prefix for per-file blooms
 # the Delta/Iceberg metadata-query shape. Never a "tracked column":
 # every tracked-column derivation excludes it explicitly.
 _ROWS_KEY = "__rows__"
+# per-file per-column NULL COUNT stats key prefix ("__nulls__:<col>"),
+# stored as a degenerate [n, n] range like __rows__. Recorded from the
+# footer whenever a column's min/max is derived (zero extra IO). What
+# it buys: a file whose [min,max] sits ENTIRELY inside a DELETE range
+# AND has zero nulls provably contains only matching rows — the delete
+# drops it from the manifest without reading it (Delta's fully-matching-
+# file removal; null rows don't match BETWEEN, so nulls=0 is required
+# for the proof). Like __rows__, never a "tracked column".
+_NULLS_KEY = "__nulls__:"
 _BLOOM_MAX_BITS = 1 << 19  # 64 KiB bitmap cap per file per column
 _BLOOM_K = 7  # hash functions (~1% fpr at 10 bits/key)
 _BLOOM_PROBE_BUDGET = 5_000_000  # max keys x bloom-files tested per merge
@@ -829,6 +854,23 @@ def _file_stats(files: list[str], stats_cols: list[str] | None,
                     jlo, jhi = _json_stat(lo), _json_stat(hi)
                     if jlo is not None and jhi is not None:
                         per_col[c] = [jlo, jhi]
+                # null counts ride along from the same footers (zero
+                # extra IO); every row group must report one or the
+                # entry is omitted (conservative: no whole-file proof)
+                nulls = 0
+                for rg in range(md.num_row_groups):
+                    try:
+                        st = md.row_group(rg).column(names[c]).statistics
+                        if (st is None or not st.has_null_count
+                                or st.null_count is None
+                                or st.null_count < 0):
+                            raise ValueError("no null count")
+                        nulls += int(st.null_count)
+                    except Exception:
+                        nulls = None
+                        break
+                if nulls is not None:
+                    per_col[_NULLS_KEY + c] = [nulls, nulls]
             if per_col:
                 stats[f].update(per_col)
     if bloom_cols:
@@ -3061,27 +3103,52 @@ def delete_version(
     """Range DELETE as a new version, with file-level pruning: files
     whose manifest [min, max] for ``col`` provably cannot contain
     [lo, hi] are CARRIED UNTOUCHED into the new manifest (copy-on-write
-    file reuse — zero IO for them); only overlapping files are read,
+    file reuse — zero IO for them); files whose stats prove EVERY row
+    matches ([min,max] inside the range, zero nulls — the footer null
+    counts recorded at write time) are DROPPED from the manifest
+    without being read (Delta's fully-matching-file removal: a
+    retention purge spanning whole files is metadata-only however much
+    data it removes); only the partially-overlapping remainder is read,
     anti-filtered, and rewritten. The Delta/Iceberg DELETE shape: at
     100 TB a narrow time-range purge (GDPR, bad-batch removal) rewrites
-    one day's files, not the table. Files without stats rewrite
-    conservatively. Records op 'overwrite' (row state changed —
+    one day's boundary files, not the table. Files without stats
+    rewrite conservatively. Records op 'overwrite' (row state changed —
     incremental readers must not cross silently). ``change_feed=True``
     persists the deleted rows (tagged 'delete') under ``_changes/`` for
     ``table_changes`` — exact because pruned files provably hold no
-    in-range rows. Returns
-    (new_version, files_untouched, files_rewritten)."""
+    in-range rows; fully-covered files are read for the FEED only (the
+    CDC contract needs their rows; the commit stays metadata-only).
+    Returns (new_version, files_untouched, files_rewritten) — dropped
+    fully-covered files count in neither."""
     path = _norm_path(path)
     v = latest_version(path)
     if v is None:
         raise FileNotFoundError(f"no versions committed at {path}")
     m = _read_manifest(path, v)
     stats = m.get("stats", {})
-    prune = _stats_for_cols(m, [col], blooms=False)
+    prune = _stats_for_cols(m, [col, _NULLS_KEY + col], blooms=False)
     untouched = [
         f for f in m["files"] if not _stat_overlaps(lo, hi, prune.get(f, {}).get(col))
     ]
-    rewrite = [f for f in m["files"] if f not in set(untouched)]
+    # FULLY-COVERED files (Delta's fully-matching-file removal): stats
+    # prove every row matches ([min,max] inside [lo,hi], zero nulls) —
+    # dropped from the manifest WITHOUT being read; a retention purge
+    # whose range spans whole files is metadata-only however large they
+    # are. (A dv-bearing covered file is still provably all-matching:
+    # the bounds cover the dv'd rows too, a superset of the live ones.)
+    rest = [f for f in m["files"] if f not in set(untouched)]
+    covered = [
+        f for f in rest
+        if _stat_covered(lo, hi, prune.get(f, {}).get(col),
+                         prune.get(f, {}).get(_NULLS_KEY + col))
+    ]
+    rewrite = [f for f in rest if f not in set(covered)]
+    if covered and not untouched and not rewrite:
+        # dropping EVERY file would leave a manifest no reader can
+        # infer a schema from — demote one covered file to a rewrite;
+        # its anti-filter comes out empty and _write_files keeps the
+        # zero-row anchor
+        rewrite = [covered.pop()]
     new_v = v + 1
     new_files: list[str] = []
     new_stats: dict = {}
@@ -3090,26 +3157,33 @@ def delete_version(
         from pyspark.sql import functions as F
 
         slice_df = _read_with_dv(spark, rewrite, m)
-        remaining = slice_df.filter(~F.col(col).between(lo, hi))
-        if change_feed:
-            cf_name = _write_change_feed(
-                slice_df.filter(F.col(col).between(lo, hi))
-                .withColumn("_change_type", F.lit("delete")),
-                path,
-            )
+        # NULL-key rows survive: DELETE WHERE col BETWEEN lo AND hi
+        # deletes only rows where the predicate is TRUE — a bare
+        # ~between is NULL for them and would silently drop them (the
+        # dv path's positive-match filter was always correct; this
+        # anti-filter needed the explicit IS NULL leg)
+        remaining = slice_df.filter(
+            ~F.col(col).between(lo, hi) | F.col(col).isNull())
         new_files, new_stats = _write_files(
             remaining, path, new_v, stats_cols or ([col] if stats else None)
         )
-    elif change_feed:
-        # every file pruned: the delete touched nothing — record an
-        # empty change set so table_changes can cross this commit
+    if change_feed:
+        from functools import reduce as _reduce
+
         from pyspark.sql import functions as F
 
+        legs = []
+        if rewrite:
+            legs.append(slice_df.filter(F.col(col).between(lo, hi)))
+        if covered:
+            # the CDC contract still needs the dropped rows — covered
+            # files are read HERE only (the cost is opt-in with the
+            # feed; the manifest commit itself stays metadata-only)
+            legs.append(_read_with_dv(spark, covered, m))
+        deleted = (_reduce(lambda a, b: a.unionByName(b), legs)
+                   if legs else read_version(spark, path, v).limit(0))
         cf_name = _write_change_feed(
-            read_version(spark, path, v).limit(0)
-            .withColumn("_change_type", F.lit("delete")),
-            path,
-        )
+            deleted.withColumn("_change_type", F.lit("delete")), path)
     carried_stats = {f: stats[f] for f in untouched if f in stats}
     base_v = v
     cur_untouched, cur_stats = untouched, carried_stats
@@ -3183,6 +3257,11 @@ def delete_version_dv(
     Candidate files come from the same manifest [min,max] pruning as
     the copy-on-write path; rows already dv-deleted are excluded before
     matching, so repeated overlapping deletes never double-count.
+    Files whose stats prove EVERY row matches ([min,max] inside the
+    range, zero footer nulls) are DROPPED from the manifest without
+    being read — writing O(file rows) dv positions for a whole-file
+    delete would dwarf the narrow-delete work this path exists for
+    (Delta removes fully-matching files outright even in DV mode).
     Manifest min/max stats and blooms of dv-bearing files become
     conservative (the deleted rows may have been the extrema) — pruning
     stays correct, merely looser until compaction refreshes them.
@@ -3203,9 +3282,11 @@ def delete_version_dv(
     including stat-less files, conservatively) raises
     VersionConflictError: the read-set is stale, re-run on the head.
 
-    Returns (new_version, files_with_new_dv, rows_deleted). A delete
-    matching nothing still commits (an empty delete is a recorded
-    decision, same as the copy-on-write path)."""
+    Returns (new_version, files_with_new_dv, rows_deleted) —
+    rows_deleted includes dropped fully-covered files' live rows
+    (counted from metadata, never a data read). A delete matching
+    nothing still commits (an empty delete is a recorded decision,
+    same as the copy-on-write path)."""
     from pyspark.sql import functions as F
 
     path = _norm_path(path)
@@ -3213,13 +3294,39 @@ def delete_version_dv(
     if v is None:
         raise FileNotFoundError(f"no versions committed at {path}")
     m = _read_manifest(path, v)
-    prune = _stats_for_cols(m, [col], blooms=False)
-    candidates = [
+    prune = _stats_for_cols(m, [col, _NULLS_KEY + col, _ROWS_KEY],
+                            blooms=False)
+    overlapping = [
         f for f in m["files"]
         if _stat_overlaps(lo, hi, prune.get(f, {}).get(col))
     ]
+    # fully-covered files (same proof as the copy-on-write path) DROP
+    # from the manifest instead of dv-ing every one of their rows —
+    # O(deleted rows) position-writing for a whole-file delete would
+    # dwarf the narrow-delete work this path exists for
+    covered = [
+        f for f in overlapping
+        if _stat_covered(lo, hi, prune.get(f, {}).get(col),
+                         prune.get(f, {}).get(_NULLS_KEY + col))
+    ]
+    candidates = [f for f in overlapping if f not in set(covered)]
+    if covered and len(covered) == len(m["files"]):
+        # dropping every file leaves no schema anchor: demote one
+        # covered file to the positional path
+        candidates.append(covered.pop())
+    covered_set = set(covered)
+    # dropped rows per covered file, from metadata alone: total rows
+    # (footer-recorded __rows__ stat, or one footer open for legacy
+    # files) minus rows already dv-deleted
+    covered_rows = 0
+    for f in covered:
+        r = prune.get(f, {}).get(_ROWS_KEY)
+        n = int(r[0]) if r else _footer_rows(f)
+        n -= sum(int(e["n"]) for e in m.get("dv", {}).get(f, []))
+        covered_rows += n
     new_v = v + 1
-    dv_map = {f: list(e) for f, e in m.get("dv", {}).items()}
+    dv_map = {f: list(e) for f, e in m.get("dv", {}).items()
+              if f not in covered_set}
     dvdir = None
     counts: dict[str, int] = {}
     if candidates:
@@ -3235,13 +3342,20 @@ def delete_version_dv(
                 dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
     cf_name = None
     if change_feed:
+        from functools import reduce as _reduce
+
         # deterministic re-derivation from files still on disk; empty
-        # when nothing matched so table_changes can cross the commit
-        deleted = (
-            _read_with_dv(spark, candidates, m).filter(
-                F.col(col).between(lo, hi))
-            if candidates else read_version(spark, path, v).limit(0)
-        )
+        # when nothing matched so table_changes can cross the commit.
+        # Covered files are read for the FEED only — the commit itself
+        # never reads them
+        legs = []
+        if candidates:
+            legs.append(_read_with_dv(spark, candidates, m).filter(
+                F.col(col).between(lo, hi)))
+        if covered:
+            legs.append(_read_with_dv(spark, covered, m))
+        deleted = (_reduce(lambda a, b: a.unionByName(b), legs)
+                   if legs else read_version(spark, path, v).limit(0))
         cf_name = _write_change_feed(
             deleted.withColumn("_change_type", F.lit("delete")), path
         )
@@ -3249,11 +3363,14 @@ def delete_version_dv(
 
     def attempt() -> tuple[int, int, int]:
         _commit(
-            path, base_v + 1, cur_m["files"], "delete-dv",
+            path, base_v + 1,
+            [f for f in cur_m["files"] if f not in covered_set],
+            "delete-dv",
             {}, txn=cur_m.get("txn", {}), dv=dv_map,
             base_stats=cur_m.get("stats"), cf=cf_name,
         )
-        return base_v + 1, len(counts), sum(counts.values())
+        return (base_v + 1, len(counts),
+                sum(counts.values()) + covered_rows)
 
     def rebase(head):
         nonlocal base_v, cur_m, dv_map
@@ -3269,7 +3386,8 @@ def delete_version_dv(
         # valid) and provably hold no in-range rows — re-point the
         # commit at the head, re-attaching our dv entries to its map
         head_m = ai[1]
-        dv_map = {f: list(e) for f, e in head_m.get("dv", {}).items()}
+        dv_map = {f: list(e) for f, e in head_m.get("dv", {}).items()
+                  if f not in covered_set}
         for f, n in counts.items():
             dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
         base_v, cur_m = head, head_m

@@ -802,7 +802,8 @@ def test_versioned_compact_rederives_manifest_stats(spark, tmp_path):
     m = _read_manifest(path, v)
     assert m["files"], "compaction committed no files"
     for f in m["files"]:
-        assert set(m["stats"][f]) == {"id", "ts", "__rows__"}
+        assert set(m["stats"][f]) == {
+            "id", "ts", "__rows__", "__nulls__:id", "__nulls__:ts"}
 
 
 def test_versioned_merge_bloom_prunes_interval_gaps(spark, tmp_path):

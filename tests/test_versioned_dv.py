@@ -604,9 +604,12 @@ def test_dv_delete_conflict_cleans_up_sidecar(spark, tmp_path, monkeypatch):
     root = _dv_root(path)
     assert not os.path.isdir(root) or not os.listdir(root)
     assert read_version(spark, path).count() == 51
-    # retry on the new head lands, covering the raced-in id=15 too
+    # retry on the new head lands, covering the raced-in id=15 too —
+    # the raced-in single-row file [15,15] is FULLY covered by the
+    # range, so it drops from the manifest metadata-only (r09) instead
+    # of taking a dv: one file with new positions, 11 rows deleted
     v, nf, n = delete_version_dv(spark, path, "id", 10, 19)
-    assert (nf, n) == (2, 11)
+    assert (nf, n) == (1, 11)
     assert read_version(spark, path).count() == 40
 
 
