@@ -109,9 +109,17 @@ def _stat_covered(lo, hi, rng, nulls) -> bool:
     ``col BETWEEN lo AND hi``: the file's [min, max] sits entirely
     inside the bound AND the column has zero nulls (null rows don't
     match BETWEEN and must survive a delete, so an unknown or nonzero
-    null count fails the proof). Every failure mode returns False —
-    'cannot prove fully covered, so rewrite the file'."""
+    null count fails the proof). FLOATING-POINT bounds never prove
+    coverage: parquet writers exclude NaN from min/max and don't count
+    it as null, so a NaN row — which fails BETWEEN in Spark and must
+    survive — would be invisibly inside a "covered" file (Delta
+    likewise distrusts float/double stats for whole-file removal; such
+    files rewrite conservatively, where the anti-filter keeps NaN).
+    Every failure mode returns False — 'cannot prove fully covered, so
+    rewrite the file'."""
     if rng is None or nulls is None or nulls[0] != 0:
+        return False
+    if any(type(x) is float for x in (lo, hi, rng[0], rng[1])):
         return False
     try:
         return _coerce_stat(rng[0], lo) >= lo and _coerce_stat(rng[1], hi) <= hi
@@ -1005,7 +1013,8 @@ def table_schema(path: str, version: int | None = None):
     return _schema_from_json(_read_manifest(path, v).get("schema"))
 
 
-def _enforce_schema(df: DataFrame, tbl, evolve: bool):
+def _enforce_schema(df: DataFrame, tbl, evolve: bool,
+                    fill_missing: bool = True):
     """Delta-style schema enforcement of a write batch against the
     table's recorded schema. Returns (normalized df, committed schema).
 
@@ -1015,7 +1024,11 @@ def _enforce_schema(df: DataFrame, tbl, evolve: bool):
         (Delta ``mergeSchema``);
       * missing table columns -> filled with typed NULLs, so every
         committed file carries the full width (nulls cost ~nothing in
-        parquet and reads never need schema merging);
+        parquet and reads never need schema merging). MERGE paths pass
+        ``fill_missing=False`` and missing columns RAISE instead: a
+        merge replaces whole matched rows, so padding would silently
+        overwrite stored values with NULL — supply every column (use
+        explicit NULLs to mean NULL);
       * type mismatch -> cast silently only for the lossless upcasts in
         _SAFE_UPCASTS (batch int into a long column, ...); anything
         else raises — changing a column's type is never implicit, with
@@ -1036,6 +1049,15 @@ def _enforce_schema(df: DataFrame, tbl, evolve: bool):
             f"({sorted(tf)}); pass evolve=True to add them as nullable "
             "columns, or drop them from the batch"
         )
+    if not fill_missing:
+        missing = [f.name for f in tbl.fields if f.name not in bf]
+        if missing:
+            raise SchemaEnforcementError(
+                f"merge batch is missing table columns {missing} — a "
+                "merge replaces whole matched rows, so padding them "
+                "with NULL would destroy stored values; supply every "
+                "column (explicit NULLs if NULL is meant)"
+            )
     cols = []
     for f in tbl.fields:
         if f.name not in bf:
@@ -1171,17 +1193,16 @@ def _commit(
     dv: dict | None = None,
     base_stats=None,
     cf: str | None = None,
-    schema: str | None = None,
+    schema: str | None = "__carry__",
 ) -> int:
     """Atomic manifest commit (exclusive-create CAS).
 
     ``schema`` is the table's recorded schema contract (StructType
-    JSON) as of this version. ``None`` CARRIES the parent manifest's
-    schema forward (version-1 always exists at commit time — versions
-    are dense and the parent is the head this commit was computed
-    against), so maintenance commits (analyze / compaction / dv ops /
-    merges) can never silently drop the contract; writes that change
-    the schema pass it explicitly.
+    JSON) as of this version; explicit ``None`` records none (legacy
+    tables). The default SENTINEL carries the parent manifest's schema
+    forward (version-1 always exists at commit time — versions are
+    dense), a safety net costing one extra manifest parse — every
+    engine call site passes the schema it already holds instead.
 
     ``stats`` semantics depend on ``base_stats``:
       * ``base_stats=None`` (rewriting commits): ``stats`` is the FULL
@@ -1203,11 +1224,13 @@ def _commit(
     uuid-owned by the caller, making CAS losers unable to clobber a
     winner's feed)."""
     os.makedirs(_manifest_dir(path), exist_ok=True)
-    if schema is None and version > 0:
-        try:
-            schema = _read_manifest(path, version - 1).get("schema")
-        except (OSError, ValueError, KeyError):
-            schema = None  # legacy/expired parent: no contract to carry
+    if schema == "__carry__":
+        schema = None
+        if version > 0:
+            try:
+                schema = _read_manifest(path, version - 1).get("schema")
+            except (OSError, ValueError, KeyError):
+                pass  # legacy/expired parent: no contract to carry
     manifest = {"version": version, "op": op, "files": files,
                 "txn": txn or {}}
     if schema is not None:
@@ -1383,9 +1406,17 @@ def append_version(
             new_files, stats = _write_files(batch, path, version, stats_cols,
                                             bloom_cols=bloom_cols)
         head_schema = prev_m.get("schema")
-        schema_json = (committed_schema.json()
-                       if head_schema == enforced_against
-                       else _merge_schema_json(head_schema, committed_schema))
+        if head_schema == enforced_against:
+            # LEGACY tables (existing files, no recorded contract) stay
+            # legacy on append: adopting this batch's possibly-narrower
+            # schema would project older files' columns away at read —
+            # the same guard the DSv2 path applies. A contract arrives
+            # via the first overwrite, add_columns, or a fresh table.
+            schema_json = (committed_schema.json()
+                           if prev is None or enforced_against is not None
+                           else None)
+        else:
+            schema_json = _merge_schema_json(head_schema, committed_schema)
         try:
             return _commit(
                 path, version, prev_m.get("files", []) + new_files, "append",
@@ -1515,13 +1546,18 @@ def scan_version(
     keep = _files_for_scan(m, col, lo, hi)
     if not keep:
         return read_version(spark, path, v).limit(0).filter(F.col(col).between(lo, hi))
-    # schema projection AFTER the filter: the pushed predicate reaches
+    df = _read_with_dv(spark, keep, m)
+    if col not in df.columns:
+        # contract-only column (metadata add_columns, no kept file
+        # carries it yet): project FIRST so the filter resolves — it
+        # sees typed NULLs and matches nothing, same as read_version
+        return _project_to_schema(df, m.get("schema")).filter(
+            F.col(col).between(lo, hi))
+    # otherwise project AFTER the filter: the pushed predicate reaches
     # the parquet scan untouched, and the kept files' evolution-gap
     # columns still pad to the version's contract
     return _project_to_schema(
-        _read_with_dv(spark, keep, m).filter(F.col(col).between(lo, hi)),
-        m.get("schema"),
-    )
+        df.filter(F.col(col).between(lo, hi)), m.get("schema"))
 
 
 def _files_for_scan(manifest: dict, col: str, lo, hi) -> list[str]:
@@ -1632,7 +1668,8 @@ def analyze_table(
         try:
             return _commit(path, v + 1, m["files"], "analyze", derived,
                            txn=m.get("txn", {}), dv=m.get("dv"),
-                           base_stats=m.get("stats"))
+                           base_stats=m.get("stats"),
+                           schema=m.get("schema"))
         except VersionConflictError:
             continue  # rebase: re-read the head, reuse nothing stale
     raise VersionConflictError(
@@ -1673,13 +1710,19 @@ def add_columns(path: str, cols) -> int:
         tbl = _schema_from_json(m.get("schema"))
         if tbl is None:
             # legacy pre-contract table: seed the contract from the
-            # newest file's footer (manifest file lists append in commit
-            # order, so the last entry carries the widest schema by the
-            # append-time evolution convention), then widen it
+            # UNION of every file's footer schema — a rewrite (delete/
+            # compact slice) can leave a narrower file as the newest
+            # manifest entry, so no single footer is trustworthy. One
+            # footer read per file, driver-side: acceptable for the
+            # once-only legacy upgrade this path exists for (the
+            # contract is recorded from then on).
+            import pyarrow as pa
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import from_arrow_schema
 
-            tbl = from_arrow_schema(pq.read_schema(m["files"][-1]))
+            tbl = from_arrow_schema(pa.unify_schemas(
+                [pq.read_schema(f) for f in m["files"]],
+                promote_options="permissive"))
         have = {f.name: f for f in tbl.fields}
         out = list(_all_nullable(tbl).fields)
         added = 0
@@ -1836,7 +1879,8 @@ def _compact_partial(
         if stats_cols is None:
             tracked = {c for fstats in stats.values()
                        for c in fstats
-                       if not c.startswith(_BLOOM_KEY) and c != _ROWS_KEY}
+                       if not c.startswith(_BLOOM_KEY) and c != _ROWS_KEY
+                       and not c.startswith(_NULLS_KEY)}
             stats_cols = sorted(tracked) or None
         total = sum(os.path.getsize(f) for f in sel)
         n = max(1, math.ceil(total / target_bytes))
@@ -1877,6 +1921,7 @@ def _compact_partial(
     base_v = v
     cur_files, cur_stats = keep, carried
     cur_txn, cur_dv = m.get("txn", {}), m.get("dv")
+    cur_schema = m.get("schema")
 
     def attempt() -> int:
         return _commit(
@@ -1884,6 +1929,7 @@ def _compact_partial(
             {**cur_stats, **new_stats}, txn=cur_txn,
             dv=cur_dv,  # kept files' deletion vectors survive
             cf=cf_name,
+            schema=cur_schema,
         )
 
     def rebase(head):
@@ -1894,12 +1940,13 @@ def _compact_partial(
         # and the winner's txn watermarks survive. Any rewriting
         # interleave (delete/merge/another compaction) is a true
         # conflict: the read-set went stale, re-run.
-        nonlocal base_v, cur_files, cur_stats, cur_txn, cur_dv
+        nonlocal base_v, cur_files, cur_stats, cur_txn, cur_dv, cur_schema
         ai = _append_only_interleave(path, base_v, head)
         if ai is None:
             raise  # true conflict: surface the lost CAS
         appended, head_m = ai
         head_stats = dict(head_m.get("stats", {}))
+        cur_schema = head_m.get("schema")  # interleaved evolution rides
         cur_files = cur_files + appended
         # HEAD's entries win for every carried file, not just the
         # appended ones: an interleaved ANALYZE backfilled stats for
@@ -2153,12 +2200,13 @@ def merge_version(
 
     spark = updates.sparkSession
     up = _dedup_updates(updates, keys)
-    # schema contract: the batch enforces against the recorded schema
-    # exactly like append (typed-NULL fill, lossless upcasts, extra
-    # columns refused) — so a drifted CDC batch fails loudly instead of
-    # forking the table's schema mid-merge
+    # schema contract: the batch enforces against the recorded schema —
+    # extra columns refused, lossless upcasts cast, and MISSING columns
+    # RAISE (fill_missing=False): a merge replaces whole matched rows,
+    # so NULL-padding a missing column would destroy stored values
     up, _ = _enforce_schema(
-        up, _schema_from_json(prev_m.get("schema")), evolve=False)
+        up, _schema_from_json(prev_m.get("schema")), evolve=False,
+        fill_missing=False)
     # CHECK constraints gate the NEW rows only (carried stored rows were
     # validated on their own way in; deletes add nothing)
     _validate_constraints(up, path)
@@ -2241,12 +2289,14 @@ def merge_version(
     commit_files = untouched + new_files
     commit_stats = {**carried, **new_stats}
     commit_dv = m.get("dv")  # untouched files keep their deletion vectors
+    commit_schema = m.get("schema")
     base_files = set(m["files"])
     base_v = prev
     def attempt() -> int:
         return _commit(
             path, new_v, commit_files, "overwrite",
             commit_stats, txn=new_txn, dv=commit_dv, cf=cf_name,
+            schema=commit_schema,
         )
 
     def rebase(head):
@@ -2257,13 +2307,14 @@ def merge_version(
         # the appended files + stats into the commit and retry with
         # the already-written data files (manifest JSON only).
         nonlocal new_v, commit_files, commit_stats, base_v, base_files
-        nonlocal commit_dv, untouched, new_txn
+        nonlocal commit_dv, untouched, new_txn, commit_schema
         appended = _disjoint_append_interleave(
             path, base_v, head, base_files, batch_keys_k, kcol)
         if appended is None:
             raise
         head_m = _read_manifest(path, head)
         head_stats = head_m.get("stats", {})
+        commit_schema = head_m.get("schema")
         new_txn = {k: int(v) for k, v in head_m.get("txn", {}).items()}
         if txn is not None:
             if new_txn.get(txn[0], -1) >= int(txn[1]):
@@ -2683,7 +2734,8 @@ def describe_table(path: str) -> dict:
             if c.startswith(_BLOOM_KEY):
                 bloom_cov[c[len(_BLOOM_KEY):]] = bloom_cov.get(
                     c[len(_BLOOM_KEY):], 0) + 1
-            elif c != _ROWS_KEY:  # internal row-count key, not a column
+            elif c != _ROWS_KEY and not c.startswith(_NULLS_KEY):
+                # internal row/null-count keys are not columns
                 col_cov[c] = col_cov.get(c, 0) + 1
     tags = {}
     mdir = _manifest_dir(path)
@@ -2770,7 +2822,8 @@ def files_table(spark: SparkSession, path: str,
     for f in m["files"]:
         fstats = m.get("stats", {}).get(f, {})
         plain = {c: rng for c, rng in fstats.items()
-                 if not c.startswith(_BLOOM_KEY) and c != _ROWS_KEY}
+                 if not c.startswith(_BLOOM_KEY) and c != _ROWS_KEY
+                 and not c.startswith(_NULLS_KEY)}
         blooms = sorted(c[len(_BLOOM_KEY):] for c in fstats
                         if c.startswith(_BLOOM_KEY))
         out.append((
@@ -3180,7 +3233,8 @@ def delete_version(
             # files are read HERE only (the cost is opt-in with the
             # feed; the manifest commit itself stays metadata-only)
             legs.append(_read_with_dv(spark, covered, m))
-        deleted = (_reduce(lambda a, b: a.unionByName(b), legs)
+        deleted = (_reduce(lambda a, b: a.unionByName(
+            b, allowMissingColumns=True), legs)
                    if legs else read_version(spark, path, v).limit(0))
         cf_name = _write_change_feed(
             deleted.withColumn("_change_type", F.lit("delete")), path)
@@ -3188,6 +3242,7 @@ def delete_version(
     base_v = v
     cur_untouched, cur_stats = untouched, carried_stats
     cur_txn, cur_dv = m.get("txn", {}), m.get("dv")
+    cur_schema = m.get("schema")
 
     def attempt() -> tuple[int, int, int]:
         _commit(
@@ -3195,6 +3250,7 @@ def delete_version(
             {**cur_stats, **new_stats}, txn=cur_txn,
             dv=cur_dv,  # untouched files keep their deletion vectors
             cf=cf_name,
+            schema=cur_schema,
         )
         return base_v + 1, len(cur_untouched), len(rewrite)
 
@@ -3207,6 +3263,7 @@ def delete_version(
         # overlapping appends (they may hold in-range rows) and any
         # rewrite are true conflicts.
         nonlocal base_v, cur_untouched, cur_stats, cur_txn, cur_dv
+        nonlocal cur_schema
         ai = _append_only_interleave(path, base_v, head)
         ap_stats = (_stats_for_cols(ai[1], [col], blooms=False)
                     if ai is not None else {})
@@ -3217,6 +3274,7 @@ def delete_version(
             raise
         appended, head_m = ai
         head_stats = dict(head_m.get("stats", {}))
+        cur_schema = head_m.get("schema")
         cur_untouched = cur_untouched + appended
         # head entries win for every carried file (an interleaved
         # ANALYZE's backfill must survive the rebase)
@@ -3354,7 +3412,8 @@ def delete_version_dv(
                 F.col(col).between(lo, hi)))
         if covered:
             legs.append(_read_with_dv(spark, covered, m))
-        deleted = (_reduce(lambda a, b: a.unionByName(b), legs)
+        deleted = (_reduce(lambda a, b: a.unionByName(
+            b, allowMissingColumns=True), legs)
                    if legs else read_version(spark, path, v).limit(0))
         cf_name = _write_change_feed(
             deleted.withColumn("_change_type", F.lit("delete")), path
@@ -3368,6 +3427,7 @@ def delete_version_dv(
             "delete-dv",
             {}, txn=cur_m.get("txn", {}), dv=dv_map,
             base_stats=cur_m.get("stats"), cf=cf_name,
+            schema=cur_m.get("schema"),
         )
         return (base_v + 1, len(counts),
                 sum(counts.values()) + covered_rows)
@@ -3479,6 +3539,7 @@ def delete_keys_dv(
             path, base_v + 1, cur_m["files"], "delete-dv",
             {}, txn=new_txn, dv=dv_map,
             base_stats=cur_m.get("stats"), cf=cf_name,
+            schema=cur_m.get("schema"),
         )
         return base_v + 1, len(counts), sum(counts.values())
 
@@ -3567,11 +3628,13 @@ def merge_version_dv(
 
     spark = updates.sparkSession
     up = _dedup_updates(updates, keys)
-    # schema contract: the appended batch files must match the recorded
-    # schema (same rule as merge_version/append — a drifted CDC batch
-    # fails loudly rather than forking the schema)
+    # schema contract: same rule as merge_version — extra columns
+    # refused, MISSING columns raise (the batch's rows replace matched
+    # stored rows at read time via the dv anti-join, so a padded NULL
+    # would destroy stored values exactly like the CoW merge)
     up, _ = _enforce_schema(
-        up, _schema_from_json(m.get("schema")), evolve=False)
+        up, _schema_from_json(m.get("schema")), evolve=False,
+        fill_missing=False)
     _validate_constraints(up, path)
     del_keys = deletes.select(*keys).distinct() if deletes is not None else None
     kcol = keys[0]
@@ -3654,6 +3717,7 @@ def merge_version_dv(
             new_stats,  # delta: the appended batch files only
             txn=new_txn, dv=dv_map,
             base_stats=cur_m.get("stats"), cf=cf_name,
+            schema=cur_m.get("schema"),
         )
         return base_v + 1
 
@@ -3753,6 +3817,7 @@ def reorg_dvs(spark: SparkSession, path: str) -> tuple[int, int, int]:
             path, base_v + 1, cur_m["files"], "reorg-dv",
             {}, txn=cur_m.get("txn", {}), dv=new_dv,
             base_stats=cur_m.get("stats"),
+            schema=cur_m.get("schema"),
         )
         return base_v + 1, len(new_dv), len(dirs_before)
 

@@ -929,7 +929,7 @@ def _commit_staged_files(
         # type-merged read would break — cast in the query instead).
         tbl_json = prev_m.get("schema")
         if staged_schema is None:
-            schema_json = None  # no-file commit: carry the contract
+            schema_json = tbl_json  # no-file commit: carry the contract
         elif tbl_json is None:
             # fresh table records the contract; LEGACY tables (files but
             # no schema) only adopt one on overwrite — recording a

@@ -453,7 +453,8 @@ def test_clx_table_writer_append_and_overwrite(spark, tmp_path):
     assert read_version(spark, path).count() == 200
     m = _read_manifest(path, 1)
     tracked = {c for per in dict(m["stats"]).values() for c in per}
-    assert tracked == {"id", _BLOOM_KEY + "id", "__rows__"}
+    assert tracked == {"id", _BLOOM_KEY + "id", "__rows__",
+                       "__nulls__:id"}
     kept, total = pruned_file_count(path, "id", 150, 150)
     assert (kept, total) == (1, 2)
     write_table_source(
@@ -601,7 +602,7 @@ def test_clx_table_catalog_sql_dml(spark, tmp_path):
         m = V._read_manifest(path, V.latest_version(path))
         new_f = m["files"][-1]
         assert set(m["stats"][new_f]) == {
-            "id", "__rows__", V._BLOOM_KEY + "id"}
+            "id", "__rows__", "__nulls__:id", V._BLOOM_KEY + "id"}
         spark.sql(f"INSERT OVERWRITE {t} VALUES (7, 0.0)")
         assert spark.sql(f"SELECT count(*) c FROM {t}").first().c == 1
         # full history retained: SQL DML commits versions like any writer

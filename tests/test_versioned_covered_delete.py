@@ -171,3 +171,43 @@ def test_untracked_column_never_covered(spark, tmp_path):
     v, unt, rew = delete_version(spark, path, "id", 0, 49)
     assert (unt, rew) == (0, 1)
     assert read_version(spark, path).count() == 0
+
+
+def test_nan_rows_never_covered_and_survive(spark, tmp_path):
+    """Parquet footers exclude NaN from min/max and don't count it as
+    null — float/double bounds therefore never prove coverage, and the
+    conservative rewrite's anti-filter keeps the NaN row (NaN fails
+    BETWEEN in Spark)."""
+    path = str(tmp_path / "t")
+    append_version(
+        spark.createDataFrame(
+            [(1.0,), (5.0,), (float("nan"),)], "x double").coalesce(1),
+        path, stats_cols=["x"])
+    v, unt, rew = delete_version(spark, path, "x", 0.0, 10.0)
+    assert (unt, rew) == (0, 1)  # rewritten, never dropped
+    import math
+
+    rows = read_version(spark, path).collect()
+    assert len(rows) == 1 and math.isnan(rows[0]["x"])
+
+
+def test_covered_change_feed_across_evolved_schemas(spark, tmp_path):
+    """The delete feed unions a covered file and a rewritten file whose
+    physical schemas differ (evolution): allowMissingColumns pads the
+    gap instead of crashing."""
+    path = str(tmp_path / "t")
+    append_version(
+        spark.createDataFrame([(i, f"s{i}") for i in range(50)],
+                              "k long, s string").coalesce(1),
+        path, stats_cols=["k"])
+    append_version(
+        spark.createDataFrame([(100 + i, "w", 1.0) for i in range(50)],
+                              "k long, s string, x double").coalesce(1),
+        path, stats_cols=["k"], evolve=True)
+    # covers file 1 fully, file 2 partially -> one covered + one rewrite
+    v, unt, rew = delete_version(spark, path, "k", 0, 120,
+                                 change_feed=True)
+    assert (unt, rew) == (0, 1)
+    ch = table_changes(spark, path, v - 1, v)
+    assert ch.filter(F.col("_change_type") == "delete").count() == 71
+    assert read_version(spark, path).count() == 29

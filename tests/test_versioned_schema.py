@@ -302,3 +302,56 @@ def test_engine_doors(spark, tmp_path):
     assert eng.table_schema(path).fieldNames() == ["k", "s", "n"]
     eng.add_table_columns(path, [("z", IntegerType())])
     assert eng.table_schema(path).fieldNames() == ["k", "s", "n", "z"]
+
+
+def test_merge_refuses_missing_columns(spark, tmp_path):
+    """A merge replaces whole matched rows — padding a missing batch
+    column with NULL would destroy stored values, so it refuses loudly
+    (both flavors)."""
+    from clx_etl_spark.sinks.versioned import merge_version_dv
+
+    path = str(tmp_path / "t")
+    append_version(
+        spark.createDataFrame([(1, "a", 9.0)], "k int, s string, x double"),
+        path)
+    narrow = spark.createDataFrame([(1, "a2")], "k int, s string")
+    with pytest.raises(SchemaEnforcementError, match="missing table col"):
+        merge_version(narrow, path, keys=["k"])
+    with pytest.raises(SchemaEnforcementError, match="missing table col"):
+        merge_version_dv(narrow, path, keys=["k"])
+    row = read_version(spark, path).first()
+    assert row["x"] == 9.0  # stored value intact
+
+
+def test_legacy_append_does_not_adopt_narrow_contract(spark, tmp_path):
+    """Appending a narrow batch to a pre-contract table must NOT record
+    the batch's schema as the contract (it would project legacy columns
+    away); the table stays legacy until an overwrite/add_columns."""
+    path = str(tmp_path / "t")
+    _base(spark, path)  # (k, s)
+    # strip to legacy
+    mp = os.path.join(path, "_manifests", "v0.json")
+    with open(mp) as fh:
+        m = json.load(fh)
+    del m["schema"]
+    os.remove(mp)
+    with open(mp, "x") as fh:
+        json.dump(m, fh)
+    narrow = spark.createDataFrame([(99,)], "k int").coalesce(1)
+    append_version(narrow, path)
+    assert table_schema(path) is None  # still legacy
+    out = read_version(spark, path)
+    assert set(out.columns) == {"k", "s"}  # legacy column visible
+    assert out.count() == 21
+
+
+def test_scan_version_on_metadata_only_column(spark, tmp_path):
+    """scan_version on a column added by metadata-only add_columns —
+    which no kept file physically carries — resolves against the
+    contract's typed NULLs and returns empty, like read_version."""
+    path = str(tmp_path / "t")
+    _base(spark, path)
+    add_columns(path, [("n", LongType())])
+    out = scan_version(spark, path, "n", 0, 10)
+    assert out.count() == 0
+    assert out.columns == ["k", "s", "n"]
