@@ -53,12 +53,18 @@ class Engine:
             return read_version(self.spark, name, version)
         return catalog.load_table(self.spark, self.sf_dir, name)
 
-    def table_count(self, path: str, version: int | None = None) -> int:
+    def table_count(self, path: str, version: int | None = None,
+                    col: str | None = None):
         """Exact COUNT(*) of a versioned table from METADATA alone
         (manifest row counts minus dv tombstones — no data file opens;
-        sinks/versioned.count_rows_meta)."""
-        from .sinks.versioned import count_rows_meta
+        sinks/versioned.count_rows_meta). With ``col``, the exact
+        COUNT(col) — non-null count from the __nulls__ stats — or None
+        when metadata cannot answer exactly
+        (sinks/versioned.count_col_meta)."""
+        from .sinks.versioned import count_col_meta, count_rows_meta
 
+        if col is not None:
+            return count_col_meta(path, col, version)
         return count_rows_meta(path, version=version, spark=self.spark)
 
     def table_min_max(self, path: str, col: str,
@@ -477,7 +483,8 @@ class Engine:
                             deletes: DataFrame | None = None,
                             txn: tuple[str, int] | None = None,
                             change_feed: bool = False,
-                            merge_on_read: bool = False) -> int:
+                            merge_on_read: bool = False,
+                            evolve: bool = False) -> int:
         """Keyed MERGE into a versioned table (WHEN MATCHED UPDATE /
         DELETE, WHEN NOT MATCHED INSERT): file pruning by manifest key
         ranges + blooms rewrites only the batch's key neighborhood;
@@ -491,7 +498,7 @@ class Engine:
 
         fn = merge_version_dv if merge_on_read else merge_version
         return fn(updates, path, keys, deletes=deletes, txn=txn,
-                  change_feed=change_feed)
+                  change_feed=change_feed, evolve=evolve)
 
     def delete_table_range(self, path: str, col: str, lo, hi,
                            merge_on_read: bool = False,

@@ -57,6 +57,7 @@ SWEEP_FRONT: list[str] = [
     # metadata delete, dv-sidecar reorg, incremental stats-segment scan
     "versioned_schema_evolution",
     "versioned_retention_purge",
+    "versioned_count_col_meta",
     "versioned_dv_reorg",
     "versioned_segment_scan",
     # backing code changed this round (incremental sidecar segments +

@@ -1447,3 +1447,66 @@ def versioned_retention_purge(spark, sf):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@register(
+    "versioned_count_col_meta",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN o_orderkey % 7 <> 0 THEN 1 END) AS n_nonnull
+    FROM orders
+    """,
+    doc="Metadata-only COUNT(col) (r09): manifests record per-file "
+    "footer NULL COUNTS ('__nulls__:<col>') alongside min/max, so the "
+    "exact non-null count of a column — COUNT(col) semantics — answers "
+    "from the manifest with zero data-file opens "
+    "(sinks/versioned.count_col_meta; None whenever inexact, e.g. a dv "
+    "over a null-bearing file). Proven the loud way like "
+    "versioned_meta_agg: every data file is os.remove()d and both "
+    "answers re-derive identical from the orphaned manifest. At 100 TB "
+    "this answers completeness audits (how many rows have an "
+    "embedding / a label?) at manifest cost",
+)
+def versioned_count_col_meta(spark, sf):
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import (_read_manifest, append_version,
+                                   count_col_meta, count_rows_meta,
+                                   latest_version)
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 != 0, F.col("o_orderkey"))
+        .alias("maybe"),
+    )
+    tmp = tempfile.mkdtemp(prefix="clx_vcc_")
+    path = tmp + "/t"
+    try:
+        hi = orders.agg(F.max("o_orderkey")).first()[0] or 1
+        step = hi // 2 + 1
+        for i in range(2):
+            sl = orders.filter(
+                (F.col("o_orderkey") >= i * step)
+                & (F.col("o_orderkey") < (i + 1) * step)
+            )
+            append_version(sl.coalesce(1), path,
+                           stats_cols=["o_orderkey", "maybe"])
+        answers = lambda: (  # noqa: E731 — re-run verbatim post-remove
+            count_rows_meta(path),
+            count_col_meta(path, "maybe"),
+        )
+        first = answers()
+        if first[1] is None:
+            raise AssertionError("count_col_meta must be exact here")
+        for f in _read_manifest(path, latest_version(path))["files"]:
+            os.remove(f)  # loud proof: no metadata answer touches data
+        if answers() != first:
+            raise AssertionError("metadata answers changed without data")
+        out = spark.createDataFrame(
+            [first], "n_rows long, n_nonnull long",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -2116,6 +2116,7 @@ def merge_version(
     deletes: DataFrame | None = None,
     txn: tuple[str, int] | None = None,
     change_feed: bool = False,
+    evolve: bool = False,
 ) -> int:
     """Commit a keyed MERGE as a new version: rows matching ``keys``
     update, the rest insert (last-wins within the batch, same contract
@@ -2201,11 +2202,14 @@ def merge_version(
     spark = updates.sparkSession
     up = _dedup_updates(updates, keys)
     # schema contract: the batch enforces against the recorded schema —
-    # extra columns refused, lossless upcasts cast, and MISSING columns
-    # RAISE (fill_missing=False): a merge replaces whole matched rows,
-    # so NULL-padding a missing column would destroy stored values
-    up, _ = _enforce_schema(
-        up, _schema_from_json(prev_m.get("schema")), evolve=False,
+    # extra columns refused unless ``evolve=True`` (Delta's merge-time
+    # mergeSchema: they widen the contract and unmatched stored rows
+    # read them as NULL), lossless upcasts cast, and MISSING columns
+    # RAISE regardless (fill_missing=False): a merge replaces whole
+    # matched rows, so NULL-padding a missing column would destroy
+    # stored values
+    up, merge_schema = _enforce_schema(
+        up, _schema_from_json(prev_m.get("schema")), evolve=evolve,
         fill_missing=False)
     # CHECK constraints gate the NEW rows only (carried stored rows were
     # validated on their own way in; deletes add nothing)
@@ -2230,12 +2234,14 @@ def merge_version(
             gone = gone.unionByName(del_keys).distinct()
         # dv-applied read: rows merge-on-read-deleted from the rewrite
         # slice must not resurrect; rewritten files come out dv-free.
-        # Projected onto the contract so files predating an add_columns
-        # union cleanly against the (already-normalized) batch; legacy
-        # contract-less tables read as-is (the batch was not normalized
-        # either, so the union behaves exactly as before the contract)
+        # Projected onto the (possibly just-evolved) contract so files
+        # predating an add_columns / this evolve union cleanly against
+        # the already-normalized batch; legacy contract-less tables
+        # read as-is (the batch was not normalized either, so the
+        # union behaves exactly as before the contract)
         stored_slice = _project_to_schema(
-            _read_with_dv(spark, rewrite, m), prev_m.get("schema"))
+            _read_with_dv(spark, rewrite, m),
+            merge_schema.json() if prev_m.get("schema") else None)
         merged = stored_slice.join(gone, keys, "left_anti").unionByName(up)
     else:
         merged = up
@@ -2289,7 +2295,7 @@ def merge_version(
     commit_files = untouched + new_files
     commit_stats = {**carried, **new_stats}
     commit_dv = m.get("dv")  # untouched files keep their deletion vectors
-    commit_schema = m.get("schema")
+    commit_schema = (merge_schema.json() if m.get("schema") else None)
     base_files = set(m["files"])
     base_v = prev
     def attempt() -> int:
@@ -2314,7 +2320,11 @@ def merge_version(
             raise
         head_m = _read_manifest(path, head)
         head_stats = head_m.get("stats", {})
-        commit_schema = head_m.get("schema")
+        # union our (possibly evolved) schema with the head's — an
+        # interleaved evolution rides; a type conflict surfaces
+        commit_schema = (
+            _merge_schema_json(head_m.get("schema"), merge_schema)
+            if commit_schema is not None else head_m.get("schema"))
         new_txn = {k: int(v) for k, v in head_m.get("txn", {}).items()}
         if txn is not None:
             if new_txn.get(txn[0], -1) >= int(txn[1]):
@@ -2767,11 +2777,14 @@ def describe_table(path: str) -> dict:
             cdf_versions.add(int(entry[1:]))
     cdf_versions = sorted(cdf_versions)
     dv_map = m.get("dv", {})
+    sch = _schema_from_json(m.get("schema"))
     return {
         "version": head,
         "op": m["op"],
         "n_files": n,
         "bytes_total": size,
+        # the recorded schema contract (None for legacy tables)
+        "schema": sch.simpleString() if sch is not None else None,
         "stats_coverage": {c: k / n for c, k in col_cov.items()} if n else {},
         "bloom_coverage": {c: k / n for c, k in bloom_cov.items()} if n else {},
         "constraints": get_constraints(path),
@@ -2881,6 +2894,38 @@ def count_rows_meta(path: str, version: int | None = None,
             rows += sum(_footer_rows(f) for f in missing)
     dead = sum(e["n"] for es in m.get("dv", {}).values() for e in es)
     return rows - dead
+
+
+def count_col_meta(path: str, col: str,
+                   version: int | None = None) -> int | None:
+    """Exact ``COUNT(col)`` (non-null count) answered from the
+    manifest's per-file ``__nulls__`` stats — or None when metadata
+    cannot answer EXACTLY and the caller must scan. Exact requires
+    every file to carry both ``__rows__`` and ``__nulls__:col``
+    (recorded by every r09+ writer whenever the column's stats are
+    tracked; ``analyze_table`` backfills), and, for dv-bearing files,
+    a ZERO null count — a tombstoned row's null-ness is unknown, but
+    when the file has no nulls at all every dv'd row was provably
+    non-null and subtracts exactly. A None is a fall-back signal,
+    never an approximation (same contract as min_max_meta)."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no versions committed at {path}")
+    m = _read_manifest(path, v)
+    nk = _NULLS_KEY + col
+    fstats = _stats_for_cols(m, [_ROWS_KEY, nk], blooms=False)
+    dv_map = m.get("dv", {})
+    total = 0
+    for f in m["files"]:
+        per = fstats.get(f, {})
+        rows, nulls = per.get(_ROWS_KEY), per.get(nk)
+        if rows is None or nulls is None or nulls[0] is None:
+            return None  # untracked / legacy / ANALYZE sentinel
+        dead = sum(int(e["n"]) for e in dv_map.get(f, []))
+        if dead and int(nulls[0]) != 0:
+            return None  # which rows the dv removed is unknowable here
+        total += int(rows[0]) - int(nulls[0]) - dead
+    return total
 
 
 def _footer_rows(f: str) -> int:
@@ -3578,6 +3623,7 @@ def merge_version_dv(
     deletes: DataFrame | None = None,
     txn: tuple[str, int] | None = None,
     change_feed: bool = False,
+    evolve: bool = False,
 ) -> int:
     """Merge-on-read MERGE (Delta MERGE over deletion vectors): the
     full WHEN MATCHED UPDATE / DELETE, WHEN NOT MATCHED INSERT triad
@@ -3629,11 +3675,12 @@ def merge_version_dv(
     spark = updates.sparkSession
     up = _dedup_updates(updates, keys)
     # schema contract: same rule as merge_version — extra columns
-    # refused, MISSING columns raise (the batch's rows replace matched
-    # stored rows at read time via the dv anti-join, so a padded NULL
-    # would destroy stored values exactly like the CoW merge)
-    up, _ = _enforce_schema(
-        up, _schema_from_json(m.get("schema")), evolve=False,
+    # refused unless ``evolve=True`` (they widen the contract), MISSING
+    # columns raise (the batch's rows replace matched stored rows at
+    # read time via the dv anti-join, so a padded NULL would destroy
+    # stored values exactly like the CoW merge)
+    up, up_schema = _enforce_schema(
+        up, _schema_from_json(m.get("schema")), evolve=evolve,
         fill_missing=False)
     _validate_constraints(up, path)
     del_keys = deletes.select(*keys).distinct() if deletes is not None else None
@@ -3717,7 +3764,10 @@ def merge_version_dv(
             new_stats,  # delta: the appended batch files only
             txn=new_txn, dv=dv_map,
             base_stats=cur_m.get("stats"), cf=cf_name,
-            schema=cur_m.get("schema"),
+            # evolved batch widens the contract; an interleaved
+            # evolution on the head unions in (type conflicts surface)
+            schema=(_merge_schema_json(cur_m.get("schema"), up_schema)
+                    if cur_m.get("schema") else None),
         )
         return base_v + 1
 
