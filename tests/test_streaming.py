@@ -1994,3 +1994,68 @@ def test_clx_table_stream_writer_checkpoint_scoped_identity(spark, tmp_path):
         assert exc is not None and "exactly-once identity" in str(exc)
     finally:
         spark.conf.unset("spark.sql.streaming.checkpointLocation")
+
+
+def test_clx_table_stream_writer_schema_evolution(spark, tmp_path):
+    """A stream whose upstream schema widens mid-stream: without the
+    mergeSchema option the drifted batch fails the query loudly (the
+    contract refuses it); with option('mergeSchema','true') the batch
+    evolves the contract and earlier rows read the new column as NULL
+    — Delta's streaming-sink evolution shape on the r09 schema
+    contract."""
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.sources.table_source import TableDataSource
+
+    spark.dataSource.register(TableDataSource)
+    src1 = str(tmp_path / "in1")
+    src2 = str(tmp_path / "in2")
+    table = str(tmp_path / "vt")
+    spark.createDataFrame(
+        [(j, float(j)) for j in range(5)], "id long, x double"
+    ).coalesce(1).write.mode("append").parquet(src1)
+    q = (
+        spark.readStream.format("parquet").schema("id long, x double")
+        .load(src1)
+        .writeStream.format("clx_table").option("path", table)
+        .option("txnAppId", "ev").option(
+            "checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert V.table_schema(table).fieldNames() == ["id", "x"]
+
+    # a second stream with a WIDER schema: refused without the option
+    spark.createDataFrame(
+        [(100 + j, 0.0, "tag") for j in range(3)],
+        "id long, x double, t string",
+    ).coalesce(1).write.mode("append").parquet(src2)
+
+    def run(merge: bool):
+        w = (
+            spark.readStream.format("parquet")
+            .schema("id long, x double, t string").load(src2)
+            .writeStream.format("clx_table").option("path", table)
+            .option("txnAppId", "ev2").option(
+                "checkpointLocation",
+                str(tmp_path / ("ck2m" if merge else "ck2")))
+        )
+        if merge:
+            w = w.option("mergeSchema", "true")
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination(120)  # raises on query failure
+        return q
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="mergeSchema"):
+        run(merge=False)
+    assert V.table_schema(table).fieldNames() == ["id", "x"]  # intact
+
+    q = run(merge=True)
+    assert q.exception() is None
+    assert V.table_schema(table).fieldNames() == ["id", "x", "t"]
+    out = V.read_version(spark, table)
+    assert out.count() == 8
+    assert out.filter(out.t.isNull()).count() == 5
