@@ -2699,10 +2699,12 @@ def history(spark: SparkSession, path: str) -> DataFrame:
         StructField("bytes_total", LongType()),
         StructField("has_change_feed", BooleanType()),
         StructField("txn", StringType()),
+        StructField("schema_changed", BooleanType()),
     ])
     rows = []
     if head is not None:
         prev_files: set[str] | None = None
+        prev_schema: str | None = None
         for v in range(0, head + 1):
             if not os.path.exists(_manifest_path(path, v)):
                 prev_files = None  # expired gap: deltas restart
@@ -2721,8 +2723,12 @@ def history(spark: SparkSession, path: str) -> DataFrame:
                 v, m["op"], len(m["files"]), added, removed, size,
                 _change_dir_for(path, m, v) is not None,
                 json.dumps(m.get("txn", {}), sort_keys=True),
+                # contract changed at this version (evolution /
+                # add-columns / replace; v0 counts when it records one)
+                m.get("schema") != prev_schema,
             ))
             prev_files = files
+            prev_schema = m.get("schema")
     return spark.createDataFrame(rows, schema)
 
 

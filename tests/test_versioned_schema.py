@@ -355,3 +355,19 @@ def test_scan_version_on_metadata_only_column(spark, tmp_path):
     out = scan_version(spark, path, "n", 0, 10)
     assert out.count() == 0
     assert out.columns == ["k", "s", "n"]
+
+
+def test_history_and_describe_surface_schema(spark, tmp_path):
+    from clx_etl_spark.sinks.versioned import describe_table, history
+
+    path = str(tmp_path / "t")
+    _base(spark, path)                      # v0: records the contract
+    append_version(
+        spark.createDataFrame([(50, "z")], "k int, s string").coalesce(1),
+        path)                               # v1: same schema
+    add_columns(path, [("n", LongType())])  # v2: widens
+    h = {r.version: r.schema_changed
+         for r in history(spark, path).collect()}
+    assert h == {0: True, 1: False, 2: True}
+    d = describe_table(path)
+    assert d["schema"] == "struct<k:int,s:string,n:bigint>"
