@@ -1638,11 +1638,17 @@ def analyze_table(
         # upgrades pre-r08 files onto the metadata-only COUNT(*) path
         # (count_rows_meta's documented once-only fallback).
         have = _stats_for_cols(
-            m, sorted(set(stats_cols) | set(want_blooms) | {_ROWS_KEY}),
+            m, sorted(set(stats_cols) | set(want_blooms) | {_ROWS_KEY}
+                      | {_NULLS_KEY + c for c in stats_cols}),
             blooms=False)
         todo = [
             f for f in m["files"]
             if any(c not in have.get(f, {}) for c in stats_cols)
+            # null counts joined the stats in r09 (count_col_meta and
+            # the whole-file delete proof need them): pre-r09 files
+            # with min/max but no __nulls__ still need the backfill
+            or any(_NULLS_KEY + c not in have.get(f, {})
+                   for c in stats_cols)
             or any(_BLOOM_KEY + c not in have.get(f, {})
                    for c in want_blooms)
             or _ROWS_KEY not in have.get(f, {})
@@ -1660,6 +1666,13 @@ def analyze_table(
             for c in stats_cols:
                 if c not in per and c not in have.get(f, {}):
                     per[c] = [None, None]
+                nk = _NULLS_KEY + c
+                if nk not in per and nk not in have.get(f, {}):
+                    # underivable null count (column absent / footer
+                    # lacks it): the [None,None] sentinel reads back
+                    # conservative (count_col_meta -> None, coverage
+                    # proofs fail) and makes re-runs no-ops
+                    per[nk] = [None, None]
             for c in want_blooms:
                 k = _BLOOM_KEY + c
                 if k not in per and k not in have.get(f, {}):
@@ -3180,7 +3193,8 @@ def rollback_version(path: str, to_version: int) -> int:
     conservative resolution)."""
     m = _read_manifest(path, to_version)
     head = latest_version(path) or 0
-    head_txn = _read_manifest(path, head).get("txn", {})
+    head_m = _read_manifest(path, head)
+    head_txn = head_m.get("txn", {})
     # the restored snapshot's deletion vectors come back with it —
     # expire_versions keeps dv dirs referenced by any surviving manifest,
     # so a restorable to_version implies its dv dirs still exist. Its
@@ -3188,11 +3202,11 @@ def rollback_version(path: str, to_version: int) -> int:
     # metadata-flat; the restored file list is exactly the segments')
     # the restored snapshot's SCHEMA comes back with it (a restore past
     # a bad add_columns restores the contract too); legacy pre-schema
-    # targets fall back to carrying the head's contract
+    # targets carry the HEAD's contract instead of silently dropping it
     return _commit(path, head + 1, m["files"], "overwrite",
                    {}, txn=head_txn, dv=m.get("dv"),
                    base_stats=m.get("stats"),
-                   schema=m.get("schema"))
+                   schema=m.get("schema") or head_m.get("schema"))
 
 
 def delete_version(
@@ -3472,14 +3486,31 @@ def delete_version_dv(
     base_v, cur_m = v, m
 
     def attempt() -> tuple[int, int, int]:
-        _commit(
-            path, base_v + 1,
-            [f for f in cur_m["files"] if f not in covered_set],
-            "delete-dv",
-            {}, txn=cur_m.get("txn", {}), dv=dv_map,
-            base_stats=cur_m.get("stats"), cf=cf_name,
-            schema=cur_m.get("schema"),
-        )
+        if covered_set:
+            # the file list SHRANK: a by-reference base_stats carry
+            # would violate _commit's invariant (every carried entry's
+            # file must be in the list) and leave the dropped files'
+            # stats haunting the sidecar segments forever — coalesce
+            # to a full map minus the dropped files, the same rule
+            # every other file-removing commit follows
+            full = {f: dict(per)
+                    for f, per in dict(cur_m.get("stats", {})).items()
+                    if f not in covered_set}
+            _commit(
+                path, base_v + 1,
+                [f for f in cur_m["files"] if f not in covered_set],
+                "delete-dv",
+                full, txn=cur_m.get("txn", {}), dv=dv_map,
+                cf=cf_name,
+                schema=cur_m.get("schema"),
+            )
+        else:
+            _commit(
+                path, base_v + 1, cur_m["files"], "delete-dv",
+                {}, txn=cur_m.get("txn", {}), dv=dv_map,
+                base_stats=cur_m.get("stats"), cf=cf_name,
+                schema=cur_m.get("schema"),
+            )
         return (base_v + 1, len(counts),
                 sum(counts.values()) + covered_rows)
 

@@ -100,3 +100,88 @@ def test_merge_dv_evolve_widens(spark, tmp_path):
     got = {r["k"]: (r["s"], r["x"])
            for r in read_version(spark, path).collect()}
     assert got == {1: ("a", None), 2: ("B", 1.5)}
+
+
+def test_analyze_backfills_null_counts(spark, tmp_path):
+    """Pre-r09 files (min/max + __rows__, no __nulls__): ANALYZE
+    backfills the null counts so count_col_meta upgrades from None to
+    exact — and a re-run is a metadata no-op."""
+    import json
+    import os
+
+    from clx_etl_spark.sinks.versioned import (_read_manifest,
+                                               analyze_table,
+                                               latest_version)
+
+    path = str(tmp_path / "t")
+    append_version(
+        spark.createDataFrame([(1, "a"), (2, None), (3, "c")],
+                              "k long, s string").coalesce(1),
+        path, stats_cols=["k", "s"])
+    # simulate a pre-r09 manifest: strip the __nulls__ entries
+    mp = os.path.join(path, "_manifests", "v0.json")
+    with open(mp) as fh:
+        m = json.load(fh)
+    for per in m["stats"].values():
+        for key in [k for k in per if k.startswith("__nulls__")]:
+            del per[key]
+    os.remove(mp)
+    with open(mp, "x") as fh:
+        json.dump(m, fh)
+    assert count_col_meta(path, "s") is None  # legacy: cannot answer
+    v = analyze_table(spark, path, ["k", "s"])
+    assert count_col_meta(path, "s") == 2
+    assert count_col_meta(path, "k") == 3
+    # idempotent: nothing left to derive
+    m2 = _read_manifest(path, latest_version(path))
+    assert analyze_table(spark, path, ["k", "s"]) == v + 1  # metadata no-op commit
+    assert _read_manifest(path, latest_version(path))["files"] == m2["files"]
+
+
+def test_rollback_to_legacy_version_carries_head_contract(spark, tmp_path):
+    """Restoring a pre-contract version must not silently drop the
+    head's schema contract — it carries."""
+    import json
+    import os
+
+    from clx_etl_spark.sinks.versioned import rollback_version
+
+    path = str(tmp_path / "t")
+    append_version(
+        spark.createDataFrame([(1, "a")], "k long, s string").coalesce(1),
+        path)
+    # make v0 legacy
+    mp = os.path.join(path, "_manifests", "v0.json")
+    with open(mp) as fh:
+        m = json.load(fh)
+    del m["schema"]
+    os.remove(mp)
+    with open(mp, "x") as fh:
+        json.dump(m, fh)
+    from pyspark.sql.types import LongType
+
+    add_columns(path, [("n", LongType())])  # v1 records a contract
+    rollback_version(path, 0)
+    assert table_schema(path) is not None  # carried, not dropped
+    assert table_schema(path).fieldNames() == ["k", "s", "n"]
+
+
+def test_dv_covered_drop_coalesces_stats(spark, tmp_path):
+    """A covered-file drop on the dv path must not leave the dropped
+    file's stats haunting the manifest (describe_table coverage stays
+    <= 1.0 and the stats map matches the file list)."""
+    from clx_etl_spark.sinks.versioned import (_read_manifest,
+                                               describe_table,
+                                               latest_version)
+
+    path = str(tmp_path / "t")
+    for lo in (0, 100):
+        append_version(
+            spark.createDataFrame([(lo + i,) for i in range(50)],
+                                  "k long").coalesce(1),
+            path, stats_cols=["k"])
+    delete_version_dv(spark, path, "k", 100, 149)  # file 2 covered
+    m = _read_manifest(path, latest_version(path))
+    assert len(m["files"]) == 1
+    assert set(dict(m["stats"])) == set(m["files"])
+    assert describe_table(path)["stats_coverage"]["k"] == 1.0
