@@ -980,15 +980,39 @@ _SAFE_UPCASTS = {
 }
 
 
+def _norm_type(dt):
+    """Normalize a DataType's NESTED nullability to all-nullable
+    (struct fields, array containsNull, map valueContainsNull) — the
+    canonical form types are recorded and compared in. Parquet
+    round-trips read everything back nullable, so a batch whose nested
+    nullability differs from the contract carries identical data and
+    must not be refused (ADVICE r09)."""
+    from pyspark.sql.types import (ArrayType, MapType, StructField,
+                                   StructType)
+
+    if isinstance(dt, StructType):
+        return StructType([
+            StructField(f.name, _norm_type(f.dataType), True)
+            for f in dt.fields
+        ])
+    if isinstance(dt, ArrayType):
+        return ArrayType(_norm_type(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_norm_type(dt.keyType), _norm_type(dt.valueType),
+                       True)
+    return dt
+
+
 def _all_nullable(schema):
-    """Normalize a StructType to all-nullable fields, metadata dropped —
-    the canonical form schemas are recorded and compared in (older
-    files' evolution-gap columns always read NULL, so nullability is
-    not part of the storage contract)."""
+    """Normalize a StructType to all-nullable fields at EVERY level,
+    metadata dropped — the canonical form schemas are recorded and
+    compared in (older files' evolution-gap columns always read NULL,
+    so nullability is not part of the storage contract)."""
     from pyspark.sql.types import StructField, StructType
 
     return StructType(
-        [StructField(f.name, f.dataType, True) for f in schema.fields]
+        [StructField(f.name, _norm_type(f.dataType), True)
+         for f in schema.fields]
     )
 
 
@@ -1064,7 +1088,10 @@ def _enforce_schema(df: DataFrame, tbl, evolve: bool,
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
             continue
         bt = bf[f.name].dataType
-        if bt == f.dataType:
+        if _norm_type(bt) == _norm_type(f.dataType):
+            # nested-nullability drift is not a type change: the data is
+            # identical, only the batch's containsNull/struct-field
+            # nullability differs (parquet reads are all-nullable)
             cols.append(F.col(f.name))
         elif f.dataType.typeName() in _SAFE_UPCASTS.get(bt.typeName(), ()):
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
@@ -1079,7 +1106,7 @@ def _enforce_schema(df: DataFrame, tbl, evolve: bool,
     out_fields = list(_all_nullable(tbl).fields)
     for n in extra:
         cols.append(F.col(n))
-        out_fields.append(StructField(n, bf[n].dataType, True))
+        out_fields.append(StructField(n, _norm_type(bf[n].dataType), True))
     return df.select(*cols), StructType(out_fields)
 
 
@@ -1099,8 +1126,8 @@ def _merge_schema_json(head_json: str | None, ours) -> str:
     for f in ours.fields:
         got = hf.get(f.name)
         if got is None:
-            out.append(StructField(f.name, f.dataType, True))
-        elif got.dataType != f.dataType:
+            out.append(StructField(f.name, _norm_type(f.dataType), True))
+        elif _norm_type(got.dataType) != _norm_type(f.dataType):
             raise SchemaEnforcementError(
                 f"concurrent schema change on column '{f.name}': this "
                 f"write normalized against {f.dataType.simpleString()} "
@@ -1396,6 +1423,21 @@ def append_version(
                 return prev  # replayed transaction: already committed
             prev_txn[app_id] = int(txn_v)
         version = 0 if prev is None else prev + 1
+        if (new_files is not None and enforced_against is None
+                and prev_m.get("schema") is not None):
+            # CAS-retry interleave (ADVICE r09): this batch was
+            # normalized when the table carried NO contract, but a
+            # concurrent commit recorded one — merging our schema in
+            # would bypass the extra-column/evolve refusal. Discard the
+            # staged files (orphans; expire reclaims any we miss) and
+            # re-enforce against the head contract, so drift refuses
+            # exactly as it would have without the race.
+            for f in new_files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+            new_files = None
         if new_files is None:  # data files are written exactly once
             enforced_against = prev_m.get("schema")
             batch, committed_schema = _enforce_schema(
@@ -1742,9 +1784,9 @@ def add_columns(path: str, cols) -> int:
         for f in new_fields:
             got = have.get(f.name)
             if got is None:
-                out.append(StructField(f.name, f.dataType, True))
+                out.append(StructField(f.name, _norm_type(f.dataType), True))
                 added += 1
-            elif got.dataType != f.dataType:
+            elif _norm_type(got.dataType) != _norm_type(f.dataType):
                 raise SchemaEnforcementError(
                     f"add_columns: column '{f.name}' already exists as "
                     f"{got.dataType.simpleString()} (requested "
@@ -2720,7 +2762,12 @@ def history(spark: SparkSession, path: str) -> DataFrame:
         prev_schema: str | None = None
         for v in range(0, head + 1):
             if not os.path.exists(_manifest_path(path, v)):
-                prev_files = None  # expired gap: deltas restart
+                # expired gap: deltas restart — and so does the schema
+                # baseline, keeping both delta semantics consistent
+                # (the first post-gap row reports full adds AND
+                # schema_changed, ADVICE r09)
+                prev_files = None
+                prev_schema = None
                 continue
             m = _read_manifest(path, v)
             files = set(m["files"])
@@ -3275,16 +3322,27 @@ def delete_version(
         from pyspark.sql import functions as F
 
         slice_df = _read_with_dv(spark, rewrite, m)
-        # NULL-key rows survive: DELETE WHERE col BETWEEN lo AND hi
-        # deletes only rows where the predicate is TRUE — a bare
-        # ~between is NULL for them and would silently drop them (the
-        # dv path's positive-match filter was always correct; this
-        # anti-filter needed the explicit IS NULL leg)
-        remaining = slice_df.filter(
-            ~F.col(col).between(lo, hi) | F.col(col).isNull())
-        new_files, new_stats = _write_files(
-            remaining, path, new_v, stats_cols or ([col] if stats else None)
-        )
+        if col not in slice_df.columns:
+            # contract-only column (metadata add_columns, no rewrite-leg
+            # file carries it): every row reads it as NULL and NULL
+            # BETWEEN is never TRUE, so all rows survive — carry the
+            # files untouched instead of failing to resolve the filter
+            # (ADVICE r09); the delete still commits (a recorded
+            # decision, same as the dv path)
+            untouched = untouched + rewrite
+            rewrite = []
+        else:
+            # NULL-key rows survive: DELETE WHERE col BETWEEN lo AND hi
+            # deletes only rows where the predicate is TRUE — a bare
+            # ~between is NULL for them and would silently drop them
+            # (the dv path's positive-match filter was always correct;
+            # this anti-filter needed the explicit IS NULL leg)
+            remaining = slice_df.filter(
+                ~F.col(col).between(lo, hi) | F.col(col).isNull())
+            new_files, new_stats = _write_files(
+                remaining, path, new_v,
+                stats_cols or ([col] if stats else None)
+            )
     if change_feed:
         from functools import reduce as _reduce
 
@@ -3452,10 +3510,16 @@ def delete_version_dv(
               if f not in covered_set}
     dvdir = None
     counts: dict[str, int] = {}
+    col_present = True
     if candidates:
-        matches = _read_with_dv(spark, candidates, m, with_pos=True).filter(
-            F.col(col).between(lo, hi)
-        )
+        cand_df = _read_with_dv(spark, candidates, m, with_pos=True)
+        # contract-only column (metadata add_columns, no candidate file
+        # carries it): every row reads it as NULL, BETWEEN never TRUE —
+        # nothing to tombstone; skip instead of failing to resolve the
+        # filter (ADVICE r09). The empty delete still commits.
+        col_present = col in cand_df.columns
+    if candidates and col_present:
+        matches = cand_df.filter(F.col(col).between(lo, hi))
         dvdir, counts = _write_dv(matches, path, new_v)
         if not counts:
             _drop_dv_dir(dvdir)
@@ -3472,7 +3536,7 @@ def delete_version_dv(
         # Covered files are read for the FEED only — the commit itself
         # never reads them
         legs = []
-        if candidates:
+        if candidates and col_present:
             legs.append(_read_with_dv(spark, candidates, m).filter(
                 F.col(col).between(lo, hi)))
         if covered:

@@ -2099,3 +2099,72 @@ def test_min_max_meta_temporal_decimal_and_empty_batch(spark, tmp_path):
     prev = set(_read_manifest(path, v - 1)["files"])
     assert len([f for f in m["files"] if f not in prev]) == 1
     assert read_version(spark, path).count() == 2
+
+
+def test_cas_loser_cannot_clobber_winner_change_feed(
+    spark, tmp_path, monkeypatch
+):
+    import os
+
+    import pytest
+    """Adversarial two-writer change-feed race (VERDICT r09): two
+    change-feed deletes target the same version; the CAS loser's
+    cleanup — and the legacy version-keyed drop API — must leave the
+    winner's committed feed byte-identical. This pins the r09
+    uuid-owned-feed fix: pre-r09 the loser's version-keyed rmtree
+    clobbered the winner's CDC history."""
+    import glob
+    import hashlib
+
+    import clx_etl_spark.sinks.versioned as V
+
+    path = str(tmp_path / "vt")
+    V.append_version(
+        spark.createDataFrame(
+            [(i, i * 2) for i in range(200)], "k long, v long"
+        ).coalesce(1),
+        path, stats_cols=["k"],
+    )
+    orig = V._commit
+    state: dict = {}
+
+    def digest(cdir: str) -> dict:
+        out = {}
+        for f in sorted(glob.glob(os.path.join(cdir, "*"))):
+            with open(f, "rb") as fh:
+                out[os.path.basename(f)] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    def racing(path_, version, files, op, stats=None, txn=None, **kw):
+        if "winner_cf" not in state and op == "overwrite" and kw.get("cf"):
+            # the LOSER's commit attempt: interleave a winner that
+            # commits its OWN change feed at the same version
+            state["winner_cf"] = True  # guard before recursing
+            V.delete_version_dv(spark, path_, "k", 150, 199,
+                                change_feed=True)
+            wm = V._read_manifest(path_, V.latest_version(path_))
+            cdir = os.path.join(path_, "_changes", wm["cf"])
+            state["winner_cf"] = wm["cf"]
+            state["winner_bytes"] = digest(cdir)
+        return orig(path_, version, files, op, stats, txn, **kw)
+
+    monkeypatch.setattr(V, "_commit", racing)
+    with pytest.raises(V.VersionConflictError):
+        # loser: copy-on-write delete with a feed; the interleaved
+        # delete-dv is a rewrite, so rebase refuses and cleanup runs
+        V.delete_version(spark, path, "k", 0, 49, change_feed=True)
+    monkeypatch.undo()
+    win_v = V.latest_version(path)
+    wm = V._read_manifest(path, win_v)
+    assert wm["cf"] == state["winner_cf"]
+    cdir = os.path.join(path, "_changes", wm["cf"])
+    # the loser's cleanup removed ONLY its own uuid-owned dir
+    assert sorted(os.listdir(os.path.join(path, "_changes"))) == [wm["cf"]]
+    assert digest(cdir) == state["winner_bytes"]
+    # the legacy version-keyed drop (the pre-r09 clobber vector) is
+    # harmless against a uuid-owned committed feed
+    V._drop_change_feed(path, win_v)
+    assert digest(cdir) == state["winner_bytes"]
+    ch = V.table_changes(spark, path, win_v - 1, win_v)
+    assert ch.count() == 50
+    assert {r._change_type for r in ch.collect()} == {"delete"}

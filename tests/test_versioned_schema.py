@@ -371,3 +371,120 @@ def test_history_and_describe_surface_schema(spark, tmp_path):
     assert h == {0: True, 1: False, 2: True}
     d = describe_table(path)
     assert d["schema"] == "struct<k:int,s:string,n:bigint>"
+
+
+def test_nested_nullability_drift_accepted(spark, tmp_path):
+    """A batch whose NESTED nullability differs from the contract (array
+    containsNull, struct-field nullable) carries identical data — parquet
+    round-trips read everything back nullable — and must append cleanly
+    instead of being refused as a type change (ADVICE r09)."""
+    from pyspark.sql.types import (ArrayType, StructField, StructType)
+
+    strict = StructType([
+        StructField("k", IntegerType(), True),
+        StructField("xs", ArrayType(IntegerType(), False), True),
+        StructField("st", StructType([
+            StructField("a", IntegerType(), False),
+        ]), True),
+    ])
+    loose = StructType([
+        StructField("k", IntegerType(), True),
+        StructField("xs", ArrayType(IntegerType(), True), True),
+        StructField("st", StructType([
+            StructField("a", IntegerType(), True),
+        ]), True),
+    ])
+    path = str(tmp_path / "t")
+    append_version(
+        spark.createDataFrame([(1, [1, 2], (7,))], strict).coalesce(1), path)
+    # the same rows under all-nullable nested types (what a parquet
+    # read-back of the first batch produces) must not be refused
+    append_version(
+        spark.createDataFrame([(2, [3], (8,))], loose).coalesce(1), path)
+    append_version(
+        spark.createDataFrame([(3, [4], (9,))], strict).coalesce(1), path)
+    out = read_version(spark, path)
+    assert out.count() == 3
+    assert sorted(r.st.a for r in out.collect()) == [7, 8, 9]
+
+
+def test_cas_contract_race_reenforces(spark, tmp_path, monkeypatch):
+    """ADVICE r09: an append normalized when the table had NO contract
+    that loses the CAS to a commit which RECORDED one must re-enforce
+    against the new head — a drifting batch is refused even in this
+    interleave, never silently merged into the contract."""
+    import clx_etl_spark.sinks.versioned as V
+
+    path = str(tmp_path / "t")
+    _base(spark, path)
+    # strip the contract: simulate a legacy (pre-contract) head
+    mp = os.path.join(path, "_manifests", "v0.json")
+    with open(mp) as fh:
+        m = json.load(fh)
+    del m["schema"]
+    os.remove(mp)
+    with open(mp, "x") as fh:
+        json.dump(m, fh)
+    assert table_schema(path) is None
+    real_commit = V._commit
+    hits = {"n": 0}
+
+    def racing_commit(p, version, *a, **kw):
+        if hits["n"] == 0:
+            hits["n"] += 1
+            # interleaved winner records a ["k","s"] contract
+            add_columns(path, [("s", StringType())])
+        return real_commit(p, version, *a, **kw)
+
+    monkeypatch.setattr(V, "_commit", racing_commit)
+    drifted = spark.createDataFrame(
+        [(900, "d", 1.0)], "k int, s string, z double").coalesce(1)
+    with pytest.raises(SchemaEnforcementError):
+        V.append_version(drifted, path)  # no evolve=True: must refuse
+    monkeypatch.undo()
+    assert set(table_schema(path).fieldNames()) == {"k", "s"}
+    assert read_version(spark, path).count() == 20  # nothing landed
+
+
+def test_delete_on_contract_only_column_is_noop(spark, tmp_path):
+    """DELETE on a column added via metadata-only add_columns (present
+    in no data file) resolves instead of raising: every row reads the
+    column as NULL, NULL BETWEEN is never TRUE, so all rows survive and
+    no file rewrites (ADVICE r09) — on both delete flavors."""
+    from clx_etl_spark.sinks.versioned import (delete_version,
+                                               delete_version_dv)
+
+    path = str(tmp_path / "t")
+    _base(spark, path)
+    add_columns(path, [("n", LongType())])
+    v, untouched, rewritten = delete_version(spark, path, "n", 0, 10)
+    assert rewritten == 0
+    assert read_version(spark, path).count() == 20
+    v2, dv_files, deleted = delete_version_dv(spark, path, "n", 0, 10,
+                                              change_feed=True)
+    assert (dv_files, deleted) == (0, 0)
+    assert read_version(spark, path).count() == 20
+
+
+def test_history_schema_baseline_resets_at_gap(spark, tmp_path):
+    """An expired-manifest gap resets the schema baseline alongside the
+    file baseline: the first post-gap row reports schema_changed=True
+    just as its file deltas restart as full adds (ADVICE r09)."""
+    from clx_etl_spark.sinks.versioned import history
+
+    path = str(tmp_path / "t")
+    _base(spark, path)  # v0
+    append_version(
+        spark.createDataFrame([(50, "z")], "k int, s string").coalesce(1),
+        path)           # v1: same schema
+    append_version(
+        spark.createDataFrame([(51, "y")], "k int, s string").coalesce(1),
+        path)           # v2: same schema
+    os.remove(os.path.join(path, "_manifests", "v1.json"))  # expired gap
+    h = {r.version: (r.files_added, r.schema_changed)
+         for r in history(spark, path).collect()}
+    assert set(h) == {0, 2}
+    n0 = h[0][0]
+    assert h[0][1] is True
+    # post-gap: file deltas restart as full adds AND schema restarts
+    assert h[2] == (n0 + 2, True)
