@@ -87,6 +87,43 @@ class Engine:
         return analyze_table(self.spark, path, stats_cols,
                              bloom_cols=bloom_cols)
 
+    def rename_column(self, path: str, old: str, new: str) -> int:
+        """METADATA-ONLY ``ALTER TABLE ... RENAME COLUMN`` on a
+        versioned table via column mapping — no file rewritten, stats
+        survive, time travel answers under each version's names
+        (sinks/versioned.rename_column)."""
+        from .sinks.versioned import rename_column
+
+        return rename_column(path, old, new)
+
+    def drop_columns(self, path: str, cols) -> int:
+        """METADATA-ONLY ``ALTER TABLE ... DROP COLUMN`` — the physical
+        bytes retire behind the column mapping and reclaim with the
+        next rewrite (sinks/versioned.drop_columns)."""
+        from .sinks.versioned import drop_columns
+
+        return drop_columns(path, cols)
+
+    def optimize(self, path: str, **kw) -> dict:
+        """The single Delta-style OPTIMIZE maintenance door: fold dv
+        sidecars, bin-pack small files (Z-ORDER with ``zorder_by``),
+        backfill stats, optionally expire old versions — one atomic
+        commit per step, combined before/after delta returned
+        (sinks/versioned.optimize_table)."""
+        from .sinks.versioned import optimize_table
+
+        return optimize_table(self.spark, path, **kw)
+
+    def stream_table(self, path: str, **kw) -> DataFrame:
+        """readStream over a versioned table's appends (initial
+        snapshot + per-commit increments — Delta's plain streaming
+        source; sources/table_source.stream_table). For exact
+        row-level deltas across merges/deletes use
+        ``stream_changes``."""
+        from .sources.table_source import stream_table
+
+        return stream_table(self.spark, path, **kw)
+
     def create_sql_table(self, name: str, path: str) -> None:
         """Register a versioned table in the session catalog for pure
         SQL DML: after this, ``INSERT INTO name`` / ``INSERT OVERWRITE

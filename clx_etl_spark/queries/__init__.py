@@ -52,70 +52,73 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # oracle suite (tests/test_queries_oracle.py) always sweeps everything
 # at sf0.01 regardless.
 SWEEP_FRONT: list[str] = [
-    # ---- round-9 front ----
-    # new this round (no driver row yet): schema contract, whole-file
-    # metadata delete, dv-sidecar reorg, incremental stats-segment scan
-    "versioned_schema_evolution",
-    "versioned_retention_purge",
-    "versioned_count_col_meta",
-    "versioned_dv_reorg",
-    "versioned_segment_scan",
-    # backing code changed this round (incremental sidecar segments +
-    # by-reference carry, shared CAS-rebase helper, uuid-owned change
-    # feeds, DSv2 row-group pruning, analyze sentinels, distributed
-    # row-count fallback): re-prove the whole versioned family
-    "versioned_meta_agg",
-    "versioned_catalog_dml",
-    "versioned_analyze_backfill",
-    "versioned_sql_write",
-    "versioned_sql_scan",
-    "versioned_dv_delete",
-    "versioned_dv_merge_replay",
-    "versioned_merge_replay",
-    "versioned_point_lookup",
-    "versioned_cdc_replay",
-    "versioned_change_feed",
-    "ivm_rollup_from_cdf",
-    "ivm_rollup_extrema_from_cdf",
-    "versioned_clone_divergence",
-    "versioned_time_travel_ts",
-    # freshness: the full remaining r04 cohort (stalest cumulative
-    # proofs — retires r04, new floor r05)
-    "percentiles_by_group",
-    "pii_redact",
-    "pivot_event_values",
-    "quality_weighted_sample",
-    "range_join_attribution",
-    "resample_ohlcv_hourly",
-    "sample_stratified",
-    "scd2_value_runs",
-    "semantic_dedup",
-    "session_revenue",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "split_leakage_audit",
-    "split_train_val_test",
-    "t10_prob_normalize",
-    "t12_coalesce_tags",
-    "t5_align_5m",
-    "t7_dt_derive",
-    "t8_ratio_split",
-    "t9_interval_snap",
-    "training_manifest",
-    "tz_local_daily",
-    "u2_except_unseen",
-    "w1_gap_detect",
-    "w3_gap_fill_plan",
-    "w3_islands_sessionize",
-    "w4_locf_fill",
-    "w4_moving_frame",
-    "w4_range_frame",
-    "w4_rank_variants",
-    # ---- position 48+: at/past the driver's ~50 cap (next-stalest: the
-    # r05 cohort leads the r10 front)
-    # rows-only (no hash oracle by design; driver records rows-only)
-    "sketch_daily_users",
+    # ---- round-10 front ----
+    # ORACLE STATUS CHANGED: bpe_train_encode graduated rows-only ->
+    # hash-oracled (the unrolled-merge DuckDB twin, VERDICT r09 item 6
+    # — its first driver row ever); versioned_count_col_meta's oracle
+    # extended to the dv-plus-nulls case (r10 'z' bookkeeping)
     "bpe_train_encode",
+    "versioned_count_col_meta",
+    # NEW this round: column-mapping RENAME/DROP and the single
+    # OPTIMIZE maintenance door
+    "versioned_schema_rename_drop",
+    "versioned_optimize",
+    # FRESHNESS: the full r05 cohort (stalest cumulative proofs —
+    # target floor r06; the few past-cap stragglers lead the r11 front)
+    "cdc_current_state",
+    "cms_token_frequencies",
+    "column_gini_profile",
+    "compaction_bin_packing",
+    "contrastive_hard_negatives",
+    "conversion_lag_stats",
+    "curation_drop_attribution",
+    "daily_type_correlation",
+    "decontam_bloom",
+    "dedup_cluster_size_histogram",
+    "dedup_containment",
+    "dedup_jaccard_prefix",
+    "doc_pagerank",
+    "embedding_outlier_scores",
+    "eval_holdout_min_coverage",
+    "funnel_time_bounded",
+    "grouping_sets_revenue",
+    "histogram_event_values",
+    "incremental_agg_merge",
+    "interarrival_percentiles",
+    "kfold_balance_audit",
+    "label_propagation_srp",
+    "lang_temperature_sample",
+    "lm_kneser_ney_scores",
+    "market_basket_pairs",
+    "markov_transitions",
+    "mm_audio_segments",
+    "mm_phash_near_dup",
+    "mm_scene_cuts",
+    "oov_rate_by_lang",
+    "pareto_abc_customers",
+    "partition_skew_report",
+    "phrase_search",
+    "quality_rank_normalize",
+    "readability_scores",
+    "rfm_segmentation",
+    "rolling_7d_distinct_users",
+    "rrf_fusion",
+    "session_entry_exit_stats",
+    "snapshot_diff",
+    "span_corruption_masking",
+    "split_with_holdout",
+    "srp_pair_label_purity",
+    "step_transitions",
+    "substring_run_dedup",
+    "token_pmi",
+    "top_event_paths",
+    "trend_slope_by_type",
+    "winsorize_event_values",
+    "zorder_locality_stats",
+    # rows-only by design (approximate HLL; its exact twin
+    # sketch_daily_users_exact is hash-proven) — driver records
+    # err:no_oracle whenever swept, documented since r04
+    "sketch_daily_users",
 ]
 
 

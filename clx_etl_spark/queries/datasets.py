@@ -5,10 +5,13 @@ pipeline (tokenize / score / split / index).
 
 Oracle determinism follows the queries/__init__ contract; the LM score
 uses exact BIGINT fixed-point probabilities (see operators/lm.py — no
-ln(), no order-dependent float sums). bpe_train_encode remains the one
-documented rows-only entry here (multi-round argmax loop); the ANN
-entries graduated to hash-oracled in round 7 via exact-integer k-means
-(operators/similarity.knn_pq_exact — the SQL twins are generated below).
+ln(), no order-dependent float sums). bpe_train_encode graduated to
+hash-oracled in round 10: greedy left-to-right merge application over a
+word's symbols is EXACTLY one non-overlapping string replace over a
+bracket-delimited symbol string, so the whole 8-round train+encode loop
+unrolls into materialized DuckDB CTEs (_bpe_oracle below) — the same
+unrolled-iteration discipline as the exact-integer k-means ANN twins
+(operators/similarity.knn_pq_exact, generated below).
 """
 
 from __future__ import annotations
@@ -169,15 +172,72 @@ def bpe_pair_stats(spark, sf):
     )
 
 
+def _bpe_oracle(num_merges: int = 8) -> str:
+    """The full BPE train+encode loop as unrolled DuckDB CTEs.
+
+    The key identity: the engine\'s greedy left-to-right merge fold
+    (operators/bpe._merge_fold) over a word\'s symbol array equals ONE
+    non-overlapping left-to-right string replace when each symbol is
+    bracketed as \\x01<sym>\\x02 — adjacent bracketed tokens share no
+    characters, so replace() consumes complete symbol pairs in the
+    exact greedy order. Per round: split the bracket string back to
+    symbols, count freq-weighted adjacent pairs, pick the argmax
+    (n DESC, a, b — the engine\'s lexicographic tie-break), and apply
+    it via replace; min_pair_count=2 rounds become no-ops exactly like
+    the engine\'s early break. CTEs are MATERIALIZED: without it DuckDB
+    inlines each round\'s references and re-evaluates the chain
+    exponentially."""
+    S, E = r"\x01", r"\x02"
+    ctes = [
+        f"docs_toks AS MATERIALIZED (SELECT doc_id, {TOKS} AS t "
+        "FROM documents)",
+        "words AS MATERIALIZED (SELECT w AS word, "
+        "CAST(SUM(1) AS BIGINT) AS freq "
+        "FROM (SELECT unnest(t) AS w FROM docs_toks) GROUP BY w)",
+        "w0 AS MATERIALIZED (SELECT word, freq, "
+        f"regexp_replace(word, '(.)', e'{S}\\\\1{E}', 'g') AS s FROM words)",
+    ]
+    for r in range(1, num_merges + 1):
+        prev = r - 1
+        ctes += [
+            f"t{r} AS MATERIALIZED (SELECT word, freq, s, "
+            f"string_split(trim(s, e'{S}{E}'), e'{E}{S}') AS t FROM w{prev})",
+            f"p{r} AS (SELECT t[i] AS a, t[i+1] AS b, SUM(freq) AS n "
+            f"FROM t{r}, UNNEST(generate_series(1, len(t) - 1)) AS g(i) "
+            "WHERE len(t) >= 2 GROUP BY 1, 2)",
+            f"b{r} AS MATERIALIZED (SELECT a, b, n FROM p{r} "
+            "ORDER BY n DESC, a, b LIMIT 1)",
+            f"w{r} AS MATERIALIZED (SELECT word, freq, "
+            "CASE WHEN coalesce(b.n, 0) >= 2 "
+            f"THEN replace(s, e'{S}' || b.a || e'{E}{S}' || b.b || e'{E}', "
+            f"e'{S}' || b.a || b.b || e'{E}') "
+            f"ELSE s END AS s FROM t{r} LEFT JOIN b{r} b ON TRUE)",
+        ]
+    ctes.append(
+        f"wc AS (SELECT word, CAST(len(string_split(trim(s, e'{S}{E}'), "
+        f"e'{E}{S}')) AS BIGINT) AS k FROM w{num_merges})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT d.doc_id AS doc_id, "
+        "CAST(SUM(wc.k) AS BIGINT) AS n_bpe_tokens "
+        "FROM (SELECT doc_id, unnest(t) AS word FROM docs_toks) d "
+        "JOIN wc USING (word) GROUP BY d.doc_id"
+    )
+
+
 @register(
     "bpe_train_encode",
-    oracle=None,  # iterative per-merge argmax loop: documented rows-only class
+    oracle=_bpe_oracle(8),
     doc="End-to-end BPE: train 8 merges on the corpus (one vocab-sized "
     "aggregate + a single collected argmax row per round, lineage cut "
     "per round), then join-based encoding — per-doc BPE token counts. "
-    "Deterministic (ties broken lexicographically) but multi-round "
-    "iterative, hence rows-only; round-1 statistics are hash-checked by "
-    "bpe_pair_stats and greedy-merge semantics by tests/test_operators.py",
+    "HASH-ORACLED since r10 (VERDICT r09 item 6 — previously the only "
+    "registered query with zero driver evidence): the oracle unrolls "
+    "all 8 training rounds into materialized DuckDB CTEs via the "
+    "replace-over-bracketed-symbols identity (see _bpe_oracle); ties "
+    "broken lexicographically in both engines. Round-1 statistics "
+    "stay independently hash-checked by bpe_pair_stats",
 )
 def bpe_train_encode(spark, sf):
     docs = load_table(spark, sf, "documents")

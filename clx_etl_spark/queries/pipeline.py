@@ -1452,20 +1452,31 @@ def versioned_retention_purge(spark, sf):
 @register(
     "versioned_count_col_meta",
     oracle="""
+    WITH b AS (SELECT MAX(o_orderkey) // 4 + 1 AS q FROM orders),
+    kept AS (
+      SELECT o_orderkey FROM orders, b
+      WHERE o_orderkey NOT BETWEEN b.q AND 2 * b.q
+    )
     SELECT COUNT(*) AS n_rows,
            COUNT(CASE WHEN o_orderkey % 7 <> 0 THEN 1 END) AS n_nonnull
-    FROM orders
+    FROM kept
     """,
-    doc="Metadata-only COUNT(col) (r09): manifests record per-file "
-    "footer NULL COUNTS ('__nulls__:<col>') alongside min/max, so the "
-    "exact non-null count of a column — COUNT(col) semantics — answers "
-    "from the manifest with zero data-file opens "
-    "(sinks/versioned.count_col_meta; None whenever inexact, e.g. a dv "
-    "over a null-bearing file). Proven the loud way like "
-    "versioned_meta_agg: every data file is os.remove()d and both "
+    doc="Metadata-only COUNT(col) (r09, extended r10): manifests record "
+    "per-file footer NULL COUNTS ('__nulls__:<col>') alongside min/max, "
+    "so the exact non-null count of a column — COUNT(col) semantics — "
+    "answers from the manifest with zero data-file opens "
+    "(sinks/versioned.count_col_meta). r10 extends exactness to "
+    "DV-BEARING NULL-CARRYING files: each dv entry records the "
+    "per-column null count among ITS tombstoned rows ('z' bookkeeping, "
+    "derived from the match set at delete time), so the query dv-deletes "
+    "a key range spanning both null-carrying files and asserts the "
+    "answer stays metadata-exact (pre-r10 this exact shape returned "
+    "None and forced a scan — VERDICT r09 item 7). Proven the loud way "
+    "like versioned_meta_agg: every data file is os.remove()d and both "
     "answers re-derive identical from the orphaned manifest. At 100 TB "
     "this answers completeness audits (how many rows have an "
-    "embedding / a label?) at manifest cost",
+    "embedding / a label?) at manifest cost even under merge-on-read "
+    "delete debt",
 )
 def versioned_count_col_meta(spark, sf):
     import os
@@ -1474,7 +1485,7 @@ def versioned_count_col_meta(spark, sf):
 
     from ..sinks.versioned import (_read_manifest, append_version,
                                    count_col_meta, count_rows_meta,
-                                   latest_version)
+                                   delete_version_dv, latest_version)
 
     orders = load_table(spark, sf, "orders").select(
         "o_orderkey",
@@ -1493,13 +1504,23 @@ def versioned_count_col_meta(spark, sf):
             )
             append_version(sl.coalesce(1), path,
                            stats_cols=["o_orderkey", "maybe"])
+        # dv-delete a range straddling BOTH null-carrying files (each
+        # only partially covered, so both get dv entries, never the
+        # whole-file drop) — the r10 'z' bookkeeping keeps COUNT(col)
+        # metadata-exact where r09 bailed to a scan
+        q = hi // 4 + 1
+        v, dv_files, _deleted = delete_version_dv(
+            spark, path, "o_orderkey", q, 2 * q)
+        if dv_files == 0:
+            raise AssertionError("the delete must leave dv entries")
         answers = lambda: (  # noqa: E731 — re-run verbatim post-remove
             count_rows_meta(path),
             count_col_meta(path, "maybe"),
         )
         first = answers()
         if first[1] is None:
-            raise AssertionError("count_col_meta must be exact here")
+            raise AssertionError(
+                "count_col_meta must stay exact over dv+nulls (r10 z)")
         for f in _read_manifest(path, latest_version(path))["files"]:
             os.remove(f)  # loud proof: no metadata answer touches data
         if answers() != first:
@@ -1507,6 +1528,149 @@ def versioned_count_col_meta(spark, sf):
         out = spark.createDataFrame(
             [first], "n_rows long, n_nonnull long",
         ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
+    "versioned_schema_rename_drop",
+    oracle="""
+    SELECT o_orderkey AS oid,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(NULL AS VARCHAR) AS tag
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+    doc="METADATA-ONLY RENAME/DROP COLUMN via column mapping (r10, "
+    "Delta columnMapping name mode; reference analog: the mutable-"
+    "column discipline of the symbol upsert, "
+    "src/exchanges/_base_.py:111-121). A four-file orders seed is "
+    "renamed (okey->oid) and a column dropped (tag) with the manifest "
+    "file list asserted BYTE-IDENTICAL across both ops — no data file "
+    "touched; file-skipping stats survive the rename (pruned_file_count "
+    "on the NEW name asserted to prune, since stats are keyed by the "
+    "immutable physical name); re-adding 'tag' maps it to a FRESH "
+    "physical so the dropped bytes provably never leak back (asserted "
+    "all-NULL before the re-append); a post-rename append under the new "
+    "logical names lands under the original physical columns; and time "
+    "travel answers v0 under the OLD names (asserted). The final "
+    "read-back is hash-checked against the oracle's padded UNION. At "
+    "100 TB this is the ALTER TABLE a live lakehouse needs: O(1) "
+    "renames/drops, zero rewrite, skipping intact",
+)
+def versioned_schema_rename_drop(spark, sf):
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import StringType
+
+    from ..sinks.versioned import (_read_manifest, add_columns,
+                                   append_version, drop_columns,
+                                   pruned_file_count, read_version,
+                                   rename_column, table_schema)
+
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderpriority").alias("tag"),
+    )
+    tmp = tempfile.mkdtemp(prefix="clx_vrd_")
+    path = tmp + "/t"
+    try:
+        hi = orders.agg(F.max("okey")).first()[0] or 1
+        step = hi // 4 + 1
+        for i in range(4):  # four key-range files with stats on okey
+            sl = orders.filter(
+                (F.col("okey") >= i * step) & (F.col("okey") < (i + 1) * step)
+            )
+            append_version(sl.coalesce(1), path, stats_cols=["okey"])
+        files0 = list(_read_manifest(path, 3)["files"])
+        v_ren = rename_column(path, "okey", "oid")
+        v_drop = drop_columns(path, ["tag"])
+        for v in (v_ren, v_drop):  # ALTERs must be metadata-only
+            if _read_manifest(path, v)["files"] != files0:
+                raise AssertionError("rename/drop must touch no file")
+        # stats survive the rename: pruning fires under the NEW name
+        kept, total = pruned_file_count(path, "oid", 0, step - 1)
+        if not (kept == 1 and total == 4):
+            raise AssertionError(f"stats lost across rename: {kept}/{total}")
+        # time travel: the pre-rename snapshot answers under OLD names
+        if table_schema(path, 3).fieldNames() != ["okey", "price", "tag"]:
+            raise AssertionError("v3 must time-travel to pre-rename names")
+        # re-added column -> fresh physical: dropped bytes never leak
+        add_columns(path, [("tag", StringType())])
+        leak = read_version(spark, path).agg(F.count("tag")).first()[0]
+        if leak != 0:
+            raise AssertionError(f"dropped bytes leaked into re-add: {leak}")
+        # post-rename append under the new logical names
+        batch = orders.filter(F.col("okey") % 5 == 0).select(
+            F.col("okey").alias("oid"), "price", "tag")
+        append_version(batch.coalesce(1), path)
+        out = read_version(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
+    "versioned_optimize",
+    oracle="""
+    WITH b AS (SELECT MAX(o_orderkey) // 6 + 1 AS s FROM orders)
+    SELECT o_orderkey AS okey,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders, b
+    WHERE o_orderkey NOT BETWEEN 0 AND b.s // 2
+      AND o_orderkey NOT BETWEEN 2 * b.s AND 2 * b.s + b.s // 2
+    """,
+    doc="The single OPTIMIZE maintenance door (r10, Delta OPTIMIZE "
+    "shape; VERDICT r09 item 8): orders seeds six small key-range "
+    "files, two dv range-deletes accumulate two deletion-vector "
+    "sidecar dirs, then ONE optimize_table call sequences reorg-dv -> "
+    "bin-pack compaction -> ANALYZE (one atomic commit each, no-ops "
+    "skipped) — asserted in-query: file count drops, dv debt purges to "
+    "zero, and the okey skipping index reports full coverage after the "
+    "pass. The survivors are hash-checked against the oracle's double "
+    "NOT BETWEEN. At 100 TB this is the nightly maintenance command: "
+    "one call converges file sizes, dv read-debt, and the stats index, "
+    "each step independently durable",
+)
+def versioned_optimize(spark, sf):
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import (append_version, delete_version_dv,
+                                   describe_table, optimize_table,
+                                   read_version)
+
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    tmp = tempfile.mkdtemp(prefix="clx_vop_")
+    path = tmp + "/t"
+    try:
+        hi = orders.agg(F.max("okey")).first()[0] or 1
+        s = hi // 6 + 1
+        for i in range(6):  # six small key-range files
+            sl = orders.filter(
+                (F.col("okey") >= i * s) & (F.col("okey") < (i + 1) * s))
+            append_version(sl.coalesce(1), path, stats_cols=["okey"])
+        delete_version_dv(spark, path, "okey", 0, s // 2)
+        delete_version_dv(spark, path, "okey", 2 * s, 2 * s + s // 2)
+        d0 = describe_table(path)
+        if not (d0["n_files"] == 6 and d0["dv_dirs"] == 2):
+            raise AssertionError(f"seed shape wrong: {d0}")
+        rep = optimize_table(spark, path)
+        if not rep["after"]["n_files"] < rep["before"]["n_files"]:
+            raise AssertionError("OPTIMIZE must shrink the file count")
+        if rep["after"]["dv_files"] != 0:
+            raise AssertionError("OPTIMIZE must purge the dv debt")
+        if describe_table(path)["stats_coverage"].get("okey") != 1.0:
+            raise AssertionError("the skipping index must survive")
+        out = read_version(spark, path).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -473,17 +473,23 @@ def _write_dv_sidecar(path: str, version: int, dv: dict) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    files, dirs, ns = [], [], []
+    files, dirs, ns, zs = [], [], [], []
     for f in sorted(dv):
         for e in dv[f]:
             files.append(f)
             dirs.append(e["d"])
             ns.append(int(e["n"]))
+            # per-entry null bookkeeping (r10): JSON round-trips the
+            # {col: nulls} map through one string column — KBs, and
+            # only present on entries that recorded it
+            zs.append(json.dumps(e["z"], sort_keys=True)
+                      if e.get("z") else None)
     name = f"dv-v{version:06d}-{uuid.uuid4().hex[:8]}.parquet"
     t = pa.table({
         "file": pa.array(files, pa.string()),
         "d": pa.array(dirs, pa.string()),
         "n": pa.array(ns, pa.int64()),
+        "z": pa.array(zs, pa.string()),
     })
     pq.write_table(t, os.path.join(_manifest_dir(path), name))
     return name
@@ -493,10 +499,15 @@ def _load_dv_sidecar(sidecar: str) -> dict:
     import pyarrow.parquet as pq
 
     t = pq.read_table(sidecar)
+    zcol = (t["z"].to_pylist() if "z" in t.column_names
+            else [None] * len(t))  # pre-r10 sidecars carry no z
     out: dict = {}
-    for f, d, n in zip(t["file"].to_pylist(), t["d"].to_pylist(),
-                       t["n"].to_pylist()):
-        out.setdefault(f, []).append({"d": d, "n": int(n)})
+    for f, d, n, z in zip(t["file"].to_pylist(), t["d"].to_pylist(),
+                          t["n"].to_pylist(), zcol):
+        e = {"d": d, "n": int(n)}
+        if z:
+            e["z"] = json.loads(z)
+        out.setdefault(f, []).append(e)
     return out
 
 
@@ -666,7 +677,9 @@ def _read_with_dv(
     df = spark.read.option("mergeSchema", "true").parquet(*files)
     dirs = _dv_dirs_for(manifest, files)
     if not dirs and not with_pos:
-        return df
+        # column mapping: rename physical->logical, hide retired
+        # physicals (a no-op for unmapped tables)
+        return _apply_colmap(df, manifest)
     cols = df.columns
     # normalize the file_path URI (file:/x or file:///x) to the plain
     # local path the manifest keys files by — dv rows, manifest entries,
@@ -683,7 +696,16 @@ def _read_with_dv(
         # anti-join — shared per-commit dv dirs need no re-filtering
         dv = spark.read.parquet(*dirs).select(_DV_FILE, _DV_POS)
         df = df.join(dv, [_DV_FILE, _DV_POS], "left_anti")
-    return df if with_pos else df.select(*cols)
+    if with_pos:
+        mapping, dropped = _colmap(manifest)
+        if not mapping and not dropped:
+            return df
+        inv = {p: l for l, p in mapping.items()}
+        gone = set(dropped)
+        keep = [F.col(c).alias(inv[c]) if c in inv else F.col(c)
+                for c in cols if c not in gone]
+        return df.select(*keep, F.col(_DV_FILE), F.col(_DV_POS))
+    return _apply_colmap(df.select(*cols), manifest)
 
 
 def _write_dv(
@@ -711,9 +733,35 @@ def _drop_dv_dir(dvdir: str) -> None:
     shutil.rmtree(dvdir, ignore_errors=True)
 
 
+def _dv_null_counts(matches: DataFrame, m: dict) -> dict:
+    """Per-file NULL counts of the TOMBSTONED rows, for every tracked
+    stats column in the match frame — recorded on each dv entry under
+    the ``z`` key (physical-named) so ``count_col_meta`` stays
+    metadata-only on dv-bearing files that carry nulls (VERDICT r09
+    item 7: without this, a dv over a null-carrying file forces a
+    scan, because which deleted rows were null is otherwise
+    unknowable). One aggregate over the already-computed match set —
+    O(deleted rows), grouped down to file names; nothing new is read."""
+    from pyspark.sql import functions as F
+
+    mapping, _ = _colmap(m)
+    inv = {p: l for l, p in mapping.items()}
+    cols = [(inv.get(p, p), p) for p in sorted(_tracked_col_sets(m)[0])]
+    cols = [(lg, p) for lg, p in cols if lg in matches.columns]
+    if not cols:
+        return {}
+    aggs = [F.sum(F.col(lg).isNull().cast("long")).alias(f"_z{i}")
+            for i, (lg, _p) in enumerate(cols)]
+    return {
+        r[_DV_FILE]: {p: int(r[f"_z{i}"]) for i, (_lg, p) in enumerate(cols)}
+        for r in matches.groupBy(_DV_FILE).agg(*aggs).collect()
+    }
+
+
 def _write_files(
     df: DataFrame, path: str, version: int, stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    colmap: dict | None = None,
 ) -> tuple[list[str], dict]:
     """Write the batch as immutable files; when ``stats_cols`` is given,
     collect per-file min/max from the parquet FOOTERS (no data re-read)
@@ -725,6 +773,19 @@ def _write_files(
     that falls inside a file's [min,max] GAP still skips the file
     (Delta's bloom-filter-index shape). Cost: one single-column read of
     each written file at commit time, bitmap <= 64 KiB per file."""
+    if colmap:
+        # column mapping boundary: the frame arrives under LOGICAL
+        # names; files (and therefore footer stats keys) store the
+        # immutable PHYSICAL names (a no-op select when no frame
+        # column is mapped)
+        from pyspark.sql import functions as F
+        if any(c in colmap for c in df.columns):
+            df = df.select(*[F.col(c).alias(colmap.get(c, c))
+                             for c in df.columns])
+        if stats_cols:
+            stats_cols = [colmap.get(c, c) for c in stats_cols]
+        if bloom_cols:
+            bloom_cols = [colmap.get(c, c) for c in bloom_cols]
     sub = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
     # INT96 (Spark's legacy default) carries no footer statistics, which
     # defeats both manifest skipping and parquet row-group pruning —
@@ -1158,6 +1219,66 @@ def _project_to_schema(df: DataFrame, schema_json: str | None) -> DataFrame:
     ])
 
 
+# ---------------------------------------------------------------------------
+# COLUMN MAPPING (Delta columnMapping, name mode): RENAME/DROP COLUMN as
+# metadata-only commits. Every data file stores columns under immutable
+# PHYSICAL names (the column's name at creation time, forever); the
+# manifest's "colmap" key records {"m": {logical: physical}, "x":
+# [retired physicals]} — only non-identity entries, so unmapped tables
+# pay nothing. The table's recorded schema contract always speaks
+# LOGICAL names. Reads rename physical->logical and hide retired
+# physicals; writes rename logical->physical at the file boundary;
+# manifest stats stay keyed by PHYSICAL names (stable across renames),
+# and every stats consumer translates through the manifest it already
+# holds. Time travel answers under each version's own names. Reference
+# analog: the mutable-column discipline of the symbol upsert
+# (/root/reference/src/exchanges/_base_.py:111-121) — here lifted to a
+# true ALTER TABLE with history-preserving semantics.
+# ---------------------------------------------------------------------------
+
+
+def _colmap(m: dict) -> tuple[dict, list]:
+    """(logical->physical map, retired physical names) of a manifest —
+    both empty for unmapped tables."""
+    cm = m.get("colmap") or {}
+    return dict(cm.get("m", {})), list(cm.get("x", []))
+
+
+def _phys(m: dict, col: str) -> str:
+    """The physical (file/stats) name of a logical column."""
+    return (m.get("colmap") or {}).get("m", {}).get(col, col)
+
+
+def _colmap_key(mapping: dict, dropped: list):
+    """The manifest 'colmap' value, or None when trivial (so unmapped
+    tables keep byte-identical manifests)."""
+    if not mapping and not dropped:
+        return None
+    out: dict = {}
+    if mapping:
+        out["m"] = mapping
+    if dropped:
+        out["x"] = sorted(set(dropped))
+    return out
+
+
+def _apply_colmap(df: DataFrame, m: dict) -> DataFrame:
+    """Rename a raw file read's PHYSICAL columns to the manifest's
+    logical names and hide retired (dropped-column) physicals. A no-op
+    Project for unmapped tables (returns df untouched)."""
+    mapping, dropped = _colmap(m)
+    if not mapping and not dropped:
+        return df
+    from pyspark.sql import functions as F
+
+    inv = {p: l for l, p in mapping.items()}
+    gone = set(dropped)
+    return df.select(*[
+        F.col(c).alias(inv[c]) if c in inv else F.col(c)
+        for c in df.columns if c not in gone
+    ])
+
+
 class VersionConflictError(RuntimeError):
     """Two writers raced to commit the same version number — the
     single-writer contract was violated. The loser's data files are
@@ -1221,6 +1342,7 @@ def _commit(
     base_stats=None,
     cf: str | None = None,
     schema: str | None = "__carry__",
+    colmap="__carry__",
 ) -> int:
     """Atomic manifest commit (exclusive-create CAS).
 
@@ -1251,17 +1373,26 @@ def _commit(
     uuid-owned by the caller, making CAS losers unable to clobber a
     winner's feed)."""
     os.makedirs(_manifest_dir(path), exist_ok=True)
-    if schema == "__carry__":
-        schema = None
+    if schema == "__carry__" or colmap == "__carry__":
+        parent: dict = {}
         if version > 0:
             try:
-                schema = _read_manifest(path, version - 1).get("schema")
+                parent = _read_manifest(path, version - 1)
             except (OSError, ValueError, KeyError):
-                pass  # legacy/expired parent: no contract to carry
+                pass  # legacy/expired parent: nothing to carry
+        if schema == "__carry__":
+            schema = parent.get("schema")
+        if colmap == "__carry__":
+            # the column mapping travels WITH the schema contract —
+            # dropping it would resurrect retired columns / break
+            # renamed ones on the very next read
+            colmap = parent.get("colmap")
     manifest = {"version": version, "op": op, "files": files,
                 "txn": txn or {}}
     if schema is not None:
         manifest["schema"] = schema
+    if colmap:
+        manifest["colmap"] = colmap
     if cf is not None:
         manifest["cf"] = cf
     new_segments: list[str] = []  # written by THIS call: CAS-loser cleanup
@@ -1413,6 +1544,8 @@ def append_version(
     stats: dict = {}
     enforced_against: str | None = None
     committed_schema = None
+    mapping: dict = {}
+    dropped: list = []
     for _ in range(max_retries + 1):
         prev = latest_version(path)
         prev_m = _read_manifest(path, prev) if prev is not None else {}
@@ -1423,8 +1556,13 @@ def append_version(
                 return prev  # replayed transaction: already committed
             prev_txn[app_id] = int(txn_v)
         version = 0 if prev is None else prev + 1
-        if (new_files is not None and enforced_against is None
-                and prev_m.get("schema") is not None):
+        if new_files is not None and (
+            (enforced_against is None and prev_m.get("schema") is not None)
+            # a concurrent RENAME/DROP changed the column mapping: the
+            # staged files' logical->physical translation (and the
+            # committed schema's logical names) are stale — rewrite
+            or prev_m.get("colmap") != _colmap_key(mapping, dropped)
+        ):
             # CAS-retry interleave (ADVICE r09): this batch was
             # normalized when the table carried NO contract, but a
             # concurrent commit recorded one — merging our schema in
@@ -1445,8 +1583,29 @@ def append_version(
             # constraints see the NORMALIZED batch (an evolution-gap
             # column a CHECK references evaluates over its typed NULLs)
             _validate_constraints(batch, path)
+            # column mapping: evolve-added columns whose LOGICAL name
+            # collides with a physical name already in use (another
+            # column's, or a dropped column's retired one) get a fresh
+            # physical — otherwise old files' bytes would leak in under
+            # the new column on every read (the Delta columnMapping
+            # fresh-physical rule)
+            mapping, dropped = _colmap(prev_m)
+            if mapping or dropped:
+                tbl_names = set()
+                if enforced_against:
+                    tbl_names = {
+                        f.name for f in
+                        _schema_from_json(enforced_against).fields}
+                used = ({mapping.get(n, n) for n in tbl_names}
+                        | set(dropped) | set(mapping.values()))
+                for f_ in committed_schema.fields:
+                    if f_.name not in tbl_names and f_.name in used \
+                            and f_.name not in mapping:
+                        mapping[f_.name] = (
+                            f"{f_.name}-{uuid.uuid4().hex[:8]}")
             new_files, stats = _write_files(batch, path, version, stats_cols,
-                                            bloom_cols=bloom_cols)
+                                            bloom_cols=bloom_cols,
+                                            colmap=mapping or None)
         head_schema = prev_m.get("schema")
         if head_schema == enforced_against:
             # LEGACY tables (existing files, no recorded contract) stay
@@ -1469,6 +1628,7 @@ def append_version(
                 dv=prev_m.get("dv"),
                 base_stats=prev_m.get("stats"),
                 schema=schema_json,
+                colmap=_colmap_key(mapping, dropped),
             )
         except VersionConflictError:
             continue  # rebase onto the winner's head and retry
@@ -1511,18 +1671,38 @@ def overwrite_version(
     prev_m = _read_manifest(path, prev) if prev is not None else {}
     if txn is None and prev is not None:
         txn = prev_m.get("txn", {})
+    mapping, dropped = _colmap(prev_m)
     if replace_schema:
         sch = _all_nullable(df.schema)
+        # a true table redefinition resets the column mapping: the new
+        # snapshot's files are written under their own (identity)
+        # physical names and no retired physical can leak back in
+        mapping, dropped = {}, []
     else:
         df, sch = _enforce_schema(
             df, _schema_from_json(prev_m.get("schema")), evolve)
+        if mapping or dropped:
+            # evolve-added columns: same fresh-physical collision rule
+            # as append_version
+            tbl_names = set()
+            if prev_m.get("schema"):
+                tbl_names = {f.name for f in _schema_from_json(
+                    prev_m["schema"]).fields}
+            used = ({mapping.get(n, n) for n in tbl_names}
+                    | set(dropped) | set(mapping.values()))
+            for f_ in sch.fields:
+                if f_.name not in tbl_names and f_.name in used \
+                        and f_.name not in mapping:
+                    mapping[f_.name] = f"{f_.name}-{uuid.uuid4().hex[:8]}"
     if validate:
         _validate_constraints(df, path)
     version = 0 if prev is None else prev + 1
     files, stats = _write_files(df, path, version, stats_cols,
-                                bloom_cols=bloom_cols)
+                                bloom_cols=bloom_cols,
+                                colmap=mapping or None)
     return _commit(path, version, files, "overwrite", stats, txn=txn, cf=cf,
-                   schema=sch.json())
+                   schema=sch.json(),
+                   colmap=_colmap_key(mapping, dropped))
 
 
 def overwrite_version_zordered(
@@ -1605,7 +1785,9 @@ def scan_version(
 def _files_for_scan(manifest: dict, col: str, lo, hi) -> list[str]:
     """The manifest-level planning step shared by scan_version and
     pruned_file_count: interval overlap on [min,max], then a bloom probe
-    for point lookups."""
+    for point lookups. ``col`` is LOGICAL; stats are keyed by the
+    column's physical name (stable across renames)."""
+    col = _phys(manifest, col)
     point = lo == hi and isinstance(lo, (int, str))
     s = manifest.get("stats", {})
     if isinstance(s, _SidecarStats) and s._full is None:
@@ -1674,28 +1856,32 @@ def analyze_table(
         if v is None:
             raise FileNotFoundError(f"no versions committed at {path}")
         m = _read_manifest(path, v)
+        # column mapping: stats (and file footers) live under PHYSICAL
+        # names — translate the requested logical columns once per try
+        p_stats = [_phys(m, c) for c in stats_cols]
+        p_blooms = [_phys(m, c) for c in want_blooms]
         # the todo test needs only column NAMES per file — never bloom
         # payload bytes (segment-backed manifests read the kilobyte
         # col/file columns). __rows__ joins the test so ANALYZE also
         # upgrades pre-r08 files onto the metadata-only COUNT(*) path
         # (count_rows_meta's documented once-only fallback).
         have = _stats_for_cols(
-            m, sorted(set(stats_cols) | set(want_blooms) | {_ROWS_KEY}
-                      | {_NULLS_KEY + c for c in stats_cols}),
+            m, sorted(set(p_stats) | set(p_blooms) | {_ROWS_KEY}
+                      | {_NULLS_KEY + c for c in p_stats}),
             blooms=False)
         todo = [
             f for f in m["files"]
-            if any(c not in have.get(f, {}) for c in stats_cols)
+            if any(c not in have.get(f, {}) for c in p_stats)
             # null counts joined the stats in r09 (count_col_meta and
             # the whole-file delete proof need them): pre-r09 files
             # with min/max but no __nulls__ still need the backfill
             or any(_NULLS_KEY + c not in have.get(f, {})
-                   for c in stats_cols)
+                   for c in p_stats)
             or any(_BLOOM_KEY + c not in have.get(f, {})
-                   for c in want_blooms)
+                   for c in p_blooms)
             or _ROWS_KEY not in have.get(f, {})
         ]
-        derived = _derive_stats(spark, todo, stats_cols, want_blooms or None)
+        derived = _derive_stats(spark, todo, p_stats, p_blooms or None)
         # SENTINELS for analyzed-but-underivable entries: a column with
         # no footer bounds (all-null, absent from the file) records
         # [None, None]; an unbloomable column (non-int/str) records an
@@ -1705,7 +1891,7 @@ def analyze_table(
         import base64 as _b64
         for f in todo:
             per = derived.setdefault(f, {})
-            for c in stats_cols:
+            for c in p_stats:
                 if c not in per and c not in have.get(f, {}):
                     per[c] = [None, None]
                 nk = _NULLS_KEY + c
@@ -1715,7 +1901,7 @@ def analyze_table(
                     # conservative (count_col_meta -> None, coverage
                     # proofs fail) and makes re-runs no-ops
                     per[nk] = [None, None]
-            for c in want_blooms:
+            for c in p_blooms:
                 k = _BLOOM_KEY + c
                 if k not in per and k not in have.get(f, {}):
                     per[k] = {"m": 8,
@@ -1780,12 +1966,23 @@ def add_columns(path: str, cols) -> int:
                 promote_options="permissive"))
         have = {f.name: f for f in tbl.fields}
         out = list(_all_nullable(tbl).fields)
+        mapping, dropped = _colmap(m)
+        used_phys = ({mapping.get(f.name, f.name) for f in tbl.fields}
+                     | set(dropped) | set(mapping.values()))
         added = 0
         for f in new_fields:
             got = have.get(f.name)
             if got is None:
                 out.append(StructField(f.name, _norm_type(f.dataType), True))
                 added += 1
+                if f.name in used_phys and f.name not in mapping:
+                    # the new LOGICAL name collides with a physical
+                    # name already in use (a renamed column's storage
+                    # name, or a dropped column's retired one): assign
+                    # a fresh physical so old files' bytes can never
+                    # leak in under the new column (Delta columnMapping
+                    # fresh-physical rule)
+                    mapping[f.name] = f"{f.name}-{uuid.uuid4().hex[:8]}"
             elif _norm_type(got.dataType) != _norm_type(f.dataType):
                 raise SchemaEnforcementError(
                     f"add_columns: column '{f.name}' already exists as "
@@ -1799,11 +1996,179 @@ def add_columns(path: str, cols) -> int:
             return _commit(path, v + 1, m["files"], "add-columns", {},
                            txn=m.get("txn", {}), dv=m.get("dv"),
                            base_stats=m.get("stats"),
-                           schema=StructType(out).json())
+                           schema=StructType(out).json(),
+                           colmap=_colmap_key(mapping, dropped))
         except VersionConflictError:
             continue  # metadata-only: recompute against the new head
     raise VersionConflictError(
         f"add_columns at {path} lost the commit race 10 times — "
+        "pathological contention; retry with backoff"
+    )
+
+
+def _require_contract(path: str, m: dict, what: str):
+    tbl = _schema_from_json(m.get("schema"))
+    if tbl is None:
+        raise SchemaEnforcementError(
+            f"{what} at {path} needs a recorded schema contract — this "
+            "is a legacy pre-contract table; run add_columns (or any "
+            "contract-recording write) first"
+        )
+    return tbl
+
+
+def _refuse_constrained(path: str, cols, what: str) -> None:
+    import re as _re
+
+    cons = get_constraints(path)
+    for c in cols:
+        pat = _re.compile(rf"\b{_re.escape(c)}\b")
+        hit = [n for n, expr in cons.items() if pat.search(expr)]
+        if hit:
+            raise SchemaEnforcementError(
+                f"{what}: column '{c}' is referenced by CHECK "
+                f"constraint(s) {hit} — drop or re-declare them first "
+                "(Delta refuses the same way)"
+            )
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """METADATA-ONLY ``ALTER TABLE ... RENAME COLUMN`` via column
+    mapping (Delta columnMapping, name mode): the schema contract
+    renames the LOGICAL name while every data file keeps the column
+    under its immutable PHYSICAL name; the manifest's ``colmap`` key
+    records the logical->physical map. No data file is touched, stats
+    and blooms stay valid (they are keyed by physical name), and time
+    travel answers under each version's own names — a pre-rename
+    snapshot still reads the old name.
+
+    Refused when: ``old`` is not a contract column; ``new`` already
+    names a contract column; ``new`` collides with any physical name
+    in use or retired (reads are name-based, so the physical namespace
+    must stay unambiguous — renaming a column BACK to its own physical
+    name is allowed and simply erases the mapping); or a declared CHECK
+    constraint references ``old`` (re-declare it under the new name
+    first). Concurrent rewriting commits never rebase across a rename
+    (op 'rename-column' is not append-safe) — their staged files'
+    name translation would be stale.
+
+    Writer-feature gate: tables with an active mapping read through
+    every door (engine, DSv2 batch/stream, SQL), but the DSv2/SQL WRITE
+    doors refuse them — write through the engine API. Mirrors Delta's
+    protocol check: a writer that does not implement columnMapping must
+    fail loudly rather than write wrong physical names."""
+    from pyspark.sql.types import StructField, StructType
+
+    path = _norm_path(path)
+    if new == old:
+        v = latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no versions committed at {path}")
+        return v
+    for _ in range(10):
+        v = latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no versions committed at {path}")
+        m = _read_manifest(path, v)
+        tbl = _require_contract(path, m, "rename_column")
+        names = [f.name for f in tbl.fields]
+        if old not in names:
+            raise SchemaEnforcementError(
+                f"rename_column: '{old}' is not a column of "
+                f"{sorted(names)}")
+        if new in names:
+            raise SchemaEnforcementError(
+                f"rename_column: '{new}' already exists — renames never "
+                "merge columns")
+        mapping, dropped = _colmap(m)
+        phys = mapping.get(old, old)
+        used_phys = ({mapping.get(n, n) for n in names} | set(dropped))
+        if new in used_phys and new != phys:
+            raise SchemaEnforcementError(
+                f"rename_column: '{new}' collides with a physical "
+                "column name in use (a renamed column's storage name or "
+                "a dropped column's retired one) — name-based file "
+                "reads would be ambiguous; pick another name"
+            )
+        _refuse_constrained(path, [old], "rename_column")
+        mapping.pop(old, None)
+        if new != phys:
+            mapping[new] = phys
+        out = StructType([
+            StructField(new if f.name == old else f.name, f.dataType, True)
+            for f in _all_nullable(tbl).fields
+        ])
+        try:
+            return _commit(path, v + 1, m["files"], "rename-column", {},
+                           txn=m.get("txn", {}), dv=m.get("dv"),
+                           base_stats=m.get("stats"),
+                           schema=out.json(),
+                           colmap=_colmap_key(mapping, dropped))
+        except VersionConflictError:
+            continue  # metadata-only: recompute against the new head
+    raise VersionConflictError(
+        f"rename_column at {path} lost the commit race 10 times — "
+        "pathological contention; retry with backoff"
+    )
+
+
+def drop_columns(path: str, cols) -> int:
+    """METADATA-ONLY ``ALTER TABLE ... DROP COLUMN`` via column mapping
+    (Delta columnMapping): the columns leave the schema contract and
+    their PHYSICAL names retire into the manifest's ``colmap.x`` list —
+    no data file is rewritten; every read hides the retired physicals,
+    and a later add_columns/evolve reusing the logical name gets a
+    FRESH physical so the old bytes can never resurface. Time travel
+    still answers pre-drop versions with the column. The physical bytes
+    are actually reclaimed when files rewrite anyway (compaction,
+    merges) — the Delta trade: DROP is O(1) now, space comes back with
+    maintenance. Refused for: unknown columns, dropping every column,
+    or columns referenced by a CHECK constraint. Returns the committed
+    version; idempotent when every column is already gone. Op
+    'drop-columns' is not append-safe: incremental readers refuse to
+    cross it silently (row shape changed)."""
+    from pyspark.sql.types import StructType
+
+    path = _norm_path(path)
+    want = [cols] if isinstance(cols, str) else list(cols)
+    if not want:
+        raise ValueError("drop_columns: no columns given")
+    for _ in range(10):
+        v = latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no versions committed at {path}")
+        m = _read_manifest(path, v)
+        tbl = _require_contract(path, m, "drop_columns")
+        names = [f.name for f in tbl.fields]
+        todo = [c for c in want if c in names]
+        missing = [c for c in want if c not in names]
+        if missing and todo:
+            raise SchemaEnforcementError(
+                f"drop_columns: {missing} are not columns of "
+                f"{sorted(names)}")
+        if not todo:
+            return v  # idempotent replay: already dropped
+        if len(todo) >= len(names):
+            raise SchemaEnforcementError(
+                "drop_columns: refusing to drop every column — the "
+                "table would have no schema")
+        _refuse_constrained(path, todo, "drop_columns")
+        mapping, dropped = _colmap(m)
+        for c in todo:
+            dropped.append(mapping.pop(c, c))
+        out = StructType([
+            f for f in _all_nullable(tbl).fields if f.name not in set(todo)
+        ])
+        try:
+            return _commit(path, v + 1, m["files"], "drop-columns", {},
+                           txn=m.get("txn", {}), dv=m.get("dv"),
+                           base_stats=m.get("stats"),
+                           schema=out.json(),
+                           colmap=_colmap_key(mapping, dropped))
+        except VersionConflictError:
+            continue  # metadata-only: recompute against the new head
+    raise VersionConflictError(
+        f"drop_columns at {path} lost the commit race 10 times — "
         "pathological contention; retry with backoff"
     )
 
@@ -1888,6 +2253,7 @@ def compact_version(
         sel = list(files)
         if where is not None:
             wcol, wlo, whi = where
+            wcol = _phys(m, wcol)  # stats live under physical names
             fstats = _stats_for_cols(m, [wcol], blooms=False)
             sel = [f for f in sel
                    if _stat_overlaps(wlo, whi, fstats.get(f, {}).get(wcol))]
@@ -1927,19 +2293,36 @@ def _compact_partial(
     new_files: list[str] = []
     new_stats: dict = {}
     if sel:
+        # stats keys are PHYSICAL names; _write_files expects LOGICAL
+        # ones (it translates back at the boundary) — inverse-map the
+        # harvested tracked/bloom columns and drop retired physicals
+        # (a dropped column's stale stats must not be re-derived)
+        mapping, _dropped = _colmap(m)
+        inv = {p: l for l, p in mapping.items()}
+        gone = set(_dropped)
         bloom_cols = sorted({
-            c[len(_BLOOM_KEY):] for f in sel
-            for c in stats.get(f, {}) if c.startswith(_BLOOM_KEY)
+            inv.get(c[len(_BLOOM_KEY):], c[len(_BLOOM_KEY):])
+            for f in sel
+            for c in stats.get(f, {})
+            if c.startswith(_BLOOM_KEY)
+            and c[len(_BLOOM_KEY):] not in gone
         }) or None
         if stats_cols is None:
-            tracked = {c for fstats in stats.values()
+            tracked = {inv.get(c, c) for fstats in stats.values()
                        for c in fstats
                        if not c.startswith(_BLOOM_KEY) and c != _ROWS_KEY
-                       and not c.startswith(_NULLS_KEY)}
+                       and not c.startswith(_NULLS_KEY) and c not in gone}
             stats_cols = sorted(tracked) or None
         total = sum(os.path.getsize(f) for f in sel)
         n = max(1, math.ceil(total / target_bytes))
         df = _read_with_dv(spark, sel, m)
+        if stats_cols:
+            # evolution-gap safety: a tracked column no kept file
+            # carries reads as absent here — deriving its stats would
+            # record nothing anyway
+            stats_cols = [c for c in stats_cols if c in df.columns] or None
+        if bloom_cols:
+            bloom_cols = [c for c in bloom_cols if c in df.columns] or None
         if zorder_by:
             from pyspark.sql import functions as F
 
@@ -1963,7 +2346,8 @@ def _compact_partial(
         elif n < len(sel):
             df = df.repartition(n)
         new_files, new_stats = _write_files(df, path, new_v, stats_cols,
-                                            bloom_cols=bloom_cols)
+                                            bloom_cols=bloom_cols,
+                                            colmap=_colmap(m)[0] or None)
     cf_name = None
     if change_feed:
         from pyspark.sql import functions as F
@@ -2068,8 +2452,9 @@ def _disjoint_append_interleave(
             return None
     head_m = _read_manifest(path, head_v)
     appended = [f for f in head_m["files"] if f not in base_files]
-    stats = _stats_for_cols(head_m, [kcol], blooms=False)
-    if any(not stats.get(f, {}).get(kcol) for f in appended):
+    skey = _phys(head_m, kcol)  # stats key: the column's physical name
+    stats = _stats_for_cols(head_m, [skey], blooms=False)
+    if any(not stats.get(f, {}).get(skey) for f in appended):
         return None
     if appended:
         from pyspark.sql import functions as F
@@ -2078,7 +2463,7 @@ def _disjoint_append_interleave(
         spark = batch_keys_k.sparkSession
         ktype = batch_keys_k.schema[kcol].dataType
         iv = spark.createDataFrame(
-            [(f, str(stats[f][kcol][0]), str(stats[f][kcol][1]))
+            [(f, str(stats[f][skey][0]), str(stats[f][skey][1]))
              for f in appended],
             StructType([StructField("_file", StringType()),
                         StructField("_lo", StringType()),
@@ -2114,12 +2499,13 @@ def _untouched_files_for_batch(
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructField, StructType
 
-    stats = _stats_for_cols(m, [kcol])
-    have_stats = [f for f in m["files"] if stats.get(f, {}).get(kcol)]
+    skey = _phys(m, kcol)  # stats key: the column's physical name
+    stats = _stats_for_cols(m, [skey])
+    have_stats = [f for f in m["files"] if stats.get(f, {}).get(skey)]
     if not have_stats:
         return []
     iv = spark.createDataFrame(
-        [(f, str(stats[f][kcol][0]), str(stats[f][kcol][1]))
+        [(f, str(stats[f][skey][0]), str(stats[f][skey][1]))
          for f in have_stats],
         StructType([StructField("_file", StringType()),
                     StructField("_lo", StringType()),
@@ -2150,7 +2536,7 @@ def _untouched_files_for_batch(
     # probes per file; any budget/shape miss keeps the file
     # (conservative).
     bloomed = [f for f in touched
-               if stats.get(f, {}).get(_BLOOM_KEY + kcol)]
+               if stats.get(f, {}).get(_BLOOM_KEY + skey)]
     if bloomed:
         n_keys = batch_keys_k.count()
         if 0 < n_keys * len(bloomed) <= _BLOOM_PROBE_BUDGET:
@@ -2159,7 +2545,7 @@ def _untouched_files_for_batch(
                 seeds = [_bloom_seed(v) for v in keys_list]
                 for f in bloomed:
                     if not _bloom_any_hit(
-                        stats[f][_BLOOM_KEY + kcol], seeds
+                        stats[f][_BLOOM_KEY + skey], seeds
                     ):
                         touched.discard(f)
     return [f for f in have_stats if f not in touched and f not in bad]
@@ -2273,7 +2659,8 @@ def merge_version(
     m = prev_m
     stats = m.get("stats", {})
     kcol = keys[0]
-    have_stats = [f for f in m["files"] if stats.get(f, {}).get(kcol)]
+    pk = _phys(m, kcol)  # stats are keyed by the physical name
+    have_stats = [f for f in m["files"] if stats.get(f, {}).get(pk)]
     batch_keys_k = up.select(kcol)
     if del_keys is not None:
         batch_keys_k = batch_keys_k.unionByName(del_keys.select(kcol))
@@ -2343,8 +2730,9 @@ def merge_version(
         # keep the bloom index maintained: rebuild for rewritten files
         # when the table carries one on the merge key
         bloom_cols=[kcol] if any(
-            _BLOOM_KEY + kcol in stats.get(f, {}) for f in m["files"]
+            _BLOOM_KEY + pk in stats.get(f, {}) for f in m["files"]
         ) else None,
+        colmap=_colmap(m)[0] or None,
     )
     carried = {f: stats[f] for f in untouched if f in stats}
     commit_files = untouched + new_files
@@ -2530,10 +2918,10 @@ def table_changes(
             added = [f for f in m["files"] if f not in base]
             if not added:
                 continue
-            df = (
-                spark.read.option("mergeSchema", "true").parquet(*added)
-                .withColumn("_change_type", F.lit("insert"))
-            )
+            df = _apply_colmap(
+                spark.read.option("mergeSchema", "true").parquet(*added),
+                m,  # this VERSION's names — feeds replay as-of-commit
+            ).withColumn("_change_type", F.lit("insert"))
         else:
             raise ValueError(
                 f"version {v} rewrote rows without a recorded change set "
@@ -2570,10 +2958,11 @@ def read_changes(
                 "snapshot"
             )
     base = set(_read_manifest(path, after_version)["files"])
-    files = [f for f in _read_manifest(path, to_v)["files"] if f not in base]
+    to_m = _read_manifest(path, to_v)
+    files = [f for f in to_m["files"] if f not in base]
     if not files:
         return read_version(spark, path, to_v).limit(0)
-    return spark.read.parquet(*files)
+    return _apply_colmap(spark.read.parquet(*files), to_m)
 
 
 def expire_versions(path: str, keep_latest: int = 1,
@@ -2803,16 +3192,26 @@ def describe_table(path: str) -> dict:
     m = _read_manifest(path, head)
     stats = m.get("stats", {})
     n = len(m["files"])
+    # coverage reports LOGICAL names: stats are keyed by physical —
+    # inverse-map renamed columns, hide dropped ones
+    mapping, retired = _colmap(m)
+    inv = {p: l for l, p in mapping.items()}
+    gone = set(retired)
     col_cov: dict[str, int] = {}
     bloom_cov: dict[str, int] = {}
     for fstats in stats.values():
         for c in fstats:
             if c.startswith(_BLOOM_KEY):
-                bloom_cov[c[len(_BLOOM_KEY):]] = bloom_cov.get(
-                    c[len(_BLOOM_KEY):], 0) + 1
-            elif c != _ROWS_KEY and not c.startswith(_NULLS_KEY):
+                b = c[len(_BLOOM_KEY):]
+                if b in gone:
+                    continue
+                b = inv.get(b, b)
+                bloom_cov[b] = bloom_cov.get(b, 0) + 1
+            elif c != _ROWS_KEY and not c.startswith(_NULLS_KEY) \
+                    and c not in gone:
                 # internal row/null-count keys are not columns
-                col_cov[c] = col_cov.get(c, 0) + 1
+                lc = inv.get(c, c)
+                col_cov[lc] = col_cov.get(lc, 0) + 1
     tags = {}
     mdir = _manifest_dir(path)
     for entry in sorted(os.listdir(mdir)):
@@ -2851,6 +3250,10 @@ def describe_table(path: str) -> dict:
         "bytes_total": size,
         # the recorded schema contract (None for legacy tables)
         "schema": sch.simpleString() if sch is not None else None,
+        # non-identity logical->physical column mapping + retired
+        # physicals of dropped columns (empty for unmapped tables)
+        "column_mapping": mapping,
+        "dropped_physical": sorted(gone),
         "stats_coverage": {c: k / n for c, k in col_cov.items()} if n else {},
         "bloom_coverage": {c: k / n for c, k in bloom_cov.items()} if n else {},
         "constraints": get_constraints(path),
@@ -2969,16 +3372,19 @@ def count_col_meta(path: str, col: str,
     cannot answer EXACTLY and the caller must scan. Exact requires
     every file to carry both ``__rows__`` and ``__nulls__:col``
     (recorded by every r09+ writer whenever the column's stats are
-    tracked; ``analyze_table`` backfills), and, for dv-bearing files,
-    a ZERO null count — a tombstoned row's null-ness is unknown, but
-    when the file has no nulls at all every dv'd row was provably
-    non-null and subtracts exactly. A None is a fall-back signal,
-    never an approximation (same contract as min_max_meta)."""
+    tracked; ``analyze_table`` backfills). Dv-bearing files stay exact
+    when either (a) the file has ZERO nulls (every tombstoned row was
+    provably non-null), or (b) every dv entry carries the r10 ``z``
+    bookkeeping — the per-column null count among ITS deleted rows,
+    recorded at delete time from the match set — so the null/non-null
+    split of the tombstones is known exactly. A None is a fall-back
+    signal, never an approximation (same contract as min_max_meta)."""
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no versions committed at {path}")
     m = _read_manifest(path, v)
-    nk = _NULLS_KEY + col
+    pcol = _phys(m, col)
+    nk = _NULLS_KEY + pcol
     fstats = _stats_for_cols(m, [_ROWS_KEY, nk], blooms=False)
     dv_map = m.get("dv", {})
     total = 0
@@ -2987,10 +3393,16 @@ def count_col_meta(path: str, col: str,
         rows, nulls = per.get(_ROWS_KEY), per.get(nk)
         if rows is None or nulls is None or nulls[0] is None:
             return None  # untracked / legacy / ANALYZE sentinel
-        dead = sum(int(e["n"]) for e in dv_map.get(f, []))
+        entries = dv_map.get(f, [])
+        dead = sum(int(e["n"]) for e in entries)
+        dead_nulls = 0
         if dead and int(nulls[0]) != 0:
-            return None  # which rows the dv removed is unknowable here
-        total += int(rows[0]) - int(nulls[0]) - dead
+            if not all(pcol in (e.get("z") or {}) for e in entries):
+                # which deleted rows were null is unknowable: entries
+                # predate the z bookkeeping — fall back to a scan
+                return None
+            dead_nulls = sum(int(e["z"][pcol]) for e in entries)
+        total += int(rows[0]) - int(nulls[0]) - (dead - dead_nulls)
     return total
 
 
@@ -3019,6 +3431,7 @@ def min_max_meta(path: str, col: str,
     m = _read_manifest(path, v)
     if m.get("dv"):
         return None
+    col = _phys(m, col)  # stats and footers live under physical names
     fstats = _stats_for_cols(m, [col], blooms=False)
     los, his = [], []
     for f in m["files"]:
@@ -3190,7 +3603,10 @@ def clone_table(
     # reference the source's dv sidecars in place — the same
     # source-retention caveat as the data files.
     return _commit(dst, 0, files, "clone", stats, txn={}, dv=dv,
-                   schema=m.get("schema"))
+                   schema=m.get("schema"),
+                   # copied files keep their physical column names, so
+                   # the mapping must travel with the clone
+                   colmap=m.get("colmap"))
 
 
 def _remap_dv(
@@ -3220,10 +3636,24 @@ def _remap_dv(
         pa.Table.from_pandas(pdf, preserve_index=False),
         os.path.join(dvdir, "part-00000.parquet"),
     )
-    return {
+    out = {
         f: [{"d": dvdir, "n": int(n)}]
         for f, n in pdf.groupby(_DV_FILE).size().items()
     }
+    # carry the per-entry null bookkeeping ('z', r10) onto the clone's
+    # consolidated entries — sums across the source entries, kept only
+    # when every entry carries the column and the counts reconcile
+    inv = {dst_f: src_f for src_f, dst_f in path_map.items()}
+    for dst_f, entry in out.items():
+        olds = dv.get(inv.get(dst_f, dst_f), [])
+        if olds and sum(int(e["n"]) for e in olds) == entry[0]["n"]:
+            zcols = set((olds[0].get("z") or {}))
+            for e in olds[1:]:
+                zcols &= set((e.get("z") or {}))
+            if zcols:
+                entry[0]["z"] = {
+                    c: sum(int(e["z"][c]) for e in olds) for c in zcols}
+    return out
 
 
 def rollback_version(path: str, to_version: int) -> int:
@@ -3253,7 +3683,12 @@ def rollback_version(path: str, to_version: int) -> int:
     return _commit(path, head + 1, m["files"], "overwrite",
                    {}, txn=head_txn, dv=m.get("dv"),
                    base_stats=m.get("stats"),
-                   schema=m.get("schema") or head_m.get("schema"))
+                   schema=m.get("schema") or head_m.get("schema"),
+                   # the column mapping travels with whichever contract
+                   # is restored (a restore past a rename/drop restores
+                   # the names too; legacy targets keep the head's)
+                   colmap=(m.get("colmap") if m.get("schema")
+                           else head_m.get("colmap")))
 
 
 def delete_version(
@@ -3291,9 +3726,11 @@ def delete_version(
         raise FileNotFoundError(f"no versions committed at {path}")
     m = _read_manifest(path, v)
     stats = m.get("stats", {})
-    prune = _stats_for_cols(m, [col, _NULLS_KEY + col], blooms=False)
+    pcol = _phys(m, col)  # stats are keyed by the physical name
+    prune = _stats_for_cols(m, [pcol, _NULLS_KEY + pcol], blooms=False)
     untouched = [
-        f for f in m["files"] if not _stat_overlaps(lo, hi, prune.get(f, {}).get(col))
+        f for f in m["files"]
+        if not _stat_overlaps(lo, hi, prune.get(f, {}).get(pcol))
     ]
     # FULLY-COVERED files (Delta's fully-matching-file removal): stats
     # prove every row matches ([min,max] inside [lo,hi], zero nulls) —
@@ -3304,8 +3741,8 @@ def delete_version(
     rest = [f for f in m["files"] if f not in set(untouched)]
     covered = [
         f for f in rest
-        if _stat_covered(lo, hi, prune.get(f, {}).get(col),
-                         prune.get(f, {}).get(_NULLS_KEY + col))
+        if _stat_covered(lo, hi, prune.get(f, {}).get(pcol),
+                         prune.get(f, {}).get(_NULLS_KEY + pcol))
     ]
     rewrite = [f for f in rest if f not in set(covered)]
     if covered and not untouched and not rewrite:
@@ -3341,7 +3778,8 @@ def delete_version(
                 ~F.col(col).between(lo, hi) | F.col(col).isNull())
             new_files, new_stats = _write_files(
                 remaining, path, new_v,
-                stats_cols or ([col] if stats else None)
+                stats_cols or ([col] if stats else None),
+                colmap=_colmap(m)[0] or None,
             )
     if change_feed:
         from functools import reduce as _reduce
@@ -3388,10 +3826,10 @@ def delete_version(
         nonlocal base_v, cur_untouched, cur_stats, cur_txn, cur_dv
         nonlocal cur_schema
         ai = _append_only_interleave(path, base_v, head)
-        ap_stats = (_stats_for_cols(ai[1], [col], blooms=False)
+        ap_stats = (_stats_for_cols(ai[1], [pcol], blooms=False)
                     if ai is not None else {})
         if ai is None or any(
-            _stat_overlaps(lo, hi, ap_stats.get(f, {}).get(col))
+            _stat_overlaps(lo, hi, ap_stats.get(f, {}).get(pcol))
             for f in ai[0]
         ):
             raise
@@ -3475,11 +3913,12 @@ def delete_version_dv(
     if v is None:
         raise FileNotFoundError(f"no versions committed at {path}")
     m = _read_manifest(path, v)
-    prune = _stats_for_cols(m, [col, _NULLS_KEY + col, _ROWS_KEY],
+    pcol = _phys(m, col)  # stats are keyed by the physical name
+    prune = _stats_for_cols(m, [pcol, _NULLS_KEY + pcol, _ROWS_KEY],
                             blooms=False)
     overlapping = [
         f for f in m["files"]
-        if _stat_overlaps(lo, hi, prune.get(f, {}).get(col))
+        if _stat_overlaps(lo, hi, prune.get(f, {}).get(pcol))
     ]
     # fully-covered files (same proof as the copy-on-write path) DROP
     # from the manifest instead of dv-ing every one of their rows —
@@ -3487,8 +3926,8 @@ def delete_version_dv(
     # dwarf the narrow-delete work this path exists for
     covered = [
         f for f in overlapping
-        if _stat_covered(lo, hi, prune.get(f, {}).get(col),
-                         prune.get(f, {}).get(_NULLS_KEY + col))
+        if _stat_covered(lo, hi, prune.get(f, {}).get(pcol),
+                         prune.get(f, {}).get(_NULLS_KEY + pcol))
     ]
     candidates = [f for f in overlapping if f not in set(covered)]
     if covered and len(covered) == len(m["files"]):
@@ -3518,6 +3957,14 @@ def delete_version_dv(
         # nothing to tombstone; skip instead of failing to resolve the
         # filter (ADVICE r09). The empty delete still commits.
         col_present = col in cand_df.columns
+    zmap: dict = {}
+
+    def _dv_entry(f: str, n: int) -> dict:
+        e = {"d": dvdir, "n": n}
+        if f in zmap:
+            e["z"] = zmap[f]  # per-column nulls among the deleted rows
+        return e
+
     if candidates and col_present:
         matches = cand_df.filter(F.col(col).between(lo, hi))
         dvdir, counts = _write_dv(matches, path, new_v)
@@ -3525,8 +3972,9 @@ def delete_version_dv(
             _drop_dv_dir(dvdir)
             dvdir = None
         else:
+            zmap = _dv_null_counts(matches, m)
             for f, n in counts.items():
-                dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
+                dv_map.setdefault(f, []).append(_dv_entry(f, n))
     cf_name = None
     if change_feed:
         from functools import reduce as _reduce
@@ -3581,10 +4029,10 @@ def delete_version_dv(
     def rebase(head):
         nonlocal base_v, cur_m, dv_map
         ai = _append_only_interleave(path, base_v, head)
-        ap_stats = (_stats_for_cols(ai[1], [col], blooms=False)
+        ap_stats = (_stats_for_cols(ai[1], [pcol], blooms=False)
                     if ai is not None else {})
         if ai is None or any(
-            _stat_overlaps(lo, hi, ap_stats.get(f, {}).get(col))
+            _stat_overlaps(lo, hi, ap_stats.get(f, {}).get(pcol))
             for f in ai[0]
         ):
             raise
@@ -3595,7 +4043,7 @@ def delete_version_dv(
         dv_map = {f: list(e) for f, e in head_m.get("dv", {}).items()
                   if f not in covered_set}
         for f, n in counts.items():
-            dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
+            dv_map.setdefault(f, []).append(_dv_entry(f, n))
         base_v, cur_m = head, head_m
 
     def cleanup():
@@ -3656,6 +4104,14 @@ def delete_keys_dv(
     dv_map = {f: list(e) for f, e in m.get("dv", {}).items()}
     dvdir = None
     counts: dict[str, int] = {}
+    zmap: dict = {}
+
+    def _dv_entry(f: str, n: int) -> dict:
+        e = {"d": dvdir, "n": n}
+        if f in zmap:
+            e["z"] = zmap[f]  # per-column nulls among the deleted rows
+        return e
+
     if candidates:
         matches = _read_with_dv(spark, candidates, m, with_pos=True).join(
             gone, keys, "semi"
@@ -3665,8 +4121,9 @@ def delete_keys_dv(
             _drop_dv_dir(dvdir)
             dvdir = None
         else:
+            zmap = _dv_null_counts(matches, m)
             for f, n in counts.items():
-                dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
+                dv_map.setdefault(f, []).append(_dv_entry(f, n))
     cf_name = None
     if change_feed:
         from pyspark.sql import functions as F
@@ -3705,7 +4162,7 @@ def delete_keys_dv(
         new_txn = {**head_txn, **({txn[0]: int(txn[1])} if txn else {})}
         dv_map = {f: list(e) for f, e in head_m.get("dv", {}).items()}
         for f, n in counts.items():
-            dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
+            dv_map.setdefault(f, []).append(_dv_entry(f, n))
         base_v, cur_m = head, head_m
 
     def cleanup():
@@ -3804,6 +4261,14 @@ def merge_version_dv(
     dvdir = None
     counts: dict[str, int] = {}
     stored_slice = None
+    zmap: dict = {}
+
+    def _dv_entry(f: str, n: int) -> dict:
+        e = {"d": dvdir, "n": n}
+        if f in zmap:
+            e["z"] = zmap[f]  # per-column nulls among the deleted rows
+        return e
+
     if candidates:
         stored_pos = _read_with_dv(spark, candidates, m, with_pos=True)
         matches = stored_pos.join(gone, keys, "semi")
@@ -3812,8 +4277,9 @@ def merge_version_dv(
             _drop_dv_dir(dvdir)
             dvdir = None
         else:
+            zmap = _dv_null_counts(matches, m)
             for f, n in counts.items():
-                dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
+                dv_map.setdefault(f, []).append(_dv_entry(f, n))
         stored_slice = stored_pos.drop(_DV_FILE, _DV_POS)
     cf_name = None
     if change_feed:
@@ -3855,7 +4321,9 @@ def merge_version_dv(
         new_files, new_stats = _write_files(
             up, path, new_v,
             stats_cols or ([kcol] if stats else None),
-            bloom_cols=[kcol] if kcol in _tracked_col_sets(m)[1] else None,
+            bloom_cols=[kcol]
+            if _phys(m, kcol) in _tracked_col_sets(m)[1] else None,
+            colmap=_colmap(m)[0] or None,
         )
     base_v, cur_m = prev, m
 
@@ -3888,7 +4356,7 @@ def merge_version_dv(
         new_txn = {**head_txn, **({txn[0]: int(txn[1])} if txn else {})}
         dv_map = {f: list(e) for f, e in head_m.get("dv", {}).items()}
         for f, n in counts.items():
-            dv_map.setdefault(f, []).append({"d": dvdir, "n": n})
+            dv_map.setdefault(f, []).append(_dv_entry(f, n))
         # uuid-owned cf dir: rides into the retried commit
         base_v, cur_m = head, head_m
 
@@ -3961,6 +4429,20 @@ def reorg_dvs(spark: SparkSession, path: str) -> tuple[int, int, int]:
         .groupBy(_DV_FILE).agg(F.count("*").alias("n")).collect()
     }
     new_dv = {f: [{"d": dvdir, "n": n}] for f, n in counts.items()}
+    # fold the per-entry null bookkeeping ('z', r10): the consolidated
+    # entry's null count is the SUM across the folded entries — kept
+    # only when every entry carries the column AND the folded row count
+    # matches (the defensive distinct() above could have dropped
+    # duplicate positions, which would desync the sums)
+    for f, entry in new_dv.items():
+        olds = m.get("dv", {}).get(f, [])
+        if olds and sum(int(e["n"]) for e in olds) == entry[0]["n"]:
+            zcols = set((olds[0].get("z") or {}))
+            for e in olds[1:]:
+                zcols &= set((e.get("z") or {}))
+            if zcols:
+                entry[0]["z"] = {
+                    c: sum(int(e["z"][c]) for e in olds) for c in zcols}
     base_v, cur_m = v, m
 
     def attempt() -> tuple[int, int, int]:
@@ -3988,3 +4470,91 @@ def reorg_dvs(spark: SparkSession, path: str) -> tuple[int, int, int]:
         cleanup=lambda: _drop_dv_dir(dvdir),
         what="dv reorg",
     )
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    zorder_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    small_only_below: int | None = None,
+    expire_keep_latest: int | None = None,
+) -> dict:
+    """The single Delta-style ``OPTIMIZE`` maintenance door (VERDICT r09
+    item 8): sequences the four separate maintenance ops — each its own
+    atomic commit, each skipped when provably a no-op — and reports the
+    combined before/after stats delta.
+
+      1. ``reorg_dvs`` — fold k accumulated deletion-vector dirs into
+         one (read-side dv opens drop back to 1); runs FIRST so the
+         compaction that follows reads fewer sidecars;
+      2. ``compact_version`` — bin-pack files smaller than
+         ``small_only_below`` (default: ``target_bytes``, Delta
+         OPTIMIZE's under-target rule) into ~target-sized files,
+         purging rewritten files' dvs; with ``zorder_by`` the WHOLE
+         table rewrites Z-ordered (OPTIMIZE ZORDER BY);
+      3. ``analyze_table`` — backfill min/max + null/row counts
+         (+ key blooms) for any carried file still missing them, so
+         the skipping index is complete after the pass (skipped when
+         the table tracks no columns and none were requested);
+      4. ``expire_versions`` — optional retention sweep when
+         ``expire_keep_latest`` is given (left out of the default pass:
+         reclamation is irreversible, opt in explicitly).
+
+    Steps commit independently: a conflict in one surfaces after the
+    earlier steps have already durably improved the table (the same
+    progressive semantics as running the ops by hand). Returns
+    {"before": ..., "after": ..., "commits": {op: version}, and
+    "expired_artifacts" when step 4 ran} — the numbers a maintenance
+    scheduler alerts on. At 100 TB this is the nightly-window command:
+    one call converges file sizes, dv debt, and the stats index."""
+    path = _norm_path(path)
+    snap_keys = ("version", "n_files", "bytes_total", "dv_files",
+                 "dv_dirs", "dv_deleted_rows")
+    d0 = describe_table(path)
+    before = {k: d0[k] for k in snap_keys}
+    commits: dict[str, int] = {}
+    if d0["dv_dirs"] > 1:
+        v, _files, _folded = reorg_dvs(spark, path)
+        commits["reorg_dvs"] = v
+    m = _read_manifest(path, latest_version(path))
+    limit = target_bytes if small_only_below is None else small_only_below
+    if zorder_by:
+        commits["compact"] = compact_version(
+            spark, path, target_bytes, stats_cols=stats_cols,
+            zorder_by=zorder_by)
+    else:
+        small = []
+        for f in m["files"]:
+            try:
+                if os.path.getsize(f) < limit:
+                    small.append(f)
+            except OSError:
+                pass
+        # worth a rewrite only when it merges files or purges dv debt
+        if len(small) > 1 or (small and any(
+                f in m.get("dv", {}) for f in small)):
+            commits["compact"] = compact_version(
+                spark, path, target_bytes, stats_cols=stats_cols,
+                small_only_below=limit)
+    # analyze over the LOGICAL names of whatever is (or was asked to
+    # be) tracked — stats keys are physical, so inverse-map and skip
+    # retired physicals of dropped columns
+    m = _read_manifest(path, latest_version(path))
+    mapping, dropped = _colmap(m)
+    inv = {p: l for l, p in mapping.items()}
+    gone = set(dropped)
+    want = stats_cols or sorted(
+        inv.get(c, c) for c in _tracked_col_sets(m)[0] if c not in gone)
+    if want:
+        commits["analyze"] = analyze_table(spark, path, list(want),
+                                           bloom_cols=bloom_cols)
+    out: dict = {"before": before, "commits": commits}
+    if expire_keep_latest is not None:
+        out["expired_artifacts"] = len(
+            expire_versions(path, keep_latest=expire_keep_latest))
+    d1 = describe_table(path)
+    out["after"] = {k: d1[k] for k in snap_keys}
+    return out

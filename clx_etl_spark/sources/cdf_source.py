@@ -79,12 +79,17 @@ def _parquet_ddl(path: str) -> str:
 class ChangeFilePartition(InputPartition):
     """One change-bearing parquet file of one commit = one Spark task."""
 
-    def __init__(self, file: str, version: int, change_type: str | None):
+    def __init__(self, file: str, version: int, change_type: str | None,
+                 colmap: dict | None = None):
         self.file = file
         self.version = version
         # None => the file already carries _change_type (a _changes/ set);
         # 'insert' => an appended data file, tag every row
         self.change_type = change_type
+        # logical->physical column map of the commit's manifest (column
+        # mapping): appended DATA files store physical names; change-set
+        # files are written logical and pass None
+        self.colmap = colmap or {}
 
 
 class CdfDataSource(DataSource):
@@ -182,9 +187,11 @@ class CdfStreamReader(DataSourceStreamReader):
             elif m["op"] in _APPEND_SAFE_OPS:
                 base = (set(_read_manifest(self._path, v - 1)["files"])
                         if v > 0 else set())
+                cmap = dict((m.get("colmap") or {}).get("m", {}))
                 for f in m["files"]:
                     if f not in base:
-                        parts.append(ChangeFilePartition(f, v, "insert"))
+                        parts.append(ChangeFilePartition(
+                            f, v, "insert", colmap=cmap))
             else:
                 raise ValueError(
                     f"version {v} rewrote rows without a recorded change "
@@ -197,11 +204,12 @@ class CdfStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         rows = pq.read_table(partition.file).to_pylist()
+        pmap = partition.colmap
         for r in rows:
             if partition.change_type is not None:
                 r["_change_type"] = partition.change_type
             r["_commit_version"] = partition.version
-            yield tuple(r.get(c) for c in self._cols)
+            yield tuple(r.get(pmap.get(c, c)) for c in self._cols)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live entirely in the checkpoint

@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -233,6 +234,9 @@ class TableDataSource(DataSource):
                      overwrite: bool) -> "TableStreamWriter":
         return TableStreamWriter(_recover_path(self._opts(), schema))
 
+    def streamReader(self, schema: StructType) -> "TableStreamReader":
+        return TableStreamReader(schema, _recover_path(self._opts(), schema))
+
 
 class TableReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
@@ -242,6 +246,13 @@ class TableReader(DataSourceReader):
         self._cols = [f.name for f in schema.fields]
         path, v = _resolve_version(options)
         self._manifest = _read_manifest(path, v)
+        # column mapping (Delta columnMapping shape): the query schema
+        # speaks LOGICAL names; data files and manifest stats use the
+        # immutable PHYSICAL names. Pushed filters translate at harvest
+        # (pushFilters), reads translate per file (read) — identity for
+        # unmapped tables.
+        self._pmap = dict(
+            (self._manifest.get("colmap") or {}).get("m", {}))
         # col -> [lo, hi] bounds accumulated from pushed filters, plus
         # equality/IN point-value lists for the bloom probe (a file is
         # skipped only when NO point can be present)
@@ -345,7 +356,9 @@ class TableReader(DataSourceReader):
 
         pf = pq.ParquetFile(partition.file)
         have = set(pf.schema_arrow.names)
-        want = [c for c in self._cols if c in have]
+        pmap = self._pmap
+        want = [pmap.get(c, c) for c in self._cols
+                if pmap.get(c, c) in have]
         dead_idx = None
         if partition.dv_dirs:
             # tombstoned positions for THIS file only — the sidecars are
@@ -361,11 +374,13 @@ class TableReader(DataSourceReader):
                                        count=len(dead))
 
         def _pad(t, n):
-            # project/pad to the query schema: gap columns -> NULL
+            # project/pad to the query schema: gap columns -> NULL;
+            # physical file columns surface under their logical names
             arrays = []
             for field in self._schema.fields:
-                if t is not None and field.name in t.column_names:
-                    arrays.append(t[field.name].combine_chunks())
+                pn = pmap.get(field.name, field.name)
+                if t is not None and pn in t.column_names:
+                    arrays.append(t[pn].combine_chunks())
                 else:
                     arrays.append(
                         pa.nulls(n, type=to_arrow_type(field.dataType))
@@ -487,7 +502,10 @@ class _PushdownTableReader(TableReader):
                               LessThan, LessThanOrEqual, In,
                               StringStartsWith)):
                 if len(f.attribute) == 1:
-                    col = f.attribute[0]
+                    # harvest under the PHYSICAL name: manifest stats
+                    # and row-group footers are keyed by it (identity
+                    # for unmapped tables)
+                    col = self._pmap.get(f.attribute[0], f.attribute[0])
             if col is not None:
                 lo, hi = self._bounds.get(col, [None, None])
                 if isinstance(f, EqualTo):
@@ -521,6 +539,216 @@ class _PushdownTableReader(TableReader):
                     hi = f.value if hi is None else min(hi, f.value)
                 self._bounds[col] = [lo, hi]
         return list(filters)  # none consumed: pruning is advisory
+
+
+class TableStreamPartition(InputPartition):
+    """One file of one streamed commit (snapshot leg or appended file),
+    plus its deletion-vector dirs and the commit's column mapping."""
+
+    def __init__(self, file: str, dv_dirs: list[str], colmap: dict):
+        self.file = file
+        self.dv_dirs = dv_dirs
+        self.colmap = colmap
+
+
+class TableStreamReader(DataSourceStreamReader):
+    """Append-only STREAMING reads of a versioned table — ``spark.
+    readStream.format("clx_table")`` — Delta's plain streaming-source
+    shape (VERDICT r10 item 4; until now streaming required the change
+    feed, sources/cdf_source.py).
+
+    Semantics (matching Delta's delta-as-a-source):
+      * the FIRST batch is the INITIAL SNAPSHOT — the head manifest's
+        files at stream start, deletion vectors applied;
+      * every later batch reads exactly the files APPENDED by the
+        commits since the checkpointed version — O(new data) per
+        trigger, never a table rescan, planned off kilobyte manifests;
+      * a rewriting commit (overwrite / delete / merge / compact)
+        RAISES: its rows are a rewrite, not an increment — the same
+        refusal as Delta without ``ignoreChanges``. Option
+        ``ignoreChanges='true'`` skips those commits instead (appended
+        files of mixed commits still stream; the caller accepts
+        possibly-reprocessed rows — Delta's documented trade);
+      * a RENAME/DROP COLUMN commit always raises: the stream's schema
+        is fixed at query start (Delta restarts streams on schema
+        change the same way).
+
+    Offsets are manifest versions ({"v": processed-through, "s":
+    snapshot version, "d": snapshot-emitted flag}), checkpointed by
+    Spark — a restart resumes exactly after the last committed batch.
+    Options: ``startingVersion`` (int, or 'latest' for new-commits-only;
+    default: initial snapshot), ``maxVersionsPerBatch`` (bounded
+    catch-up, default 100), ``ignoreChanges``."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._cols = [f.name for f in schema.fields]
+        self._path = options["path"]
+        self._max_versions = int(options.get("maxversionsperbatch", "100"))
+        self._starting = options.get("startingversion")
+        self._ignore_changes = (
+            options.get("ignorechanges", "").lower() == "true")
+        self._cursor: int | None = None
+
+    def initialOffset(self) -> dict:
+        from ..sinks.versioned import latest_version
+
+        head = latest_version(self._path)
+        head = -1 if head is None else head
+        if self._starting is None:
+            off = {"v": head, "s": head, "d": 0}  # snapshot pending
+        elif str(self._starting) == "latest":
+            off = {"v": head, "s": -1, "d": 1}    # new commits only
+        else:
+            off = {"v": int(self._starting) - 1, "s": -1, "d": 1}
+        self._cursor = off["v"]
+        return off
+
+    def latestOffset(self) -> dict:
+        from ..sinks.versioned import latest_version
+
+        head = latest_version(self._path)
+        head = -1 if head is None else head
+        if self._cursor is not None:
+            # bounded catch-up: cap the END offset itself so the
+            # checkpoint never records skipped versions as processed
+            head = max(self._cursor,
+                       min(head, self._cursor + self._max_versions))
+        self._cursor = head
+        return {"v": head, "s": -1, "d": 1}
+
+    def partitions(self, start: dict, end: dict) -> list[TableStreamPartition]:
+        from ..sinks.versioned import (_APPEND_SAFE_OPS, _read_manifest)
+
+        s, e = int(start["v"]), int(end["v"])
+        self._cursor = max(self._cursor or -1, s, e)
+        parts: list[TableStreamPartition] = []
+        if not int(start.get("d", 1)) and int(start.get("s", -1)) >= 0:
+            # initial snapshot leg: the stream-start head's full file
+            # set, dv-applied — emitted exactly once (the flag flips in
+            # every later offset)
+            snap = int(start["s"])
+            m = _read_manifest(self._path, snap)
+            cmap = dict((m.get("colmap") or {}).get("m", {}))
+            dv_map = m.get("dv", {})
+            for f in m["files"]:
+                parts.append(TableStreamPartition(
+                    f, sorted({x["d"] for x in dv_map.get(f, [])}), cmap))
+        for v in range(s + 1, e + 1):
+            m = _read_manifest(self._path, v)
+            op = m["op"]
+            if op not in _APPEND_SAFE_OPS:
+                if op in ("rename-column", "drop-columns"):
+                    raise ValueError(
+                        f"version {v} changed the column mapping ({op}); "
+                        "the stream's schema is fixed at query start — "
+                        "restart the stream (Delta restarts on schema "
+                        "change the same way)"
+                    )
+                if not self._ignore_changes:
+                    raise ValueError(
+                        f"version {v} rewrote row state (op {op!r}); an "
+                        "append-only stream cannot cross it — pass "
+                        ".option('ignoreChanges','true') to skip "
+                        "rewriting commits (rows they rewrote may "
+                        "reprocess), or stream the change feed "
+                        "(clx_cdf) for exact row-level deltas"
+                    )
+            base = (set(_read_manifest(self._path, v - 1)["files"])
+                    if v > 0 else set())
+            cmap = dict((m.get("colmap") or {}).get("m", {}))
+            for f in m["files"]:
+                if f not in base:
+                    # appended files carry no dv at their own commit
+                    parts.append(TableStreamPartition(f, [], cmap))
+        return parts
+
+    def read(self, partition: TableStreamPartition):
+        """One file -> Arrow batches, streamed (same dv/pad shape as the
+        batch TableReader.read, minus predicate/limit pruning — streams
+        read whole appended files)."""
+        import glob as _glob
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        pf = pq.ParquetFile(partition.file)
+        have = set(pf.schema_arrow.names)
+        pmap = partition.colmap
+        want = [pmap.get(c, c) for c in self._cols
+                if pmap.get(c, c) in have]
+        dead_idx = None
+        if partition.dv_dirs:
+            dead: set[int] = set()
+            for d in partition.dv_dirs:
+                for p in sorted(_glob.glob(os.path.join(d, "*.parquet"))):
+                    dt = pq.read_table(p, columns=["_file", "_pos"])
+                    mask = pc.equal(dt["_file"], partition.file)
+                    dead.update(dt.filter(mask)["_pos"].to_pylist())
+            if dead:
+                dead_idx = np.fromiter(dead, dtype=np.int64, count=len(dead))
+
+        def _pad(t, n):
+            arrays = []
+            for field in self._schema.fields:
+                pn = pmap.get(field.name, field.name)
+                if t is not None and pn in t.column_names:
+                    arrays.append(t[pn].combine_chunks())
+                else:
+                    arrays.append(
+                        pa.nulls(n, type=to_arrow_type(field.dataType)))
+            return pa.table(dict(zip(self._cols, arrays)))
+
+        if not want:
+            n = pf.metadata.num_rows
+            if dead_idx is not None:
+                n -= int((dead_idx < n).sum())
+            yield from _pad(None, n).to_batches(max_chunksize=1 << 16)
+            return
+        off = 0
+        for rb in pf.iter_batches(batch_size=1 << 16, columns=want):
+            t = pa.Table.from_batches([rb])
+            n = rb.num_rows
+            if dead_idx is not None:
+                sel = dead_idx[(dead_idx >= off) & (dead_idx < off + n)]
+                if sel.size:
+                    keep = np.ones(n, dtype=bool)
+                    keep[sel - off] = False
+                    t = t.filter(pa.array(keep))
+            off += n
+            if t.num_rows:
+                yield from _pad(t, t.num_rows).to_batches(
+                    max_chunksize=1 << 16)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live entirely in the checkpoint
+
+
+def stream_table(
+    spark: SparkSession,
+    path: str,
+    starting_version: int | str | None = None,
+    max_versions_per_batch: int = 100,
+    ignore_changes: bool = False,
+) -> DataFrame:
+    """readStream over a versioned table's appends (TableStreamReader):
+    initial snapshot + per-commit increments, Delta's plain streaming
+    source. For exact row-level change semantics across merges/deletes,
+    stream the change feed instead (cdf_source.stream_changes)."""
+    spark.dataSource.register(TableDataSource)
+    reader = (
+        spark.readStream.format("clx_table")
+        .option("path", path)
+        .option("maxVersionsPerBatch", str(max_versions_per_batch))
+    )
+    if starting_version is not None:
+        reader = reader.option("startingVersion", str(starting_version))
+    if ignore_changes:
+        reader = reader.option("ignoreChanges", "true")
+    return reader.load()
 
 
 class TableCommitMessage(WriterCommitMessage):
@@ -567,6 +795,31 @@ def _cols_key(stats_cols: list[str] | None,
     return (tuple(stats_cols or ()), tuple(bloom_cols or ()))
 
 
+def _refuse_column_mapped(path: str) -> None:
+    """Writer-feature gate (Delta protocol-check shape): a table with an
+    active column mapping (RENAME/DROP COLUMN history) stores columns
+    under physical names this write door does not translate — writing
+    would commit files under WRONG physical names, silently corrupting
+    every later read. Fail loudly at planning time; the engine API
+    (append_version / overwrite_version / merge_version) implements the
+    mapping and remains the write door for such tables."""
+    from ..sinks.versioned import _read_manifest, latest_version
+
+    head = latest_version(path)
+    if head is None:
+        return
+    cm = _read_manifest(path, head).get("colmap") or {}
+    if cm.get("m") or cm.get("x"):
+        raise ValueError(
+            f"table at {path} has an active column mapping (renamed or "
+            "dropped columns); the SQL/DSv2 write door does not "
+            "implement the columnMapping writer feature — write through "
+            "the engine API (append_version / overwrite_version / "
+            "merge_version), which translates logical to physical "
+            "column names"
+        )
+
+
 class TableWriter(DataSourceArrowWriter):
     """DSv2 BATCH writer for versioned tables — the SQL write door
     (``df.write.format("clx_table")``, ``INSERT INTO`` on a
@@ -599,6 +852,7 @@ class TableWriter(DataSourceArrowWriter):
 
     def __init__(self, options: dict, overwrite: bool):
         self._path = options["path"]
+        _refuse_column_mapped(self._path)
         self._overwrite = overwrite
         self._stats_cols = [c for c in options.get("statscols", "").split(",")
                             if c] or None
@@ -679,6 +933,7 @@ class TableStreamWriter(DataSourceStreamArrowWriter):
         import hashlib as _hashlib
 
         self._path = options["path"]
+        _refuse_column_mapped(self._path)
         self._stats_cols = [c for c in options.get("statscols", "").split(",")
                             if c] or None
         self._bloom_cols = [c for c in options.get("bloomcols", "").split(",")
@@ -852,7 +1107,7 @@ def _commit_staged_files(
     from ..sinks.versioned import (ConstraintViolation,
                                    SchemaEnforcementError, _all_nullable,
                                    _commit, _file_stats, _manifest_dir,
-                                   _norm_path, _read_manifest,
+                                   _norm_path, _norm_type, _read_manifest,
                                    _schema_from_json, get_constraints,
                                    latest_version, VersionConflictError)
 
@@ -913,6 +1168,12 @@ def _commit_staged_files(
     for _ in range(11):
         prev = latest_version(path)
         prev_m = _read_manifest(path, prev) if prev is not None else {}
+        cm = prev_m.get("colmap") or {}
+        if cm.get("m") or cm.get("x"):
+            # a RENAME/DROP landed between writer planning and this
+            # commit: the staged files' column names no longer match
+            # the table's physical layout — same gate as writer init
+            _refuse_column_mapped(path)
         prev_txn = {k: int(v) for k, v in prev_m.get("txn", {}).items()}
         if txn is not None:
             app_id, txn_v = txn
@@ -942,7 +1203,8 @@ def _commit_staged_files(
             extra = [f for f in staged_schema.fields if f.name not in tf]
             for f in staged_schema.fields:
                 got = tf.get(f.name)
-                if got is not None and got.dataType != f.dataType:
+                if got is not None and \
+                        _norm_type(got.dataType) != _norm_type(f.dataType):
                     raise SchemaEnforcementError(
                         f"DSv2 write to {path}: column '{f.name}' arrives "
                         f"as {f.dataType.simpleString()} but the table "

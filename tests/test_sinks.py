@@ -2168,3 +2168,43 @@ def test_cas_loser_cannot_clobber_winner_change_feed(
     ch = V.table_changes(spark, path, win_v - 1, win_v)
     assert ch.count() == 50
     assert {r._change_type for r in ch.collect()} == {"delete"}
+
+
+def test_optimize_table_single_door(spark, tmp_path):
+    """optimize_table sequences reorg-dv -> bin-pack compaction ->
+    ANALYZE (one commit each, no-ops skipped) and reports the combined
+    delta: file count down, dv debt gone, stats coverage intact, rows
+    byte-identical (VERDICT r09 item 8)."""
+    from clx_etl_spark.sinks.versioned import (append_version,
+                                               delete_version_dv,
+                                               describe_table,
+                                               optimize_table,
+                                               read_version)
+
+    path = str(tmp_path / "vt")
+    for i in range(6):  # six small files
+        append_version(
+            spark.createDataFrame(
+                [(i * 100 + j, f"s{i * 100 + j}") for j in range(50)],
+                "k long, s string").coalesce(1),
+            path, stats_cols=["k"])
+    delete_version_dv(spark, path, "k", 0, 4)      # dv dir 1
+    delete_version_dv(spark, path, "k", 100, 104)  # dv dir 2
+    d0 = describe_table(path)
+    assert d0["n_files"] == 6 and d0["dv_dirs"] == 2
+    expect = read_version(spark, path).orderBy("k").collect()
+    rep = optimize_table(spark, path)
+    assert set(rep["commits"]) == {"reorg_dvs", "compact", "analyze"}
+    assert rep["after"]["n_files"] < rep["before"]["n_files"]
+    assert rep["after"]["dv_files"] == 0  # compaction purged the debt
+    d1 = describe_table(path)
+    assert d1["stats_coverage"].get("k") == 1.0  # index survives
+    assert read_version(spark, path).orderBy("k").collect() == expect
+    # a second pass converges: nothing left to fold or pack
+    rep2 = optimize_table(spark, path)
+    assert "reorg_dvs" not in rep2["commits"]
+    assert "compact" not in rep2["commits"]
+    # opt-in retention sweep reclaims the pre-optimize artifacts
+    rep3 = optimize_table(spark, path, expire_keep_latest=1)
+    assert rep3["expired_artifacts"] > 0
+    assert read_version(spark, path).orderBy("k").collect() == expect
