@@ -1546,6 +1546,7 @@ def append_version(
     committed_schema = None
     mapping: dict = {}
     dropped: list = []
+    enforced_colmap = None  # the head's colmap when the files were written
     for _ in range(max_retries + 1):
         prev = latest_version(path)
         prev_m = _read_manifest(path, prev) if prev is not None else {}
@@ -1561,7 +1562,10 @@ def append_version(
             # a concurrent RENAME/DROP changed the column mapping: the
             # staged files' logical->physical translation (and the
             # committed schema's logical names) are stale — rewrite
-            or prev_m.get("colmap") != _colmap_key(mapping, dropped)
+            # (compared against the WRITE-TIME head colmap, not our
+            # possibly-extended one, so plain append races never
+            # trigger a spurious rewrite)
+            or prev_m.get("colmap") != enforced_colmap
         ):
             # CAS-retry interleave (ADVICE r09): this batch was
             # normalized when the table carried NO contract, but a
@@ -1578,6 +1582,7 @@ def append_version(
             new_files = None
         if new_files is None:  # data files are written exactly once
             enforced_against = prev_m.get("schema")
+            enforced_colmap = prev_m.get("colmap")
             batch, committed_schema = _enforce_schema(
                 df, _schema_from_json(enforced_against), evolve)
             # constraints see the NORMALIZED batch (an evolution-gap

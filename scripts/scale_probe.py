@@ -436,6 +436,54 @@ def _probe_append_metadata_flat(spark) -> dict:
     return out
 
 
+def _probe_rename_drop_flat() -> dict:
+    """The r10 column-mapping claim: RENAME/DROP COLUMN is metadata-only
+    — driver wall time stays O(manifest) with ZERO data IO whatever the
+    table size. Tables of 100 / 2,000 / 10,000 synthetic stats-bearing
+    files whose data files never exist (any read would crash loudly);
+    10 chained renames + one drop each; medians reported. The residual
+    growth is the manifest's file-list JSON itself — the same flatness
+    class as the append-commit leg."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    import clx_etl_spark.sinks.versioned as V
+
+    out: dict = {}
+    schema = StructType([
+        StructField("id", LongType(), True),
+        StructField("v", StringType(), True),
+    ]).json()
+    for n_files in (100, 2_000, 10_000):
+        files = [f"/nonexistent/data/f{i:06d}.parquet"
+                 for i in range(n_files)]
+        stats = {
+            f: {"id": [i * 100, i * 100 + 99], "__rows__": [100, 100]}
+            for i, f in enumerate(files)
+        }
+        d = tempfile.mkdtemp() + "/t"
+        V._commit(d, 0, files, "overwrite", stats, schema=schema)
+        ts: list[float] = []
+        name = "id"
+        for k in range(10):
+            new = f"id{k}"
+            t0 = time.perf_counter()
+            V.rename_column(d, name, new)
+            ts.append(time.perf_counter() - t0)
+            name = new
+        t0 = time.perf_counter()
+        V.drop_columns(d, ["v"])
+        drop_s = time.perf_counter() - t0
+        out[f"rename_s_{n_files}"] = round(statistics.median(ts), 4)
+        out[f"drop_s_{n_files}"] = round(drop_s, 4)
+        shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+    return out
+
+
 def _probe_dv_reorg(spark) -> dict:
     """The r09 reorg_dvs claim: k narrow dv deletes leave k sidecar
     dirs unioned by every read; one metadata-only reorg folds them to 1
@@ -508,12 +556,14 @@ def main() -> None:
     dv_size = _probe_dv_manifest_size()
     meta_flat = _probe_append_metadata_flat(spark)
     dv_reorg = _probe_dv_reorg(spark)
+    rename_flat = _probe_rename_drop_flat()
     print(json.dumps({"sfs": SFS, "times": results, "pruning": ratios,
                       "manifest_planning_s": planning,
                       "commit_driver_flat": commit_flat,
                       "dv_manifest_bytes": dv_size,
                       "append_metadata_flat": meta_flat,
-                      "dv_reorg": dv_reorg}))
+                      "dv_reorg": dv_reorg,
+                      "rename_drop_flat": rename_flat}))
     print(f"\n{'query':32s} {'sf.001':>8s} {'sf.01':>8s} {'sf.1':>8s} "
           f"{'r(10x)':>7s} {'r(100x)':>8s}")
     for name, t in results.items():
@@ -547,6 +597,12 @@ def main() -> None:
           f"{dv_reorg['read_s_before']:.2f}s -> "
           f"{dv_reorg['read_s_after']:.2f}s, reorg "
           f"{dv_reorg['reorg_s']:.2f}s")
+    print("\nrename/drop (median s, 100/2000/10000-file tables — "
+          "metadata-only, zero data IO):")
+    for n in (100, 2_000, 10_000):
+        print(f"{n:>6d} files  rename "
+              f"{rename_flat[f'rename_s_{n}']:8.4f}s  drop "
+              f"{rename_flat[f'drop_s_{n}']:8.4f}s")
     spark.stop()
 
 
