@@ -709,22 +709,47 @@ def _read_with_dv(
 
 
 def _write_dv(
-    matches: DataFrame, path: str, version: int
-) -> tuple[str, dict[str, int]]:
+    matches: DataFrame, path: str, version: int, m: dict | None = None,
+) -> tuple[str, dict[str, int], dict]:
     """Persist a commit's deleted positions (``_file``/``_pos`` columns
     of ``matches``) as one parquet dir; returns (dv_dir, per-manifest-
-    file deleted-row counts). The count pass reads only the just-written
-    positions parquet — O(deleted rows), grouped down to file names."""
+    file deleted-row counts, per-file per-column null counts among the
+    deleted rows — the r10 ``z`` bookkeeping, see count_col_meta).
+
+    The match set is evaluated EXACTLY ONCE: per-column is-null FLAGS
+    for the manifest's tracked stats columns ride along into the
+    positions parquet (readers column-prune to _file/_pos, so the
+    extra bytes cost nothing at read), and both the counts and the
+    null sums derive from the read-back — O(deleted rows), grouped
+    down to file names, no second pass over the candidate files."""
+    from pyspark.sql import functions as F
+
     dvdir = os.path.join(_dv_root(path), f"v{version}-{uuid.uuid4().hex[:8]}")
     spark = matches.sparkSession
-    matches.select(_DV_FILE, _DV_POS).write.mode("overwrite").parquet(dvdir)
-    counts = {
-        r[_DV_FILE]: int(r["n"])
-        for r in spark.read.parquet(dvdir)
-        .groupBy(_DV_FILE).agg({"*": "count"})
-        .withColumnRenamed("count(1)", "n").collect()
-    }
-    return dvdir, counts
+    pairs: list[tuple[str, str]] = []
+    if m is not None:
+        mapping, _ = _colmap(m)
+        inv = {p: l for l, p in mapping.items()}
+        pairs = [(inv.get(p, p), p)
+                 for p in sorted(_tracked_col_sets(m)[0])]
+        pairs = [(lg, p) for lg, p in pairs if lg in matches.columns]
+    sel = [F.col(_DV_FILE), F.col(_DV_POS)] + [
+        F.col(lg).isNull().cast("int").alias(f"_z{i}")
+        for i, (lg, _p) in enumerate(pairs)
+    ]
+    matches.select(*sel).write.mode("overwrite").parquet(dvdir)
+    rb = spark.read.parquet(dvdir)
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(f"_z{i}").alias(f"_z{i}") for i in range(len(pairs))
+    ]
+    rows = rb.groupBy(_DV_FILE).agg(*aggs).collect()
+    counts = {r[_DV_FILE]: int(r["_n"]) for r in rows}
+    zmap = {
+        r[_DV_FILE]: {p: int(r[f"_z{i}"])
+                      for i, (_lg, p) in enumerate(pairs)}
+        for r in rows
+    } if pairs else {}
+    return dvdir, counts, zmap
 
 
 def _drop_dv_dir(dvdir: str) -> None:
@@ -732,30 +757,6 @@ def _drop_dv_dir(dvdir: str) -> None:
 
     shutil.rmtree(dvdir, ignore_errors=True)
 
-
-def _dv_null_counts(matches: DataFrame, m: dict) -> dict:
-    """Per-file NULL counts of the TOMBSTONED rows, for every tracked
-    stats column in the match frame — recorded on each dv entry under
-    the ``z`` key (physical-named) so ``count_col_meta`` stays
-    metadata-only on dv-bearing files that carry nulls (VERDICT r09
-    item 7: without this, a dv over a null-carrying file forces a
-    scan, because which deleted rows were null is otherwise
-    unknowable). One aggregate over the already-computed match set —
-    O(deleted rows), grouped down to file names; nothing new is read."""
-    from pyspark.sql import functions as F
-
-    mapping, _ = _colmap(m)
-    inv = {p: l for l, p in mapping.items()}
-    cols = [(inv.get(p, p), p) for p in sorted(_tracked_col_sets(m)[0])]
-    cols = [(lg, p) for lg, p in cols if lg in matches.columns]
-    if not cols:
-        return {}
-    aggs = [F.sum(F.col(lg).isNull().cast("long")).alias(f"_z{i}")
-            for i, (lg, _p) in enumerate(cols)]
-    return {
-        r[_DV_FILE]: {p: int(r[f"_z{i}"]) for i, (_lg, p) in enumerate(cols)}
-        for r in matches.groupBy(_DV_FILE).agg(*aggs).collect()
-    }
 
 
 def _write_files(
@@ -1915,7 +1916,8 @@ def analyze_table(
             return _commit(path, v + 1, m["files"], "analyze", derived,
                            txn=m.get("txn", {}), dv=m.get("dv"),
                            base_stats=m.get("stats"),
-                           schema=m.get("schema"))
+                           schema=m.get("schema"),
+                           colmap=m.get("colmap"))
         except VersionConflictError:
             continue  # rebase: re-read the head, reuse nothing stale
     raise VersionConflictError(
@@ -2365,7 +2367,7 @@ def _compact_partial(
     base_v = v
     cur_files, cur_stats = keep, carried
     cur_txn, cur_dv = m.get("txn", {}), m.get("dv")
-    cur_schema = m.get("schema")
+    cur_schema, cur_colmap = m.get("schema"), m.get("colmap")
 
     def attempt() -> int:
         return _commit(
@@ -2374,6 +2376,7 @@ def _compact_partial(
             dv=cur_dv,  # kept files' deletion vectors survive
             cf=cf_name,
             schema=cur_schema,
+            colmap=cur_colmap,
         )
 
     def rebase(head):
@@ -2385,12 +2388,14 @@ def _compact_partial(
         # interleave (delete/merge/another compaction) is a true
         # conflict: the read-set went stale, re-run.
         nonlocal base_v, cur_files, cur_stats, cur_txn, cur_dv, cur_schema
+        nonlocal cur_colmap
         ai = _append_only_interleave(path, base_v, head)
         if ai is None:
             raise  # true conflict: surface the lost CAS
         appended, head_m = ai
         head_stats = dict(head_m.get("stats", {}))
         cur_schema = head_m.get("schema")  # interleaved evolution rides
+        cur_colmap = head_m.get("colmap")  # fresh-physical adds ride
         cur_files = cur_files + appended
         # HEAD's entries win for every carried file, not just the
         # appended ones: an interleaved ANALYZE backfilled stats for
@@ -2744,6 +2749,7 @@ def merge_version(
     commit_stats = {**carried, **new_stats}
     commit_dv = m.get("dv")  # untouched files keep their deletion vectors
     commit_schema = (merge_schema.json() if m.get("schema") else None)
+    commit_colmap = m.get("colmap")
     base_files = set(m["files"])
     base_v = prev
     def attempt() -> int:
@@ -2751,6 +2757,7 @@ def merge_version(
             path, new_v, commit_files, "overwrite",
             commit_stats, txn=new_txn, dv=commit_dv, cf=cf_name,
             schema=commit_schema,
+            colmap=commit_colmap,
         )
 
     def rebase(head):
@@ -2762,12 +2769,14 @@ def merge_version(
         # the already-written data files (manifest JSON only).
         nonlocal new_v, commit_files, commit_stats, base_v, base_files
         nonlocal commit_dv, untouched, new_txn, commit_schema
+        nonlocal commit_colmap
         appended = _disjoint_append_interleave(
             path, base_v, head, base_files, batch_keys_k, kcol)
         if appended is None:
             raise
         head_m = _read_manifest(path, head)
         head_stats = head_m.get("stats", {})
+        commit_colmap = head_m.get("colmap")  # fresh-physical adds ride
         # union our (possibly evolved) schema with the head's — an
         # interleaved evolution rides; a type conflict surfaces
         commit_schema = (
@@ -3627,7 +3636,9 @@ def _remap_dv(
 
     dirs = sorted({e["d"] for es in dv.values() for e in es})
     parts = [
-        pq.read_table(p)
+        # column-pruned: r10 dv dirs carry extra _z flag columns, and
+        # mixed-era dirs would fail a full-schema concat
+        pq.read_table(p, columns=[_DV_FILE, _DV_POS])
         for d in dirs
         for p in sorted(glob.glob(os.path.join(d, "*.parquet")))
     ]
@@ -3808,7 +3819,7 @@ def delete_version(
     base_v = v
     cur_untouched, cur_stats = untouched, carried_stats
     cur_txn, cur_dv = m.get("txn", {}), m.get("dv")
-    cur_schema = m.get("schema")
+    cur_schema, cur_colmap = m.get("schema"), m.get("colmap")
 
     def attempt() -> tuple[int, int, int]:
         _commit(
@@ -3817,6 +3828,7 @@ def delete_version(
             dv=cur_dv,  # untouched files keep their deletion vectors
             cf=cf_name,
             schema=cur_schema,
+            colmap=cur_colmap,
         )
         return base_v + 1, len(cur_untouched), len(rewrite)
 
@@ -3829,7 +3841,7 @@ def delete_version(
         # overlapping appends (they may hold in-range rows) and any
         # rewrite are true conflicts.
         nonlocal base_v, cur_untouched, cur_stats, cur_txn, cur_dv
-        nonlocal cur_schema
+        nonlocal cur_schema, cur_colmap
         ai = _append_only_interleave(path, base_v, head)
         ap_stats = (_stats_for_cols(ai[1], [pcol], blooms=False)
                     if ai is not None else {})
@@ -3841,6 +3853,7 @@ def delete_version(
         appended, head_m = ai
         head_stats = dict(head_m.get("stats", {}))
         cur_schema = head_m.get("schema")
+        cur_colmap = head_m.get("colmap")
         cur_untouched = cur_untouched + appended
         # head entries win for every carried file (an interleaved
         # ANALYZE's backfill must survive the rebase)
@@ -3962,7 +3975,7 @@ def delete_version_dv(
         # nothing to tombstone; skip instead of failing to resolve the
         # filter (ADVICE r09). The empty delete still commits.
         col_present = col in cand_df.columns
-    zmap: dict = {}
+    zmap: dict = {}  # filled by _write_dv: per-entry null bookkeeping
 
     def _dv_entry(f: str, n: int) -> dict:
         e = {"d": dvdir, "n": n}
@@ -3972,12 +3985,11 @@ def delete_version_dv(
 
     if candidates and col_present:
         matches = cand_df.filter(F.col(col).between(lo, hi))
-        dvdir, counts = _write_dv(matches, path, new_v)
+        dvdir, counts, zmap = _write_dv(matches, path, new_v, m)
         if not counts:
             _drop_dv_dir(dvdir)
             dvdir = None
         else:
-            zmap = _dv_null_counts(matches, m)
             for f, n in counts.items():
                 dv_map.setdefault(f, []).append(_dv_entry(f, n))
     cf_name = None
@@ -4020,6 +4032,7 @@ def delete_version_dv(
                 full, txn=cur_m.get("txn", {}), dv=dv_map,
                 cf=cf_name,
                 schema=cur_m.get("schema"),
+                colmap=cur_m.get("colmap"),
             )
         else:
             _commit(
@@ -4027,6 +4040,7 @@ def delete_version_dv(
                 {}, txn=cur_m.get("txn", {}), dv=dv_map,
                 base_stats=cur_m.get("stats"), cf=cf_name,
                 schema=cur_m.get("schema"),
+                colmap=cur_m.get("colmap"),
             )
         return (base_v + 1, len(counts),
                 sum(counts.values()) + covered_rows)
@@ -4109,7 +4123,7 @@ def delete_keys_dv(
     dv_map = {f: list(e) for f, e in m.get("dv", {}).items()}
     dvdir = None
     counts: dict[str, int] = {}
-    zmap: dict = {}
+    zmap: dict = {}  # filled by _write_dv: per-entry null bookkeeping
 
     def _dv_entry(f: str, n: int) -> dict:
         e = {"d": dvdir, "n": n}
@@ -4121,12 +4135,11 @@ def delete_keys_dv(
         matches = _read_with_dv(spark, candidates, m, with_pos=True).join(
             gone, keys, "semi"
         )
-        dvdir, counts = _write_dv(matches, path, new_v)
+        dvdir, counts, zmap = _write_dv(matches, path, new_v, m)
         if not counts:
             _drop_dv_dir(dvdir)
             dvdir = None
         else:
-            zmap = _dv_null_counts(matches, m)
             for f, n in counts.items():
                 dv_map.setdefault(f, []).append(_dv_entry(f, n))
     cf_name = None
@@ -4148,6 +4161,7 @@ def delete_keys_dv(
             {}, txn=new_txn, dv=dv_map,
             base_stats=cur_m.get("stats"), cf=cf_name,
             schema=cur_m.get("schema"),
+            colmap=cur_m.get("colmap"),
         )
         return base_v + 1, len(counts), sum(counts.values())
 
@@ -4266,7 +4280,7 @@ def merge_version_dv(
     dvdir = None
     counts: dict[str, int] = {}
     stored_slice = None
-    zmap: dict = {}
+    zmap: dict = {}  # filled by _write_dv: per-entry null bookkeeping
 
     def _dv_entry(f: str, n: int) -> dict:
         e = {"d": dvdir, "n": n}
@@ -4277,12 +4291,11 @@ def merge_version_dv(
     if candidates:
         stored_pos = _read_with_dv(spark, candidates, m, with_pos=True)
         matches = stored_pos.join(gone, keys, "semi")
-        dvdir, counts = _write_dv(matches, path, new_v)
+        dvdir, counts, zmap = _write_dv(matches, path, new_v, m)
         if not counts:
             _drop_dv_dir(dvdir)
             dvdir = None
         else:
-            zmap = _dv_null_counts(matches, m)
             for f, n in counts.items():
                 dv_map.setdefault(f, []).append(_dv_entry(f, n))
         stored_slice = stored_pos.drop(_DV_FILE, _DV_POS)
@@ -4342,6 +4355,7 @@ def merge_version_dv(
             # evolution on the head unions in (type conflicts surface)
             schema=(_merge_schema_json(cur_m.get("schema"), up_schema)
                     if cur_m.get("schema") else None),
+            colmap=cur_m.get("colmap"),
         )
         return base_v + 1
 
@@ -4456,6 +4470,7 @@ def reorg_dvs(spark: SparkSession, path: str) -> tuple[int, int, int]:
             {}, txn=cur_m.get("txn", {}), dv=new_dv,
             base_stats=cur_m.get("stats"),
             schema=cur_m.get("schema"),
+            colmap=cur_m.get("colmap"),
         )
         return base_v + 1, len(new_dv), len(dirs_before)
 

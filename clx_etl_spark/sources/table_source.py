@@ -1230,7 +1230,8 @@ def _commit_staged_files(
             if overwrite:
                 # carry txn watermarks like overwrite_version(txn=None)
                 v = _commit(path, version, files, "overwrite", stats,
-                            txn=prev_txn, schema=schema_json)
+                            txn=prev_txn, schema=schema_json,
+                            colmap=prev_m.get("colmap"))
             else:
                 v = _commit(
                     path, version, prev_m.get("files", []) + files,
@@ -1238,6 +1239,7 @@ def _commit_staged_files(
                     txn=prev_txn, dv=prev_m.get("dv"),
                     base_stats=prev_m.get("stats"),
                     schema=schema_json,
+                    colmap=prev_m.get("colmap"),
                 )
             _metrics(v)
             return v
