@@ -75,6 +75,8 @@ FLAGSHIPS = [
     "sim_knn_ivfpq",           # exact-int IVF+PQ: cell equi-join + ADC LUT
     "versioned_catalog_dml",   # catalog SQL DML: schema-metadata path (r08)
     "versioned_meta_agg",      # metadata-only COUNT/MIN/MAX, no data read
+    "versioned_schema_rename_drop",  # column-mapped read: rename projection
+    "versioned_optimize",      # post-OPTIMIZE read: compacted, dv-free scan
 ]
 
 SF = "/root/testdata/sf0.001"
