@@ -658,6 +658,33 @@ def _dv_root(path: str) -> str:
     return os.path.join(path, "_dv")
 
 
+
+def _mk_dv_entry(dvdir: str, n: int, z: dict | None) -> dict:
+    """One manifest dv entry — dir, deleted-row count, and (when the
+    delete recorded it) the per-column null bookkeeping."""
+    e = {"d": dvdir, "n": int(n)}
+    if z:
+        e["z"] = z
+    return e
+
+
+def _fold_z(olds: list, n: int) -> dict | None:
+    """Fold per-entry null bookkeeping across consolidated dv entries
+    (reorg / deep clone): the merged entry's count per column is the
+    SUM over the folded entries — kept only when every entry carries
+    the column AND the folded row count reconciles (a defensive
+    distinct() may have dropped duplicate positions, which would
+    desync the sums). Shared by reorg_dvs and _remap_dv (review r10)."""
+    if not olds or sum(int(e["n"]) for e in olds) != int(n):
+        return None
+    zcols = set(olds[0].get("z") or {})
+    for e in olds[1:]:
+        zcols &= set(e.get("z") or {})
+    if not zcols:
+        return None
+    return {c: sum(int(e["z"][c]) for e in olds) for c in zcols}
+
+
 def _dv_dirs_for(manifest: dict, files: list[str]) -> list[str]:
     dv_map = manifest.get("dv", {})
     return sorted({e["d"] for f in files for e in dv_map.get(f, [])})
@@ -1263,6 +1290,26 @@ def _colmap_key(mapping: dict, dropped: list):
     return out
 
 
+def _assign_fresh_physicals(mapping: dict, dropped: list,
+                            tbl_names: set, fields) -> None:
+    """The fresh-physical collision rule, in ONE place (review r10:
+    the copy-pasted block missed both merge flavors and silently lost
+    evolved columns whose names matched retired physicals): any field
+    NOT already in the contract (``tbl_names``) whose LOGICAL name
+    collides with a physical name in use — another column's storage
+    name, or a dropped column's retired one — gets a fresh physical in
+    ``mapping`` (mutated in place), so old files' bytes can never leak
+    in under the new column. No-op for unmapped tables."""
+    if not mapping and not dropped:
+        return
+    used = ({mapping.get(n, n) for n in tbl_names}
+            | set(dropped) | set(mapping.values()))
+    for f in fields:
+        if f.name not in tbl_names and f.name in used \
+                and f.name not in mapping:
+            mapping[f.name] = f"{f.name}-{uuid.uuid4().hex[:8]}"
+
+
 def _apply_colmap(df: DataFrame, m: dict) -> DataFrame:
     """Rename a raw file read's PHYSICAL columns to the manifest's
     logical names and hide retired (dropped-column) physicals. A no-op
@@ -1589,26 +1636,15 @@ def append_version(
             # constraints see the NORMALIZED batch (an evolution-gap
             # column a CHECK references evaluates over its typed NULLs)
             _validate_constraints(batch, path)
-            # column mapping: evolve-added columns whose LOGICAL name
-            # collides with a physical name already in use (another
-            # column's, or a dropped column's retired one) get a fresh
-            # physical — otherwise old files' bytes would leak in under
-            # the new column on every read (the Delta columnMapping
-            # fresh-physical rule)
+            # column mapping: evolve-added columns get a fresh
+            # physical on collision (the shared rule — see
+            # _assign_fresh_physicals)
             mapping, dropped = _colmap(prev_m)
-            if mapping or dropped:
-                tbl_names = set()
-                if enforced_against:
-                    tbl_names = {
-                        f.name for f in
-                        _schema_from_json(enforced_against).fields}
-                used = ({mapping.get(n, n) for n in tbl_names}
-                        | set(dropped) | set(mapping.values()))
-                for f_ in committed_schema.fields:
-                    if f_.name not in tbl_names and f_.name in used \
-                            and f_.name not in mapping:
-                        mapping[f_.name] = (
-                            f"{f_.name}-{uuid.uuid4().hex[:8]}")
+            tbl_names = ({f.name for f in
+                          _schema_from_json(enforced_against).fields}
+                         if enforced_against else set())
+            _assign_fresh_physicals(mapping, dropped, tbl_names,
+                                    committed_schema.fields)
             new_files, stats = _write_files(batch, path, version, stats_cols,
                                             bloom_cols=bloom_cols,
                                             colmap=mapping or None)
@@ -1687,19 +1723,9 @@ def overwrite_version(
     else:
         df, sch = _enforce_schema(
             df, _schema_from_json(prev_m.get("schema")), evolve)
-        if mapping or dropped:
-            # evolve-added columns: same fresh-physical collision rule
-            # as append_version
-            tbl_names = set()
-            if prev_m.get("schema"):
-                tbl_names = {f.name for f in _schema_from_json(
-                    prev_m["schema"]).fields}
-            used = ({mapping.get(n, n) for n in tbl_names}
-                    | set(dropped) | set(mapping.values()))
-            for f_ in sch.fields:
-                if f_.name not in tbl_names and f_.name in used \
-                        and f_.name not in mapping:
-                    mapping[f_.name] = f"{f_.name}-{uuid.uuid4().hex[:8]}"
+        tbl_names = ({f.name for f in _schema_from_json(
+            prev_m["schema"]).fields} if prev_m.get("schema") else set())
+        _assign_fresh_physicals(mapping, dropped, tbl_names, sch.fields)
     if validate:
         _validate_constraints(df, path)
     version = 0 if prev is None else prev + 1
@@ -1841,6 +1867,7 @@ def analyze_table(
     path: str,
     stats_cols: list[str],
     bloom_cols: list[str] | None = None,
+    commit_noop: bool = True,
 ) -> int:
     """Backfill the file-skipping index onto an EXISTING table
     (Delta's ``ANALYZE TABLE ... COMPUTE STATISTICS`` shape): derive
@@ -1887,6 +1914,13 @@ def analyze_table(
                    for c in p_blooms)
             or _ROWS_KEY not in have.get(f, {})
         ]
+        if not todo and not commit_noop:
+            # fully indexed already: callers that sequence ANALYZE
+            # inside a maintenance pass (optimize_table) skip the
+            # no-op version instead of growing history every night
+            # (review r10); the default keeps the documented
+            # always-commit replay semantics
+            return v
         derived = _derive_stats(spark, todo, p_stats, p_blooms or None)
         # SENTINELS for analyzed-but-underivable entries: a column with
         # no footer bounds (all-null, absent from the file) records
@@ -1974,22 +2008,15 @@ def add_columns(path: str, cols) -> int:
         have = {f.name: f for f in tbl.fields}
         out = list(_all_nullable(tbl).fields)
         mapping, dropped = _colmap(m)
-        used_phys = ({mapping.get(f.name, f.name) for f in tbl.fields}
-                     | set(dropped) | set(mapping.values()))
         added = 0
+        new_struct_fields = []
         for f in new_fields:
             got = have.get(f.name)
             if got is None:
-                out.append(StructField(f.name, _norm_type(f.dataType), True))
+                nf = StructField(f.name, _norm_type(f.dataType), True)
+                out.append(nf)
+                new_struct_fields.append(nf)
                 added += 1
-                if f.name in used_phys and f.name not in mapping:
-                    # the new LOGICAL name collides with a physical
-                    # name already in use (a renamed column's storage
-                    # name, or a dropped column's retired one): assign
-                    # a fresh physical so old files' bytes can never
-                    # leak in under the new column (Delta columnMapping
-                    # fresh-physical rule)
-                    mapping[f.name] = f"{f.name}-{uuid.uuid4().hex[:8]}"
             elif _norm_type(got.dataType) != _norm_type(f.dataType):
                 raise SchemaEnforcementError(
                     f"add_columns: column '{f.name}' already exists as "
@@ -1999,6 +2026,11 @@ def add_columns(path: str, cols) -> int:
                 )
         if not added and m.get("schema"):
             return v  # fully idempotent replay: nothing to widen
+        # fresh physical on collision with in-use/retired names (the
+        # shared Delta columnMapping rule — _assign_fresh_physicals)
+        _assign_fresh_physicals(mapping, dropped,
+                                {f.name for f in tbl.fields},
+                                new_struct_fields)
         try:
             return _commit(path, v + 1, m["files"], "add-columns", {},
                            txn=m.get("txn", {}), dv=m.get("dv"),
@@ -2138,6 +2170,9 @@ def drop_columns(path: str, cols) -> int:
 
     path = _norm_path(path)
     want = [cols] if isinstance(cols, str) else list(cols)
+    # dedupe: a repeated name must neither trip the drop-everything
+    # guard nor retire a bogus second physical (review r10)
+    want = list(dict.fromkeys(want))
     if not want:
         raise ValueError("drop_columns: no columns given")
     for _ in range(10):
@@ -2662,6 +2697,16 @@ def merge_version(
     up, merge_schema = _enforce_schema(
         up, _schema_from_json(prev_m.get("schema")), evolve=evolve,
         fill_missing=False)
+    # evolve-added columns get a fresh physical on collision with a
+    # retired/in-use physical name (review r10: without this a merge's
+    # evolved column landed under a DROPPED column's physical and read
+    # back hidden — silent data loss)
+    merge_mapping, merge_dropped = _colmap(prev_m)
+    _assign_fresh_physicals(
+        merge_mapping, merge_dropped,
+        ({f.name for f in _schema_from_json(prev_m["schema"]).fields}
+         if prev_m.get("schema") else set()),
+        merge_schema.fields)
     # CHECK constraints gate the NEW rows only (carried stored rows were
     # validated on their own way in; deletes add nothing)
     _validate_constraints(up, path)
@@ -2742,14 +2787,14 @@ def merge_version(
         bloom_cols=[kcol] if any(
             _BLOOM_KEY + pk in stats.get(f, {}) for f in m["files"]
         ) else None,
-        colmap=_colmap(m)[0] or None,
+        colmap=merge_mapping or None,
     )
     carried = {f: stats[f] for f in untouched if f in stats}
     commit_files = untouched + new_files
     commit_stats = {**carried, **new_stats}
     commit_dv = m.get("dv")  # untouched files keep their deletion vectors
     commit_schema = (merge_schema.json() if m.get("schema") else None)
-    commit_colmap = m.get("colmap")
+    commit_colmap = _colmap_key(merge_mapping, merge_dropped)
     base_files = set(m["files"])
     base_v = prev
     def attempt() -> int:
@@ -2776,7 +2821,12 @@ def merge_version(
             raise
         head_m = _read_manifest(path, head)
         head_stats = head_m.get("stats", {})
-        commit_colmap = head_m.get("colmap")  # fresh-physical adds ride
+        # head's mapping wins for shared entries; OUR fresh-physical
+        # additions (absent from the head by definition of the
+        # append-only interleave) ride on top
+        hm, hd = _colmap(head_m)
+        commit_colmap = _colmap_key({**merge_mapping, **hm},
+                                    hd + merge_dropped)
         # union our (possibly evolved) schema with the head's — an
         # interleaved evolution rides; a type conflict surfaces
         commit_schema = (
@@ -3652,24 +3702,14 @@ def _remap_dv(
         pa.Table.from_pandas(pdf, preserve_index=False),
         os.path.join(dvdir, "part-00000.parquet"),
     )
-    out = {
-        f: [{"d": dvdir, "n": int(n)}]
+    # per-entry null bookkeeping folds onto the clone's consolidated
+    # entries (shared rule: _fold_z)
+    inv = {dst_f: src_f for src_f, dst_f in path_map.items()}
+    return {
+        f: [_mk_dv_entry(dvdir, int(n),
+                         _fold_z(dv.get(inv.get(f, f), []), int(n)))]
         for f, n in pdf.groupby(_DV_FILE).size().items()
     }
-    # carry the per-entry null bookkeeping ('z', r10) onto the clone's
-    # consolidated entries — sums across the source entries, kept only
-    # when every entry carries the column and the counts reconcile
-    inv = {dst_f: src_f for src_f, dst_f in path_map.items()}
-    for dst_f, entry in out.items():
-        olds = dv.get(inv.get(dst_f, dst_f), [])
-        if olds and sum(int(e["n"]) for e in olds) == entry[0]["n"]:
-            zcols = set((olds[0].get("z") or {}))
-            for e in olds[1:]:
-                zcols &= set((e.get("z") or {}))
-            if zcols:
-                entry[0]["z"] = {
-                    c: sum(int(e["z"][c]) for e in olds) for c in zcols}
-    return out
 
 
 def rollback_version(path: str, to_version: int) -> int:
@@ -3978,10 +4018,7 @@ def delete_version_dv(
     zmap: dict = {}  # filled by _write_dv: per-entry null bookkeeping
 
     def _dv_entry(f: str, n: int) -> dict:
-        e = {"d": dvdir, "n": n}
-        if f in zmap:
-            e["z"] = zmap[f]  # per-column nulls among the deleted rows
-        return e
+        return _mk_dv_entry(dvdir, n, zmap.get(f))
 
     if candidates and col_present:
         matches = cand_df.filter(F.col(col).between(lo, hi))
@@ -4126,10 +4163,7 @@ def delete_keys_dv(
     zmap: dict = {}  # filled by _write_dv: per-entry null bookkeeping
 
     def _dv_entry(f: str, n: int) -> dict:
-        e = {"d": dvdir, "n": n}
-        if f in zmap:
-            e["z"] = zmap[f]  # per-column nulls among the deleted rows
-        return e
+        return _mk_dv_entry(dvdir, n, zmap.get(f))
 
     if candidates:
         matches = _read_with_dv(spark, candidates, m, with_pos=True).join(
@@ -4259,6 +4293,13 @@ def merge_version_dv(
     up, up_schema = _enforce_schema(
         up, _schema_from_json(m.get("schema")), evolve=evolve,
         fill_missing=False)
+    # same fresh-physical rule as merge_version (review r10)
+    mdv_mapping, mdv_dropped = _colmap(m)
+    _assign_fresh_physicals(
+        mdv_mapping, mdv_dropped,
+        ({f.name for f in _schema_from_json(m["schema"]).fields}
+         if m.get("schema") else set()),
+        up_schema.fields)
     _validate_constraints(up, path)
     del_keys = deletes.select(*keys).distinct() if deletes is not None else None
     kcol = keys[0]
@@ -4283,10 +4324,7 @@ def merge_version_dv(
     zmap: dict = {}  # filled by _write_dv: per-entry null bookkeeping
 
     def _dv_entry(f: str, n: int) -> dict:
-        e = {"d": dvdir, "n": n}
-        if f in zmap:
-            e["z"] = zmap[f]  # per-column nulls among the deleted rows
-        return e
+        return _mk_dv_entry(dvdir, n, zmap.get(f))
 
     if candidates:
         stored_pos = _read_with_dv(spark, candidates, m, with_pos=True)
@@ -4341,7 +4379,7 @@ def merge_version_dv(
             stats_cols or ([kcol] if stats else None),
             bloom_cols=[kcol]
             if _phys(m, kcol) in _tracked_col_sets(m)[1] else None,
-            colmap=_colmap(m)[0] or None,
+            colmap=mdv_mapping or None,
         )
     base_v, cur_m = prev, m
 
@@ -4355,7 +4393,11 @@ def merge_version_dv(
             # evolution on the head unions in (type conflicts surface)
             schema=(_merge_schema_json(cur_m.get("schema"), up_schema)
                     if cur_m.get("schema") else None),
-            colmap=cur_m.get("colmap"),
+            # head's mapping wins for shared entries; our fresh-physical
+            # additions ride on top (absent from any append interleave)
+            colmap=_colmap_key(
+                {**mdv_mapping, **_colmap(cur_m)[0]},
+                _colmap(cur_m)[1] + mdv_dropped),
         )
         return base_v + 1
 
@@ -4447,21 +4489,10 @@ def reorg_dvs(spark: SparkSession, path: str) -> tuple[int, int, int]:
         for r in spark.read.parquet(dvdir)
         .groupBy(_DV_FILE).agg(F.count("*").alias("n")).collect()
     }
-    new_dv = {f: [{"d": dvdir, "n": n}] for f, n in counts.items()}
-    # fold the per-entry null bookkeeping ('z', r10): the consolidated
-    # entry's null count is the SUM across the folded entries — kept
-    # only when every entry carries the column AND the folded row count
-    # matches (the defensive distinct() above could have dropped
-    # duplicate positions, which would desync the sums)
-    for f, entry in new_dv.items():
-        olds = m.get("dv", {}).get(f, [])
-        if olds and sum(int(e["n"]) for e in olds) == entry[0]["n"]:
-            zcols = set((olds[0].get("z") or {}))
-            for e in olds[1:]:
-                zcols &= set((e.get("z") or {}))
-            if zcols:
-                entry[0]["z"] = {
-                    c: sum(int(e["z"][c]) for e in olds) for c in zcols}
+    new_dv = {
+        f: [_mk_dv_entry(dvdir, n, _fold_z(m.get("dv", {}).get(f, []), n))]
+        for f, n in counts.items()
+    }
     base_v, cur_m = v, m
 
     def attempt() -> tuple[int, int, int]:
@@ -4569,8 +4600,11 @@ def optimize_table(
     want = stats_cols or sorted(
         inv.get(c, c) for c in _tracked_col_sets(m)[0] if c not in gone)
     if want:
-        commits["analyze"] = analyze_table(spark, path, list(want),
-                                           bloom_cols=bloom_cols)
+        v_before = latest_version(path)
+        v_an = analyze_table(spark, path, list(want),
+                             bloom_cols=bloom_cols, commit_noop=False)
+        if v_an != v_before:  # skipped when fully indexed (no-op)
+            commits["analyze"] = v_an
     out: dict = {"before": before, "commits": commits}
     if expire_keep_latest is not None:
         out["expired_artifacts"] = len(

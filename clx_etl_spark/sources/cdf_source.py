@@ -192,6 +192,18 @@ class CdfStreamReader(DataSourceStreamReader):
                     if f not in base:
                         parts.append(ChangeFilePartition(
                             f, v, "insert", colmap=cmap))
+            elif m["op"] in ("rename-column", "drop-columns"):
+                # column-mapping commits change NO rows, but the
+                # stream's output schema is fixed at query start —
+                # restart the stream under the new contract (Delta
+                # restarts on schema change the same way; review r10:
+                # the generic message wrongly told the operator to
+                # enable a change feed on a zero-row-change op)
+                raise ValueError(
+                    f"version {v} changed the column mapping "
+                    f"({m['op']}); the stream's schema is fixed at "
+                    "query start — restart the stream"
+                )
             else:
                 raise ValueError(
                     f"version {v} rewrote rows without a recorded change "

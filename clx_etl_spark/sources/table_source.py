@@ -197,8 +197,14 @@ class TableDataSource(DataSource):
             # Every field reads as NULLABLE — older files' evolution-gap
             # columns pad NULL whatever the newest file's writer said
             try:
-                st0 = table_schema(opts["path"])
-            except (OSError, ValueError, KeyError):
+                # TIME TRAVEL reads the schema AS OF the requested
+                # version (review r10: pairing the HEAD contract with an
+                # older snapshot's colmap returned a renamed column as
+                # all-NULL for pre-rename versions) — same resolution
+                # rules as the reader itself
+                _p, _v = _resolve_version(opts)
+                st0 = table_schema(_p, version=_v)
+            except (OSError, ValueError, KeyError, FileNotFoundError):
                 st0 = None
             if st0 is None:
                 st0 = from_arrow_schema(pq.read_schema(_newest_file(opts)))
@@ -345,47 +351,20 @@ class TableReader(DataSourceReader):
         window (dv positions are FILE-level row indexes, so each kept
         row group's batches offset from that group's first file row).
         Evolution-gap columns pad NULL."""
-        import glob
-        import os
-
         import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_type
 
         pf = pq.ParquetFile(partition.file)
         have = set(pf.schema_arrow.names)
         pmap = self._pmap
         want = [pmap.get(c, c) for c in self._cols
                 if pmap.get(c, c) in have]
-        dead_idx = None
-        if partition.dv_dirs:
-            # tombstoned positions for THIS file only — the sidecars are
-            # O(deleted rows); row order in the file IS the row index
-            dead: set[int] = set()
-            for d in partition.dv_dirs:
-                for p in sorted(glob.glob(os.path.join(d, "*.parquet"))):
-                    dt = pq.read_table(p, columns=["_file", "_pos"])
-                    mask = pc.equal(dt["_file"], partition.file)
-                    dead.update(dt.filter(mask)["_pos"].to_pylist())
-            if dead:
-                dead_idx = np.fromiter(dead, dtype=np.int64,
-                                       count=len(dead))
+        dead_idx = _dead_positions(partition.file, partition.dv_dirs)
 
         def _pad(t, n):
-            # project/pad to the query schema: gap columns -> NULL;
-            # physical file columns surface under their logical names
-            arrays = []
-            for field in self._schema.fields:
-                pn = pmap.get(field.name, field.name)
-                if t is not None and pn in t.column_names:
-                    arrays.append(t[pn].combine_chunks())
-                else:
-                    arrays.append(
-                        pa.nulls(n, type=to_arrow_type(field.dataType))
-                    )
-            return pa.table(dict(zip(self._cols, arrays)))
+            return _pad_to_schema(self._schema.fields, self._cols,
+                                  pmap, t, n)
 
         limit = self._limit
         if not want:  # pure-gap projection (or COUNT(*)): counts only
@@ -421,6 +400,49 @@ class TableReader(DataSourceReader):
                     max_chunksize=1 << 16)
                 if limit is not None and produced >= limit:
                     return
+
+
+def _dead_positions(file: str, dv_dirs: list[str]):
+    """The file's tombstoned row indexes as an int64 numpy array, or
+    None — shared by the batch and streaming readers (review r10: the
+    harvest was duplicated). Sidecars are O(deleted rows); row order in
+    the file IS the row index; reads column-prune to _file/_pos (r10 dv
+    dirs carry extra null-flag columns)."""
+    import glob
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if not dv_dirs:
+        return None
+    dead: set[int] = set()
+    for d in dv_dirs:
+        for p in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            dt = pq.read_table(p, columns=["_file", "_pos"])
+            mask = pc.equal(dt["_file"], file)
+            dead.update(dt.filter(mask)["_pos"].to_pylist())
+    if not dead:
+        return None
+    return np.fromiter(dead, dtype=np.int64, count=len(dead))
+
+
+def _pad_to_schema(schema_fields, out_names, pmap, t, n):
+    """Project/pad an Arrow table onto the query schema: physical file
+    columns surface under their logical names (column mapping), gap
+    columns pad typed NULLs — shared by the batch and streaming
+    readers."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    arrays = []
+    for field in schema_fields:
+        pn = pmap.get(field.name, field.name)
+        if t is not None and pn in t.column_names:
+            arrays.append(t[pn].combine_chunks())
+        else:
+            arrays.append(pa.nulls(n, type=to_arrow_type(field.dataType)))
+    return pa.table(dict(zip(out_names, arrays)))
 
 
 def _rg_minmax(rg_meta, col_idx):
@@ -573,12 +595,18 @@ class TableStreamReader(DataSourceStreamReader):
         is fixed at query start (Delta restarts streams on schema
         change the same way).
 
-    Offsets are manifest versions ({"v": processed-through, "s":
-    snapshot version, "d": snapshot-emitted flag}), checkpointed by
-    Spark — a restart resumes exactly after the last committed batch.
-    Options: ``startingVersion`` (int, or 'latest' for new-commits-only;
+    Offsets are manifest versions ({"v": processed-through, "snap":
+    snapshot-pending flag}), checkpointed by Spark. DETERMINISTIC
+    RESTART (review r10): a batch's work derives from its WAL'd START
+    and END offsets alone — the snapshot leg reads the manifest of the
+    END offset's version, never a re-evaluated ``latest_version`` — so
+    a crash-restart of the uncommitted first batch replays exactly the
+    same snapshot even if writers appended meanwhile (those commits
+    arrive as later increments, exactly once). Options:
+    ``startingVersion`` (int, or 'latest' for new-commits-only;
     default: initial snapshot), ``maxVersionsPerBatch`` (bounded
-    catch-up, default 100), ``ignoreChanges``."""
+    catch-up, default 100; one uncapped window after a restart — the
+    same safe degradation as the CDF reader), ``ignoreChanges``."""
 
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
@@ -593,14 +621,17 @@ class TableStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         from ..sinks.versioned import latest_version
 
-        head = latest_version(self._path)
-        head = -1 if head is None else head
         if self._starting is None:
-            off = {"v": head, "s": head, "d": 0}  # snapshot pending
+            # initial-snapshot mode: DETERMINISTIC ({"snap": 1} always)
+            # — the snapshot version is pinned by the first batch's
+            # WAL'd END offset, not by whatever the head is when this
+            # re-evaluates after a crash
+            off = {"v": -1, "snap": 1}
         elif str(self._starting) == "latest":
-            off = {"v": head, "s": -1, "d": 1}    # new commits only
+            head = latest_version(self._path)
+            off = {"v": -1 if head is None else head, "snap": 0}
         else:
-            off = {"v": int(self._starting) - 1, "s": -1, "d": 1}
+            off = {"v": int(self._starting) - 1, "snap": 0}
         self._cursor = off["v"]
         return off
 
@@ -609,13 +640,19 @@ class TableStreamReader(DataSourceStreamReader):
 
         head = latest_version(self._path)
         head = -1 if head is None else head
-        if self._cursor is not None:
+        if self._cursor is not None and not (
+            self._starting is None and self._cursor < 0
+        ):
             # bounded catch-up: cap the END offset itself so the
-            # checkpoint never records skipped versions as processed
+            # checkpoint never records skipped versions as processed.
+            # The snapshot-mode FIRST window is never capped — its
+            # batch reads one manifest however far ahead the head is
+            # (capping it would instead force an increment walk through
+            # pre-snapshot history, which may contain rewrites)
             head = max(self._cursor,
                        min(head, self._cursor + self._max_versions))
         self._cursor = head
-        return {"v": head, "s": -1, "d": 1}
+        return {"v": head, "snap": 0}
 
     def partitions(self, start: dict, end: dict) -> list[TableStreamPartition]:
         from ..sinks.versioned import (_APPEND_SAFE_OPS, _read_manifest)
@@ -623,17 +660,20 @@ class TableStreamReader(DataSourceStreamReader):
         s, e = int(start["v"]), int(end["v"])
         self._cursor = max(self._cursor or -1, s, e)
         parts: list[TableStreamPartition] = []
-        if not int(start.get("d", 1)) and int(start.get("s", -1)) >= 0:
-            # initial snapshot leg: the stream-start head's full file
-            # set, dv-applied — emitted exactly once (the flag flips in
-            # every later offset)
-            snap = int(start["s"])
-            m = _read_manifest(self._path, snap)
-            cmap = dict((m.get("colmap") or {}).get("m", {}))
-            dv_map = m.get("dv", {})
-            for f in m["files"]:
-                parts.append(TableStreamPartition(
-                    f, sorted({x["d"] for x in dv_map.get(f, [])}), cmap))
+        if int(start.get("snap", 0)):
+            # initial snapshot leg = the END version's full file set,
+            # dv-applied; everything at or below END is in it, so there
+            # is no incremental leg for this range. Reading the END
+            # manifest (a WAL'd offset) makes batch-0 replay exact.
+            if e >= 0:
+                m = _read_manifest(self._path, e)
+                cmap = dict((m.get("colmap") or {}).get("m", {}))
+                dv_map = m.get("dv", {})
+                for f in m["files"]:
+                    parts.append(TableStreamPartition(
+                        f, sorted({x["d"] for x in dv_map.get(f, [])}),
+                        cmap))
+            return parts
         for v in range(s + 1, e + 1):
             m = _read_manifest(self._path, v)
             op = m["op"]
@@ -664,43 +704,23 @@ class TableStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: TableStreamPartition):
-        """One file -> Arrow batches, streamed (same dv/pad shape as the
-        batch TableReader.read, minus predicate/limit pruning — streams
-        read whole appended files)."""
-        import glob as _glob
-
+        """One file -> Arrow batches, streamed (shared dv-harvest and
+        pad helpers with the batch TableReader.read, minus its
+        predicate/limit pruning — streams read whole appended files)."""
         import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_type
 
         pf = pq.ParquetFile(partition.file)
         have = set(pf.schema_arrow.names)
         pmap = partition.colmap
         want = [pmap.get(c, c) for c in self._cols
                 if pmap.get(c, c) in have]
-        dead_idx = None
-        if partition.dv_dirs:
-            dead: set[int] = set()
-            for d in partition.dv_dirs:
-                for p in sorted(_glob.glob(os.path.join(d, "*.parquet"))):
-                    dt = pq.read_table(p, columns=["_file", "_pos"])
-                    mask = pc.equal(dt["_file"], partition.file)
-                    dead.update(dt.filter(mask)["_pos"].to_pylist())
-            if dead:
-                dead_idx = np.fromiter(dead, dtype=np.int64, count=len(dead))
+        dead_idx = _dead_positions(partition.file, partition.dv_dirs)
 
         def _pad(t, n):
-            arrays = []
-            for field in self._schema.fields:
-                pn = pmap.get(field.name, field.name)
-                if t is not None and pn in t.column_names:
-                    arrays.append(t[pn].combine_chunks())
-                else:
-                    arrays.append(
-                        pa.nulls(n, type=to_arrow_type(field.dataType)))
-            return pa.table(dict(zip(self._cols, arrays)))
+            return _pad_to_schema(self._schema.fields, self._cols,
+                                  pmap, t, n)
 
         if not want:
             n = pf.metadata.num_rows

@@ -296,3 +296,65 @@ def test_describe_and_history_surface_mapping(spark, tmp_path):
          for r in history(spark, path).collect()}
     assert h[1] == ("rename-column", True)
     assert h[2] == ("drop-columns", True)
+
+
+def test_merge_evolve_gets_fresh_physical_after_drop(spark, tmp_path):
+    """Review r10 (confirmed data loss): a MERGE with evolve=True whose
+    new column's name matches a DROPPED column's retired physical must
+    map it to a fresh physical — pre-fix the merged values were written
+    under the retired name and hidden on every read."""
+    from clx_etl_spark.sinks.versioned import merge_version_dv
+
+    path = str(tmp_path / "t")
+    append_version(
+        spark.createDataFrame([(1, "a"), (2, "b")],
+                              "k long, tag string").coalesce(1),
+        path, stats_cols=["k"])
+    drop_columns(path, ["tag"])  # physical 'tag' retires
+    merge_version(
+        spark.createDataFrame([(2, "B2"), (3, "C3")],
+                              "k long, tag string"),
+        path, keys=["k"], evolve=True)
+    m = _read_manifest(path, latest_version(path))
+    assert m["colmap"]["m"]["tag"].startswith("tag-")  # fresh physical
+    got = {r.k: r.tag for r in read_version(spark, path).collect()}
+    assert got == {1: None, 2: "B2", 3: "C3"}  # nothing hidden
+    # same rule on the merge-on-read flavor
+    drop_columns(path, ["tag"])  # retire the fresh physical too
+    merge_version_dv(
+        spark.createDataFrame([(3, "C4"), (4, "D4")],
+                              "k long, tag string"),
+        path, keys=["k"], evolve=True)
+    got = {r.k: r.tag for r in read_version(spark, path).collect()}
+    assert got == {1: None, 2: None, 3: "C4", 4: "D4"}
+
+
+def test_dsv2_time_travel_reads_version_names(spark, tmp_path):
+    """Review r10: DSv2 time travel must pair the TARGET version's
+    schema with its colmap — pre-fix the head contract ('oid') was
+    paired with the old snapshot's identity mapping and the renamed
+    column read back all-NULL."""
+    from clx_etl_spark.sources.table_source import read_table_source
+
+    path = str(tmp_path / "t")
+    _seed(spark, path, n=10)
+    rename_column(path, "k", "key")
+    df0 = read_table_source(spark, path, version=0)
+    assert df0.columns == ["k", "s", "x"]      # the v0 names
+    assert df0.agg(F.count("k")).first()[0] == 10  # and the v0 DATA
+    dfh = read_table_source(spark, path)
+    assert dfh.columns == ["key", "s", "x"]
+    assert dfh.agg(F.count("key")).first()[0] == 10
+
+
+def test_drop_columns_dedupes_input(spark, tmp_path):
+    """Review r10: duplicate names must neither trip the drop-everything
+    guard nor retire a bogus physical."""
+    path = str(tmp_path / "t")
+    append_version(
+        spark.createDataFrame([(1, "a")], "a long, b string").coalesce(1),
+        path)
+    drop_columns(path, ["a", "a"])
+    m = _read_manifest(path, latest_version(path))
+    assert table_schema(path).fieldNames() == ["b"]
+    assert m["colmap"]["x"] == ["a"]  # retired once, no bogus entry

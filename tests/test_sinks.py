@@ -2194,16 +2194,21 @@ def test_optimize_table_single_door(spark, tmp_path):
     assert d0["n_files"] == 6 and d0["dv_dirs"] == 2
     expect = read_version(spark, path).orderBy("k").collect()
     rep = optimize_table(spark, path)
-    assert set(rep["commits"]) == {"reorg_dvs", "compact", "analyze"}
+    # compaction re-derives full stats for the rewritten files, so the
+    # ANALYZE step may already have nothing to backfill (no-op skipped)
+    assert {"reorg_dvs", "compact"} <= set(rep["commits"]) \
+        <= {"reorg_dvs", "compact", "analyze"}
     assert rep["after"]["n_files"] < rep["before"]["n_files"]
     assert rep["after"]["dv_files"] == 0  # compaction purged the debt
     d1 = describe_table(path)
     assert d1["stats_coverage"].get("k") == 1.0  # index survives
     assert read_version(spark, path).orderBy("k").collect() == expect
-    # a second pass converges: nothing left to fold or pack
+    # a second pass converges: NOTHING commits (review r10: the ANALYZE
+    # step used to append a spurious manifest per pass on a fully
+    # indexed table)
     rep2 = optimize_table(spark, path)
-    assert "reorg_dvs" not in rep2["commits"]
-    assert "compact" not in rep2["commits"]
+    assert rep2["commits"] == {}
+    assert rep2["after"]["version"] == rep["after"]["version"]
     # opt-in retention sweep reclaims the pre-optimize artifacts
     rep3 = optimize_table(spark, path, expire_keep_latest=1)
     assert rep3["expired_artifacts"] > 0

@@ -107,3 +107,66 @@ def test_rename_mid_stream_refuses(spark, tmp_path):
     df = spark.read.parquet(out2)
     assert df.columns == ["key", "s"]
     assert df.count() == 1
+
+
+def test_offsets_are_deterministic_for_batch_zero_replay(spark, tmp_path):
+    """Review r10: batch-0 recovery must be exact — the snapshot leg
+    derives from the WAL'd END offset's version, and initialOffset in
+    snapshot mode is a constant, so a crash-restart replays the same
+    snapshot even after concurrent appends (which then arrive exactly
+    once as increments)."""
+    from pyspark.sql.types import StructType
+
+    from clx_etl_spark.sources.table_source import TableStreamReader
+
+    path = str(tmp_path / "t")
+    append_version(
+        spark.createDataFrame([(1, "a"), (2, "b")],
+                              "k long, s string").coalesce(1), path)
+    schema = StructType.fromDDL("k long, s string")
+    r = TableStreamReader(schema, {"path": path})
+    first = r.initialOffset()
+    assert first == {"v": -1, "snap": 1}  # head-independent constant
+    end0 = r.latestOffset()
+    assert end0 == {"v": 0, "snap": 0}
+    # a concurrent append lands BETWEEN the WAL write and the replay
+    append_version(
+        spark.createDataFrame([(3, "c")], "k long, s string")
+        .coalesce(1), path)
+    # a RESTARTED reader replans batch 0 from the same offsets and
+    # reads the SAME snapshot manifest (v0), not the new head
+    r2 = TableStreamReader(schema, {"path": path})
+    assert r2.initialOffset() == first
+    parts = r2.partitions(first, end0)
+    m0 = set(__import__("clx_etl_spark.sinks.versioned",
+                        fromlist=["_read_manifest"])
+             ._read_manifest(path, 0)["files"])
+    assert {p.file for p in parts} == m0
+    # the interleaved append arrives exactly once, as the next range
+    end1 = r2.latestOffset()
+    inc = r2.partitions(end0, end1)
+    assert {p.file for p in inc} == set(
+        __import__("clx_etl_spark.sinks.versioned",
+                   fromlist=["_read_manifest"])
+        ._read_manifest(path, 1)["files"]) - m0
+
+
+def test_cdf_stream_names_mapping_ops(spark, tmp_path):
+    """Review r10: the change-feed stream refuses rename/drop commits
+    with a restart-the-stream message, not the misleading 'rewrote rows
+    without a recorded change set'."""
+    from clx_etl_spark.sources.cdf_source import stream_changes
+
+    path, out, ck = (str(tmp_path / n) for n in ("t", "out", "ck"))
+    append_version(
+        spark.createDataFrame([(1, "a")], "k long, s string")
+        .coalesce(1), path)
+    rename_column(path, "k", "key")
+    q = (
+        stream_changes(spark, path)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception, match="column mapping"):
+        q.awaitTermination(120)
