@@ -59,10 +59,12 @@ SWEEP_FRONT: list[str] = [
     # extended to the dv-plus-nulls case (r10 'z' bookkeeping)
     "bpe_train_encode",
     "versioned_count_col_meta",
-    # NEW this round: column-mapping RENAME/DROP and the single
-    # OPTIMIZE maintenance door
+    # NEW this round: column-mapping RENAME/DROP, the single OPTIMIZE
+    # maintenance door, and the append-only table streaming source
+    # (snapshot + exactly-once increments + checkpoint restart)
     "versioned_schema_rename_drop",
     "versioned_optimize",
+    "versioned_table_stream",
     # FRESHNESS: the full r05 cohort (stalest cumulative proofs —
     # target floor r06; the few past-cap stragglers lead the r11 front)
     "cdc_current_state",
