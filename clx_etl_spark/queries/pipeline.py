@@ -1744,7 +1744,14 @@ def versioned_table_stream(spark, sf):
         if n2 - n1 != b3.count():
             raise AssertionError(
                 f"run 3 must emit exactly batch 3 ({n2 - n1})")
-        res = spark.read.parquet(out).localCheckpoint(eager=True)
+        # strip field metadata: the clx_table source plants its
+        # path-recovery metadata on field 0 (table_source._PATH_META_KEY)
+        # and parquet round-trips it — a tmpdir-specific value that
+        # would make the result schema run-unstable
+        res = spark.read.parquet(out).select(
+            F.col("okey").alias("okey", metadata={}),
+            F.col("price").alias("price", metadata={}),
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return res
