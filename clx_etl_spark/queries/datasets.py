@@ -186,7 +186,17 @@ def _bpe_oracle(num_merges: int = 8) -> str:
     it via replace; min_pair_count=2 rounds become no-ops exactly like
     the engine\'s early break. CTEs are MATERIALIZED: without it DuckDB
     inlines each round\'s references and re-evaluates the chain
-    exponentially."""
+    exponentially.
+
+    SCOPE (ADVICE r10): the identity assumes an ASCII/BMP corpus free
+    of the \\x01/\\x02 bracket bytes. The engine\'s base alphabet comes
+    from ``F.split(word, \'\')`` (UTF-16 code units — a non-BMP code
+    point splits into two surrogate halves) while this oracle\'s
+    ``regexp_replace(word, \'(.)\', ...)`` brackets whole code points,
+    and a literal \\x01/\\x02 inside a token would corrupt the bracket
+    encoding. Both engines agree on the synthetic testdata (ASCII);
+    for wider corpora normalize the engine side to a codepoint-safe
+    split before relying on this oracle."""
     S, E = r"\x01", r"\x02"
     ctes = [
         f"docs_toks AS MATERIALIZED (SELECT doc_id, {TOKS} AS t "

@@ -1724,7 +1724,14 @@ def versioned_table_stream(spark, sf):
             .option("checkpointLocation", ck)
             .outputMode("append").trigger(availableNow=True).start()
         )
-        q.awaitTermination(300)
+        # ADVICE r10: awaitTermination returns False on timeout — a
+        # slow availableNow run must fail loudly here, not as a
+        # confusing row-count mismatch on a partially-written sink
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "versioned_table_stream: stream did not finish within "
+                "300s — partial sink, aborting before the row check")
 
     try:
         append_version(orders.coalesce(2), path)

@@ -1277,16 +1277,26 @@ def _phys(m: dict, col: str) -> str:
     return (m.get("colmap") or {}).get("m", {}).get(col, col)
 
 
-def _colmap_key(mapping: dict, dropped: list):
+def _xl(m: dict) -> list:
+    """Logical names ever dropped from a manifest's contract (colmap
+    'xl', ADVICE r10) — empty for unmapped/pre-xl tables. Read paths
+    ignore it; drop_columns uses it to tell an idempotent replay from
+    a typo'd column name."""
+    return list((m.get("colmap") or {}).get("xl", []))
+
+
+def _colmap_key(mapping: dict, dropped: list, xl=()):
     """The manifest 'colmap' value, or None when trivial (so unmapped
     tables keep byte-identical manifests)."""
-    if not mapping and not dropped:
+    if not mapping and not dropped and not xl:
         return None
     out: dict = {}
     if mapping:
         out["m"] = mapping
     if dropped:
         out["x"] = sorted(set(dropped))
+    if xl:
+        out["xl"] = sorted(set(xl))
     return out
 
 
@@ -1670,7 +1680,7 @@ def append_version(
                 dv=prev_m.get("dv"),
                 base_stats=prev_m.get("stats"),
                 schema=schema_json,
-                colmap=_colmap_key(mapping, dropped),
+                colmap=_colmap_key(mapping, dropped, _xl(prev_m)),
             )
         except VersionConflictError:
             continue  # rebase onto the winner's head and retry
@@ -1714,12 +1724,13 @@ def overwrite_version(
     if txn is None and prev is not None:
         txn = prev_m.get("txn", {})
     mapping, dropped = _colmap(prev_m)
+    xl = _xl(prev_m)
     if replace_schema:
         sch = _all_nullable(df.schema)
         # a true table redefinition resets the column mapping: the new
         # snapshot's files are written under their own (identity)
         # physical names and no retired physical can leak back in
-        mapping, dropped = {}, []
+        mapping, dropped, xl = {}, [], []
     else:
         df, sch = _enforce_schema(
             df, _schema_from_json(prev_m.get("schema")), evolve)
@@ -1734,7 +1745,7 @@ def overwrite_version(
                                 colmap=mapping or None)
     return _commit(path, version, files, "overwrite", stats, txn=txn, cf=cf,
                    schema=sch.json(),
-                   colmap=_colmap_key(mapping, dropped))
+                   colmap=_colmap_key(mapping, dropped, xl))
 
 
 def overwrite_version_zordered(
@@ -2036,7 +2047,7 @@ def add_columns(path: str, cols) -> int:
                            txn=m.get("txn", {}), dv=m.get("dv"),
                            base_stats=m.get("stats"),
                            schema=StructType(out).json(),
-                           colmap=_colmap_key(mapping, dropped))
+                           colmap=_colmap_key(mapping, dropped, _xl(m)))
         except VersionConflictError:
             continue  # metadata-only: recompute against the new head
     raise VersionConflictError(
@@ -2142,7 +2153,7 @@ def rename_column(path: str, old: str, new: str) -> int:
                            txn=m.get("txn", {}), dv=m.get("dv"),
                            base_stats=m.get("stats"),
                            schema=out.json(),
-                           colmap=_colmap_key(mapping, dropped))
+                           colmap=_colmap_key(mapping, dropped, _xl(m)))
         except VersionConflictError:
             continue  # metadata-only: recompute against the new head
     raise VersionConflictError(
@@ -2189,7 +2200,20 @@ def drop_columns(path: str, cols) -> int:
                 f"drop_columns: {missing} are not columns of "
                 f"{sorted(names)}")
         if not todo:
-            return v  # idempotent replay: already dropped
+            # ADVICE r10: all-missing is an idempotent replay ONLY when
+            # each name was actually dropped before — colmap 'xl'
+            # records dropped logical names; 'x' covers never-renamed
+            # drops on pre-xl manifests (physical == logical there). A
+            # typo'd column name must raise like Delta does, not be
+            # swallowed as success.
+            mapping0, dropped0 = _colmap(m)
+            xl0 = set(_xl(m)) | set(dropped0)
+            typos = [c for c in want if c not in xl0]
+            if typos:
+                raise SchemaEnforcementError(
+                    f"drop_columns: {typos} are not columns of "
+                    f"{sorted(names)} and were never dropped before")
+            return v  # idempotent replay: every name already dropped
         if len(todo) >= len(names):
             raise SchemaEnforcementError(
                 "drop_columns: refusing to drop every column — the "
@@ -2206,7 +2230,8 @@ def drop_columns(path: str, cols) -> int:
                            txn=m.get("txn", {}), dv=m.get("dv"),
                            base_stats=m.get("stats"),
                            schema=out.json(),
-                           colmap=_colmap_key(mapping, dropped))
+                           colmap=_colmap_key(mapping, dropped,
+                                              _xl(m) + todo))
         except VersionConflictError:
             continue  # metadata-only: recompute against the new head
     raise VersionConflictError(
@@ -2271,8 +2296,19 @@ def compact_version(
     rewritten slice only). At 100 TB the nightly OPTIMIZE compacts
     yesterday's ingest range, never the table — a full-table rewrite
     per maintenance cycle would dwarf the ingest itself. Records op
-    'overwrite' like the full path (file identity changed); a losing
-    manifest CAS surfaces VersionConflictError (maintenance re-runs).
+    'overwrite' like the full path (file identity changed).
+
+    CONCURRENCY (both the full and ``where=`` legs, since r08): a lost
+    manifest CAS against interleaved APPEND-ONLY commits rebases —
+    Delta's rule that appends never conflict with OPTIMIZE — carrying
+    the appended files by reference with their stats/dvs and the
+    winner's txn watermarks, and re-committing the ALREADY-WRITTEN
+    compacted files (manifest JSON only, no data re-rewrite). Only a
+    rewriting interleave (delete/merge/another compaction) surfaces
+    VersionConflictError, because the compacted read-set went stale
+    (test: test_compaction_rebases_over_append_raises_on_rewrite).
+    On a streaming-ingested table the nightly OPTIMIZE therefore
+    commits under continuous appends instead of chronically losing.
 
     ``small_only_below=N`` restricts the rewrite to files SMALLER than
     N bytes (Delta OPTIMIZE's bin-packing rule: right-sized files are
@@ -2794,7 +2830,7 @@ def merge_version(
     commit_stats = {**carried, **new_stats}
     commit_dv = m.get("dv")  # untouched files keep their deletion vectors
     commit_schema = (merge_schema.json() if m.get("schema") else None)
-    commit_colmap = _colmap_key(merge_mapping, merge_dropped)
+    commit_colmap = _colmap_key(merge_mapping, merge_dropped, _xl(m))
     base_files = set(m["files"])
     base_v = prev
     def attempt() -> int:
@@ -2826,7 +2862,7 @@ def merge_version(
         # append-only interleave) ride on top
         hm, hd = _colmap(head_m)
         commit_colmap = _colmap_key({**merge_mapping, **hm},
-                                    hd + merge_dropped)
+                                    hd + merge_dropped, _xl(head_m))
         # union our (possibly evolved) schema with the head's — an
         # interleaved evolution rides; a type conflict surfaces
         commit_schema = (
@@ -2986,6 +3022,21 @@ def table_changes(
                 spark.read.option("mergeSchema", "true").parquet(*added),
                 m,  # this VERSION's names — feeds replay as-of-commit
             ).withColumn("_change_type", F.lit("insert"))
+        elif m["op"] in ("rename-column", "drop-columns"):
+            # ADVICE r10: mirror the stream readers — this is a
+            # zero-row METADATA commit, not an unrecorded rewrite.
+            # Change frames on the two sides of it carry different
+            # logical names, and unionByName(allowMissingColumns)
+            # would silently split one column into two half-null ones
+            # — the same reason Delta batch CDF refuses to cross an
+            # incompatible schema change.
+            raise ValueError(
+                f"version {v} changed the column mapping ({m['op']}); "
+                "no row changed, but change frames before and after it "
+                "use different column names and cannot be unioned — "
+                "read table_changes separately on each side of "
+                f"version {v}"
+            )
         else:
             raise ValueError(
                 f"version {v} rewrote rows without a recorded change set "
@@ -4397,7 +4448,7 @@ def merge_version_dv(
             # additions ride on top (absent from any append interleave)
             colmap=_colmap_key(
                 {**mdv_mapping, **_colmap(cur_m)[0]},
-                _colmap(cur_m)[1] + mdv_dropped),
+                _colmap(cur_m)[1] + mdv_dropped, _xl(cur_m)),
         )
         return base_v + 1
 

@@ -115,6 +115,13 @@ class ExchangeAdapter:
     inst_type: int
     symbols: SymbolScan
     klines: KlineScan | None = None          # None: no kline feed (coinbase has one; aster_spot does too — only missing where the reference has none)
+    # fetch-tail quirks (VERDICT r10 item 8, reference
+    # bitget/perp.py:122-189): payload "code" values that mean
+    # no-data-for-this-symbol (zero rows, not an error), and base
+    # assets whose sentiment (long-short-ratio) fetch is skipped
+    # outright — both fetch-time config, applied before any parse
+    no_data_codes: frozenset = frozenset()
+    sentiment_base_blocklist: frozenset = frozenset()
 
     @property
     def exchange_id(self) -> int:
@@ -229,6 +236,13 @@ REGISTRY: dict[str, ExchangeAdapter] = {
                        "volume": 5, "quote_volume": 6},
             interval_map={"1m": "1m", "1h": "1H", "1d": "1D"},
         ),
+        # fetch-tail quirks (reference bitget/perp.py:122-189): code
+        # 40054 = no data for this symbol (every sentiment endpoint
+        # checks it and yields zero rows), and six base assets are
+        # skipped before the long-short-ratio fetch entirely
+        no_data_codes=frozenset({"40054"}),
+        sentiment_base_blocklist=frozenset(
+            {"ADA", "ASTER", "BNB", "DOGE", "GIGGLE", "LTC"}),
     ),
     # --- bitmart (exchanges/bitmart/{spot,perp}.py) ------------------------
     "bitmart_spot": ExchangeAdapter(
@@ -612,6 +626,32 @@ KLINE_FEEDS = (
 )
 
 
+def no_data_payload(key: str, payload) -> bool:
+    """True when the page is the exchange's documented empty marker —
+    bitget's ``{"code": "40054", ...}`` (reference bitget/perp.py:131)
+    — meaning zero rows for this symbol, not an error. Checked at the
+    fetch tail BEFORE any path navigation, exactly like the
+    reference's ``no_data`` lambda."""
+    codes = REGISTRY[key].no_data_codes
+    return bool(codes) and isinstance(payload, dict) and (
+        str(payload.get("code")) in codes)
+
+
+def skip_sentiment_base(key: str, base_asset: str) -> bool:
+    """True when the adapter's long-short-ratio fetch skips this base
+    asset outright (reference bitget/perp.py:128 — a hardcoded
+    blocklist of symbols the endpoint 404s/empties on)."""
+    return base_asset in REGISTRY[key].sentiment_base_blocklist
+
+
+def sentiment_fetch_bases(key: str, bases) -> list:
+    """The F8 fetch-plan filter: which of ``bases`` to fetch sentiment
+    for — drops the adapter's blocklisted base assets, preserving
+    order."""
+    block = REGISTRY[key].sentiment_base_blocklist
+    return [b for b in bases if b not in block]
+
+
 def _get_path(payload, path: str | None, **fmt):
     """Navigate a dot path through a parsed JSON payload (driver-side; the
     payload is one bounded REST page, exactly like the reference's
@@ -786,10 +826,21 @@ def klines_pages_to_unified(
 
 def klines_to_unified(spark: SparkSession, key: str, payload, symbol: str) -> DataFrame:
     """Full S4/T1 path for one kline page payload."""
+    import json as _json
+
     a = REGISTRY[key]
     k = a.klines
     if k is None:
         raise ValueError(f"{key} has no kline feed")
+    if no_data_payload(key, payload):
+        # the exchange's empty marker (bitget 40054): zero unified rows
+        # with the exact output schema, via the columnar page path
+        # (from_json resolves the missing payload field to null ->
+        # explode(null) -> no rows) — the distributed replay already
+        # behaves this way for stored no-data pages
+        pages = spark.createDataFrame(
+            [(symbol, _json.dumps(payload))], "symbol string, payload string")
+        return klines_pages_to_unified(pages, key)
     node = _get_path(payload, k.payload_path, symbol=symbol)
     if k.family == "columnar":
         df = payload_to_df(spark, node)

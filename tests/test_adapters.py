@@ -435,3 +435,39 @@ def test_page_json_schema_rejects_multiple_symbol_segments():
     bad = KlineScan(family="positional", payload_path="result.{symbol}.x.{symbol}")
     with pytest.raises(ValueError, match="more than one"):
         _page_json_schema(bad)
+
+
+def test_bitget_fetch_tail_quirks(spark):
+    """VERDICT r10 item 8 (reference bitget/perp.py:122-189): the
+    no-data code 40054 yields ZERO unified rows through the real kline
+    door (exact output schema, not an error), and the sentiment
+    blocklist skips the six hardcoded base assets at fetch-plan time.
+    Both are registry fetch config — other adapters are unaffected."""
+    from clx_etl_spark.sources.adapters import (
+        no_data_payload,
+        sentiment_fetch_bases,
+        skip_sentiment_base,
+    )
+
+    nd = {"code": "40054", "msg": "no data", "requestTime": 0}
+    assert no_data_payload("bitget_perp", nd)
+    # reference parity: only the PERP client defines the no_data check
+    # (bitget/perp.py:131); spot never consults it
+    assert not no_data_payload("bitget_spot", nd)
+    assert not no_data_payload("bitget_perp", {"code": "00000", "data": []})
+    assert not no_data_payload("binance_perp", nd)  # config is per-adapter
+    empty = klines_to_unified(spark, "bitget_perp", nd, "BTCUSDT_UMCBL")
+    assert empty.count() == 0
+    normal = klines_to_unified(
+        spark, "bitget_perp", KLINE_PAYLOADS["bitget_perp"], "BTCUSDT_UMCBL")
+    # same unified shape, no rows (nullability differs only on the
+    # symbol key: literal vs per-page column)
+    assert ([(f.name, f.dataType) for f in empty.schema.fields]
+            == [(f.name, f.dataType) for f in normal.schema.fields])
+    # the sentiment fetch plan drops exactly the blocklisted bases
+    assert skip_sentiment_base("bitget_perp", "ADA")
+    assert not skip_sentiment_base("bitget_perp", "BTC")
+    assert not skip_sentiment_base("binance_perp", "ADA")
+    assert sentiment_fetch_bases(
+        "bitget_perp", ["BTC", "ADA", "ETH", "GIGGLE", "LTC"],
+    ) == ["BTC", "ETH"]

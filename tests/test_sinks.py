@@ -1962,8 +1962,20 @@ def test_compaction_rebases_over_append_raises_on_rewrite(
         return orig(path_, version, files_, op, *a, **kw)
 
     monkeypatch.setattr(V, "_commit", racing)
+    orig_wf = V._write_files
+    wf_calls = {"n": 0}
+
+    def counting_wf(*a, **kw):
+        wf_calls["n"] += 1
+        return orig_wf(*a, **kw)
+
+    monkeypatch.setattr(V, "_write_files", counting_wf)
     v = compact_version(spark, path, target_bytes=1 << 30)
     monkeypatch.setattr(V, "_commit", orig)
+    monkeypatch.setattr(V, "_write_files", orig_wf)
+    # the rebase retry is manifest-JSON-only: the compacted data files
+    # were staged once and never re-rewritten (VERDICT r10 item 2)
+    assert wf_calls["n"] == 2  # compaction's rewrite + the racing append
     m = _read_manifest(path, v)
     assert m["op"] == "overwrite"
     got = {r.id for r in read_version(spark, path).collect()}

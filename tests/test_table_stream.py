@@ -89,24 +89,78 @@ def test_starting_version_streams_history(spark, tmp_path):
     assert sorted(r.k for r in spark.read.parquet(out).collect()) == [1, 2]
 
 
-def test_rename_mid_stream_refuses(spark, tmp_path):
-    """A column-mapping commit changes the stream's schema: refuse
-    (Delta restarts streams on schema change the same way)."""
+def test_rename_crossed_on_restart_resumes_exactly(spark, tmp_path):
+    """SCHEMA TRACKING (VERDICT r10 item 3, Delta's
+    schemaTrackingLocation shape): a restart from the SAME checkpoint
+    crosses a column-mapping commit — the restarted reader's schema
+    re-derives from the head contract, the mapping commit becomes a
+    zero-row metadata no-op, and rows appended after it arrive exactly
+    once under the NEW names. No rows lost, none duplicated."""
     path, out, ck = (str(tmp_path / n) for n in ("t", "out", "ck"))
     append_version(
-        spark.createDataFrame([(1, "a")], "k long, s string")
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
         .coalesce(1), path)
     _run(spark, path, out, ck)
+    assert spark.read.parquet(out).count() == 2
     rename_column(path, "k", "key")
-    with pytest.raises(Exception, match="column mapping|schema"):
-        _run(spark, path, out, ck)
+    # restart across the rename: resumes cleanly, zero new rows (the
+    # mapping commit changed none)
+    _run(spark, path, out, ck)
+    assert spark.read.parquet(out).count() == 2
+    # rows appended under the new name stream exactly once
+    append_version(
+        spark.createDataFrame([(300, "z")], "key long, s string")
+        .coalesce(1), path)
+    _run(spark, path, out, ck)
+    got = (spark.read.option("mergeSchema", "true").parquet(out))
+    assert got.count() == 3
+    assert [r.key for r in got.where("key is not null").collect()] == [300]
     # a FRESH stream (new checkpoint) reads the renamed table fine,
-    # snapshot under the new name
+    # snapshot under the new name — old files project through the
+    # schema version's mapping
     out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
     _run(spark, path, out2, ck2)
     df = spark.read.parquet(out2)
     assert df.columns == ["key", "s"]
-    assert df.count() == 1
+    assert sorted(r.key for r in df.collect()) == [1, 2, 300]
+
+
+def test_mapping_commit_after_stream_start_still_raises(spark, tmp_path):
+    """A rename landing AFTER the reader pinned its schema still
+    raises restart-the-stream (the query's fixed schema cannot change
+    mid-run); the restarted reader then crosses it."""
+    from pyspark.sql.types import StructType
+
+    from clx_etl_spark.sinks.versioned import _read_manifest
+    from clx_etl_spark.sources.table_source import TableStreamReader
+
+    path = str(tmp_path / "t")
+    append_version(
+        spark.createDataFrame([(1, "a")], "k long, s string")
+        .coalesce(1), path)
+    r = TableStreamReader(StructType.fromDDL("k long, s string"),
+                          {"path": path})
+    off0 = r.initialOffset()
+    end0 = r.latestOffset()
+    assert len(r.partitions(off0, end0)) == 1  # snapshot leg fine
+    rename_column(path, "k", "key")  # v1: AFTER this reader started
+    append_version(
+        spark.createDataFrame([(2, "b")], "key long, s string")
+        .coalesce(1), path)  # v2
+    end1 = r.latestOffset()
+    with pytest.raises(ValueError, match="restart the stream"):
+        r.partitions(end0, end1)
+    # the restart: a fresh reader (schema re-derived) resumes from the
+    # same offsets, skipping the mapping commit, reading only v2's file
+    r2 = TableStreamReader(StructType.fromDDL("key long, s string"),
+                           {"path": path})
+    parts = r2.partitions(end0, {"v": 2, "snap": 0})
+    v2_new = (set(_read_manifest(path, 2)["files"])
+              - set(_read_manifest(path, 1)["files"]))
+    assert {p.file for p in parts} == v2_new
+    # and the old-name physical projects onto the new logical name
+    rows = [b.to_pylist() for b in r2.read(parts[0])]
+    assert rows[0][0] == {"key": 2, "s": "b"}
 
 
 def test_offsets_are_deterministic_for_batch_zero_replay(spark, tmp_path):
@@ -151,22 +205,58 @@ def test_offsets_are_deterministic_for_batch_zero_replay(spark, tmp_path):
         ._read_manifest(path, 1)["files"]) - m0
 
 
-def test_cdf_stream_names_mapping_ops(spark, tmp_path):
-    """Review r10: the change-feed stream refuses rename/drop commits
-    with a restart-the-stream message, not the misleading 'rewrote rows
-    without a recorded change set'."""
+def test_cdf_stream_crosses_historical_rename(spark, tmp_path):
+    """SCHEMA TRACKING on the change-feed stream: a rename already in
+    history when the stream starts is crossed — the v0 insert replays
+    under the NEW name (appended data files store immutable physical
+    names; the schema version's mapping projects them), and change-set
+    files written under the OLD era's logical names project through
+    the composed current->physical->era lookup."""
+    from clx_etl_spark.sinks.versioned import delete_version
     from clx_etl_spark.sources.cdf_source import stream_changes
 
     path, out, ck = (str(tmp_path / n) for n in ("t", "out", "ck"))
     append_version(
-        spark.createDataFrame([(1, "a")], "k long, s string")
-        .coalesce(1), path)
-    rename_column(path, "k", "key")
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+        .coalesce(1), path, stats_cols=["k"])
+    # v1: a change-feed delete — its change files carry era names (k)
+    delete_version(spark, path, "k", 2, 2, change_feed=True)
+    rename_column(path, "k", "key")  # v2
     q = (
         stream_changes(spark, path)
         .writeStream.format("parquet").option("path", out)
         .option("checkpointLocation", ck)
         .outputMode("append").trigger(availableNow=True).start()
     )
-    with pytest.raises(Exception, match="column mapping"):
-        q.awaitTermination(120)
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert "key" in got.columns and "k" not in got.columns
+    rows = {(r.key, r._change_type) for r in got.collect()}
+    assert (1, "insert") in rows and (2, "insert") in rows
+    assert (2, "delete") in rows  # era-name change file, composed lookup
+
+
+def test_cdf_mapping_commit_after_start_still_raises(spark, tmp_path):
+    """Review r10 + r11: a rename landing AFTER the CDF reader pinned
+    its schema raises the explicit restart-the-stream message, not the
+    misleading 'rewrote rows without a recorded change set'."""
+    from pyspark.sql.types import StructType
+
+    from clx_etl_spark.sources.cdf_source import CdfStreamReader
+
+    path = str(tmp_path / "t")
+    append_version(
+        spark.createDataFrame([(1, "a")], "k long, s string")
+        .coalesce(1), path)
+    r = CdfStreamReader(
+        StructType.fromDDL(
+            "k long, s string, _change_type string, _commit_version bigint"
+        ),
+        {"path": path})
+    off0 = r.initialOffset()
+    end0 = r.latestOffset()
+    assert len(r.partitions(off0, end0)) == 1
+    rename_column(path, "k", "key")  # AFTER this reader started
+    end1 = r.latestOffset()
+    with pytest.raises(ValueError, match="column mapping"):
+        r.partitions(end0, end1)
