@@ -163,6 +163,28 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # STEAL-ANCHOR NORMALIZATION (VERDICT r10 item 1): q1 is frozen
+    # since round 1 and holds 2.3-2.7s on a quiet machine at sf0.1 —
+    # co-tenant CPU steal inflates it with the rest of the suite while
+    # being invisible to loadavg/vmstat. Recording each query's ratio
+    # to the SAME run's q1 makes a code regression distinguishable
+    # from ambient weather without prose: a real regression moves one
+    # query's ratio while steal moves raw seconds uniformly. BASELINE.md
+    # carries the per-query quiet-median ratios to diff against.
+    anchor = timings.get("q1_pricing_summary")
+    if anchor:
+        out["anchor"] = {
+            "query": "q1_pricing_summary",
+            "sec": anchor,
+            # the all-round quiet band at sf0.1 (BASELINE.md history);
+            # steal_factor ~1.0 = quiet sample, >1.3 = discard weather
+            "quiet_band": [2.3, 2.7],
+            "steal_factor": round(anchor / 2.5, 3),
+        }
+        out["anchor_ratios"] = {
+            n: round(t / anchor, 3) for n, t in timings.items()
+        }
+        out["anchor_normalized_total"] = round(total / anchor, 2)
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

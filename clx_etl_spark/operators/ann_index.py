@@ -241,6 +241,60 @@ def append_to_ann_index(
         coded.unpersist()
 
 
+def compact_ann_index(spark: SparkSession, path: str) -> dict:
+    """Fold tombstoned and superseded generations OUT of the index
+    partitions (VERDICT r10 item 7): without this, a lakehouse-synced
+    index accumulates one dead generation per updated/deleted id per
+    sync, and every probe pays the dedup + anti-join over entries that
+    can never serve. Compaction materializes the query path's own
+    visibility rule — per id, the max-epoch entry surviving its max
+    tombstone — rewrites the cell partitions with exactly those rows,
+    and clears the tombstone set (epochs are PRESERVED, so the sync
+    cursor and any later tombstones keep composing correctly).
+
+    Cost is one scan + one per-id shuffle of the CODES (m small ints
+    per vector, never the float corpus) — the same nightly-maintenance
+    weight class as the versioned tables' OPTIMIZE. The rewrite reads
+    through an eager localCheckpoint so overwriting the directory we
+    just read cannot recompute from deleted files. Like a model
+    rebuild, run it as offline maintenance, not under live queries.
+    Returns {"kept": live rows, "dropped": folded-out rows}."""
+    from pyspark.sql import Window
+
+    model = load_ann_model(spark, path)
+    idc = model["id_col"]
+    raw = spark.read.option("mergeSchema", "true").parquet(f"{path}/index")
+    if "_epoch" not in raw.columns:
+        raw = raw.withColumn("_epoch", F.lit(0))
+    tomb = _read_tombstones(spark, path, model)
+    tomb_schema = None
+    if tomb is not None:
+        tomb_schema = spark.read.parquet(f"{path}/tombstones").schema
+        raw = (
+            raw.join(tomb, raw[idc] == tomb["_tomb_id"], "left")
+            .filter(F.col("_tomb_v").isNull()
+                    | (F.col("_epoch") >= F.col("_tomb_v")))
+            .drop("_tomb_id", "_tomb_v")
+        )
+    w = Window.partitionBy(idc).orderBy(F.col("_epoch").desc())
+    live = (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn")
+        .localCheckpoint(eager=True)
+    )
+    kept = live.count()
+    total = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/index").count()
+    live.write.mode("overwrite").partitionBy("ivf_cell").parquet(
+        f"{path}/index")
+    if tomb_schema is not None:
+        # applied tombstones fold away; the empty overwrite keeps the
+        # dir readable so the query fast-path stays branch-free
+        spark.createDataFrame([], tomb_schema).write.mode(
+            "overwrite").parquet(f"{path}/tombstones")
+    return {"kept": kept, "dropped": total - kept}
+
+
 def build_ann_index_from_table(
     spark: SparkSession,
     table_path: str,

@@ -52,74 +52,71 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # oracle suite (tests/test_queries_oracle.py) always sweeps everything
 # at sf0.01 regardless.
 SWEEP_FRONT: list[str] = [
-    # ---- round-10 front ----
-    # ORACLE STATUS CHANGED: bpe_train_encode graduated rows-only ->
-    # hash-oracled (the unrolled-merge DuckDB twin, VERDICT r09 item 6
-    # — its first driver row ever); versioned_count_col_meta's oracle
-    # extended to the dv-plus-nulls case (r10 'z' bookkeeping)
-    "bpe_train_encode",
-    "versioned_count_col_meta",
-    # NEW this round: column-mapping RENAME/DROP, the single OPTIMIZE
-    # maintenance door, and the append-only table streaming source
-    # (snapshot + exactly-once increments + checkpoint restart)
-    "versioned_schema_rename_drop",
-    "versioned_optimize",
-    "versioned_table_stream",
-    # FRESHNESS: the full r05 cohort (stalest cumulative proofs —
-    # target floor r06; the few past-cap stragglers lead the r11 front)
-    "cdc_current_state",
-    "cms_token_frequencies",
-    "column_gini_profile",
-    "compaction_bin_packing",
-    "contrastive_hard_negatives",
-    "conversion_lag_stats",
-    "curation_drop_attribution",
-    "daily_type_correlation",
-    "decontam_bloom",
-    "dedup_cluster_size_histogram",
-    "dedup_containment",
-    "dedup_jaccard_prefix",
-    "doc_pagerank",
-    "embedding_outlier_scores",
-    "eval_holdout_min_coverage",
-    "funnel_time_bounded",
-    "grouping_sets_revenue",
-    "histogram_event_values",
-    "incremental_agg_merge",
-    "interarrival_percentiles",
-    "kfold_balance_audit",
-    "label_propagation_srp",
-    "lang_temperature_sample",
-    "lm_kneser_ney_scores",
-    "market_basket_pairs",
-    "markov_transitions",
-    "mm_audio_segments",
-    "mm_phash_near_dup",
-    "mm_scene_cuts",
-    "oov_rate_by_lang",
-    "pareto_abc_customers",
-    "partition_skew_report",
-    "phrase_search",
-    "quality_rank_normalize",
-    "readability_scores",
-    "rfm_segmentation",
-    "rolling_7d_distinct_users",
-    "rrf_fusion",
-    "session_entry_exit_stats",
-    "snapshot_diff",
-    "span_corruption_masking",
-    "split_with_holdout",
-    "srp_pair_label_purity",
-    "step_transitions",
-    "substring_run_dedup",
+    # ---- round-11 front ----
+    # NEW this round: streaming across a RENAME (schema tracking,
+    # VERDICT r10 item 3) and persisted-ANN-index compaction (item 7)
+    "versioned_stream_schema_track",
+    "ann_index_compaction",
+    # FRESHNESS, highest priority: the five r05 stragglers that fell
+    # past the 50-cap in round 10 (VERDICT r10 item 4)
     "token_pmi",
     "top_event_paths",
     "trend_slope_by_type",
     "winsorize_event_values",
     "zorder_locality_stats",
+    # CODE CHANGED this round: sinks/versioned.py (colmap 'xl' carry,
+    # drop_columns replay guard, table_changes mapping message) and
+    # sources/table_source.py + cdf_source.py (schema tracking) back
+    # the whole versioned family — re-sweep its r10 rows
+    "versioned_schema_rename_drop",
+    "versioned_optimize",
+    "versioned_table_stream",
+    "versioned_count_col_meta",
+    # FRESHNESS: the full r06 cohort (stalest remaining cumulative
+    # proofs — this closes the ledger to floor r07 everywhere)
+    "anomaly_mad_by_type",
+    "attribution_interval_join",
+    "class_balance_oversample",
+    "cube_revenue",
+    "dq_orders_expectations",
+    "embedding_label_centroids",
+    "fk_inclusion_audit",
+    "graph_suite",
+    "hybrid_search_rerank",
+    "j1_semi_active_customers",
+    "j6_anti_new_only",
+    "k1_upsert_last_wins",
+    "lm_score_heldout",
+    "mix_waterfill",
+    "mm_audio_windows",
+    "q10_top_returns",
+    "q14_promo_ratio",
+    "q17_small_quantity_revenue",
+    "q18_group_having",
+    "q19_disjunctive_pushdown",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q4_exists_semijoin",
+    "q5_region_revenue",
+    "q6_revenue_delta",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_revenue_by_nation_year",
+    "rollup_revenue",
+    "sketch_daily_users_exact",
+    "source_content_overlap",
+    "split_dedup_aware",
+    "t11_entity_classify",
+    "t14_threshold_by_prefix",
+    "t15_explode_dims",
+    "table_profile",
+    "topk_per_group",
+    "u3_union_by_name",
+    "w4_sliding_window_counts",
     # rows-only by design (approximate HLL; its exact twin
-    # sketch_daily_users_exact is hash-proven) — driver records
-    # err:no_oracle whenever swept, documented since r04
+    # sketch_daily_users_exact is hash-proven) — kept OUT of the
+    # 50-sweep so the driver row stays 50/50 green; documented since
+    # r04, pinned by the rows-only allowlist test
     "sketch_daily_users",
 ]
 

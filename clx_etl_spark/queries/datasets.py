@@ -457,6 +457,69 @@ def sim_knn_ivfpq(spark, sf):
     )
 
 
+@register(
+    "ann_index_compaction",
+    oracle="SELECT vec_id, "
+    "CAST(CASE WHEN vec_id % 5 = 0 THEN 3 ELSE 0 END AS BIGINT) AS epoch "
+    "FROM embeddings WHERE vec_id < 400",
+    doc="Persisted-index maintenance (VERDICT r10 item 7, "
+    "operators/ann_index.compact_ann_index): build an IVF+PQ index on "
+    "400 vectors, churn it 3 rounds (tombstone the %5==0 ids at "
+    "versions 1..3, re-append the SAME vectors at matching epochs — "
+    "the steady-state synced-index diet), then compact. The hash "
+    "oracle pins the folded index CONTENT — exactly one row per live "
+    "id, churned ids at their final epoch 3, untouched ids at 0 (ids "
+    "and epochs are model-independent, so this is byte-deterministic "
+    "even though the float k-means geometry is not SQL-expressible); "
+    "probe-result parity across the compaction and the cleared "
+    "tombstone set are asserted engine-side. Query cost after many "
+    "syncs is O(live vectors), not O(sync history)",
+)
+def ann_index_compaction(spark, sf):
+    import shutil
+    import tempfile
+
+    from ..operators.ann_index import (append_to_ann_index,
+                                       build_ann_index,
+                                       compact_ann_index,
+                                       query_ann_index,
+                                       tombstone_ann_index)
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", "embedding").filter(F.col("vec_id") < 400)
+    tmp = tempfile.mkdtemp(prefix="clx_annc_")
+    idx = tmp + "/ann"
+    try:
+        build_ann_index(emb, idx, nlist=8, m=4, k_codes=16)
+        churn = emb.filter(F.col("vec_id") % 5 == 0)
+        for r in range(1, 4):
+            tombstone_ann_index(spark, idx, churn.select("vec_id"), r)
+            append_to_ann_index(churn, idx, epoch=r)
+        q = emb.filter(F.col("vec_id") < 4)
+        before = sorted(
+            (row.query_id, row.neighbor_id)
+            for row in query_ann_index(spark, idx, q, k=5,
+                                       nprobe=4).collect())
+        res = compact_ann_index(spark, idx)
+        after = sorted(
+            (row.query_id, row.neighbor_id)
+            for row in query_ann_index(spark, idx, q, k=5,
+                                       nprobe=4).collect())
+        if after != before:
+            raise AssertionError("compaction changed probe results")
+        if res["kept"] != 400 or res["dropped"] != 240:
+            raise AssertionError(f"unexpected fold counts: {res}")
+        if spark.read.parquet(f"{idx}/tombstones").count() != 0:
+            raise AssertionError("tombstones must clear on compaction")
+        out = spark.read.parquet(f"{idx}/index").select(
+            F.col("vec_id"),
+            F.col("_epoch").cast("bigint").alias("epoch"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 from .corpus import _CURATION_KEPT_CTES  # noqa: E402
 
 

@@ -1762,3 +1762,79 @@ def versioned_table_stream(spark, sf):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return res
+
+
+@register(
+    "versioned_stream_schema_track",
+    oracle="SELECT okey, price, CAST(NULL AS DOUBLE) AS amount "
+    "FROM (SELECT o_orderkey AS okey, "
+    "CAST(o_totalprice AS DOUBLE) AS price FROM orders "
+    "WHERE o_orderkey % 2 = 0) "
+    "UNION ALL "
+    "SELECT o_orderkey AS okey, CAST(NULL AS DOUBLE) AS price, "
+    "CAST(o_totalprice AS DOUBLE) AS amount FROM orders "
+    "WHERE o_orderkey % 2 = 1",
+    doc="Streaming across a schema change (VERDICT r10 item 3, Delta's "
+    "schemaTrackingLocation shape): snapshot the even orders as "
+    "(okey, price), RENAME price->amount mid-history, append the odd "
+    "orders under the new name, and RESTART the stream from the same "
+    "checkpoint — the restarted reader re-derives its schema from the "
+    "head contract, crosses the zero-row mapping commit, and emits "
+    "exactly the appended batch under the new name (no rows lost or "
+    "duplicated; the pre-restart batch stays under the old name in "
+    "the sink). The oracle is the two-era union with era-typed nulls "
+    "— byte-exact because each row appears exactly once in exactly "
+    "one era's column.",
+)
+def versioned_stream_schema_track(spark, sf):
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import append_version, rename_column
+    from ..sources.table_source import stream_table
+
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    tmp = tempfile.mkdtemp(prefix="clx_sst_")
+    path, out, ck = tmp + "/t", tmp + "/out", tmp + "/ck"
+
+    def run():
+        q = (
+            stream_table(spark, path)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "versioned_stream_schema_track: stream did not finish "
+                "within 300s — partial sink, aborting")
+
+    try:
+        b1 = orders.filter(F.col("okey") % 2 == 0)
+        append_version(b1.coalesce(2), path)
+        run()  # initial snapshot under (okey, price)
+        n0 = spark.read.option("mergeSchema", "true").parquet(out).count()
+        if n0 != b1.count():
+            raise AssertionError(f"snapshot must emit batch 1 ({n0})")
+        rename_column(path, "price", "amount")  # zero-row mapping commit
+        b2 = orders.filter(F.col("okey") % 2 == 1).select(
+            "okey", F.col("price").alias("amount"))
+        append_version(b2.coalesce(1), path)
+        run()  # restart: crosses the rename, emits b2 as (okey, amount)
+        res = spark.read.option("mergeSchema", "true").parquet(out)
+        n1 = res.count()
+        if n1 - n0 != b2.count():
+            raise AssertionError(
+                f"restart must emit exactly batch 2 ({n1 - n0})")
+        res = res.select(
+            F.col("okey").alias("okey", metadata={}),
+            F.col("price").cast("double").alias("price", metadata={}),
+            F.col("amount").cast("double").alias("amount", metadata={}),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return res

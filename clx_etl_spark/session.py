@@ -55,6 +55,18 @@ def get_spark(app_name: str = "clx-spark", master: str | None = None) -> SparkSe
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
+    # sharded-test isolation (scripts/ptest.py): each worker process
+    # gets its own warehouse + Derby home so concurrent pytest shards
+    # never contend on cwd-relative state
+    wh = os.environ.get("CLX_WAREHOUSE_DIR")
+    if wh:
+        builder = builder.config("spark.sql.warehouse.dir", wh)
+    dh = os.environ.get("CLX_DERBY_HOME")
+    if dh:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={dh} -Dderby.stream.error.file={dh}/derby.log",
+        )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

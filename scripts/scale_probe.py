@@ -519,6 +519,124 @@ def _probe_dv_reorg(spark) -> dict:
     return out
 
 
+def _probe_ann_compaction(spark) -> dict:
+    """The r11 compact_ann_index claim: after many CDC syncs the index
+    carries one dead generation per churned id per sync; probe cost
+    must track LIVE vectors, not sync history. Bloat an index with 8
+    churn rounds, measure a probe, compact, re-measure — results
+    identical, post-compaction rows == live rows."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clx_etl_spark.operators.ann_index import (append_to_ann_index,
+                                                   build_ann_index,
+                                                   compact_ann_index,
+                                                   query_ann_index,
+                                                   tombstone_ann_index)
+
+    d = tempfile.mkdtemp()
+    idx = d + "/ann"
+    out: dict = {}
+    try:
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        n_live = emb.count()
+        build_ann_index(emb, idx, nlist=16, m=4, k_codes=16)
+        # 8 churn rounds: 20% of ids re-encoded per round, old
+        # generation tombstoned — the steady-state synced-index diet
+        churn = emb.filter(F.col("vec_id") % 5 == 0)
+        for r in range(1, 9):
+            tombstone_ann_index(spark, idx, churn.select("vec_id"), r)
+            append_to_ann_index(churn, idx, epoch=r)
+        out["rows_bloated"] = spark.read.parquet(f"{idx}/index").count()
+        q = emb.limit(8)
+        t0 = time.perf_counter()
+        before = sorted(
+            (r.query_id, r.neighbor_id)
+            for r in query_ann_index(spark, idx, q, k=5, nprobe=4).collect())
+        out["probe_s_bloated"] = round(time.perf_counter() - t0, 3)
+        res = compact_ann_index(spark, idx)
+        out["compact_s"] = res  # kept/dropped
+        out["rows_compacted"] = spark.read.parquet(f"{idx}/index").count()
+        t0 = time.perf_counter()
+        after = sorted(
+            (r.query_id, r.neighbor_id)
+            for r in query_ann_index(spark, idx, q, k=5, nprobe=4).collect())
+        out["probe_s_compacted"] = round(time.perf_counter() - t0, 3)
+        assert after == before
+        assert out["rows_compacted"] == n_live == res["kept"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def _probe_optimize_rebase(spark) -> dict:
+    """The r8/r11 OPTIMIZE-vs-append claim: a compaction losing its
+    manifest CAS to interleaved appends rebases at manifest cost — no
+    staged-file re-rewrite, appended rows carried by reference. Time a
+    clean compaction vs one that loses the CAS to 3 appends."""
+    import shutil
+    import tempfile
+
+    import clx_etl_spark.sinks.versioned as V
+
+    d = tempfile.mkdtemp()
+    out: dict = {}
+    try:
+        def seed(p):
+            for lo in range(0, 60_000, 10_000):
+                V.append_version(
+                    spark.range(lo, lo + 10_000).selectExpr(
+                        "id", "cast(id as double) as x").coalesce(1),
+                    p, stats_cols=["id"])
+
+        p1 = d + "/clean"
+        seed(p1)
+        t0 = time.perf_counter()
+        V.compact_version(spark, p1, target_bytes=1 << 30)
+        out["compact_clean_s"] = round(time.perf_counter() - t0, 3)
+        p2 = d + "/raced"
+        seed(p2)
+        orig, wf_orig = V._commit, V._write_files
+        state = {"left": 3, "wf": 0}
+
+        def racing(path_, version, files_, op, *a, **kw):
+            if op == "overwrite" and state["left"]:
+                state["left"] -= 1
+                V._commit = orig  # appends inside commit cleanly
+                try:
+                    V.append_version(
+                        spark.range(100_000 + state["left"], 100_001
+                                    + state["left"]).selectExpr(
+                            "id", "cast(id as double) as x"),
+                        path_, stats_cols=["id"])
+                finally:
+                    V._commit = racing
+            return orig(path_, version, files_, op, *a, **kw)
+
+        def counting_wf(*a, **kw):
+            state["wf"] += 1
+            return wf_orig(*a, **kw)
+
+        V._commit, V._write_files = racing, counting_wf
+        try:
+            t0 = time.perf_counter()
+            v = V.compact_version(spark, p2, target_bytes=1 << 30)
+            out["compact_raced3_s"] = round(time.perf_counter() - t0, 3)
+        finally:
+            V._commit, V._write_files = orig, wf_orig
+        # 1 compaction rewrite + 3 append writes — zero re-rewrites
+        out["write_files_calls"] = state["wf"]
+        assert state["wf"] == 4
+        assert V.read_version(spark, p2, v).count() == 60_003
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark("clx-scale-probe")
     reg = load_all()
@@ -557,13 +675,17 @@ def main() -> None:
     meta_flat = _probe_append_metadata_flat(spark)
     dv_reorg = _probe_dv_reorg(spark)
     rename_flat = _probe_rename_drop_flat()
+    ann_compact = _probe_ann_compaction(spark)
+    optimize_rebase = _probe_optimize_rebase(spark)
     print(json.dumps({"sfs": SFS, "times": results, "pruning": ratios,
                       "manifest_planning_s": planning,
                       "commit_driver_flat": commit_flat,
                       "dv_manifest_bytes": dv_size,
                       "append_metadata_flat": meta_flat,
                       "dv_reorg": dv_reorg,
-                      "rename_drop_flat": rename_flat}))
+                      "rename_drop_flat": rename_flat,
+                      "ann_compaction": ann_compact,
+                      "optimize_rebase": optimize_rebase}))
     print(f"\n{'query':32s} {'sf.001':>8s} {'sf.01':>8s} {'sf.1':>8s} "
           f"{'r(10x)':>7s} {'r(100x)':>8s}")
     for name, t in results.items():

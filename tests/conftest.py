@@ -15,6 +15,9 @@ SF_ORACLE = os.environ.get("CLX_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("clx-spark-tests", master="local[8]")
+    # CLX_TEST_MASTER lets scripts/ptest.py size each shard's local
+    # thread pool so N concurrent shards don't oversubscribe the box
+    spark = get_spark("clx-spark-tests",
+                      master=os.environ.get("CLX_TEST_MASTER", "local[8]"))
     yield spark
     spark.stop()

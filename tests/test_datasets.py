@@ -508,3 +508,39 @@ def test_ann_index_synced_from_versioned_table(spark, tmp_path):
     top2 = query_ann_index(spark, index, q452, k=1, nprobe=4,
                            exclude_self=False).collect()
     assert top2[0].neighbor_id == 20
+
+    # COMPACTION (VERDICT r10 item 7): fold out the dead generations —
+    # results identical, index holds exactly the live rows, tombstones
+    # cleared, and the machinery keeps working afterwards
+    from clx_etl_spark.operators.ann_index import compact_ann_index
+
+    before = sorted(
+        (r.neighbor_id, round(r.cosine, 6))
+        for r in query_ann_index(spark, index, q450, k=10_000, nprobe=4,
+                                 exclude_self=False).collect())
+    res3 = compact_ann_index(spark, index)
+    # live = 400 initial - 1 delete(20) + 1 reinsert(20) + 1 insert(9000)
+    assert res3["kept"] == 401
+    # dead generations existed (old 10, old+deleted 20, replay dupes)
+    assert res3["dropped"] >= 4
+    files_rows = spark.read.parquet(f"{index}/index").count()
+    assert files_rows == 401  # physical rows == live rows
+    assert spark.read.parquet(f"{index}/tombstones").count() == 0
+    after = sorted(
+        (r.neighbor_id, round(r.cosine, 6))
+        for r in query_ann_index(spark, index, q450, k=10_000, nprobe=4,
+                                 exclude_self=False).collect())
+    assert after == before
+    # post-compaction syncs compose: delete 9000 via a new commit
+    merge_version(
+        emb.filter(F.col("vec_id") == 453).select(
+            F.lit(9001).cast("long").alias("vec_id"), "embedding"),
+        table, keys=["vec_id"],
+        deletes=spark.createDataFrame([(9000,)], "vec_id long"),
+        change_feed=True)
+    res4 = sync_ann_index_from_table(spark, table, index)
+    assert res4["inserted"] == 1 and res4["tombstoned"] == 1
+    ids_now = {r.neighbor_id for r in query_ann_index(
+        spark, index, q450, k=10_000, nprobe=4,
+        exclude_self=False).collect()}
+    assert 9000 not in ids_now and 9001 in ids_now
