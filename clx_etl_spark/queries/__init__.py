@@ -57,6 +57,7 @@ SWEEP_FRONT: list[str] = [
     # VERDICT r10 item 3) and persisted-ANN-index compaction (item 7)
     "versioned_stream_schema_track",
     "ann_index_compaction",
+    "versioned_dsv2_mapped_write",
     # FRESHNESS, highest priority: the five r05 stragglers that fell
     # past the 50-cap in round 10 (VERDICT r10 item 4)
     "token_pmi",

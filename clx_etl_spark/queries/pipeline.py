@@ -1838,3 +1838,97 @@ def versioned_stream_schema_track(spark, sf):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return res
+
+
+@register(
+    "versioned_dsv2_mapped_write",
+    oracle="""
+    SELECT o_orderkey AS oid, CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(NULL AS VARCHAR) AS tag
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), NULL
+    FROM orders WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), 'dsv2'
+    FROM orders WHERE o_orderkey % 9 = 0
+    """,
+    doc="The columnMapping WRITER feature on the DSv2/SQL door (r11; "
+    "Delta's columnMapping writer-feature parity — the r10 door "
+    "refused mapped tables): orders seeds four key-range files, "
+    "okey RENAMEs to oid and tag DROPs (both metadata-only), then "
+    "df.write.format('clx_table') appends under the NEW logical names "
+    "— staged files store the immutable PHYSICAL name (asserted on "
+    "the parquet footer), manifest stats stay physical-keyed (pruning "
+    "on oid still skips files), and a second DSv2 write with "
+    "mergeSchema=true re-adds 'tag', which must map to a FRESH "
+    "physical so the dropped column's bytes never resurrect "
+    "(asserted: pre-evolution rows read tag as NULL). Hash-checked "
+    "against the oracle's three-leg UNION ALL. At 100 TB this is what "
+    "lets SQL pipelines keep writing through ALTER TABLE RENAME/DROP "
+    "without a table rewrite: translation is an Arrow metadata swap "
+    "per batch, zero per-row cost.",
+)
+def versioned_dsv2_mapped_write(spark, sf):
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..sinks.versioned import (_read_manifest, append_version,
+                                   drop_columns, latest_version,
+                                   pruned_file_count, read_version,
+                                   rename_column)
+    from ..sources.table_source import TableDataSource
+
+    spark.dataSource.register(TableDataSource)
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderpriority").alias("tag"),
+    )
+    tmp = tempfile.mkdtemp(prefix="clx_vdw_")
+    path = tmp + "/t"
+    try:
+        hi = orders.agg(F.max("okey")).first()[0] or 1
+        step = hi // 4 + 1
+        for i in range(4):  # four key-range files with stats on okey
+            sl = orders.filter(
+                (F.col("okey") >= i * step) & (F.col("okey") < (i + 1) * step)
+            )
+            append_version(sl.coalesce(1), path, stats_cols=["okey"])
+        rename_column(path, "okey", "oid")
+        drop_columns(path, ["tag"])  # physical 'tag' retires
+        # DSv2 append under the NEW logical names; stats follow along
+        (orders.filter(F.col("okey") % 4 == 0)
+         .select(F.col("okey").alias("oid"), "price").coalesce(1)
+         .write.format("clx_table").option("path", path)
+         .option("statsCols", "oid").mode("append").save())
+        m = _read_manifest(path, latest_version(path))
+        newf = m["files"][-1]
+        if "okey" not in pq.read_schema(newf).names:
+            raise AssertionError("staged file must store PHYSICAL okey")
+        if "okey" not in m["stats"][newf]:
+            raise AssertionError("manifest stats must stay physical-keyed")
+        kept, total = pruned_file_count(path, "oid", 0, step - 1)
+        if not (kept < total):
+            raise AssertionError(f"pruning lost across rename: "
+                                 f"{kept}/{total}")
+        # evolution re-adding the dropped name -> FRESH physical
+        (orders.filter(F.col("okey") % 9 == 0)
+         .select(F.col("okey").alias("oid"), "price",
+                 F.lit("dsv2").alias("tag")).coalesce(1)
+         .write.format("clx_table").option("path", path)
+         .option("mergeSchema", "true").mode("append").save())
+        m = _read_manifest(path, latest_version(path))
+        if not m["colmap"]["m"]["tag"].startswith("tag-"):
+            raise AssertionError("re-added tag must get a fresh physical")
+        out = read_version(spark, path)
+        leak = out.filter(F.col("tag").isNotNull() &
+                          (F.col("tag") != "dsv2")).count()
+        if leak:
+            raise AssertionError(f"dropped tag bytes resurrected: {leak}")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -2206,8 +2206,7 @@ def drop_columns(path: str, cols) -> int:
             # drops on pre-xl manifests (physical == logical there). A
             # typo'd column name must raise like Delta does, not be
             # swallowed as success.
-            mapping0, dropped0 = _colmap(m)
-            xl0 = set(_xl(m)) | set(dropped0)
+            xl0 = set(_xl(m)) | set(_colmap(m)[1])
             typos = [c for c in want if c not in xl0]
             if typos:
                 raise SchemaEnforcementError(

@@ -234,11 +234,12 @@ class TableDataSource(DataSource):
         return cls(schema, opts)
 
     def writer(self, schema: StructType, overwrite: bool) -> "TableWriter":
-        return TableWriter(_recover_path(self._opts(), schema), overwrite)
+        return TableWriter(_recover_path(self._opts(), schema), overwrite,
+                           schema)
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> "TableStreamWriter":
-        return TableStreamWriter(_recover_path(self._opts(), schema))
+        return TableStreamWriter(_recover_path(self._opts(), schema), schema)
 
     def streamReader(self, schema: StructType) -> "TableStreamReader":
         return TableStreamReader(schema, _recover_path(self._opts(), schema))
@@ -865,29 +866,51 @@ def _cols_key(stats_cols: list[str] | None,
     return (tuple(stats_cols or ()), tuple(bloom_cols or ()))
 
 
-def _refuse_column_mapped(path: str) -> None:
-    """Writer-feature gate (Delta protocol-check shape): a table with an
-    active column mapping (RENAME/DROP COLUMN history) stores columns
-    under physical names this write door does not translate — writing
-    would commit files under WRONG physical names, silently corrupting
-    every later read. Fail loudly at planning time; the engine API
-    (append_version / overwrite_version / merge_version) implements the
-    mapping and remains the write door for such tables."""
-    from ..sinks.versioned import _read_manifest, latest_version
+def _plan_write_mapping(path: str, schema) -> dict:
+    """The columnMapping WRITER feature for the DSv2/SQL doors (r11;
+    the r10 gate `_refuse_column_mapped` refused mapped tables
+    outright). Resolve, at PLANNING time, the physical name every
+    written logical column's staged files must store — physical names
+    are immutable across renames, so the translation is just the head
+    manifest's logical->physical map, plus `_assign_fresh_physicals`
+    for evolution columns outside the contract (a new column named
+    like a retired physical must NOT resurrect old bytes).
+
+    Returns a plan dict:
+      pmap     logical -> physical for the WRITE schema (identity for
+               unmapped tables — every hot path stays branch-free)
+      mapping/dropped/xl   the colmap to COMMIT (mapping includes any
+               fresh-physical assignments for evolution columns)
+      head_schema/head_colmap   the planning-time head state; the
+               commit refuses if either moved (a DDL raced the write —
+               staged files are immutable, Delta fails concurrent
+               metadata txns the same way). Plain interleaved appends
+               leave both unchanged, so append rebase still works.
+      active   True when any translation applies (gates every check)
+    """
+    from ..sinks.versioned import (_assign_fresh_physicals, _colmap,
+                                   _read_manifest, _schema_from_json,
+                                   _xl, latest_version)
 
     head = latest_version(path)
-    if head is None:
-        return
-    cm = _read_manifest(path, head).get("colmap") or {}
-    if cm.get("m") or cm.get("x"):
-        raise ValueError(
-            f"table at {path} has an active column mapping (renamed or "
-            "dropped columns); the SQL/DSv2 write door does not "
-            "implement the columnMapping writer feature — write through "
-            "the engine API (append_version / overwrite_version / "
-            "merge_version), which translates logical to physical "
-            "column names"
-        )
+    m = _read_manifest(path, head) if head is not None else {}
+    mapping, dropped = _colmap(m)
+    xl = _xl(m)
+    tbl = _schema_from_json(m.get("schema"))
+    tbl_names = {f.name for f in tbl.fields} if tbl is not None else set()
+    if tbl is not None and schema is not None:
+        _assign_fresh_physicals(
+            mapping, dropped, tbl_names,
+            [f for f in schema.fields if f.name not in tbl_names])
+    pmap = ({f.name: mapping.get(f.name, f.name) for f in schema.fields}
+            if schema is not None else {})
+    return {
+        "pmap": pmap,
+        "mapping": mapping, "dropped": dropped, "xl": xl,
+        "head_schema": m.get("schema"),
+        "head_colmap": json.dumps(m.get("colmap"), sort_keys=True),
+        "active": bool(mapping or dropped or xl),
+    }
 
 
 class TableWriter(DataSourceArrowWriter):
@@ -920,13 +943,25 @@ class TableWriter(DataSourceArrowWriter):
     unparseable fails CLOSED (the write is refused, never silently
     unchecked)."""
 
-    def __init__(self, options: dict, overwrite: bool):
+    def __init__(self, options: dict, overwrite: bool,
+                 schema: StructType | None = None):
         self._path = options["path"]
-        _refuse_column_mapped(self._path)
         self._overwrite = overwrite
-        self._stats_cols = [c for c in options.get("statscols", "").split(",")
+        # columnMapping writer feature (r11): staged files store
+        # PHYSICAL names; the plan resolves the translation and the
+        # commit refuses if a DDL moved the mapping mid-write
+        self._plan = _plan_write_mapping(self._path, schema)
+        # user-given statsCols/bloomCols are LOGICAL names; staged
+        # files and manifest stats store PHYSICAL — translate here,
+        # ONCE (the manifest-derived defaults below are already
+        # physical: stats keys; translating those again would be the
+        # double-translation bug the colmap invariants forbid)
+        pmap = self._plan["pmap"]
+        self._stats_cols = [pmap.get(c, c) for c in
+                            options.get("statscols", "").split(",")
                             if c] or None
-        self._bloom_cols = [c for c in options.get("bloomcols", "").split(",")
+        self._bloom_cols = [pmap.get(c, c) for c in
+                            options.get("bloomcols", "").split(",")
                             if c] or None
         self._evolve = options.get("mergeschema", "").lower() == "true"
         # resolve the tracked columns NOW (driver-side planning): each
@@ -940,7 +975,8 @@ class TableWriter(DataSourceArrowWriter):
             self._path, "data", f"dsv2-{_uuid.uuid4().hex[:8]}")
 
     def write(self, iterator) -> TableCommitMessage:
-        return _write_task_file(self._staging, iterator, self._task_cols)
+        return _write_task_file(self._staging, iterator, self._task_cols,
+                                self._plan["pmap"])
 
     def commit(self, messages) -> None:
         files = sorted(f for msg in messages if msg for f in msg.files)
@@ -950,6 +986,7 @@ class TableWriter(DataSourceArrowWriter):
                 stats_cols=self._stats_cols, bloom_cols=self._bloom_cols,
                 shipped=_merge_shipped(messages),
                 evolve=self._evolve,
+                plan=self._plan,
             )
         except Exception:
             self.abort(messages)
@@ -999,14 +1036,21 @@ class TableStreamWriter(DataSourceStreamArrowWriter):
     or below the table's recorded watermark leaves its staged files as
     expire-reclaimable orphans and commits nothing."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema: StructType | None = None):
         import hashlib as _hashlib
 
         self._path = options["path"]
-        _refuse_column_mapped(self._path)
-        self._stats_cols = [c for c in options.get("statscols", "").split(",")
+        # columnMapping writer feature (r11): same plan/translate/
+        # drift-check shape as the batch writer; a rename landing
+        # mid-stream fails the batch commit loudly, and the restarted
+        # sink re-plans under the new mapping
+        self._plan = _plan_write_mapping(self._path, schema)
+        pmap = self._plan["pmap"]
+        self._stats_cols = [pmap.get(c, c) for c in
+                            options.get("statscols", "").split(",")
                             if c] or None
-        self._bloom_cols = [c for c in options.get("bloomcols", "").split(",")
+        self._bloom_cols = [pmap.get(c, c) for c in
+                            options.get("bloomcols", "").split(",")
                             if c] or None
         self._evolve = options.get("mergeschema", "").lower() == "true"
         ckpt = options.get("checkpointlocation")
@@ -1076,7 +1120,8 @@ class TableStreamWriter(DataSourceStreamArrowWriter):
             self._path, "data", f"dsv2s-{_uuid.uuid4().hex[:8]}")
 
     def write(self, iterator) -> TableCommitMessage:
-        return _write_task_file(self._staging, iterator, self._task_cols)
+        return _write_task_file(self._staging, iterator, self._task_cols,
+                                self._plan["pmap"])
 
     def commit(self, messages, batchId: int) -> None:
         files = sorted(f for msg in messages if msg for f in msg.files)
@@ -1086,6 +1131,7 @@ class TableStreamWriter(DataSourceStreamArrowWriter):
             txn=(self._app_id, int(batchId)),
             shipped=_merge_shipped(messages),
             evolve=self._evolve,
+            plan=self._plan,
         )
 
     def abort(self, messages, batchId: int) -> None:
@@ -1098,22 +1144,30 @@ class TableStreamWriter(DataSourceStreamArrowWriter):
                         pass
 
 
-def _write_task_file(staging: str, iterator, task_cols: tuple
-                     ) -> TableCommitMessage:
+def _write_task_file(staging: str, iterator, task_cols: tuple,
+                     pmap: dict | None = None) -> TableCommitMessage:
     """The per-task body of both DSv2 writers: stream the task's Arrow
     batches into ONE immutable staged parquet file, then stat THAT file
     task-side (footer min/max + row count + key blooms — the rows are
     right here; shipping the KB-sized result beats re-reading them
-    through the driver at commit, the r07 `weak`)."""
+    through the driver at commit, the r07 `weak`).
+
+    ``pmap`` (columnMapping writer feature, r11): logical->physical
+    rename applied to every batch before it hits parquet — a zero-copy
+    Arrow metadata swap, so mapped tables pay nothing per row."""
     import uuid as _uuid
 
     import pyarrow.parquet as pq
 
     os.makedirs(staging, exist_ok=True)
     fname = os.path.join(staging, f"part-{_uuid.uuid4().hex}.parquet")
+    translate = bool(pmap) and any(pmap[c] != c for c in pmap)
     writer = None
     try:
         for batch in iterator:
+            if translate:
+                batch = batch.rename_columns(
+                    [pmap.get(n, n) for n in batch.schema.names])
             if writer is None:
                 writer = pq.ParquetWriter(fname, batch.schema)
             writer.write_batch(batch)
@@ -1159,6 +1213,7 @@ def _commit_staged_files(
     txn: tuple[str, int] | None = None,
     shipped: tuple[tuple, dict] | None = None,
     evolve: bool = False,
+    plan: dict | None = None,
 ) -> int | None:
     """Driver-side commit shared by the batch and streaming DSv2
     writers: constraint check (DuckDB — no SparkSession on this path,
@@ -1171,35 +1226,71 @@ def _commit_staged_files(
     message lacks them or the tracked-column set changed between
     planning and commit. ``txn=(app_id, batch_id)`` gives streaming
     exactly-once: a replayed batch id is a no-op returning None with
-    its staged files left as expire-reclaimable orphans."""
+    its staged files left as expire-reclaimable orphans.
+
+    ``plan`` (columnMapping writer feature, r11 — _plan_write_mapping):
+    staged files store PHYSICAL column names; everything here that
+    compares staged columns to the table CONTRACT (constraint exprs,
+    schema enforcement, evolution) first translates back to LOGICAL via
+    the plan's inverse map, and the recorded manifest schema stays
+    logical. The commit REFUSES (VersionConflictError) if the head's
+    colmap moved since planning — a rename/drop landed mid-write, so
+    the staged files' physical layout can no longer be trusted (same
+    rule as the engine API: mapping commits are not append-safe);
+    plain interleaved appends carry the colmap verbatim, so the normal
+    append rebase is unaffected. Stats/bloom column lists arrive here
+    already PHYSICAL (translated once at writer init — the colmap
+    invariant forbids double translation)."""
     import time as _time
 
     from ..sinks.versioned import (ConstraintViolation,
                                    SchemaEnforcementError, _all_nullable,
-                                   _commit, _file_stats, _manifest_dir,
-                                   _norm_path, _norm_type, _read_manifest,
-                                   _schema_from_json, get_constraints,
-                                   latest_version, VersionConflictError)
+                                   _colmap_key, _commit, _file_stats,
+                                   _manifest_dir, _norm_path, _norm_type,
+                                   _read_manifest, _schema_from_json,
+                                   get_constraints, latest_version,
+                                   VersionConflictError)
 
     t0 = _time.monotonic()
     path = _norm_path(path)
+    # physical -> logical for the write schema; identity when unmapped
+    inv = ({p: l for l, p in plan["pmap"].items()}
+           if plan is not None and plan.get("active") else {})
     staged_schema = None
+    staged_phys_names: list[str] = []
     if files:
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import StructField, StructType
 
-        staged_schema = _all_nullable(from_arrow_schema(
-            pq.read_schema(files[0])))
+        raw = _all_nullable(from_arrow_schema(pq.read_schema(files[0])))
+        staged_phys_names = [f.name for f in raw.fields]
+        # contract checks below speak LOGICAL names; rename through the
+        # plan's inverse map (identity Project for unmapped tables)
+        staged_schema = StructType([
+            StructField(inv.get(f.name, f.name), f.dataType, True)
+            for f in raw.fields]) if inv else raw
     cons = get_constraints(path)
     if cons and files:
         import duckdb
 
         con = duckdb.connect()
         flist = ", ".join("'" + f.replace("'", "''") + "'" for f in files)
+        # CHECK exprs are written over LOGICAL names; mapped tables'
+        # staged files store physicals, so alias them back in a subquery
+        src = f"read_parquet([{flist}])"
+        if inv and any(inv.get(p, p) != p for p in staged_phys_names):
+            def _q(n: str) -> str:
+                return '"' + n.replace('"', '""') + '"'
+
+            sel = ", ".join(
+                f"{_q(p)} AS {_q(inv.get(p, p))}" if inv.get(p, p) != p
+                else _q(p) for p in staged_phys_names)
+            src = f"(SELECT {sel} FROM read_parquet([{flist}]))"
         bad: dict[str, int] = {}
         for name, expr in cons.items():
             n = con.execute(
-                f"SELECT count(*) FROM read_parquet([{flist}]) "
+                f"SELECT count(*) FROM {src} "
                 f"WHERE NOT coalesce(({expr}), true)"
             ).fetchone()[0]
             if n:
@@ -1238,12 +1329,29 @@ def _commit_staged_files(
     for _ in range(11):
         prev = latest_version(path)
         prev_m = _read_manifest(path, prev) if prev is not None else {}
-        cm = prev_m.get("colmap") or {}
-        if cm.get("m") or cm.get("x"):
-            # a RENAME/DROP landed between writer planning and this
-            # commit: the staged files' column names no longer match
-            # the table's physical layout — same gate as writer init
-            _refuse_column_mapped(path)
+        if plan is not None:
+            if json.dumps(prev_m.get("colmap"),
+                          sort_keys=True) != plan["head_colmap"]:
+                # a RENAME/DROP COLUMN landed between writer planning
+                # and this commit: the staged files carry the
+                # planning-time physical layout, which the new mapping
+                # may no longer read back correctly. Mapping commits
+                # are not append-safe (same rule as the engine API) —
+                # fail loudly; a re-run re-plans under the new mapping.
+                raise VersionConflictError(
+                    f"DSv2 write to {path}: a column-mapping commit "
+                    "(rename/drop column) landed between write "
+                    "planning and commit — staged files carry the "
+                    "old physical layout; re-run the write"
+                )
+        else:
+            cm = prev_m.get("colmap") or {}
+            if cm.get("m") or cm.get("x"):
+                raise ValueError(
+                    f"table at {path} has an active column mapping and "
+                    "this commit path was given no write plan — write "
+                    "through the DSv2 writers or the engine API"
+                )
         prev_txn = {k: int(v) for k, v in prev_m.get("txn", {}).items()}
         if txn is not None:
             app_id, txn_v = txn
@@ -1296,12 +1404,18 @@ def _commit_staged_files(
                     list(_all_nullable(tbl).fields) + list(extra)).json()
             else:
                 schema_json = tbl_json
+        # the committed colmap: the head's mapping (verified unmoved
+        # above) plus any fresh physicals the plan assigned to
+        # evolution columns whose names collide with retired physicals
+        colmap_out = (_colmap_key(plan["mapping"], plan["dropped"],
+                                  plan["xl"])
+                      if plan is not None else prev_m.get("colmap"))
         try:
             if overwrite:
                 # carry txn watermarks like overwrite_version(txn=None)
                 v = _commit(path, version, files, "overwrite", stats,
                             txn=prev_txn, schema=schema_json,
-                            colmap=prev_m.get("colmap"))
+                            colmap=colmap_out)
             else:
                 v = _commit(
                     path, version, prev_m.get("files", []) + files,
@@ -1309,7 +1423,7 @@ def _commit_staged_files(
                     txn=prev_txn, dv=prev_m.get("dv"),
                     base_stats=prev_m.get("stats"),
                     schema=schema_json,
-                    colmap=prev_m.get("colmap"),
+                    colmap=colmap_out,
                 )
             _metrics(v)
             return v

@@ -42,6 +42,12 @@ from clx_etl_spark.sinks.versioned import (
 )
 
 
+def _register(spark):
+    from clx_etl_spark.sources.table_source import TableDataSource
+
+    spark.dataSource.register(TableDataSource)
+
+
 def _seed(spark, path, n=100):
     df = spark.createDataFrame(
         [(i, f"v{i}", i * 1.0) for i in range(n)],
@@ -170,13 +176,15 @@ def test_drop_refusals_and_idempotence(spark, tmp_path):
     assert drop_columns(path, ["x"]) == v      # idempotent replay
 
 
-def test_dsv2_reads_and_write_gate(spark, tmp_path):
+def test_dsv2_reads_and_writes_mapped_table(spark, tmp_path):
     """The DSv2 reader translates pushed filters and projections to
-    physical names; the DSv2/SQL write doors refuse mapped tables
-    loudly (writer-feature gate) instead of committing wrong physical
-    names."""
+    physical names; the DSv2 write door implements the columnMapping
+    WRITER feature (r11 — the r10 gate refused mapped tables): staged
+    files store physical names, stats stay physical-keyed, and reads
+    answer under the logical names."""
     from clx_etl_spark.sources.table_source import read_table_source
 
+    _register(spark)
     path = str(tmp_path / "t")
     _seed(spark, path)
     rename_column(path, "k", "key")
@@ -185,10 +193,134 @@ def test_dsv2_reads_and_write_gate(spark, tmp_path):
     assert df.columns == ["key", "s"]
     assert df.count() == 100
     assert [r.s for r in df.filter(F.col("key") == 7).collect()] == ["v7"]
-    with pytest.raises(Exception, match="column mapping|columnMapping"):
-        (spark.createDataFrame([(1, "a")], "key long, s string")
+    (spark.createDataFrame([(1000, "dsv2")], "key long, s string")
+     .coalesce(1)
+     .write.format("clx_table").option("path", path)
+     .mode("append").save())
+    # staged file stores the PHYSICAL name 'k'; the manifest colmap is
+    # carried, so the row reads back under the logical 'key'
+    m = _read_manifest(path, latest_version(path))
+    assert m["colmap"]["m"] == {"key": "k"}
+    new_file = m["files"][-1]
+    import pyarrow.parquet as pq
+
+    assert "k" in pq.read_schema(new_file).names
+    out = read_version(spark, path)
+    assert out.filter(F.col("key") == 1000).count() == 1
+    assert out.count() == 101
+    # stats landed physical-keyed: pruning on the logical name works
+    kept, total = pruned_file_count(path, "key", 1000, 1000)
+    assert kept < total
+
+
+def test_dsv2_write_statscols_translate_once(spark, tmp_path):
+    """statsCols/bloomCols options name LOGICAL columns; the writer
+    translates them to physical exactly once (manifest stats are
+    physical-keyed — the colmap invariant)."""
+    _register(spark)
+    path = str(tmp_path / "t")
+    _seed(spark, path, n=10)
+    rename_column(path, "k", "key")
+    (spark.createDataFrame([(77, "s77", 7.0)],
+                           "key long, s string, x double").coalesce(1)
+     .write.format("clx_table").option("path", path)
+     .option("statsCols", "key").option("bloomCols", "key")
+     .mode("append").save())
+    m = _read_manifest(path, latest_version(path))
+    new_file = m["files"][-1]
+    st = m["stats"][new_file]
+    assert st["k"] == [77, 77]  # physical key, never 'key'
+    assert "key" not in st
+    kept, total = pruned_file_count(path, "key", 77, 77)
+    assert kept < total
+
+
+def test_dsv2_write_constraints_enforced_under_mapping(spark, tmp_path):
+    """CHECK constraints are written over LOGICAL names; the DSv2
+    commit's DuckDB validation aliases the staged files' physical
+    columns back before evaluating."""
+    _register(spark)
+    path = str(tmp_path / "t")
+    _seed(spark, path, n=10)
+    rename_column(path, "k", "key")
+    set_constraints(path, {"key_nonneg": "key >= 0"})
+    # Spark re-wraps the driver-side ConstraintViolation at the DSv2
+    # boundary; the named constraint survives in the message
+    with pytest.raises(Exception, match="key_nonneg"):
+        (spark.createDataFrame([(-5, "bad", 0.0)],
+                               "key long, s string, x double").coalesce(1)
          .write.format("clx_table").option("path", path)
          .mode("append").save())
+    v_before = latest_version(path)
+    (spark.createDataFrame([(5, "ok", 0.0)],
+                           "key long, s string, x double").coalesce(1)
+     .write.format("clx_table").option("path", path)
+     .mode("append").save())
+    assert latest_version(path) == v_before + 1
+
+
+def test_dsv2_evolve_fresh_physical_after_drop(spark, tmp_path):
+    """A DSv2 write with mergeSchema=true adding a column named like a
+    RETIRED physical must get a fresh physical (the r10 merge+evolve
+    data-loss rule, now on the DSv2 door) — old bytes never resurrect."""
+    _register(spark)
+    path = str(tmp_path / "t")
+    _seed(spark, path, n=10)  # x double lives at physical 'x'
+    drop_columns(path, ["x"])
+    (spark.createDataFrame([(999, "n", "fresh")],
+                           "k long, s string, x string").coalesce(1)
+     .write.format("clx_table").option("path", path)
+     .option("mergeSchema", "true").mode("append").save())
+    m = _read_manifest(path, latest_version(path))
+    assert m["colmap"]["m"]["x"].startswith("x-")  # fresh physical
+    out = read_version(spark, path)
+    got = {r.k: r.x for r in out.collect()}
+    assert got[999] == "fresh"
+    assert all(v is None for k, v in got.items() if k != 999)
+
+
+def test_dsv2_write_racing_rename_refused(spark, tmp_path):
+    """A rename landing between DSv2 write planning and commit fails
+    the commit LOUDLY (Delta's MetadataChangedException shape): the
+    staged files carry the planning-time physical layout, which the
+    moved mapping may no longer read back. Driven through the shared
+    commit helper in-process (the real DSv2 writer plans and commits
+    inside Spark's Python worker, out of monkeypatch reach); plain
+    interleaved appends keep rebasing (covered by the probe leg and
+    the stream-writer txn tests)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clx_etl_spark.sinks.versioned import VersionConflictError
+    from clx_etl_spark.sources.table_source import (_commit_staged_files,
+                                                    _plan_write_mapping)
+
+    _register(spark)
+    path = str(tmp_path / "t")
+    _seed(spark, path, n=10)
+    schema = spark.createDataFrame(
+        [], "k long, s string, x double").schema
+    plan = _plan_write_mapping(path, schema)  # planning-time: unmapped
+    assert not plan["active"]
+    staging = os.path.join(path, "data", "dsv2-race")
+    os.makedirs(staging)
+    staged = os.path.join(staging, "part-race.parquet")
+    pq.write_table(pa.table({"k": [500], "s": ["r"], "x": [5.0]}), staged)
+    rename_column(path, "k", "key")  # the race: DDL lands mid-write
+    with pytest.raises(VersionConflictError, match="column-mapping commit"):
+        _commit_staged_files(path, [staged], overwrite=False,
+                             stats_cols=None, bloom_cols=None, plan=plan)
+    # nothing committed; the table answers under the new name
+    out = read_version(spark, path)
+    assert out.columns == ["key", "s", "x"]
+    assert out.count() == 10
+    # and a fresh (re-planned) write under the new name lands cleanly
+    (spark.createDataFrame([(500, "r", 5.0)],
+                           "key long, s string, x double").coalesce(1)
+     .write.format("clx_table").option("path", path)
+     .mode("append").save())
+    assert read_version(spark, path).filter(
+        F.col("key") == 500).count() == 1
 
 
 def test_change_feed_replays_per_version_names(spark, tmp_path):

@@ -2059,3 +2059,46 @@ def test_clx_table_stream_writer_schema_evolution(spark, tmp_path):
     out = V.read_version(spark, table)
     assert out.count() == 8
     assert out.filter(out.t.isNull()).count() == 5
+
+
+def test_clx_table_stream_writer_mapped_table(spark, tmp_path):
+    """writeStream.format('clx_table') into a RENAMED table (the r11
+    columnMapping writer feature): staged batch files store physical
+    names, commits carry the mapping, and the sink's exactly-once txn
+    semantics are untouched."""
+    import pyarrow.parquet as pq
+
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.sources.table_source import TableDataSource
+
+    spark.dataSource.register(TableDataSource)
+    src = str(tmp_path / "in")
+    table = str(tmp_path / "vt")
+    V.append_version(
+        spark.createDataFrame([(j, float(j)) for j in range(5)],
+                              "id long, x double").coalesce(1),
+        table, stats_cols=["id"])
+    V.rename_column(table, "id", "event_id")
+    spark.createDataFrame(
+        [(100 + j, 0.0) for j in range(3)], "event_id long, x double"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        spark.readStream.format("parquet")
+        .schema("event_id long, x double").load(src)
+        .writeStream.format("clx_table").option("path", table)
+        .option("statsCols", "event_id").option("txnAppId", "cm")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    assert q.exception() is None
+    m = V._read_manifest(table, V.latest_version(table))
+    assert m["colmap"]["m"] == {"event_id": "id"}
+    assert m["txn"] == {"cm": 0}
+    new_file = m["files"][-1]
+    assert "id" in pq.read_schema(new_file).names  # physical name
+    assert m["stats"][new_file]["id"] == [100, 102]  # physical-keyed
+    out = V.read_version(spark, table)
+    assert out.columns == ["event_id", "x"]
+    assert out.count() == 8
+    assert out.filter(out.event_id >= 100).count() == 3
