@@ -158,8 +158,17 @@ def latest_version(path: str) -> int | None:
     f = os.path.join(_manifest_dir(path), "_latest")
     if not os.path.exists(f):
         return None
-    with open(f) as fh:
-        v = int(fh.read().strip())
+    try:
+        with open(f) as fh:
+            v = int(fh.read().strip())
+    except (ValueError, OSError):
+        # torn/concurrent hint state (pre-r11 tables written by older
+        # engines used a truncating write; os.replace is atomic now but
+        # NFS-like stores may still surface transient windows): fall
+        # back to probing the manifests themselves from 0 — the dense,
+        # JSON-validated version chain is the ground truth the hint
+        # merely caches
+        v = -1
     while os.path.exists(_manifest_path(path, v + 1)):
         try:
             with open(_manifest_path(path, v + 1)) as nh:
@@ -167,7 +176,7 @@ def latest_version(path: str) -> int | None:
         except (OSError, ValueError):
             break  # claimed slot still being written: not committed yet
         v += 1
-    return v
+    return v if v >= 0 else None
 
 
 _READER_FEATURES = {"deletion-vectors", "dv-sidecar"}
@@ -1544,8 +1553,15 @@ def _commit(
         ) from None
     with fh:
         json.dump(manifest, fh, default=str)
-    with open(os.path.join(_manifest_dir(path), "_latest"), "w") as fh:
+    # the hint write must be ATOMIC (tmp + rename): a plain "w" open
+    # truncates in place, and a concurrent latest_version() reading the
+    # empty window crashed on int('') — caught by the r11 thread-storm
+    # test, invisible to every monkeypatched interleaving before it
+    tmp = os.path.join(_manifest_dir(path),
+                       f".latest-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
         fh.write(str(version))
+    os.replace(tmp, os.path.join(_manifest_dir(path), "_latest"))
     return version
 
 

@@ -619,17 +619,50 @@ class TableStreamReader(DataSourceStreamReader):
     ``startingVersion`` (int, or 'latest' for new-commits-only;
     default: initial snapshot), ``maxVersionsPerBatch`` (bounded
     catch-up, default 100; one uncapped window after a restart — the
-    same safe degradation as the CDF reader), ``ignoreChanges``."""
+    same safe degradation as the CDF reader), ``ignoreChanges``.
+
+    ``maxFilesPerTrigger`` (r11, Delta's file-granular rate limit):
+    bounds each micro-batch by FILES, splitting WITHIN a version when
+    a single commit (or the initial snapshot — at 100 TB that is the
+    whole table) exceeds the cap. Offsets then extend with file
+    cursors: {"snap": 1, "sv": V, "i": k} = the pinned snapshot
+    version V delivered through file k; {"v": c, "i": k} = version c
+    complete plus k files of c+1's append set. Both slice the
+    IMMUTABLE manifest file list, so replays of a WAL'd (start, end]
+    window are byte-deterministic. Soft cap (at least one file per
+    trigger, Delta's rule); unset = whole-version batches, offsets
+    byte-identical to r10 (old checkpoints resume unchanged). The
+    planner's cursor is re-learned from every partitions()/commit()
+    call's WAL'd end offset, so a window planned before the reader has
+    seen ANY position (the first window of a fresh query or restart)
+    degrades to uncapped, never to wrong: a mid-snapshot start's WAL'd
+    offset carries the pinned sv, and that batch delivers the snapshot
+    TAIL plus the increments to head, exactly once.
+
+    Trigger semantics (the Python DSv2 API has no admission control,
+    so Delta's multi-batch-per-run draining is not expressible):
+    under a processingTime trigger the cap rate-limits every
+    micro-batch after the first — true steady-state limiting. An
+    availableNow run plans ONE window (Spark's available-now wrapper
+    captures latestOffset up front), so the cap bounds THE RUN at
+    maxFilesPerTrigger files: rerun from the same checkpoint to drain
+    in bounded increments (the same per-run contract as
+    maxVersionsPerBatch's bounded catch-up), or leave the cap unset
+    for drain-everything runs."""
 
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
         self._cols = [f.name for f in schema.fields]
         self._path = options["path"]
         self._max_versions = int(options.get("maxversionsperbatch", "100"))
+        mft = options.get("maxfilespertrigger")
+        self._mft = int(mft) if mft else None
         self._starting = options.get("startingversion")
         self._ignore_changes = (
             options.get("ignorechanges", "").lower() == "true")
         self._cursor: int | None = None
+        self._cur_off: dict | None = None  # last emitted end (capped path)
+        self._snap_total: tuple | None = None  # (snapshot version, #files)
         # SCHEMA TRACKING (VERDICT r10 item 3): the version whose
         # contract this query's fixed schema reflects, and that
         # version's logical->physical mapping. Mapping commits at or
@@ -670,6 +703,61 @@ class TableStreamReader(DataSourceStreamReader):
         else:
             off = {"v": int(self._starting) - 1, "snap": 0}
         self._cursor = off["v"]
+        self._cur_off = off
+        return off
+
+    def _append_set(self, v: int, prev_files: set | None = None) -> list:
+        """Version v's appended files, in the manifest's stable order
+        (immutable JSON — slices replay byte-identically)."""
+        from ..sinks.versioned import _read_manifest
+
+        m = _read_manifest(self._path, v)
+        if prev_files is None:
+            prev_files = (set(_read_manifest(self._path, v - 1)["files"])
+                          if v > 0 else set())
+        return [f for f in m["files"] if f not in prev_files]
+
+    def _latest_offset_filecapped(self, head: int) -> dict:
+        from ..sinks.versioned import _read_manifest
+
+        cur = self._cur_off
+        budget = max(1, self._mft)
+        if cur.get("snap"):
+            sv = cur.get("sv")
+            if sv is None:  # pin the snapshot version NOW
+                if head < 0:
+                    return cur  # empty table: no progress
+                sv = head
+            if not self._snap_total or self._snap_total[0] != sv:
+                self._snap_total = (sv, len(_read_manifest(
+                    self._path, sv)["files"]))
+            total = self._snap_total[1]
+            i = int(cur.get("i", 0))
+            ni = min(total, i + budget)
+            off = ({"v": -1, "snap": 1, "sv": sv, "i": ni}
+                   if ni < total else {"v": sv, "snap": 0})
+            self._cur_off = off
+            return off
+        c, i = int(cur["v"]), int(cur.get("i", 0))
+        limit = min(head, c + self._max_versions)
+        p, prev_files = c + 1, None
+        while budget > 0 and p <= limit:
+            aset = self._append_set(p, prev_files)
+            take = min(len(aset) - i, budget)
+            i += take
+            budget -= take
+            if i >= len(aset):
+                from ..sinks.versioned import _read_manifest
+
+                prev_files = set(_read_manifest(self._path, p)["files"])
+                c, i = p, 0
+                p += 1
+            else:
+                break
+        off = {"v": c, "snap": 0}
+        if i:
+            off["i"] = i
+        self._cur_off = off
         return off
 
     def latestOffset(self) -> dict:
@@ -677,6 +765,8 @@ class TableStreamReader(DataSourceStreamReader):
 
         head = latest_version(self._path)
         head = -1 if head is None else head
+        if self._mft is not None and self._cur_off is not None:
+            return self._latest_offset_filecapped(head)
         if self._cursor is not None and not (
             self._starting is None and self._cursor < 0
         ):
@@ -689,34 +779,71 @@ class TableStreamReader(DataSourceStreamReader):
             head = max(self._cursor,
                        min(head, self._cursor + self._max_versions))
         self._cursor = head
-        return {"v": head, "snap": 0}
+        off = {"v": head, "snap": 0}
+        self._cur_off = off  # restart fallback: capped from NEXT window
+        return off
 
     def partitions(self, start: dict, end: dict) -> list[TableStreamPartition]:
-        from ..sinks.versioned import (_APPEND_SAFE_OPS, _read_manifest)
+        from ..sinks.versioned import _read_manifest
 
         s, e = int(start["v"]), int(end["v"])
         self._cursor = max(self._cursor or -1, s, e)
+        # the END offset is this reader's most reliable cursor: under a
+        # restart (or the availableNow wrapper, which captures
+        # latestOffset BEFORE initialOffset) the planning instance has
+        # never seen the checkpointed position — the WAL'd end passed
+        # here is it, and recording it arms the file-capped path for
+        # the next window
+        self._cur_off = dict(end)
         parts: list[TableStreamPartition] = []
         if int(start.get("snap", 0)):
-            # initial snapshot leg = the END version's full file set,
-            # dv-applied; everything at or below END is in it, so there
-            # is no incremental leg for this range. Reading the END
-            # manifest (a WAL'd offset) makes batch-0 replay exact.
-            if e >= 0:
-                m = _read_manifest(self._path, e)
+            # initial snapshot leg: the PINNED version's file set,
+            # dv-applied — sliced by the offsets' file cursors when
+            # maxFilesPerTrigger split it. The pinned version rides in
+            # whichever WAL'd offset carries it (end while splitting,
+            # start after a mid-snapshot restart), falling back to the
+            # END version (the whole-snapshot-in-one-batch shape).
+            sv = start.get("sv", end.get("sv", e))
+            sv = -1 if sv is None else int(sv)
+            if sv >= 0:
+                m = _read_manifest(self._path, sv)
                 # project through the SCHEMA version's mapping when
                 # tracking (physical names are immutable, so it is
-                # correct for files of every age); the END manifest's
-                # own mapping otherwise (pre-tracking behavior)
+                # correct for files of every age); the snapshot
+                # manifest's own mapping otherwise (pre-tracking)
                 cmap = (dict(self._smap) if self._track
                         else dict((m.get("colmap") or {}).get("m", {})))
                 dv_map = m.get("dv", {})
-                for f in m["files"]:
+                files = m["files"]
+                a = int(start.get("i", 0))
+                b = (int(end["i"]) if int(end.get("snap", 0))
+                     else len(files))
+                for f in files[a:b]:
                     parts.append(TableStreamPartition(
                         f, sorted({x["d"] for x in dv_map.get(f, [])}),
                         cmap))
+            if int(end.get("snap", 0)):
+                return parts  # still mid-snapshot: no incremental leg
+            # the snapshot completes in THIS batch; a restart-fallback
+            # window may extend past it — deliver sv+1..e increments
+            # too (exactly the rows a non-split snapshot at e covers)
+            parts.extend(self._increment_parts(sv, 0, e, 0))
             return parts
-        for v in range(s + 1, e + 1):
+        parts.extend(self._increment_parts(
+            s, int(start.get("i", 0)), e, int(end.get("i", 0))))
+        return parts
+
+    def _increment_parts(self, s: int, si: int, e: int,
+                         ei: int) -> list[TableStreamPartition]:
+        """Appended files of versions (s, e], starting at file ``si``
+        of version s+1, plus the first ``ei`` files of version e+1
+        when the END offset split mid-version (maxFilesPerTrigger)."""
+        from ..sinks.versioned import (_APPEND_SAFE_OPS, _read_manifest)
+
+        parts: list[TableStreamPartition] = []
+        first = s + 1
+        last = e + 1 if ei else e
+        for v in range(first, last + 1):
             m = _read_manifest(self._path, v)
             op = m["op"]
             if op not in _APPEND_SAFE_OPS:
@@ -748,10 +875,12 @@ class TableStreamReader(DataSourceStreamReader):
                     if v > 0 else set())
             cmap = (dict(self._smap) if self._track
                     else dict((m.get("colmap") or {}).get("m", {})))
-            for f in m["files"]:
-                if f not in base:
-                    # appended files carry no dv at their own commit
-                    parts.append(TableStreamPartition(f, [], cmap))
+            aset = [f for f in m["files"] if f not in base]
+            lo = si if v == first else 0
+            hi = ei if (ei and v == last) else len(aset)
+            for f in aset[lo:hi]:
+                # appended files carry no dv at their own commit
+                parts.append(TableStreamPartition(f, [], cmap))
         return parts
 
     def read(self, partition: TableStreamPartition):
@@ -795,7 +924,10 @@ class TableStreamReader(DataSourceStreamReader):
                     max_chunksize=1 << 16)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live entirely in the checkpoint
+        # offsets live entirely in the checkpoint; the committed end is
+        # also a valid cursor for the file-capped planner (see
+        # partitions)
+        self._cur_off = dict(end)
 
 
 def stream_table(
@@ -804,11 +936,15 @@ def stream_table(
     starting_version: int | str | None = None,
     max_versions_per_batch: int = 100,
     ignore_changes: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """readStream over a versioned table's appends (TableStreamReader):
     initial snapshot + per-commit increments, Delta's plain streaming
-    source. For exact row-level change semantics across merges/deletes,
-    stream the change feed instead (cdf_source.stream_changes)."""
+    source. ``max_files_per_trigger`` bounds each micro-batch by files
+    (splitting within a version / the initial snapshot when needed —
+    Delta's maxFilesPerTrigger). For exact row-level change semantics
+    across merges/deletes, stream the change feed instead
+    (cdf_source.stream_changes)."""
     spark.dataSource.register(TableDataSource)
     reader = (
         spark.readStream.format("clx_table")
@@ -819,6 +955,9 @@ def stream_table(
         reader = reader.option("startingVersion", str(starting_version))
     if ignore_changes:
         reader = reader.option("ignoreChanges", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
     return reader.load()
 
 

@@ -637,6 +637,71 @@ def _probe_optimize_rebase(spark) -> dict:
     return out
 
 
+def _probe_mapped_write_overhead(spark) -> dict:
+    """The r11 columnMapping-writer claim: writing through the DSv2
+    door to a MAPPED table (renamed + dropped columns) costs the same
+    as to an unmapped one — the logical->physical translation is one
+    Arrow schema-metadata swap per batch plus a KB-sized plan dict on
+    the driver, never per-row work. Same data, same file count, both
+    doors; overhead ratio should sit at ~1.0 (asserted < 1.5 to stay
+    VM-noise-proof), and the driver commit stays flat in rows."""
+    import shutil
+    import tempfile
+
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.sources.table_source import write_table_source
+
+    out: dict = {}
+    d = tempfile.mkdtemp()
+    try:
+        for rows in (25_000, 250_000):
+            df = (
+                spark.range(rows)
+                .selectExpr("id", "cast(id as string) as k",
+                            "cast(id as double) as x")
+                .repartition(8)
+            )
+            plain = d + f"/plain{rows}"
+            t0 = time.perf_counter()
+            write_table_source(df, plain, stats_cols=["id"])
+            out[f"plain_write_{rows}_s"] = round(
+                time.perf_counter() - t0, 3)
+            mapped = d + f"/mapped{rows}"
+            # active mapping: id renamed, plus a dropped column so the
+            # commit path exercises the full colmap (m + x + xl)
+            V.append_version(
+                spark.range(1).selectExpr(
+                    "id", "cast(id as string) as k",
+                    "cast(id as double) as x",
+                    "cast(id as double) as gone").coalesce(1),
+                mapped, stats_cols=["id"])
+            V.rename_column(mapped, "id", "event_id")
+            V.drop_columns(mapped, ["gone"])
+            mdf = df.withColumnRenamed("id", "event_id")
+            t0 = time.perf_counter()
+            write_table_source(mdf, mapped, stats_cols=["event_id"])
+            out[f"mapped_write_{rows}_s"] = round(
+                time.perf_counter() - t0, 3)
+            with open(os.path.join(mapped, "_manifests",
+                                   "_last_commit_metrics.json")) as fh:
+                mx = json.load(fh)
+            assert mx["stats_source"] == "tasks", mx
+            out[f"mapped_driver_commit_{rows}"] = round(
+                mx["driver_commit_secs"], 4)
+            # physical layout + pruning stayed intact under the rename
+            kept, total = V.pruned_file_count(mapped, "event_id", 0, 0)
+            assert kept < total
+            n = V.read_version(spark, mapped).count()
+            assert n == rows + 1, n
+        ratio = (out["mapped_write_250000_s"]
+                 / out["plain_write_250000_s"])
+        out["overhead_ratio_250k"] = round(ratio, 3)
+        assert ratio < 1.5, out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark("clx-scale-probe")
     reg = load_all()
@@ -677,6 +742,7 @@ def main() -> None:
     rename_flat = _probe_rename_drop_flat()
     ann_compact = _probe_ann_compaction(spark)
     optimize_rebase = _probe_optimize_rebase(spark)
+    mapped_write = _probe_mapped_write_overhead(spark)
     print(json.dumps({"sfs": SFS, "times": results, "pruning": ratios,
                       "manifest_planning_s": planning,
                       "commit_driver_flat": commit_flat,
@@ -685,7 +751,8 @@ def main() -> None:
                       "dv_reorg": dv_reorg,
                       "rename_drop_flat": rename_flat,
                       "ann_compaction": ann_compact,
-                      "optimize_rebase": optimize_rebase}))
+                      "optimize_rebase": optimize_rebase,
+                      "mapped_write_overhead": mapped_write}))
     print(f"\n{'query':32s} {'sf.001':>8s} {'sf.01':>8s} {'sf.1':>8s} "
           f"{'r(10x)':>7s} {'r(100x)':>8s}")
     for name, t in results.items():

@@ -260,3 +260,164 @@ def test_cdf_mapping_commit_after_start_still_raises(spark, tmp_path):
     end1 = r.latestOffset()
     with pytest.raises(ValueError, match="column mapping"):
         r.partitions(end0, end1)
+
+
+def test_max_files_per_trigger_rate_limits_steady_state(spark, tmp_path):
+    """maxFilesPerTrigger (r11, Delta's file-granular rate limit) under
+    a processingTime trigger: a SINGLE commit appending 5 files under
+    cap 2 is delivered across three micro-batches with mid-version file
+    cursors ({'v': c, 'i': k}) in the WAL — every row exactly once.
+    (The FIRST planned window of a query is uncapped — the planner has
+    not seen a position yet — so the cap's steady-state proof is on the
+    windows after it.)"""
+    import json
+    import os
+    import time
+
+    path, out, ck = (str(tmp_path / d) for d in ("t", "out", "ck"))
+    append_version(
+        spark.range(0, 10).selectExpr(
+            "id", "cast(id as double) as x").coalesce(1), path)
+    q = (
+        stream_table(spark, path, max_files_per_trigger=2)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(processingTime="1 seconds").start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:  # batch 0: the snapshot
+            try:
+                if spark.read.parquet(out).count() >= 10:
+                    break
+            except Exception:
+                pass  # sink not materialized yet
+            time.sleep(1)
+        append_version(  # ONE commit, five files
+            spark.range(100, 150).selectExpr(
+                "id", "cast(id as double) as x").repartition(5), path)
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 60:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+    res = spark.read.parquet(out)
+    assert res.count() == 60
+    assert res.select("id").distinct().count() == 60
+    # the WAL proves the split: the 5-file commit needed mid-version
+    # cursors at i=2 and i=4 before completing at {"v": 1}
+    odir = os.path.join(ck, "offsets")
+    offs = []
+    for f in os.listdir(odir):
+        if not f.startswith("."):
+            with open(os.path.join(odir, f)) as fh:
+                offs.append(json.loads(fh.read().splitlines()[-1]))
+    cursors = {o.get("i") for o in offs if o.get("i")}
+    assert cursors == {2, 4}
+
+
+def test_max_files_per_trigger_bounds_each_available_now_run(
+    spark, tmp_path
+):
+    """availableNow plans ONE window per run (the Python DSv2 API has
+    no admission control), so the cap bounds THE RUN: each rerun from
+    the same checkpoint drains at most maxFilesPerTrigger more files,
+    exactly once — the bounded-increment backfill contract. (The very
+    first window of a query is uncapped, so run 1 delivers the whole
+    snapshot.)"""
+    path, out, ck = (str(tmp_path / d) for d in ("t", "out", "ck"))
+    append_version(
+        spark.range(0, 10).selectExpr(
+            "id", "cast(id as double) as x").coalesce(1), path)
+
+    def run():
+        q = (
+            stream_table(spark, path, max_files_per_trigger=2)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+        res = spark.read.parquet(out)
+        return res.count(), res.select("id").distinct().count()
+
+    n, d = run()  # snapshot: first window, uncapped
+    assert (n, d) == (10, 10)
+    append_version(  # ONE commit, five files
+        spark.range(100, 150).selectExpr(
+            "id", "cast(id as double) as x").repartition(5), path)
+    counts = []
+    for _ in range(5):  # ceil(5/2)=3 runs to drain, never fewer
+        n, d = run()
+        assert n == d  # exactly-once at every intermediate state
+        counts.append(n)
+        if n >= 60:
+            break
+    assert counts[-1] == 60
+    assert len(counts) == 3  # the cap bounded every run at 2 files
+
+
+def test_max_files_per_trigger_offsets_unit(spark, tmp_path):
+    """Offset-level contract, driven directly (no Spark runner):
+    snapshot pinning, mid-version cursors, and the mid-snapshot
+    RESTART fallback (uncapped window = snapshot tail + increments,
+    exactly once)."""
+    from pyspark.sql.types import StructType
+
+    from clx_etl_spark.sinks.versioned import table_schema
+    from clx_etl_spark.sources.table_source import TableStreamReader
+
+    path = str(tmp_path / "t")
+    for i in range(2):  # v0: 3 files, v1: +2 files
+        append_version(
+            spark.range(i * 100, i * 100 + 30)
+            .selectExpr("id", "cast(id as double) as x")
+            .repartition(3 if i == 0 else 2), path)
+    schema = StructType(table_schema(path).fields)
+
+    def reader(mft):
+        return TableStreamReader(
+            schema, {"path": path, "maxfilespertrigger": str(mft)})
+
+    r = reader(2)
+    o0 = r.initialOffset()
+    assert o0 == {"v": -1, "snap": 1}
+    o1 = r.latestOffset()  # pins the snapshot at head v1 (5 files)
+    assert o1 == {"v": -1, "snap": 1, "sv": 1, "i": 2}
+    assert len(r.partitions(o0, o1)) == 2
+    o2 = r.latestOffset()
+    assert o2 == {"v": -1, "snap": 1, "sv": 1, "i": 4}
+    assert len(r.partitions(o1, o2)) == 2
+    o3 = r.latestOffset()  # snapshot completes
+    assert o3 == {"v": 1, "snap": 0}
+    assert len(r.partitions(o2, o3)) == 1
+    # ---- mid-snapshot RESTART: a fresh reader knows nothing; its
+    # first window is uncapped ({"v": head}) and partitions must
+    # deliver the snapshot TAIL from the WAL'd start, then increments
+    append_version(
+        spark.range(500, 520).selectExpr(
+            "id", "cast(id as double) as x").repartition(2), path)  # v2
+    r2 = reader(2)
+    fallback = r2.latestOffset()
+    assert fallback == {"v": 2, "snap": 0}
+    tail = r2.partitions(o2, fallback)  # WAL'd start: sv=1 through i=4
+    # 1 remaining snapshot file of v1 + 2 appended files of v2
+    assert len(tail) == 3
+    # ---- mid-version cursors on one fat commit
+    append_version(
+        spark.range(600, 640).selectExpr(
+            "id", "cast(id as double) as x").repartition(4), path)  # v3
+    o4 = r2.latestOffset()
+    assert o4 == {"v": 2, "snap": 0, "i": 2}
+    assert len(r2.partitions(fallback, o4)) == 2
+    o5 = r2.latestOffset()
+    assert o5 == {"v": 3, "snap": 0}
+    assert len(r2.partitions(o4, o5)) == 2
+    # no further progress: offset stable
+    assert r2.latestOffset() == o5
+    assert r2.partitions(o5, r2.latestOffset()) == []
