@@ -165,10 +165,16 @@ def latest_version(path: str) -> int | None:
         # torn/concurrent hint state (pre-r11 tables written by older
         # engines used a truncating write; os.replace is atomic now but
         # NFS-like stores may still surface transient windows): fall
-        # back to probing the manifests themselves from 0 — the dense,
-        # JSON-validated version chain is the ground truth the hint
-        # merely caches
-        v = -1
+        # back to the manifests themselves — the JSON-validated version
+        # chain is the ground truth the hint merely caches. One dir
+        # listing, not a probe from 0: expire_versions may have
+        # reclaimed the early chain
+        import re as _re
+
+        vs = [int(m.group(1)) for m in (
+            _re.fullmatch(r"v(\d+)\.json", n)
+            for n in os.listdir(_manifest_dir(path))) if m]
+        v = max(vs, default=0) - 1  # the probe loop JSON-validates v+1
     while os.path.exists(_manifest_path(path, v + 1)):
         try:
             with open(_manifest_path(path, v + 1)) as nh:

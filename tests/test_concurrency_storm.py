@@ -187,3 +187,21 @@ def test_torn_latest_hint_recovers(spark, tmp_path):
     assert latest_version(path) == 3
     with open(hint) as fh:  # the commit healed the hint
         assert fh.read().strip() == "3"
+
+
+def test_torn_hint_recovers_after_expiry(spark, tmp_path):
+    """Torn hint on a table whose EARLY history was expired: the
+    fallback must find the head from the manifest directory listing,
+    not a probe from version 0 (those manifests are gone)."""
+    from clx_etl_spark.sinks.versioned import expire_versions
+
+    path = str(tmp_path / "t")
+    for i in range(5):
+        append_version(
+            spark.range(i, i + 1).selectExpr("id").coalesce(1), path)
+    expire_versions(path, keep_latest=2)  # v0-v2 manifests reclaimed
+    hint = os.path.join(path, "_manifests", "_latest")
+    with open(hint, "w") as fh:
+        fh.write("not-a-number")  # corrupt, not just empty
+    assert latest_version(path) == 4
+    assert read_version(spark, path).count() == 5
