@@ -66,13 +66,17 @@ SWEEP_FRONT: list[str] = [
     "winsorize_event_values",
     "zorder_locality_stats",
     # CODE CHANGED this round: sinks/versioned.py (colmap 'xl' carry,
-    # drop_columns replay guard, table_changes mapping message) and
-    # sources/table_source.py + cdf_source.py (schema tracking) back
-    # the whole versioned family — re-sweep its r10 rows
+    # latest_version hint, drop_columns replay guard) and
+    # sources/table_source.py (columnMapping writer, schema tracking,
+    # maxFilesPerTrigger) back the whole versioned family — re-sweep
+    # its r10 rows. (versioned_count_col_meta dropped from the front
+    # to keep it at exactly 50 before the rows-only sentinel — its
+    # backing op, count_col_meta, is untouched this round and its r10
+    # row is fresh; review r11 caught the 51-entry spill that would
+    # have silently starved w4_sliding_window_counts.)
     "versioned_schema_rename_drop",
     "versioned_optimize",
     "versioned_table_stream",
-    "versioned_count_col_meta",
     # FRESHNESS: the full r06 cohort (stalest remaining cumulative
     # proofs — this closes the ledger to floor r07 everywhere)
     "anomaly_mad_by_type",

@@ -1316,7 +1316,8 @@ def _colmap_key(mapping: dict, dropped: list, xl=()):
 
 
 def _assign_fresh_physicals(mapping: dict, dropped: list,
-                            tbl_names: set, fields) -> None:
+                            tbl_names: set, fields,
+                            salt: str | None = None) -> None:
     """The fresh-physical collision rule, in ONE place (review r10:
     the copy-pasted block missed both merge flavors and silently lost
     evolved columns whose names matched retired physicals): any field
@@ -1324,7 +1325,16 @@ def _assign_fresh_physicals(mapping: dict, dropped: list,
     collides with a physical name in use — another column's storage
     name, or a dropped column's retired one — gets a fresh physical in
     ``mapping`` (mutated in place), so old files' bytes can never leak
-    in under the new column. No-op for unmapped tables."""
+    in under the new column. No-op for unmapped tables.
+
+    ``salt``: when given, the fresh physical derives DETERMINISTICALLY
+    from (salt, logical name) instead of a random uuid. The DSv2 write
+    doors need this (review r11, confirmed corruption): Spark plans
+    the same write in MORE THAN ONE python process (one instance is
+    pickled to the write tasks, another commits), so a random fresh
+    physical diverges between the staged files and the committed
+    mapping — the evolved column then reads back all-NULL. Engine
+    callers (one process, atomic plan+commit) keep the uuid."""
     if not mapping and not dropped:
         return
     used = ({mapping.get(n, n) for n in tbl_names}
@@ -1332,7 +1342,21 @@ def _assign_fresh_physicals(mapping: dict, dropped: list,
     for f in fields:
         if f.name not in tbl_names and f.name in used \
                 and f.name not in mapping:
-            mapping[f.name] = f"{f.name}-{uuid.uuid4().hex[:8]}"
+            if salt is None:
+                mapping[f.name] = f"{f.name}-{uuid.uuid4().hex[:8]}"
+            else:
+                import hashlib as _h
+
+                n = 0
+                while True:
+                    cand = f.name + "-" + _h.sha256(
+                        f"{salt}:{f.name}:{n}".encode()
+                    ).hexdigest()[:8]
+                    if cand not in used:
+                        break
+                    n += 1
+                mapping[f.name] = cand
+            used.add(mapping[f.name])
 
 
 def _apply_colmap(df: DataFrame, m: dict) -> DataFrame:

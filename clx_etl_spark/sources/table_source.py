@@ -657,6 +657,12 @@ class TableStreamReader(DataSourceStreamReader):
         self._max_versions = int(options.get("maxversionsperbatch", "100"))
         mft = options.get("maxfilespertrigger")
         self._mft = int(mft) if mft else None
+        if self._mft is not None and self._mft <= 0:
+            raise ValueError(
+                f"maxFilesPerTrigger must be positive, got {self._mft} "
+                "— omit the option for unlimited (Delta rejects "
+                "non-positive values the same way)"
+            )
         self._starting = options.get("startingversion")
         self._ignore_changes = (
             options.get("ignorechanges", "").lower() == "true")
@@ -706,16 +712,19 @@ class TableStreamReader(DataSourceStreamReader):
         self._cur_off = off
         return off
 
-    def _append_set(self, v: int, prev_files: set | None = None) -> list:
-        """Version v's appended files, in the manifest's stable order
-        (immutable JSON — slices replay byte-identically)."""
+    def _append_set(self, v: int,
+                    prev_files: set | None = None) -> tuple[list, set]:
+        """(version v's appended files — manifest's stable order, so
+        slices replay byte-identically — and v's full file set, for the
+        caller's next-step reuse: one manifest parse per version)."""
         from ..sinks.versioned import _read_manifest
 
         m = _read_manifest(self._path, v)
         if prev_files is None:
             prev_files = (set(_read_manifest(self._path, v - 1)["files"])
                           if v > 0 else set())
-        return [f for f in m["files"] if f not in prev_files]
+        return ([f for f in m["files"] if f not in prev_files],
+                set(m["files"]))
 
     def _latest_offset_filecapped(self, head: int) -> dict:
         from ..sinks.versioned import _read_manifest
@@ -742,14 +751,12 @@ class TableStreamReader(DataSourceStreamReader):
         limit = min(head, c + self._max_versions)
         p, prev_files = c + 1, None
         while budget > 0 and p <= limit:
-            aset = self._append_set(p, prev_files)
+            aset, files = self._append_set(p, prev_files)
             take = min(len(aset) - i, budget)
             i += take
             budget -= take
             if i >= len(aset):
-                from ..sinks.versioned import _read_manifest
-
-                prev_files = set(_read_manifest(self._path, p)["files"])
+                prev_files = files
                 c, i = p, 0
                 p += 1
             else:
@@ -1020,13 +1027,21 @@ def _plan_write_mapping(path: str, schema) -> dict:
                unmapped tables — every hot path stays branch-free)
       mapping/dropped/xl   the colmap to COMMIT (mapping includes any
                fresh-physical assignments for evolution columns)
-      head_schema/head_colmap   the planning-time head state; the
-               commit refuses if either moved (a DDL raced the write —
-               staged files are immutable, Delta fails concurrent
-               metadata txns the same way). Plain interleaved appends
-               leave both unchanged, so append rebase still works.
+      head_colmap   the planning-time mapping state; the commit refuses
+               if it moved (a rename/drop raced the write — staged
+               files are immutable, Delta fails concurrent metadata
+               txns the same way). Plain interleaved appends carry the
+               colmap verbatim, so append rebase still works; schema
+               drift needs no planning-time pin — the commit loop
+               re-enforces against each head it rebases onto.
       active   True when any translation applies (gates every check)
-    """
+
+    A MAPPED table with no write schema (``schema=None`` — possible
+    only through direct construction; Spark always hands the DSv2
+    writers the query schema) REFUSES like the r10 gate did: without
+    the schema there is no translation to plan, and committing
+    logical-named files to a mapped table is silent corruption (every
+    read would translate the logical name away and pad NULLs)."""
     from ..sinks.versioned import (_assign_fresh_physicals, _colmap,
                                    _read_manifest, _schema_from_json,
                                    _xl, latest_version)
@@ -1035,18 +1050,34 @@ def _plan_write_mapping(path: str, schema) -> dict:
     m = _read_manifest(path, head) if head is not None else {}
     mapping, dropped = _colmap(m)
     xl = _xl(m)
+    if schema is None and (mapping or dropped):
+        raise ValueError(
+            f"table at {path} has an active column mapping (renamed or "
+            "dropped columns) and this writer was given no write "
+            "schema — the logical->physical translation cannot be "
+            "planned; write through the DataFrame API "
+            "(write.format('clx_table')) or the engine API "
+            "(append_version / overwrite_version / merge_version)"
+        )
     tbl = _schema_from_json(m.get("schema"))
     tbl_names = {f.name for f in tbl.fields} if tbl is not None else set()
     if tbl is not None and schema is not None:
+        # DETERMINISTIC fresh physicals (review r11, confirmed
+        # corruption): Spark instantiates this writer in more than one
+        # python process per write (task-side and commit-side); every
+        # instance planning at the same head MUST derive the same
+        # fresh name or the staged files and the committed mapping
+        # disagree and the evolved column reads back NULL
+        salt = f"{head}|{json.dumps(m.get('colmap'), sort_keys=True)}"
         _assign_fresh_physicals(
             mapping, dropped, tbl_names,
-            [f for f in schema.fields if f.name not in tbl_names])
+            [f for f in schema.fields if f.name not in tbl_names],
+            salt=salt)
     pmap = ({f.name: mapping.get(f.name, f.name) for f in schema.fields}
             if schema is not None else {})
     return {
         "pmap": pmap,
         "mapping": mapping, "dropped": dropped, "xl": xl,
-        "head_schema": m.get("schema"),
         "head_colmap": json.dumps(m.get("colmap"), sort_keys=True),
         "active": bool(mapping or dropped or xl),
     }
@@ -1263,6 +1294,8 @@ class TableStreamWriter(DataSourceStreamArrowWriter):
                                 self._plan["pmap"])
 
     def commit(self, messages, batchId: int) -> None:
+        from ..sinks.versioned import _colmap_key
+
         files = sorted(f for msg in messages if msg for f in msg.files)
         _commit_staged_files(
             self._path, files, overwrite=False,
@@ -1272,6 +1305,15 @@ class TableStreamWriter(DataSourceStreamArrowWriter):
             evolve=self._evolve,
             plan=self._plan,
         )
+        # this writer OUTLIVES the batch (one instance per query run):
+        # the commit it just made IS the new head mapping — an
+        # evolution batch whose fresh-physical assignment changed the
+        # colmap would otherwise trip the NEXT batch's drift check as a
+        # phantom concurrent DDL (review r11). Real renames/drops still
+        # refuse: they produce a colmap this expression cannot.
+        self._plan["head_colmap"] = json.dumps(
+            _colmap_key(self._plan["mapping"], self._plan["dropped"],
+                        self._plan["xl"]), sort_keys=True)
 
     def abort(self, messages, batchId: int) -> None:
         for msg in messages:

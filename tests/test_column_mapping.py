@@ -490,3 +490,26 @@ def test_drop_columns_dedupes_input(spark, tmp_path):
     m = _read_manifest(path, latest_version(path))
     assert table_schema(path).fieldNames() == ["b"]
     assert m["colmap"]["x"] == ["a"]  # retired once, no bogus entry
+
+
+def test_writer_without_schema_refuses_mapped_table(spark, tmp_path):
+    """Review r11 (silent-corruption hole): a writer constructed with
+    no write schema on a MAPPED table must refuse at planning like the
+    r10 gate — with pmap unplannable, staged files would keep LOGICAL
+    names, pass every check, and read back as NULL-padded rows."""
+    from clx_etl_spark.sources.table_source import (TableStreamWriter,
+                                                    TableWriter)
+
+    path = str(tmp_path / "t")
+    _seed(spark, path, n=10)
+    rename_column(path, "k", "key")
+    with pytest.raises(ValueError, match="no write schema"):
+        TableWriter({"path": path}, overwrite=False)
+    with pytest.raises(ValueError, match="no write schema"):
+        TableStreamWriter({"path": path,
+                           "checkpointlocation": str(tmp_path / "ck")})
+    # unmapped tables keep accepting schema-less construction
+    p2 = str(tmp_path / "plain")
+    append_version(
+        spark.range(3).selectExpr("id").coalesce(1), p2)
+    TableWriter({"path": p2}, overwrite=False)

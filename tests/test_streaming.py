@@ -2102,3 +2102,49 @@ def test_clx_table_stream_writer_mapped_table(spark, tmp_path):
     assert out.columns == ["event_id", "x"]
     assert out.count() == 8
     assert out.filter(out.event_id >= 100).count() == 3
+
+
+def test_clx_table_stream_writer_evolution_under_mapping(spark, tmp_path):
+    """Review r11: the stream writer outlives each batch, so when batch
+    0's schema evolution changes the colmap (fresh physical for a
+    column named like a RETIRED physical), batch 1 must NOT trip the
+    writer's colmap drift check as a phantom concurrent DDL — the plan
+    refreshes to the mapping the writer itself committed."""
+    import pyarrow.parquet as pq
+
+    import clx_etl_spark.sinks.versioned as V
+    from clx_etl_spark.sources.table_source import TableDataSource
+
+    spark.dataSource.register(TableDataSource)
+    src = str(tmp_path / "in")
+    table = str(tmp_path / "vt")
+    V.append_version(
+        spark.createDataFrame([(j, "t%d" % j) for j in range(5)],
+                              "id long, tag string").coalesce(1),
+        table, stats_cols=["id"])
+    V.drop_columns(table, ["tag"])  # physical 'tag' retires
+    for b in range(2):  # two source files -> two micro-batches
+        spark.createDataFrame(
+            [(100 * (b + 1) + j, "new") for j in range(3)],
+            "id long, tag string",
+        ).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        spark.readStream.format("parquet").schema("id long, tag string")
+        .option("maxFilesPerTrigger", "1").load(src)
+        .writeStream.format("clx_table").option("path", table)
+        .option("mergeSchema", "true").option("txnAppId", "ev")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    assert q.exception() is None
+    m = V._read_manifest(table, V.latest_version(table))
+    assert m["txn"] == {"ev": 1}  # BOTH batches committed
+    assert m["colmap"]["m"]["tag"].startswith("tag-")  # fresh physical
+    for f in m["files"][-2:]:  # both batch files store the fresh name
+        assert m["colmap"]["m"]["tag"] in pq.read_schema(f).names
+    out = V.read_version(spark, table)
+    assert out.count() == 11
+    got = {r.id: r.tag for r in out.collect()}
+    assert all(got[j] is None for j in range(5))  # dropped bytes stay gone
+    assert all(got[k] == "new" for k in got if k >= 100)

@@ -421,3 +421,19 @@ def test_max_files_per_trigger_offsets_unit(spark, tmp_path):
     # no further progress: offset stable
     assert r2.latestOffset() == o5
     assert r2.partitions(o5, r2.latestOffset()) == []
+
+
+def test_max_files_per_trigger_rejects_nonpositive(spark, tmp_path):
+    """maxFilesPerTrigger <= 0 raises at construction (Delta parity) —
+    a 0 meaning 'unlimited' in the caller's head would otherwise coerce
+    to an extreme 1-file-per-trigger throttle."""
+    from pyspark.sql.types import StructType
+
+    from clx_etl_spark.sources.table_source import TableStreamReader
+
+    path = str(tmp_path / "t")
+    append_version(spark.range(3).selectExpr("id").coalesce(1), path)
+    for bad in ("0", "-1"):
+        with pytest.raises(ValueError, match="must be positive"):
+            TableStreamReader(StructType([]),
+                              {"path": path, "maxfilespertrigger": bad})
