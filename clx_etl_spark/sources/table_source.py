@@ -657,18 +657,22 @@ class TableStreamReader(DataSourceStreamReader):
         self._max_versions = int(options.get("maxversionsperbatch", "100"))
         mft = options.get("maxfilespertrigger")
         self._mft = int(mft) if mft else None
-        if self._mft is not None and self._mft <= 0:
-            raise ValueError(
-                f"maxFilesPerTrigger must be positive, got {self._mft} "
-                "— omit the option for unlimited (Delta rejects "
-                "non-positive values the same way)"
-            )
+        mbt = options.get("maxbytespertrigger")
+        self._mbt = int(mbt) if mbt else None
+        for name, v in (("maxFilesPerTrigger", self._mft),
+                        ("maxBytesPerTrigger", self._mbt)):
+            if v is not None and v <= 0:
+                raise ValueError(
+                    f"{name} must be positive, got {v} — omit the "
+                    "option for unlimited (Delta rejects non-positive "
+                    "values the same way)"
+                )
         self._starting = options.get("startingversion")
         self._ignore_changes = (
             options.get("ignorechanges", "").lower() == "true")
         self._cursor: int | None = None
         self._cur_off: dict | None = None  # last emitted end (capped path)
-        self._snap_total: tuple | None = None  # (snapshot version, #files)
+        self._snap_total: tuple | None = None  # (snapshot version, file list)
         # SCHEMA TRACKING (VERDICT r10 item 3): the version whose
         # contract this query's fixed schema reflects, and that
         # version's logical->physical mapping. Mapping commits at or
@@ -727,10 +731,39 @@ class TableStreamReader(DataSourceStreamReader):
                 set(m["files"]))
 
     def _latest_offset_filecapped(self, head: int) -> dict:
+        """The rate-limited END planner: walk files forward from the
+        cursor, spending the file budget (maxFilesPerTrigger) and the
+        byte budget (maxBytesPerTrigger — soft max, Delta's rule: keep
+        adding while under, always at least one file per trigger; sizes
+        are one os.stat per candidate file, driver-side, bounded by the
+        window). Offsets carry only FILE indexes, so byte caps change
+        where a cursor stops, never what a WAL'd (start, end] replays."""
         from ..sinks.versioned import _read_manifest
 
         cur = self._cur_off
-        budget = max(1, self._mft)
+        state = {"files": (self._mft if self._mft is not None
+                           else float("inf")),
+                 "bytes": (self._mbt if self._mbt is not None
+                           else float("inf")),
+                 "took": 0}
+
+        def spend(files: list, i: int) -> int:
+            while i < len(files) and state["files"] > 0 and (
+                    state["bytes"] > 0 or state["took"] == 0):
+                if self._mbt is not None:
+                    try:
+                        state["bytes"] -= os.path.getsize(files[i])
+                    except OSError:
+                        pass  # vanished/remote: count files only
+                i += 1
+                state["files"] -= 1
+                state["took"] += 1
+            return i
+
+        def spent() -> bool:
+            return state["files"] <= 0 or (
+                state["bytes"] <= 0 and state["took"] > 0)
+
         if cur.get("snap"):
             sv = cur.get("sv")
             if sv is None:  # pin the snapshot version NOW
@@ -738,23 +771,20 @@ class TableStreamReader(DataSourceStreamReader):
                     return cur  # empty table: no progress
                 sv = head
             if not self._snap_total or self._snap_total[0] != sv:
-                self._snap_total = (sv, len(_read_manifest(
-                    self._path, sv)["files"]))
-            total = self._snap_total[1]
-            i = int(cur.get("i", 0))
-            ni = min(total, i + budget)
+                self._snap_total = (sv, _read_manifest(
+                    self._path, sv)["files"])
+            files = self._snap_total[1]
+            ni = spend(files, int(cur.get("i", 0)))
             off = ({"v": -1, "snap": 1, "sv": sv, "i": ni}
-                   if ni < total else {"v": sv, "snap": 0})
+                   if ni < len(files) else {"v": sv, "snap": 0})
             self._cur_off = off
             return off
         c, i = int(cur["v"]), int(cur.get("i", 0))
         limit = min(head, c + self._max_versions)
         p, prev_files = c + 1, None
-        while budget > 0 and p <= limit:
+        while not spent() and p <= limit:
             aset, files = self._append_set(p, prev_files)
-            take = min(len(aset) - i, budget)
-            i += take
-            budget -= take
+            i = spend(aset, i)
             if i >= len(aset):
                 prev_files = files
                 c, i = p, 0
@@ -772,7 +802,8 @@ class TableStreamReader(DataSourceStreamReader):
 
         head = latest_version(self._path)
         head = -1 if head is None else head
-        if self._mft is not None and self._cur_off is not None:
+        if (self._mft is not None or self._mbt is not None) \
+                and self._cur_off is not None:
             return self._latest_offset_filecapped(head)
         if self._cursor is not None and not (
             self._starting is None and self._cursor < 0
@@ -944,12 +975,15 @@ def stream_table(
     max_versions_per_batch: int = 100,
     ignore_changes: bool = False,
     max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """readStream over a versioned table's appends (TableStreamReader):
     initial snapshot + per-commit increments, Delta's plain streaming
-    source. ``max_files_per_trigger`` bounds each micro-batch by files
-    (splitting within a version / the initial snapshot when needed —
-    Delta's maxFilesPerTrigger). For exact row-level change semantics
+    source. ``max_files_per_trigger`` / ``max_bytes_per_trigger`` bound each
+    micro-batch by files / bytes (splitting within a version / the
+    initial snapshot when needed — Delta's maxFilesPerTrigger and
+    maxBytesPerTrigger; the byte cap is a soft max, at least one file
+    per trigger). For exact row-level change semantics
     across merges/deletes, stream the change feed instead
     (cdf_source.stream_changes)."""
     spark.dataSource.register(TableDataSource)
@@ -965,6 +999,9 @@ def stream_table(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger",
                                str(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger",
+                               str(max_bytes_per_trigger))
     return reader.load()
 
 

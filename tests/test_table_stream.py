@@ -437,3 +437,39 @@ def test_max_files_per_trigger_rejects_nonpositive(spark, tmp_path):
         with pytest.raises(ValueError, match="must be positive"):
             TableStreamReader(StructType([]),
                               {"path": path, "maxfilespertrigger": bad})
+
+
+def test_max_bytes_per_trigger_soft_cap(spark, tmp_path):
+    """maxBytesPerTrigger (Delta's byte-granular soft cap): a tiny
+    byte budget still takes at least one file per trigger, and the
+    budget stops the cursor mid-version — driven at the offset level
+    (byte caps never appear in offsets, so replays stay exact)."""
+    from pyspark.sql.types import StructType
+
+    from clx_etl_spark.sinks.versioned import table_schema
+    from clx_etl_spark.sources.table_source import TableStreamReader
+
+    path = str(tmp_path / "t")
+    append_version(
+        spark.range(10).selectExpr("id", "cast(id as double) as x")
+        .coalesce(1), path)
+    append_version(  # one commit, 3 files, each ~hundreds of bytes
+        spark.range(100, 130).selectExpr(
+            "id", "cast(id as double) as x").repartition(3), path)
+    schema = StructType(table_schema(path).fields)
+    r = TableStreamReader(
+        schema, {"path": path, "maxbytespertrigger": "1"})
+    r._cur_off = {"v": 0, "snap": 0}  # snapshot already consumed
+    o1 = r.latestOffset()  # 1-byte budget: soft cap -> exactly 1 file
+    assert o1 == {"v": 0, "snap": 0, "i": 1}
+    assert len(r.partitions({"v": 0, "snap": 0}, o1)) == 1
+    o2 = r.latestOffset()
+    assert o2 == {"v": 0, "snap": 0, "i": 2}
+    o3 = r.latestOffset()
+    assert o3 == {"v": 1, "snap": 0}
+    assert len(r.partitions(o2, o3)) == 1
+    # a budget wider than one file takes several, then stops
+    r2 = TableStreamReader(
+        schema, {"path": path, "maxbytespertrigger": "1000000"})
+    r2._cur_off = {"v": 0, "snap": 0}
+    assert r2.latestOffset() == {"v": 1, "snap": 0}  # all 3 files fit
