@@ -670,6 +670,8 @@ class TableStreamReader(DataSourceStreamReader):
         self._starting = options.get("startingversion")
         self._ignore_changes = (
             options.get("ignorechanges", "").lower() == "true")
+        self._ignore_deletes = (
+            options.get("ignoredeletes", "").lower() == "true")
         self._cursor: int | None = None
         self._cur_off: dict | None = None  # last emitted end (capped path)
         self._snap_total: tuple | None = None  # (snapshot version, file list)
@@ -900,14 +902,25 @@ class TableStreamReader(DataSourceStreamReader):
                         "schemaTrackingLocation shape; no rows are lost "
                         "or duplicated)"
                     )
+                if op == "delete-dv" and self._ignore_deletes:
+                    # Delta's ignoreDeletes: a merge-on-read DELETE
+                    # adds tombstones and NO files — already-delivered
+                    # rows are not retracted, nothing new streams.
+                    # (Copy-on-write deletes rewrite files and commit
+                    # as 'overwrite' — those need ignoreChanges, same
+                    # as Delta's rewriting deletes.)
+                    continue
                 if not self._ignore_changes:
                     raise ValueError(
                         f"version {v} rewrote row state (op {op!r}); an "
                         "append-only stream cannot cross it — pass "
-                        ".option('ignoreChanges','true') to skip "
-                        "rewriting commits (rows they rewrote may "
-                        "reprocess), or stream the change feed "
-                        "(clx_cdf) for exact row-level deltas"
+                        ".option('ignoreDeletes','true') if this is a "
+                        "merge-on-read delete (tombstones only, no "
+                        "rows retracted), .option('ignoreChanges',"
+                        "'true') to skip all rewriting commits (rows "
+                        "they rewrote may reprocess), or stream the "
+                        "change feed (clx_cdf) for exact row-level "
+                        "deltas"
                     )
             base = (set(_read_manifest(self._path, v - 1)["files"])
                     if v > 0 else set())
@@ -974,6 +987,7 @@ def stream_table(
     starting_version: int | str | None = None,
     max_versions_per_batch: int = 100,
     ignore_changes: bool = False,
+    ignore_deletes: bool = False,
     max_files_per_trigger: int | None = None,
     max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
@@ -986,6 +1000,7 @@ def stream_table(
     per trigger). For exact row-level change semantics
     across merges/deletes, stream the change feed instead
     (cdf_source.stream_changes)."""
+    _ensure_active_session(spark)
     spark.dataSource.register(TableDataSource)
     reader = (
         spark.readStream.format("clx_table")
@@ -996,6 +1011,8 @@ def stream_table(
         reader = reader.option("startingVersion", str(starting_version))
     if ignore_changes:
         reader = reader.option("ignoreChanges", "true")
+    if ignore_deletes:
+        reader = reader.option("ignoreDeletes", "true")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger",
                                str(max_files_per_trigger))
@@ -1655,6 +1672,27 @@ def _commit_staged_files(
     )
 
 
+def _ensure_active_session(spark: SparkSession) -> None:
+    """Python DSv2 lookup resolves through the JVM's THREAD-LOCAL
+    active session (DataSource.lookupDataSource is a static method
+    consulting getActiveSession): a save/load issued from a non-main
+    Python thread runs on a JVM thread with NO active session and
+    fails DATA_SOURCE_NOT_FOUND even though the source is registered —
+    caught by the r11 thread-storm suite racing the DSv2 and engine
+    write doors. With pinned py4j threads (the default), setting it
+    once per thread sticks. Respects an already-active session; no-op
+    where there is no JVM (connect mode)."""
+    try:
+        jvm = spark._jvm
+        if jvm is None:
+            return
+        cls = jvm.org.apache.spark.sql.classic.SparkSession
+        if cls.getActiveSession().isEmpty():
+            cls.setActiveSession(spark._jsparkSession)
+    except Exception:
+        pass  # best-effort: the main-thread path never needed it
+
+
 def write_table_source(
     df: DataFrame,
     path: str,
@@ -1665,6 +1703,7 @@ def write_table_source(
     """DataFrameWriter door onto a versioned table via the clx_table
     DSv2 source (see TableWriter). ``mode`` is 'append' or
     'overwrite'."""
+    _ensure_active_session(df.sparkSession)
     df.sparkSession.dataSource.register(TableDataSource)
     w = df.write.format("clx_table").option("path", path).mode(mode)
     if stats_cols:
@@ -1686,6 +1725,7 @@ def read_table_source(
     (registers the source; see TableDataSource for the option surface).
     Manifest-pruning filter pushdown engages automatically when
     ``spark.sql.python.filterPushdown.enabled`` is true."""
+    _ensure_active_session(spark)
     spark.dataSource.register(TableDataSource)
     pd_on = str(spark.conf.get(
         "spark.sql.python.filterPushdown.enabled", "false")).lower()

@@ -205,3 +205,41 @@ def test_torn_hint_recovers_after_expiry(spark, tmp_path):
         fh.write("not-a-number")  # corrupt, not just empty
     assert latest_version(path) == 4
     assert read_version(spark, path).count() == 5
+
+
+def test_dsv2_and_engine_writers_race(spark, tmp_path):
+    """The two write doors (engine append_version and the DSv2
+    write.format('clx_table') path) share one manifest CAS: racing
+    them must lose nothing — each door's rebase carries the other's
+    files by reference."""
+    from clx_etl_spark.sources.table_source import write_table_source
+
+    path = str(tmp_path / "t")
+    append_version(
+        spark.range(0, 100).selectExpr("id", "cast(id as double) as x")
+        .coalesce(1), path, stats_cols=["id"])
+
+    def engine_appender():
+        for b in range(4):
+            lo = 1000 * (b + 1)
+            append_version(
+                spark.range(lo, lo + 100).selectExpr(
+                    "id", "cast(id as double) as x").coalesce(1),
+                path, stats_cols=["id"])
+
+    def dsv2_appender():
+        for b in range(4):
+            lo = 100_000 * (b + 1)
+            write_table_source(
+                spark.range(lo, lo + 100).selectExpr(
+                    "id", "cast(id as double) as x").coalesce(1),
+                path, stats_cols=["id"])
+
+    _run_threads([engine_appender, dsv2_appender])
+    head = _assert_manifest_integrity(path)
+    assert head == 8
+    out = read_version(spark, path)
+    assert out.count() == 900
+    assert out.select("id").distinct().count() == 900
+    kept, total = pruned_file_count(path, "id", 100_000, 100_000)
+    assert (kept, total) == (1, 9)

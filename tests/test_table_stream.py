@@ -473,3 +473,28 @@ def test_max_bytes_per_trigger_soft_cap(spark, tmp_path):
         schema, {"path": path, "maxbytespertrigger": "1000000"})
     r2._cur_off = {"v": 0, "snap": 0}
     assert r2.latestOffset() == {"v": 1, "snap": 0}  # all 3 files fit
+
+
+def test_ignore_deletes_crosses_dv_commits_only(spark, tmp_path):
+    """Delta's ignoreDeletes: a merge-on-read DELETE (tombstones, no
+    files) is crossable — already-delivered rows are not retracted and
+    appends after it stream exactly once. Copy-on-write deletes
+    REWRITE files and still refuse (that is ignoreChanges territory,
+    Delta's same split)."""
+    path, out, ck = (str(tmp_path / n) for n in ("t", "out", "ck"))
+    append_version(
+        spark.createDataFrame([(i, "x") for i in range(10)],
+                              "k long, s string").coalesce(1),
+        path, stats_cols=["k"])
+    _run(spark, path, out, ck, ignore_deletes=True)
+    assert spark.read.parquet(out).count() == 10
+    delete_version_dv(spark, path, "k", 0, 2)  # merge-on-read: crossable
+    append_version(
+        spark.createDataFrame([(100, "y")], "k long, s string")
+        .coalesce(1), path)
+    _run(spark, path, out, ck, ignore_deletes=True)
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == list(range(10)) + [100]  # nothing retracted, +append
+    delete_version(spark, path, "k", 3, 4)  # copy-on-write: rewrites
+    with pytest.raises(Exception, match="ignoreChanges"):
+        _run(spark, path, out, ck, ignore_deletes=True)
