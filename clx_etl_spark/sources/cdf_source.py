@@ -147,6 +147,19 @@ class CdfDataSource(DataSource):
 
 
 class CdfStreamReader(DataSourceStreamReader):
+    """Change-feed streaming source (format 'clx_cdf').
+
+    Rate limiting is VERSION-granular (``maxVersionsPerBatch``) by
+    design: unlike the plain table stream's file-cursor offsets
+    (TableStreamReader, r11 maxFilesPerTrigger), a CDC batch must
+    never split one commit's change set across micro-batches — an
+    update's delete/insert legs landing in different batches would
+    let a per-batch MERGE applier (apply_changelog folds per-key
+    winners WITHIN a batch) apply a preimage without its postimage.
+    Commit atomicity per micro-batch is the correctness contract CDC
+    consumers rely on; bounded catch-up at version granularity is the
+    rate limit compatible with it."""
+
     def __init__(self, schema: StructType, options: dict):
         self._cols = [f.name for f in schema.fields]
         self._path = options["path"]

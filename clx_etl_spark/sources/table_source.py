@@ -668,6 +668,24 @@ class TableStreamReader(DataSourceStreamReader):
                     "values the same way)"
                 )
         self._starting = options.get("startingversion")
+        st = options.get("startingtimestamp")
+        if st is not None:
+            if self._starting is not None:
+                raise ValueError(
+                    "startingVersion and startingTimestamp are "
+                    "mutually exclusive (Delta's rule)"
+                )
+            # Delta's startingTimestamp: stream commits AT OR AFTER the
+            # timestamp (no initial snapshot) — resolve to the newest
+            # version at-or-before it, then start on the next commit;
+            # a pre-history timestamp streams from version 0
+            from ..sinks.versioned import version_as_of_timestamp
+
+            try:
+                self._starting = str(
+                    version_as_of_timestamp(self._path, int(st)) + 1)
+            except ValueError:
+                self._starting = "0"
         self._ignore_changes = (
             options.get("ignorechanges", "").lower() == "true")
         self._ignore_deletes = (
@@ -985,6 +1003,7 @@ def stream_table(
     spark: SparkSession,
     path: str,
     starting_version: int | str | None = None,
+    starting_timestamp_ms: int | None = None,
     max_versions_per_batch: int = 100,
     ignore_changes: bool = False,
     ignore_deletes: bool = False,
@@ -1009,6 +1028,9 @@ def stream_table(
     )
     if starting_version is not None:
         reader = reader.option("startingVersion", str(starting_version))
+    if starting_timestamp_ms is not None:
+        reader = reader.option("startingTimestamp",
+                               str(starting_timestamp_ms))
     if ignore_changes:
         reader = reader.option("ignoreChanges", "true")
     if ignore_deletes:

@@ -243,3 +243,56 @@ def test_dsv2_and_engine_writers_race(spark, tmp_path):
     assert out.select("id").distinct().count() == 900
     kept, total = pruned_file_count(path, "id", 100_000, 100_000)
     assert (kept, total) == (1, 9)
+
+
+def test_rename_racing_appends_never_corrupts(spark, tmp_path):
+    """A RENAME landing mid-storm: appends under the OLD name that lose
+    the race refuse LOUDLY (never commit under a stale translation);
+    appends that won before it landed — whichever interleaving the
+    scheduler produced — are fully present. Either way the table is
+    consistent: version chain dense, every committed row readable
+    under the new name, nothing half-applied."""
+    from clx_etl_spark.sinks.versioned import (SchemaEnforcementError,
+                                               rename_column,
+                                               table_schema)
+
+    path = str(tmp_path / "t")
+    append_version(
+        spark.range(0, 100).selectExpr("id", "cast(id as double) as x")
+        .coalesce(1), path, stats_cols=["id"])
+    landed, refused = [], []
+
+    def appender():
+        for b in range(6):
+            lo = 1000 * (b + 1)
+            try:
+                append_version(
+                    spark.range(lo, lo + 10).selectExpr(
+                        "id", "cast(id as double) as x").coalesce(1),
+                    path, stats_cols=["id"])
+                landed.append(lo)
+            except SchemaEnforcementError:
+                refused.append(lo)  # raced the rename: loud, not silent
+
+    def renamer():
+        import time
+
+        time.sleep(0.4)  # land mid-storm
+        rename_column(path, "id", "event_id")
+
+    _run_threads([appender, renamer])
+    head = _assert_manifest_integrity(path)
+    assert table_schema(path).fieldNames() == ["event_id", "x"]
+    out = read_version(spark, path)
+    # exactly the appends that committed are present — once each
+    assert out.count() == 100 + 10 * len(landed)
+    assert out.select("event_id").distinct().count() == out.count()
+    # the rename + every landed append has a version; nothing extra
+    assert head == 1 + len(landed)
+    # appends refused post-rename re-issue cleanly under the new name
+    for lo in refused:
+        append_version(
+            spark.range(lo, lo + 10).selectExpr(
+                "id as event_id", "cast(id as double) as x").coalesce(1),
+            path)
+    assert read_version(spark, path).count() == 100 + 60

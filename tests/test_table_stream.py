@@ -498,3 +498,51 @@ def test_ignore_deletes_crosses_dv_commits_only(spark, tmp_path):
     delete_version(spark, path, "k", 3, 4)  # copy-on-write: rewrites
     with pytest.raises(Exception, match="ignoreChanges"):
         _run(spark, path, out, ck, ignore_deletes=True)
+
+
+def test_starting_timestamp_streams_from_commit_time(spark, tmp_path):
+    """Delta's startingTimestamp: stream commits strictly AFTER the
+    resolved at-or-before version (no snapshot); a pre-history
+    timestamp streams the whole history; combining with
+    startingVersion refuses."""
+    import os
+    import time
+
+    from pyspark.sql.types import StructType
+
+    from clx_etl_spark.sinks.versioned import (_manifest_path,
+                                               table_schema)
+    from clx_etl_spark.sources.table_source import TableStreamReader
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        append_version(
+            spark.createDataFrame([(i, "v")], "k long, s string")
+            .coalesce(1), path)
+    # pin deterministic manifest mtimes: v0=1000s, v1=2000s, v2=3000s
+    for v, ts in enumerate((1000, 2000, 3000)):
+        os.utime(_manifest_path(path, v), (ts, ts))
+    schema = StructType(table_schema(path).fields)
+
+    def starting(ts_ms):
+        r = TableStreamReader(
+            schema, {"path": path, "startingtimestamp": str(ts_ms)})
+        return int(r._starting)
+
+    assert starting(2_500_000) == 2   # after v1 -> start at v2
+    assert starting(3_000_000) == 3   # at v2 -> only future commits
+    assert starting(500_000) == 0     # pre-history -> whole history
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        TableStreamReader(schema, {"path": path,
+                                   "startingversion": "1",
+                                   "startingtimestamp": "1000"})
+    # end-to-end: rows of v2 only
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        stream_table(spark, path, starting_timestamp_ms=2_500_000)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    assert [r.k for r in spark.read.parquet(out).collect()] == [2]
