@@ -546,3 +546,33 @@ def test_starting_timestamp_streams_from_commit_time(spark, tmp_path):
     )
     assert q.awaitTermination(120)
     assert [r.k for r in spark.read.parquet(out).collect()] == [2]
+
+
+def test_cdf_starting_timestamp(spark, tmp_path):
+    """startingTimestamp on the change-feed source resolves like the
+    table stream's: commits strictly after the at-or-before version."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from clx_etl_spark.sinks.versioned import _manifest_path
+    from clx_etl_spark.sources.cdf_source import CdfStreamReader
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        append_version(
+            spark.createDataFrame([(i, "v")], "k long, s string")
+            .coalesce(1), path)
+    for v, ts in enumerate((1000, 2000, 3000)):
+        os.utime(_manifest_path(path, v), (ts, ts))
+    schema = StructType.fromDDL(
+        "k long, s string, _change_type string, _commit_version bigint")
+
+    r = CdfStreamReader(schema, {"path": path,
+                                 "startingtimestamp": "2500000"})
+    assert r._starting == "2"
+    assert CdfStreamReader(schema, {
+        "path": path, "startingtimestamp": "1"})._starting == "0"
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        CdfStreamReader(schema, {"path": path, "startingversion": "1",
+                                 "startingtimestamp": "1000"})
