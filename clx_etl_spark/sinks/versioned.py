@@ -3663,6 +3663,59 @@ def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
         return read_version(spark, path, int(fh.read().strip()))
 
 
+def starting_version_for_timestamp(path: str, ts_ms: int) -> int:
+    """Delta's startingTimestamp resolution for STREAMS (review r11 —
+    distinct from version_as_of_timestamp's at-or-BEFORE batch rule):
+    the earliest surviving version whose commit time is AT OR AFTER
+    ``ts_ms`` — INCLUSIVE, Delta streams "changes committed at or
+    after the timestamp". A timestamp past the newest commit returns
+    head+1 (only future commits stream); an empty table returns 0
+    (the stream waits for data). If the resolved version's PREDECESSOR
+    manifest was expired, the result advances past it: a version's
+    append set derives from its predecessor's file list, so streaming
+    from a vacuumed boundary is unknowable — the same degradation
+    Delta documents for streaming from vacuumed history."""
+    head = latest_version(path)
+    if head is None:
+        return 0
+    for v in range(0, head + 1):
+        p = _manifest_path(path, v)
+        if not os.path.exists(p):
+            continue
+        if int(os.path.getmtime(p) * 1000) >= ts_ms:
+            if v > 0 and not os.path.exists(_manifest_path(path, v - 1)):
+                continue  # append set unknowable: predecessor expired
+            return v
+    return head + 1  # after the newest commit: future only
+
+
+def resolve_starting_option(path: str, options: dict) -> str | None:
+    """Shared startingVersion/startingTimestamp option parsing for the
+    two streaming readers (clx_table / clx_cdf) — ONE copy so the
+    mutual-exclusion rule, the epoch-ms validation, and the resolution
+    semantics cannot drift between them (review r11: the first two
+    copies had already diverged). Returns the effective startingVersion
+    string, or None when neither option was given."""
+    sv = options.get("startingversion")
+    st = options.get("startingtimestamp")
+    if st is None:
+        return sv
+    if sv is not None:
+        raise ValueError(
+            "startingVersion and startingTimestamp are mutually "
+            "exclusive (Delta's rule)"
+        )
+    try:
+        ts = int(st)
+    except ValueError:
+        raise ValueError(
+            f"startingTimestamp must be epoch MILLISECONDS (got "
+            f"{st!r}) — datetime strings are not parsed; convert to "
+            "int ms first"
+        ) from None
+    return str(starting_version_for_timestamp(path, ts))
+
+
 def version_as_of_timestamp(path: str, ts_ms: int) -> int:
     """``TIMESTAMP AS OF`` resolution: the newest surviving version
     whose commit time is <= ``ts_ms``. Commit time is the manifest

@@ -164,24 +164,12 @@ class CdfStreamReader(DataSourceStreamReader):
         self._cols = [f.name for f in schema.fields]
         self._path = options["path"]
         self._max_versions = int(options.get("maxversionsperbatch", "100"))
-        self._starting = options.get("startingversion", "0")
-        st = options.get("startingtimestamp")
-        if st is not None:
-            if "startingversion" in options:
-                raise ValueError(
-                    "startingVersion and startingTimestamp are "
-                    "mutually exclusive (Delta's rule)"
-                )
-            # Delta's CDF startingTimestamp: changes from commits
-            # strictly AFTER the resolved at-or-before version; a
-            # pre-history timestamp streams the whole feed
-            from ..sinks.versioned import version_as_of_timestamp
+        # same shared startingVersion/startingTimestamp resolver as
+        # the table stream (review r11 — one copy, no drift)
+        from ..sinks.versioned import resolve_starting_option
 
-            try:
-                self._starting = str(
-                    version_as_of_timestamp(self._path, int(st)) + 1)
-            except ValueError:
-                self._starting = "0"
+        self._starting = resolve_starting_option(self._path,
+                                                 options) or "0"
         self._cursor: int | None = None  # driver-side floor for capping
         # SCHEMA TRACKING (VERDICT r10 item 3, same shape as
         # TableStreamReader): mapping commits at or below the version
@@ -321,8 +309,13 @@ def stream_changes(
 ) -> DataFrame:
     """readStream over a versioned table's change feed (CdfDataSource).
     ``starting_timestamp_ms`` resolves like Delta's startingTimestamp
-    (commits strictly after the at-or-before version) and is mutually
-    exclusive with a non-default ``starting_version``."""
+    (earliest commit AT OR AFTER the timestamp, inclusive) and is
+    mutually exclusive with an explicit ``starting_version`` — passing
+    both surfaces the reader's refusal rather than silently dropping
+    one (review r11)."""
+    from .table_source import _ensure_active_session
+
+    _ensure_active_session(spark)
     spark.dataSource.register(CdfDataSource)
     reader = (
         spark.readStream.format("clx_cdf")
@@ -332,6 +325,11 @@ def stream_changes(
     if starting_timestamp_ms is not None:
         reader = reader.option("startingTimestamp",
                                str(starting_timestamp_ms))
+        if starting_version != 0:
+            # surface the mutual-exclusion refusal instead of silently
+            # preferring one start position
+            reader = reader.option("startingVersion",
+                                   str(starting_version))
     else:
         reader = reader.option("startingVersion", str(starting_version))
     if out_schema:

@@ -667,25 +667,13 @@ class TableStreamReader(DataSourceStreamReader):
                     "option for unlimited (Delta rejects non-positive "
                     "values the same way)"
                 )
-        self._starting = options.get("startingversion")
-        st = options.get("startingtimestamp")
-        if st is not None:
-            if self._starting is not None:
-                raise ValueError(
-                    "startingVersion and startingTimestamp are "
-                    "mutually exclusive (Delta's rule)"
-                )
-            # Delta's startingTimestamp: stream commits AT OR AFTER the
-            # timestamp (no initial snapshot) — resolve to the newest
-            # version at-or-before it, then start on the next commit;
-            # a pre-history timestamp streams from version 0
-            from ..sinks.versioned import version_as_of_timestamp
+        # startingVersion / startingTimestamp: ONE shared resolver
+        # with the CDF reader (sinks.versioned.resolve_starting_option
+        # — inclusive at-or-after, epoch-ms validated, expired-boundary
+        # aware; review r11 deduplicated the first two copies)
+        from ..sinks.versioned import resolve_starting_option
 
-            try:
-                self._starting = str(
-                    version_as_of_timestamp(self._path, int(st)) + 1)
-            except ValueError:
-                self._starting = "0"
+        self._starting = resolve_starting_option(self._path, options)
         self._ignore_changes = (
             options.get("ignorechanges", "").lower() == "true")
         self._ignore_deletes = (
@@ -774,7 +762,14 @@ class TableStreamReader(DataSourceStreamReader):
                     try:
                         state["bytes"] -= os.path.getsize(files[i])
                     except OSError:
-                        pass  # vanished/remote: count files only
+                        # unstat-able (races with expire, remote
+                        # hiccup): fail SMALL, not unbounded — treat
+                        # the file as exhausting the byte budget (it
+                        # still gets taken; the at-least-one rule and
+                        # the file cap are unaffected). Review r11: a
+                        # zero-cost fallback silently disabled the cap
+                        # the user explicitly set.
+                        state["bytes"] = 0
                 i += 1
                 state["files"] -= 1
                 state["took"] += 1

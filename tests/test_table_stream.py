@@ -501,12 +501,12 @@ def test_ignore_deletes_crosses_dv_commits_only(spark, tmp_path):
 
 
 def test_starting_timestamp_streams_from_commit_time(spark, tmp_path):
-    """Delta's startingTimestamp: stream commits strictly AFTER the
-    resolved at-or-before version (no snapshot); a pre-history
+    """Delta's startingTimestamp: stream commits AT OR AFTER the
+    timestamp — INCLUSIVE at the boundary (no snapshot); a pre-history
     timestamp streams the whole history; combining with
-    startingVersion refuses."""
+    startingVersion refuses; a datetime string refuses (epoch ms
+    only)."""
     import os
-    import time
 
     from pyspark.sql.types import StructType
 
@@ -530,12 +530,19 @@ def test_starting_timestamp_streams_from_commit_time(spark, tmp_path):
         return int(r._starting)
 
     assert starting(2_500_000) == 2   # after v1 -> start at v2
-    assert starting(3_000_000) == 3   # at v2 -> only future commits
+    assert starting(3_000_000) == 2   # AT v2 -> INCLUSIVE (Delta:
+    #                                   "committed at or after")
+    assert starting(3_500_000) == 3   # past head -> future commits only
     assert starting(500_000) == 0     # pre-history -> whole history
     with pytest.raises(ValueError, match="mutually exclusive"):
         TableStreamReader(schema, {"path": path,
                                    "startingversion": "1",
                                    "startingtimestamp": "1000"})
+    # a Delta-style datetime string must refuse loudly, never silently
+    # replay from version 0 (review r11)
+    with pytest.raises(ValueError, match="epoch MILLISECONDS"):
+        TableStreamReader(schema, {
+            "path": path, "startingtimestamp": "2026-08-16 00:00:00"})
     # end-to-end: rows of v2 only
     out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
     q = (
@@ -576,3 +583,41 @@ def test_cdf_starting_timestamp(spark, tmp_path):
     with pytest.raises(ValueError, match="mutually exclusive"):
         CdfStreamReader(schema, {"path": path, "startingversion": "1",
                                  "startingtimestamp": "1000"})
+
+
+def test_starting_timestamp_survives_expired_history(spark, tmp_path):
+    """A pre-history startingTimestamp on a table whose early chain was
+    expired must resolve to a STREAMABLE position: a version's append
+    set needs its predecessor's manifest, so the resolver advances past
+    the vacuumed boundary instead of wedging on _read_manifest(0)."""
+    import os
+
+    from clx_etl_spark.sinks.versioned import (
+        _manifest_path, expire_versions, starting_version_for_timestamp)
+
+    path = str(tmp_path / "t")
+    for i in range(5):
+        append_version(
+            spark.createDataFrame([(i, "v")], "k long, s string")
+            .coalesce(1), path)
+    for v in range(5):
+        ts = 1000 * (v + 1)
+        os.utime(_manifest_path(path, v), (ts, ts))
+    expire_versions(path, keep_latest=3)  # v0, v1 manifests reclaimed
+    assert not os.path.exists(_manifest_path(path, 1))
+    # pre-history ts: earliest surviving is v2, but v2's append set
+    # needs v1 (expired) -> resolve to v3
+    assert starting_version_for_timestamp(path, 1) == 3
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        stream_table(spark, path, starting_timestamp_ms=1)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    assert sorted(r.k for r in spark.read.parquet(out).collect()) == [3, 4]
+    # empty table: a timestamp start waits for data instead of raising
+    p2 = str(tmp_path / "empty")
+    os.makedirs(os.path.join(p2, "_manifests"))
+    assert starting_version_for_timestamp(p2, 123) == 0
