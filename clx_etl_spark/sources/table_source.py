@@ -1136,10 +1136,18 @@ def _plan_write_mapping(path: str, schema) -> dict:
         # DETERMINISTIC fresh physicals (review r11, confirmed
         # corruption): Spark instantiates this writer in more than one
         # python process per write (task-side and commit-side); every
-        # instance planning at the same head MUST derive the same
-        # fresh name or the staged files and the committed mapping
-        # disagree and the evolved column reads back NULL
-        salt = f"{head}|{json.dumps(m.get('colmap'), sort_keys=True)}"
+        # instance MUST derive the same fresh name or the staged files
+        # and the committed mapping disagree and the evolved column
+        # reads back NULL. The salt uses ONLY mapping state — exactly
+        # what the commit's drift check pins (review r12: a plain
+        # append racing between the two instantiations bumps the head
+        # VERSION without moving the colmap, so a version-salted plan
+        # diverged while the drift check passed). A racing commit that
+        # DOES move the colmap changes this salt and trips the drift
+        # check, so divergent plans can never both commit; the commit
+        # additionally verifies staged parquet footers against the
+        # mapping it is about to record.
+        salt = json.dumps(m.get("colmap"), sort_keys=True)
         _assign_fresh_physicals(
             mapping, dropped, tbl_names,
             [f for f in schema.fields if f.name not in tbl_names],
@@ -1522,6 +1530,24 @@ def _commit_staged_files(
         staged_schema = StructType([
             StructField(inv.get(f.name, f.name), f.dataType, True)
             for f in raw.fields]) if inv else raw
+    if files and plan is not None and plan.get("active") \
+            and plan.get("pmap"):
+        # belt-and-braces against plan divergence (review r12): the
+        # task-side and commit-side writer instances plan
+        # independently; whatever invariant guarantees they agree, the
+        # files on disk are the ground truth — refuse to record a
+        # mapping the staged footers do not actually carry (the
+        # alternative is an evolved column silently reading back NULL)
+        expected = set(plan["pmap"].values())
+        rogue = [n for n in staged_phys_names if n not in expected]
+        if rogue:
+            raise VersionConflictError(
+                f"DSv2 write to {path}: staged files carry physical "
+                f"column(s) {rogue} that the commit-side write plan "
+                f"does not map (expected {sorted(expected)}) — the "
+                "task-side and commit-side plans diverged; re-run the "
+                "write"
+            )
     cons = get_constraints(path)
     if cons and files:
         import duckdb

@@ -279,6 +279,68 @@ def test_dsv2_evolve_fresh_physical_after_drop(spark, tmp_path):
     assert all(v is None for k, v in got.items() if k != 999)
 
 
+def test_write_plan_salt_survives_interleaved_append(spark, tmp_path):
+    """ADVICE r11 (medium): Spark instantiates the DSv2 writer in more
+    than one python process (task-side pickle + commit-side); a PLAIN
+    append racing between those instantiations bumps the head version
+    without moving the colmap, and the commit's drift check (colmap
+    JSON only) passes. The fresh-physical salt must therefore be a
+    function of MAPPING STATE only — two plans computed at different
+    head versions under the same colmap derive identical fresh
+    physicals, or the staged files and the committed mapping disagree
+    and the evolved column silently reads back all-NULL."""
+    from clx_etl_spark.sources.table_source import _plan_write_mapping
+
+    path = str(tmp_path / "t")
+    _seed(spark, path, n=10)           # x double at physical 'x'
+    drop_columns(path, ["x"])          # retire physical 'x'
+    # evolution schema re-adds 'x' (collides with the retired physical)
+    schema = spark.createDataFrame([], "k long, s string, x string").schema
+    plan_a = _plan_write_mapping(path, schema)   # task-side instance
+    # the race: a plain append lands between the two instantiations —
+    # head bumps, colmap does not move
+    append_version(
+        spark.createDataFrame([(200, "mid")], "k long, s string"),
+        path)
+    plan_b = _plan_write_mapping(path, schema)   # commit-side instance
+    assert plan_a["mapping"]["x"] == plan_b["mapping"]["x"]
+    assert plan_a["mapping"]["x"].startswith("x-")
+    assert plan_a["head_colmap"] == plan_b["head_colmap"]
+
+
+def test_commit_refuses_staged_footers_outside_plan(spark, tmp_path):
+    """Belt-and-braces for the same class (review r12): whatever
+    guarantees the task-side and commit-side plans agree, the commit
+    verifies the staged parquet FOOTER names against the mapping it is
+    about to record and refuses loudly on a rogue physical — never a
+    silent all-NULL column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clx_etl_spark.sinks.versioned import VersionConflictError
+    from clx_etl_spark.sources.table_source import (_commit_staged_files,
+                                                    _plan_write_mapping)
+
+    path = str(tmp_path / "t")
+    _seed(spark, path, n=10)
+    drop_columns(path, ["x"])
+    schema = spark.createDataFrame([], "k long, s string, x string").schema
+    plan = _plan_write_mapping(path, schema)
+    fresh = plan["mapping"]["x"]
+    staging = os.path.join(path, "data", "dsv2-rogue")
+    os.makedirs(staging)
+    staged = os.path.join(staging, "part-rogue.parquet")
+    # a diverged task-side plan would have staged a DIFFERENT fresh
+    # physical than the one this commit is about to record
+    pq.write_table(
+        pa.table({"k": [500], "s": ["r"], "x-deadbeef": ["boom"]}), staged)
+    assert fresh != "x-deadbeef"
+    with pytest.raises(VersionConflictError, match="diverged"):
+        _commit_staged_files(path, [staged], overwrite=False,
+                             stats_cols=None, bloom_cols=None,
+                             plan=plan, evolve=True)
+
+
 def test_dsv2_write_racing_rename_refused(spark, tmp_path):
     """A rename landing between DSv2 write planning and commit fails
     the commit LOUDLY (Delta's MetadataChangedException shape): the
