@@ -2254,6 +2254,27 @@ def drop_columns(path: str, cols) -> int:
             # swallowed as success.
             xl0 = set(_xl(m)) | set(_colmap(m)[1])
             typos = [c for c in want if c not in xl0]
+            if typos and "xl" not in (m.get("colmap") or {}):
+                # ADVICE r11: on a PRE-'xl' manifest, a column that was
+                # RENAMED and then dropped retired under its PHYSICAL
+                # name — the logical name the replay uses appears in
+                # neither 'xl' (absent) nor 'x'. Accept a name whose
+                # historical logical->physical mapping (any surviving
+                # older manifest) lands on a currently-retired
+                # physical; expired history degrades to the typo error
+                # (loud, never a false success).
+                retired = set(_colmap(m)[1])
+                still = set(typos)
+                for hv in range(v - 1, -1, -1):
+                    if not still:
+                        break
+                    hp = _manifest_path(path, hv)
+                    if not os.path.exists(hp):
+                        continue
+                    hm, _ = _colmap(_read_manifest(path, hv))
+                    still -= {c for c in still
+                              if hm.get(c, c) in retired}
+                typos = [c for c in typos if c in still]
             if typos:
                 raise SchemaEnforcementError(
                     f"drop_columns: {typos} are not columns of "
@@ -3671,10 +3692,14 @@ def starting_version_for_timestamp(path: str, ts_ms: int) -> int:
     after the timestamp". A timestamp past the newest commit returns
     head+1 (only future commits stream); an empty table returns 0
     (the stream waits for data). If the resolved version's PREDECESSOR
-    manifest was expired, the result advances past it: a version's
-    append set derives from its predecessor's file list, so streaming
-    from a vacuumed boundary is unknowable — the same degradation
-    Delta documents for streaming from vacuumed history."""
+    manifest was expired, its append set is unknowable (a version's
+    appends derive from its predecessor's file list), so the requested
+    position cannot be streamed faithfully — this RAISES rather than
+    silently advancing past the vacuumed boundary (ADVICE r11: the
+    advance delivered strictly fewer rows than requested with no
+    error; Delta likewise fails loudly when streaming from vacuumed
+    history). The error names the explicit startingVersion that would
+    accept the data loss."""
     head = latest_version(path)
     if head is None:
         return 0
@@ -3684,7 +3709,16 @@ def starting_version_for_timestamp(path: str, ts_ms: int) -> int:
             continue
         if int(os.path.getmtime(p) * 1000) >= ts_ms:
             if v > 0 and not os.path.exists(_manifest_path(path, v - 1)):
-                continue  # append set unknowable: predecessor expired
+                raise ValueError(
+                    f"startingTimestamp {ts_ms} resolves to version "
+                    f"{v} at {path}, but version {v - 1}'s manifest "
+                    "was expired — the append set at this boundary is "
+                    "unknowable, so streaming from here would silently "
+                    "omit that commit's rows. Pass "
+                    f"startingVersion={v + 1} to explicitly skip the "
+                    "boundary commit, or omit the starting option to "
+                    "stream the current snapshot plus increments"
+                )
             return v
     return head + 1  # after the newest commit: future only
 

@@ -176,6 +176,39 @@ def test_drop_refusals_and_idempotence(spark, tmp_path):
     assert drop_columns(path, ["x"]) == v      # idempotent replay
 
 
+def test_legacy_replay_of_renamed_then_dropped_column(spark, tmp_path):
+    """ADVICE r11 (low): on a PRE-'xl' manifest (legacy tables from
+    before dropped LOGICAL names were recorded), a column that was
+    RENAMED and then dropped retired under its PHYSICAL name — the
+    replay-vs-typo check only knew 'x', so a legitimate idempotent
+    replay of drop_columns with the logical name raised as a typo.
+    The check now also accepts names whose historical mapping (older
+    surviving manifests) lands on a currently-retired physical; real
+    typos still raise."""
+    import json as _json
+
+    from clx_etl_spark.sinks.versioned import _manifest_path
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    rename_column(path, "x", "val")   # logical 'val' at physical 'x'
+    v = drop_columns(path, ["val"])   # retires physical 'x'
+    # strip 'xl' to simulate a legacy pre-xl manifest
+    mp = _manifest_path(path, v)
+    with open(mp) as fh:
+        m = _json.load(fh)
+    assert m["colmap"].pop("xl") == ["val"]
+    assert m["colmap"]["x"] == ["x"]  # retired under the PHYSICAL name
+    with open(mp, "w") as fh:
+        _json.dump(m, fh)
+    # legitimate replay with the LOGICAL name: idempotent success via
+    # the historical-mapping walk (v1's colmap maps val -> x)
+    assert drop_columns(path, ["val"]) == v
+    # a genuine typo still raises
+    with pytest.raises(SchemaEnforcementError, match="never dropped"):
+        drop_columns(path, ["valu"])
+
+
 def test_dsv2_reads_and_writes_mapped_table(spark, tmp_path):
     """The DSv2 reader translates pushed filters and projections to
     physical names; the DSv2 write door implements the columnMapping

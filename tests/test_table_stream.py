@@ -585,11 +585,16 @@ def test_cdf_starting_timestamp(spark, tmp_path):
                                  "startingtimestamp": "1000"})
 
 
-def test_starting_timestamp_survives_expired_history(spark, tmp_path):
-    """A pre-history startingTimestamp on a table whose early chain was
-    expired must resolve to a STREAMABLE position: a version's append
-    set needs its predecessor's manifest, so the resolver advances past
-    the vacuumed boundary instead of wedging on _read_manifest(0)."""
+def test_starting_timestamp_refuses_vacuumed_boundary(spark, tmp_path):
+    """ADVICE r11 (low): a startingTimestamp landing on a surviving
+    version whose PREDECESSOR manifest was expired used to silently
+    advance past that version — streaming strictly fewer rows than
+    requested with no error. A version's append set needs its
+    predecessor's file list, so the boundary is unknowable: the
+    resolver now fails LOUDLY (Delta's behavior for streaming from
+    vacuumed history) and names the explicit startingVersion escape
+    hatch; the explicit escape streams exactly the post-boundary
+    commits."""
     import os
 
     from clx_etl_spark.sinks.versioned import (
@@ -606,11 +611,16 @@ def test_starting_timestamp_survives_expired_history(spark, tmp_path):
     expire_versions(path, keep_latest=3)  # v0, v1 manifests reclaimed
     assert not os.path.exists(_manifest_path(path, 1))
     # pre-history ts: earliest surviving is v2, but v2's append set
-    # needs v1 (expired) -> resolve to v3
-    assert starting_version_for_timestamp(path, 1) == 3
+    # needs v1 (expired) -> loud refusal naming startingVersion=3
+    with pytest.raises(ValueError, match="startingVersion=3"):
+        starting_version_for_timestamp(path, 1)
+    # a timestamp inside surviving history still resolves (v3's
+    # predecessor v2 survives; utime is seconds, the resolver takes ms)
+    assert starting_version_for_timestamp(path, 3_500_000) == 3
+    # the named escape hatch streams exactly the post-boundary commits
     out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
     q = (
-        stream_table(spark, path, starting_timestamp_ms=1)
+        stream_table(spark, path, starting_version=3)
         .writeStream.format("parquet").option("path", out)
         .option("checkpointLocation", ck)
         .outputMode("append").trigger(availableNow=True).start()
