@@ -835,6 +835,83 @@ def versioned_change_feed(spark, sf):
     return out
 
 
+@register(
+    "versioned_cdf_across_mapping",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(2 * (o_orderkey //
+                  ((SELECT MAX(o_orderkey) FROM orders) // 2 + 1))
+                  AS INTEGER) AS cv
+      FROM orders),
+    upd AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 = 0)
+    SELECT o_orderkey, o_totalprice AS price,
+           'insert' AS change_type, cv AS commit_version FROM base
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'update_preimage', 4 FROM upd
+    UNION ALL
+    SELECT o_orderkey, o_totalprice + 10.0, 'update_postimage', 4 FROM upd
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete', 4
+    FROM orders WHERE o_orderkey % 103 = 0 AND o_orderkey % 97 <> 0
+    """,
+    doc="Batch CDF ACROSS column-mapping commits (VERDICT r11 item 1; "
+    "Delta columnMapping CDF — until r12 the range refused): orders "
+    "seeds two key-range appends with a RENAME (o_totalprice -> price) "
+    "between them and a DROP COLUMN (o_orderpriority) before a "
+    "change_feed=True merge; table_changes(-1..head) translates every "
+    "commit's change frame to the END version's logical names via the "
+    "stable physical keys — v0's frames (written under the OLD name, "
+    "with the later-dropped column) hash-match the oracle under the "
+    "head names, the dropped column leaves every frame, and the "
+    "metadata commits themselves contribute zero rows",
+)
+def versioned_cdf_across_mapping(spark, sf):
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import (append_version, drop_columns,
+                                   merge_version, rename_column,
+                                   table_changes)
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    tmp = tempfile.mkdtemp(prefix="clx_vcfm_")
+    path = tmp + "/t"
+    try:
+        hi = orders.agg(F.max("o_orderkey")).first()[0] or 1
+        step = hi // 2 + 1
+        append_version(
+            orders.filter(F.col("o_orderkey") < step).coalesce(1),
+            path, stats_cols=["o_orderkey"])                    # v0
+        rename_column(path, "o_totalprice", "price")            # v1
+        append_version(
+            orders.filter(F.col("o_orderkey") >= step)
+            .withColumnRenamed("o_totalprice", "price").coalesce(1),
+            path, stats_cols=["o_orderkey"])                    # v2
+        drop_columns(path, ["o_orderpriority"])                  # v3
+        upd = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 10.0).alias("price"))
+        dels = orders.filter(
+            F.col("o_orderkey") % 103 == 0).select("o_orderkey")
+        merge_version(upd, path, keys=["o_orderkey"], deletes=dels,
+                      change_feed=True)                         # v4
+        out = (
+            table_changes(spark, path, -1)
+            .select(
+                "o_orderkey", "price",
+                F.col("_change_type").alias("change_type"),
+                F.col("_commit_version").alias("commit_version"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 from ..operators import multimodal as MM
 
 # shared stub-decode oracle fragment: identical sha256-derived arithmetic

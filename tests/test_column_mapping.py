@@ -418,6 +418,54 @@ def test_dsv2_write_racing_rename_refused(spark, tmp_path):
         F.col("key") == 500).count() == 1
 
 
+def test_change_feed_crosses_rename_and_drop(spark, tmp_path):
+    """VERDICT r11 item 1: batch CDF across column-mapping commits.
+    Physical names are stable across renames, so each commit's change
+    frame translates exactly to the RANGE-END version's logical names
+    (Delta columnMapping CDF) instead of refusing the range. Dropped
+    columns leave every frame (the end schema rules); a re-added name
+    gets a fresh physical, so pre-drop frames surface NULL for it —
+    old bytes never alias onto the new column."""
+    path = str(tmp_path / "t")
+    _seed(spark, path, n=4)                        # v0: k,s,x
+    rename_column(path, "k", "key")                # v1 (metadata)
+    append_version(
+        spark.createDataFrame([(100, "a", 5.0)],
+                              "key long, s string, x double").coalesce(1),
+        path)                                      # v2
+    drop_columns(path, ["x"])                      # v3 (metadata)
+    merge_version(
+        spark.createDataFrame([(100, "updated")], "key long, s string"),
+        path, keys=["key"], change_feed=True)      # v4: update via merge
+    ch = table_changes(spark, path, -1)
+    assert set(ch.columns) == {"key", "s", "_change_type",
+                               "_commit_version"}  # x gone everywhere
+    rows = {(r.key, r._change_type, r._commit_version)
+            for r in ch.collect()}
+    # v0's appends answer under the HEAD name 'key'
+    assert (0, "insert", 0) in rows and (3, "insert", 0) in rows
+    assert (100, "insert", 2) in rows
+    assert (100, "update_preimage", 4) in rows
+    assert (100, "update_postimage", 4) in rows
+    # metadata commits contribute zero rows
+    assert not any(v in (1, 3) for _, _, v in rows)
+    # re-add 'x' (fresh physical) and append a value: old frames NULL
+    add_columns(path, [("x", DoubleType())])       # v5 (metadata no-op row)
+    append_version(
+        spark.createDataFrame([(200, "n", 9.0)],
+                              "key long, s string, x double").coalesce(1),
+        path)                                      # v6
+    ch2 = table_changes(spark, path, -1)
+    got = {r.key: (r.x, r._commit_version) for r in ch2.collect()
+           if r._change_type == "insert"}
+    assert got[200] == (9.0, 6)
+    assert got[0][0] is None      # pre-drop frame: never the old bytes
+    assert got[100][0] is None
+    # sub-range fully on one side of the mapping commits: untranslated
+    tail = table_changes(spark, path, 5)
+    assert [r.key for r in tail.collect()] == [200]
+
+
 def test_change_feed_replays_per_version_names(spark, tmp_path):
     """CDC across a rename: each commit's changes replay under THAT
     version's logical names (append legs rename physical->logical with
