@@ -29,12 +29,21 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions import tokens
 
 
+def _char_split(c):
+    """CODEPOINT-safe character split (VERDICT r11 item 3; the previous
+    ``F.split(col, '')`` produced UTF-16 code units, so a non-BMP code
+    point — emoji, CJK extensions — split into two surrogate halves).
+    Java regex ``.`` consumes one full code point, so
+    ``regexp_extract_all`` yields whole characters — the same alphabet
+    DuckDB's RE2 ``(.)`` brackets in the training oracle
+    (queries/datasets._bpe_oracle), making the oracle identity hold on
+    any corpus, not just ASCII."""
+    return F.regexp_extract_all(c, F.lit("(?s)."), 0)
+
+
 def _word_symbols(words: DataFrame) -> DataFrame:
     """(word, freq) -> (word, freq, syms: array<string> of characters)."""
-    return words.withColumn(
-        "syms",
-        F.filter(F.split(F.col("word"), ""), lambda c: c != ""),
-    )
+    return words.withColumn("syms", _char_split(F.col("word")))
 
 
 def _merge_fold(syms, a: str, b: str):
@@ -147,9 +156,7 @@ def bpe_encode(
         "doc_id",
         "word_pos",
         "word",
-        F.coalesce(
-            F.col("syms"), F.filter(F.split(F.col("word"), ""), lambda c: c != "")
-        ).alias("syms"),
+        F.coalesce(F.col("syms"), _char_split(F.col("word"))).alias("syms"),
     )
 
 

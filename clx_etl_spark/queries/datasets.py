@@ -188,15 +188,16 @@ def _bpe_oracle(num_merges: int = 8) -> str:
     inlines each round\'s references and re-evaluates the chain
     exponentially.
 
-    SCOPE (ADVICE r10): the identity assumes an ASCII/BMP corpus free
-    of the \\x01/\\x02 bracket bytes. The engine\'s base alphabet comes
-    from ``F.split(word, \'\')`` (UTF-16 code units — a non-BMP code
-    point splits into two surrogate halves) while this oracle\'s
-    ``regexp_replace(word, \'(.)\', ...)`` brackets whole code points,
-    and a literal \\x01/\\x02 inside a token would corrupt the bracket
-    encoding. Both engines agree on the synthetic testdata (ASCII);
-    for wider corpora normalize the engine side to a codepoint-safe
-    split before relying on this oracle."""
+    SCOPE: the engine\'s base alphabet is CODEPOINT-safe since r12
+    (operators/bpe._char_split — Java regex \'.\' consumes one full
+    code point, previously F.split(word, \'\') split non-BMP code
+    points into UTF-16 surrogate halves), matching this oracle\'s
+    ``regexp_replace(word, \'(.)\', ...)`` which brackets whole code
+    points in RE2 — the identity holds on any corpus, emoji/CJK
+    included (pytest: test_bpe.py non-BMP oracle parity). The one
+    remaining assumption: a literal \\x01/\\x02 byte inside a token
+    would corrupt the oracle\'s bracket encoding (the ENGINE is
+    unaffected — only this SQL twin brackets)."""
     S, E = r"\x01", r"\x02"
     ctes = [
         f"docs_toks AS MATERIALIZED (SELECT doc_id, {TOKS} AS t "
