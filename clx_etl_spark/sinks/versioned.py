@@ -148,6 +148,72 @@ def _manifest_path(path: str, version: int) -> str:
     return os.path.join(_manifest_dir(path), f"v{version}.json")
 
 
+class LocalCommitBackend:
+    """The COMMIT-PRIMITIVE IO of a versioned table, in one swappable
+    object (VERDICT r11 item 4 — previously the ``open(path, 'x')``
+    CAS and the hint IO were inlined in ``_commit``/``latest_version``,
+    making an object-store port a rewrite instead of a swap). Exactly
+    three primitives, each with a documented object-store mapping:
+
+    * ``put_if_absent(dest, payload)`` — THE atomic commit point
+      (Delta's put-if-absent on the next JSON log entry). Local FS:
+      exclusive-create ``open(dest, 'x')``. S3: conditional PUT with
+      ``If-None-Match: *`` (native since 2024; on older stacks, a DynamoDB
+      conditional write as in Delta's S3DynamoDBLogStore); GCS: PUT with
+      ``x-goog-if-generation-match: 0``; ADLS2: create with
+      ``If-None-Match: *``. Returns False when the destination already
+      exists — the caller surfaces VersionConflictError and rebases.
+    * ``replace_atomic(dest, payload)`` — the ADVISORY head hint.
+      Local FS: tmp + ``os.replace`` (readers never observe a torn
+      write). Object stores: a plain single-key PUT (already atomic;
+      last-writer-wins is fine — the hint may lag, never lie about a
+      committed manifest's content, and ``latest_version`` probes
+      forward from it / falls back to a listing on garbage).
+    * ``read_text(src)`` — manifest/hint read; None when absent.
+      Object stores: GET (the read-after-write consistency S3 has
+      guaranteed since 2020 is assumed — the probe loop needs a
+      committed manifest to be immediately readable).
+
+    Everything else (data files, stats/dv sidecars, change feeds) is
+    plain immutable-blob IO written BEFORE the commit point and
+    referenced by it — no conditional semantics needed, any store
+    works. Swap via ``set_commit_backend`` (tests inject faults the
+    same way)."""
+
+    def put_if_absent(self, dest: str, payload: str) -> bool:
+        try:
+            fh = open(dest, "x")
+        except FileExistsError:
+            return False
+        with fh:
+            fh.write(payload)
+        return True
+
+    def replace_atomic(self, dest: str, payload: str) -> None:
+        tmp = f"{dest}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        os.replace(tmp, dest)
+
+    def read_text(self, src: str) -> str | None:
+        try:
+            with open(src) as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
+
+
+_BACKEND = LocalCommitBackend()
+
+
+def set_commit_backend(backend) -> object:
+    """Install a commit backend (see LocalCommitBackend); returns the
+    previous one so tests/deployments can restore it."""
+    global _BACKEND
+    prev, _BACKEND = _BACKEND, backend
+    return prev
+
+
 def latest_version(path: str) -> int | None:
     """The current head. ``_latest`` is a HINT, not the truth: with
     concurrent appenders (optimistic rebase), the loser of the CAS may
@@ -156,11 +222,11 @@ def latest_version(path: str) -> int | None:
     manifest's exclusive-create is the real commit point; the probe is
     O(concurrent writers), almost always zero extra stats)."""
     f = os.path.join(_manifest_dir(path), "_latest")
-    if not os.path.exists(f):
-        return None
     try:
-        with open(f) as fh:
-            v = int(fh.read().strip())
+        hint = _BACKEND.read_text(f)
+        if hint is None:
+            return None
+        v = int(hint.strip())
     except (ValueError, OSError):
         # torn/concurrent hint state (pre-r11 tables written by older
         # engines used a truncating write; os.replace is atomic now but
@@ -175,11 +241,13 @@ def latest_version(path: str) -> int | None:
             _re.fullmatch(r"v(\d+)\.json", n)
             for n in os.listdir(_manifest_dir(path))) if m]
         v = max(vs, default=0) - 1  # the probe loop JSON-validates v+1
-    while os.path.exists(_manifest_path(path, v + 1)):
+    while True:
+        nxt = _BACKEND.read_text(_manifest_path(path, v + 1))
+        if nxt is None:
+            break
         try:
-            with open(_manifest_path(path, v + 1)) as nh:
-                json.load(nh)
-        except (OSError, ValueError):
+            json.loads(nxt)
+        except ValueError:
             break  # claimed slot still being written: not committed yet
         v += 1
     return v if v >= 0 else None
@@ -189,8 +257,10 @@ _READER_FEATURES = {"deletion-vectors", "dv-sidecar"}
 
 
 def _read_manifest(path: str, version: int) -> dict:
-    with open(_manifest_path(path, version)) as fh:
-        m = json.load(fh)
+    raw = _BACKEND.read_text(_manifest_path(path, version))
+    if raw is None:
+        raise FileNotFoundError(_manifest_path(path, version))
+    m = json.loads(raw)
     # forward-compat guard (Delta's reader protocol version): a manifest
     # written by a future engine revision with a feature this reader
     # cannot honor must fail LOUDLY, not silently return wrong rows
@@ -1561,13 +1631,13 @@ def _commit(
         else:
             manifest["dv"] = dv
         manifest["reader_features"] = features
-    # CAS-style guard: exclusive-create of the manifest is the atomic
-    # commit point (mirrors Delta's "put-if-absent on the next JSON
-    # log entry"); a concurrent writer that computed the same next
+    # CAS-style guard: the backend's conditional put of the manifest is
+    # the atomic commit point (mirrors Delta's "put-if-absent on the
+    # next JSON log entry" — see LocalCommitBackend for the S3/GCS/
+    # ADLS2 mapping); a concurrent writer that computed the same next
     # version loses loudly instead of silently clobbering history.
-    try:
-        fh = open(_manifest_path(path, version), "x")
-    except FileExistsError:
+    if not _BACKEND.put_if_absent(_manifest_path(path, version),
+                                  json.dumps(manifest, default=str)):
         # the loser's OWN new sidecars are unreferenced — reclaim now
         # (carried-by-reference parent segments are the winner's too:
         # never touched)
@@ -1580,18 +1650,14 @@ def _commit(
             f"concurrent commit detected: version {version} already "
             f"exists at {path} — another writer committed first; "
             f"re-read the head and retry"
-        ) from None
-    with fh:
-        json.dump(manifest, fh, default=str)
-    # the hint write must be ATOMIC (tmp + rename): a plain "w" open
-    # truncates in place, and a concurrent latest_version() reading the
-    # empty window crashed on int('') — caught by the r11 thread-storm
-    # test, invisible to every monkeypatched interleaving before it
-    tmp = os.path.join(_manifest_dir(path),
-                       f".latest-{os.getpid()}-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as fh:
-        fh.write(str(version))
-    os.replace(tmp, os.path.join(_manifest_dir(path), "_latest"))
+        )
+    # the hint write must be ATOMIC (replace_atomic — tmp + rename on
+    # local FS): a plain "w" open truncates in place, and a concurrent
+    # latest_version() reading the empty window crashed on int('') —
+    # caught by the r11 thread-storm test, invisible to every
+    # monkeypatched interleaving before it
+    _BACKEND.replace_atomic(os.path.join(_manifest_dir(path), "_latest"),
+                            str(version))
     return version
 
 
