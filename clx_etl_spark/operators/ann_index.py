@@ -241,6 +241,92 @@ def append_to_ann_index(
         coded.unpersist()
 
 
+def cell_occupancy(spark: SparkSession, path: str) -> dict:
+    """Per-cell index-entry counts plus the max/median skew ratio — the
+    probe-cost health metric (VERDICT r11 item 5): a probe scans its
+    cells' partitions, so one overgrown cell makes every query that
+    probes it pay its occupancy regardless of nlist. Counts are RAW rows
+    (dead generations included — that is what a probe reads before
+    visibility filtering); after compact_ann_index raw == live. Returns
+    {"cells": {cell: rows}, "max": int, "median": float, "ratio": float}
+    — empty cells contribute 0 to the median via the model's nlist."""
+    import statistics
+
+    model = load_ann_model(spark, path)
+    occ = {
+        int(r.ivf_cell): int(r.n)
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(f"{path}/index")
+        .groupBy("ivf_cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    counts = [occ.get(c, 0) for c in range(int(model["nlist"]))]
+    med = statistics.median(counts) if counts else 0.0
+    mx = max(counts, default=0)
+    return {
+        "cells": occ,
+        "max": mx,
+        "median": float(med),
+        "ratio": (mx / med) if med > 0 else float("inf") if mx else 1.0,
+    }
+
+
+def rebalance_ann_index(
+    spark: SparkSession, path: str, skew_bound: float = 4.0,
+    force: bool = False,
+) -> dict | None:
+    """The retrain/rebalance door for cell skew after churn (VERDICT
+    r11 item 5): centroids are trained once at build time, so heavy CDC
+    churn concentrated in one region of embedding space overfills a few
+    cells and probe cost degrades toward a scan of the hot cell.
+    When ``cell_occupancy`` ratio exceeds ``skew_bound`` (or ``force``),
+    RETRAIN the coarse centroids on the current index contents —
+    decoded from the PQ codes via literal-expression reconstruction, so
+    no original float corpus is needed — and re-cell every entry under
+    the new centroids. PQ codebooks are FROZEN (the distance geometry
+    queries score with is unchanged — only the partitioning moves), and
+    epochs/tombstones ride through untouched, so sync cursors and
+    visibility compose exactly as before. Cost: one scan + one
+    partitioned rewrite of the codes (m small ints per vector), the
+    same nightly-maintenance weight class as compact_ann_index.
+    Returns {"before": occupancy, "after": occupancy, "rows": n}, or
+    None when the index is within the bound (the no-op fast path reads
+    only the per-cell counts)."""
+    from .similarity import _sub_dist2
+
+    before = cell_occupancy(spark, path)
+    if not force and before["ratio"] <= skew_bound:
+        return None
+    model = load_ann_model(spark, path)
+    idc = model["id_col"]
+    raw = spark.read.option("mergeSchema", "true").parquet(f"{path}/index")
+    if "_epoch" not in raw.columns:
+        raw = raw.withColumn("_epoch", F.lit(0))
+    recon = raw.withColumn(
+        "_vvec", pq_reconstruct(model["codebooks"]))
+    n = recon.count()
+    cents = train_ivf_centroids(
+        recon, nlist=int(model["nlist"]), id_col=idc, vec_col="_vvec", n=n,
+    )
+    # expression-argmin re-cell (the pq_assign pattern — linear tree in
+    # nlist, no UDF): nlist is the small knob (8-1024), so the literal
+    # centroid matrix stays KBs
+    dists = F.array(*[_sub_dist2(F.col("_vvec"), c) for c in cents])
+    moved = (
+        recon.withColumn(
+            "ivf_cell",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+        .drop("_vvec")
+        .localCheckpoint(eager=True)  # read + overwrite the same dir
+    )
+    moved.write.mode("overwrite").partitionBy("ivf_cell").parquet(
+        f"{path}/index")
+    model["centroids"] = cents
+    spark.createDataFrame([(json.dumps(model),)], "model string").coalesce(
+        1).write.mode("overwrite").text(f"{path}/model")
+    return {"before": before, "after": cell_occupancy(spark, path),
+            "rows": n}
+
+
 def compact_ann_index(spark: SparkSession, path: str) -> dict:
     """Fold tombstoned and superseded generations OUT of the index
     partitions (VERDICT r10 item 7): without this, a lakehouse-synced
@@ -292,7 +378,12 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
         # dir readable so the query fast-path stays branch-free
         spark.createDataFrame([], tomb_schema).write.mode(
             "overwrite").parquet(f"{path}/tombstones")
-    return {"kept": kept, "dropped": total - kept}
+    # post-rewrite cell health (VERDICT r11 item 5): compaction bounds
+    # index SIZE but not SKEW — churn concentrated in embedding space
+    # overfills cells the frozen centroids cannot re-split. Surface the
+    # occupancy so maintenance can gate rebalance_ann_index on it.
+    occ = cell_occupancy(spark, path)
+    return {"kept": kept, "dropped": total - kept, "occupancy": occ}
 
 
 def build_ann_index_from_table(

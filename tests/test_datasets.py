@@ -302,6 +302,59 @@ def test_ann_index_incremental_append(spark, tmp_path):
     assert after.count() == len(before)
 
 
+def test_ann_index_cell_skew_rebalance(spark, tmp_path):
+    """VERDICT r11 item 5: centroids are trained once, so CDC churn
+    concentrated in one embedding region overfills a cell and probe
+    cost degrades. compact_ann_index reports per-cell occupancy; the
+    rebalance door (rebalance_ann_index) fires only past the skew
+    bound, retrains centroids from the PQ-decoded index itself, and
+    restores probe cost — codes/epochs untouched."""
+    from clx_etl_spark.operators.ann_index import (
+        append_to_ann_index, build_ann_index, cell_occupancy,
+        compact_ann_index, query_ann_index, rebalance_ann_index)
+    from clx_etl_spark.operators.similarity import assign_ivf_cells
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ann4")
+    model = build_ann_index(emb, path, nlist=4, m=4, k_codes=8)
+    # a freshly trained index is within the bound: the door is a no-op
+    assert rebalance_ann_index(spark, path, skew_bound=4.0) is None
+    # churn: replay one cell's vectors 6x under fresh ids — the hot
+    # cell's occupancy multiplies while the others stay put
+    cells = assign_ivf_cells(emb, model["centroids"])
+    hot = (cells.groupBy("ivf_cell").count()
+           .orderBy(F.desc("count"), "ivf_cell").first().ivf_cell)
+    hot_vecs = cells.filter(F.col("ivf_cell") == hot).select(
+        "vec_id", "embedding")
+    for i in range(1, 7):
+        append_to_ann_index(
+            hot_vecs.select(
+                (F.col("vec_id") + 100_000 * i).alias("vec_id"),
+                "embedding"),
+            path, epoch=i)
+    res = compact_ann_index(spark, path)
+    occ = res["occupancy"]
+    assert occ["ratio"] > 4.0  # the churn really skewed the index
+    assert occ["cells"][hot] == occ["max"]
+    total = sum(occ["cells"].values())
+    # the door fires, retrains, and the hot cell shrinks
+    reb = rebalance_ann_index(spark, path, skew_bound=4.0)
+    assert reb is not None and reb["rows"] == total
+    assert reb["after"]["max"] < reb["before"]["max"]
+    assert reb["after"]["ratio"] < reb["before"]["ratio"]
+    assert sum(reb["after"]["cells"].values()) == total  # nothing lost
+    assert cell_occupancy(spark, path)["cells"] == reb["after"]["cells"]
+    # queries serve through the retrained model: a corpus vector's
+    # nearest neighbors include its own churn replicas (same vector)
+    q = emb.join(hot_vecs.select("vec_id"), "vec_id").limit(1)
+    qid = q.first().vec_id
+    nbrs = [r.neighbor_id for r in
+            query_ann_index(spark, path, q, k=6, nprobe=2).collect()]
+    # the 6 churn replicas are the SAME vector (ADC distance 0): they
+    # dominate the top-k through the retrained layout
+    assert sum(1 for n in nbrs if n % 100_000 == qid and n != qid) >= 3
+
+
 def test_expectations_on_dirty_data(spark):
     from clx_etl_spark.operators import expectations as E
 
