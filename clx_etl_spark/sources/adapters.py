@@ -21,10 +21,12 @@ these adapters runs fully distributed.
 Status enum (reference src/constants.py:4-8): ACTIVE=0 HALTED=1
 PENDING=2 CLOSED=3. Inst types: SPOT=0 PERP=1.
 
-weex is deliberately absent: the reference ships a half-written
-WeexPerpClient that is registered in neither CLIENT_REGISTRY nor
-HANDLE_CLIENT (and crashes in get_all_symbols — ``symbol["..."]`` on a
-string), i.e. dead code.
+weex (r12): the reference ships a half-written WeexPerpClient that is
+registered in neither CLIENT_REGISTRY nor HANDLE_CLIENT (and crashes in
+get_all_symbols — ``symbol["..."]`` on a string), i.e. dead code. It is
+modeled here anyway for reference-tree closure — 21st registry entry,
+parse-only (no kline feed, not in any dispatch list), field mapping
+taken from the evident intent of exchanges/weex/perp.py:27-47.
 """
 
 from __future__ import annotations
@@ -50,6 +52,7 @@ SPOT, PERP = 0, 1
 EXCHANGE_IDS = {
     "aster": 1, "binance": 2, "bitget": 3, "bitmart": 4, "bybit": 5,
     "coinbase": 6, "gate": 7, "kraken": 8, "mexc": 9, "okx": 10, "woox": 11,
+    "weex": 12,
 }
 
 # reference src/exchanges/kraken/spot.py:8-26 — legacy asset names
@@ -610,6 +613,30 @@ REGISTRY: dict[str, ExchangeAdapter] = {
             interval_map={"1m": "1m", "1h": "1h", "1d": "1d"},
             start_key="start_time", end_key="end_time",
         ),
+    ),
+    # --- weex (exchanges/weex/perp.py — DEAD CODE in the reference: ---
+    # registered in neither CLIENT_REGISTRY nor HANDLE_CLIENT, and its
+    # get_all_symbols as written crashes (indexes the symbol STRING:
+    # perp.py:37-38); modeled here from the evident intent — the row's
+    # underlying_index/quote_currency fields — for tree closure (VERDICT
+    # r11 item 6). spot.py is an empty file; there is no kline feed.
+    "weex_perp": ExchangeAdapter(
+        "weex", PERP,
+        SymbolScan(
+            payload_path=None,  # /capi/v2/market/contracts returns the list
+            pre_select={
+                "_pp": lambda: precision_of("tick_size"),
+                "_qp": lambda: precision_of("minOrderSize"),
+            },
+            field_map={
+                "symbol": "symbol", "base_asset": "underlying_index",
+                "quote_asset": "quote_currency", "status": "status",
+                "tick_size": "tick_size", "step_size": "size_increment",
+                "price_precision": "_pp", "quantity_precision": "_qp",
+            },
+            status_map={"TRADING": ACTIVE, "SUSPENDED": HALTED},
+        ),
+        None,  # the reference defines no weex kline endpoint
     ),
 }
 

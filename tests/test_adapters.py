@@ -115,6 +115,18 @@ SYMBOL_PAYLOADS = {
         {"symbol": "PERP_BTC_USDT", "status": "TRADING",
          "quote_tick": "0.1", "base_tick": "0.001", "listing_time": "1600000000"},
     ]},
+    # weex (reference exchanges/weex/perp.py:27-47 — dead code modeled
+    # from intent): /capi/v2/market/contracts returns a bare list
+    "weex_perp": [
+        {"symbol": "cmt_btcusdt", "underlying_index": "BTC",
+         "quote_currency": "USDT", "status": "TRADING",
+         "tick_size": "0.5", "size_increment": "0.001",
+         "minOrderSize": "0.001"},
+        {"symbol": "cmt_suspusdt", "underlying_index": "SUSP",
+         "quote_currency": "USDT", "status": "SUSPENDED",
+         "tick_size": "0.01", "size_increment": "1",
+         "minOrderSize": "1"},
+    ],
 }
 SYMBOL_PAYLOADS["woox_perp"] = SYMBOL_PAYLOADS["woox_spot"]
 
@@ -257,7 +269,11 @@ def test_kline_feed_list_matches_reference_dispatch():
     assert len(KLINE_FEEDS) == 17
     assert set(KLINE_FEEDS) <= set(REGISTRY)
     assert {"aster_spot", "coinbase_spot", "gate_perp"} & set(KLINE_FEEDS) == set()
-    assert len(REGISTRY) == 20
+    # 20 reference-registered clients + weex_perp (r12: dead code in the
+    # reference, modeled parse-only for tree closure; never dispatched)
+    assert len(REGISTRY) == 21
+    assert REGISTRY["weex_perp"].klines is None
+    assert "weex_perp" not in KLINE_FEEDS
 
 
 def test_perp_row_filters_drop_non_perpetual(spark):
