@@ -52,72 +52,70 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # oracle suite (tests/test_queries_oracle.py) always sweeps everything
 # at sf0.01 regardless.
 SWEEP_FRONT: list[str] = [
-    # ---- round-11 front ----
-    # NEW this round: streaming across a RENAME (schema tracking,
-    # VERDICT r10 item 3) and persisted-ANN-index compaction (item 7)
-    "versioned_stream_schema_track",
-    "ann_index_compaction",
+    # ---- round-12 front ----
+    # NEW this round: batch CDF across column-mapping commits (VERDICT
+    # r11 item 1 — table_changes translates change frames to the end
+    # version's names via the stable physical keys)
+    "versioned_cdf_across_mapping",
+    # CODE CHANGED this round: table_changes + drop_columns replay +
+    # startingTimestamp boundary + the commit backend (sinks/
+    # versioned.py), the fresh-physical salt + footer check (sources/
+    # table_source.py), the codepoint-safe BPE split (operators/
+    # bpe.py), and compact_ann_index's occupancy report
+    # (operators/ann_index.py) — re-sweep every query those back
+    "versioned_change_feed",
     "versioned_dsv2_mapped_write",
-    # FRESHNESS, highest priority: the five r05 stragglers that fell
-    # past the 50-cap in round 10 (VERDICT r10 item 4)
-    "token_pmi",
-    "top_event_paths",
-    "trend_slope_by_type",
-    "winsorize_event_values",
-    "zorder_locality_stats",
-    # CODE CHANGED this round: sinks/versioned.py (colmap 'xl' carry,
-    # latest_version hint, drop_columns replay guard) and
-    # sources/table_source.py (columnMapping writer, schema tracking,
-    # maxFilesPerTrigger) back the whole versioned family — re-sweep
-    # its r10 rows. (versioned_count_col_meta dropped from the front
-    # to keep it at exactly 50 before the rows-only sentinel — its
-    # backing op, count_col_meta, is untouched this round and its r10
-    # row is fresh; review r11 caught the 51-entry spill that would
-    # have silently starved w4_sliding_window_counts.)
-    "versioned_schema_rename_drop",
-    "versioned_optimize",
     "versioned_table_stream",
-    # FRESHNESS: the full r06 cohort (stalest remaining cumulative
-    # proofs — this closes the ledger to floor r07 everywhere)
-    "anomaly_mad_by_type",
-    "attribution_interval_join",
-    "class_balance_oversample",
-    "cube_revenue",
-    "dq_orders_expectations",
-    "embedding_label_centroids",
-    "fk_inclusion_audit",
-    "graph_suite",
-    "hybrid_search_rerank",
-    "j1_semi_active_customers",
-    "j6_anti_new_only",
-    "k1_upsert_last_wins",
-    "lm_score_heldout",
-    "mix_waterfill",
-    "mm_audio_windows",
-    "q10_top_returns",
-    "q14_promo_ratio",
-    "q17_small_quantity_revenue",
-    "q18_group_having",
-    "q19_disjunctive_pushdown",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q4_exists_semijoin",
-    "q5_region_revenue",
-    "q6_revenue_delta",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_revenue_by_nation_year",
-    "rollup_revenue",
-    "sketch_daily_users_exact",
-    "source_content_overlap",
-    "split_dedup_aware",
-    "t11_entity_classify",
-    "t14_threshold_by_prefix",
-    "t15_explode_dims",
-    "table_profile",
-    "topk_per_group",
-    "u3_union_by_name",
-    "w4_sliding_window_counts",
+    "versioned_stream_schema_track",
+    "versioned_schema_rename_drop",
+    "bpe_train_encode",
+    "bpe_pair_stats",
+    "ann_index_compaction",
+    # FRESHNESS: the full 36-query r07 cohort (VERDICT r11 item 2 —
+    # the stalest cumulative rows; with the 5 r08 fills below this
+    # lifts the ledger floor to r08 everywhere)
+    "bm25_doc_scores",
+    "cap_per_source",
+    "corpus_curation",
+    "decontam_ngram_overlap",
+    "dedup_best_representative",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dod_revenue_change",
+    "fuzzy_name_match",
+    "heavy_hitters_tokens",
+    "inverted_index_terms",
+    "j4_double_left_tags",
+    "mm_embedding_knn",
+    "mm_frame_sample",
+    "mm_image_resize",
+    "mode_per_group",
+    "pack_training_sequences",
+    "profile_orders_columns",
+    "q11_important_parts",
+    "q12_late_lines_by_status",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q1_pricing_summary",
+    "q20_heavy_suppliers",
+    "q21_last_shipper",
+    "q3_shipping_priority",
+    "quality_percentile_gate",
+    "ratio_to_report",
+    "shard_balance_stats",
+    "sim_embedding_near_dup",
+    "sim_knn_bruteforce",
+    "sim_knn_ivf",
+    # FRESHNESS fill to exactly 50: the first five r08-cohort rows
+    "a1_watermark",
+    "a2_integrity_hourly",
+    "a3_latest_per_key",
+    "a6_distinct_users",
+    "asof_last_purchase",
     # rows-only by design (approximate HLL; its exact twin
     # sketch_daily_users_exact is hash-proven) — kept OUT of the
     # 50-sweep so the driver row stays 50/50 green; documented since
