@@ -105,7 +105,9 @@ def minhash_signatures(shingles: DataFrame, num_perm: int = 16) -> DataFrame:
     return shingles.groupBy("doc_id").agg(*mins).select("doc_id", sig.alias("sig"))
 
 
-def band_buckets(signatures, bands: int, rpb) -> DataFrame:
+def band_buckets(
+    signatures, bands: int, rpb, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, band, bucket) from a (doc_id, sig) table — THE band-hash
     derivation (md5 of the band's '|'-joined signature values), shared by
     the self-join path (lsh_candidate_pairs) and the incremental-index
@@ -128,14 +130,20 @@ def band_buckets(signatures, bands: int, rpb) -> DataFrame:
         ]
     )
     return signatures.select(
-        "doc_id", F.posexplode(buckets).alias("band", "bucket")
+        "doc_id", *carry, F.posexplode(buckets).alias("band", "bucket")
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
-    """Docs sharing >= 1 LSH band bucket -> candidate pairs (a < b)."""
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Docs sharing >= 1 LSH band bucket -> candidate pairs (a < b).
+    ``carry`` columns ride along as <col>_a / <col>_b on each pair —
+    per-doc scalars (set sizes) are functionally dependent on the ids, so
+    widening the distinct by them never changes the pair set but saves
+    the caller two per-doc joins after intersection counting."""
     banded = band_buckets(
-        signatures, bands, (F.size("sig") / bands).cast("int")
+        signatures, bands, (F.size("sig") / bands).cast("int"), carry=carry
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -146,7 +154,12 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
+        )
         .distinct()
     )
 
@@ -167,19 +180,22 @@ def minhash_near_duplicates(
     # size — the same (materialized) artifact pair the incremental index
     # persists, so the two pipelines share one definition
     sh, per_doc = build_near_dup_index(df, text_col, id_col, k, num_perm)
-    sig = per_doc.select("doc_id", "sig")
-    cand = lsh_candidate_pairs(sig, bands)
-    sizes = per_doc.select("doc_id", "n")
+    # thread each side's shingle-set size through the band self-join
+    # instead of joining the per-doc size table back on twice after
+    # intersection counting: n is functionally dependent on the id, so
+    # widening the candidate distinct (and the groupBy key) by it changes
+    # no results while removing two join stages (guide §2.4)
+    cand = lsh_candidate_pairs(
+        per_doc.select("doc_id", "sig", "n"), bands, carry=("n",)
+    )
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     out = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
@@ -633,6 +649,33 @@ def incremental_near_duplicates(
     )
 
 
+def undirected_edges(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """(src, dst) in both directions from a unique (a < b) pair table via
+    ONE posexplode — the union-of-two-projections it replaces duplicated
+    the entire upstream pair pipeline into both branches (ReusedExchange
+    only rescues the shuffles; every post-shuffle verify stage executed
+    twice) and then paid a distinct that is a no-op for a < b inputs
+    (the two directions can never collide). PRECONDITION: one row per
+    unordered pair with a_col < b_col — true of every engine pair
+    generator (LSH/SRP/ngram candidates are distinct-ed before the
+    verify join; cell joins emit each id pair once). Callers with
+    duplicate pair rows must distinct() first."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                ),
+                F.struct(
+                    F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -651,14 +694,15 @@ def connected_components(
     stays distributed (no collect of nodes/edges).
     """
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
-        .distinct()
-        # distinct leaves (src, dst) partitioning; every round joins on
-        # dst — re-hash ONCE so the loop shuffles only the label table
-        # (the cached InMemoryRelation retains this partitioning)
+        undirected_edges(pairs, a_col, b_col)
+        # run the (possibly expensive) pair pipeline exactly once and cut
+        # its lineage, so the per-round plans the driver must analyze are
+        # O(round) instead of carrying the whole upstream tree
+        .localCheckpoint(eager=True)
+        # every round joins on dst — re-hash ONCE; the cached
+        # InMemoryRelation retains this partitioning across rounds (a bare
+        # checkpoint scan would not), so the loop shuffles only the much
+        # smaller label table
         .repartition("dst")
         .cache()
     )
@@ -666,15 +710,9 @@ def connected_components(
     # component=doc_id, the first propagation is exactly
     # min(doc_id, min(neighbor)) — one aggregate over the edge list, which
     # saves a full join+agg+collect round trip from the loop below.
-    labels = (
-        edges.groupBy(F.col("src").alias("doc_id"))
-        .agg(F.least(F.first("src"), F.min("dst")).alias("component"))
-        .cache()
+    labels = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.least(F.first("src"), F.min("dst")).alias("component")
     )
-    # one action materializes BOTH caches (labels depends on edges with a
-    # single consumer here — no concurrent-stage recompute risk), so the
-    # possibly-expensive pair pipeline runs exactly once
-    labels.count()
     for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -686,6 +724,13 @@ def connected_components(
         lowered = F.least(
             F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
         )
+        # `labels` feeds TWO plan branches per round (the neighbor-min
+        # join and the carry join), so an uncut LOGICAL tree doubles
+        # every round — r11 measured the final dedup_clusters action
+        # analyzing a 608-Exchange 2^rounds plan. A LAZY localCheckpoint
+        # truncates lineage at no extra job: the convergence aggregate
+        # below is the action that materializes it, exactly like the
+        # cache-fill it replaces, so every round's plan is O(1) deep.
         new_labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
@@ -694,22 +739,12 @@ def connected_components(
                 # labels only ever decrease, so changed == strictly lower
                 (lowered < F.col("component")).cast("long").alias("_chg"),
             )
-            .cache()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(F.sum("_chg")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels.drop("_chg")
         if not changed:
             break
-        # `labels` feeds TWO plan branches per round (the neighbor-min
-        # join and the carry join), so the LOGICAL tree doubles every
-        # round — caching bounds execution but not plan size, and a
-        # long-diameter graph (chains in a semantic similarity graph)
-        # OOMs the driver just STRINGIFYING the 2^rounds tree. Cut the
-        # lineage every 4th round: one cheap job (reads the fresh cache)
-        # bounds the tree at 16x the checkpoint base.
-        if it % 4 == 3:
-            labels = labels.localCheckpoint(eager=True)
     edges.unpersist()
     return labels
 

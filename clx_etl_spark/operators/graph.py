@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .dedup import undirected_edges
+
 RANK_SCALE = 1_000_000_000_000  # 1e12 micro-units of rank mass per node
 DAMPING_NUM, DAMPING_DEN = 85, 100  # d = 0.85 as a rational
 
@@ -47,28 +49,26 @@ def pagerank(
     score and rank = rank_q / RANK_SCALE as a convenience double.
     Isolated nodes don't appear in ``pairs`` and thus hold the base
     rank 0.15 by definition; callers union them in if needed."""
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
-        .distinct()
-    )
+    # Run the pair pipeline exactly once BEFORE deriving out-degrees: deg
+    # and the deg-join both reference the edge list, so an uncheckpointed
+    # tree would execute the expensive pair pipeline's post-shuffle stages
+    # twice (ReusedExchange only dedups the shuffles themselves). The
+    # repartition+cache on top retains the src partitioning across all
+    # rounds — a bare checkpoint scan loses outputPartitioning and r11
+    # measured every round re-shuffling the edge list (3 exchanges/round);
+    # with the cache only the small rank table moves (2 exchanges/round,
+    # and at scale edges >> ranks).
+    edges = undirected_edges(pairs, a_col, b_col).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # localCheckpoint trades one per-round edges re-shuffle for a
-    # truncated lineage: a checkpointed RDD scan loses outputPartitioning
-    # (so each round re-hashes the edge list), but caching instead —
-    # which retains the partitioning — drags the full upstream pair
-    # pipeline through 10 rounds of plan analysis and measured ~45%
-    # SLOWER end-to-end. For graphs where the edge shuffle dominates,
-    # persist the (src-bucketed) edge list as a table and read it back.
-    edges = edges.join(deg, "src").localCheckpoint(eager=True)
+    edges = edges.join(deg, "src").repartition("src").cache()
 
     base = (DAMPING_DEN - DAMPING_NUM) * RANK_SCALE // DAMPING_DEN  # 0.15
-    ranks = deg.select(
-        F.col("src").alias("doc_id"), F.lit(RANK_SCALE).alias("rank_q")
+    # seed from the cached edge list (groupBy over the src partitioning is
+    # exchange-free), not from `deg`, whose lineage is the full pair tree
+    ranks = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.first(F.lit(RANK_SCALE)).alias("rank_q")
     )
-    for it in range(iterations):
+    for _ in range(iterations):
         contrib = (
             edges.join(ranks, edges.src == ranks.doc_id)
             .select(
@@ -85,11 +85,12 @@ def pagerank(
                 + F.expr(f"({DAMPING_NUM} * in_sum) div {DAMPING_DEN}")
             ).alias("rank_q"),
         )
-        # cut lineage every third round: enough to keep the stacked
-        # join+agg tree shallow (same discipline as connected_components'
-        # cached labels) without paying a materialization job per round
-        if it % 3 == 2:
-            ranks = ranks.localCheckpoint(eager=True)
+        # no intra-loop checkpoints: ranks feeds exactly ONE branch per
+        # round, so the logical tree grows linearly (~10 join+agg pairs),
+        # and the single final action lets AQE pipeline all rounds in one
+        # query instead of paying 3 extra eager materialization jobs
+        # (r11: 66 AQE sub-jobs for 10 rounds; the eager cuts were a
+        # holdover from the branching connected_components shape)
     return ranks.select(
         "doc_id",
         "rank_q",
@@ -146,34 +147,32 @@ def label_propagation(
     Per round: one equi-join (labels x edges) + one keyed count + one
     argmax window over the (node, label) vote table — vote-table sized,
     not graph-squared. Driver holds only the round counter."""
-    from pyspark.sql import Window
-
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)  # see pagerank: checkpoint > cache
-        # here — shallow per-round plans beat re-used edge partitioning
+        undirected_edges(pairs, a_col, b_col)
+        # checkpoint cuts the pair-pipeline lineage out of every round's
+        # plan; the repartition+cache on top retains the src partitioning
+        # the per-round vote join needs, so only the (small) label table
+        # shuffles each round — same shape as pagerank/connected_components
+        .localCheckpoint(eager=True)
+        .repartition("src")
+        .cache()
     )
     labels = seeds.select(
         F.col(id_col).alias("vec_id"), F.col(label_col).alias("lab")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("n").desc(), F.col("lab"))
     for it in range(rounds):
-        votes = (
+        # majority label among labeled neighbors in ONE aggregation:
+        # deterministic mode() is exactly the (count DESC, label ASC)
+        # argmax the previous per-(node,label) count + row_number window
+        # computed — most frequent value, ties broken by smallest —
+        # with one exchange instead of two and no sort (guide §2.4)
+        winner = (
             edges.join(
                 labels.filter(F.col("lab").isNotNull()),
                 edges.src == F.col("vec_id"),
             )
-            .groupBy(F.col("dst").alias("vec_id"), "lab")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        winner = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("vec_id", F.col("lab").alias("w_lab"))
+            .groupBy(F.col("dst").alias("vec_id"))
+            .agg(F.mode("lab", True).alias("w_lab"))
         )
         labels = labels.join(winner, "vec_id", "left").select(
             "vec_id", F.coalesce(F.col("lab"), F.col("w_lab")).alias("lab")

@@ -225,23 +225,34 @@ def srp_signature(vec: Column, n_bits: int = 16, dim: int | None = None) -> Colu
     if dim is not None:
         import hashlib
 
+        import numpy as np
+
         bits = []
         for k in range(n_bits):
-            coeffs = F.array(
-                *[
-                    F.lit(
+            # ONE ArrayType Literal per plane (F.lit over an ndarray) —
+            # the previous F.array(*[F.lit(c) ...]) built dim literal
+            # Columns through py4j per plane (n_bits x dim round-trips,
+            # ~4 s of driver time at 16x64 before the first job), and
+            # Catalyst constant-folded it to this same Literal anyway.
+            # Values are identical doubles, so signatures are unchanged.
+            coeffs = F.lit(
+                np.array(
+                    [
                         (
                             int(
-                                hashlib.md5(f"{k}:{i + 1}".encode()).hexdigest()[:8],
+                                hashlib.md5(
+                                    f"{k}:{i + 1}".encode()
+                                ).hexdigest()[:8],
                                 16,
                             )
                             % 2001
                             - 1000
                         )
                         / 1000.0
-                    )
-                    for i in range(dim)
-                ]
+                        for i in range(dim)
+                    ],
+                    dtype=np.float64,
+                )
             )
             dot = F.aggregate(
                 F.zip_with(vec, coeffs, lambda x, c: x.cast("double") * c),
