@@ -223,7 +223,10 @@ def repetition_signals(
     token needs a (doc, token) count -> per-doc max, both keyed aggregates
     with map-side partial combine.
     """
-    toks = tokens(text_col)
+    # staged: tokenize once, materialize the 2-gram array once — inlined,
+    # the split ran per reference and g2 (itself ~2 tokenizations) was
+    # evaluated twice (distinct + size)
+    toks = F.col("_toks")
     n = F.size(toks)
     g2 = F.zip_with(
         F.slice(toks, 1, n - 1),
@@ -231,15 +234,29 @@ def repetition_signals(
         lambda a, b: F.concat_ws(" ", a, b),
     )
     dbl = lambda c: c.cast("double")
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        n.cast("long").alias("n_tokens"),
-        F.when(
-            n >= 2, F.lit(1.0) - dbl(F.size(F.array_distinct(g2))) / dbl(F.size(g2))
-        ).alias("dup_2gram_ratio"),
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+        )
+        # keep g2 under the n >= 2 guard (slice length n-1 is invalid on
+        # shorter docs; the inlined form only evaluated it inside when())
+        .select(
+            "doc_id",
+            n.cast("long").alias("n_tokens"),
+            F.when(n >= 2, g2).alias("_g2"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.lit(1.0)
+                - dbl(F.size(F.array_distinct("_g2"))) / dbl(F.size("_g2")),
+            ).alias("dup_2gram_ratio"),
+        )
     )
     tok_counts = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("_w"))
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("_w"))
         .groupBy("doc_id", "_w")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
@@ -273,7 +290,11 @@ def span_dup_stats(
     trailing partial block (< block_tokens) is excluded so stats are
     comparable across doc lengths.
     """
-    toks = tokens(text_col)
+    # tokenize once into a column: the transform lambda below slices the
+    # token array per block element, and an inlined tokens() expression
+    # is re-evaluated inside the lambda for EVERY element (O(blocks)
+    # splits per row instead of 1)
+    toks = F.col("_toks")
     n_full = (F.size(toks) / F.lit(block_tokens)).cast("int")
     block_arr = F.transform(
         F.sequence(F.lit(0), n_full - 1),
@@ -286,8 +307,8 @@ def span_dup_stats(
         F.array().cast("array<string>")
     )
     blocks = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(block_arr).alias("bh")
-    )
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    ).select("doc_id", F.explode(block_arr).alias("bh"))
     freq = blocks.groupBy("bh").agg(F.count(F.lit(1)).alias("_f"))
     per_doc = (
         blocks.join(freq, "bh")
@@ -325,7 +346,9 @@ def remove_duplicate_spans(
     billion-row skewed window partition. Rebuild is one groupBy(doc)
     collecting at most the doc's own blocks.
     """
-    toks = tokens(text_col)
+    # tokenize once into a column (see duplicate_span_stats: an inlined
+    # tokens() re-splits per transform-lambda ELEMENT — O(blocks) per row)
+    toks = F.col("_toks")
     n = F.size(toks)
     n_full = (n / F.lit(block_tokens)).cast("int")
     block_arr = F.transform(
@@ -341,7 +364,9 @@ def remove_duplicate_spans(
         F.array().cast("array<struct<idx:int,btext:string>>")
     )
     base = df.select(
-        F.col(id_col).alias("doc_id"),
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    ).select(
+        "doc_id",
         block_arr.alias("_blocks"),
         n_full.cast("long").alias("n_blocks"),
         F.concat_ws(

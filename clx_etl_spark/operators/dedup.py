@@ -41,12 +41,13 @@ def shingle_sets(
     Shuffle-free: k shifted slices of the token array are zipped into
     shingles and de-duplicated per doc with array_distinct BEFORE the
     explode, so the output is already (doc_id, shingle)-distinct with no
-    wide operation at all. Tokenization runs k times per row (once per
-    slice) — the naive per-element indexing form re-tokenizes O(k·shingles)
-    times because Catalyst inlines the tokens() expression into every
-    element_at lambda.
+    wide operation at all. The token array is materialized as a column
+    in its own projection first, so tokenization runs ONCE per row — an
+    inlined tokens() re-splits once per slice (k times), and the naive
+    per-element indexing form re-tokenizes O(k·shingles) times because
+    Catalyst inlines the expression into every element_at lambda.
     """
-    toks = tokens(text_col)
+    toks = F.col("_toks")
     n = F.size(toks)
     slices = [F.slice(toks, j + 1, n - (k - 1)) for j in range(k)]
     zipped = slices[0]
@@ -56,8 +57,8 @@ def shingle_sets(
         F.array().cast("array<string>")
     )
     return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingle_arr).alias("shingle")
-    )
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    ).select("doc_id", F.explode(shingle_arr).alias("shingle"))
 
 
 def hashed_shingle_sets(
@@ -276,8 +277,9 @@ def positional_kgrams(
     """(doc_id, pos, h): 1-based token position of every k-gram, hashed to
     a 60-bit long. Unlike shingle_sets this keeps duplicates and order —
     the substrate for exact substring-run detection. Same shuffle-free
-    zip-of-shifted-slices construction as shingle_sets."""
-    toks = tokens(text_col)
+    zip-of-shifted-slices construction (and staged one-tokenization
+    projection) as shingle_sets."""
+    toks = F.col("_toks")
     n = F.size(toks)
     slices = [F.slice(toks, j + 1, n - (k - 1)) for j in range(k)]
     zipped = slices[0]
@@ -285,7 +287,9 @@ def positional_kgrams(
         zipped = F.zip_with(zipped, s, lambda a, b: F.concat_ws(" ", a, b))
     arr = F.when(n >= k, zipped).otherwise(F.array().cast("array<string>"))
     return df.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(arr).alias("pos0", "g")
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    ).select(
+        "doc_id", F.posexplode(arr).alias("pos0", "g")
     ).select(
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),

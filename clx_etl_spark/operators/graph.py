@@ -147,16 +147,13 @@ def label_propagation(
     Per round: one equi-join (labels x edges) + one keyed count + one
     argmax window over the (node, label) vote table — vote-table sized,
     not graph-squared. Driver holds only the round counter."""
-    edges = (
-        undirected_edges(pairs, a_col, b_col)
-        # checkpoint cuts the pair-pipeline lineage out of every round's
-        # plan; the repartition+cache on top retains the src partitioning
-        # the per-round vote join needs, so only the (small) label table
-        # shuffles each round — same shape as pagerank/connected_components
-        .localCheckpoint(eager=True)
-        .repartition("src")
-        .cache()
-    )
+    # checkpoint cuts the pair-pipeline lineage out of every round's plan.
+    # Unlike pagerank (10 rounds) and connected_components, the default 3
+    # rounds do NOT amortize a repartition+cache of the edge list: the
+    # vote join's small side is the label table (AQE broadcasts it, so
+    # edges stream shuffle-free from the checkpoint), and an A/B measured
+    # the cache fill costing more than the three joins it would save.
+    edges = undirected_edges(pairs, a_col, b_col).localCheckpoint(eager=True)
     labels = seeds.select(
         F.col(id_col).alias("vec_id"), F.col(label_col).alias("lab")
     )

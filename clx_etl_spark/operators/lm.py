@@ -133,17 +133,31 @@ def kneser_ney_scores(
     keyed aggregates over the bigram stream (all map-side combinable,
     vocab-bounded), scoring is the stream joined back to them.
     """
+    from pyspark.sql import Window
+
     bg = bigram_stream(df, text_col, id_col)
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = c12.groupBy("w1").agg(
-        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    # attach the w1 totals / distinct-continuation / distinct-history
+    # counts as WINDOWS over the (vocab-bounded) bigram-type table instead
+    # of three separate aggregate+join legs: the previous shape consumed
+    # c12 four times (its post-exchange aggregate re-ran per consumer) and
+    # shuffled the corpus-sized bigram stream twice; here the c12-keyed
+    # exchange of bg is reused by the scoring join (same child, same key)
+    # so the stream is shuffled exactly once. Same counts, same integers.
+    c12e = (
+        c12.withColumn(
+            "c1", F.sum("c12").over(Window.partitionBy("w1"))
+        )
+        .withColumn(
+            "n1f", F.count(F.lit(1)).over(Window.partitionBy("w1"))
+        )
+        .withColumn(
+            "n1b", F.count(F.lit(1)).over(Window.partitionBy("w2"))
+        )
     )
-    n1b = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
     btypes = c12.agg(F.count(F.lit(1)).alias("b"))
     scored = (
-        bg.join(c12, ["w1", "w2"])
-        .join(c1, ["w1"])
-        .join(n1b, ["w2"])
+        bg.join(c12e, ["w1", "w2"])
         .crossJoin(F.broadcast(btypes))
         .withColumn(
             "p_scaled",

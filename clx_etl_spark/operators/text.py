@@ -27,11 +27,19 @@ def _hit_count(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(wl, F.lower(t))))
 
 
-def _lang_guess(toks: Column) -> tuple[Column, Column]:
-    """(lang_pred, best_hits) expressions over a token-array column.
+def _lang_hit_columns(toks: Column) -> dict[str, Column]:
+    """Per-language stopword hit-count expressions over a token array.
+    Callers materialize these as columns BEFORE combining them: the
+    guess/best combination references every hit several times, and
+    inlined hit counts re-scan the token array (and re-tokenize, when
+    ``toks`` is itself the split expression) once per reference."""
+    return {lang: _hit_count(toks, words) for lang, words in STOPWORDS.items()}
+
+
+def _lang_guess(hits: dict[str, Column]) -> tuple[Column, Column]:
+    """(lang_pred, best_hits) from per-language hit-count columns.
     Language with the most stopword hits; 'und' when no language scores a
     hit; ties resolve in fixed language order (en, es, de, fr)."""
-    hits = {lang: _hit_count(toks, words) for lang, words in STOPWORDS.items()}
     best = F.greatest(*hits.values())
     guess = F.lit("und")
     for lang in reversed(list(STOPWORDS)):  # earlier langs win ties -> apply last
@@ -42,29 +50,55 @@ def _lang_guess(toks: Column) -> tuple[Column, Column]:
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-hit language guess per document (see _lang_guess)."""
     scored = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-    guess, best = _lang_guess(F.col("_toks"))
-    return scored.select(id_col, guess.alias("lang_pred"), best.alias("stopword_hits"))
+    hit_cols = _lang_hit_columns(F.col("_toks"))
+    counted = scored.select(
+        id_col, *[c.alias(f"_h_{lang}") for lang, c in hit_cols.items()]
+    )
+    guess, best = _lang_guess(
+        {lang: F.col(f"_h_{lang}") for lang in STOPWORDS}
+    )
+    return counted.select(id_col, guess.alias("lang_pred"), best.alias("stopword_hits"))
 
 
 def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Length / punctuation / stopword / uniqueness signals per document —
-    the standard cheap pre-filters of a training-data pipeline."""
+    the standard cheap pre-filters of a training-data pipeline.
+
+    Staged projection: the raw counters are materialized as columns first
+    and the ratios read those attributes. Inlining everything into one
+    projection re-evaluates tokens() per reference (~9x here — Catalyst's
+    CollapseProject only keeps an alias split when a non-cheap expression
+    is referenced more than once, which this staging guarantees) and blows
+    the generated code past Janino's sweet spot: the one-time compile was
+    ~1.8 s of the query's cold cost."""
     txt = F.col(text_col)
-    toks = tokens(text_col)
-    n_chars = F.length(txt)
-    n_tokens = F.size(toks)
-    n_punct = F.length(txt) - F.length(F.regexp_replace(txt, r"[.,;:!?'\"]", ""))
-    n_stop = _hit_count(toks, STOPWORDS["en"])
-    n_uniq = F.size(F.array_distinct(toks))
+    toks = F.col("_toks")
     dbl = lambda c: c.cast("double")
-    return df.select(
+    base = df.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        F.length(txt).alias("n_chars"),
+        (
+            F.length(txt) - F.length(F.regexp_replace(txt, r"[.,;:!?'\"]", ""))
+        ).alias("_n_punct"),
+        tokens(text_col).alias("_toks"),
+    )
+    counted = base.select(
+        id_col,
+        "n_chars",
+        "_n_punct",
+        F.size(toks).alias("n_tokens"),
+        _hit_count(toks, STOPWORDS["en"]).alias("_n_stop"),
+        F.size(F.array_distinct(toks)).alias("_n_uniq"),
+    )
+    n_chars, n_tokens = F.col("n_chars"), F.col("n_tokens")
+    return counted.select(
+        id_col,
+        "n_chars",
+        "n_tokens",
         F.when(n_tokens > 0, dbl(n_chars) / dbl(n_tokens)).alias("mean_token_len"),
-        F.when(n_chars > 0, dbl(n_punct) / dbl(n_chars)).alias("punct_ratio"),
-        F.when(n_tokens > 0, dbl(n_stop) / dbl(n_tokens)).alias("stopword_ratio"),
-        F.when(n_tokens > 0, dbl(n_uniq) / dbl(n_tokens)).alias("unique_token_ratio"),
+        F.when(n_chars > 0, dbl(F.col("_n_punct")) / dbl(n_chars)).alias("punct_ratio"),
+        F.when(n_tokens > 0, dbl(F.col("_n_stop")) / dbl(n_tokens)).alias("stopword_ratio"),
+        F.when(n_tokens > 0, dbl(F.col("_n_uniq")) / dbl(n_tokens)).alias("unique_token_ratio"),
     )
 
 
@@ -128,16 +162,34 @@ def _curation_signals(
     dedup rank + copy count. One scan, one digest-window shuffle."""
     from pyspark.sql import Window
 
-    toks = tokens(text_col)
-    n_tokens = F.size(toks)
-    n_uniq = F.size(F.array_distinct(toks))
-    guess, _ = _lang_guess(toks)
-    base = df.select(
+    # staged projection (see quality_scores): tokenize once, materialize
+    # the per-language hit counts and raw counters, then combine — the
+    # inlined form re-tokenized per reference (~12x) and its generated
+    # projection dominated the query's cold compile time
+    toks = F.col("_toks")
+    staged = df.select(
         F.col(id_col),
         md5_hex(text_col).alias("digest"),
-        n_tokens.cast("long").alias("n_tokens"),
+        tokens(text_col).alias("_toks"),
+    ).select(
+        id_col,
+        "digest",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("_n_uniq"),
+        *[
+            c.alias(f"_h_{lang}")
+            for lang, c in _lang_hit_columns(toks).items()
+        ],
+    )
+    guess, _ = _lang_guess({lang: F.col(f"_h_{lang}") for lang in STOPWORDS})
+    n_tokens = F.col("n_tokens")
+    base = staged.select(
+        id_col,
+        "digest",
+        "n_tokens",
         F.when(
-            n_tokens > 0, n_uniq.cast("double") / n_tokens.cast("double")
+            n_tokens > 0,
+            F.col("_n_uniq").cast("double") / n_tokens.cast("double"),
         ).alias("unique_token_ratio"),
         guess.alias("lang_pred"),
     )
