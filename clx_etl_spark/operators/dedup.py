@@ -535,7 +535,9 @@ def build_near_dup_index(
     both are written once (partitioned parquet) and every future batch
     joins against them; here they are cached for the in-session case."""
     sh = hashed_shingle_sets(df, text_col, id_col, k).cache()
-    sh.count()
+    # no separate sh.count(): agg below is sh's only consumer until the
+    # caller's fan-out, and its count() fills BOTH caches in one job
+    # (the scan feeding the signature aggregate populates sh on the way)
     base = F.col("h") % MINHASH_PRIME
     mins = [
         F.min((F.lit(a) * base + F.lit(b)) % MINHASH_PRIME).alias(f"h{i}")

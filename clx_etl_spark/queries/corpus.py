@@ -1169,6 +1169,10 @@ def training_mix(spark, sf):
     kept = T.curate_corpus(docs).select("doc_id")
     surviving = docs.join(kept, "doc_id", "left_semi")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
+    # train feeds both the decontamination shingling and the clean
+    # semi-join; a cache here measured 2x WORSE cold (the InMemoryRelation
+    # build adds its own codegen + a pipeline barrier) — the digest-window
+    # exchange below is already reused across the two consumers
     train = surviving.filter(F.col("doc_id") % 97 != 0)
     contam = C.decontaminate(train, bench, k=3, flag_threshold=0.1)
     clean = train.join(
