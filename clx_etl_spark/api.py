@@ -699,28 +699,59 @@ class Engine:
 
         return scan_version(self.spark, path, col, lo, hi, version)
 
+    @staticmethod
+    def _canonical_pairs(pairs: DataFrame) -> DataFrame:
+        """Normalize arbitrary caller pair tables to the unique-(a < b)
+        precondition the iterative graph operators require
+        (operators/dedup.undirected_edges): orient each row as
+        (least, greatest), drop self-pairs, dedup. Engine-internal pair
+        generators already satisfy the contract and skip this; without
+        it, duplicate or (b, a)-reversed caller rows would silently skew
+        PageRank out-degrees and label-propagation votes."""
+        from pyspark.sql import functions as F
+
+        a, b = pairs.columns[0], pairs.columns[1]
+        return (
+            pairs.select(
+                F.least(F.col(a), F.col(b)).alias(a),
+                F.greatest(F.col(a), F.col(b)).alias(b),
+            )
+            .filter(F.col(a) < F.col(b))
+            .distinct()
+        )
+
     def pagerank(self, pairs: DataFrame, iterations: int = 10) -> DataFrame:
         """Deterministic fixed-point PageRank over an undirected pair
-        graph (exact integer ranks — bit-identical any partitioning)."""
+        graph (exact integer ranks — bit-identical any partitioning).
+        ``pairs`` may contain duplicates / reversed rows; they are
+        canonicalized to unique (a < b) pairs first."""
         from .operators.graph import pagerank
 
-        return pagerank(pairs, iterations=iterations)
+        return pagerank(self._canonical_pairs(pairs), iterations=iterations)
 
     def cluster_representatives(self, pairs: DataFrame,
                                 iterations: int = 10) -> DataFrame:
         """Importance-aware duplicate-cluster representatives: connected
-        components x PageRank, top-ranked member flagged per cluster."""
+        components x PageRank, top-ranked member flagged per cluster.
+        ``pairs`` may contain duplicates / reversed rows; they are
+        canonicalized to unique (a < b) pairs first."""
         from .operators.graph import top_representatives
 
-        return top_representatives(pairs, iterations=iterations)
+        return top_representatives(
+            self._canonical_pairs(pairs), iterations=iterations
+        )
 
     def propagate_labels(self, pairs: DataFrame, seeds: DataFrame,
                          rounds: int = 3) -> DataFrame:
         """Seed-frozen majority-vote label spreading over a similarity
-        graph (weak-supervision expansion; deterministic)."""
+        graph (weak-supervision expansion; deterministic). ``pairs`` may
+        contain duplicates / reversed rows; they are canonicalized to
+        unique (a < b) pairs first."""
         from .operators.graph import label_propagation
 
-        return label_propagation(pairs, seeds, rounds=rounds)
+        return label_propagation(
+            self._canonical_pairs(pairs), seeds, rounds=rounds
+        )
 
     def eval_holdout(self, df: DataFrame, key_col: str, stratum_col: str,
                      k: int = 25) -> DataFrame:

@@ -126,3 +126,27 @@ def snap_to_intervals(minutes: Column, candidates: tuple[int, ...] = COMMON_FUND
     return F.array_min(
         F.transform(arr, lambda c: F.struct(F.abs(minutes - c).alias("d"), c.alias("c")))
     )["c"]
+
+
+# ---------------------------------------------------------------------------
+# scan-parallelism guard (optimization guide §2.5 "input skew: one huge
+# unsplittable file ... repartition immediately after the read")
+# ---------------------------------------------------------------------------
+
+
+def ensure_min_parallelism(df, factor: int = 2):
+    """Round-robin repartition a DataFrame whose current partitioning is
+    below the cluster's default parallelism — the single-unsplittable-
+    row-group case, where every downstream map stage (tokenization,
+    shingling, hashing, signature folds) would otherwise run on ONE core
+    until the first exchange. No-op on healthily partitioned input (a
+    real multi-file scan), so it never adds an exchange at cluster
+    scale; when it fires, the exchange moves the raw rows once and every
+    per-row stage after it is parallel. Results are unaffected: callers
+    are operators whose outputs are aggregations/joins over the rows,
+    not row-order-sensitive folds.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(factor * par)
+    return df

@@ -16,7 +16,7 @@ import random as _random
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions import md5_hex, md5_long, tokens
+from ..functions import ensure_min_parallelism, md5_hex, md5_long, tokens
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -46,6 +46,8 @@ def shingle_sets(
     inlined tokens() re-splits once per slice (k times), and the naive
     per-element indexing form re-tokenizes O(k·shingles) times because
     Catalyst inlines the expression into every element_at lambda.
+    The parallelism guard distributes the tokenize+hash map work when
+    the source scan is a single unsplittable row group (guide §2.5).
     """
     toks = F.col("_toks")
     n = F.size(toks)
@@ -56,7 +58,7 @@ def shingle_sets(
     shingle_arr = F.when(n >= k, F.array_distinct(zipped)).otherwise(
         F.array().cast("array<string>")
     )
-    return df.select(
+    return ensure_min_parallelism(df).select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
     ).select("doc_id", F.explode(shingle_arr).alias("shingle"))
 
@@ -227,6 +229,14 @@ def ngram_jaccard_pairs(
     shingle shared by >1000 docs carries ~no similarity signal. The final
     Jaccard is still computed over the FULL shingle sets, so the filter
     only affects which pairs are considered, not their scores.
+
+    The full-set intersection is SPLIT, not re-scanned (guide §2.3):
+    common shingles partition exactly into rare (df <= cap, already
+    counted by the candidate aggregate) and stop (df > cap), so
+    n_inter = n_common + n_stop_common — the old second pass re-joined
+    every candidate against the ENTIRE shingle table; the replacement
+    joins only against the stop-shingle slice (empty until a shingle
+    tops the cap, boilerplate-sized after), with identical integers.
     Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
     """
     sh = hashed_shingle_sets(df, text_col, id_col, k).cache()
@@ -249,15 +259,25 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
-        .select("doc_a", "doc_b")
+    )
+    stop = sh.join(dfreq.filter(F.col("_df") > max_doc_freq), "h").select(
+        "doc_id", "h"
+    )
+    stop_common = (
+        cand.select("doc_a", "doc_b")
+        .join(stop.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(stop.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_n_stop"))
+    )
+    inter = cand.join(stop_common, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        (F.col("n_common") + F.coalesce(F.col("_n_stop"), F.lit(0))).alias(
+            "n_inter"
+        ),
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     return (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
@@ -286,7 +306,7 @@ def positional_kgrams(
     for s in slices[1:]:
         zipped = F.zip_with(zipped, s, lambda a, b: F.concat_ws(" ", a, b))
     arr = F.when(n >= k, zipped).otherwise(F.array().cast("array<string>"))
-    return df.select(
+    return ensure_min_parallelism(df).select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
     ).select(
         "doc_id", F.posexplode(arr).alias("pos0", "g")
@@ -693,11 +713,18 @@ def connected_components(
     where component = min doc_id reachable in the pair graph — the
     canonical representative a dedup pipeline keeps.
 
-    Each iteration is two shuffles (join + min-agg) and the label can only
-    decrease, so it converges in O(diameter) rounds — near-dup graphs are
-    star-shaped clusters with tiny diameters, 3-5 rounds in practice. The
-    driver loop only checks a scalar convergence count per round; all data
-    stays distributed (no collect of nodes/edges).
+    Each iteration is a neighbor-min step (join + min-agg, two shuffles)
+    FOLLOWED by a pointer-jumping shortcut (label' = min(label,
+    label[label]), one self-join) — the path-halving trick from classic
+    PRAM connectivity: neighbor-min alone needs O(diameter) rounds, and
+    real similarity graphs grow chains (r13 measured the sf0.1 SRP graph
+    still moving after 10 rounds), while the shortcut composes reach
+    doublings for O(log diameter) convergence. Both steps only ever
+    LOWER a label to another id inside the same component, so the fixed
+    point — min reachable id per node — is identical to pure
+    propagation, just reached exponentially sooner. The driver loop only
+    checks a scalar convergence count per round; all data stays
+    distributed (no collect of nodes/edges).
     """
     edges = (
         undirected_edges(pairs, a_col, b_col)
@@ -725,20 +752,33 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_comp"))
         )
-        # old and new labels sit in the same row here, so the convergence
-        # flag is a free column — no extra old-vs-new join per round
-        lowered = F.least(
-            F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+        # pointer-jumping shortcut alongside the neighbor min: follow my
+        # label to ITS label (a plain self-join of the label table) and
+        # take the three-way min. component values are always node ids
+        # inside the same component, so label[label] cannot escape the
+        # component and the fixed point is unchanged; both steps read the
+        # SAME checkpointed `labels` (cheap checkpoint scans, no
+        # recompute), and reach roughly doubles per round instead of
+        # growing by one hop. The left joins cover nodes whose neighbor
+        # set / pointee is absent (no lowering from that step).
+        ptr = labels.select(
+            F.col("doc_id").alias("_pid"), F.col("component").alias("_pcomp")
         )
-        # `labels` feeds TWO plan branches per round (the neighbor-min
-        # join and the carry join), so an uncut LOGICAL tree doubles
-        # every round — r11 measured the final dedup_clusters action
-        # analyzing a 608-Exchange 2^rounds plan. A LAZY localCheckpoint
-        # truncates lineage at no extra job: the convergence aggregate
-        # below is the action that materializes it, exactly like the
-        # cache-fill it replaces, so every round's plan is O(1) deep.
+        lowered = F.least(
+            F.col("component"),
+            F.coalesce(F.col("nbr_comp"), F.col("component")),
+            F.coalesce(F.col("_pcomp"), F.col("component")),
+        )
+        # `labels` feeds THREE plan branches per round (neighbor-min,
+        # carry, pointer), so an uncut LOGICAL tree would blow up every
+        # round — r11 measured the final dedup_clusters action analyzing
+        # a 608-Exchange 2^rounds plan. A LAZY localCheckpoint truncates
+        # lineage at no extra job: the convergence aggregate below is the
+        # action that materializes it, exactly like the cache-fill it
+        # replaces, so every round's plan is O(1) deep.
         new_labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .join(ptr, F.col("component") == F.col("_pid"), "left")
             .select(
                 "doc_id",
                 lowered.alias("component"),
@@ -767,7 +807,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     (doc_id, 32 longs) tuple per doc per input partition.
     Output: (doc_id, simhash long).
     """
-    tok = df.select(
+    tok = ensure_min_parallelism(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("w")
     )
     h = F.conv(F.substring(md5_hex(F.col("w")), 1, 8), 16, 10).cast("long")

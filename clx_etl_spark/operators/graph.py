@@ -91,6 +91,12 @@ def pagerank(
         # query instead of paying 3 extra eager materialization jobs
         # (r11: 66 AQE sub-jobs for 10 rounds; the eager cuts were a
         # holdover from the branching connected_components shape)
+    # materialize the final ranks so the edge cache can be RELEASED
+    # before returning — a lazily returned plan would keep the edge-list
+    # InMemoryRelation alive past the call (repeated pagerank calls in
+    # one session, e.g. top_representatives, stacked cached edge copies)
+    ranks = ranks.localCheckpoint(eager=True)
+    edges.unpersist()
     return ranks.select(
         "doc_id",
         "rank_q",

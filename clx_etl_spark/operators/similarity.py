@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..functions import ensure_min_parallelism
+
 def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Dot product of two float arrays: per-element double products folded
     left-to-right (deterministic order; DuckDB's list_reduce mirrors it).
@@ -124,15 +126,29 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within each cell (a < b). The cell
     restriction bounds the pair blow-up the same way LSH bands do for text.
+
+    The two norm folds are staged once per VECTOR on each join side
+    (identical fold expression, so the cosine doubles are bit-identical);
+    the per-pair verify inside the cell join is one dot fold. The
+    repartition guard mirrors srp_near_duplicates: the quadratic verify
+    runs in the probe-side map stage, so an under-partitioned local
+    source would serialize it on one core.
     """
-    a = vectors.select(
-        F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"), F.col(cell_col).alias("_cell")
+    src = ensure_min_parallelism(vectors)
+    a = src.select(
+        F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"),
+        F.col(cell_col).alias("_cell"), _norm2(F.col(vec_col)).alias("_na"),
     )
-    b = vectors.select(
-        F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"), F.col(cell_col).alias("_cell")
+    b = src.select(
+        F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"),
+        F.col(cell_col).alias("_cell"), _norm2(F.col(vec_col)).alias("_nb"),
     )
     pairs = a.join(b, "_cell").filter(F.col("doc_a") < F.col("doc_b"))
-    pairs = pairs.withColumn("cosine", cosine_sim(F.col("_va"), F.col("_vb")))
+    pairs = pairs.withColumn(
+        "cosine",
+        _dot(F.col("_va"), F.col("_vb"))
+        / (F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb"))),
+    )
     return pairs.filter(F.col("cosine") >= threshold).select(
         "doc_a", "doc_b", F.col("cosine")
     )
@@ -300,19 +316,51 @@ def srp_near_duplicates(
     path (embedding_near_duplicates blocks on a ground-truth cell column;
     this blocks on the sketch alone, like MinHash bands do for text).
 
-    One signature pass, band buckets as substring slices, candidate pairs
-    from a self-join per band (the only wide shuffle), then exact-cosine
-    verification after rejoining the vectors by id — candidates carry ids
-    only, so the band explode never duplicates the embedding payload.
+    One signature pass, band buckets as substring slices, then ONE band
+    self-join that carries the signature, the per-vector squared norm
+    and the vector payload on both sides, so each surviving pair is
+    cosine-verified inline — no candidate ``distinct`` and no id-rejoin
+    stages (guide §2.4/§3). Pair dedup across bands is a FILTER, not a
+    shuffle: a pair is emitted only from its first matching band (for
+    the join at band k every earlier band's signature slice must differ;
+    both full signatures ride the join, so the check is a substring
+    compare). The emitted pair set is exactly the old
+    band-join + distinct set, and the cosine — the identical
+    left-association fold, with the two norm folds staged per VECTOR
+    instead of re-folded per PAIR — is bit-identical (same expressions,
+    same operand order; r13 join-compared 0 mismatches at sf0.1).
+
+    Shuffle trade vs the old id-only shape (measured, r13): the band
+    exchange carries ``bands`` copies of each vector instead of ids
+    only, but the candidate table — quadratic in bucket occupancy, 462k
+    pairs from 2k vectors at bench band widths — is never materialized,
+    shuffled (old distinct) or re-shuffled (old two verify joins): pairs
+    stream through the cosine filter inside the join stage. Candidate
+    volume dominates payload duplication whenever buckets hold more than
+    ~2 x bands docs, which LSH banding guarantees at corpus scale.
     """
     n_bits = bands * bits_per_band
-    base = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # Scale-adaptive parallelism guard: the verify work happens in the
+    # map stage that probes the band join, so its parallelism is the
+    # INPUT partitioning — a single-row-group local file would put the
+    # whole quadratic verify on one core. Only repartitions when the
+    # source is under-partitioned (a real cluster scan with >= cores
+    # partitions skips this; the 2 MB local exchange costs ~nothing).
+    base = ensure_min_parallelism(
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    )
     # one tiny probe for the (uniform) dimensionality unlocks the
     # literal-coefficient signature path (see srp_signature)
     first = base.select(F.size("_v").alias("d")).first()
     dim = int(first["d"]) if first is not None else None
     sig = base.select(
-        "_id", srp_signature(F.col("_v"), n_bits, dim=dim).alias("_sig")
+        "_id",
+        "_v",
+        srp_signature(F.col("_v"), n_bits, dim=dim).alias("_sig"),
+        # squared norm staged once per vector (identical fold to the
+        # per-pair _norm2 it replaces), so the per-pair verify is ONE
+        # dot fold instead of three
+        _norm2(F.col("_v")).alias("_nrm"),
     )
     band_struct = F.array(
         *[
@@ -323,25 +371,38 @@ def srp_near_duplicates(
             for b in range(bands)
         ]
     )
-    banded = sig.select("_id", F.explode(band_struct).alias("_b")).select(
-        "_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
+    banded = sig.select(
+        "_id", "_v", "_sig", "_nrm", F.explode(band_struct).alias("_b")
+    ).select(
+        "_id", "_v", "_sig", "_nrm",
+        F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket"),
     )
-    cand = (
+    # first-matching-band gate: for a pair joined at band k, every band
+    # before k must mismatch — vacuously true for bands >= k, so the
+    # conjunction emits each matching pair exactly once (== distinct)
+    not_earlier = F.lit(True)
+    for bp in range(bands - 1):
+        sa = F.substring(F.col("a._sig"), bp * bits_per_band + 1, bits_per_band)
+        sb = F.substring(F.col("b._sig"), bp * bits_per_band + 1, bits_per_band)
+        not_earlier = not_earlier & (
+            (F.col("a.band") <= F.lit(bp)) | (sa != sb)
+        )
+    # NOTE the higher-order-function dot (no dim unroll): measured on
+    # Spark 4.1.2 the interpreted fold beats the 390-node unrolled
+    # element_at chain ~2x (plans/r13, OPTIMIZATION_r13.md)
+    cosine = _dot(F.col("a._v"), F.col("b._v")) / (
+        F.sqrt(F.col("a._nrm")) * F.sqrt(F.col("b._nrm"))
+    )
+    verified = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bucket"])
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
-        .distinct()
-    )
-    va = base.select(F.col("_id").alias("doc_a"), F.col("_v").alias("_va"))
-    vb = base.select(F.col("_id").alias("doc_b"), F.col("_v").alias("_vb"))
-    verified = (
-        cand.join(va, "doc_a")
-        .join(vb, "doc_b")
-        .withColumn("cosine", cosine_sim(F.col("_va"), F.col("_vb")))
+        .filter((F.col("a._id") < F.col("b._id")) & not_earlier)
+        .withColumn("cosine", cosine)
         .filter(F.col("cosine") >= threshold)
     )
-    return verified.select("doc_a", "doc_b", "cosine")
+    return verified.select(
+        F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"), "cosine"
+    )
 
 
 # ---------------------------------------------------------------------------
