@@ -187,6 +187,17 @@ def main() -> None:
         out["anchor_normalized_total"] = round(total / anchor, 2)
     if errors:
         out["errors"] = errors
+    # Robustness vs the driver's bounded tail capture (VERDICT r12 item
+    # 7: the ~4 KB one-line JSON was truncated out of the r11 record,
+    # which broke that round's speedup computation). ADDITIONS ONLY:
+    # persist the parsed dict beside the bench before printing, and keep
+    # the contract line exactly as-is, printed last.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_out.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the stdout contract line still rules
     print(json.dumps(out))
     spark.stop()
     if errors:

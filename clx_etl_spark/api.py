@@ -129,9 +129,10 @@ class Engine:
         SQL DML: after this, ``INSERT INTO name`` / ``INSERT OVERWRITE
         name`` / ``SELECT ... FROM name`` work with no DataFrame API
         (sources/table_source.py catalog-DML path)."""
+        from .sources._register import register_datasource_once
         from .sources.table_source import TableDataSource
 
-        self.spark.dataSource.register(TableDataSource)
+        register_datasource_once(self.spark, TableDataSource)
         self.spark.sql(
             f"CREATE TABLE {name} USING clx_table LOCATION '{path}'")
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..functions import ensure_min_parallelism
 from ..functions import tokens as _raw_tokens
 from .dedup import shingle_sets
 
@@ -235,7 +236,7 @@ def repetition_signals(
     )
     dbl = lambda c: c.cast("double")
     base = (
-        df.select(
+        ensure_min_parallelism(df).select(
             F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
         )
         # keep g2 under the n >= 2 guard (slice length n-1 is invalid on
@@ -256,7 +257,8 @@ def repetition_signals(
         )
     )
     tok_counts = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("_w"))
+        ensure_min_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("_w"))
         .groupBy("doc_id", "_w")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
@@ -306,7 +308,7 @@ def span_dup_stats(
     block_arr = F.when(n_full >= 1, block_arr).otherwise(
         F.array().cast("array<string>")
     )
-    blocks = df.select(
+    blocks = ensure_min_parallelism(df).select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
     ).select("doc_id", F.explode(block_arr).alias("bh"))
     freq = blocks.groupBy("bh").agg(F.count(F.lit(1)).alias("_f"))
@@ -363,7 +365,7 @@ def remove_duplicate_spans(
     block_arr = F.when(n_full >= 1, block_arr).otherwise(
         F.array().cast("array<struct<idx:int,btext:string>>")
     )
-    base = df.select(
+    base = ensure_min_parallelism(df).select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
     ).select(
         "doc_id",

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions import ensure_min_parallelism
 from .curation import tokens
 
 
@@ -37,7 +38,7 @@ def build_inverted_index(
     """(term, df_docs, postings) with postings the doc_id list sorted
     ascending. ``max_df`` drops stopword-grade terms whose posting lists
     would dominate the output (the index analog of the stop-shingle cap)."""
-    pairs = df.select(
+    pairs = ensure_min_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("term"),
     )

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions import tokens
+from ..functions import ensure_min_parallelism, tokens
 
 SCALE = 1_000_000_000  # fixed-point probability scale (1e-9 resolution)
 DSIR_SCALE = 1_000_000  # DSIR ratio scale: int64 headroom to ~9.2e12 tokens
@@ -43,7 +43,8 @@ def bigram_stream(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     return (
-        df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+        ensure_min_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
         .filter(F.size("t") >= 2)  # slice(len-1) is invalid on 0/1-token docs
         .select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", "p.w1", "p.w2")
@@ -64,7 +65,8 @@ def train_bigram_lm(
     bigram_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     context_counts = bigram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     stats = (
-        df.select(F.explode(tokens(text_col)).alias("w"))
+        ensure_min_parallelism(df)
+        .select(F.explode(tokens(text_col)).alias("w"))
         .agg(F.countDistinct("w").alias("v"))
     )
     return bigram_counts, context_counts, stats
@@ -210,7 +212,7 @@ def dsir_importance(
     S=1e6 holds to ~9.2e12 tokens per side — trillion-token corpora —
     where 1e9 would overflow three orders of magnitude earlier.
     """
-    base = df.select(
+    base = ensure_min_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         target_pred.alias("_is_target"),
         F.explode(tokens(text_col)).alias("tok"),

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..functions import md5_hex, tokens
+from ..functions import ensure_min_parallelism, md5_hex, tokens
 
 # A tiny per-language stopword table for the n-gram/stopword-hit heuristic.
 # Real pipelines plug fastText/CLD3 in as a pandas UDF; the heuristic is the
@@ -49,7 +49,9 @@ def _lang_guess(hits: dict[str, Column]) -> tuple[Column, Column]:
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-hit language guess per document (see _lang_guess)."""
-    scored = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    scored = ensure_min_parallelism(df).select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    )
     hit_cols = _lang_hit_columns(F.col("_toks"))
     counted = scored.select(
         id_col, *[c.alias(f"_h_{lang}") for lang, c in hit_cols.items()]
@@ -74,7 +76,7 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     txt = F.col(text_col)
     toks = F.col("_toks")
     dbl = lambda c: c.cast("double")
-    base = df.select(
+    base = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.length(txt).alias("n_chars"),
         (
@@ -110,7 +112,7 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     ws = F.size(tokens(text_col))
     # count matches of: letter runs | digit runs | any non-space symbol
     pieces = F.regexp_count(txt, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
-    return df.select(
+    return ensure_min_parallelism(df).select(
         F.col(id_col),
         ws.cast("long").alias("n_ws_tokens"),
         pieces.cast("long").alias("n_bpe_pieces"),
@@ -167,7 +169,7 @@ def _curation_signals(
     # inlined form re-tokenized per reference (~12x) and its generated
     # projection dominated the query's cold compile time
     toks = F.col("_toks")
-    staged = df.select(
+    staged = ensure_min_parallelism(df).select(
         F.col(id_col),
         md5_hex(text_col).alias("digest"),
         tokens(text_col).alias("_toks"),
@@ -249,7 +251,7 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     rolling = F.aggregate(
         th, F.lit(0).cast("long"), lambda acc, h: (acc * BASE + h) % MOD
     )
-    return df.select(
+    return ensure_min_parallelism(df).select(
         F.col(id_col),
         md5_hex(text_col).alias("content_md5"),
         rolling.alias("rolling_fp"),

@@ -52,7 +52,74 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # oracle suite (tests/test_queries_oracle.py) always sweeps everything
 # at sf0.01 regardless.
 SWEEP_FRONT: list[str] = [
-    # ---- round-12 front ----
+    # ---- round-13 front ----
+    # CODE CHANGED this round (optimization round 2): the SRP near-dup
+    # rewrite (verify-in-band-join) + staged-norm cosine
+    # (operators/similarity.py), the pointer-jumping connected
+    # components + stop-slice ngram intersection + scan-parallelism
+    # guards (operators/dedup.py), pagerank's rank materialization
+    # (operators/graph.py), and the ensure_min_parallelism rollout
+    # across text/lm/curation/ir (all row-set-preserving; every query
+    # those operators back is re-swept). VERDICT r12 item 4's
+    # r12-touched-but-unsampled seven (doc_pagerank,
+    # label_propagation_srp, lm_kneser_ney_scores, text_quality_scores,
+    # span_dup_stats, training_mix, graph_suite) are all inside this set.
+    "label_propagation_srp",
+    "graph_suite",
+    "sim_srp_near_dup",
+    "srp_pair_label_purity",
+    "sim_embedding_near_dup",
+    "semantic_dedup",
+    "dedup_clusters",
+    "dedup_best_representative",
+    "dedup_cluster_size_histogram",
+    "split_dedup_aware",
+    "split_leakage_audit",
+    "doc_pagerank",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "dedup_containment",
+    "dedup_jaccard_prefix",
+    "dedup_simhash",
+    "substring_run_dedup",
+    "decontam_ngram_overlap",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_token_counts",
+    "text_fingerprints",
+    "text_repetition_signals",
+    "corpus_curation",
+    "curation_drop_attribution",
+    "training_mix",
+    "training_manifest",
+    "span_dup_stats",
+    "span_dedup_rewrite",
+    "chunk_documents",
+    "lm_kneser_ney_scores",
+    "lm_bigram_doc_scores",
+    "lm_score_heldout",
+    "dsir_importance_weights",
+    "inverted_index_terms",
+    "token_pmi",
+    # FRESHNESS fill to exactly 50: the stalest cumulative-ledger rows
+    # (last driver-green r08, alphabetical)
+    "cohort_retention",
+    "densify_hourly_grid",
+    "ema_per_user",
+    "embed_quantize_int8",
+    "f6_stale_keys",
+    "funnel_conversion",
+    "j2_full_outer_merge",
+    "json_props_extract",
+    "mm_media_metadata",
+    "pq_ann",
+    "sim_knn_ivfpq",
+    "t2_normalize_enum_split",
+]
+
+# ---- round-12 front (superseded; kept for the ledger record) ----
+_SWEEP_FRONT_R12: list[str] = [
     # NEW this round: batch CDF across column-mapping commits (VERDICT
     # r11 item 1 — table_changes translates change frames to the end
     # version's names via the stable physical keys)

@@ -286,8 +286,12 @@ PMI_TOPK = 50
     "multiplied so no log and no float drift. Vocab is broadcast",
 )
 def token_pmi(spark, sf):
+    from ..functions import ensure_min_parallelism
+
     docs = _t(spark, sf, "documents")
-    dt0 = docs.select(
+    # the tokenize+explode map stage otherwise runs on the single
+    # unsplittable row group (guide §2.5; see ensure_min_parallelism)
+    dt0 = ensure_min_parallelism(docs).select(
         "doc_id", F.explode(F.array_distinct(_tokens("text"))).alias("tok")
     )
     wv = Window.orderBy(F.desc("df"), F.asc("tok"))

@@ -336,7 +336,9 @@ def versioned_catalog_dml(spark, sf):
         write_table_source(orders, path, mode="append",
                            stats_cols=["o_orderkey"],
                            bloom_cols=["o_orderkey"])
-        spark.dataSource.register(TableDataSource)
+        from ..sources._register import register_datasource_once
+
+        register_datasource_once(spark, TableDataSource)
         spark.sql(f"CREATE TABLE {t} USING clx_table LOCATION '{path}'")
         spark.sql(
             f"INSERT INTO {t} "
@@ -1956,9 +1958,10 @@ def versioned_dsv2_mapped_write(spark, sf):
                                    drop_columns, latest_version,
                                    pruned_file_count, read_version,
                                    rename_column)
+    from ..sources._register import register_datasource_once
     from ..sources.table_source import TableDataSource
 
-    spark.dataSource.register(TableDataSource)
+    register_datasource_once(spark, TableDataSource)
     orders = load_table(spark, sf, "orders").select(
         F.col("o_orderkey").alias("okey"),
         F.col("o_totalprice").cast("double").alias("price"),

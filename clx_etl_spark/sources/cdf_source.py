@@ -315,8 +315,10 @@ def stream_changes(
     one (review r11)."""
     from .table_source import _ensure_active_session
 
+    from ._register import register_datasource_once
+
     _ensure_active_session(spark)
-    spark.dataSource.register(CdfDataSource)
+    register_datasource_once(spark, CdfDataSource)
     reader = (
         spark.readStream.format("clx_cdf")
         .option("path", path)

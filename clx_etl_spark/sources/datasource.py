@@ -240,7 +240,9 @@ def stream_rest(
     state_dir: str | None = None,
 ) -> DataFrame:
     """readStream over the live REST tail (see RestStreamReader)."""
-    spark.dataSource.register(RestDataSource)
+    from ._register import register_datasource_once
+
+    register_datasource_once(spark, RestDataSource)
     reader = (
         spark.readStream.format("clx_rest")
         .option("keys", json.dumps(keys))
@@ -268,7 +270,9 @@ def read_rest(
     page_limit: int = 1000,
 ) -> DataFrame:
     """Register (idempotent) and load the REST source over a gap plan."""
-    spark.dataSource.register(RestDataSource)
+    from ._register import register_datasource_once
+
+    register_datasource_once(spark, RestDataSource)
     return (
         spark.read.format("clx_rest")
         .option("ranges", json.dumps(ranges))

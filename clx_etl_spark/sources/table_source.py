@@ -52,6 +52,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from ._register import register_datasource_once
 from .cdf_source import _parquet_ddl
 
 
@@ -1015,7 +1016,7 @@ def stream_table(
     across merges/deletes, stream the change feed instead
     (cdf_source.stream_changes)."""
     _ensure_active_session(spark)
-    spark.dataSource.register(TableDataSource)
+    register_datasource_once(spark, TableDataSource)
     reader = (
         spark.readStream.format("clx_table")
         .option("path", path)
@@ -1747,7 +1748,7 @@ def write_table_source(
     DSv2 source (see TableWriter). ``mode`` is 'append' or
     'overwrite'."""
     _ensure_active_session(df.sparkSession)
-    df.sparkSession.dataSource.register(TableDataSource)
+    register_datasource_once(df.sparkSession, TableDataSource)
     w = df.write.format("clx_table").option("path", path).mode(mode)
     if stats_cols:
         w = w.option("statsCols", ",".join(stats_cols))
@@ -1769,7 +1770,7 @@ def read_table_source(
     Manifest-pruning filter pushdown engages automatically when
     ``spark.sql.python.filterPushdown.enabled`` is true."""
     _ensure_active_session(spark)
-    spark.dataSource.register(TableDataSource)
+    register_datasource_once(spark, TableDataSource)
     pd_on = str(spark.conf.get(
         "spark.sql.python.filterPushdown.enabled", "false")).lower()
     reader = (spark.read.format("clx_table").option("path", path)

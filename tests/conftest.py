@@ -19,5 +19,13 @@ def spark():
     # thread pool so N concurrent shards don't oversubscribe the box
     spark = get_spark("clx-spark-tests",
                       master=os.environ.get("CLX_TEST_MASTER", "local[8]"))
+    # availableNow queries over stateful operators with PROCESSING-TIME
+    # timeouts never terminate under no-data micro-batches (the engine
+    # keeps scheduling empty batches until the pending timers — up to an
+    # hour out — fire), so every stream test burned its full
+    # awaitTermination budget (r13 measured 120 s+ per test, 11 s with
+    # the conf off; emitted rows identical — the idle-timeout tests
+    # drive their timers with explicit later batches).
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     yield spark
     spark.stop()

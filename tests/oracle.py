@@ -91,15 +91,24 @@ def compare(spark, sf_dir: str, name: str, query) -> dict:
         result["status"] = "rows_only"
         return result
     con = duckdb_connection(sf_dir)
+    # ONE oracle execution: the arrow fetch provides the schema for the
+    # type-parity check AND the rows — the previous shape re-ran every
+    # oracle a second time for fetchall(), doubling DuckDB time across
+    # the 200+-query sweep (the recursive/unrolled graph oracles are the
+    # suite's slowest cells). Rows come back through the same arrow
+    # conversion duckdb's fetchall uses underneath, normalized by the
+    # identical _norm_cell path.
     otbl = con.execute(query.oracle).arrow()
     mismatches = type_parity(sdf, otbl.schema)
     if mismatches:
         result["status"] = "dtype_mismatch"
         result["detail"] = "; ".join(mismatches)
         return result
-    ocur = con.execute(query.oracle)
-    ocols = [d[0] for d in ocur.description]
-    orows = ocur.fetchall()
+    ocols = list(otbl.column_names)
+    ocolumns = [otbl.column(i).to_pylist() for i in range(otbl.num_columns)]
+    orows = list(zip(*ocolumns)) if ocolumns else []
+    if not otbl.num_columns:
+        orows = [()] * otbl.num_rows
     result["oracle_rows"] = len(orows)
     sc, sr = normalize(scols, srows)
     oc, orn = normalize(ocols, orows)

@@ -517,3 +517,33 @@ def test_engine_metadata_aggregates_and_sql_table(spark, tmp_path):
     V._commit(path, V.latest_version(path) + 1, m["files"], "overwrite",
               stats, txn=m.get("txn", {}))
     assert eng.table_count(path) == 21
+
+
+def test_engine_graph_doors_canonicalize_pairs(spark):
+    """r13 (ADVICE r12): the public graph doors accept messy caller pair
+    tables — duplicates, reversed rows, self-pairs — and must produce the
+    SAME ranks/labels as the clean unique-(a<b) form the operators
+    require."""
+    from clx_etl_spark.api import Engine
+
+    eng = Engine(spark)
+    clean = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (2, 3), (6, 5), (4, 4)],
+        "doc_a long, doc_b long",
+    )
+    r_clean = {(r.doc_id, r.rank_q) for r in eng.pagerank(clean, 3).collect()}
+    r_messy = {(r.doc_id, r.rank_q) for r in eng.pagerank(messy, 3).collect()}
+    assert r_clean == r_messy and r_clean
+
+    seeds = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (5, "b"), (6, None)],
+        "vec_id long, label string",
+    )
+    l_clean = {(r.vec_id, r.label)
+               for r in eng.propagate_labels(clean, seeds).collect()}
+    l_messy = {(r.vec_id, r.label)
+               for r in eng.propagate_labels(messy, seeds).collect()}
+    assert l_clean == l_messy and ("3", ) not in l_clean

@@ -1507,3 +1507,78 @@ def test_minhash_lsh_recall_floor_vs_bruteforce(spark):
     assert got <= truth  # exact-Jaccard verification => no false positives
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, (recall, len(truth), len(got))
+
+
+def test_connected_components_chain_graph_pointer_jump(spark):
+    """r13: pointer-jumping shortcut — a 33-node path graph (diameter 32)
+    must fully converge well inside 10 rounds, which pure one-hop
+    min-label propagation cannot do (it needs ~diameter rounds). Also
+    pins the fixed point: every node's component is the path's min id."""
+    from clx_etl_spark.operators.dedup import connected_components
+
+    n = 33
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = connected_components(pairs, max_iter=10).collect()
+    assert len(got) == n
+    assert all(r.component == 0 for r in got), sorted(
+        (r.doc_id, r.component) for r in got
+    )[:5]
+
+
+def test_ngram_jaccard_stop_slice_exact(spark):
+    """r13: the split intersection (n_inter = rare-common + stop-common)
+    must reproduce FULL-set Jaccard when stop shingles (df > cap) exist —
+    at bench SF the stop slice is empty, so this pins the non-empty leg.
+    Docs share a boilerplate tail (df=4 > cap=3) plus varying bodies."""
+    from clx_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved worldwide"
+    rows = [
+        (1, "alpha beta gamma delta epsilon " + boiler),
+        (2, "alpha beta gamma delta zeta " + boiler),
+        (3, "alpha beta gamma eta theta " + boiler),
+        (4, "iota kappa lam mu nu " + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, k=3, threshold=0.1, max_doc_freq=3, min_common=1
+        ).collect()
+    }
+    # brute force: candidates = pairs sharing >= 1 shingle with df <= 3,
+    # verified on FULL shingle sets
+    sets = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        sets[doc_id] = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    from collections import Counter
+    dfreq = Counter(s for ss in sets.values() for s in ss)
+    rare = {d: {s for s in ss if dfreq[s] <= 3} for d, ss in sets.items()}
+    truth = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if len(rare[a] & rare[b]) >= 1:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= 0.1:
+                    truth[(a, b)] = j
+    assert truth and any(dfreq[s] > 3 for s in dfreq)  # stop slice exercised
+    assert got.keys() == truth.keys()
+    for k in truth:
+        assert abs(got[k] - truth[k]) == 0.0, (k, got[k], truth[k])
+
+
+def test_srp_near_duplicates_unique_pairs(spark):
+    """r13: the first-matching-band filter must emit each qualifying pair
+    exactly once (it replaced the candidate distinct)."""
+    from clx_etl_spark.catalog import load_table
+    from clx_etl_spark.operators.similarity import srp_near_duplicates
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pairs = srp_near_duplicates(emb, threshold=0.35, bands=4, bits_per_band=4)
+    n = pairs.count()
+    nd = pairs.select("doc_a", "doc_b").distinct().count()
+    assert n == nd and n > 0
